@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB over <sfDir>/*.parquet,
+and compares: column names (sorted), row count, and values (columns sorted
+by name; compared both in emitted order and as a sorted multiset).
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return str(v)
+
+def frame_key(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    return cols, rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            duck_df = con.execute(sql).fetchdf()
+            sc, sr = frame_key(spark_df)
+            dc, dr = frame_key(duck_df)
+            if sc != dc:
+                print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
+                n_bad += 1
+            elif len(sr) != len(dr):
+                print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+                n_bad += 1
+            elif sr != dr:
+                ordered = sorted(map(repr, sr)) == sorted(map(repr, dr))
+                tag = "ORDER-ONLY mismatch" if ordered else "VALUE mismatch"
+                print(f"FAIL {name}: {tag}")
+                for i, (a, b) in enumerate(zip(sr, dr)):
+                    if a != b:
+                        print(f"  first diff row {i}:\n   spark={a}\n   duck ={b}")
+                        break
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(sr)} rows)")
+                n_ok += 1
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

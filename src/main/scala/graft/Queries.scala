@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query registry backing [[SparkEntry.queries]].
+  *
+  * Every operator from SURVEY §2 is exercised over the driver testdata
+  * (TPC-H-ish tables + `events`/`documents`/`embeddings`) per the mapping in
+  * FIXTURES.md §B. Each query:
+  *   - is a declarative DataFrame plan (Catalyst handles pushdown/pruning);
+  *   - ends in a fully deterministic ORDER BY (unique tiebreak) so the
+  *     DuckDB-oracle hash compare is order-stable;
+  *   - casts integer aggregates to BIGINT and rounds doubles, so Spark and
+  *     DuckDB produce bit-identical values despite different partial-agg
+  *     orders.
+  *
+  * Scale posture (100 TB): no collect(), no driver loops; joins broadcast
+  * bounded dimensions only; aggregations are single-shuffle with map-side
+  * partials; window functions partition on high-cardinality keys.
+  */
+object Queries {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    * default; read it as nanos-since-epoch and truncate to microseconds —
+    * the same µs view DuckDB's oracle produces when formatting/casting.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Deterministic "as of" date for the events-table analytics (events span
+    * 2024-01-01..2024-01-30; reference queries use `now()-7d`).
+    */
+  val AsOfDate = "2024-01-24"
+
+  // ---------------------------------------------------------------- A. core
+
+  /** A1: conjunctive filter scan (enabled AND env ≈ status AND priority).
+    * Both predicates + projection push into the parquet scan.
+    */
+  def a1FilterScan(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O" && col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** A2: single-equality filter scan. */
+  def a2EqFilter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** A3: inner equi-join, fact ⋈ dimension. Customer is the bounded side →
+    * explicit broadcast (at 100 TB orders shuffles, customer never does...
+    * until customer itself is huge, at which point AQE falls back to SMJ).
+    */
+  def a3EquiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val customer = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** A4: lookup join chain through two bounded dimensions (customer →
+    * nation → region), the reference's endpoint-lookup shape. Both dims
+    * broadcast; zero shuffles besides the final sort.
+    */
+  def a4LookupJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    val region = table(spark, dir, "region")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("r_name").as("region"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** A6: row-count aggregation. */
+  def a6Count(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+
+  /** A7: filtered counts → status derivation, one aggregation pass
+    * (vs the reference's two filtered count() jobs). `error` events play
+    * FAILED, everything else SUCCESS.
+    */
+  def a7StatusDerivation(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("event_type") =!= "error", 1).otherwise(0)).as("ok"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("fail"))
+      .withColumn("status",
+        when(col("fail") === 0, "SUCCESS")
+          .when(col("ok") === 0, "FAILED")
+          .otherwise("PARTIAL_SUCCESS"))
+      .orderBy(col("user_id"))
+
+  /** A8: keyed-UPDATE emulation — latest event wins per key via row_number.
+    * Single hash shuffle on the partition key; no table mutation needed.
+    */
+  def a8LatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------- B. monitoring analytics
+
+  /** B1: last-7-days summary by run date with conditional counts. */
+  def b1JobSummary(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(to_date(col("ts")) >= lit(AsOfDate))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"))
+      .orderBy(col("run_date").desc)
+
+  /** B2: per-type status rollup with conditional sums. */
+  def b2PerTypeStatus(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(col("value") >= 50.0, 1).otherwise(0)).as("n_high_value"),
+        round(sum(col("value")), 3).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** B3: error details — filter + project + newest-first sort. */
+  def b3ErrorDetails(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "error" && to_date(col("ts")) >= lit(AsOfDate))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("value"), col("props"))
+      .orderBy(col("ts").desc, col("event_id"))
+
+  /** B4: daily value totals by (date, type), two-key mixed-order sort. */
+  def b4DailyValue(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_date"), col("event_type"))
+      .agg(round(sum(col("value")), 3).as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("run_date").desc, col("event_type").asc)
+
+  // ------------------------------------------------ headline scale queries
+
+  /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.
+    * Stays entirely in whole-stage codegen; one shuffle over a 6-value key.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-shaped top-revenue orders: selective dim filter → broadcast →
+    * fact join → agg → top-k. Revenue rounded before ordering, unique
+    * tiebreak, so top-10 is deterministic across engines.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("2000-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lineitem = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+}

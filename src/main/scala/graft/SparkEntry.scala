@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 (and the north-star extension
+  * surface) is exposed as a named `(SparkSession, sfDir) => DataFrame`;
+  * SQL-expressible ones carry a DuckDB oracle in [[Oracles.sql]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.b1JobSummary(spark, "/root/testdata/sf0.001")
+
+  private def docs(s: SparkSession, dir: String) =
+    Queries.table(s, dir, "documents")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. relational core
+    "a1_filter_scan" -> (Queries.a1FilterScan _),
+    "a2_eq_filter" -> (Queries.a2EqFilter _),
+    "a3_equi_join" -> (Queries.a3EquiJoin _),
+    "a4_lookup_join" -> (Queries.a4LookupJoin _),
+    "a6_count" -> (Queries.a6Count _),
+    "a7_status_derivation" -> (Queries.a7StatusDerivation _),
+    "a8_latest_wins" -> (Queries.a8LatestWins _),
+    // B. monitoring analytics
+    "b1_job_summary" -> (Queries.b1JobSummary _),
+    "b2_per_type_status" -> (Queries.b2PerTypeStatus _),
+    "b3_error_details" -> (Queries.b3ErrorDetails _),
+    "b4_daily_value" -> (Queries.b4DailyValue _),
+    // headline scale queries
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q3_top_orders" -> (Queries.q3TopOrders _),
+    // extensions: dedup + text analysis
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

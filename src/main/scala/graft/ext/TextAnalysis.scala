@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All are built
+  * from codegen'd `functions._` expressions — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with input splits (no shuffle at
+  * all: every operator here is a pure per-row map).
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count: `\S+` runs. regexp_extract_all is identical
+    * between Java regex (Spark) and RE2 (DuckDB oracle) for this pattern.
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** doc_id, n_chars, n_tokens, avg token length. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(tokenCount(col("text")), lit(1L)), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  /** Occurrences of a literal word with space delimiters, counted via the
+    * classic length-difference trick — pure arithmetic, engine-portable.
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val token = s" $word "
+    // overlapping " w w " sequences are not double-counted by replace;
+    // acceptable for scoring purposes and identical in the oracle
+    ((length(padded) - length(replace(padded, lit(token), lit("")))) / lit(token.length)).cast("long")
+  }
+
+  /** Quality scoring: stopword ratio, non-alpha ratio, mean word length.
+    * Heuristics follow published LLM-data-cleaning practice (C4/Gopher
+    * rules): documents with few stopwords or extreme symbol ratios are
+    * low quality.
+    */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val nTokens = greatest(tokenCount(col("text")), lit(1L))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => wordOccurrences(col("text"), w))
+      .reduce(_ + _)
+    val nonAlpha = length(regexp_replace(col("text"), lit("[a-zA-Z\\s]"), lit("")))
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stop.as("n_stopwords"),
+      round(stop.cast("double") / nTokens, 4).as("stopword_ratio"),
+      round(nonAlpha.cast("double") / greatest(length(col("text")), lit(1)), 4).as("non_alpha_ratio"),
+      round(length(regexp_replace(col("text"), lit("\\s"), lit(""))).cast("double") / nTokens, 4)
+        .as("mean_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID by marker-word scoring: argmax over per-language marker
+    * occurrence counts, deterministic tie-break by language code order.
+    * (An n-gram heuristic in the same per-row-map shape; markers are
+    * configurable.)
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("之", "的", "了"))
+
+  def langScores(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.toSeq.sortBy(_._1).foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        words.map(w => wordOccurrences(col("text"), w)).reduce(_ + _))
+    }
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.tail.foldLeft(
+      struct(col(s"score_${langs.head}").as("s"), lit(langs.head).as("l"))) { (acc, lang) =>
+      // strictly-greater keeps the earlier (alphabetical) language on ties
+      when(col(s"score_$lang") > acc.getField("s"),
+        struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored.select(
+      (Seq(col("doc_id")) ++ langs.map(l => col(s"score_$l")) ++
+        Seq(best.getField("l").as("pred_lang"), col("lang").as("labeled_lang"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key that survives formatting-only edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

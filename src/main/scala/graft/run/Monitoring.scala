@@ -1,0 +1,61 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.{JobRun, ReportRun, Status}
+
+/** Monitoring store — SURVEY §2 A7/A8/A9/C6.
+  *
+  * The reference appends one monitoring row per report with a full Spark
+  * write job each (`databricks/talkdesk_databricks_etl.py:448-456` — a noted
+  * inefficiency) and finalizes jobs with a keyed SQL UPDATE (`:245-253`).
+  * This rebuild:
+  *   - batches all report rows of a run into ONE append ([[appendReportRuns]]);
+  *   - models the job UPDATE as an append-only event log + latest-wins view
+  *     ([[latestJobState]]) — pure Spark, no table mutation, scales to any
+  *     store that supports append (parquet dirs, Delta, object storage);
+  *   - derives job status in a single aggregation pass ([[deriveJobStatus]])
+  *     instead of the reference's two filtered `count()` actions
+  *     (`databricks/talkdesk_databricks_etl_distributed.py:259-263`).
+  */
+object Monitoring {
+
+  def appendReportRuns(runs: Dataset[ReportRun], dir: String): Unit =
+    runs.write.mode("append").parquet(dir)
+
+  def appendJobEvents(events: Dataset[JobRun], dir: String): Unit =
+    events.write.mode("append").parquet(dir)
+
+  def reportMonitoring(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** A8 emulation: latest event wins per `run_id`. The event log appends a
+    * RUNNING row at job start and a terminal row at job end; this view
+    * collapses them to current state. `row_number` (not `max`) keeps the
+    * whole row. At scale this is a single hash shuffle on `run_id`.
+    */
+  def latestJobState(jobEvents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("run_id"))
+      .orderBy(col("start_time").desc, col("status").desc)
+    jobEvents
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** A7: per-run ok/fail counts + status classification, one shuffle.
+    * Output: run_id, total_reports, success_count, failed_count, status.
+    */
+  def deriveJobStatus(reportRuns: DataFrame): DataFrame =
+    reportRuns
+      .groupBy(col("run_id"))
+      .agg(
+        count(lit(1)).cast("int").as("total_reports"),
+        sum(when(col("status") === Status.Success, 1).otherwise(0)).cast("int").as("success_count"),
+        sum(when(col("status") === Status.Failed, 1).otherwise(0)).cast("int").as("failed_count"))
+      .withColumn("status",
+        when(col("failed_count") === 0, Status.Success)
+          .when(col("success_count") === 0, Status.Failed)
+          .otherwise(Status.PartialSuccess))
+}
