@@ -1,0 +1,142 @@
+package graft
+
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+import scala.concurrent.duration._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ingest.{CsvIO, Retry, TokenManager}
+import graft.model.Status
+import graft.run.Orchestrator
+
+/** Spark-free unit tests: status truth table, retry/backoff arithmetic,
+  * token-cache refresh window, date defaulting, CSV row counting.
+  * (SURVEY §5's rebuild test strategy.)
+  */
+class StatusSpec extends AnyFunSuite {
+  test("derive: fail==0 -> SUCCESS (incl. zero-report edge, distributed semantics)") {
+    assert(Status.derive(5, 0) == "SUCCESS")
+    assert(Status.derive(0, 0) == "SUCCESS")
+  }
+  test("derive: ok==0 && fail>0 -> FAILED") {
+    assert(Status.derive(0, 3) == "FAILED")
+  }
+  test("derive: mixed -> PARTIAL_SUCCESS") {
+    assert(Status.derive(2, 1) == "PARTIAL_SUCCESS")
+  }
+  test("normalize: local-variant total==0 keeps SUCCESS only if caller claimed it") {
+    assert(Status.normalize("SUCCESS", 0, 0, 0) == "SUCCESS")
+    assert(Status.normalize("RUNNING", 0, 0, 0) == "FAILED")
+  }
+  test("normalize: all four branches") {
+    assert(Status.normalize("RUNNING", 3, 3, 0) == "SUCCESS")
+    assert(Status.normalize("RUNNING", 3, 2, 1) == "PARTIAL_SUCCESS")
+    assert(Status.normalize("RUNNING", 3, 0, 3) == "FAILED")
+    // ok<total with fail==0 (e.g. rows still RUNNING) -> FAILED, not SUCCESS
+    assert(Status.normalize("RUNNING", 3, 2, 0) == "FAILED")
+  }
+}
+
+class RetrySpec extends AnyFunSuite {
+  test("backoff doubles per attempt from 1s base") {
+    assert(Retry.backoffDelay(1.second, 1) == 1.second)
+    assert(Retry.backoffDelay(1.second, 2) == 2.seconds)
+    assert(Retry.backoffDelay(1.second, 3) == 4.seconds)
+  }
+  test("succeeds without retry when op passes") {
+    var sleeps = Vector.empty[FiniteDuration]
+    val r = Retry.retry(3, 1.second, sleeps :+= _)(_ => 42)
+    assert(r == 42 && sleeps.isEmpty)
+  }
+  test("retries retriable failures with exponential sleeps, then succeeds") {
+    var sleeps = Vector.empty[FiniteDuration]
+    val calls = new AtomicInteger
+    val r = Retry.retry(3, 1.second, sleeps :+= _) { attempt =>
+      if (calls.incrementAndGet() < 3) throw Retry.RetriableFailure("503")
+      attempt
+    }
+    assert(r == 3)
+    assert(sleeps == Vector(1.second, 2.seconds))
+  }
+  test("exhaustion raises RetryExhausted carrying the last error") {
+    val e = intercept[Retry.RetryExhausted] {
+      Retry.retry(3, 1.second, _ => ())(_ => throw Retry.RetriableFailure("boom"))
+    }
+    assert(e.attempts == 3)
+    assert(e.last.getMessage == "boom")
+  }
+  test("terminal failures (4xx analog) never retry") {
+    val calls = new AtomicInteger
+    intercept[Retry.TerminalFailure] {
+      Retry.retry(3, 1.second, _ => ()) { _ =>
+        calls.incrementAndGet(); throw Retry.TerminalFailure("404")
+      }
+    }
+    assert(calls.get == 1)
+  }
+  test("status classification: 5xx/429 retriable, other 4xx not") {
+    assert(Retry.isRetriableStatus(500) && Retry.isRetriableStatus(503))
+    assert(Retry.isRetriableStatus(429))
+    assert(!Retry.isRetriableStatus(404) && !Retry.isRetriableStatus(401))
+    assert(!Retry.isRetriableStatus(200))
+  }
+}
+
+class TokenManagerSpec extends AnyFunSuite {
+  private def clockAt(t: Instant) = {
+    var now = t
+    (() => now, (d: Long) => now = now.plusSeconds(d))
+  }
+
+  test("caches until expiry - 300s, then refreshes") {
+    val (now, advance) = clockAt(Instant.parse("2024-01-01T00:00:00Z"))
+    val issued = new AtomicInteger
+    val tm = new TokenManager(
+      () => TokenManager.Token(s"tok${issued.incrementAndGet()}", 3600), now)
+    assert(tm.token == "tok1")
+    advance(3299) // within 3600-300
+    assert(tm.token == "tok1")
+    advance(2) // crosses the refresh boundary
+    assert(tm.token == "tok2")
+  }
+
+  test("short-lived tokens keep a 60s floor") {
+    val (now, advance) = clockAt(Instant.parse("2024-01-01T00:00:00Z"))
+    val issued = new AtomicInteger
+    val tm = new TokenManager(
+      () => TokenManager.Token(s"tok${issued.incrementAndGet()}", 120), now)
+    assert(tm.token == "tok1")
+    advance(59) // 120-300 < 60 -> floor 60s applies
+    assert(tm.token == "tok1")
+    advance(2)
+    assert(tm.token == "tok2")
+  }
+
+  test("concurrent callers trigger exactly one refresh") {
+    val issued = new AtomicInteger
+    val tm = new TokenManager(() => {
+      Thread.sleep(20); TokenManager.Token(s"tok${issued.incrementAndGet()}", 3600)
+    })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tokens = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(tm.token))), 10.seconds).toSet
+    assert(tokens == Set("tok1"))
+    assert(issued.get == 1)
+  }
+}
+
+class DatesAndCsvSpec extends AnyFunSuite {
+  test("default dates are yesterday/today, yyyy-MM-dd") {
+    val (from, to) = Orchestrator.defaultDates(java.time.LocalDate.parse("2024-03-01"))
+    assert(from == "2024-02-29" && to == "2024-03-01")
+  }
+  test("countCsvRows excludes the header and trailing newline") {
+    assert(CsvIO.countCsvRows("h1,h2\na,1\nb,2\n") == 2)
+    assert(CsvIO.countCsvRows("h1,h2\n") == 0)
+    assert(CsvIO.countCsvRows("") == 0)
+  }
+  test("output path follows the {report}/{from}_to_{to}.csv template") {
+    assert(CsvIO.outputPath("/out", "call_volume", "2024-01-01", "2024-01-02") ==
+      "/out/call_volume/2024-01-01_to_2024-01-02.csv")
+  }
+}
