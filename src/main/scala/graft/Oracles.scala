@@ -129,6 +129,109 @@ object Oracles {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.a, p.b, p.common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
+        |FROM pairs p
+        |JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+        |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" -> {
+      val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+      val occ = stopWords.map { w =>
+        val tok = s" $w "
+        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$tok', ''))) / ${tok.length} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    $occ AS n_stopwords,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+        |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, n_stopwords,
+        |  round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+        |  round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4) AS non_alpha_ratio,
+        |  round(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len
+        |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "text_langid" -> {
+      val markers = Map(
+        "de" -> Seq("der", "und", "die"),
+        "en" -> Seq("the", "and", "of"),
+        "es" -> Seq("el", "los", "y"),
+        "fr" -> Seq("le", "la", "et"),
+        "zh" -> Seq("之", "的", "了"))
+      val langs = markers.keys.toSeq.sorted
+      val scoreExprs = langs.map { l =>
+        val terms = markers(l).map { w =>
+          val tok = s" $w "
+          s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$tok', ''))) / ${tok.length} AS BIGINT)"
+        }.mkString(" + ")
+        s"$terms AS score_$l"
+      }.mkString(",\n    ")
+      val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString("CASE ", " ", " END")
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    $scoreExprs
+        |  FROM documents
+        |)
+        |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+        |  $pred AS pred_lang, lang AS labeled_lang
+        |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "multimodal_features" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  'fake/media-' || source AS media_type,
+        |  CAST(64 + length(text) % 512 AS INT) AS width,
+        |  CAST(64 + (CAST(length(text) AS BIGINT) * 7) % 512 AS INT) AS height,
+        |  CAST(1 + length(text) % 30 AS INT) AS n_frames,
+        |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

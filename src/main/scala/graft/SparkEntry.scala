@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,11 +36,31 @@ object SparkEntry {
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
-    // extensions: dedup + text analysis
+    // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 6)),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    // extensions: similarity search
+    "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
+    "sim_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
+    "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
+    // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
-    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir)))
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
+    "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    // extensions: multimodal plumbing (decode stubbed, see Multimodal)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id")))
   )
+
+  private def emb(s: SparkSession, dir: String) =
+    Queries.table(s, dir, "embeddings")
+
+  private val col0 = org.apache.spark.sql.functions.col _
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

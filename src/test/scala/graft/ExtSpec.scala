@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Multimodal, Similarity}
+
+/** Extension-operator semantics tests at sf0.001: approximate methods are
+  * checked against their exact counterparts (minhash vs true Jaccard, LSH
+  * vs brute-force cosine, batch decode vs declarative twin).
+  */
+class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ext")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Queries.table(spark, sf, "documents")
+  private def emb = Queries.table(spark, sf, "embeddings")
+
+  test("minhash candidates recover every true near-dup pair (recall=1 at J>=0.8)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashCandidatePairs(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(exact.subsetOf(approx),
+      s"missed pairs: ${exact.diff(approx)}")
+  }
+
+  test("minhash estimated jaccard tracks true jaccard within 0.2") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .select("a", "b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val approx = Dedup.minhashCandidatePairs(docs)
+      .select("a", "b", "est_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val errs = exact.collect { case (k, j) if approx.contains(k) => math.abs(j - approx(k)) }
+    assert(errs.nonEmpty && errs.max <= 0.2)
+  }
+
+  test("simhash recovers the planted near-dups at small hamming") {
+    // SimHash measures unigram-distribution similarity, so hamming<=3 can
+    // legitimately include pairs that 3-gram Jaccard rejects (tiny synthetic
+    // vocab); the correctness property is RECALL of the planted dups.
+    val trueDups = Dedup.ngramJaccardPairs(docs, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashCandidatePairs(docs, maxHamming = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueDups.nonEmpty, "testdata should contain planted near-dups")
+    // recall at a fixed radius is probabilistic (short docs are noisy):
+    // require >=80% of planted dups recovered
+    val recall = trueDups.intersect(sim).size.toDouble / trueDups.size
+    assert(recall >= 0.8, s"recall $recall; missed: ${trueDups.diff(sim)}")
+  }
+
+  test("LSH top-k cosines agree with brute force for the same (query, vec) pairs") {
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 500)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 10, numPlanes = 4)
+      .select("query_id", "vec_id", "cos").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(k) && bf(k) == r.getDouble(2),
+        s"LSH cosine for $k disagrees with brute force")
+    }
+  }
+
+  test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
+    val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
+    assert(b.length == 500)
+    assert(b.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+  }
+
+  test("multimodal batch decode (mapPartitions) equals the declarative twin") {
+    val media = Multimodal.mediaTable(docs)
+    val batch = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => (f.doc_id, f.byte_len, f.width, f.height, f.n_frames, f.checksum)).sortBy(_._1)
+    val decl = Multimodal.featuresExpr(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_len"), r.getAs[Int]("width"),
+        r.getAs[Int]("height"), r.getAs[Int]("n_frames"), r.getAs[String]("checksum"))).sortBy(_._1)
+    assert(batch.length == 500)
+    assert(batch.toSeq == decl.toSeq)
+  }
+
+  test("exact dedup survivors preserve distinct texts") {
+    val survivors = Dedup.exactSurvivors(docs)
+    assert(survivors.count() == docs.select("text").distinct().count())
+  }
+}
