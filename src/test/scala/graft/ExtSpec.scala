@@ -92,6 +92,19 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.toSeq == decl.toSeq)
   }
 
+  test("native CosineSim/VecDot expressions are bit-identical with the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("a") < col("b")).limit(2000)
+    val diff = pairs.select(
+      (Similarity.cosine(col("ea"), col("eb")) - Similarity.cosineHof(col("ea"), col("eb"))).as("dc"),
+      (Similarity.dot(col("ea"), col("eb")) - Similarity.dotHof(col("ea"), col("eb"))).as("dd"))
+      .filter(col("dc") =!= 0.0 || col("dd") =!= 0.0)
+    assert(diff.count() == 0)
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
