@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.{ReportRun, Status}
+
+/** Streaming view of the monitoring feed — the stretch surface SURVEY §2.F
+  * marks out: the reference is a batch daily job, but its append-only
+  * monitoring stream is naturally a Structured Streaming source; these
+  * transforms are the streaming twins of the batch analytics (B1/A7).
+  *
+  * All are source-agnostic `DataFrame → DataFrame` transforms: production
+  * binds them to `spark.readStream.parquet(monitoringDir)` (or Kafka);
+  * tests drive them with `MemoryStream`. Watermarking bounds state, so a
+  * 1000-executor deployment holds only the open windows per key, never
+  * history.
+  */
+object MonitoringStream {
+
+  /** Streaming B1: tumbling-window job/report counts by status. With the
+    * watermark, state per (window, status) is dropped once the window is
+    * older than the allowed lateness — O(open windows × statuses) state.
+    */
+  def windowedStatusCounts(
+      reports: DataFrame,
+      windowLength: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    reports
+      .withWatermark("start_time", watermarkDelay)
+      .groupBy(window(col("start_time"), windowLength).as("w"), col("status"))
+      .agg(count(lit(1)).as("n_reports"), sum(col("rows_written")).as("total_rows"))
+      .select(col("w.start").as("window_start"), col("status"),
+        col("n_reports"), col("total_rows"))
+
+  /** Streaming A7: per-run rolling status via arbitrary stateful
+    * processing. Each run's state holds its ok/fail counts; every incoming
+    * report row re-derives the run status — the streaming equivalent of
+    * the batch derive-from-storage finalize
+    * (`databricks/talkdesk_databricks_etl_distributed.py:258-270`).
+    */
+  final case class RunProgress(run_id: String, ok: Long, fail: Long, status: String)
+
+  def runningStatus(spark: SparkSession, reports: Dataset[ReportRun]): Dataset[RunProgress] = {
+    import spark.implicits._
+    reports
+      .groupByKey(_.run_id)
+      .mapGroupsWithState[(Long, Long), RunProgress](GroupStateTimeout.NoTimeout) {
+        case (runId, rows, state: GroupState[(Long, Long)]) =>
+          val (ok0, fail0) = state.getOption.getOrElse((0L, 0L))
+          var ok = ok0; var fail = fail0
+          rows.foreach { r => if (r.status == Status.Success) ok += 1 else fail += 1 }
+          state.update((ok, fail))
+          RunProgress(runId, ok, fail, Status.derive(ok, fail))
+      }
+  }
+
+  /** Bind the windowed analytics to a parquet monitoring directory as a
+    * real file stream (the production wiring).
+    */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.Encoders.product[ReportRun].schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}
