@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: these assert the *shape* that keeps each
+  * operator viable at 100 TB — filters reaching the parquet scan, column
+  * pruning, bounded dimensions broadcast (not shuffled), aggregations with
+  * map-side partials, and whole-stage codegen coverage. A plan regression
+  * here is a scale bug even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("a1: both filter predicates are pushed into the parquet scan") {
+    val plan = planOf(Queries.a1FilterScan(spark, sf))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(o_orderstatus,O)"), plan)
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)"), plan)
+  }
+
+  test("a1: scan reads only the referenced columns (pruning)") {
+    val plan = planOf(Queries.a1FilterScan(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("o_totaldiscount") && !readSchema.contains("o_orderdate"), readSchema)
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"), readSchema)
+  }
+
+  test("a3/a4/q3: bounded dimensions broadcast, never sort-merge") {
+    Seq(
+      Queries.a3EquiJoin(spark, sf),
+      Queries.a4LookupJoin(spark, sf),
+      Queries.q3TopOrders(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    }
+  }
+
+  test("q1: aggregation has map-side partials and whole-stage codegen") {
+    val df = Queries.q1PricingSummary(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen ids are annotated
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"), plan.take(2000))
+    assert(plan.contains("codegen id"), plan.take(2000))
+  }
+
+  test("a7: status derivation is a single aggregation (one exchange before sort)") {
+    val plan = planOf(Queries.a7StatusDerivation(spark, sf))
+    val nExchange = "Exchange ".r.findAllIn(plan).length
+    // hashpartitioning for the groupBy + rangepartitioning for the ORDER BY
+    assert(nExchange == 2, s"expected 2 exchanges, got $nExchange\n${plan.take(2000)}")
+  }
+
+  test("similarity cosine runs through the native codegen expression") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Queries.table(spark, sf, "embeddings")
+    val plan = planOf(graft.ext.Similarity.bruteForceTopK(emb, Seq(0L), 5))
+    assert(plan.contains("cosinesim") || plan.contains("CosineSim"), plan.take(3000))
+    // the interpreted HOF path would show ArrayAggregate/aggregate(
+    assert(!plan.contains("ArrayAggregate"), plan.take(3000))
+  }
+
+  test("multimodal expression path: no shuffle besides the output sort") {
+    val media = graft.ext.Multimodal.mediaTable(Queries.table(spark, sf, "documents"))
+    val plan = planOf(graft.ext.Multimodal.featuresExpr(media))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+}
