@@ -177,11 +177,7 @@ object Oracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "text_quality" -> {
-      val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
-      val occ = stopWords.map { w =>
-        val tok = s" $w "
-        s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$tok', ''))) / ${tok.length} AS BIGINT)"
-      }.mkString(" + ")
+      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
       s"""WITH base AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,

@@ -47,6 +47,7 @@ object SparkEntry {
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
+    "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2)),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),

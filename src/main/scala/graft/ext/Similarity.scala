@@ -79,6 +79,47 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** IVF centroids: per-cell mean vector, computed distributively via
+    * posexplode + (cell, pos) aggregation — never collects vectors. Cell
+    * assignment comes from `cellCol` (testdata's `label`); production runs
+    * Lloyd iterations of exactly this computation with assignment =
+    * argmin-centroid, then partitions the corpus BY cell so probing reads
+    * only nProbe/cells of the data.
+    */
+  def ivfCentroids(emb: DataFrame, cellCol: String = "label"): DataFrame =
+    emb
+      .select(col(cellCol).as("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("centroid"))
+
+  /** IVF ANN top-k: rank cells by query-centroid cosine, probe the nProbe
+    * nearest cells, exact top-k within the probed subset.
+    */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nProbe: Int = 2, cellCol: String = "label"): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val centroids = ivfCentroids(emb, cellCol)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    emb.join(broadcast(probes), col(cellCol) === col("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN top-k within the query's LSH bucket. Trades recall for touching
     * only the colliding fraction of the corpus; [[bruteForceTopK]] is the
     * exactness reference in tests.

@@ -75,6 +75,40 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF top-k: scores exact within probed cells, candidates only from probed cells") {
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 500)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopK(emb, Seq(0L, 1L, 2L), 10, nProbe = 2).collect()
+    assert(ivf.length == 30, "10 results per query")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.foreach { r =>
+      val (q, v) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(bf((q, v)) == r.getAs[Double]("cos"), s"cosine mismatch for ($q,$v)")
+      assert(labels(v) == r.getAs[Int]("cell"), "candidate outside probed cell")
+    }
+    // each query probes exactly nProbe distinct cells
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("cell")).toSet.size <= 2)
+    }
+  }
+
+  test("SQL surface: registered tables + native functions answer spark.sql") {
+    Tables.registerAll(spark, sf)
+    val top = spark.sql(
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(cosine_sim(a.embedding, b.embedding), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 5""".stripMargin).collect()
+    assert(top.length == 5)
+    val viaApi = graft.ext.Dedup.embeddingTopPairs(emb, 5).collect()
+    assert(top.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      viaApi.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(spark.sql("SELECT count(*) FROM events WHERE event_type = 'error'")
+      .collect().head.getLong(0) > 0)
+  }
+
   test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
     assert(b.length == 500)
