@@ -23,6 +23,14 @@ object Prof {
       .join(bandDf.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band","key"))
       .filter(col("a") < col("b")).select(col("a"),col("b")).distinct().count())
     time("full")(graft.ext.Dedup.minhashCandidatePairs(docs).count())
+    import org.apache.spark.sql.functions.xxhash64
+    val shd = graft.ext.Dedup.shingles(docs)
+    time("jac_distinct")(shd.count())
+    time("jac_hashed_distinct")(graft.ext.Dedup.shinglesMultiset(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct().count())
+    time("jac_full")(graft.ext.Dedup.ngramJaccardPairs(docs).count())
+    time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())
+    time("simhash_full")(graft.ext.Dedup.simhashCandidatePairs(docs, 6).count())
     spark.stop()
   }
 }

@@ -55,7 +55,18 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id")))
+      Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),
+    // DataSource V2 report source (deterministic fake wire client; no oracle
+    // table exists for it — rows-only check)
+    "report_source_scan" -> ((s, _) =>
+      s.read.format("graft.sources.ReportDataSource")
+        .option("env", "prod").option("from_date", "2024-02-29")
+        .option("to_date", "2024-03-01").option("rows_per_report", "100")
+        .load()
+        .groupBy(col0("report_name"))
+        .agg(org.apache.spark.sql.functions.sum(col0("calls")).as("total_calls"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"))
+        .orderBy(col0("report_name")))
   )
 
   private def emb(s: SparkSession, dir: String) =

@@ -56,7 +56,7 @@ object Dedup {
     * in whole-stage codegen: split once per row, one hash shuffle on
     * doc_id for the window.
     */
-  private[ext] def shinglesMultiset(docs: DataFrame, n: Int = 3): DataFrame = {
+  private[graft] def shinglesMultiset(docs: DataFrame, n: Int = 3): DataFrame = {
     val tok = docs
       .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
       .withColumnRenamed("col", "token")

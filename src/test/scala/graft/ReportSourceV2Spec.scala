@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 report source: reports-as-a-table with one partition per
+  * report and partition pruning from pushed report_name filters.
+  */
+class ReportSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dsv2")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def reports = spark.read
+    .format("graft.sources.ReportDataSource")
+    .option("env", "prod")
+    .option("from_date", "2024-02-29")
+    .option("to_date", "2024-03-01")
+    .option("rows_per_report", "50")
+    .load()
+
+  test("scans all enabled prod reports, one partition each") {
+    val df = reports
+    assert(df.count() == 8 * 50)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.select("report_name").distinct().count() == 8)
+  }
+
+  test("report_name filter prunes partitions (unfetched reports cost nothing)") {
+    val df = reports.filter(col("report_name") === "call_volume")
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 50)
+    val in2 = reports.filter(col("report_name").isin("call_volume", "service_level"))
+    assert(in2.rdd.getNumPartitions == 2)
+    assert(in2.count() == 100)
+  }
+
+  test("composes with downstream relational operators") {
+    val agg = reports.groupBy(col("report_name"))
+      .agg(sum(col("calls")).as("total_calls"), count(lit(1)).as("n"))
+      .orderBy(col("report_name"))
+      .collect()
+    assert(agg.length == 8)
+    assert(agg.forall(_.getAs[Long]("n") == 50L))
+    // deterministic source => stable totals across reads
+    val again = reports.groupBy(col("report_name"))
+      .agg(sum(col("calls")).as("total_calls")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    agg.foreach(r => assert(again(r.getString(0)) == r.getAs[Long]("total_calls")))
+  }
+}
