@@ -165,6 +165,21 @@ object Queries {
         count(lit(1)).as("n_events"))
       .orderBy(col("run_date").desc, col("event_type").asc)
 
+  /** JSON scalar extraction over the events props payload (SURVEY §F notes
+    * the reference only decodes whole documents; per-field access is part
+    * of the extension surface). Codegen'd `get_json_object`, then a plain
+    * aggregation over the extracted field.
+    */
+  def dJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

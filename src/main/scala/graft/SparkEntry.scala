@@ -33,6 +33,7 @@ object SparkEntry {
     "b2_per_type_status" -> (Queries.b2PerTypeStatus _),
     "b3_error_details" -> (Queries.b3ErrorDetails _),
     "b4_daily_value" -> (Queries.b4DailyValue _),
+    "d_json_extract" -> (Queries.dJsonExtract _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shaping utilities for the 100 TB regime: skew salting and
+  * bucketed co-located joins. These don't change results — they change
+  * which Exchange operators exist, which is what decides whether a job
+  * finishes at scale. (AQE's skew-join handles moderate skew adaptively;
+  * salting is the explicit tool for pathological keys, bucketing removes
+  * the shuffle entirely for repeated joins on the same key.)
+  */
+object ScaleOps {
+
+  /** Salted equi-join for a skewed fact side. The fact's join key is
+    * extended with a deterministic salt in [0, saltFactor); the (small,
+    * broadcastable-or-not) dim side is replicated once per salt value.
+    * A hot key's rows land in saltFactor different partitions instead of
+    * one straggler.
+    *
+    * @param factUniqueCol any fact column with high cardinality (row id);
+    *                      drives the deterministic salt assignment
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFactor: Int,
+      factUniqueCol: String): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(factUniqueCol)), lit(saltFactor.toLong)).cast("int"))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join bucket-to-bucket with NO Exchange — the
+    * shuffle is paid once at write time and amortized over every
+    * subsequent join.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable),
+      col(leftKey) === col(rightKey))
+}
