@@ -180,6 +180,62 @@ object Queries {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Gap-based sessionization over the event stream: a new session starts
+    * after > 1 h of inactivity per user. lag + running-sum windows — the
+    * canonical event-analytics shape; one shuffle on user_id serves both
+    * window passes.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = lit(3600L * 1000000L)
+    events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Distinct aggregation (multiple COUNT(DISTINCT) in one pass). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP hierarchy totals (flag → flag+status → grand total). */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Set operations in one relation: customers partitioned into
+    * has-orders (INTERSECT) and no-orders (EXCEPT), tagged and unioned.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"))
+    val o = table(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val withOrders = c.intersect(o).withColumn("tag", lit("with_orders"))
+    val noOrders = c.except(o).withColumn("tag", lit("no_orders"))
+    withOrders.unionByName(noOrders)
+      .select(col("tag"), col("c_custkey"))
+      .orderBy(col("tag"), col("c_custkey"))
+  }
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

@@ -34,6 +34,10 @@ object SparkEntry {
     "b3_error_details" -> (Queries.b3ErrorDetails _),
     "b4_daily_value" -> (Queries.b4DailyValue _),
     "d_json_extract" -> (Queries.dJsonExtract _),
+    "events_sessionize" -> (Queries.eventsSessionize _),
+    "agg_distinct" -> (Queries.aggDistinct _),
+    "agg_rollup" -> (Queries.aggRollup _),
+    "set_ops" -> (Queries.setOps _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
@@ -49,6 +53,8 @@ object SparkEntry {
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2)),
+    "sim_topk_ivf_kmeans" -> ((s, dir) =>
+      Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),

@@ -79,6 +79,87 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  // ----------------------------------------------------------- k-means IVF
+
+  /** Assign every vector to its nearest centroid (squared-L2 argmin).
+    * Centroids are broadcast — k × dim doubles, always driver-bounded.
+    */
+  def kmeansAssign(emb: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    import emb.sparkSession.implicits._
+    val centDf = broadcast(centroids.toDF("cell", "centroid"))
+    val d2 = dot(col("embedding"), col("embedding")) +
+      dot(col("centroid"), col("centroid")) -
+      lit(2.0) * dot(col("embedding"), col("centroid"))
+    emb.crossJoin(centDf)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(d2.as("d"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("best.d").as("d2"))
+  }
+
+  /** Deterministic distributed Lloyd iterations. Init: the vectors of the
+    * k smallest vec_ids. Per iteration: one broadcast-assign pass + one
+    * posexplode mean — the same two shuffles regardless of corpus size;
+    * only k × dim doubles ever reach the driver.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] = {
+    import emb.sparkSession.implicits._
+    var cents: Seq[(Int, Array[Double])] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = kmeansAssign(emb, cents).select(col("vec_id"), col("cell"))
+      cents = assigned.join(emb, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("cv"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+        .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Mean within-cluster squared distance — for convergence checks. */
+  def kmeansInertia(emb: DataFrame, cents: Seq[(Int, Array[Double])]): Double = {
+    val r = kmeansAssign(emb, cents).agg(avg(col("d2"))).collect().head.getDouble(0)
+    r
+  }
+
+  /** IVF top-k over k-means cells (the production path: cells are
+    * geometric, so probing the nProbe nearest cells concentrates recall).
+    */
+  def ivfTopKKmeans(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nProbe: Int = 2, nCells: Int = 16, iters: Int = 3): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cell"))
+    ivfTopKWithCells(emb.join(cells, Seq("vec_id")), cents, queryIds, k, nProbe)
+  }
+
+  private def ivfTopKWithCells(embWithCell: DataFrame, cents: Seq[(Int, Array[Double])],
+      queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    import embWithCell.sparkSession.implicits._
+    val centDf = cents.toDF("c_cell", "centroid")
+    val queries = embWithCell.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("c_cell"))
+    embWithCell.join(broadcast(probes), col("cell") === col("c_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF centroids: per-cell mean vector, computed distributively via
     * posexplode + (cell, pos) aggregation — never collects vectors. Cell
     * assignment comes from `cellCol` (testdata's `label`); production runs

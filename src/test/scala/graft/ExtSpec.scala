@@ -109,6 +109,33 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getLong(0) > 0)
   }
 
+  test("k-means: inertia non-increasing over Lloyd iterations; cells cover corpus") {
+    val c0 = Similarity.kmeansCentroids(emb, k = 8, iters = 0)
+    val c3 = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    val i0 = Similarity.kmeansInertia(emb, c0)
+    val i3 = Similarity.kmeansInertia(emb, c3)
+    assert(i3 <= i0, s"inertia grew: $i0 -> $i3")
+    val cells = Similarity.kmeansAssign(emb, c3)
+    assert(cells.count() == 500)
+    assert(cells.select("cell").distinct().count() <= 8)
+  }
+
+  test("IVF over k-means cells returns exact cosines, confined to probed cells") {
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 500)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopKKmeans(emb, Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)
+      .collect()
+    assert(ivf.length == 30)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(bf(key) == r.getAs[Double]("cos"))
+    }
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("cell")).toSet.size <= 2)
+    }
+  }
+
   test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
     assert(b.length == 500)
