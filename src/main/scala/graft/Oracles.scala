@@ -134,6 +134,19 @@ object Oracles {
         |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
         |ORDER BY tag, c_custkey""".stripMargin,
 
+    "asof_join" ->
+      """WITH signups AS (
+        |  SELECT user_id, ts, value AS signup_value, event_id AS sig_id
+        |  FROM events WHERE event_type = 'signup'
+        |), purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, s.signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

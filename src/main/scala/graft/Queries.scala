@@ -236,6 +236,25 @@ object Queries {
       .orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** As-of join: each purchase picks up the user's latest signup value at
+    * or before the purchase time (point-in-time lookup). See
+    * [[graft.operators.AsOfJoin]] for the single-shuffle formulation.
+    */
+  def asofJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"),
+        col("event_id").as("sig_id"))
+    graft.operators.AsOfJoin.asOfJoin(
+        purchases, signups, "user_id", "ts", "ts", Seq("signup_value"), "sig_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("signup_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

@@ -38,6 +38,7 @@ object SparkEntry {
     "agg_distinct" -> (Queries.aggDistinct _),
     "agg_rollup" -> (Queries.aggRollup _),
     "set_ops" -> (Queries.setOps _),
+    "asof_join" -> (Queries.asofJoinQuery _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),

@@ -45,6 +45,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salts > 1, "hot key must not collapse to a single salt")
   }
 
+  test("as-of join matches the naive quadratic formulation (incl. no-match nulls)") {
+    import org.apache.spark.sql.functions._
+    val ev = Queries.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("value").as("signup_value"), col("event_id").as("sig_id"))
+    // naive reference: left join all earlier signups, keep the latest
+    val naive = purchases
+      .join(signups, col("user_id") === col("s_user") && col("s_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("s_ts"), col("sig_id"), col("signup_value"))).as("best"))
+      .select(col("event_id"), col("best.signup_value").as("signup_value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val fast = graft.operators.AsOfJoin.asOfJoin(
+        purchases, signups.withColumnRenamed("s_user", "user_id").withColumnRenamed("s_ts", "ts"),
+        "user_id", "ts", "ts", Seq("signup_value"), "sig_id")
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.get(r.fieldIndex("signup_value")))).toMap
+    assert(fast.size == naive.size)
+    assert(fast == naive)
+    assert(fast.values.exists(_.isEmpty), "expect some purchases with no prior signup")
+  }
+
   test("bucketed join on the bucket key plans without an Exchange") {
     val li = Queries.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Queries.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
