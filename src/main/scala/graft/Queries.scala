@@ -255,6 +255,47 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Exact percentiles (linear interpolation — same definition as the
+    * oracle's quantile_cont).
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Interval (range) join, bucketed: purchase↔error pairs for the same
+    * user within one hour. The scale-sound formulation: bin timestamps to
+    * hour buckets, explode the left side into its bucket±1, equi-join on
+    * (user, bucket), then exact-filter — the join never goes quadratic,
+    * cost is O(pairs within ±1 bucket).
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val gapUs = 3600L * 1000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id"),
+        unix_micros(col("ts")).as("e_us"))
+      .withColumn("bin", (col("e_us") / gapUs).cast("long"))
+    val binned = purchases
+      .withColumn("bin", explode(array(
+        (col("p_us") / gapUs).cast("long") - 1,
+        (col("p_us") / gapUs).cast("long"),
+        (col("p_us") / gapUs).cast("long") + 1)))
+    binned.join(errors, Seq("user_id", "bin"))
+      .filter(abs(col("p_us") - col("e_us")) <= gapUs)
+      .select(col("p_id"), col("e_id"), col("user_id"),
+        (col("e_us") - col("p_us")).as("delta_us"))
+      .distinct()
+      .orderBy(col("p_id"), col("e_id"))
+  }
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

@@ -39,6 +39,8 @@ object SparkEntry {
     "agg_rollup" -> (Queries.aggRollup _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
+    "agg_percentiles" -> (Queries.aggPercentiles _),
+    "interval_join" -> (Queries.intervalJoin _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
