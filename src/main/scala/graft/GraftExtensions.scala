@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, VecDot}
+
+/** Session-extension entry point: injects the engine's native Catalyst
+  * functions at session build, the idiomatic deployment path —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * // or programmatically: .withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * after which `cosine_sim` / `vec_dot` resolve in any SQL or
+  * `call_function` expression with no per-session registration call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getCanonicalName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", classOf[CosineSim]),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", classOf[VecDot]),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+  }
+}

@@ -50,4 +50,15 @@ object ScaleOps {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
+
+  /** Hive-style date-partitioned layout: one directory per day. Readers
+    * filtering on the partition column prune whole directories before any
+    * file is opened — the standard data-lake layout for time-series fact
+    * tables at scale.
+    */
+  def writePartitionedByDate(df: DataFrame, dir: String, tsCol: String): Unit =
+    df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("p_date")
+      .parquet(dir)
 }

@@ -45,6 +45,48 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salts > 1, "hot key must not collapse to a single salt")
   }
 
+  test("GraftExtensions injects native functions at session build (no manual register)") {
+    val old = spark // materialize the suite session first
+    // getOrCreate() reuses the active session and would skip extensions:
+    // clear session (not context) so a genuinely new SparkSession is built
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions (not the spark.sql.extensions static conf, which is
+      // ignored when the SparkContext is reused, as here)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate() // shares old's SparkContext; fresh session state
+      Queries.table(s2, sf, "embeddings").createOrReplaceTempView("emb2")
+      val r = s2.sql(
+        """SELECT round(cosine_sim(a.embedding, a.embedding), 6) AS self_cos,
+          |  round(vec_dot(a.embedding, a.embedding), 4) AS self_dot
+          |FROM emb2 a WHERE a.vec_id = 0""".stripMargin).collect().head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) > 0.0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("date-partitioned write prunes directories on partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    ScaleOps.writePartitionedByDate(Queries.events(spark, sf), dir, "ts")
+    val days = new java.io.File(dir).listFiles().count(_.getName.startsWith("p_date="))
+    assert(days >= 28, s"expected ~30 day dirs, got $days")
+    val one = spark.read.parquet(dir).filter(col("p_date") === "2024-01-05")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_date"), plan.take(1200))
+    // pruned scan touches exactly one partition directory
+    val scanLine = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(one.count() == spark.read.parquet(dir)
+      .filter(col("p_date") === "2024-01-05").count())
+  }
+
   test("as-of join matches the naive quadratic formulation (incl. no-match nulls)") {
     import org.apache.spark.sql.functions._
     val ev = Queries.events(spark, sf)
