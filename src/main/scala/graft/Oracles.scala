@@ -163,6 +163,14 @@ object Oracles {
         | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
         |ORDER BY p_id, e_id""".stripMargin,
 
+    "array_stats" ->
+      """SELECT vec_id, count(*) AS n_dims,
+        |  round(sum(CAST(v AS DOUBLE)), 6) AS sum_v,
+        |  round(min(CAST(v AS DOUBLE)), 6) AS min_v,
+        |  round(max(CAST(v AS DOUBLE)), 6) AS max_v
+        |FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

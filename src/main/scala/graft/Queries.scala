@@ -296,6 +296,21 @@ object Queries {
       .orderBy(col("p_id"), col("e_id"))
   }
 
+  /** Array-column statistics via posexplode — per-vector dimension count
+    * and element aggregates (the array/unnest surface SURVEY §F marks as
+    * absent in the reference).
+    */
+  def arrayStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        round(sum(col("col").cast("double")), 6).as("sum_v"),
+        round(min(col("col").cast("double")), 6).as("min_v"),
+        round(max(col("col").cast("double")), 6).as("max_v"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

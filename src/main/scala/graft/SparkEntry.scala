@@ -41,6 +41,7 @@ object SparkEntry {
     "asof_join" -> (Queries.asofJoinQuery _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),
+    "array_stats" -> (Queries.arrayStats _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
