@@ -234,6 +234,49 @@ object Oracles {
         |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
         |ORDER BY p.a, p.b""".stripMargin,
 
+    "dedup_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.a, p.b,
+        |  round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
+        |FROM pairs p
+        |JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+        |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+        |ORDER BY p.a, p.b""".stripMargin,
+
+    "corpus_clean" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    round(CAST(CAST(len(regexp_extract_all(lower(text),
+        |        '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS DOUBLE)
+        |      / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1), 4)
+        |      AS stopword_ratio
+        |  FROM documents
+        |), kept AS (
+        |  SELECT d.doc_id,
+        |    md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fp,
+        |    d.lang, d.source, s.n_tokens, s.stopword_ratio
+        |  FROM documents d JOIN scored s USING (doc_id)
+        |  WHERE s.n_tokens >= 30 AND s.stopword_ratio >= 0.01
+        |), survivors AS (
+        |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp
+        |)
+        |SELECT k.doc_id, k.fp, k.lang, k.source, k.n_tokens, k.stopword_ratio
+        |FROM kept k JOIN survivors USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
+
     "dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_cosine_similarity(

@@ -49,6 +49,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
+    "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
+    "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 6)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
     // extensions: similarity search

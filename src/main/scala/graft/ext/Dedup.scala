@@ -156,6 +156,40 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** The production near-dup pipeline: LSH banding proposes candidate
+    * pairs (O(docs × bands)), exact shingle-Jaccard verifies ONLY those
+    * candidates. Equivalent to the full quadratic [[ngramJaccardPairs]]
+    * whenever banding recall is 1 at the threshold (holds for planted
+    * near-dups at J≥0.9; banding parameters control the guarantee).
+    */
+  def nearDupPipeline(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val cand = minhashCandidatePairs(docs, estThreshold = 0.0)
+      .select(col("a"), col("b"))
+    // semi-restrict the shingle stream to docs appearing in any candidate:
+    // verification (join + counts) touches only the LSH-selected fraction
+    val docsInCand = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val shC = shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      .join(docsInCand, Seq("doc_id"), "left_semi")
+      .cache()
+    val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = shC.select(col("doc_id").as("a"), col("sh"))
+      .join(shC.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .join(cand, Seq("a", "b"), "left_semi") // verify candidates only
+    common
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** 64-bit SimHash per document: sign of the per-bit sum of token-hash
     * contributions (+1/−1), token-frequency weighted. explode + one
     * 64-column aggregation; linear, shuffle on doc_id only.

@@ -93,6 +93,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus cleaning — the composition a training-data pipeline
+    * actually runs: quality-filter (token count + stopword ratio bounds) →
+    * normalized-fingerprint dedup (keep min doc_id per fingerprint) →
+    * surviving documents with their scores. Pure composition of the
+    * operators above; every stage keeps its scale shape (per-row maps +
+    * one fingerprint hash-group).
+    */
+  def cleanCorpus(docs: DataFrame,
+      minTokens: Long = 30, minStopwordRatio: Double = 0.01): DataFrame = {
+    val scored = qualityScores(docs)
+      .filter(col("n_tokens") >= minTokens && col("stopword_ratio") >= minStopwordRatio)
+    val kept = docs.join(scored.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"), col("lang"), col("source"))
+    val survivors = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(scored.select(col("doc_id"), col("n_tokens"), col("stopword_ratio")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting-only edits.
     */
