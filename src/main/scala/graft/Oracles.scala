@@ -208,6 +208,14 @@ object Oracles {
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_tokens_bpe" -> {
+      val p = graft.ext.TextAnalysis.bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

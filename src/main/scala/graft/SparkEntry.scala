@@ -63,6 +63,17 @@ object SparkEntry {
       Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
+      col0("doc_id"),
+      TextAnalysis.tokenCount(col0("text")).as("n_ws_tokens"),
+      TextAnalysis.bpeTokenCount(col0("text")).as("n_bpe_tokens"))
+      .orderBy(col0("doc_id"))),
+    "text_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(docs(s, dir))
+        .groupBy(col0("doc_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_fingerprints"))
+        .orderBy(col0("doc_id"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),

@@ -17,6 +17,18 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
 
+  /** BPE-ish pre-tokenization count: the GPT-2-style split pattern
+    * (contractions, space-prefixed letter/digit runs, punctuation runs,
+    * whitespace), lookahead-free so it is identical under Java regex and
+    * the oracle's RE2. Counts pre-tokens — the standard proxy for LLM
+    * token budgets before a real BPE merge table is applied.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
   /** doc_id, n_chars, n_tokens, avg token length. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
@@ -121,4 +133,39 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD '03): hash every
+    * character k-gram of the normalized text, then keep the minimum hash
+    * of each sliding window of w consecutive k-gram hashes. Guarantee: any
+    * shared substring of length ≥ w+k−1 contributes ≥1 shared fingerprint
+    * — the local-similarity sketch used for plagiarism/near-dup detection.
+    *
+    * Same codegen-friendly shape as shingling: explode characters with
+    * position, build k-grams with window `lead`, take the window min —
+    * no interpreted lambdas, one shuffle on doc_id.
+    *
+    * Output: (doc_id, fp) — the distinct selected fingerprints per doc.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
+    val chars = docs
+      .select(col("doc_id"), posexplode(split(norm, "")))
+      .withColumnRenamed("col", "ch")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gramParts = col("ch") +: (1 until k).map(j => lead(col("ch"), j).over(byDoc))
+    val grams = chars
+      .withColumn("_last", lead(col("ch"), k - 1).over(byDoc))
+      .withColumn("h", xxhash64(concat_ws("", gramParts: _*)))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    // min over each window of w consecutive gram hashes; windows must be
+    // full, so stop w-1 grams before the end
+    val winMin = grams
+      .withColumn("fp", min(col("h")).over(
+        byDoc.rowsBetween(0, (w - 1).toLong)))
+      .withColumn("_wlast", lead(col("h"), w - 1).over(byDoc))
+      .filter(col("_wlast").isNotNull)
+    winMin.select(col("doc_id"), col("fp")).distinct()
+  }
 }

@@ -166,6 +166,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff.count() == 0)
   }
 
+  test("winnowing fingerprints: planted near-dups overlap far more than random pairs") {
+    import graft.ext.TextAnalysis
+    val fps = TextAnalysis.winnowingFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rows) => d -> rows.map(_.getLong(1)).toSet }
+    def jac(a: Long, b: Long): Double =
+      fps(a).intersect(fps(b)).size.toDouble / fps(a).union(fps(b)).size
+    val planted = Dedup.ngramJaccardPairs(docs, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    val plantedJacs = planted.map { case (a, b) => jac(a, b) }
+    // random (non-dup) baseline
+    val ids = fps.keys.toSeq.sorted
+    val randomJacs = ids.take(20).zip(ids.reverse.take(20))
+      .filterNot(p => planted.contains(p)).map { case (a, b) => jac(a, b) }
+    // tiny synthetic vocab (~40 words) gives random docs substantial
+    // 5-gram overlap; the property that matters is SEPARATION
+    assert(plantedJacs.min > 0.5, s"planted overlap too low: ${plantedJacs.min}")
+    assert(plantedJacs.min > 2 * randomJacs.max,
+      s"no separation: planted min ${plantedJacs.min} vs random max ${randomJacs.max}")
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
