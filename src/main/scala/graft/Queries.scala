@@ -311,6 +311,19 @@ object Queries {
         round(max(col("col").cast("double")), 6).as("max_v"))
       .orderBy(col("vec_id"))
 
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts — the
+    * cardinality operator that stays mergeable/bounded at 100 TB where
+    * exact COUNT(DISTINCT) must shuffle every key. No oracle (sketch
+    * internals are engine-specific); error vs exact is bounded in tests.
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

@@ -36,6 +36,7 @@ object SparkEntry {
     "d_json_extract" -> (Queries.dJsonExtract _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "agg_distinct" -> (Queries.aggDistinct _),
+    "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
     "agg_rollup" -> (Queries.aggRollup _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),

@@ -187,6 +187,17 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no separation: planted min ${plantedJacs.min} vs random max ${randomJacs.max}")
   }
 
+  test("approx distinct counts are within the configured HLL error of exact") {
+    val exact = Queries.aggDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap // n_parts, n_rows... use n_parts
+    val approx = Queries.aggApproxDistinct(spark, sf).collect()
+    approx.foreach { r =>
+      val (exactParts, _) = exact(r.getString(0))
+      val err = math.abs(r.getLong(1) - exactParts).toDouble / exactParts
+      assert(err < 0.05, s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $exactParts")
+    }
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
