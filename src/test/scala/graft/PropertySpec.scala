@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import scala.concurrent.duration._
+import graft.ingest.{CsvIO, Retry}
+import graft.model.Status
+
+/** Property-based invariants (SURVEY §5): status derivation is a total
+  * function with consistent semantics, backoff is monotone geometric,
+  * CSV row counting matches construction, retry honors its budget.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val counts = Gen.choose(0L, 10000L)
+
+  property("status.derive is total and consistent") =
+    Prop.forAll(counts, counts) { (ok: Long, fail: Long) =>
+      val s = Status.derive(ok, fail)
+      val total = Set(Status.Success, Status.PartialSuccess, Status.Failed).contains(s)
+      val semantics =
+        if (fail == 0) s == Status.Success
+        else if (ok == 0) s == Status.Failed
+        else s == Status.PartialSuccess
+      total && semantics
+    }
+
+  property("status.normalize == derive when counts are complete") =
+    Prop.forAll(Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) { (ok: Long, fail: Long) =>
+      (ok + fail > 0) ==>
+        (Status.normalize("RUNNING", ok + fail, ok, fail) == Status.derive(ok, fail))
+    }
+
+  property("backoff is geometric from base") =
+    Prop.forAll(Gen.choose(1, 20), Gen.choose(1L, 10000L)) { (attempt: Int, baseMs: Long) =>
+      val base = baseMs.millis
+      Retry.backoffDelay(base, attempt + 1) == Retry.backoffDelay(base, attempt) * 2 &&
+        Retry.backoffDelay(base, 1) == base
+    }
+
+  property("countCsvRows matches construction") =
+    Prop.forAll(Gen.choose(0, 50), Gen.oneOf(true, false)) { (n: Int, trailing: Boolean) =>
+      val lines = "h1,h2,h3" +: (1 to n).map(i => s"v$i,a,b")
+      val text = lines.mkString("\n") + (if (trailing) "\n" else "")
+      CsvIO.countCsvRows(text) == n
+    }
+
+  property("retry attempts bounded by budget; sleeps are the geometric prefix") =
+    Prop.forAll(Gen.choose(1, 6), Gen.choose(0, 10)) { (maxRetries: Int, failures: Int) =>
+      var sleeps = Vector.empty[FiniteDuration]
+      var calls = 0
+      val result = scala.util.Try {
+        Retry.retry(maxRetries, 1.second, sleeps :+= _) { _ =>
+          calls += 1
+          if (calls <= failures) throw Retry.RetriableFailure("x")
+          calls
+        }
+      }
+      val budget = calls <= maxRetries
+      val outcome =
+        if (failures >= maxRetries)
+          result.isFailure && calls == maxRetries &&
+            sleeps == (1 until maxRetries).map(i => Retry.backoffDelay(1.second, i)).toVector
+        else
+          result.isSuccess && calls == failures + 1 &&
+            sleeps == (1 to failures).map(i => Retry.backoffDelay(1.second, i)).toVector
+      budget && outcome
+    }
+}
