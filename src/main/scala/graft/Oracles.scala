@@ -242,6 +242,22 @@ object Oracles {
         |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
         |ORDER BY p.a, p.b""".stripMargin,
 
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1998-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
     "dedup_pipeline" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

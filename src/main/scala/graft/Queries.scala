@@ -344,6 +344,36 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q5-shaped local-supplier revenue: six-way join where customer
+    * and supplier share a nation, region-filtered. All dimension sides
+    * (supplier/customer/nation/region) broadcast; only the orders⋈lineitem
+    * fact join shuffles — the plan shape that survives a 100× fact
+    * scale-up untouched.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val customer = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supplier = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** TPC-H Q3-shaped top-revenue orders: selective dim filter → broadcast →
     * fact join → agg → top-k. Revenue rounded before ordering, unique
     * tiebreak, so top-10 is deterministic across engines.

@@ -46,6 +46,7 @@ object SparkEntry {
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
+    "q5_local_supplier" -> (Queries.q5LocalSupplier _),
     // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),

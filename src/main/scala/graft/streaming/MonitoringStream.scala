@@ -55,6 +55,22 @@ object MonitoringStream {
       }
   }
 
+  /** Streaming exact dedup for a document feed: drop rows whose text
+    * fingerprint was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps state bounded — dedup state
+    * for a fingerprint is dropped once the watermark passes it, so a
+    * 100 TB/day feed holds only the horizon's fingerprints, not history).
+    * Expects columns (doc_id, text, event_time).
+    */
+  def streamingDedup(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.trim(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.lower(col("text")), "\\s+", " "))))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Bind the windowed analytics to a parquet monitoring directory as a
     * real file stream (the production wiring).
     */

@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated fingerprints across batches (state bounded by watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "event_time")
+    val q = MonitoringStream.streamingDedup(docs)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox", Timestamp.valueOf("2024-03-01 10:00:00")),
+        (2L, "THE  quick   brown fox", Timestamp.valueOf("2024-03-01 10:00:01")), // dup modulo ws/case
+        (3L, "a different document", Timestamp.valueOf("2024-03-01 10:00:02")))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER batch, still within the watermark
+      mem.addData((4L, "the quick brown fox", Timestamp.valueOf("2024-03-01 10:30:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 3L), s"survivors: $ids")
+    } finally q.stop()
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
