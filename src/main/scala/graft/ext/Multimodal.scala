@@ -55,6 +55,48 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(decodeStubBatch _)
   }
 
+  final case class ResizedMedia(
+      doc_id: Long, width: Int, height: Int, payload: Array[Byte])
+  final case class FrameSample(
+      doc_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+
+  /** STUB resize: deterministic payload transform targeting (w, h). The
+    * real implementation re-encodes via a codec; the stub truncates/pads
+    * the payload proportionally so output size tracks target dims —
+    * enough to exercise schema + batch plumbing downstream.
+    */
+  def resizeStubBatch(target: (Int, Int))(rows: Iterator[MediaRow]): Iterator[ResizedMedia] = {
+    val (w, h) = target
+    rows.map { r =>
+      val outLen = math.max(1, math.min(r.payload.length, w * h / 128))
+      ResizedMedia(r.doc_id, w, h, java.util.Arrays.copyOf(r.payload, outLen))
+    }
+  }
+
+  /** STUB frame sampling: every `stride`-th chunk of the payload plays a
+    * video frame. Real impl: demux + keyframe selection; the explode shape
+    * (1 row in → n_frames rows out) is the contract.
+    */
+  def frameSampleStubBatch(stride: Int)(rows: Iterator[MediaRow]): Iterator[FrameSample] =
+    rows.flatMap { r =>
+      val nFrames = (1 + r.payload.length % 30).toInt
+      (0 until nFrames by stride).map { i =>
+        val from = math.min(i * 16, math.max(0, r.payload.length - 1))
+        val until = math.min(from + 16, r.payload.length)
+        FrameSample(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      }
+    }
+
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(resizeStubBatch((w, h)) _)
+  }
+
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 2): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(frameSampleStubBatch(stride) _)
+  }
+
   /** Declarative twin of the stub decode (same arithmetic as pure Catalyst
     * expressions) — used by the oracle-checked query; proves the plumbing
     * and the batch path agree (asserted in tests).

@@ -198,6 +198,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal resize and frame-sample stubs keep the batch contract") {
+    val media = Multimodal.mediaTable(docs)
+    val resized = Multimodal.resize(spark, media, 224, 224).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(r => r.width == 224 && r.height == 224 && r.payload.nonEmpty))
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    // 1-row-in -> n-rows-out explode shape: every doc contributes >= 1 frame
+    assert(frames.map(_.doc_id).distinct.length == 500)
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).sorted.toSeq ==
+      again.map(f => (f.doc_id, f.frame_idx)).sorted.toSeq)
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
