@@ -12,7 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop v2 sink: full materialization of every column and sort —
+      // count() would let Catalyst prune columns and eliminate ORDER BYs,
+      // under-measuring the queries
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       // operators may cache() intermediates reused within their own DAG;
       // drop them between queries so earlier queries don't pressure later ones
       spark.catalog.clearCache()

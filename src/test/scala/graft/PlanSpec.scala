@@ -68,6 +68,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nExchange == 2, s"expected 2 exchanges, got $nExchange\n${plan.take(2000)}")
   }
 
+  test("q5: all dimension joins broadcast; no sort-merge at test scale") {
+    val df = Queries.q5LocalSupplier(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("as-of join costs one hash shuffle on the key (plus the final sort)") {
+    val df = Queries.asofJoinQuery(spark, sf)
+    val plan = planOf(df)
+    val hashParts = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(hashParts >= 1, plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    // no join operator at all — the union+window formulation
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("similarity cosine runs through the native codegen expression") {
     graft.functions.VectorFunctions.register(spark)
     val emb = Queries.table(spark, sf, "embeddings")
