@@ -203,14 +203,20 @@ object Similarity {
 
   /** ANN top-k within the query's LSH bucket. Trades recall for touching
     * only the colliding fraction of the corpus; [[bruteForceTopK]] is the
-    * exactness reference in tests.
+    * exactness reference in tests. `nProbes = 1` searches only the exact
+    * bucket; `nProbes > 1` adds multi-probe buckets at Hamming distance 1
+    * (flip one sign bit) — the standard recall boost that still touches
+    * only nProbes/2^b of the corpus.
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      numPlanes: Int = 12, dim: Int = 64, nProbes: Int = 1): DataFrame = {
     val bucketed = lshBuckets(emb, numPlanes, dim).cache()
+    val probeBits = math.min(math.max(nProbes - 1, 0), numPlanes)
     val queries = bucketed.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        explode(array((col("bucket") +:
+          (0 until probeBits).map(i => col("bucket").bitwiseXOR(1L << i))): _*))
+          .as("q_bucket"))
     bucketed.join(broadcast(queries), col("bucket") === col("q_bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

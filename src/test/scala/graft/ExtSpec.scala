@@ -136,6 +136,23 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multi-probe LSH strictly widens the candidate set and improves top-1 score") {
+    val single = Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 50, numPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 50, numPlanes = 6, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi) || multi.size > single.size,
+      s"multi-probe should widen candidates: ${single.size} -> ${multi.size}")
+    assert(multi.size > single.size)
+    // multi-probe best cosine per query >= single-probe best
+    def best(df: org.apache.spark.sql.DataFrame) =
+      df.filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("cos")).toMap
+    val b1 = best(Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 10, numPlanes = 6))
+    val b4 = best(Similarity.lshTopK(emb, Seq(0L, 1L, 2L), 10, numPlanes = 6, nProbes = 4))
+    b1.foreach { case (q, c) => assert(b4(q) >= c) }
+  }
+
   test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
     assert(b.length == 500)
