@@ -162,15 +162,27 @@ object Dedup {
     * whenever banding recall is 1 at the threshold (holds for planted
     * near-dups at J≥0.9; banding parameters control the guarantee).
     */
-  def nearDupPipeline(docs: DataFrame, threshold: Double = 0.8, n: Int = 3): DataFrame = {
-    val cand = minhashCandidatePairs(docs, estThreshold = 0.0)
-      .select(col("a"), col("b"))
+  def nearDupPipeline(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    // ONE tokenize+shingle scan feeds both stages: minhash signatures take
+    // min over the hashed multiset (min is distinct-invariant), the
+    // verifier takes the distinct set of the same hashed stream
+    val shAll = shinglesMultiset(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    val sig = shAll.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bandDf = minhashBands(sig, bands, rowsPerBand)
+    val cand = bandDf.select(col("doc_id").as("a"), col("band"), col("key"))
+      .join(bandDf.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     // semi-restrict the shingle stream to docs appearing in any candidate:
     // verification (join + counts) touches only the LSH-selected fraction
     val docsInCand = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val shC = shingles(docs, n)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+    val shC = shAll.distinct()
       .join(docsInCand, Seq("doc_id"), "left_semi")
       .cache()
     val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
