@@ -25,10 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CsvIO {
 
-  /** C4: parse raw CSV text into a schema-inferred DataFrame. */
+  /** C4: parse raw CSV text into a schema-inferred DataFrame. Splits on
+    * `\r?\n` — HTTP CSV payloads are frequently CRLF, and a stray `\r`
+    * would otherwise end up inside the last column's name/values.
+    */
   def parseCsv(spark: SparkSession, text: String): DataFrame = {
     import spark.implicits._
-    val lines = text.split("\n", -1).iterator.filter(_.nonEmpty).toSeq
+    val lines = text.split("\r?\n", -1).iterator.filter(_.nonEmpty).toSeq
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
@@ -40,7 +43,7 @@ object CsvIO {
     * only ever feeds `rows_written`, so a full parse is wasted work.
     */
   def countCsvRows(text: String): Int =
-    math.max(0, text.split("\n", -1).count(_.nonEmpty) - 1)
+    math.max(0, text.split("\r?\n", -1).count(_.nonEmpty) - 1)
 
   def outputPath(baseDir: String, reportName: String, fromDate: String, toDate: String): String =
     s"$baseDir/$reportName/${fromDate}_to_$toDate.csv"

@@ -42,6 +42,9 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    val reserved = Seq("_ts", "_tag", "_tie")
+    require(!(leftCols ++ payload).exists(reserved.contains),
+      s"columns may not use the reserved names $reserved")
 
     val rightSchema = right.schema
     val tie = Option(rightTieBreak)

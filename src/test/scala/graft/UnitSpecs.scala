@@ -135,6 +135,10 @@ class DatesAndCsvSpec extends AnyFunSuite {
     assert(CsvIO.countCsvRows("h1,h2\n") == 0)
     assert(CsvIO.countCsvRows("") == 0)
   }
+  test("countCsvRows handles CRLF payloads (typical of HTTP responses)") {
+    assert(CsvIO.countCsvRows("h1,h2\r\na,1\r\nb,2\r\n") == 2)
+    assert(CsvIO.countCsvRows("h1,h2\r\n") == 0)
+  }
   test("output path follows the {report}/{from}_to_{to}.csv template") {
     assert(CsvIO.outputPath("/out", "call_volume", "2024-01-01", "2024-01-02") ==
       "/out/call_volume/2024-01-01_to_2024-01-02.csv")
