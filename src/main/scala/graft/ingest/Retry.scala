@@ -22,7 +22,9 @@ object Retry {
       extends RuntimeException(message, cause)
 
   final case class RetryExhausted(attempts: Int, last: Throwable)
-      extends RuntimeException(s"retry exhausted after $attempts attempts", last)
+      extends RuntimeException(
+        s"retry exhausted after $attempts attempts: ${Option(last).map(_.getMessage).getOrElse("?")}",
+        last)
 
   def backoffDelay(base: FiniteDuration, attempt: Int): FiniteDuration =
     base * math.pow(2.0, (attempt - 1).toDouble).toLong

@@ -55,8 +55,11 @@ object Orchestrator {
 
   /** Process one report: token → generate → download → count → write → row.
     * The retry shell wraps each remote call with the task's own budget
-    * (`retries`, base 1 s ×2), per the reference
-    * (`databricks/talkdesk_databricks_etl.py:390-471`).
+    * (`retries`, base 1 s ×2) and per-call total timeout (`timeout_sec` —
+    * the reference's per-report setting, 60 s for call_details), per
+    * `databricks/talkdesk_databricks_etl.py:390-471`. A timed-out call
+    * counts as retriable, like the reference's `TimeoutError` arm
+    * (`local/async_utils.py:44-47`).
     */
   def processReport(
       source: ReportSource,
@@ -66,12 +69,18 @@ object Orchestrator {
       backoffBase: FiniteDuration = 1.second,
       now: () => Instant = () => Instant.now()): ReportRun = {
     val start = Timestamp.from(now())
+    def timed[T](op: => T): T =
+      try Await.result(Future(op)(ExecutionContext.global), task.timeout_sec.seconds)
+      catch {
+        case _: concurrent.TimeoutException =>
+          throw Retry.RetriableFailure(s"call timed out after ${task.timeout_sec}s")
+      }
     val attempt = Try {
       val token = tokens.token
       val reportId = Retry.retry(task.retries, backoffBase)(_ =>
-        source.generateReport(token, task.report_name, task.from_date, task.to_date))
+        timed(source.generateReport(token, task.report_name, task.from_date, task.to_date)))
       val csv = Retry.retry(task.retries, backoffBase)(_ =>
-        source.downloadReport(token, reportId))
+        timed(source.downloadReport(token, reportId)))
       val rows = CsvIO.countCsvRows(csv)
       if (rows == 0)
         throw Retry.TerminalFailure(s"no data returned for ${task.report_name}")

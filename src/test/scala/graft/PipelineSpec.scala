@@ -104,6 +104,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.job.status == Status.Failed)
   }
 
+  test("per-call timeout_sec is enforced: slow calls time out, retry, then FAIL") {
+    val slow = new graft.ingest.ReportSource {
+      override def generateReport(t: String, n: String, f: String, to: String): String = {
+        Thread.sleep(5000); "never"
+      }
+      override def downloadReport(t: String, id: String): String = "h\n"
+    }
+    val out = Files.createTempDirectory("graft-slow").toString
+    val t0 = System.nanoTime()
+    val run = Orchestrator.processReport(slow, PipelineSpec.tokenFactory(), out,
+      Orchestrator.ReportTask("run-t", "slow_report", 2, /*timeout_sec=*/ 1,
+        "2024-02-29", "2024-03-01"),
+      backoffBase = 1.milli, now = fixedNow)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(run.status == Status.Failed)
+    assert(run.error_message.exists(_.contains("timed out")), run.error_message)
+    // 2 attempts x 1s timeout, not 2 x 5s of sleeping
+    assert(elapsed < 4.5, s"timeout not enforced: ${elapsed}s")
+  }
+
   test("distributed run produces the same monitoring output as driver mode") {
     val outA = Files.createTempDirectory("graft-a").toString
     val outB = Files.createTempDirectory("graft-b").toString
