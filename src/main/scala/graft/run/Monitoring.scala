@@ -36,8 +36,11 @@ object Monitoring {
     * whole row. At scale this is a single hash shuffle on `run_id`.
     */
   def latestJobState(jobEvents: DataFrame): DataFrame = {
+    // equal-timestamp tiebreak must rank TERMINAL events above RUNNING —
+    // a lexicographic status sort would put RUNNING above FAILED
+    val terminal = when(col("status") === Status.Running, 0).otherwise(1)
     val w = Window.partitionBy(col("run_id"))
-      .orderBy(col("start_time").desc, col("status").desc)
+      .orderBy(col("start_time").desc, terminal.desc)
     jobEvents
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

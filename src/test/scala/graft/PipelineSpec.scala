@@ -170,6 +170,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(derived.getAs[Int]("failed_count") == 1)
   }
 
+  test("latest-wins view ranks a terminal event above RUNNING at the same timestamp") {
+    import spark.implicits._
+    val ts = Timestamp.from(Instant.parse("2024-03-01T12:00:00Z"))
+    val running = JobRun("run-x", "2024-02-29", "2024-03-01", ts, None,
+      Status.Running, 0, 0, 0, None)
+    val failed = running.copy(end_time = Some(ts), status = Status.Failed,
+      total_reports = 3, failed_count = 3)
+    val latest = Monitoring.latestJobState(
+      spark.createDataset(Seq(running, failed)).toDF()).collect()
+    assert(latest.length == 1)
+    assert(latest.head.getAs[String]("status") == Status.Failed,
+      "FAILED terminal event must win over RUNNING at equal start_time")
+  }
+
   test("analytics B1-B4 over generated monitoring data") {
     import spark.implicits._
     implicit val ec: ExecutionContext = ExecutionContext.global
