@@ -36,7 +36,11 @@ object Dedup {
     * pipeline actually feeds downstream).
     */
   def exactSurvivors(docs: DataFrame): DataFrame = {
-    val keep = exact(docs).select(col("keep_id").as("doc_id"))
+    // direct group (no md5 projection, no ORDER BY) — the survivors path
+    // only needs the representative ids
+    val keep = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 

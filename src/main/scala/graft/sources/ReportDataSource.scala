@@ -74,22 +74,27 @@ final class ReportScanBuilder(options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
 
   /** Accept report_name = 'x' / IN (...) filters: they prune partitions, so
-    * filtered-out reports are never fetched at all.
+    * filtered-out reports are never fetched at all. Filters arrive as ANDed
+    * conjuncts, so multiple name filters INTERSECT (two conflicting
+    * equalities ⇒ zero partitions). All filters are also returned as
+    * residuals — Spark re-applies them post-scan, keeping correctness even
+    * where pruning is conservative.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rest) = filters.partition {
-      case EqualTo("report_name", _: String) => true
-      case In("report_name", vs) if vs.forall(_.isInstanceOf[String]) => true
-      case _ => false
+    val nameSets: Seq[Set[String]] = filters.toSeq.collect {
+      case EqualTo("report_name", v: String) => Set(v)
+      case In("report_name", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
     }
-    val names: Set[String] = accepted.flatMap {
-      case EqualTo(_, v: String) => Seq(v)
-      case In(_, vs) => vs.toSeq.map(_.asInstanceOf[String])
-      case _ => Seq.empty[String]
-    }.toSet
-    if (accepted.nonEmpty) pushedReportNames = Some(names)
-    pushed = accepted
-    rest // Spark still applies them post-scan; harmless
+    if (nameSets.nonEmpty) {
+      pushedReportNames = Some(nameSets.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("report_name", _: String) => true
+        case In("report_name", vs) => vs.forall(_.isInstanceOf[String])
+        case _ => false
+      }
+    }
+    filters // conservative: everything re-checked post-scan
   }
 
   override def pushedFilters(): Array[Filter] = pushed

@@ -44,6 +44,17 @@ class ReportSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(in2.count() == 100)
   }
 
+  test("conflicting name equalities intersect to zero partitions (not a wrong union)") {
+    val df = reports.filter(
+      col("report_name") === "call_volume" && col("report_name") === "service_level")
+    assert(df.count() == 0, "two conflicting equalities must yield no rows")
+    val one = reports.filter(
+      col("report_name").isin("call_volume", "service_level") &&
+        col("report_name") === "call_volume")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 50)
+  }
+
   test("composes with downstream relational operators") {
     val agg = reports.groupBy(col("report_name"))
       .agg(sum(col("calls")).as("total_calls"), count(lit(1)).as("n"))
