@@ -293,11 +293,12 @@ object Queries {
         (col("p_us") / gapUs).cast("long") - 1,
         (col("p_us") / gapUs).cast("long"),
         (col("p_us") / gapUs).cast("long") + 1)))
+    // no distinct needed: the right side carries exactly one bin per row,
+    // so each (p, e) pair joins at most once across the exploded bins
     binned.join(errors, Seq("user_id", "bin"))
       .filter(abs(col("p_us") - col("e_us")) <= gapUs)
       .select(col("p_id"), col("e_id"), col("user_id"),
         (col("e_us") - col("p_us")).as("delta_us"))
-      .distinct()
       .orderBy(col("p_id"), col("e_id"))
   }
 

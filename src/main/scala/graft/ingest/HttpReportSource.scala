@@ -90,8 +90,14 @@ object HttpTokenFetcher {
       .POST(HttpRequest.BodyPublishers.ofString(form))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw Retry.RetriableFailure(s"HTTP ${resp.statusCode()} fetching token")
+    if (resp.statusCode() / 100 != 2) {
+      // same classification as the report calls: bad credentials (401)
+      // must fail fast, not burn the retry budget
+      if (Retry.isRetriableStatus(resp.statusCode()))
+        throw Retry.RetriableFailure(s"HTTP ${resp.statusCode()} fetching token")
+      else
+        throw Retry.TerminalFailure(s"HTTP ${resp.statusCode()} fetching token")
+    }
     val root = mapper.readTree(resp.body())
     val access = root.get("access_token")
     if (access == null) throw Retry.TerminalFailure("no access_token in token response")

@@ -67,6 +67,12 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.accessToken == "live-token" && t.expiresIn == 1200L)
   }
 
+  test("token fetch with bad credentials is terminal (no retry burn)") {
+    intercept[Retry.TerminalFailure] {
+      HttpTokenFetcher.fetch(s"$base/oauth/token", "wrong", "creds")
+    }
+  }
+
   test("generate + download round-trip with bearer auth") {
     val src = new HttpReportSource(base)
     val id = src.generateReport("live-token", "call_volume", "2024-02-29", "2024-03-01")
