@@ -71,6 +71,20 @@ object MonitoringStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Continuous-ingestion sink (SURVEY A12's `foreachBatch` form): land
+    * each micro-batch of report results through ONE batched append —
+    * the streaming analog of the batch orchestrator's one-append-per-run
+    * discipline. Returns the started query; caller owns its lifecycle.
+    */
+  def sinkViaForeachBatch(reports: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    reports.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .start()
+
   /** Bind the windowed analytics to a parquet monitoring directory as a
     * real file stream (the production wiring).
     */

@@ -94,6 +94,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("foreachBatch sink lands micro-batches as batched appends; status derivable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-febatch-ckpt").toString
+    val mem = MemoryStream[ReportRun]
+    val q = MonitoringStream.sinkViaForeachBatch(mem.toDF(), dir, ckpt)
+    try {
+      mem.addData(
+        rr("r1", "a", Status.Success, 10, "2024-03-01 10:00:00"),
+        rr("r1", "b", Status.Success, 20, "2024-03-01 10:00:01"))
+      q.processAllAvailable()
+      mem.addData(rr("r1", "c", Status.Failed, 0, "2024-03-01 10:00:02"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(dir)
+      assert(landed.count() == 3)
+      val derived = graft.run.Monitoring.deriveJobStatus(landed).collect().head
+      assert(derived.getAs[String]("status") == Status.PartialSuccess)
+    } finally q.stop()
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
