@@ -115,6 +115,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming top-k converges to the batch brute-force result across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingTopK
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val queries = emb.take(2).toMap // vec_ids 0 and 1
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingTopK.topK(spark, mem.toDS(), queries, k = 5)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("topk_stream").start()
+    try {
+      val (first, second) = emb.splitAt(emb.length / 2)
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      // last update per query is the converged state
+      val finalStates = spark.table("topk_stream").collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          r.getAs[Seq[org.apache.spark.sql.Row]]("neighbors")
+            .map(n => (n.getAs[Long]("vec_id"), n.getAs[Double]("cos"))).toList)
+        .groupBy(_._1).map { case (qid, rows) => qid -> rows.last._2 }
+      // batch reference with the native expression (same math)
+      val bf = graft.ext.Similarity.bruteForceTopK(emb2, Seq(0L, 1L), 5)
+        .collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (qid, rows) =>
+          qid -> rows.sortBy(_.getAs[Int]("rank"))
+            .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toList }
+      finalStates.foreach { case (qid, neighbors) =>
+        assert(neighbors.map(_._1) == bf(qid).map(_._1),
+          s"query $qid: streaming ${neighbors.map(_._1)} vs batch ${bf(qid).map(_._1)}")
+        neighbors.zip(bf(qid)).foreach { case ((_, c1), (_, c2)) =>
+          assert(math.abs(c1 - c2) < 1e-6) }
+      }
+    } finally q.stop()
+  }
+
+  private def emb2 = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
