@@ -280,25 +280,15 @@ object Queries {
     */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
-    val gapUs = 3600L * 1000000L
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         unix_micros(col("ts")).as("p_us"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("e_id"), col("user_id"),
         unix_micros(col("ts")).as("e_us"))
-      .withColumn("bin", (col("e_us") / gapUs).cast("long"))
-    val binned = purchases
-      .withColumn("bin", explode(array(
-        (col("p_us") / gapUs).cast("long") - 1,
-        (col("p_us") / gapUs).cast("long"),
-        (col("p_us") / gapUs).cast("long") + 1)))
-    // no distinct needed: the right side carries exactly one bin per row,
-    // so each (p, e) pair joins at most once across the exploded bins
-    binned.join(errors, Seq("user_id", "bin"))
-      .filter(abs(col("p_us") - col("e_us")) <= gapUs)
-      .select(col("p_id"), col("e_id"), col("user_id"),
-        (col("e_us") - col("p_us")).as("delta_us"))
+    graft.operators.ScaleOps
+      .intervalJoin(purchases, errors, "user_id", "p_us", "e_us", 3600L * 1000000L)
+      .select(col("p_id"), col("e_id"), col("user_id"), col("delta_us"))
       .orderBy(col("p_id"), col("e_id"))
   }
 

@@ -51,6 +51,31 @@ object ScaleOps {
     spark.table(leftTable).join(spark.table(rightTable),
       col(leftKey) === col(rightKey))
 
+  /** Interval (range) join without the quadratic blowup: rows of `left`
+    * and `right` sharing `key` whose epoch-microsecond columns differ by
+    * at most `gapUs`. Bins both sides into gap-sized buckets, explodes the
+    * left side into bucket±1, equi-joins on (key, bucket), exact-filters —
+    * each qualifying pair matches exactly once (the right side keeps one
+    * bucket per row), so no dedup pass is needed. Cost is O(pairs within
+    * ±1 bucket) instead of O(|left| × |right|) per key.
+    *
+    * Inputs carry their epoch-µs in `lUsCol`/`rUsCol` (e.g.
+    * `unix_micros(col("ts"))` projected beforehand); output keeps all
+    * columns from both sides plus `delta_us` = right − left.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      lUsCol: String, rUsCol: String, gapUs: Long): DataFrame = {
+    val binExpr = (c: String) => (col(c) / gapUs).cast("long")
+    val binned = left.withColumn("_bin", explode(array(
+      binExpr(lUsCol) - 1, binExpr(lUsCol), binExpr(lUsCol) + 1)))
+    val rightB = right.withColumn("_bin", binExpr(rUsCol))
+    binned.join(rightB, Seq(key, "_bin"))
+      .filter(abs(col(lUsCol) - col(rUsCol)) <= gapUs)
+      .withColumn("delta_us", col(rUsCol) - col(lUsCol))
+      .drop("_bin")
+  }
+
   /** Hive-style date-partitioned layout: one directory per day. Readers
     * filtering on the partition column prune whole directories before any
     * file is opened — the standard data-lake layout for time-series fact
