@@ -216,6 +216,19 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS token
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |)
+        |SELECT doc_id, CAST(pos // 32 AS BIGINT) AS chunk_id,
+        |  string_agg(token, ' ' ORDER BY pos) AS chunk,
+        |  count(*) AS n_tokens
+        |FROM toks GROUP BY doc_id, pos // 32
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -79,6 +79,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),

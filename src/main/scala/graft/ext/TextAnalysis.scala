@@ -124,6 +124,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-bounded document chunking — the stage that feeds embedding /
+    * training pipelines: split each document into consecutive chunks of at
+    * most `chunkTokens` whitespace tokens. posexplode assigns token
+    * positions, integer division assigns chunk ids, and the ordered
+    * reassembly uses the sort_array(struct(pos, token)) trick (collect_list
+    * order is not deterministic on its own). One shuffle on
+    * (doc_id, chunk_id); output rows are (doc_id, chunk_id, chunk,
+    * n_tokens).
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .withColumnRenamed("col", "token")
+      .filter(col("token") =!= "")
+      .withColumn("chunk_id", (col("pos") / chunkTokens).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("chunk"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting-only edits.
     */
