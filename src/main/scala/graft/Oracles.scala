@@ -229,6 +229,30 @@ object Oracles {
         |FROM toks GROUP BY doc_id, pos // 32
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, t[g.i] AS token
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, token, tf, df, tfidf, CAST(row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

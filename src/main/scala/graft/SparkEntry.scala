@@ -80,6 +80,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),

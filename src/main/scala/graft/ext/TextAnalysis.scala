@@ -147,6 +147,35 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** TF-IDF with per-document top terms: term frequency from one token
+    * explode, document frequency from the distinct doc-term pairs, N from
+    * a broadcast single-row aggregate (stays lazy — no driver action),
+    * tfidf = tf · ln(N/df). Ranking uses the ROUNDED score with a term
+    * tiebreak so ordering is engine-deterministic.
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting-only edits.
     */
