@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: runs every registered query against
+  * `SPARK_GRAFT_SF_DIR`, materializing through the noop v2 sink, and emits
+  * ONE JSON line `{"metric":"total",...}` on stdout (plus a copy at
+  * `SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`, in case the stdout
+  * stream is swallowed by a wrapper). Per-query failures are REPORTED in an
+  * `"errors"` map and the failing query's time is recorded as -1 — a
+  * crashing query must read as broken, never as fast.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,22 +19,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop v2 sink: full materialization of every column and sort —
       // count() would let Catalyst prune columns and eliminate ORDER BYs,
       // under-measuring the queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(180)}")
+        }
       // operators may cache() intermediates reused within their own DAG;
       // drop them between queries so earlier queries don't pressure later ones
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, sec, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
     spark.stop()
   }
 }

@@ -258,9 +258,13 @@ object Oracles {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // list_filter drops empty tokens (leading/trailing whitespace) to match
+    // Spark's `token != ''` filter before shingling
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
@@ -297,7 +301,9 @@ object Oracles {
 
     "dedup_pipeline" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
@@ -407,12 +413,14 @@ object Oracles {
         |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // strlen = BYTE count (Spark's length(binary payload)); length() would
+    // count characters and break parity on any non-ASCII document
     "multimodal_features" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
         |  'fake/media-' || source AS media_type,
-        |  CAST(64 + length(text) % 512 AS INT) AS width,
-        |  CAST(64 + (CAST(length(text) AS BIGINT) * 7) % 512 AS INT) AS height,
-        |  CAST(1 + length(text) % 30 AS INT) AS n_frames,
+        |  CAST(64 + strlen(text) % 512 AS INT) AS width,
+        |  CAST(64 + (CAST(strlen(text) AS BIGINT) * 7) % 512 AS INT) AS height,
+        |  CAST(1 + strlen(text) % 30 AS INT) AS n_frames,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )

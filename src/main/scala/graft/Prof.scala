@@ -1,36 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Ad-hoc profiling harness (dev tool, not part of the library surface).
+  * Usage: sbt "runMain graft.Prof [a8|kmeans|simhash|all]"
+  */
 object Prof {
   def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = Queries.table(spark, "/root/testdata/sf0.1", "documents")
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      println(f"PROF $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
     }
-    time("shingles")(graft.ext.Dedup.shingles(docs).count())
-    time("signatures")(graft.ext.Dedup.minhashSignatures(docs).count())
-    val sig = graft.ext.Dedup.minhashSignatures(docs).cache()
-    time("sig_cached")(sig.count())
-    time("bands")(graft.ext.Dedup.minhashBands(sig).count())
-    import org.apache.spark.sql.functions._
-    val bandDf = graft.ext.Dedup.minhashBands(sig)
-    time("cand")(bandDf.select(col("doc_id").as("a"), col("band"), col("key"))
-      .join(bandDf.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band","key"))
-      .filter(col("a") < col("b")).select(col("a"),col("b")).distinct().count())
-    time("full")(graft.ext.Dedup.minhashCandidatePairs(docs).count())
-    import org.apache.spark.sql.functions.xxhash64
-    val shd = graft.ext.Dedup.shingles(docs)
-    time("jac_distinct")(shd.count())
-    time("jac_hashed_distinct")(graft.ext.Dedup.shinglesMultiset(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).distinct().count())
-    time("jac_full")(graft.ext.Dedup.ngramJaccardPairs(docs).count())
-    time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())
-    time("simhash_full")(graft.ext.Dedup.simhashCandidatePairs(docs, 6).count())
+
+    if (mode == "a8" || mode == "all") {
+      val ev = Queries.events(spark, sfDir)
+      time("events_count")(ev.count())
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      time("a8_rn_only")(ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count())
+      time("a8_no_datefmt")(noop(ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))))
+      time("a8_full_1")(noop(Queries.a8LatestWins(spark, sfDir)))
+      time("a8_full_2")(noop(Queries.a8LatestWins(spark, sfDir)))
+      time("a8_datefmt_only")(noop(ev.select(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))))
+    }
+    if (mode == "kmeans" || mode == "all") {
+      val emb = Queries.table(spark, sfDir, "embeddings")
+      time("emb_count")(emb.count())
+      time("kmeans_cents")(
+        { graft.ext.Similarity.kmeansCentroids(emb, 8, 3); 0L })
+      time("ivf_kmeans_full")(noop(
+        graft.ext.Similarity.ivfTopKKmeans(emb, Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)))
+    }
+    if (mode == "simhash" || mode == "all") {
+      val docs = Queries.table(spark, sfDir, "documents")
+      time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())
+      time("simhash_full")(noop(graft.ext.Dedup.simhashCandidatePairs(docs, 3)))
+    }
     spark.stop()
   }
 }

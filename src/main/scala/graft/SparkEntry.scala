@@ -53,7 +53,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
     "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 6)),
+    // maxHamming=3 = the 4x16-bit banding's exactness radius (see Dedup)
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),

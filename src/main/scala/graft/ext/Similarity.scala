@@ -101,15 +101,25 @@ object Similarity {
     * k smallest vec_ids. Per iteration: one broadcast-assign pass + one
     * posexplode mean — the same two shuffles regardless of corpus size;
     * only k × dim doubles ever reach the driver.
+    *
+    * Returns (final centroids, the assignment that PRODUCED them). The
+    * pairing is self-consistent — each returned centroid is exactly the
+    * mean of the vectors its cell holds in the returned assignment — so
+    * IVF probing can reuse it directly instead of paying another assign
+    * pass. `emb` is cached for the duration (each iteration reads it
+    * twice: assign + mean); callers drop it via `catalog.clearCache` or
+    * `unpersistInput`.
     */
-  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] = {
+  def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 3): (Seq[(Int, Array[Double])], DataFrame) = {
     import emb.sparkSession.implicits._
-    var cents: Seq[(Int, Array[Double])] = emb.orderBy(col("vec_id")).limit(k)
+    val cached = emb.cache()
+    var cents: Seq[(Int, Array[Double])] = cached.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
+    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      val assigned = kmeansAssign(emb, cents).select(col("vec_id"), col("cell"))
-      cents = assigned.join(emb, Seq("vec_id"))
+      assigned = kmeansAssign(cached, cents).select(col("vec_id"), col("cell"))
+      cents = assigned.join(cached, Seq("vec_id"))
         .select(col("cell"), posexplode(col("embedding")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("cv"))
@@ -118,8 +128,11 @@ object Similarity {
           x => x.getField("cv")).as("centroid"))
         .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
     }
-    cents
+    (cents, assigned)
   }
+
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] =
+    kmeansFit(emb, k, iters)._1
 
   /** Mean within-cluster squared distance — for convergence checks. */
   def kmeansInertia(emb: DataFrame, cents: Seq[(Int, Array[Double])]): Double = {
@@ -132,9 +145,9 @@ object Similarity {
     */
   def ivfTopKKmeans(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
       nProbe: Int = 2, nCells: Int = 16, iters: Int = 3): DataFrame = {
-    import emb.sparkSession.implicits._
-    val cents = kmeansCentroids(emb, nCells, iters)
-    val cells = kmeansAssign(emb, cents).select(col("vec_id"), col("cell"))
+    // reuse the assignment that produced the final centroids (each centroid
+    // IS the mean of its returned cell) — no 4th assign pass over the corpus
+    val (cents, cells) = kmeansFit(emb, nCells, iters)
     ivfTopKWithCells(emb.join(cells, Seq("vec_id")), cents, queryIds, k, nProbe)
   }
 

@@ -24,6 +24,39 @@ trait ReportSource extends Serializable {
   def downloadReport(token: String, reportId: String): String
 }
 
+/** Factory used by the DSv2 [[graft.sources.ReportDataSource]] to build the
+  * wire client on executors from the scan options — the source
+  * implementation is chosen by the `source_provider` option (fully
+  * qualified class name with a no-arg constructor), not hardcoded.
+  */
+trait ReportSourceProvider extends Serializable {
+  def create(options: Map[String, String]): ReportSource
+}
+
+object ReportSourceProvider {
+  def instantiate(options: Map[String, String]): ReportSource = {
+    val cls = options.getOrElse("source_provider",
+      classOf[FakeReportSourceProvider].getName)
+    Class.forName(cls).getDeclaredConstructor().newInstance()
+      .asInstanceOf[ReportSourceProvider].create(options)
+  }
+}
+
+final class FakeReportSourceProvider extends ReportSourceProvider {
+  override def create(options: Map[String, String]): ReportSource =
+    new FakeReportSource(options.getOrElse("rows_per_report", "100").toInt)
+}
+
+final class HttpReportSourceProvider extends ReportSourceProvider {
+  override def create(options: Map[String, String]): ReportSource =
+    new HttpReportSource(
+      options.getOrElse("base_url",
+        sys.error("HttpReportSourceProvider requires the base_url option")),
+      options.getOrElse("post_endpoint", "/reports/generate"),
+      options.getOrElse("get_endpoint", "/reports/download"),
+      options.getOrElse("timeout_sec", "30").toInt)
+}
+
 /** Deterministic fake: payload is a pure function of (report, from, to).
   * Mirrors the shape of a Talkdesk Explore CSV export (header row + typed
   * columns, `databricks/talkdesk_databricks_etl.py:437`) and the reference's

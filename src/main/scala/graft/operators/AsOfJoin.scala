@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   *      left rows tagged 1, so equal timestamps see the right row first —
   *      `<=` semantics);
   *   2. one window pass per key ordered by (time, tag) propagates the most
-  *      recent non-null payload (`last(..., ignoreNulls)` over
-  *      rows-unbounded-preceding);
-  *   3. keep the left rows, now carrying their as-of payload.
+  *      recent right row's payload as ONE struct column
+  *      (`last(struct, ignoreNulls)` over rows-unbounded-preceding) — the
+  *      struct is null for left rows and non-null for every right row, even
+  *      when individual payload values are null, so the whole matched right
+  *      row wins atomically: a null payload value is carried as null rather
+  *      than backfilled from an older right row, and multiple payload
+  *      columns can never be stitched from different right rows;
+  *   3. keep the left rows, expand the struct back into payload columns.
   *
   * Cost: ONE hash shuffle on the key + a per-key sort — same complexity as
   * a sort-merge join, no range explosion, no per-row lookups; left rows
@@ -42,34 +47,37 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
-    val reserved = Seq("_ts", "_tag", "_tie")
+    val reserved = Seq("_ts", "_tag", "_tie", "_payload")
     require(!(leftCols ++ payload).exists(reserved.contains),
       s"columns may not use the reserved names $reserved")
 
     val rightSchema = right.schema
     val tie = Option(rightTieBreak)
+    val payloadType = org.apache.spark.sql.types.StructType(payload.map(rightSchema(_)))
 
-    // left rows: own columns + null payload slots
+    // left rows: own columns + a NULL payload struct
     val lSel: Seq[Column] =
       leftCols.map(col) ++
-        Seq(col(leftTime).as("_ts"), lit(1).as("_tag"), lit(0L).as("_tie")) ++
-        payload.map(c => lit(null).cast(rightSchema(c).dataType).as(c))
-    // right rows: key + payload, null left-only columns
+        Seq(col(leftTime).as("_ts"), lit(1).as("_tag"), lit(0L).as("_tie"),
+          lit(null).cast(payloadType).as("_payload"))
+    // right rows: key + the whole payload as one NON-NULL struct (its
+    // members may individually be null), null left-only columns
     val rSel: Seq[Column] =
       leftCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(rightTime).as("_ts"), lit(0).as("_tag"),
-          tie.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie")) ++
-        payload.map(col)
+          tie.map(col(_).cast("long")).getOrElse(lit(0L)).as("_tie"),
+          struct(payload.map(col): _*).as("_payload"))
 
     val unioned = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_tag"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+    // ONE last() over the struct: the latest right row wins as a unit
+    val filled = last(col("_payload"), ignoreNulls = true).over(w).as("_payload")
 
     unioned
-      .select((leftCols.map(col) :+ col("_tag")) ++ filled: _*)
+      .select(leftCols.map(col) ++ Seq(col("_tag"), filled): _*)
       .filter(col("_tag") === 1)
-      .drop("_tag")
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_payload.$c").as(c)): _*)
   }
 }

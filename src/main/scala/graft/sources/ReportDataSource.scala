@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.config.ConfigTables
-import graft.ingest.{FakeReportSource, ReportSource, TokenManager}
+import graft.ingest.{ReportSource, ReportSourceProvider, TokenManager}
 
 /** DataSource V2 surface for the report-extraction dataflow — the
   * "full-Spark" form of SURVEY §2 C2/C3: instead of orchestrating fetches
@@ -126,30 +126,36 @@ final class ReportScan(options: Map[String, String], nameFilter: Option[Set[Stri
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReportReaderFactory(options.getOrElse("rows_per_report", "100").toInt)
+    new ReportReaderFactory(options)
 }
 
-final class ReportReaderFactory(rowsPerReport: Int) extends PartitionReaderFactory {
+final class ReportReaderFactory(options: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ReportPartition]
-    new ReportPartitionReader(p, rowsPerReport)
+    new ReportPartitionReader(p, options)
   }
 }
 
 /** Executes on the executor: token → generate → download → parse, exactly
-  * the per-report pipeline, surfaced as a row iterator.
+  * the per-report pipeline, surfaced as a row iterator. The wire client
+  * comes from [[ReportSourceProvider]] (`source_provider` option; defaults
+  * to the deterministic fake), so an HTTP source slots in without touching
+  * this class.
   */
-final class ReportPartitionReader(p: ReportPartition, rowsPerReport: Int)
+final class ReportPartitionReader(p: ReportPartition, options: Map[String, String])
     extends PartitionReader[InternalRow] {
 
-  private val source: ReportSource = new FakeReportSource(rowsPerReport)
-  private val tokens = new TokenManager(() => TokenManager.Token("dsv2-token", 3600))
+  private val source: ReportSource = ReportSourceProvider.instantiate(options)
+  private val tokens = new TokenManager(() =>
+    TokenManager.Token(options.getOrElse("token", "dsv2-token"), 3600))
 
   private val lines: Iterator[Array[String]] = {
     val token = tokens.token
     val id = source.generateReport(token, p.reportName, p.fromDate, p.toDate)
     val csv = source.downloadReport(token, id)
-    csv.split("\n").iterator.filter(_.nonEmpty).drop(1).map(_.split(","))
+    // \r?\n: an HTTP source may hand back CRLF payloads (same hardening as
+    // CsvIO) — bare \n splitting would leave \r in the last column
+    csv.split("\r?\n").iterator.filter(_.nonEmpty).drop(1).map(_.split(","))
   }
 
   private var current: Array[String] = _

@@ -111,6 +111,23 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.values.exists(_.isEmpty), "expect some purchases with no prior signup")
   }
 
+  test("as-of join carries the matched right row atomically (null payload values stay null)") {
+    import spark.implicits._
+    // right row at t=20 has a NULL v: it must WIN (latest <= leftTime) and
+    // deliver null — not be skipped in favor of t=10's non-null v. And both
+    // payload columns must come from the same right row, never stitched.
+    val left = Seq((1L, 30L), (2L, 5L)).toDF("id", "t")
+    val right = Seq(
+      (1L, 10L, Option(100L), Option("old")),
+      (1L, 20L, Option.empty[Long], Option("new"))
+    ).toDF("id", "t", "v", "tag")
+    val out = graft.operators.AsOfJoin.asOfJoin(
+        left, right.withColumnRenamed("t", "rt"), "id", "t", "rt", Seq("v", "tag"), null)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) == (None, Some("new")), s"latest right row must win as a unit: ${out(1L)}")
+    assert(out(2L) == (None, None), "no prior right row: whole payload null")
+  }
+
   test("bucketed join on the bucket key plans without an Exchange") {
     val li = Queries.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val o = Queries.table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
