@@ -413,6 +413,105 @@ object Oracles {
         |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // LSH bucket assignment: the fixed-seed hyperplanes are embedded as
+    // DOUBLE literal arrays (Double.toString round-trips exactly), so the
+    // oracle computes the same sign tests over the same planes
+    "sim_lsh_buckets" -> {
+      val planes = graft.ext.Similarity.hyperplanes(4, 64)
+      val terms = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""SELECT vec_id,
+        |  CAST($terms AS BIGINT) AS bucket
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
+    "sim_topk_lsh" -> {
+      val planes = graft.ext.Similarity.hyperplanes(4, 64)
+      val terms = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST($terms AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+        |  FROM b WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM b JOIN q ON b.bucket = q.q_bucket
+        |  WHERE b.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVF over label cells: per-cell per-dimension mean centroids, probe
+    // the 2 nearest cells by query-centroid cosine, exact top-k within
+    "sim_topk_ivf" ->
+      """WITH expl AS (
+        |  SELECT label AS cell, g.i AS pos, embedding[g.i] AS v
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), cent AS (
+        |  SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+        |    SELECT cell, pos, avg(CAST(v AS DOUBLE)) AS cv
+        |    FROM expl GROUP BY cell, pos)
+        |  GROUP BY cell
+        |), q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), probes AS (
+        |  SELECT query_id, q_emb, cell FROM (
+        |    SELECT q.query_id, q.q_emb, c.cell, row_number() OVER
+        |      (PARTITION BY q.query_id ORDER BY list_cosine_similarity(
+        |         CAST(q.q_emb AS DOUBLE[]), c.centroid) DESC, c.cell) AS c_rank
+        |    FROM q, cent c)
+        |  WHERE c_rank <= 2
+        |), scored AS (
+        |  SELECT p.query_id, e.vec_id, e.label AS cell,
+        |    round(list_cosine_similarity(
+        |      CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e JOIN probes p ON e.label = p.cell
+        |  WHERE e.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cell, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cell, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // winnowing with the portable md5-prefix hash (TextAnalysis
+    // .portableHash64) — k=5 char grams, window w=4, full windows only
+    "text_winnowing" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, g.i AS pos,
+        |    ('0x' || substring(md5(substring(t, g.i, 5)), 1, 15))::BIGINT AS h
+        |  FROM norm, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)
+        |), winmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wsize
+        |  FROM grams
+        |)
+        |SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+        |FROM winmin WHERE wsize = 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // strlen = BYTE count (Spark's length(binary payload)); length() would
     // count characters and break parity on any non-ASCII document
     "multimodal_features" ->

@@ -186,6 +186,16 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
+    * integer. Bit-identical between Spark (`conv(..., 16, 10)`) and the
+    * DuckDB oracle (`('0x' || substring(md5(x),1,15))::BIGINT`), which
+    * keeps hash-dependent operators inside the oracle gate. xxhash64 is
+    * faster but engine-specific — swap it in where cross-engine parity
+    * doesn't matter.
+    */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD '03): hash every
     * character k-gram of the normalized text, then keep the minimum hash
     * of each sliding window of w consecutive k-gram hashes. Guarantee: any
@@ -196,9 +206,13 @@ object TextAnalysis {
     * position, build k-grams with window `lead`, take the window min —
     * no interpreted lambdas, one shuffle on doc_id.
     *
+    * `hash` defaults to [[portableHash64]] (oracle-checkable); pass
+    * `xxhash64(_)` for maximum throughput when parity doesn't matter.
+    *
     * Output: (doc_id, fp) — the distinct selected fingerprints per doc.
     */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+      hash: Column => Column = portableHash64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = trim(regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")))
     val chars = docs
@@ -208,7 +222,7 @@ object TextAnalysis {
     val gramParts = col("ch") +: (1 until k).map(j => lead(col("ch"), j).over(byDoc))
     val grams = chars
       .withColumn("_last", lead(col("ch"), k - 1).over(byDoc))
-      .withColumn("h", xxhash64(concat_ws("", gramParts: _*)))
+      .withColumn("h", hash(concat_ws("", gramParts: _*)))
       .filter(col("_last").isNotNull)
       .select(col("doc_id"), col("pos"), col("h"))
     // min over each window of w consecutive gram hashes; windows must be
