@@ -45,6 +45,21 @@ object Prof {
       time("ivf_kmeans_full")(noop(
         graft.ext.Similarity.ivfTopKKmeans(emb, Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)))
     }
+    if (mode == "lsh") {
+      val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+      val qids = (0L until 10L).toSeq
+      val bf = graft.ext.Similarity.bruteForceTopK(emb, qids, 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (planes <- Seq(4, 6, 8); probes <- Seq(4, 8); tables <- Seq(1, 2, 4)) {
+        val got = graft.ext.Similarity.lshTopK(emb, qids, 10,
+            numPlanes = planes, nProbes = probes, numTables = tables)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"PROF lsh planes=$planes probes=$probes tables=$tables recall=${bf.intersect(got).size.toDouble / bf.size}%.3f")
+        spark.catalog.clearCache()
+      }
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

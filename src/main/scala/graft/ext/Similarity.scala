@@ -214,24 +214,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** ANN top-k within the query's LSH bucket. Trades recall for touching
-    * only the colliding fraction of the corpus; [[bruteForceTopK]] is the
-    * exactness reference in tests. `nProbes = 1` searches only the exact
-    * bucket; `nProbes > 1` adds multi-probe buckets at Hamming distance 1
-    * (flip one sign bit) — the standard recall boost that still touches
-    * only nProbes/2^b of the corpus.
+  /** Probe subsets for multi-probe LSH: subsets of the `m`
+    * least-confident plane positions (0 = least confident), ordered by a
+    * penalty proxy (sum of confidence ranks, then subset size) so cheaper
+    * flips come first. First subset is always Ø — the exact bucket.
+    */
+  private[graft] def probeSubsets(nProbes: Int, m: Int): Seq[Seq[Int]] =
+    (0 until (1 << m))
+      .map(mask => (0 until m).filter(p => (mask & (1 << p)) != 0))
+      .sortBy(ps => (ps.map(_ + 1).sum, ps.length))
+      .take(math.max(nProbes, 1))
+
+  /** ANN top-k within the query's LSH bucket(s). Trades recall for
+    * touching only the colliding fraction of the corpus;
+    * [[bruteForceTopK]] is the exactness reference in tests.
+    *
+    * `nProbes = 1` searches only the exact bucket. `nProbes > 1` is
+    * confidence-ordered multi-probe (Lv et al., VLDB '07): each query
+    * ranks its planes by |projection| — a small |dot| means the vector
+    * sits near that hyperplane, so its true neighbors plausibly landed on
+    * the other side — and probes the buckets reached by flipping subsets
+    * of the least-confident bits, cheapest flips first. Far better
+    * recall-per-probe than flipping arbitrary bits, and still touches
+    * only nProbes buckets of 2^numPlanes.
     */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      numPlanes: Int = 12, dim: Int = 64, nProbes: Int = 1): DataFrame = {
-    val bucketed = lshBuckets(emb, numPlanes, dim).cache()
-    val probeBits = math.min(math.max(nProbes - 1, 0), numPlanes)
-    val queries = bucketed.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(array((col("bucket") +:
-          (0 until probeBits).map(i => col("bucket").bitwiseXOR(1L << i))): _*))
-          .as("q_bucket"))
-    bucketed.join(broadcast(queries), col("bucket") === col("q_bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
+      numPlanes: Int = 12, dim: Int = 64, nProbes: Int = 1,
+      numTables: Int = 1): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    // L independent hash tables (seeds 42, 43, …): recall compounds as
+    // 1−(1−p)^L while each table still prunes to nProbes/2^b of the
+    // corpus — the standard E2LSH recall lever alongside multi-probe.
+    // At scale each table is one extra (table, bucket)-keyed index column;
+    // candidates are deduped before scoring so a pair is cosined once.
+    val perTable = (0 until numTables).map { t =>
+      val seed = 42L + t
+      val planes = hyperplanes(numPlanes, dim, seed)
+      val bucketed = lshBuckets(emb, numPlanes, dim, seed).cache()
+      // query-side only (bounded rows): per-plane projections, planes
+      // sorted by |projection| ascending = confidence rank
+      val dots = planes.map(p => dot(col("embedding"), array(p.map(lit): _*)))
+      val sortedIdx = transform(
+        array_sort(array(dots.zipWithIndex.map { case (d, i) =>
+          struct(abs(d).as("c"), lit(i).as("idx")) }: _*)),
+        x => x.getField("idx"))
+      val subsets = probeSubsets(nProbes, math.min(numPlanes, 5))
+      val probeCols = subsets.map(_.foldLeft(col("bucket")) { (b, p) =>
+        b.bitwiseXOR(call_function("shiftleft", lit(1L),
+          element_at(sortedIdx, p + 1)))
+      })
+      val queries = bucketed.filter(col("vec_id").isInCollection(queryIds))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(array(probeCols: _*)).as("q_bucket"))
+      bucketed.join(broadcast(queries), col("bucket") === col("q_bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+    }
+    val candidates = perTable.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "vec_id")
+    candidates
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
       .withColumn("rank", row_number().over(

@@ -163,6 +163,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     b1.foreach { case (q, c) => assert(b4(q) >= c) }
   }
 
+  test("multi-probe multi-table LSH reaches recall@10 >= 0.7 vs brute force") {
+    // tuned config: 6 planes (64 buckets), 8 confidence-ordered probes per
+    // table (12.5% of buckets), 4 independent tables. Deterministic seeds +
+    // deterministic testdata => measured recall 0.79 is reproducible; the
+    // floor leaves margin. Single-table single-probe recall here is 0.07 —
+    // the probes/tables levers do the work, and both keep sublinear touch.
+    val qids = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(emb, qids, 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.lshTopK(emb, qids, 10,
+        numPlanes = 6, nProbes = 8, numTables = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall >= 0.7, s"recall@10 $recall < 0.7")
+  }
+
   test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
     assert(b.length == 500)
