@@ -98,6 +98,14 @@ object SparkEntry {
         .orderBy(col0("report_name")))
   )
 
+  /** Quadratic-by-design exact VERIFIERS: correct (oracle-checked in the
+    * Verify gate) but deliberately corpus-wide O(n²) — at scale they run
+    * candidate-restricted inside `dedup_pipeline`, which is the production
+    * bench number. [[Bench]] skips these so the bench reflects the
+    * production path, and reports them in its `skipped` field.
+    */
+  val verifierOnly: Set[String] = Set("dedup_ngram_jaccard")
+
   private def emb(s: SparkSession, dir: String) =
     Queries.table(s, dir, "embeddings")
 
