@@ -413,6 +413,84 @@ object Oracles {
         |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // MinHash + LSH banding over the portable md5-prefix hash: one base
+    // hash per shingle, 32 affine views (a_i·h+b_i mod P), 8 bands × 4
+    // rows expressed as 8 equi-joins — candidate generation and estimated
+    // Jaccard replicated exactly
+    "dedup_minhash" -> {
+      val p = graft.ext.Dedup.MinhashP
+      val sigCols = graft.ext.Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * h + $b) % $p) AS mh_$i" }
+        .mkString(",\n    ")
+      val bandJoins = (0 until 8).map { bIdx =>
+        val conds = (0 until 4).map(r => s"sa.mh_${bIdx * 4 + r} = sb.mh_${bIdx * 4 + r}")
+          .mkString(" AND ")
+        s"SELECT sa.doc_id AS a, sb.doc_id AS b FROM sig sa JOIN sig sb\n      ON $conds AND sa.doc_id < sb.doc_id"
+      }.mkString("\n    UNION ALL\n    ")
+      val matches = (0 until 32)
+        .map(i => s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT % $p AS h FROM sh
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $sigCols
+        |  FROM hashed GROUP BY doc_id
+        |), cand AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT c.a, c.b, round(($matches) / 32.0, 4) AS est_jaccard
+        |FROM cand c JOIN sig sa ON c.a = sa.doc_id JOIN sig sb ON c.b = sb.doc_id
+        |WHERE round(($matches) / 32.0, 4) >= 0.5
+        |ORDER BY c.a, c.b""".stripMargin
+    },
+
+    // SimHash over the portable hash: 64 per-bit sign sums, 4×16-bit band
+    // equi-joins for candidates, bit_count(xor) Hamming verification
+    "dedup_simhash" -> {
+      val bitSums = (0 until 64)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n    ")
+      val simExpr = (0 until 64)
+        .map(j => s"(CASE WHEN b_$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString("\n      + ")
+      val bandJoins = (0 until 4).map { bIdx =>
+        val sh = bIdx * 16
+        s"SELECT sa.doc_id AS a, sb.doc_id AS b, sa.simhash AS sim_a, sb.simhash AS sim_b\n    FROM sim sa JOIN sim sb\n      ON ((sa.simhash >> $sh) & 65535) = ((sb.simhash >> $sh) & 65535) AND sa.doc_id < sb.doc_id"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id,
+        |    $bitSums
+        |  FROM hashed GROUP BY doc_id
+        |), sim AS (
+        |  SELECT doc_id,
+        |    $simExpr AS simhash
+        |  FROM bits
+        |), cand AS (
+        |  SELECT DISTINCT a, b, sim_a, sim_b FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT a, b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        |ORDER BY a, b""".stripMargin
+    },
+
     // LSH bucket assignment: the fixed-seed hyperplanes are embedded as
     // DOUBLE literal arrays (Double.toString round-trips exactly), so the
     // oracle computes the same sign tests over the same planes

@@ -101,16 +101,38 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Prime modulus (2^31 − 1) for the portable min-wise family: operands
+    * stay < 2^31, so every product fits in a 64-bit signed int in BOTH
+    * engines (DuckDB raises on BIGINT overflow — no wraparound there).
+    */
+  private[graft] val MinhashP = 2147483647L
+
+  /** Fixed-seed affine coefficients (a_i ∈ [1, P−1], b_i ∈ [0, P−1]) for
+    * `h_i(x) = (a_i·h(x) + b_i) mod P` — the classic universal-hashing way
+    * to derive k MinHash views from ONE base hash.
+    */
+  private[graft] def minhashCoeffs(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt((MinhashP - 1).toInt).toLong,
+        rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
   /** MinHash signatures: k independent hash views of the shingle set,
-    * `sig_i = min over shingles of xxhash64(i, sh)`. One explode + one
-    * groupBy — linear in total shingle count.
+    * `sig_i = min over shingles of (a_i·h(sh) + b_i) mod P` with h the
+    * portable md5-prefix hash — ONE digest per shingle occurrence plus k
+    * multiply-mods (cheaper than k independent string hashes), and
+    * bit-identical in the DuckDB oracle. One explode + one groupBy —
+    * linear in total shingle count.
     */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 32, n: Int = 3): DataFrame = {
     // no distinct(): min over a multiset equals min over the set, so the
     // dedup shuffle shingles() would add is pure waste here
     val sh = shinglesMultiset(docs, n)
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      .select(col("doc_id"),
+        (TextAnalysis.portableHash64(col("sh")) % MinhashP).as("h"))
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"mh_$i") }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -209,12 +231,18 @@ object Dedup {
   /** 64-bit SimHash per document: sign of the per-bit sum of token-hash
     * contributions (+1/−1), token-frequency weighted. explode + one
     * 64-column aggregation; linear, shuffle on doc_id only.
+    *
+    * `hash` defaults to the portable md5-prefix hash (60 informative bits;
+    * bits 60–63 are constant-zero) so the operator sits inside the DuckDB
+    * oracle gate; pass `xxhash64(_)` for a full-width, faster production
+    * hash when cross-engine parity doesn't matter.
     */
-  def simhash64(docs: DataFrame): DataFrame = {
+  def simhash64(docs: DataFrame,
+      hash: Column => Column = TextAnalysis.portableHash64): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", hash(col("token")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
     }
@@ -238,8 +266,9 @@ object Dedup {
     * of them) trade guaranteed-distance down: b bands of 64/b bits are
     * exact for d ≤ b−1.
     */
-  def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sim = simhash64(docs).cache()
+  def simhashCandidatePairs(docs: DataFrame, maxHamming: Int = 3,
+      hash: Column => Column = TextAnalysis.portableHash64): DataFrame = {
+    val sim = simhash64(docs, hash).cache()
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(bIdx =>
         struct(lit(bIdx).as("band"),
