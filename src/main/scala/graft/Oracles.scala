@@ -163,6 +163,28 @@ object Oracles {
         | AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 3600000000
         |ORDER BY p_id, e_id""".stripMargin,
 
+    // salted join must be RESULT-identical to the plain join it replaces
+    "salted_join" ->
+      """SELECT event_id, user_id, user_id % 3 AS segment
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH expl AS (
+        |  SELECT vec_id, CAST(v AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        |), scaled AS (
+        |  SELECT vec_id, v,
+        |    127.0 / greatest(max(abs(v)) OVER (PARTITION BY vec_id), 1e-12) AS scale
+        |  FROM expl
+        |), q AS (
+        |  SELECT vec_id, scale, CAST(round(v * scale) AS INT) AS q FROM scaled
+        |)
+        |SELECT vec_id, round(max(scale), 6) AS scale,
+        |  CAST(sum(q) AS BIGINT) AS q_sum,
+        |  CAST(min(q) AS INT) AS q_min, CAST(max(q) AS INT) AS q_max,
+        |  count(*) AS n_dims
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "array_stats" ->
       """SELECT vec_id, count(*) AS n_dims,
         |  round(sum(CAST(v AS DOUBLE)), 6) AS sum_v,

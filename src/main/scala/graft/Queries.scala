@@ -292,6 +292,20 @@ object Queries {
       .orderBy(col("p_id"), col("e_id"))
   }
 
+  /** Salted fact⋈dim equi-join — the skew-mitigation operator. The salt
+    * only reshapes the shuffle (a hot user lands in 8 partitions instead
+    * of one straggler); the oracle asserts the RESULT is identical to the
+    * plain join it replaces.
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"))
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3L)))
+    graft.operators.ScaleOps.saltedJoin(ev, dim, "user_id", 8, "event_id")
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .orderBy(col("event_id"))
+  }
+
   /** Array-column statistics via posexplode — per-vector dimension count
     * and element aggregates (the array/unnest surface SURVEY §F marks as
     * absent in the reference).

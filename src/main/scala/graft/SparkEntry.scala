@@ -42,6 +42,7 @@ object SparkEntry {
     "asof_join" -> (Queries.asofJoinQuery _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),
+    "salted_join" -> (Queries.saltedJoinQuery _),
     "array_stats" -> (Queries.arrayStats _),
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
@@ -62,6 +63,7 @@ object SparkEntry {
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2)),
+    "sim_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
     // extensions: text analysis

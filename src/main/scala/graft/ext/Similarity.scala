@@ -79,6 +79,33 @@ object Similarity {
     emb.withColumn("bucket", bucket)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the compression
+    * step before embeddings ship to ANN serving or training (4× smaller,
+    * dot products stay proportional). Per-vector scale = 127 / max|v|;
+    * emitted as per-vector aggregates of the quantized values so the
+    * DuckDB oracle can hash-compare without array-format ambiguity.
+    *
+    * posexplode + window (not a `transform` lambda): the scale is computed
+    * once per vector and the shuffle on vec_id is shared by the window and
+    * the final aggregation — a HOF formulation would re-evaluate the row
+    * max per element once CollapseProject inlines it.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+    val v = col("col").cast("double")
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .withColumn("scale", lit(127.0) / greatest(max(abs(v)).over(w), lit(1e-12)))
+      .withColumn("q", round(v * col("scale")).cast("int"))
+      .groupBy(col("vec_id"))
+      .agg(
+        round(max(col("scale")), 6).as("scale"),
+        sum(col("q")).as("q_sum"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"),
+        count(lit(1)).as("n_dims"))
+      .orderBy(col("vec_id"))
+  }
+
   // ----------------------------------------------------------- k-means IVF
 
   /** Assign every vector to its nearest centroid (squared-L2 argmin).
