@@ -60,6 +60,18 @@ object Prof {
         spark.catalog.clearCache()
       }
     }
+    if (mode == "pipeline") {
+      val docs = Queries.table(spark, sfDir, "documents")
+      // stage-by-stage: shingle+hash scan, signatures, banding+candidates,
+      // restricted verify
+      time("p_shingles")(graft.ext.Dedup.shinglesMultiset(docs).count())
+      time("p_full_1")(noop(graft.ext.Dedup.nearDupPipeline(docs, 0.8)))
+      spark.catalog.clearCache()
+      time("p_full_2")(noop(graft.ext.Dedup.nearDupPipeline(docs, 0.8)))
+      spark.catalog.clearCache()
+      time("p_minhash_only")(noop(graft.ext.Dedup.minhashCandidatePairs(docs)))
+      spark.catalog.clearCache()
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

@@ -71,6 +71,26 @@ object MonitoringStream {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming sessionization: gap-based sessions per user via
+    * `session_window` — the streaming twin of the batch
+    * [[graft.Queries.eventsSessionize]] (same 1-hour-inactivity
+    * definition). Sessions merge as events arrive and CLOSE once the
+    * watermark passes start + gap, so state is O(open sessions per key),
+    * never history — the shape that survives an unbounded event feed.
+    * Expects columns (user_id, ts, value); append mode emits each session
+    * exactly once, when it closes.
+    */
+  def sessionizedActivity(
+      events: DataFrame,
+      gap: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Continuous-ingestion sink (SURVEY A12's `foreachBatch` form): land
     * each micro-batch of report results through ONE batched append —
     * the streaming analog of the batch orchestrator's one-append-per-run

@@ -94,6 +94,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("session_window sessionization closes sessions at the gap and emits once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val q = MonitoringStream.sessionizedActivity(events, "1 hour", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_stream").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one event 2 h
+      // later (a second session); user 2: one event
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-03-01 10:10:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-03-01 13:00:00"), 4.0),
+        (2L, Timestamp.valueOf("2024-03-01 10:00:00"), 8.0))
+      q.processAllAvailable()
+      // push the watermark far past every session end so all of them close
+      mem.addData((99L, Timestamp.valueOf("2024-03-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(out == Set(
+        (1L, "2024-03-01 10:00:00.0", 2L, 3.0),  // merged 10:00+10:10
+        (1L, "2024-03-01 13:00:00.0", 1L, 4.0),  // separate after >1h gap
+        (2L, "2024-03-01 10:00:00.0", 1L, 8.0)), s"got $out")
+      // definitional agreement with the batch twin (eventsSessionize's
+      // gap rule): user 1's events split into exactly 2 sessions
+      assert(out.count(_._1 == 1L) == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as batched appends; status derivable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
