@@ -100,4 +100,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(graft.ext.Multimodal.featuresExpr(media))
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
+
+  test("int8 quantization: window and aggregation share ONE vec_id hash shuffle") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    val plan = planOf(graft.ext.Similarity.quantizeInt8(emb))
+    // 2 exchanges total: hashpartitioning(vec_id) feeding BOTH the window
+    // and the aggregation, + rangepartitioning for the final ORDER BY
+    val nExchange = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(nExchange == 2,
+      s"expected 2 exchanges (shared vec_id hash + output sort), got $nExchange\n${plan.take(2500)}")
+    assert(plan.contains("hashpartitioning(vec_id"), plan.take(2500))
+  }
+
+  test("minhash signatures: tokenize window and signature groupBy share the doc_id shuffle") {
+    val docs = Queries.table(spark, sf, "documents")
+    val plan = planOf(graft.ext.Dedup.minhashSignatures(docs))
+    val nExchange = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(nExchange == 1,
+      s"expected exactly 1 exchange (doc_id shared by window + groupBy), got $nExchange\n${plan.take(2500)}")
+    assert(plan.contains("hashpartitioning(doc_id"), plan.take(2500))
+  }
+
+  test("salted join: no broadcast-nested-loop, salt column dropped from output") {
+    val df = Queries.saltedJoinQuery(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!df.columns.contains("_salt"))
+  }
 }
