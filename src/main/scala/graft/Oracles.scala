@@ -590,6 +590,67 @@ object Oracles {
         |SELECT query_id, vec_id, cell, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // k-means IVF: 3 unrolled Lloyd iterations. Init = the 8 smallest
+    // vec_ids' vectors; each assign is the squared-L2 argmin (same
+    // expanded dot-product formula as Spark's kmeansAssign, identical
+    // IEEE op sequence); each centroid mean is rounded to 9 decimals —
+    // matching the driver-boundary rounding in Similarity.kmeansFit —
+    // so both engines' iterations proceed from bit-identical centroids.
+    // Probing uses cent3 + assign3: the assignment that PRODUCED the
+    // final centroids, exactly what ivfTopKKmeans reuses.
+    "sim_topk_ivf_kmeans" -> {
+      def d2(e: String, c: String) =
+        s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
+      def assign(i: Int, centSrc: String) =
+        s"""assign$i AS (
+          |  SELECT vec_id, e, cell FROM (
+          |    SELECT m.vec_id, m.e, c.cell, row_number() OVER
+          |      (PARTITION BY m.vec_id ORDER BY ${d2("m.e", "c.c")}, c.cell) AS rn
+          |    FROM emb m, $centSrc c)
+          |  WHERE rn = 1
+          |)""".stripMargin
+      def cent(i: Int) =
+        s"""cent$i AS (
+          |  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (
+          |    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv
+          |    FROM assign$i, UNNEST(generate_series(1, len(e))) AS g(i)
+          |    GROUP BY cell, g.i)
+          |  GROUP BY cell
+          |)""".stripMargin
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
+        |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8)
+        |), ${assign(1, "init")},
+        |${cent(1)},
+        |${assign(2, "cent1")},
+        |${cent(2)},
+        |${assign(3, "cent2")},
+        |${cent(3)},
+        |q AS (
+        |  SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id IN (0, 1, 2)
+        |), probes AS (
+        |  SELECT query_id, q_emb, cell FROM (
+        |    SELECT q.query_id, q.q_emb, c.cell, row_number() OVER
+        |      (PARTITION BY q.query_id ORDER BY
+        |         list_cosine_similarity(q.q_emb, c.c) DESC, c.cell) AS c_rank
+        |    FROM q, cent3 c)
+        |  WHERE c_rank <= 2
+        |), scored AS (
+        |  SELECT p.query_id, a.vec_id, a.cell,
+        |    round(list_cosine_similarity(p.q_emb, a.e), 6) AS cos
+        |  FROM assign3 a JOIN probes p ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cell, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cell, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // winnowing with the portable md5-prefix hash (TextAnalysis
     // .portableHash64) — k=5 char grams, window w=4, full windows only
     "text_winnowing" ->

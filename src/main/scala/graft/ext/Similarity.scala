@@ -154,7 +154,16 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
           x => x.getField("cv")).as("centroid"))
         .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
+        // round each mean to 9 decimals at the driver boundary: floating
+        // SUM order differs between engines (and between partial-agg
+        // layouts), so the raw means can differ in the last ulp — rounding
+        // here makes every downstream iteration, and the DuckDB oracle's
+        // unrolled-Lloyd replica, start from bit-identical centroids
+        .map { case (c, arr) => (c, arr.map(v =>
+          BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)) }
     }
+    if (assigned == null) // iters = 0: assignment of the init centroids
+      assigned = kmeansAssign(cached, cents).select(col("vec_id"), col("cell"))
     (cents, assigned)
   }
 
