@@ -79,6 +79,14 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_fingerprints"))
         .orderBy(col0("doc_id"))),
+    "text_split" -> ((s, dir) =>
+      TextAnalysis.deterministicSplit(docs(s, dir))
+        .groupBy(col0("split"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.min(col0("doc_id")).as("min_id"),
+          org.apache.spark.sql.functions.max(col0("doc_id")).as("max_id"))
+        .orderBy(col0("split"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),

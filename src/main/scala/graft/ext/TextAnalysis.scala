@@ -196,6 +196,25 @@ object TextAnalysis {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Deterministic hash-based train/validation/test split — the stable-
+    * split primitive for training pipelines: membership depends only on
+    * the key (never on partitioning, sampling RNGs, or row order), so the
+    * same document lands in the same split on every run, every engine,
+    * every cluster size, and new data joins splits in the configured
+    * proportions. Buckets by `portableHash64(key) mod 100`:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest →
+    * test. Pure per-row map — no shuffle, no state.
+    */
+  def deterministicSplit(docs: DataFrame, keyCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val bucket = pmod(portableHash64(col(keyCol).cast("string")), lit(100L))
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD '03): hash every
     * character k-gram of the normalized text, then keep the minimum hash
     * of each sliding window of w consecutive k-gram hashes. Guarantee: any

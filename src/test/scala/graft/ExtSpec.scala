@@ -181,6 +181,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall@10 $recall < 0.7")
   }
 
+  test("deterministic split: stable under repartitioning, proportions near 80/10/10") {
+    import graft.ext.TextAnalysis
+    def splitMap(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.deterministicSplit(df).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splitMap(docs)
+    val s2 = splitMap(docs.repartition(13)) // membership must not depend on layout
+    assert(s1 == s2)
+    val n = s1.size.toDouble
+    val train = s1.values.count(_ == "train") / n
+    val test = s1.values.count(_ == "test") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(test > 0.03 && test < 0.2, s"test fraction $test")
+  }
+
   test("LSH buckets partition the corpus (every vector bucketed, bucket in range)") {
     val b = Similarity.lshBuckets(emb, numPlanes = 4).select("vec_id", "bucket").collect()
     assert(b.length == 500)
