@@ -91,6 +91,28 @@ object MonitoringStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Stream–stream interval join — the streaming twin of the batch
+    * bucketed interval join ([[graft.operators.ScaleOps.intervalJoin]]):
+    * pair each left event with right events of the same key within
+    * `gap`. Both sides carry watermarks and the join condition bounds
+    * the time range, so Spark can expire buffered rows once the
+    * watermark passes `ts ± gap` — state is O(events inside the horizon)
+    * per key, never history. Expects (key, ts, …) on both sides; output
+    * joins every left column with the right side's `r_ts` and payload.
+    */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      gap: String = "1 hour", watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.toDF(right.columns.map(c => s"r_$c"): _*)
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $gap") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $gap"))
+      .drop(s"r_$key")
+  }
+
   /** Continuous-ingestion sink (SURVEY A12's `foreachBatch` form): land
     * each micro-batch of report results through ONE batched append —
     * the streaming analog of the batch orchestrator's one-append-per-run

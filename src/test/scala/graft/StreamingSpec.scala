@@ -128,6 +128,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the gap, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val errors = MemoryStream[(Long, Timestamp, Long)]
+    val joined = MonitoringStream.streamIntervalJoin(
+      purchases.toDF().toDF("user_id", "ts", "p_id"),
+      errors.toDF().toDF("user_id", "ts", "e_id"),
+      "user_id", gap = "1 hour")
+    val q = joined.select("p_id", "r_e_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sj_stream").start()
+    try {
+      purchases.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:00:00"), 100L),
+        (2L, Timestamp.valueOf("2024-03-01 10:00:00"), 200L))
+      q.processAllAvailable()
+      // error arrives in a LATER batch but within user 1's 1-hour window;
+      // user 2's error is 3 hours away and must not pair
+      errors.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:30:00"), 900L),
+        (2L, Timestamp.valueOf("2024-03-01 13:00:00"), 901L))
+      q.processAllAvailable()
+      val pairs = spark.table("sj_stream").collect()
+        .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("r_e_id"))).toSet
+      assert(pairs == Set((100L, 900L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink lands micro-batches as batched appends; status derivable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
