@@ -41,7 +41,7 @@ object EtlMain {
 
   final case class Args(
       fromDate: String, toDate: String, env: String, outDir: String,
-      mode: String, source: String)
+      mode: String, source: String, baseUrl: Option[String] = None)
 
   def parseArgs(argv: Array[String], envVars: Map[String, String] = sys.env,
       today: LocalDate = LocalDate.now(java.time.ZoneOffset.UTC)): Args = {
@@ -52,7 +52,7 @@ object EtlMain {
         case flag if flag.startsWith("--") && i + 1 < argv.length =>
           kv(flag.drop(2)) = argv(i + 1); i += 2
         case other =>
-          sys.error(s"unrecognized argument: $other (flags: --from --to --env --out --mode --source)")
+          sys.error(s"unrecognized argument: $other (flags: --from --to --env --out --mode --source --base-url)")
       }
     }
     val (defFrom, defTo) = Orchestrator.defaultDates(today)
@@ -65,7 +65,8 @@ object EtlMain {
       outDir = opt("out", "GRAFT_OUT_DIR",
         java.nio.file.Files.createTempDirectory("graft-etl").toString),
       mode = opt("mode", "GRAFT_MODE", "driver"),
-      source = opt("source", "GRAFT_SOURCE", "fake"))
+      source = opt("source", "GRAFT_SOURCE", "fake"),
+      baseUrl = kv.get("base-url").orElse(envVars.get("GRAFT_BASE_URL")))
     // fail fast on malformed dates / flags, like the reference's argparse
     LocalDate.parse(a.fromDate); LocalDate.parse(a.toDate)
     require(Seq("driver", "distributed").contains(a.mode), s"--mode driver|distributed, got ${a.mode}")
@@ -82,8 +83,12 @@ object EtlMain {
     if (exitCode != 0) sys.exit(exitCode)
   }
 
-  /** The full pipeline, separated from `main` so specs drive it in-process. */
-  def run(spark: SparkSession, args: Args): Int = {
+  /** The full pipeline, separated from `main` so specs drive it in-process.
+    * `secretsProvider` defaults to the env-var store; tests inject a canned
+    * bundle to exercise the http wiring against a local server.
+    */
+  def run(spark: SparkSession, args: Args,
+      secretsProvider: () => Map[String, String] = () => Secrets.fromEnv()): Int = {
     import spark.implicits._
     println(s"Running from ${args.fromDate} to ${args.toDate} " +
       s"(env=${args.env}, mode=${args.mode}, source=${args.source}, out=${args.outDir})")
@@ -92,10 +97,11 @@ object EtlMain {
     val (sourceFactory, tokenFactory): (() => graft.ingest.ReportSource, () => TokenManager) =
       args.source match {
         case "http" =>
-          val secrets = Secrets.fromEnv() // fail-fast on missing keys
+          val secrets = secretsProvider() // fail-fast on missing keys
           val endpoint = ConfigTables.seedEndpoints.find(_.env == args.env)
             .getOrElse(sys.error(s"no endpoint config for env ${args.env}"))
-          (() => new HttpReportSource(endpoint.base_url, endpoint.post_endpoint, endpoint.get_endpoint),
+          val base = args.baseUrl.getOrElse(endpoint.base_url)
+          (() => new HttpReportSource(base, endpoint.post_endpoint, endpoint.get_endpoint),
             () => new TokenManager(() => HttpTokenFetcher.fetch(
               secrets(Secrets.TokenUrlKey), secrets("client_id"), secrets("client_secret"))))
         case _ =>

@@ -74,27 +74,35 @@ object Monitoring {
     * scale. MERGE is provided for parity with users who expect in-place
     * lake-table mutation.
     */
-  def mergeJobRuns(spark: SparkSession, dir: String, updates: Dataset[JobRun]): Unit = {
+  def mergeJobRuns(spark: SparkSession, dir: String, updates: Dataset[JobRun]): Unit =
+    mergePartitioned(spark, dir, updates.toDF(), Seq("run_id"), "from_date")
+
+  /** Generic partition-scoped MERGE: upsert `updates` into the
+    * `partitionCol`-partitioned parquet table at `dir`, keyed on `keys`.
+    * See [[mergeJobRuns]] for semantics; this is the reusable form (e.g.
+    * report_monitoring merges on (run_id, report_name)).
+    */
+  def mergePartitioned(spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String], partitionCol: String): Unit = {
     import spark.implicits._
-    val updatesDf = updates.toDF()
     if (!new java.io.File(dir).exists()) {
-      writeJobRunsPartitioned(updates, dir)
+      updates.write.mode("append").partitionBy(partitionCol).parquet(dir)
       return
     }
-    // bounded: one date per run day in the batch
-    val dates = updatesDf.select("from_date").distinct().as[String].collect().toSeq
-    // explicit schema keeps the from_date partition column a STRING
-    // (partition type inference would read it back as DATE)
-    val affected = spark.read.schema(updatesDf.schema).parquet(dir)
-      .filter(col("from_date").isInCollection(dates)) // partition pruning
+    // bounded: one value per touched partition in the batch
+    val parts = updates.select(partitionCol).distinct().as[String].collect().toSeq
+    // explicit schema keeps the partition column's type (partition type
+    // inference would read a date-shaped STRING back as DATE)
+    val affected = spark.read.schema(updates.schema).parquet(dir)
+      .filter(col(partitionCol).isInCollection(parts)) // partition pruning
       .localCheckpoint(true) // snapshot: sever lineage from the target path
     val cols = affected.columns.map(col)
     val merged = affected
-      .join(updatesDf, Seq("run_id"), "left_anti") // WHEN MATCHED: drop old row
-      .unionByName(updatesDf.select(cols: _*))     // UPDATE/INSERT the batch
+      .join(updates, keys, "left_anti")        // WHEN MATCHED: drop old row
+      .unionByName(updates.select(cols: _*))   // UPDATE/INSERT the batch
     merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic") // rewrite ONLY touched dates
-      .partitionBy("from_date")
+      .option("partitionOverwriteMode", "dynamic") // rewrite ONLY touched partitions
+      .partitionBy(partitionCol)
       .parquet(dir)
   }
 

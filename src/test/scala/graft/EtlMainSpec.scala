@@ -91,6 +91,47 @@ class EtlMainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reports.filter(org.apache.spark.sql.functions.col("status") === "SUCCESS").count() == 8)
   }
 
+  test("end-to-end http run: secrets → OAuth token → wire fetch → monitoring") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/oauth/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (form.contains("client_id=cid")) respond(ex, 200,
+        """{"access_token": "live-token", "expires_in": 1200}""")
+      else respond(ex, 401, """{"error": "bad_client"}""")
+    })
+    server.createContext("/reports/generate", (ex: HttpExchange) => {
+      if (ex.getRequestHeaders.getFirst("Authorization") != "Bearer live-token")
+        respond(ex, 401, """{"error": "unauthorized"}""")
+      else respond(ex, 200, """{"report_id": "rid-1"}""")
+    })
+    server.createContext("/reports/download", (ex: HttpExchange) =>
+      respond(ex, 200, "date,queue,calls\n2024-03-01,q1,10\n2024-03-01,q2,20\n"))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val out = java.nio.file.Files.createTempDirectory("graft-etl-http").toString
+      val secrets = graft.run.Secrets.RequiredKeys.map(k => k -> s"v-$k").toMap ++
+        Map("client_id" -> "cid", "client_secret" -> "sec",
+          graft.run.Secrets.TokenUrlKey -> s"$base/oauth/token")
+      val rc = EtlMain.run(spark,
+        EtlMain.Args("2024-03-01", "2024-03-02", "prod", out, "driver", "http", Some(base)),
+        secretsProvider = () => secrets)
+      assert(rc == 0)
+      val reports = spark.read.parquet(s"$out/report_monitoring")
+      assert(reports.count() == 8)
+      assert(reports.filter(org.apache.spark.sql.functions.col("status") === "SUCCESS").count() == 8)
+      assert(reports.collect().forall(_.getAs[Int]("rows_written") == 2))
+    } finally server.stop(0)
+  }
+
   test("end-to-end distributed run matches driver-mode outcomes") {
     val out = java.nio.file.Files.createTempDirectory("graft-etl-spec-d").toString
     val rc = EtlMain.run(spark, EtlMain.Args(

@@ -94,6 +94,27 @@ class MergeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1 == Set(("r1", Status.Success), ("r2", Status.Running)))
   }
 
+  test("generic merge upserts report runs on a composite (run_id, report_name) key") {
+    import spark.implicits._
+    import graft.model.ReportRun
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-rr").toString + "/report_runs"
+    def rrun(id: String, name: String, status: String, rows: Int) =
+      ReportRun(id, name, "2024-03-01", "2024-03-01",
+        ts("2024-03-01 08:00:00"), ts("2024-03-01 08:05:00"), status, rows, None)
+    Monitoring.mergePartitioned(spark, dir,
+      Seq(rrun("r1", "a", Status.Failed, 0), rrun("r1", "b", Status.Success, 5)).toDF(),
+      Seq("run_id", "report_name"), "from_date")
+    // retry of (r1, a) succeeds; (r1, b) untouched; (r1, c) new
+    Monitoring.mergePartitioned(spark, dir,
+      Seq(rrun("r1", "a", Status.Success, 7), rrun("r1", "c", Status.Success, 9)).toDF(),
+      Seq("run_id", "report_name"), "from_date")
+    val out = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[String]("report_name"),
+        r.getAs[String]("status"), r.getAs[Int]("rows_written"))).toSet
+    assert(out == Set(("a", Status.Success, 7), ("b", Status.Success, 5),
+      ("c", Status.Success, 9)), s"got $out")
+  }
+
   test("merge into a missing table is a plain partitioned insert") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-merge3").toString + "/job_runs"
