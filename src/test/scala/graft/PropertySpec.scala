@@ -66,4 +66,40 @@ object PropertySpec extends Properties("graft") {
             sleeps == (1 to failures).map(i => Retry.backoffDelay(1.second, i)).toVector
       budget && outcome
     }
+
+  property("probeSubsets: first is the exact bucket, all distinct, within m, penalty-ordered") =
+    Prop.forAll(Gen.choose(1, 32), Gen.choose(1, 5)) { (nProbes: Int, m: Int) =>
+      val subs = graft.ext.Similarity.probeSubsets(nProbes, m)
+      val weights = subs.map(_.map(_ + 1).sum)
+      subs.head.isEmpty &&
+        subs.size == math.min(math.max(nProbes, 1), 1 << m) &&
+        subs.map(_.toSet).distinct.size == subs.size &&
+        subs.forall(_.forall(p => p >= 0 && p < m)) &&
+        weights == weights.sorted
+    }
+
+  property("minhashCoeffs: a in [1,P), b in [0,P), deterministic for a seed") =
+    Prop.forAll(Gen.choose(1, 64), Gen.choose(0L, 1000L)) { (n: Int, seed: Long) =>
+      val p = graft.ext.Dedup.MinhashP
+      val c1 = graft.ext.Dedup.minhashCoeffs(n, seed)
+      val c2 = graft.ext.Dedup.minhashCoeffs(n, seed)
+      c1 == c2 && c1.size == n &&
+        c1.forall { case (a, b) => a >= 1 && a < p && b >= 0 && b < p }
+    }
+
+  property("secrets: exactly the missing/blank required keys are reported") =
+    Prop.forAll(Gen.someOf(graft.run.Secrets.RequiredKeys),
+        Gen.someOf(graft.run.Secrets.RequiredKeys)) { (present, blank) =>
+      val store = present.map(k => k -> s"v-$k").toMap ++ blank.map(_ -> "").toMap
+      val expectedMissing = graft.run.Secrets.RequiredKeys
+        .filterNot(k => store.get(k).exists(_.nonEmpty))
+      scala.util.Try(graft.run.Secrets.load(store.get)) match {
+        case scala.util.Success(loaded) =>
+          expectedMissing.isEmpty &&
+            loaded(graft.run.Secrets.TokenUrlKey) == graft.run.Secrets.DefaultTokenUrl
+        case scala.util.Failure(e: graft.run.Secrets.MissingSecrets) =>
+          e.keys == expectedMissing
+        case _ => false
+      }
+    }
 }
