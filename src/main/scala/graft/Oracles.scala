@@ -568,6 +568,53 @@ object Oracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // Confidence-ordered multi-probe LSH (the tuned ANN path): per query,
+    // planes are sorted by |projection| ascending and the probe buckets
+    // flip subsets of the least-confident bits — the same fixed subset
+    // schedule as Similarity.probeSubsets, replayed via list_sort
+    "sim_topk_lsh_mp" -> {
+      val planes = graft.ext.Similarity.hyperplanes(6, 64)
+      def dot(i: Int) = {
+        val arr = planes(i).mkString("[", ", ", "]::DOUBLE[]")
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), $arr)"
+      }
+      val bucket = (0 until 6)
+        .map(i => s"(CASE WHEN ${dot(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString("\n    + ")
+      val confList = (0 until 6)
+        .map(i => s"{'c': abs(${dot(i)}), 'idx': $i}").mkString("[", ", ", "]")
+      val probeExprs = graft.ext.Similarity.probeSubsets(8, 5).map { ps =>
+        ps.foldLeft("bucket") { (acc, p) =>
+          s"xor($acc, (1::BIGINT << sorted_idx[${p + 1}]))"
+        }
+      }.mkString("[", ",\n      ", "]")
+      s"""WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST($bucket AS BIGINT) AS bucket
+        |  FROM embeddings
+        |), q0 AS (
+        |  SELECT vec_id AS query_id, embedding, bucket,
+        |    list_transform(list_sort($confList), x -> x['idx']) AS sorted_idx
+        |  FROM b WHERE vec_id IN (0, 1, 2)
+        |), q AS (
+        |  SELECT query_id, embedding AS q_emb,
+        |    UNNEST($probeExprs) AS q_bucket
+        |  FROM q0
+        |), scored AS (
+        |  SELECT q.query_id, b.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM b JOIN q ON b.bucket = q.q_bucket
+        |  WHERE b.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // IVF over label cells: per-cell per-dimension mean centroids, probe
     // the 2 nearest cells by query-centroid cosine, exact top-k within
     "sim_topk_ivf" ->

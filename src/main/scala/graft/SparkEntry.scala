@@ -62,6 +62,9 @@ object SparkEntry {
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
+    // the tuned production ANN path: confidence-ordered multi-probe
+    "sim_topk_lsh_mp" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 6, nProbes = 8)),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2)),
     "sim_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
