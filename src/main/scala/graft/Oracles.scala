@@ -275,6 +275,39 @@ object Oracles {
         |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 4) AS rep_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), probe AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT s.doc_id, count(*) AS shared_shingles
+        |FROM sh s JOIN probe p ON s.sh = p.sh
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id HAVING count(*) >= 5
+        |ORDER BY s.doc_id""".stripMargin,
+
     // deterministic hash split: same portable hash, same bucket rule
     "text_split" ->
       """WITH b AS (

@@ -91,6 +91,14 @@ object SparkEntry {
           org.apache.spark.sql.functions.max(col0("doc_id")).as("max_id"))
         .orderBy(col0("split"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScores(docs(s, dir))),
+    // decontamination: every 50th doc plays the benchmark probe set
+    "dedup_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col0("doc_id") % 50 =!= 0),
+        d.filter(col0("doc_id") % 50 === 0), 3, 5)
+    }),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),

@@ -286,6 +286,24 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Benchmark-contamination check: corpus documents sharing at least
+    * `minShared` DISTINCT word n-gram shingles with a probe set (eval
+    * benchmarks, held-out test data) — the decontamination step training
+    * pipelines run before releasing data. Semi-join on the shingle: only
+    * docs overlapping the probe set survive to the count, so cost is
+    * O(corpus shingles) + the (small) probe side; no pair explosion.
+    */
+  def contamination(docs: DataFrame, probeDocs: DataFrame,
+      n: Int = 3, minShared: Long = 5): DataFrame = {
+    val corpusSh = shingles(docs, n)
+    val probeSh = shingles(probeDocs, n).select(col("sh")).distinct()
+    corpusSh.join(probeSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding near-dup / top similar pairs by cosine. Brute force here
     * (testdata is 500 vectors); the 100 TB path is
     * [[Similarity.lshBuckets]] pre-bucketing so the pair join is

@@ -196,6 +196,21 @@ object TextAnalysis {
   def portableHash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Gopher-style repetition metric: the fraction of duplicate word
+    * n-gram occurrences per document (`1 − distinct/total`). High values
+    * flag boilerplate/looping text that LLM-data-cleaning rules drop.
+    * Reuses the shingle scan; one doc_id shuffle. Documents shorter than
+    * n tokens produce no shingles and are excluded (undefined ratio).
+    */
+  def repetitionScores(docs: DataFrame, n: Int = 3): DataFrame =
+    Dedup.shinglesMultiset(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
+      .orderBy(col("doc_id"))
+
   /** Deterministic hash-based train/validation/test split — the stable-
     * split primitive for training pipelines: membership depends only on
     * the key (never on partitioning, sampling RNGs, or row order), so the
