@@ -766,6 +766,26 @@ object Oracles {
         |FROM winmin WHERE wsize = 4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
+    // byte arithmetic only — payload content is ExtSpec-verified
+    "multimodal_resize" ->
+      """SELECT doc_id, 64 AS width, 64 AS height,
+        |  CAST(greatest(1, least(strlen(text), 32)) AS BIGINT) AS out_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame-sample stub: frames 0,2,… of 1 + bytes%30; each frame is the
+    // 16-byte chunk at min(i*16, bytes-1), clipped to the payload end
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, strlen(text) AS len, g.i AS frame_idx
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST(1 + strlen(text) % 30 AS BIGINT) - 1, 2)) AS g(i)
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(least(least(frame_idx * 16, greatest(len - 1, 0)) + 16, len)
+        |    - least(frame_idx * 16, greatest(len - 1, 0)) AS BIGINT) AS frame_len
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
     // strlen = BYTE count (Spark's length(binary payload)); length() would
     // count characters and break parity on any non-ASCII document
     "multimodal_features" ->

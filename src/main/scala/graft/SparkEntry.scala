@@ -106,6 +106,19 @@ object SparkEntry {
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),
+    // the REAL mapPartitions batch paths under the gate via byte-length
+    // arithmetic (payload bytes themselves are asserted against the
+    // declarative twin in ExtSpec; the oracle engine cannot md5 blobs)
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(s, Multimodal.mediaTable(docs(s, dir)), 64, 64).toDF()
+        .select(col0("doc_id"), col0("width"), col0("height"),
+          org.apache.spark.sql.functions.length(col0("payload")).cast("long").as("out_len"))
+        .orderBy(col0("doc_id"))),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.mediaTable(docs(s, dir)), 2).toDF()
+        .select(col0("doc_id"), col0("frame_idx"),
+          org.apache.spark.sql.functions.length(col0("frame_payload")).cast("long").as("frame_len"))
+        .orderBy(col0("doc_id"), col0("frame_idx"))),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>
