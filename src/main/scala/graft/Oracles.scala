@@ -222,6 +222,13 @@ object Oracles {
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
+    // the filter form: surviving rows themselves (min doc_id per text)
+    "dedup_exact_survivors" ->
+      """SELECT d.* FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,

@@ -50,6 +50,8 @@ object SparkEntry {
     "q5_local_supplier" -> (Queries.q5LocalSupplier _),
     // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_exact_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(docs(s, dir)).orderBy(col0("doc_id"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
