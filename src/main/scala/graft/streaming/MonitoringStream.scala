@@ -55,6 +55,32 @@ object MonitoringStream {
       }
   }
 
+  /** Streaming failure alerting via `flatMapGroupsWithState` — the
+    * 0-or-1-outputs-per-batch shape `mapGroupsWithState` can't express:
+    * emit ONE alert row the moment a run's cumulative failure count
+    * crosses the threshold, and nothing ever again for that run. State
+    * per run is two numbers + a latch — bounded regardless of feed size.
+    */
+  final case class FailureAlert(run_id: String, failed: Long, total_seen: Long)
+  final case class AlertState(failed: Long, seen: Long, alerted: Boolean)
+
+  def failureAlerts(spark: SparkSession, reports: Dataset[ReportRun],
+      threshold: Long = 3): Dataset[FailureAlert] = {
+    import spark.implicits._
+    reports
+      .groupByKey(_.run_id)
+      .flatMapGroupsWithState[AlertState, FailureAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (runId, rows, state: GroupState[AlertState]) =>
+          val s0 = state.getOption.getOrElse(AlertState(0L, 0L, alerted = false))
+          var failed = s0.failed; var seen = s0.seen
+          rows.foreach { r => seen += 1; if (r.status == Status.Failed) failed += 1 }
+          val fire = !s0.alerted && failed >= threshold
+          state.update(AlertState(failed, seen, s0.alerted || fire))
+          if (fire) Iterator(FailureAlert(runId, failed, seen)) else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup for a document feed: drop rows whose text
     * fingerprint was already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark` keeps state bounded — dedup state

@@ -128,6 +128,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState failure alerts fire exactly once at the threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ReportRun]
+    val q = MonitoringStream.failureAlerts(spark, mem.toDS(), threshold = 3)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("alerts_stream").start()
+    try {
+      mem.addData(
+        rr("r1", "a", Status.Failed, 0, "2024-03-01 10:00:00"),
+        rr("r1", "b", Status.Failed, 0, "2024-03-01 10:00:01"),
+        rr("r1", "c", Status.Success, 5, "2024-03-01 10:00:02"))
+      q.processAllAvailable()
+      assert(spark.table("alerts_stream").count() == 0, "below threshold: no alert")
+      mem.addData(rr("r1", "d", Status.Failed, 0, "2024-03-01 10:00:03"))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_stream").collect()
+        .map(r => (r.getAs[String]("run_id"), r.getAs[Long]("failed"), r.getAs[Long]("total_seen")))
+      assert(alerts.toSeq == Seq(("r1", 3L, 4L)), s"got ${alerts.toSeq}")
+      // further failures must NOT re-alert (latched)
+      mem.addData(rr("r1", "e", Status.Failed, 0, "2024-03-01 10:00:04"))
+      q.processAllAvailable()
+      assert(spark.table("alerts_stream").count() == 1, "alert fires exactly once")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the gap, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
