@@ -60,6 +60,17 @@ object Prof {
         spark.catalog.clearCache()
       }
     }
+    if (mode == "pipeline_plan") {
+      val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      val df = graft.ext.Dedup.nearDupPipeline(docs, 0.8)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(plan).length
+      println(s"PROF pipeline exchanges=$nEx")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .linesIterator.takeWhile(!_.startsWith("(1)")).mkString("\n"))
+    }
     if (mode == "pipeline") {
       val docs = Queries.table(spark, sfDir, "documents")
       // stage-by-stage: shingle+hash scan, signatures, banding+candidates,

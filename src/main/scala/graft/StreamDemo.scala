@@ -56,6 +56,16 @@ object StreamDemo {
     spark.table("demo_counts").orderBy("window_start", "status").collect()
       .foreach(r => println(s"[demo]   $r"))
     q.stop()
+
+    // 4. latched failure alerting over the same feed (flatMapGroupsWithState)
+    val alerts = MonitoringStream.failureAlerts(spark,
+        MonitoringStream.fromParquetDir(spark, monDir).as[ReportRun], threshold = 1)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("demo_alerts").start()
+    alerts.processAllAvailable()
+    println("[demo] failure alerts (threshold 1, one per run):")
+    spark.table("demo_alerts").collect().foreach(r => println(s"[demo]   $r"))
+    alerts.stop()
     spark.stop()
   }
 }
