@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, VecDot}
+import graft.functions.{CosineSim, PortableHash64, VecDot}
 
 /** Session-extension entry point: injects the engine's native Catalyst
   * functions at session build, the idiomatic deployment path —
@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", classOf[VecDot]),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("portable_hash64"),
+      info("portable_hash64", classOf[PortableHash64]),
+      (exprs: Seq[Expression]) => PortableHash64(exprs(0))))
   }
 }

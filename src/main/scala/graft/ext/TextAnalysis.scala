@@ -186,14 +186,21 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Portable 60-bit hash: the first 15 hex chars of md5, parsed as an
-    * integer. Bit-identical between Spark (`conv(..., 16, 10)`) and the
-    * DuckDB oracle (`('0x' || substring(md5(x),1,15))::BIGINT`), which
-    * keeps hash-dependent operators inside the oracle gate. xxhash64 is
-    * faster but engine-specific — swap it in where cross-engine parity
-    * doesn't matter.
+  /** Portable 60-bit hash: the first 15 hex chars of md5 as an integer.
+    * Bit-identical with the DuckDB oracle's
+    * `('0x' || substring(md5(x),1,15))::BIGINT`, which keeps
+    * hash-dependent operators inside the oracle gate; xxhash64 is faster
+    * but engine-specific — swap it in where parity doesn't matter.
+    * Runs through the native codegen'd
+    * [[graft.functions.PortableHash64]] expression (one digest, no hex
+    * round-trip); [[portableHash64Composed]] is the built-ins-only twin
+    * kept for equivalence testing.
     */
   def portableHash64(c: Column): Column =
+    graft.functions.VectorFunctions.portableHash64(c)
+
+  /** Same value from built-ins only: `conv(substring(md5(x),1,15),16,10)`. */
+  def portableHash64Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Gopher-style repetition metric: the fraction of duplicate word

@@ -118,6 +118,57 @@ case class CosineSim(left: Expression, right: Expression) extends VecBinaryLoop 
     copy(left = newLeft, right = newRight)
 }
 
+/** Portable 60-bit hash as ONE codegen'd expression: MD5 over the UTF-8
+  * bytes, value = the first 15 hex digits as an integer — numerically
+  * IDENTICAL to `conv(substring(md5(x), 1, 15), 16, 10)` (bytes 0–6 and
+  * the high nibble of byte 7), and to the DuckDB oracle's
+  * `('0x' || substring(md5(x),1,15))::BIGINT` — but without materializing
+  * and re-parsing a 32-char hex string per call. On the winnowing path
+  * that is one digest per character k-gram, so the saved allocations are
+  * the hot loop.
+  */
+case class PortableHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    PortableHash64.hash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash64$$.MODULE$$.hash60($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PortableHash64 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of MD5 as a non-negative long: bytes 0–6 (56 bits)
+    * shifted up 4, plus the high nibble of byte 7 — exactly the integer
+    * value of the first 15 hex digits of the digest.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+}
+
 /** Session registration + Column helpers (via `call_function`, which works
   * across the Spark 4 Column API without touching internal constructors).
   */
@@ -128,8 +179,14 @@ object VectorFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("portable_hash64",
+      exprs => PortableHash64(exprs(0)), "scala_udf")
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def portableHash64(c: Column): Column = {
+    register(SparkSession.active)
+    call_function("portable_hash64", c)
+  }
 }

@@ -181,6 +181,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall@10 $recall < 0.7")
   }
 
+  test("native portable_hash64 is bit-identical to the conv/substring/md5 chain") {
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    // every token of every document, plus edge strings
+    val diff = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), "\\s+")).as("s"))
+      .union(spark.createDataset(Seq("", "a", "é✓中", " "))(
+        org.apache.spark.sql.Encoders.STRING).toDF("s"))
+      .select(TextAnalysis.portableHash64(col("s")).as("native"),
+        TextAnalysis.portableHash64Composed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("deterministic split: stable under repartitioning, proportions near 80/10/10") {
     import graft.ext.TextAnalysis
     def splitMap(df: org.apache.spark.sql.DataFrame) =
