@@ -55,6 +55,38 @@ class ReportSourceV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one.count() == 50)
   }
 
+  test("source_provider option slots the HTTP wire client in (executor-side fetch over the network)") {
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes); ex.close()
+    }
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/reports/generate", (ex: HttpExchange) =>
+      respond(ex, 200, """{"report_id": "rid-x"}"""))
+    // CRLF payload: the reader's \r?\n split must keep the last column clean
+    server.createContext("/reports/download", (ex: HttpExchange) =>
+      respond(ex, 200, "date,queue,calls,answered,abandoned\r\n2024-02-29,q1,10,8,1\r\n2024-02-29,q2,20,15,2\r\n"))
+    server.start()
+    try {
+      val df = spark.read
+        .format("graft.sources.ReportDataSource")
+        .option("env", "prod")
+        .option("from_date", "2024-02-29").option("to_date", "2024-03-01")
+        .option("source_provider", "graft.ingest.HttpReportSourceProvider")
+        .option("base_url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .load()
+        .filter(col("report_name") === "call_volume")
+      val rows = df.collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Int]("calls")).sorted.toSeq == Seq(10, 20))
+      assert(rows.forall(_.getAs[Int]("abandoned") > 0), "CRLF must not corrupt the last column")
+    } finally server.stop(0)
+  }
+
   test("composes with downstream relational operators") {
     val agg = reports.groupBy(col("report_name"))
       .agg(sum(col("calls")).as("total_calls"), count(lit(1)).as("n"))
