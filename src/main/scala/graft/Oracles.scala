@@ -282,6 +282,37 @@ object Oracles {
         |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // Gopher-rule composition: quality scores + repetition scores joined,
+    // three-way filter; column set = (doc_id, n_tokens, stopword_ratio,
+    // rep_ratio)
+    "corpus_gopher" -> {
+      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+      s"""WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    round(CAST($occ AS DOUBLE) /
+        |      greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1), 4)
+        |      AS stopword_ratio
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), r AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 4) AS rep_ratio
+        |  FROM sh GROUP BY doc_id
+        |)
+        |SELECT q.doc_id, q.n_tokens, q.stopword_ratio, r.rep_ratio
+        |FROM q JOIN r USING (doc_id)
+        |WHERE q.n_tokens >= 30 AND q.stopword_ratio >= 0.01 AND r.rep_ratio <= 0.6
+        |ORDER BY q.doc_id""".stripMargin
+    },
+
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -94,6 +94,7 @@ object SparkEntry {
         .orderBy(col0("split"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScores(docs(s, dir))),
+    "corpus_gopher" -> ((s, dir) => TextAnalysis.gopherFilter(docs(s, dir))),
     // decontamination: every 50th doc plays the benchmark probe set
     "dedup_contamination" -> ((s, dir) => {
       val d = docs(s, dir)

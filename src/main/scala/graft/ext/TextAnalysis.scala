@@ -203,6 +203,24 @@ object TextAnalysis {
   def portableHash64Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Gopher-rule corpus filter: the composition a data pipeline actually
+    * runs — minimum length, minimum stopword density (C4 rule), and
+    * maximum duplicate-shingle fraction (repetition rule) in one pass.
+    * Survivors carry their scores. Joins are doc_id-keyed aggregates of
+    * the same scan family; everything stays map-side + one shuffle each.
+    */
+  def gopherFilter(docs: DataFrame, minTokens: Long = 30,
+      minStopwordRatio: Double = 0.01, maxRepRatio: Double = 0.6): DataFrame = {
+    val q = qualityScores(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    val r = repetitionScores(docs).select(col("doc_id"), col("rep_ratio"))
+    q.join(r, Seq("doc_id"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("rep_ratio") <= maxRepRatio)
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition metric: the fraction of duplicate word
     * n-gram occurrences per document (`1 − distinct/total`). High values
     * flag boilerplate/looping text that LLM-data-cleaning rules drop.
