@@ -258,6 +258,25 @@ object Oracles {
         |FROM toks GROUP BY doc_id, pos // 32
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // sequence packing: the oracle uses ONE global window — tiny data is
+    // fine there; the Spark side runs the scalable two-phase prefix sum
+    // and must agree exactly
+    "text_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+        |  FROM sized
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(off // 512 AS BIGINT) AS seq_id,
+        |  CAST(off % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, t[g.i] AS token

@@ -105,6 +105,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
+    "text_pack" -> ((s, dir) => TextAnalysis.packSequences(docs(s, dir), 512)),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>

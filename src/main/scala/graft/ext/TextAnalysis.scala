@@ -236,6 +236,44 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing (GPT-style concat-then-chunk): lay every document's
+    * tokens on one global stream in doc_id order and cut it into
+    * fixed-size training sequences — each doc learns which sequence its
+    * first token lands in (`seq_id`) and at what offset (`seq_offset`).
+    *
+    * The global running total is computed as a SCALABLE two-phase prefix
+    * sum, not one giant single-partition window: per-bucket cumulative
+    * sums shuffle on the bucket key (contiguous doc_id ranges preserve
+    * global order), and the ≤`buckets` per-bucket totals go through a
+    * tiny single-partition window — bounded regardless of corpus size.
+    * The one `max(doc_id)` driver lookup is a justified bounded collect.
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long = 512, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val span = maxId / buckets + 1
+    val sized = docs
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket", (col("doc_id") / span).cast("long"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = sized.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
+    // bucket prefix offsets: <= `buckets` rows through one tiny window
+    val prefixes = sized.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    withLocal.join(broadcast(prefixes), Seq("bucket"))
+      .withColumn("off", col("bucket_prefix") + col("cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") / maxTokens).cast("long").as("seq_id"),
+        (col("off") % maxTokens).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash-based train/validation/test split — the stable-
     * split primitive for training pipelines: membership depends only on
     * the key (never on partitioning, sampling RNGs, or row order), so the
