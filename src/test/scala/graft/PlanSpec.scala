@@ -121,6 +121,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("hashpartitioning(doc_id"), plan.take(2500))
   }
 
+  test("sequence packing: prefix join broadcasts; no global-sort exchange before the output sort") {
+    val docs = Queries.table(spark, sf, "documents")
+    val df = graft.ext.TextAnalysis.packSequences(docs, 512)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2500))
+    // exchanges: bucket hash (cumsum window), bucket-totals hash (tiny),
+    // single-partition prefix window, range for ORDER BY — but NEVER a
+    // full-corpus single-partition sort (that would be the global-window
+    // anti-pattern this operator exists to avoid)
+    val single = "Exchange SinglePartition".r.findAllIn(plan).toSeq
+    assert(single.size <= 1, s"unexpected single-partition exchanges\n${plan.take(2500)}")
+  }
+
   test("salted join: no broadcast-nested-loop, salt column dropped from output") {
     val df = Queries.saltedJoinQuery(spark, sf)
     val plan = planOf(df)
