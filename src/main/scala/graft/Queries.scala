@@ -334,6 +334,24 @@ object Queries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch percentiles: `approx_percentile` holds a bounded, MERGEABLE
+    * summary per group where the exact form ([[aggPercentiles]]) buffers
+    * every value — the only viable percentile at 100 TB. No oracle
+    * (sketch internals are engine-specific); ExtSpec bounds the error
+    * against the exact percentiles.
+    */
+  def aggApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("ps"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p90"),
+        col("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------ headline scale queries
 
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.

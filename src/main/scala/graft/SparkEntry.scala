@@ -41,6 +41,7 @@ object SparkEntry {
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
+    "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),
     "salted_join" -> (Queries.saltedJoinQuery _),
     "array_stats" -> (Queries.arrayStats _),

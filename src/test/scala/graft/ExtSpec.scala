@@ -181,6 +181,19 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall@10 $recall < 0.7")
   }
 
+  test("approx percentiles track the exact percentiles within 1%") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = byFlag(Queries.aggPercentiles(spark, sf))
+    val approx = byFlag(Queries.aggApproxPercentiles(spark, sf))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, (p50, p90)) =>
+      val (a50, a90) = approx(flag)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$flag p50: exact $p50 approx $a50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$flag p90: exact $p90 approx $a90")
+    }
+  }
+
   test("native portable_hash64 is bit-identical to the conv/substring/md5 chain") {
     import graft.ext.TextAnalysis
     import org.apache.spark.sql.functions.col
