@@ -476,6 +476,24 @@ object Oracles {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
 
+    // identical semantics via the bounded TopKAggregator — same oracle
+    "sim_topk_agg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -62,6 +62,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
+    // same exact result through the bounded TopKAggregator (map-side
+    // partial top-k) instead of the window sort
+    "sim_topk_agg" -> ((s, dir) => Similarity.bruteForceTopKAgg(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),

@@ -106,6 +106,59 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
+    * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,
+    * and participates in map-side partial aggregation. At scale this beats
+    * the `row_number` window formulation structurally: the window must
+    * shuffle and SORT every scored row per key, while this keeps ≤ k rows
+    * per key per partition before the exchange — O(n log k) work and O(k)
+    * shuffle bytes per key instead of O(n log n) and O(n).
+    *
+    * Entries compare by (score desc, id asc) — identical tiebreak to the
+    * window path, so results match exactly.
+    */
+  final class TopKAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
+      ((buf :+ row).sorted(ord)).take(k)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      ((a ++ b).sorted(ord)).take(k)
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      bufferEncoder
+  }
+
+  /** [[bruteForceTopK]] via the bounded [[TopKAggregator]] instead of a
+    * `row_number` window — same output, the scale-preferred plan.
+    */
+  def bruteForceTopKAgg(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    import emb.sparkSession.implicits._
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"), col("vec_id"))
+      .as[(Long, Double, Long)]
+    val agg = new TopKAggregator(k)
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((cos, vid), i) => (qid, vid, cos, i + 1) }
+      }
+      .toDF("query_id", "vec_id", "cos", "rank")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------------------------------------------- k-means IVF
 
   /** Assign every vector to its nearest centroid (squared-L2 argmin).

@@ -181,6 +181,16 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall@10 $recall < 0.7")
   }
 
+  test("bounded top-k Aggregator equals the window formulation exactly") {
+    val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "vec_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val agg = Similarity.bruteForceTopKAgg(emb, Seq(0L, 1L, 2L), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == window, s"diff: ${agg.diff(window)} / ${window.diff(agg)}")
+  }
+
   test("approx percentiles track the exact percentiles within 1%") {
     def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
