@@ -181,6 +181,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"recall@10 $recall < 0.7")
   }
 
+  test("sequence packing is invariant to the bucket count (distributed ≡ serial prefix sum)") {
+    import graft.ext.TextAnalysis
+    def pack(buckets: Int) = TextAnalysis.packSequences(docs, 512, buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val serial = pack(1) // one bucket = a plain serial cumsum
+    assert(serial == pack(7) && serial == pack(32),
+      "bucketed prefix sum must equal the serial assignment")
+    // structural sanity: offsets stay inside the sequence length
+    assert(TextAnalysis.packSequences(docs, 512).collect()
+      .forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
+  }
+
   test("bounded top-k Aggregator equals the window formulation exactly") {
     val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
       .select("query_id", "vec_id", "cos", "rank").collect()
