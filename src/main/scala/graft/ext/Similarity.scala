@@ -73,7 +73,7 @@ object Similarity {
     VectorFunctions.register(emb.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(col("embedding"), planeCol) > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
@@ -342,9 +342,9 @@ object Similarity {
       val bucketed = lshBuckets(emb, numPlanes, dim, seed).cache()
       // query-side only (bounded rows): per-plane projections, planes
       // sorted by |projection| ascending = confidence rank
-      val dots = planes.map(p => dot(col("embedding"), array(p.map(lit): _*)))
+      val dots = planes.map(p => dot(col("embedding"), array(p.toIndexedSeq.map(lit): _*)))
       val sortedIdx = transform(
-        array_sort(array(dots.zipWithIndex.map { case (d, i) =>
+        array_sort(array(dots.toIndexedSeq.zipWithIndex.map { case (d, i) =>
           struct(abs(d).as("c"), lit(i).as("idx")) }: _*)),
         x => x.getField("idx"))
       val subsets = probeSubsets(nProbes, math.min(numPlanes, 5))

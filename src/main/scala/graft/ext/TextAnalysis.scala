@@ -250,7 +250,7 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, maxTokens: Long = 512, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val span = maxId / buckets + 1
     val sized = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))

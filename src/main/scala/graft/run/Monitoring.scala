@@ -99,7 +99,7 @@ object Monitoring {
     val cols = affected.columns.map(col)
     val merged = affected
       .join(updates, keys, "left_anti")        // WHEN MATCHED: drop old row
-      .unionByName(updates.select(cols: _*))   // UPDATE/INSERT the batch
+      .unionByName(updates.select(cols.toIndexedSeq: _*)) // UPDATE/INSERT the batch
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic") // rewrite ONLY touched partitions
       .partitionBy(partitionCol)

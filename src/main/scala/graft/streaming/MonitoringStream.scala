@@ -130,7 +130,7 @@ object MonitoringStream {
       left: DataFrame, right: DataFrame, key: String,
       gap: String = "1 hour", watermarkDelay: String = "1 hour"): DataFrame = {
     val l = left.withWatermark("ts", watermarkDelay)
-    val r = right.toDF(right.columns.map(c => s"r_$c"): _*)
+    val r = right.toDF(right.columns.toIndexedSeq.map(c => s"r_$c"): _*)
       .withWatermark("r_ts", watermarkDelay)
     l.join(r,
       col(key) === col(s"r_$key") &&
