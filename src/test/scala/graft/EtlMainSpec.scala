@@ -129,6 +129,17 @@ class EtlMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(reports.count() == 8)
       assert(reports.filter(org.apache.spark.sql.functions.col("status") === "SUCCESS").count() == 8)
       assert(reports.collect().forall(_.getAs[Int]("rows_written") == 2))
+
+      // distributed mode over the same server: source/token factories are
+      // serialized to executor tasks, each partition fetches over the wire
+      val out2 = java.nio.file.Files.createTempDirectory("graft-etl-http-d").toString
+      val rc2 = EtlMain.run(spark,
+        EtlMain.Args("2024-03-01", "2024-03-02", "dev", out2, "distributed", "http", Some(base)),
+        secretsProvider = () => secrets)
+      assert(rc2 == 0)
+      val reports2 = spark.read.parquet(s"$out2/report_monitoring")
+      assert(reports2.count() == 8)
+      assert(reports2.filter(org.apache.spark.sql.functions.col("status") === "SUCCESS").count() == 8)
     } finally server.stop(0)
   }
 
