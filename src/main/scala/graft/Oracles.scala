@@ -365,6 +365,14 @@ object Oracles {
         |GROUP BY s.doc_id HAVING count(*) >= 5
         |ORDER BY s.doc_id""".stripMargin,
 
+    // stratified sampling: same salted hash buckets, same per-stratum
+    // thresholds (en 5000/10000, de 2500/10000, others kept whole)
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |  < (CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END)
+        |ORDER BY doc_id""".stripMargin,
+
     // deterministic hash split: same portable hash, same bucket rule
     "text_split" ->
       """WITH b AS (

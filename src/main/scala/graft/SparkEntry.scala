@@ -88,6 +88,12 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_fingerprints"))
         .orderBy(col0("doc_id"))),
+    // rebalance: halve English, quarter the web source's German
+    "text_sample_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "lang",
+          Map("en" -> 0.5, "de" -> 0.25))
+        .select(col0("doc_id"), col0("lang"), col0("source"))
+        .orderBy(col0("doc_id"))),
     "text_split" -> ((s, dir) =>
       TextAnalysis.deterministicSplit(docs(s, dir))
         .groupBy(col0("split"))

@@ -236,6 +236,26 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling: keep each stratum (language,
+    * source, …) at its own rate — the rebalancing step that downsamples a
+    * dominant language before training. Membership is pure hash
+    * arithmetic on (salt, key): layout/run/engine-independent like
+    * [[deterministicSplit]], and the salt decorrelates it from the
+    * train/val/test buckets so sampling composes with splitting. Strata
+    * absent from `fractions` are kept whole.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], salt: String = "sample"): DataFrame = {
+    val bucket = pmod(
+      portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
+      lit(10000L))
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(10000L)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(math.round(f * 10000))).otherwise(acc)
+    }
+    docs.filter(bucket < threshold)
+  }
+
   /** Sequence packing (GPT-style concat-then-chunk): lay every document's
     * tokens on one global stream in doc_id order and cut it into
     * fixed-size training sequences — each doc learns which sequence its
