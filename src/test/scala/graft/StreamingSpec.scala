@@ -204,6 +204,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes exactly-once (no re-processed, no lost rows)") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def start() = MonitoringStream.fromParquetDir(spark, srcDir)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    // batch 1 processed, then the query STOPS (a crash/deploy)
+    graft.run.Monitoring.appendReportRuns(Seq(
+      rr("r1", "a", Status.Success, 10, "2024-03-01 10:00:00"),
+      rr("r1", "b", Status.Success, 20, "2024-03-01 10:00:01")).toDS(), srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // new data lands while nothing is running
+    graft.run.Monitoring.appendReportRuns(Seq(
+      rr("r1", "c", Status.Failed, 0, "2024-03-01 10:00:02")).toDS(), srcDir)
+    // restart from the same checkpoint: only the NEW file is processed
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[String]("report_name")).sorted.toSeq
+    assert(out == Seq("a", "b", "c"), s"exactly-once violated: $out")
+  }
+
   test("streaming top-k converges to the batch brute-force result across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
