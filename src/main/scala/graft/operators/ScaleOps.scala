@@ -76,6 +76,28 @@ object ScaleOps {
       .drop("_bin")
   }
 
+  /** Small-files compaction for an append-accumulated parquet directory:
+    * rewrite the table into ⌈bytes / targetBytes⌉ files. Streaming sinks
+    * and per-run appends leave one small file per micro-batch/run; at
+    * scale that turns every scan into a listing + footer-read storm —
+    * compaction restores big sequential reads. The rewrite goes to a
+    * staging directory first and swaps in via rename, so a crash mid-
+    * compaction leaves the original table intact (the swap itself is the
+    * non-transactional instant a Delta/Iceberg log would close).
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(
+      dir + ".compact-" + java.util.UUID.randomUUID())
+    spark.read.parquet(dir).repartition(n).write.parquet(staging.toString)
+    fs.delete(path, true)
+    require(fs.rename(staging, path), s"compaction swap failed for $dir")
+  }
+
   /** Hive-style date-partitioned layout: one directory per day. Readers
     * filtering on the partition column prune whole directories before any
     * file is opened — the standard data-lake layout for time-series fact

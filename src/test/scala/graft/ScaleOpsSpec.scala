@@ -87,6 +87,24 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("p_date") === "2024-01-05").count())
   }
 
+  test("compaction collapses append-accumulated small files, content intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // 10 tiny appends = at least 10 small files (4 partitions each)
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, s"row-$i")).toDF("id", "v").write.mode("append").parquet(dir)
+    }
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 10, s"expected many small files, got $before")
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString)
+    ScaleOps.compact(spark, dir) // tiny table → 1 target file
+    assert(parquetFiles == 1, s"expected 1 compacted file, got $parquetFiles")
+    val afterRows = spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString)
+    assert(afterRows.toSeq == beforeRows.toSeq)
+  }
+
   test("as-of join matches the naive quadratic formulation (incl. no-match nulls)") {
     import org.apache.spark.sql.functions._
     val ev = Queries.events(spark, sf)
