@@ -57,6 +57,10 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
     "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
+    // the flagship composition: quality gate -> near-dup removal ->
+    // rebalance -> train split -> sequence packing, one lazy plan
+    "pipeline_training_set" -> ((s, dir) =>
+      graft.ext.TrainingPipeline.trainingSet(docs(s, dir))),
     // maxHamming=3 = the 4x16-bit banding's exactness radius (see Dedup)
     "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
