@@ -81,6 +81,45 @@ object MonitoringStream {
       }
   }
 
+  /** The same latched alert semantics on the `transformWithState` API —
+    * Spark 4's successor to (flat)mapGroupsWithState: typed named state
+    * via a [[org.apache.spark.sql.streaming.StatefulProcessor]], backed by
+    * the RocksDB state store (callers set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). Kept alongside the
+    * `flatMapGroupsWithState` form so the two APIs' behavior is pinned
+    * against each other in tests.
+    */
+  final class AlertProcessor(threshold: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ReportRun, FailureAlert] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[AlertState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[AlertState]("alert",
+        org.apache.spark.sql.Encoders.product[AlertState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ReportRun],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[FailureAlert] = {
+      val s0 = if (state.exists()) state.get() else AlertState(0L, 0L, alerted = false)
+      var failed = s0.failed; var seen = s0.seen
+      rows.foreach { r => seen += 1; if (r.status == Status.Failed) failed += 1 }
+      val fire = !s0.alerted && failed >= threshold
+      state.update(AlertState(failed, seen, s0.alerted || fire))
+      if (fire) Iterator(FailureAlert(key, failed, seen)) else Iterator.empty
+    }
+  }
+
+  def failureAlertsTws(spark: SparkSession, reports: Dataset[ReportRun],
+      threshold: Long = 3): Dataset[FailureAlert] = {
+    import spark.implicits._
+    reports
+      .groupByKey(_.run_id)
+      .transformWithState(new AlertProcessor(threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup for a document feed: drop rows whose text
     * fingerprint was already seen within the watermark horizon
     * (`dropDuplicatesWithinWatermark` keeps state bounded — dedup state

@@ -154,6 +154,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("transformWithState alerts match the flatMapGroupsWithState twin (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[ReportRun]
+    val q = MonitoringStream.failureAlertsTws(spark, mem.toDS(), threshold = 3)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("alerts_tws").start()
+    try {
+      mem.addData(
+        rr("r1", "a", Status.Failed, 0, "2024-03-01 10:00:00"),
+        rr("r1", "b", Status.Failed, 0, "2024-03-01 10:00:01"))
+      q.processAllAvailable()
+      assert(spark.table("alerts_tws").count() == 0, "below threshold: no alert")
+      mem.addData(
+        rr("r1", "c", Status.Failed, 0, "2024-03-01 10:00:02"),
+        rr("r1", "d", Status.Failed, 0, "2024-03-01 10:00:03"))
+      q.processAllAvailable()
+      val alerts = spark.table("alerts_tws").collect()
+        .map(r => (r.getAs[String]("run_id"), r.getAs[Long]("failed"), r.getAs[Long]("total_seen")))
+      assert(alerts.toSeq == Seq(("r1", 4L, 4L)), s"got ${alerts.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join pairs events within the gap, across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
