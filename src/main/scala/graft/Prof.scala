@@ -60,6 +60,13 @@ object Prof {
         spark.catalog.clearCache()
       }
     }
+    if (mode == "tpipe") {
+      val docs = Queries.table(spark, sfDir, "documents")
+      time("tpipe_1")(noop(graft.ext.TrainingPipeline.trainingSet(docs)))
+      spark.catalog.clearCache()
+      time("tpipe_2")(noop(graft.ext.TrainingPipeline.trainingSet(docs)))
+      spark.catalog.clearCache()
+    }
     if (mode == "pipeline_plan") {
       val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
       val df = graft.ext.Dedup.nearDupPipeline(docs, 0.8)

@@ -30,10 +30,13 @@ object TrainingPipeline {
       sampleFractions: Map[String, Double] = Map("en" -> 0.5),
       trainPct: Int = 80, valPct: Int = 10,
       maxTokens: Long = 512): DataFrame = {
+    // cached: three downstream consumers (dedup shingles, the rebalance
+    // join, packing) would each re-run the scan + quality gate otherwise
     val clean = docs.join(
       TextAnalysis.gopherFilter(docs, minTokens, minStopwordRatio, maxRepRatio)
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .cache()
     val dropped = Dedup.nearDupPipeline(clean, dupThreshold)
       .select(col("b").as("doc_id")).distinct()
     val surviving = clean.join(dropped, Seq("doc_id"), "left_anti")
