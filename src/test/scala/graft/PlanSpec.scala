@@ -136,6 +136,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.size <= 1, s"unexpected single-partition exchanges\n${plan.take(2500)}")
   }
 
+  test("training pipeline composition plans without cartesian or nested-loop joins") {
+    val docs = Queries.table(spark, sf, "documents")
+    val df = graft.ext.TrainingPipeline.trainingSet(docs)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), "composition must never go quadratic via cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    spark.catalog.clearCache()
+  }
+
   test("salted join: no broadcast-nested-loop, salt column dropped from output") {
     val df = Queries.saltedJoinQuery(spark, sf)
     val plan = planOf(df)
