@@ -223,6 +223,52 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] =
     kmeansFit(emb, k, iters)._1
 
+  /** Persist a k-means IVF index: the corpus PARTITIONED BY cell (so a
+    * probe reads only its cells' directories — partition pruning makes
+    * "touch nProbe/cells of the data" literal at the file-system level)
+    * plus the centroids as a tiny side table. Build once, query many.
+    */
+  def buildIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 3): Unit = {
+    import emb.sparkSession.implicits._
+    val (cents, cells) = kmeansFit(emb, nCells, iters)
+    emb.join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    cents.toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query a persisted IVF index: rank cells by query-centroid cosine,
+    * read ONLY the nProbe nearest cells' partitions (pruned scan), exact
+    * top-k within. The centroid table is tiny (k × dim) and broadcast.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 10, nProbe: Int = 2): DataFrame = {
+    VectorFunctions.register(spark)
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // bounded collect: nProbe × queries cell ids drive partition pruning
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    vectors
+      .filter(col("cell").isInCollection(probedCells)) // partition pruning
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Mean within-cluster squared distance — for convergence checks. */
   def kmeansInertia(emb: DataFrame, cents: Seq[(Int, Array[Double])]): Double = {
     val r = kmeansAssign(emb, cents).agg(avg(col("d2"))).collect().head.getDouble(0)

@@ -193,6 +193,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
   }
 
+  test("persisted IVF index equals the in-memory path and prunes cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.buildIvfIndex(emb, dir, nCells = 8)
+    spark.catalog.clearCache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSeq
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, Seq(0L, 1L, 2L), 10, nProbe = 2)
+    val direct = Similarity.ivfTopKKmeans(emb, Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)
+    assert(rows(fromIndex) == rows(direct),
+      "index round-trip must not change results")
+    // the probed scan must read only the probed cells' directories
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1500))
+    spark.catalog.clearCache()
+  }
+
   test("bounded top-k Aggregator equals the window formulation exactly") {
     val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
       .select("query_id", "vec_id", "cos", "rank").collect()
