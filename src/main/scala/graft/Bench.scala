@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_OUT`, default `bench_out.json`, in case the stdout
   * stream is swallowed by a wrapper). Per-query failures are REPORTED in an
   * `"errors"` map and the failing query's time is recorded as -1 — a
-  * crashing query must read as broken, never as fast.
+  * crashing query must read as broken, never as fast. Each query runs
+  * `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports the MIN
+  * (load-robust); raw per-run times are included under `"runs"`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,32 +24,42 @@ object Bench {
     // warm the session once (scheduler, codegen, shuffle infra) so the
     // first measured query doesn't absorb ~5 s of JVM/session startup
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
+    // N repetitions per query, reporting the MIN: a loaded machine can
+    // only make a run slower, never faster, so min-of-N is the estimator
+    // that is robust to external load (a 3× outlier on one run cannot
+    // manufacture a phantom regression). Raw runs ship in the JSON too.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => SparkEntry.verifierOnly(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop v2 sink: full materialization of every column and sort —
-      // count() would let Catalyst prune columns and eliminate ORDER BYs,
-      // under-measuring the queries
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      var err: Option[String] = None
+      val runs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>
+        val t0 = System.nanoTime()
+        // noop v2 sink: full materialization of every column and sort —
+        // count() would let Catalyst prune columns and eliminate ORDER BYs,
+        // under-measuring the queries
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(180)}")
+          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(180)}")
         }
-      // operators may cache() intermediates reused within their own DAG;
-      // drop them between queries so earlier queries don't pressure later ones
-      spark.catalog.clearCache()
-      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, err)
+        // operators may cache() intermediates reused within their own DAG;
+        // drop them between queries so earlier queries don't pressure later ones
+        spark.catalog.clearCache()
+        if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      }.toSeq
+      val sec = if (err.isEmpty) runs.min else -1.0
+      (name, sec, runs, err)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val raw = results.map { case (k, _, runs, _) =>
+      jstr(k) + ":" + runs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
     val skipped = SparkEntry.verifierOnly.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.nonEmpty)},"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$raw,"reps":$reps,"errors":$errs,"n_errors":${results.count(_._4.nonEmpty)},"skipped":$skipped,"sf":"$sfDir"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

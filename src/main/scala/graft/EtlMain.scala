@@ -56,7 +56,10 @@ object EtlMain {
       }
     }
     val (defFrom, defTo) = Orchestrator.defaultDates(today)
-    def opt(flag: String, envKey: String, default: String) =
+    // by-name default: the temp-dir fallback below must only run when no
+    // --out/env value was supplied (eager evaluation would create a stray
+    // empty directory on every invocation)
+    def opt(flag: String, envKey: String, default: => String) =
       kv.get(flag).orElse(envVars.get(envKey)).getOrElse(default)
     val a = Args(
       fromDate = opt("from", "GRAFT_FROM_DATE", defFrom),

@@ -25,6 +25,9 @@ object Graft {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+      // read as nanos-since-epoch (see Queries.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .getOrCreate()
     // extensions only apply to newly-built sessions; if getOrCreate reused

@@ -549,6 +549,35 @@ object Oracles {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
 
+    // the bucketed production pipeline: 2 LSH tables (seeds 42, 43) of 4
+    // fixed hyperplanes each, embedded as DOUBLE literals; candidates are
+    // in-bucket pairs unioned across tables, then cosine-ranked
+    "dedup_embedding_pipeline" -> {
+      def bucketExpr(seed: Long): String =
+        graft.ext.Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("\n    + ")
+      val tables = Seq(42L, 43L).zipWithIndex.map { case (seed, t) =>
+        s"t$t AS (\n  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket\n  FROM embeddings\n)"
+      }.mkString(", ")
+      val perTable = (0 until 2).map { t =>
+        s"SELECT x.vec_id AS a, y.vec_id AS b FROM t$t x JOIN t$t y\n      ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH $tables, cand AS (
+        |  SELECT DISTINCT a, b FROM (
+        |    $perTable
+        |  )
+        |)
+        |SELECT c.a, c.b,
+        |  round(list_cosine_similarity(
+        |    CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |FROM cand c
+        |JOIN embeddings ea ON c.a = ea.vec_id
+        |JOIN embeddings eb ON c.b = eb.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+    },
+
     // identical semantics via the bounded TopKAggregator — same oracle
     "sim_topk_agg" ->
       """WITH q AS (
@@ -943,6 +972,25 @@ object Oracles {
         |  CAST(64 + (CAST(strlen(text) AS BIGINT) * 7) % 512 AS INT) AS height,
         |  CAST(1 + strlen(text) % 30 AS INT) AS n_frames,
         |  md5(text) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the DSv2 fake source is fully deterministic (seeded wire client,
+    // proven equivalent to the live-HTTP path in ReportSourceV2Spec), so
+    // its expected aggregate is a VALUES literal — this brings the last
+    // rows-only query inside the hash gate. Values depend only on the
+    // query's fixed options (env=prod, 2024-02-29..2024-03-01, 100
+    // rows/report), never on the sf dir.
+    "report_source_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('agent_activity',   CAST(76960 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('call_details',     CAST(23650 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('call_dispositions',CAST(33760 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('call_volume',      CAST(70080 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('inbound_calls',    CAST(69210 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('outbound_calls',   CAST(36840 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('queue_activity',   CAST(38510 AS BIGINT), CAST(100 AS BIGINT)),
+        |  ('service_level',    CAST(28720 AS BIGINT), CAST(100 AS BIGINT))
+        |) AS t(report_name, total_calls, n_rows)
+        |ORDER BY report_name""".stripMargin
   )
 }

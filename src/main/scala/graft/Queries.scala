@@ -30,7 +30,10 @@ object Queries {
     * the same µs view DuckDB's oracle produces when formatting/casting.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bootstrap conf lives in Graft.session(); set here only for sessions
+    // built elsewhere, and only when unset, so this stays idempotent
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

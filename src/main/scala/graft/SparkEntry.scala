@@ -64,6 +64,10 @@ object SparkEntry {
     // maxHamming=3 = the 4x16-bit banding's exactness radius (see Dedup)
     "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    // the production path: multi-table LSH buckets -> in-bucket pairs ->
+    // cosine verify (the cross-join form above is its quadratic verifier)
+    "dedup_embedding_pipeline" -> ((s, dir) =>
+      Dedup.embeddingTopPairsBucketed(emb(s, dir), 20)),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     // same exact result through the bounded TopKAggregator (map-side
@@ -156,7 +160,7 @@ object SparkEntry {
     * bench number. [[Bench]] skips these so the bench reflects the
     * production path, and reports them in its `skipped` field.
     */
-  val verifierOnly: Set[String] = Set("dedup_ngram_jaccard")
+  val verifierOnly: Set[String] = Set("dedup_ngram_jaccard", "dedup_embedding")
 
   private def emb(s: SparkSession, dir: String) =
     Queries.table(s, dir, "embeddings")

@@ -36,9 +36,10 @@ object Dedup {
     * pipeline actually feeds downstream).
     */
   def exactSurvivors(docs: DataFrame): DataFrame = {
-    // direct group (no md5 projection, no ORDER BY) — the survivors path
-    // only needs the representative ids
-    val keep = docs.groupBy(col("text"))
+    // group on the 16-byte fingerprint, never the raw text: the exchange
+    // carries digests, not whole documents (same collision tolerance as
+    // [[exact]])
+    val keep = docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
@@ -304,10 +305,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding near-dup / top similar pairs by cosine. Brute force here
-    * (testdata is 500 vectors); the 100 TB path is
-    * [[Similarity.lshBuckets]] pre-bucketing so the pair join is
-    * per-bucket, then this same cosine as the verifier.
+  /** Candidate near-dup pairs in embedding space via multi-table
+    * random-hyperplane LSH — the production (100 TB) path: vectors are
+    * bucketed per table ([[Similarity.lshBuckets]], a pure per-row map),
+    * pairs are generated ONLY within a bucket, unioned across tables and
+    * deduped, then cosine-verified. Cost is O(Σ bucket²) per table instead
+    * of O(n²); recall compounds across tables as 1−(1−p)^L, and near-
+    * identical vectors (every plane projection keeps its sign) collide in
+    * EVERY table, so true near-dups are never lost to one unlucky plane.
+    *
+    * The candidate set carries only (a, b) id pairs — 16 bytes/row through
+    * the distinct — and the verify stage joins the embedding payload back
+    * by id, exactly like [[nearDupPipeline]] re-joins shingles for its
+    * candidates.
+    */
+  def embeddingCandidatePairs(emb: DataFrame, numPlanes: Int = 4, dim: Int = 64,
+      numTables: Int = 2): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val cand = (0 until numTables).map { t =>
+      val bucketed = Similarity.lshBuckets(emb, numPlanes, dim, 42L + t)
+        .select(col("vec_id"), col("bucket"))
+      bucketed.select(col("vec_id").as("a"), col("bucket"))
+        .join(bucketed.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).distinct()
+    val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val embB = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+    cand.join(embA, Seq("a")).join(embB, Seq("b"))
+      .select(col("a"), col("b"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+  }
+
+  /** Embedding near-dup filter: LSH-bucketed candidates at or above the
+    * cosine threshold. [[embeddingTopPairs]] is the quadratic ground-truth
+    * verifier this is tested against (planted-duplicate fixture in ExtSpec).
+    */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
+      numPlanes: Int = 4, dim: Int = 64, numTables: Int = 2): DataFrame =
+    embeddingCandidatePairs(emb, numPlanes, dim, numTables)
+      .filter(col("cos") >= threshold)
+      .orderBy(col("a"), col("b"))
+
+  /** Top-k most similar candidate pairs through the bucketed pipeline —
+    * the registered bench/oracle form (testdata has no planted near-dups,
+    * so a threshold query would be vacuous there).
+    */
+  def embeddingTopPairsBucketed(emb: DataFrame, k: Int = 20,
+      numPlanes: Int = 4, dim: Int = 64, numTables: Int = 2): DataFrame =
+    embeddingCandidatePairs(emb, numPlanes, dim, numTables)
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(k)
+
+  /** Embedding near-dup / top similar pairs by cosine — corpus×corpus
+    * cross join: the exact QUADRATIC VERIFIER (bench-skipped via
+    * [[graft.SparkEntry.verifierOnly]]). The production path is
+    * [[embeddingTopPairsBucketed]]/[[embeddingNearDups]].
     */
   def embeddingTopPairs(emb: DataFrame, k: Int = 20): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)

@@ -123,11 +123,27 @@ object Similarity {
     private def ord: Ordering[(Double, Long)] =
       Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
     override def zero: Seq[(Double, Long)] = Seq.empty
+    // invariant: buffers are always sorted by `ord` and hold <= k entries,
+    // so the hot path is a bounded ordered insert (most rows exit at the
+    // first compare against the current k-th), never a full re-sort
     override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] =
-      ((buf :+ row).sorted(ord)).take(k)
-    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      ((a ++ b).sorted(ord)).take(k)
-    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf.sorted(ord)
+      if (buf.length >= k && ord.lteq(buf.last, row)) buf
+      else {
+        val (better, worse) = buf.span(e => ord.lteq(e, row))
+        val ins = (better :+ row) ++ worse
+        if (ins.length > k) ins.take(k) else ins
+      }
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      // linear merge of two sorted buffers, emitting at most k entries
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var (i, j) = (0, 0)
+      while (out.length < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && ord.lteq(a(i), b(j)))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+      }
+      out.toSeq
+    }
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
@@ -382,10 +398,12 @@ object Similarity {
     // corpus — the standard E2LSH recall lever alongside multi-probe.
     // At scale each table is one extra (table, bucket)-keyed index column;
     // candidates are deduped before scoring so a pair is cosined once.
+    val tableCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val perTable = (0 until numTables).map { t =>
       val seed = 42L + t
       val planes = hyperplanes(numPlanes, dim, seed)
       val bucketed = lshBuckets(emb, numPlanes, dim, seed).cache()
+      tableCaches += bucketed
       // query-side only (bounded rows): per-plane projections, planes
       // sorted by |projection| ascending = confidence rank
       val dots = planes.map(p => dot(col("embedding"), array(p.toIndexedSeq.map(lit): _*)))
@@ -405,8 +423,13 @@ object Similarity {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
     }
+    // materialize the (bounded: per-query bucket collisions) candidate set
+    // eagerly, then drop the per-table caches — without this a long-lived
+    // session would accumulate one cached corpus copy per call per table
     val candidates = perTable.reduce(_ unionByName _)
       .dropDuplicates("query_id", "vec_id")
+      .localCheckpoint(true)
+    tableCaches.foreach(_.unpersist())
     candidates
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))

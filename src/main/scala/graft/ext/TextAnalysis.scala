@@ -270,7 +270,16 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, maxTokens: Long = 512, buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // nullable read: max(doc_id) is NULL on an empty input (a heavily
+    // filtered corpus can legitimately produce an empty split) — return an
+    // empty result with the right schema instead of an opaque NPE
+    val maxIdOpt = Option(docs.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0))
+    if (maxIdOpt.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_tokens"),
+          lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
+        .limit(0)
+    val maxId = maxIdOpt.get.longValue()
     val span = maxId / buckets + 1
     val sized = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))

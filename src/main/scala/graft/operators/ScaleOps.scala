@@ -94,8 +94,18 @@ object ScaleOps {
     val staging = new org.apache.hadoop.fs.Path(
       dir + ".compact-" + java.util.UUID.randomUUID())
     spark.read.parquet(dir).repartition(n).write.parquet(staging.toString)
-    fs.delete(path, true)
-    require(fs.rename(staging, path), s"compaction swap failed for $dir")
+    // swap via rename-aside: the original is moved (not deleted) before the
+    // staging copy takes its place, so a crash never leaves the table path
+    // empty with data only in an unadvertised staging dir — the unsafe
+    // window shrinks to the single rename into place
+    val old = new org.apache.hadoop.fs.Path(
+      dir + ".old-" + java.util.UUID.randomUUID())
+    require(fs.rename(path, old), s"compaction aside-rename failed for $dir")
+    if (!fs.rename(staging, path)) {
+      fs.rename(old, path) // roll back: restore the original table
+      sys.error(s"compaction swap failed for $dir (original restored)")
+    }
+    fs.delete(old, true)
   }
 
   /** Hive-style date-partitioned layout: one directory per day. Readers

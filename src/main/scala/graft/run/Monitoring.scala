@@ -85,7 +85,12 @@ object Monitoring {
   def mergePartitioned(spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String], partitionCol: String): Unit = {
     import spark.implicits._
-    if (!new java.io.File(dir).exists()) {
+    // Hadoop FS, not java.io.File: the target may be URI-qualified (file:/,
+    // hdfs://, s3a://) — a local-File check would miss an existing lake
+    // table and blind-append, duplicating matched keys
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
       updates.write.mode("append").partitionBy(partitionCol).parquet(dir)
       return
     }

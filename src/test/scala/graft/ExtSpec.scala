@@ -346,4 +346,42 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
   }
+
+  test("bucketed embedding dedup recovers exactly the cross-join ground truth on planted dups") {
+    // testdata embeddings have no planted near-dups (max pairwise cosine
+    // ~0.48), so build a fixture: 200 random 64-dim vectors + 5 planted
+    // near-identical copies. The 1e-6 perturbation cannot flip a
+    // hyperplane-projection sign (projections are O(1)), so planted pairs
+    // share buckets in EVERY table — the pipeline must find all of them
+    // and nothing else above the threshold.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val base = (0L until 200L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val planted = (0 until 5).map { j =>
+      val (srcId, v) = base((j * 37) % 200)
+      ((srcId, 200L + j), v.map(x => x + 1e-6f))
+    }
+    val embDf = (base ++ planted.map { case ((_, id), v) => (id, v) })
+      .toDF("vec_id", "embedding")
+    // quadratic ground truth, computed driver-side from the same vectors
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val all = base ++ planted.map { case ((_, id), v) => (id, v) }
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.999
+    } yield (ia, ib)).toSet
+    assert(truth == planted.map(_._1).toSet, s"fixture should plant exactly 5 dup pairs, got $truth")
+    val pipeline = Dedup.embeddingNearDups(embDf, 0.999, numPlanes = 4, dim = 64, numTables = 2)
+    val found = pipeline.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == truth, s"missed=${truth.diff(found)} extra=${found.diff(truth)}")
+    // the production plan must never fall back to a cartesian/nested-loop join
+    val plan = pipeline.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed embedding dedup planned a quadratic join")
+  }
 }
