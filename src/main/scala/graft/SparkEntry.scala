@@ -83,6 +83,12 @@ object SparkEntry {
     "sim_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
+    // product quantization: per-subspace k-means codebooks, asymmetric
+    // distance over the codes-only corpus scan (8 bytes/vector at scale),
+    // exact cosine re-rank of the 50-candidate shortlist
+    "sim_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, m = 8, ks = 16,
+        iters = 2, shortlist = 50)),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(

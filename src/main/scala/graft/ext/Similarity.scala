@@ -365,6 +365,116 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  /** Product-quantization codebooks: the embedding is split into `m`
+    * contiguous subvectors and each subspace gets its own `ks`-codeword
+    * k-means codebook ([[kmeansFit]] on the sliced column — same
+    * deterministic Lloyd, same driver-boundary rounding). Returns one
+    * (codebook, assignment) pair per subspace; the assignments ARE the
+    * codes (the vector's code in subspace s is the cell whose centroid is
+    * its nearest), so encoding costs nothing beyond the fit.
+    *
+    * The m fits are independent — they run as concurrently submitted
+    * Spark jobs (Futures), so wall-clock is ~one fit, not m.
+    *
+    * Compression: m codes/vector (one small int each) replace dim floats —
+    * at (m=8, dim=64) the index is 8 bytes/vector vs 64 for int8, 256 for
+    * float32; the codebooks themselves are m × ks × dim/m doubles, driver-
+    * bounded.
+    */
+  def pqFit(emb: DataFrame, m: Int = 8, ks: Int = 16, iters: Int = 2,
+      dim: Int = 64): Seq[(Seq[(Int, Array[Double])], DataFrame)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subDim = dim / m
+    require(m * subDim == dim, s"dim $dim must divide into $m subspaces")
+    val fits = (0 until m).map { s =>
+      Future {
+        val sub = emb.select(col("vec_id"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+        kmeansFit(sub, ks, iters)
+      }
+    }
+    Await.result(Future.sequence(fits), Duration.Inf)
+  }
+
+  /** ANN top-k by PQ asymmetric distance (ADC): the corpus is scanned as
+    * CODES ONLY (m small ints per vector — the 8-byte index row at scale);
+    * each query scores a vector as the sum over subspaces of
+    * dot(query subvector, codeword), i.e. dot(q, reconstruction), and
+    * cosine-normalizes by the reconstruction norm. The codebooks are
+    * driver-side literals, so the whole score is one fixed-order codegen'd
+    * expression — no embedding payload moves, no shuffle beyond the final
+    * top-k window over candidate rows.
+    *
+    * With `shortlist > 0` the ADC pass only nominates that many candidates
+    * per query and the top-k comes from an EXACT cosine re-rank of the
+    * nominated rows — the standard PQ serving shape: the corpus-wide scan
+    * stays codes-only, the embedding payload is read for `shortlist` rows
+    * per query. Quantization error then only costs recall when a true
+    * neighbor falls outside the shortlist entirely, not when ADC misorders
+    * the top of it.
+    *
+    * Exactness reference: [[bruteForceTopK]] (ExtSpec holds recall@10 to a
+    * floor). Rank is on the ROUNDED cosine with vec_id tiebreak —
+    * engine-deterministic like every other top-k here.
+    */
+  def pqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      m: Int = 8, ks: Int = 16, iters: Int = 2, dim: Int = 64,
+      shortlist: Int = 0): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val subDim = dim / m
+    val fits = pqFit(emb, m, ks, iters, dim)
+    // codes table: vec_id + m code columns, joined on vec_id (co-planned
+    // into one shuffle per fit output; at scale this table is WRITTEN once
+    // and scanned per query batch)
+    val codes = fits.zipWithIndex.map { case ((_, assigned), s) =>
+      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+    // per-subspace literal LUT: ks codeword vectors as nested array literals
+    val luts = fits.map { case (cents, _) =>
+      array(cents.sortBy(_._1).map { case (_, arr) =>
+        array(arr.toIndexedSeq.map(lit): _*) }: _*)
+    }
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // fixed-order sums (left-assoc reduce), mirrored exactly by the oracle
+    val codeword = (s: Int) => element_at(luts(s), col(s"code_$s") + 1)
+    val adc = (0 until m).map { s =>
+      dot(slice(col("q_emb"), s * subDim + 1, subDim), codeword(s)) }.reduce(_ + _)
+    val reconNorm2 = (0 until m).map { s =>
+      dot(codeword(s), codeword(s)) }.reduce(_ + _)
+    val qNorm2 = dot(col("q_emb"), col("q_emb"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(adc / (sqrt(qNorm2) * sqrt(reconNorm2)), 6).as("cos_approx"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+    if (shortlist <= 0)
+      scored
+        .withColumn("rank", row_number().over(wApprox))
+        .filter(col("rank") <= k)
+        .orderBy(col("query_id"), col("rank"))
+    else {
+      val nominated = scored
+        .withColumn("arank", row_number().over(wApprox))
+        .filter(col("arank") <= shortlist)
+        .select(col("query_id"), col("vec_id"))
+      nominated
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= k)
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
   /** Probe subsets for multi-probe LSH: subsets of the `m`
     * least-confident plane positions (0 = least confident), ordered by a
     * penalty proxy (sum of confidence ranks, then subset size) so cheaper

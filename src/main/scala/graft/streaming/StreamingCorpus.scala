@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.TextAnalysis
+
+/** Streaming twin of the batch training-data pipeline
+  * ([[graft.ext.TrainingPipeline]]) — continuous corpus ingestion:
+  *
+  *   1. exact dedup ACROSS micro-batches: `dropDuplicatesWithinWatermark`
+  *      keyed on the 16-byte text fingerprint. Streaming state holds one
+  *      fingerprint per distinct document inside the watermark horizon —
+  *      never the text — and late duplicates beyond the horizon age out
+  *      (dedup is exact within the horizon, at-least-once beyond it; the
+  *      horizon is the state-size-vs-dedup-window dial at scale).
+  *   2. quality gate + deterministic split inside `foreachBatch`: the
+  *      Gopher metrics and the hash split are PER-DOCUMENT computations,
+  *      so micro-batch boundaries cannot change any verdict — running
+  *      them batch-by-batch is exactly equal to running them once over
+  *      the union (the convergence spec pins this down).
+  *   3. the surviving train split appends to a parquet landing zone.
+  *
+  * Near-dup (LSH) removal is deliberately NOT in the streaming tier: its
+  * banding joins need corpus-wide signatures. Production runs
+  * [[graft.ext.Dedup.nearDupPipeline]] as the periodic batch compaction
+  * pass over this landing zone — stream for freshness, batch for the
+  * corpus-wide invariants.
+  */
+object StreamingCorpus {
+
+  /** Start the ingestion flow on a streaming `docs` frame with columns
+    * (doc_id, text, lang, source, event_time). Returns the running query;
+    * the train split lands at `outDir` as appended parquet.
+    */
+  def trainIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      watermark: String = "1 hour",
+      minTokens: Long = 30, minStopwordRatio: Double = 0.01,
+      maxRepRatio: Double = 0.6, trainPct: Int = 80, valPct: Int = 10): StreamingQuery = {
+    val deduped = docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.drop("event_time").cache()
+        try {
+          val clean = b.join(
+            TextAnalysis.gopherFilter(b, minTokens, minStopwordRatio, maxRepRatio)
+              .select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          TextAnalysis.deterministicSplit(clean, trainPct = trainPct, valPct = valPct)
+            .filter(col("split") === "train")
+            .drop("split")
+            .write.mode("append").parquet(outDir)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+}

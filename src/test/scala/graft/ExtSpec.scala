@@ -347,6 +347,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.count() == docs.select("text").distinct().count())
   }
 
+  test("PQ asymmetric-distance top-k holds recall@10 >= 0.7 vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, Seq(0L, 1L, 2L), 10, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // pqFit caches each subspace projection
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.7, s"PQ recall@10 = $recall")
+  }
+
   test("bucketed embedding dedup recovers exactly the cross-join ground truth on planted dups") {
     // testdata embeddings have no planted near-dups (max pairwise cosine
     // ~0.48), so build a fixture: 200 random 64-dim vectors + 5 planted

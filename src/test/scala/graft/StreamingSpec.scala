@@ -3,11 +3,18 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.{ReportRun, Status}
 import graft.streaming.MonitoringStream
+
+/** Top-level so spark.implicits can derive its Encoder (a method-local
+  * case class has no TypeTag).
+  */
+final case class CorpusDoc(doc_id: Long, text: String, lang: String,
+  source: String, event_time: Timestamp)
 
 class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -297,6 +304,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def emb2 = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("streaming train ingestion converges to the batch pipeline (exact-dedup tier)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fixture from real corpus text: the distinct-text docs of sf0.001
+    // (min doc_id per text) arrive first, then a second micro-batch of
+    // exact COPIES under fresh ids. Batches are internally dup-free and
+    // copies arrive strictly after originals, so the streaming survivor
+    // (first arrival) is deterministically the min doc_id — identical to
+    // the batch exactSurvivors convention.
+    val uniq = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .groupBy(_._2).map(_._2.minBy(_._1)).toSeq.sortBy(_._1)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunk1 = uniq.zipWithIndex.map { case ((id, t, l, s), i) =>
+      CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+    val maxId = uniq.map(_._1).max
+    val chunk2 = uniq.grouped(5).map(_.head).toSeq.zipWithIndex.map {
+      case ((_, t, l, s), j) =>
+        CorpusDoc(maxId + 1 + j, t, l, s,
+          new Timestamp(t0 + (uniq.size + j) * 1000L)) }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-corpus-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-corpus-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.trainIngest(mem.toDF(), outDir, ckpt)
+    try {
+      mem.addData(chunk1: _*); q.processAllAvailable()
+      mem.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    // batch twin over the SAME union: exact dedup, gopher gate, train split
+    val allDf = (chunk1 ++ chunk2).toDF().drop("event_time")
+    val survivors = graft.ext.Dedup.exactSurvivors(allDf)
+    val clean = survivors.join(
+      graft.ext.TextAnalysis.gopherFilter(survivors).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val expected = graft.ext.TextAnalysis.deterministicSplit(clean)
+      .filter(col("split") === "train")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(expected.nonEmpty, "batch twin should keep a non-empty train split")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).map(_._1)} extra=${streamed.diff(expected).map(_._1)}")
+  }
 
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
