@@ -992,6 +992,100 @@ object Oracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // IVF-PQ: the coarse k-means tier (8 cells, 2 unrolled Lloyd
+    // iterations over FULL vectors — g_* CTEs) prunes which vectors are
+    // scored; the PQ tier (8 per-subspace unrolled Lloyds, identical to
+    // sim_topk_pq) supplies the ADC arithmetic; exact cosine re-ranks the
+    // 50-candidate shortlist. Probing reuses cent2+assign2 — the
+    // assignment that produced the final coarse centroids, exactly what
+    // ivfpqTopK reuses from kmeansFit.
+    "sim_topk_ivfpq" -> {
+      val m = 8; val ks = 16; val iters = 2; val subDim = 8
+      val nCells = 8; val nProbe = 2; val shortlist = 50
+      def d2(e: String, c: String) =
+        s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
+      // coarse tier over full vectors
+      def gAssign(i: Int, centSrc: String) =
+        s"g_a$i AS (\n  SELECT vec_id, e, cell FROM (\n    SELECT v.vec_id, v.e, c.cell, row_number() OVER\n      (PARTITION BY v.vec_id ORDER BY ${d2("v.e", "c.c")}, c.cell) AS rn\n    FROM emb v, $centSrc c)\n  WHERE rn = 1\n)"
+      def gCent(i: Int) =
+        s"g_c$i AS (\n  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (\n    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv\n    FROM g_a$i, UNNEST(generate_series(1, len(e))) AS g(i)\n    GROUP BY cell, g.i)\n  GROUP BY cell\n)"
+      val coarse = {
+        val init =
+          s"g_init AS (\n  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c\n  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $nCells)\n)"
+        val lloyd = (1 to iters).map { i =>
+          val src = if (i == 1) "g_init" else s"g_c${i - 1}"
+          gAssign(i, src) + ",\n" + gCent(i)
+        }.mkString(",\n")
+        init + ",\n" + lloyd
+      }
+      // PQ tier per subspace (same shape as sim_topk_pq)
+      def sub(s: Int) =
+        s"sub$s AS (\n  SELECT vec_id, e[${s * subDim + 1}:${(s + 1) * subDim}] AS e FROM emb\n)"
+      def init(s: Int) =
+        s"init$s AS (\n  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c\n  FROM (SELECT vec_id, e FROM sub$s ORDER BY vec_id LIMIT $ks)\n)"
+      def assign(s: Int, i: Int, centSrc: String) =
+        s"a${s}_$i AS (\n  SELECT vec_id, e, cell FROM (\n    SELECT v.vec_id, v.e, c.cell, row_number() OVER\n      (PARTITION BY v.vec_id ORDER BY ${d2("v.e", "c.c")}, c.cell) AS rn\n    FROM sub$s v, $centSrc c)\n  WHERE rn = 1\n)"
+      def cent(s: Int, i: Int) =
+        s"c${s}_$i AS (\n  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (\n    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv\n    FROM a${s}_$i, UNNEST(generate_series(1, len(e))) AS g(i)\n    GROUP BY cell, g.i)\n  GROUP BY cell\n)"
+      val perSub = (0 until m).map { s =>
+        val lloyd = (1 to iters).map { i =>
+          val src = if (i == 1) s"init$s" else s"c${s}_${i - 1}"
+          assign(s, i, src) + ",\n" + cent(s, i)
+        }.mkString(",\n")
+        sub(s) + ",\n" + init(s) + ",\n" + lloyd
+      }.mkString(",\n")
+      val codeCols = (0 until m).map(s => s"a${s}_$iters.cell AS code_$s").mkString(", ")
+      val codeJoins = (1 until m).map(s => s"JOIN a${s}_$iters USING (vec_id)").mkString(" ")
+      val centJoins = (0 until m).map(s => s"JOIN c${s}_$iters t$s ON t$s.cell = cd.code_$s").mkString("\n  ")
+      val adc = (0 until m).map(s =>
+        s"list_dot_product(q.e[${s * subDim + 1}:${(s + 1) * subDim}], t$s.c)").mkString(" + ")
+      val rnorm2 = (0 until m).map(s => s"list_dot_product(t$s.c, t$s.c)").mkString(" + ")
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |),
+        |$coarse,
+        |$perSub,
+        |codes AS (
+        |  SELECT vec_id, $codeCols, g_a$iters.cell AS g_cell
+        |  FROM a0_$iters $codeJoins JOIN g_a$iters USING (vec_id)
+        |), q AS (
+        |  SELECT vec_id AS query_id, e FROM emb WHERE vec_id IN (0, 1, 2)
+        |), probes AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT q.query_id, c.cell, row_number() OVER
+        |      (PARTITION BY q.query_id ORDER BY
+        |         list_cosine_similarity(q.e, c.c) DESC, c.cell) AS c_rank
+        |    FROM q, g_c$iters c)
+        |  WHERE c_rank <= $nProbe
+        |), scored AS (
+        |  SELECT q.query_id, cd.vec_id,
+        |    round(($adc) / (sqrt(list_dot_product(q.e, q.e)) * sqrt($rnorm2)), 6) AS cos_approx
+        |  FROM codes cd
+        |  $centJoins
+        |  JOIN probes p ON cd.g_cell = p.cell
+        |  JOIN q ON q.query_id = p.query_id
+        |  WHERE cd.vec_id <> q.query_id
+        |), ashort AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_approx DESC, vec_id) AS arank
+        |    FROM scored)
+        |  WHERE arank <= $shortlist
+        |), rescored AS (
+        |  SELECT n.query_id, n.vec_id,
+        |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+        |  FROM ashort n
+        |  JOIN emb v ON n.vec_id = v.vec_id
+        |  JOIN q ON n.query_id = q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM rescored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
     // winnowing with the portable md5-prefix hash (TextAnalysis
     // .portableHash64) — k=5 char grams, window w=4, full windows only
     "text_winnowing" ->

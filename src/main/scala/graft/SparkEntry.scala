@@ -89,6 +89,11 @@ object SparkEntry {
     "sim_topk_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, m = 8, ks = 16,
         iters = 2, shortlist = 50)),
+    // both index tiers composed: k-means cells prune which codes are
+    // scanned, PQ ADC scores them, exact re-rank of the shortlist
+    "sim_topk_ivfpq" -> ((s, dir) =>
+      Similarity.ivfpqTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nCells = 8,
+        nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(

@@ -475,6 +475,71 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ: the two index tiers composed — coarse k-means cells prune
+    * WHICH codes are scanned (nProbe of nCells, the [[ivfTopKKmeans]]
+    * probe discipline), product-quantization ADC scores the surviving
+    * codes ([[pqTopK]]'s codes-only arithmetic), and the top-k is an exact
+    * cosine re-rank of the shortlist. At scale the per-query scan cost is
+    * `nProbe/nCells × m bytes/vector` — cell pruning and code compression
+    * multiply. Coarse and subspace codebooks fit concurrently.
+    */
+  def ivfpqTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 2, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, dim: Int = 64, shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    import emb.sparkSession.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val subDim = dim / m
+    val coarseF = Future { kmeansFit(emb, nCells, iters) }
+    val fits = pqFit(emb, m, ks, iters, dim)
+    val (coarse, cells) = Await.result(coarseF, Duration.Inf)
+    val codes = fits.zipWithIndex.map { case ((_, assigned), s) =>
+      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val luts = fits.map { case (cents, _) =>
+      array(cents.sortBy(_._1).map { case (_, arr) =>
+        array(arr.toIndexedSeq.map(lit): _*) }: _*)
+    }
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // coarse probes: rank cells by query-centroid cosine (broadcast both —
+    // centroids are nCells × dim doubles, queries are bounded)
+    val centDf = coarse.toDF("c_cell", "centroid")
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("c_cell"))
+    val codeword = (s: Int) => element_at(luts(s), col(s"code_$s") + 1)
+    val adc = (0 until m).map { s =>
+      dot(slice(col("q_emb"), s * subDim + 1, subDim), codeword(s)) }.reduce(_ + _)
+    val reconNorm2 = (0 until m).map { s =>
+      dot(codeword(s), codeword(s)) }.reduce(_ + _)
+    val qNorm2 = dot(col("q_emb"), col("q_emb"))
+    val scored = codes.join(broadcast(probes), col("cell") === col("c_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(adc / (sqrt(qNorm2) * sqrt(reconNorm2)), 6).as("cos_approx"))
+    val nominated = scored
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_approx").desc, col("vec_id"))))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    nominated
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Probe subsets for multi-probe LSH: subsets of the `m`
     * least-confident plane positions (0 = least confident), ordered by a
     * penalty proxy (sum of confidence ranks, then subset size) so cheaper

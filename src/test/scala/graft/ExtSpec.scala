@@ -359,6 +359,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("IVF-PQ confines results to probed cells and recovers their exact top-k") {
+    val ivfpq = Similarity.ivfpqTopK(emb, Seq(0L, 1L, 2L), 10,
+      nCells = 8, nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    // deterministic replica of the coarse tier: same fit, same probe rule
+    val (cents, cellsDf) = Similarity.kmeansFit(emb, 8, 2)
+    val cells = cellsDf.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.catalog.clearCache()
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byQuery = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    Seq(0L, 1L, 2L).foreach { qid =>
+      val q = vecs(qid).map(_.toDouble)
+      val probed = cents.sortBy { case (cell, c) => (-cos(q, c), cell) }
+        .take(2).map(_._1).toSet
+      // confinement: every hit lives in a probed cell
+      assert(byQuery(qid).forall(v => probed.contains(cells(v))),
+        s"query $qid returned vectors outside its probed cells")
+      // recall vs the EXACT top-10 within the probed cells
+      val truth = vecs.keys.filter(v => v != qid && probed.contains(cells(v)))
+        .toSeq.sortBy(v => (-cos(q, vecs(v).map(_.toDouble)), v)).take(10).toSet
+      val recall = truth.intersect(byQuery(qid)).size.toDouble / truth.size
+      assert(recall >= 0.7, s"query $qid: in-cell recall@10 = $recall")
+    }
+  }
+
   test("bucketed embedding dedup recovers exactly the cross-join ground truth on planted dups") {
     // testdata embeddings have no planted near-dups (max pairwise cosine
     // ~0.48), so build a fixture: 200 random 64-dim vectors + 5 planted
