@@ -90,6 +90,33 @@ object Prof {
       time("p_minhash_only")(noop(graft.ext.Dedup.minhashCandidatePairs(docs)))
       spark.catalog.clearCache()
     }
+    if (mode == "tstages") {
+      val docs = Queries.table(spark, sfDir, "documents")
+      val shAll = graft.ext.Dedup.shinglesMultiset(docs)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+      time("s_shAll")(shAll.count())
+      val rep = graft.ext.TextAnalysis.repetitionScoresFromHashed(shAll)
+        .select(col("doc_id"), col("rep_ratio"))
+      val gate = graft.ext.TextAnalysis.qualityScores(docs)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+        .join(rep, Seq("doc_id"))
+        .filter(col("n_tokens") >= 30 && col("stopword_ratio") >= 0.01 &&
+          col("rep_ratio") <= 0.6)
+        .select(col("doc_id")).cache()
+      time("s_gate")(gate.count())
+      val clean = docs.join(gate, Seq("doc_id"), "left_semi").cache()
+      time("s_clean")(clean.count())
+      val shClean = shAll.join(gate, Seq("doc_id"), "left_semi")
+      val dropped = graft.ext.Dedup.nearDupPipelineFromHashedShingles(shClean, 0.8)
+        .select(col("b").as("doc_id")).distinct()
+      time("s_dropped")(dropped.count())
+      val surviving = clean.join(dropped, Seq("doc_id"), "left_anti")
+      val sampled = graft.ext.TextAnalysis.stratifiedSample(surviving, "lang", Map("en" -> 0.5))
+      val train = graft.ext.TextAnalysis.deterministicSplit(sampled)
+        .filter(col("split") === "train").drop("split").cache()
+      time("s_train")(train.count())
+      time("s_pack")(noop(graft.ext.TextAnalysis.packSequences(train, 512)))
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

@@ -196,8 +196,25 @@ object Dedup {
     // verifier takes the distinct set of the same hashed stream
     val shAll = shinglesMultiset(docs, n)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    nearDupPipelineFromHashedShingles(shAll, threshold, numHashes, bands, rowsPerBand)
+  }
+
+  /** [[nearDupPipeline]] body over a PRE-COMPUTED hashed shingle multiset
+    * (doc_id, sh: 64-bit hash, one row per occurrence) — lets a composed
+    * pipeline (e.g. [[TrainingPipeline]]) share one tokenize+shingle scan
+    * between the quality gate's repetition metric and this dedup stage
+    * instead of scanning the corpus twice.
+    */
+  private[graft] def nearDupPipelineFromHashedShingles(shAll: DataFrame,
+      threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    // k MinHash views as affine transforms of the ONE existing 64-bit
+    // shingle hash (mod P) — a multiply-mod per view instead of a fresh
+    // xxhash64 over the key bytes; same universal-hash family as
+    // [[minhashSignatures]], recall unchanged (ExtSpec/oracle hold at all
+    // SFs because the verifier stage is exact regardless of the family)
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * pmod(col("sh"), lit(MinhashP)) + lit(b)) % MinhashP).as(s"mh_$i") }
     val sig = shAll.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bandDf = minhashBands(sig, bands, rowsPerBand)
     val cand = bandDf.select(col("doc_id").as("a"), col("band"), col("key"))

@@ -236,6 +236,21 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
       .orderBy(col("doc_id"))
 
+  /** [[repetitionScores]] over a pre-computed HASHED shingle multiset
+    * (doc_id, sh: 64-bit hash, one row per occurrence): distinct-counting
+    * the hashes equals distinct-counting the strings up to 2^-64-scale
+    * collision odds (the same tolerance [[Dedup.ngramJaccardPairs]] already
+    * accepts on its join key). Lets a composed pipeline share one shingle
+    * scan with the dedup stage. No ORDER BY — this is an internal feed.
+    */
+  private[graft] def repetitionScoresFromHashed(shHashed: DataFrame): DataFrame =
+    shHashed
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 4))
+
   /** Deterministic stratified sampling: keep each stratum (language,
     * source, …) at its own rate — the rebalancing step that downsamples a
     * dominant language before training. Membership is pure hash

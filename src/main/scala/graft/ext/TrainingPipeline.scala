@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * user of this library actually ships, wired from the individually
   * oracle-gated stages:
   *
-  *   1. quality gate — [[TextAnalysis.gopherFilter]] (length, stopword
-  *      density, repetition);
+  *   1. quality gate — [[TextAnalysis.gopherFilter]] semantics (length,
+  *      stopword density, repetition), with the repetition metric fed from
+  *      a shingle scan SHARED with stage 2;
   *   2. near-dup removal — [[Dedup.nearDupPipeline]] candidates (LSH
-  *      banding → exact Jaccard verify); every pair keeps its smaller
-  *      doc_id (transitively: any doc that appears as a dropped side goes);
+  *      banding → exact Jaccard verify) over the same shared scan; every
+  *      pair keeps its smaller doc_id (transitively: any doc that appears
+  *      as a dropped side goes);
   *   3. language rebalancing — [[TextAnalysis.stratifiedSample]];
   *   4. train split — [[TextAnalysis.deterministicSplit]];
   *   5. sequence packing — [[TextAnalysis.packSequences]].
@@ -30,20 +32,38 @@ object TrainingPipeline {
       sampleFractions: Map[String, Double] = Map("en" -> 0.5),
       trainPct: Int = 80, valPct: Int = 10,
       maxTokens: Long = 512): DataFrame = {
-    // cached: three downstream consumers (dedup shingles, the rebalance
-    // join, packing) would each re-run the scan + quality gate otherwise
-    val clean = docs.join(
-      TextAnalysis.gopherFilter(docs, minTokens, minStopwordRatio, maxRepRatio)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // ONE hashed tokenize+shingle scan feeds BOTH the quality gate's
+    // repetition metric and the dedup stage's signatures/verifier — the
+    // two heaviest stages no longer scan the corpus independently
+    val shAll = Dedup.shinglesMultiset(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    val rep = TextAnalysis.repetitionScoresFromHashed(shAll)
+      .select(col("doc_id"), col("rep_ratio"))
+    // cached: the gate-id set (bounded: one id per surviving doc) has two
+    // consumers (the clean-doc semi-join and the shingle restriction)
+    val gate = TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      .join(rep, Seq("doc_id"))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("rep_ratio") <= maxRepRatio)
+      .select(col("doc_id"))
       .cache()
-    val dropped = Dedup.nearDupPipeline(clean, dupThreshold)
+    // cached: three downstream consumers (dedup candidate restriction, the
+    // rebalance join, packing) would each re-run the scan + gate otherwise
+    val clean = docs.join(gate, Seq("doc_id"), "left_semi").cache()
+    val shClean = shAll.join(gate, Seq("doc_id"), "left_semi")
+    val dropped = Dedup.nearDupPipelineFromHashedShingles(shClean, dupThreshold)
       .select(col("b").as("doc_id")).distinct()
     val surviving = clean.join(dropped, Seq("doc_id"), "left_anti")
     val sampled = TextAnalysis.stratifiedSample(surviving, "lang", sampleFractions)
+    // cached: packSequences opens with a max(doc_id) ACTION for its
+    // bucketing span, then reads its input again for the real output —
+    // uncached, the dedup/rebalance/split stages would execute TWICE
     val train = TextAnalysis.deterministicSplit(sampled, trainPct = trainPct, valPct = valPct)
       .filter(col("split") === "train")
       .drop("split")
+      .cache()
     TextAnalysis.packSequences(train, maxTokens)
   }
 }
