@@ -425,7 +425,6 @@ object Similarity {
       m: Int = 8, ks: Int = 16, iters: Int = 2, dim: Int = 64,
       shortlist: Int = 0): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val subDim = dim / m
     val fits = pqFit(emb, m, ks, iters, dim)
     // codes table: vec_id + m code columns, joined on vec_id (co-planned
     // into one shuffle per fit output; at scale this table is WRITTEN once
@@ -433,14 +432,28 @@ object Similarity {
     val codes = fits.zipWithIndex.map { case ((_, assigned), s) =>
       assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
     }.reduce(_.join(_, Seq("vec_id")))
-    // per-subspace literal LUT: ks codeword vectors as nested array literals
-    val luts = fits.map { case (cents, _) =>
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    pqScoreAndRank(codes, queries, emb, lutColumns(fits.map(_._1)), m, dim / m,
+      k, shortlist)
+  }
+
+  /** Per-subspace literal LUT columns: ks codeword vectors as nested array
+    * literals — the codebooks travel in the PLAN, not in data.
+    */
+  private def lutColumns(codebooks: Seq[Seq[(Int, Array[Double])]]): Seq[Column] =
+    codebooks.map { cents =>
       array(cents.sortBy(_._1).map { case (_, arr) =>
         array(arr.toIndexedSeq.map(lit): _*) }: _*)
     }
-    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // fixed-order sums (left-assoc reduce), mirrored exactly by the oracle
+
+  /** Shared PQ scoring tail: ADC over the codes (fixed-order left-assoc
+    * sums, mirrored exactly by the oracle), then either pure-ADC top-k or
+    * shortlist nomination + exact cosine re-rank against `vectors`.
+    */
+  private def pqScoreAndRank(codes: DataFrame, queries: DataFrame,
+      vectors: DataFrame, luts: Seq[Column], m: Int, subDim: Int,
+      k: Int, shortlist: Int): DataFrame = {
     val codeword = (s: Int) => element_at(luts(s), col(s"code_$s") + 1)
     val adc = (0 until m).map { s =>
       dot(slice(col("q_emb"), s * subDim + 1, subDim), codeword(s)) }.reduce(_ + _)
@@ -464,7 +477,7 @@ object Similarity {
         .filter(col("arank") <= shortlist)
         .select(col("query_id"), col("vec_id"))
       nominated
-        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
           round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
@@ -473,6 +486,49 @@ object Similarity {
         .filter(col("rank") <= k)
         .orderBy(col("query_id"), col("rank"))
     }
+  }
+
+  /** Persist a PQ index: the codes table (vec_id + m small-int codes — the
+    * m-byte index row at scale), the codebooks (m × ks × subDim doubles, a
+    * tiny side table), and the raw vectors (read ONLY for per-query
+    * shortlist re-ranks, never scanned whole). Build once, query many —
+    * the PQ twin of [[buildIvfIndex]].
+    */
+  def buildPqIndex(emb: DataFrame, dir: String, m: Int = 8, ks: Int = 16,
+      iters: Int = 2, dim: Int = 64): Unit = {
+    import emb.sparkSession.implicits._
+    val fits = pqFit(emb, m, ks, iters, dim)
+    fits.zipWithIndex.map { case ((_, assigned), s) =>
+      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    fits.zipWithIndex.flatMap { case ((cents, _), s) =>
+      cents.map { case (code, arr) => (s, code, arr) } }
+      .toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    emb.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Query a persisted PQ index: the corpus-wide scan reads the CODES
+    * parquet only; codebooks (driver-bounded) come back as plan literals;
+    * the vectors table is touched just for the query rows and the
+    * shortlist re-rank.
+    */
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50,
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(spark)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val codebooks = (0 until m).map(s =>
+      cb.filter(_._1 == s).map { case (_, code, arr) => (code, arr) }.toSeq)
+    val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    pqScoreAndRank(codes, queries, vectors, lutColumns(codebooks), m, dim / m,
+      k, shortlist)
   }
 
   /** IVF-PQ: the two index tiers composed — coarse k-means cells prune

@@ -359,6 +359,19 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("persisted PQ index round-trips: index path equals the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 2)
+    spark.catalog.clearCache()
+    val fromIndex = Similarity.pqTopKFromIndex(spark, dir, Seq(0L, 1L, 2L), 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    spark.catalog.clearCache()
+    val inMemory = Similarity.pqTopK(emb, Seq(0L, 1L, 2L), 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    spark.catalog.clearCache()
+    assert(fromIndex.toSeq == inMemory.toSeq)
+  }
+
   test("IVF-PQ confines results to probed cells and recovers their exact top-k") {
     val ivfpq = Similarity.ivfpqTopK(emb, Seq(0L, 1L, 2L), 10,
       nCells = 8, nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)
