@@ -20,7 +20,10 @@ import graft.ext.TextAnalysis
   *      so micro-batch boundaries cannot change any verdict — running
   *      them batch-by-batch is exactly equal to running them once over
   *      the union (the convergence spec pins this down).
-  *   3. the surviving train split appends to a parquet landing zone.
+  *   3. the surviving train split lands in a batch-id-keyed parquet
+  *      partition (`batch=<id>` + overwrite), so a replayed micro-batch
+  *      rewrites its own directory instead of appending duplicates —
+  *      effectively exactly-once on top of foreachBatch's at-least-once.
   *
   * Near-dup (LSH) removal is deliberately NOT in the streaming tier: its
   * banding joins need corpus-wide signatures. Production runs
@@ -45,17 +48,22 @@ object StreamingCorpus {
       .drop("fp")
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.drop("event_time").cache()
         try {
           val clean = b.join(
             TextAnalysis.gopherFilter(b, minTokens, minStopwordRatio, maxRepRatio)
               .select(col("doc_id")),
             Seq("doc_id"), "left_semi")
+          // batch-id-keyed partition + overwrite = idempotent under
+          // foreachBatch's at-least-once replays: a re-delivered batch
+          // rewrites its own directory instead of appending duplicates,
+          // so the landing zone is effectively exactly-once. Readers see
+          // one extra partition column (`batch`) via discovery.
           TextAnalysis.deterministicSplit(clean, trainPct = trainPct, valPct = valPct)
             .filter(col("split") === "train")
             .drop("split")
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         } finally { b.unpersist(); () }
       }
       .start()

@@ -146,6 +146,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("bucketed embedding dedup plans equi-joins only (never cartesian)") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    val plan = planOf(graft.ext.Dedup.embeddingTopPairsBucketed(emb, 20))
+    assert(!plan.contains("CartesianProduct"),
+      "the bucketed pipeline exists to avoid the corpus×corpus cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("persisted-PQ-index query scans only the codes columns corpus-wide") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    graft.ext.Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    spark.catalog.clearCache()
+    val df = graft.ext.Similarity.pqTopKFromIndex(spark, dir, Seq(0L), 5, shortlist = 20)
+    df.collect() // finalize adaptive plan
+    val plan = planOf(df)
+    // the corpus-wide side of the ADC stage is the codes parquet — its
+    // scan must NOT read any embedding payload; the vectors table is
+    // touched only by the bounded query filter (vec_id pushdown) and the
+    // shortlist re-rank join. An unfiltered full-width vectors scan here
+    // would be the 100 TB bug this index exists to avoid.
+    val blocks = plan.split("\n\n").toSeq // one block per formatted plan node
+    val codesScans = blocks.filter(b => b.contains("Scan parquet") && b.contains("/codes"))
+    assert(codesScans.nonEmpty, plan.take(3000))
+    assert(codesScans.forall(!_.contains("embedding")), codesScans.mkString("\n"))
+    val vectorScans = blocks.filter(b => b.contains("Scan parquet") && b.contains("/vectors"))
+    assert(vectorScans.nonEmpty, plan.take(3000))
+    assert(plan.contains("PushedFilters"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("salted join: no broadcast-nested-loop, salt column dropped from output") {
     val df = Queries.saltedJoinQuery(spark, sf)
     val plan = planOf(df)
