@@ -520,6 +520,40 @@ object Oracles {
         |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
         |ORDER BY p.a, p.b""".stripMargin,
 
+    // connected components over the same quadratic ground-truth pairs:
+    // WITH RECURSIVE propagates every label through the symmetric edge
+    // list until fixpoint; min(reachable label) = min doc_id in the
+    // component — exactly the min-label-propagation fixpoint Spark reaches
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), cand AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT p.a, p.b FROM cand p
+        |  JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+        |  WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |), reach(node, lab) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        |)
+        |SELECT node AS doc_id, min(lab) AS cluster
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
     "corpus_clean" ->
       """WITH scored AS (
         |  SELECT doc_id,
@@ -1085,6 +1119,24 @@ object Oracles {
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
+
+    // unigram-surprisal quality score: corpus-fit unigram LM, per-doc mean
+    // -ln p(token); integer division promotes to DOUBLE in both engines,
+    // the 4-decimal round absorbs partial-aggregation ulp noise
+    "text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), freq AS (
+        |  SELECT token, count(*) AS tf FROM tok GROUP BY token
+        |), tot AS (
+        |  SELECT count(*) AS n_total FROM tok
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(CAST(f.tf AS DOUBLE) / tot.n_total)), 4) AS avg_surprisal
+        |FROM tok t JOIN freq f USING (token), tot
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     // winnowing with the portable md5-prefix hash (TextAnalysis
     // .portableHash64) — k=5 char grams, window w=4, full windows only

@@ -56,6 +56,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
+    // transitive closure of the dup-pair graph: one representative per
+    // connected component (min-label propagation to a fixpoint)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.nearDupPipeline(docs(s, dir), 0.8))),
     "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan
@@ -136,6 +140,8 @@ object SparkEntry {
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
     "text_pack" -> ((s, dir) => TextAnalysis.packSequences(docs(s, dir), 512)),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
+    // frequency-based quality rule (CCNet/Gopher-style perplexity proxy)
+    "text_surprisal" -> ((s, dir) => TextAnalysis.unigramSurprisal(docs(s, dir))),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),

@@ -322,6 +322,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Transitive near-dup clustering: connected components over a dup-pair
+    * graph, as iterative min-label propagation. A near-dup RELATION is not
+    * transitive (A≈B, B≈C need not mean A≈C), but dedup must still keep
+    * exactly ONE representative per connected chain — the production rule
+    * that pairwise "drop the larger id" approximates. Each doc gets the
+    * smallest doc_id reachable through the pair graph (`cluster`).
+    *
+    * Each iteration is one neighbor-join + min-aggregate over the EDGE
+    * list (never the corpus); iterations are bounded by the component
+    * diameter — near-dup chains are short (planted clusters: 2-3 docs),
+    * and every iteration halves long paths' effective length at least.
+    * `localCheckpoint` truncates the growing lineage so the driver-side
+    * loop stays plan-bounded. Only docs that appear in some pair come
+    * back; every other doc is trivially its own cluster.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    // materialize the pair list ONCE before symmetrizing: the union's two
+    // branches would otherwise each re-execute the (expensive) upstream
+    // pair pipeline
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("n_cluster")),
+          Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("n_cluster")).as("min_n"))
+        .select(col("src").as("doc_id"), col("min_n"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Candidate near-dup pairs in embedding space via multi-table
     * random-hyperplane LSH — the production (100 TB) path: vectors are
     * bucketed per table ([[Similarity.lshBuckets]], a pure per-row map),

@@ -176,6 +176,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Unigram-surprisal quality score — the frequency-based filtering rule
+    * (CCNet/Gopher-style "perplexity" proxy): fit a unigram language model
+    * on the corpus itself (token frequency / corpus size) and score each
+    * document by its mean token surprisal `avg(−ln p(token))`. Documents
+    * full of rare garbage score HIGH (drop above a cutoff); degenerate
+    * repeated-token documents score LOW. Complements the length/stopword/
+    * repetition rules with a distributional one.
+    *
+    * Scale shape: one token explode feeding both the frequency table and
+    * the scoring join; the vocabulary aggregate is token-keyed (bounded by
+    * vocab, not corpus) and the corpus total is a broadcast scalar — the
+    * same lazy-N pattern as [[tfidfTopTerms]]. No collect, no windows.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = tokens.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = tokens.agg(count(lit(1)).as("n_total"))
+    tokens.join(freq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("n_total"))), 4).as("avg_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting-only edits.
     */

@@ -359,6 +359,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("dup clustering collapses chains to one representative (transitive closure)") {
+    import spark.implicits._
+    // 1-2-3-4 is a CHAIN (1 and 4 never share a pair) — pairwise drop-the-
+    // larger-id logic cannot see it whole; the fixpoint must
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (10L, 11L), (9L, 11L))
+      .toDF("a", "b")
+    val got = graft.ext.Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L, 10L -> 9L, 11L -> 9L))
+  }
+
   test("persisted PQ index round-trips: index path equals the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
     Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 2)
