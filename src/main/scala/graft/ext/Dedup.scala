@@ -210,9 +210,13 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     // k MinHash views as affine transforms of the ONE existing 64-bit
     // shingle hash (mod P) — a multiply-mod per view instead of a fresh
-    // xxhash64 over the key bytes; same universal-hash family as
-    // [[minhashSignatures]], recall unchanged (ExtSpec/oracle hold at all
-    // SFs because the verifier stage is exact regardless of the family)
+    // xxhash64 over the key bytes; the universal-hash family from
+    // [[minhashSignatures]]. NOTE the exact verifier only filters
+    // LSH-PROPOSED candidates — it cannot restore a pair banding never
+    // proposes, so end-to-end correctness rests on banding recall staying
+    // 1.0 at the threshold. That property is what the dedup_pipeline
+    // oracle (full quadratic ground truth, tri-scale) actually gates;
+    // anyone changing the hash family or band geometry must re-check it.
     val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * pmod(col("sh"), lit(MinhashP)) + lit(b)) % MinhashP).as(s"mh_$i") }
     val sig = shAll.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -330,9 +334,11 @@ object Dedup {
     * smallest doc_id reachable through the pair graph (`cluster`).
     *
     * Each iteration is one neighbor-join + min-aggregate over the EDGE
-    * list (never the corpus); iterations are bounded by the component
-    * diameter — near-dup chains are short (planted clusters: 2-3 docs),
-    * and every iteration halves long paths' effective length at least.
+    * list (never the corpus); labels flow ONE hop per iteration, so
+    * convergence is O(component diameter) — fine for near-dup chains
+    * (planted clusters: 2-3 docs; boilerplate families stay shallow once
+    * near-exact members collapse), while pathological long chains would
+    * want a large-star/pointer-jumping variant (O(log d) rounds).
     * `localCheckpoint` truncates the growing lineage so the driver-side
     * loop stays plan-bounded. Only docs that appear in some pair come
     * back; every other doc is trivially its own cluster.
@@ -386,14 +392,21 @@ object Dedup {
   def embeddingCandidatePairs(emb: DataFrame, numPlanes: Int = 4, dim: Int = 64,
       numTables: Int = 2): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
+    // cache each table's bucket projection (used on BOTH sides of its
+    // self-join — uncached, the corpus would be scanned and bucket-hashed
+    // twice per table), then materialize the id-pair candidates and drop
+    // the caches: same discipline as lshTopK
+    val tableCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val cand = (0 until numTables).map { t =>
       val bucketed = Similarity.lshBuckets(emb, numPlanes, dim, 42L + t)
-        .select(col("vec_id"), col("bucket"))
+        .select(col("vec_id"), col("bucket")).cache()
+      tableCaches += bucketed
       bucketed.select(col("vec_id").as("a"), col("bucket"))
         .join(bucketed.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"))
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    tableCaches.foreach(_.unpersist())
     val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
     val embB = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
     cand.join(embA, Seq("a")).join(embB, Seq("b"))

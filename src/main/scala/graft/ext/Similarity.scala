@@ -203,8 +203,10 @@ object Similarity {
     * mean of the vectors its cell holds in the returned assignment — so
     * IVF probing can reuse it directly instead of paying another assign
     * pass. `emb` is cached for the duration (each iteration reads it
-    * twice: assign + mean); callers drop it via `catalog.clearCache` or
-    * `unpersistInput`.
+    * twice: assign + mean) and UNPERSISTED before returning — the returned
+    * assignment is checkpoint-materialized (tiny: vec_id + cell), so no
+    * lazy reference to the cache escapes and repeated fits cannot leak
+    * executor storage.
     */
   def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 3): (Seq[(Int, Array[Double])], DataFrame) = {
     import emb.sparkSession.implicits._
@@ -233,6 +235,10 @@ object Similarity {
     }
     if (assigned == null) // iters = 0: assignment of the init centroids
       assigned = kmeansAssign(cached, cents).select(col("vec_id"), col("cell"))
+    // materialize the (vec_id, cell) assignment and drop the corpus cache:
+    // without this every fit leaks one cached corpus copy per call
+    assigned = assigned.localCheckpoint(true)
+    cached.unpersist()
     (cents, assigned)
   }
 
@@ -438,13 +444,24 @@ object Similarity {
       k, shortlist)
   }
 
-  /** Per-subspace literal LUT columns: ks codeword vectors as nested array
-    * literals — the codebooks travel in the PLAN, not in data.
+  /** Per-subspace literal LUT columns: codeword vectors as nested array
+    * literals — the codebooks travel in the PLAN, not in data. The array
+    * is DENSE BY CELL ID (`element_at(lut, code + 1)` must land on the
+    * codeword of that cell): a Lloyd iteration can empty a cell, which
+    * then has no centroid row — positional packing would misalign every
+    * higher code and walk the max code off the array. Empty cells get a
+    * zero vector; no vector carries their code (codes come from the same
+    * assignment that produced the centroids), so the filler is never read.
     */
   private def lutColumns(codebooks: Seq[Seq[(Int, Array[Double])]]): Seq[Column] =
     codebooks.map { cents =>
-      array(cents.sortBy(_._1).map { case (_, arr) =>
-        array(arr.toIndexedSeq.map(lit): _*) }: _*)
+      val byCell = cents.toMap
+      val dim = cents.head._2.length
+      val maxCell = cents.map(_._1).max
+      array((0 to maxCell).map { cell =>
+        val arr = byCell.getOrElse(cell, Array.fill(dim)(0.0))
+        array(arr.toIndexedSeq.map(lit): _*)
+      }: _*)
     }
 
   /** Shared PQ scoring tail: ADC over the codes (fixed-order left-assoc
@@ -555,10 +572,7 @@ object Similarity {
       assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
     }.reduce(_.join(_, Seq("vec_id")))
       .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val luts = fits.map { case (cents, _) =>
-      array(cents.sortBy(_._1).map { case (_, arr) =>
-        array(arr.toIndexedSeq.map(lit): _*) }: _*)
-    }
+    val luts = lutColumns(fits.map(_._1))
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // coarse probes: rank cells by query-centroid cosine (broadcast both —

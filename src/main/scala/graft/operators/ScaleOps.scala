@@ -102,8 +102,10 @@ object ScaleOps {
       dir + ".old-" + java.util.UUID.randomUUID())
     require(fs.rename(path, old), s"compaction aside-rename failed for $dir")
     if (!fs.rename(staging, path)) {
-      fs.rename(old, path) // roll back: restore the original table
-      sys.error(s"compaction swap failed for $dir (original restored)")
+      val restored = fs.rename(old, path) // roll back: restore the original table
+      sys.error(
+        if (restored) s"compaction swap failed for $dir (original restored)"
+        else s"compaction swap failed for $dir AND rollback failed - original data is at $old")
     }
     fs.delete(old, true)
   }
