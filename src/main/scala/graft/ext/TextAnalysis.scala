@@ -204,6 +204,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII patterns shared by [[redactPii]] and its tests: RE2-safe (no
+    * lookaround/backreference), so the same pattern means the same thing
+    * under Java regex and RE2-family engines. Phone matching is
+    * deliberately conservative (international-prefix or separator-grouped
+    * digits) to avoid eating ordinary numbers.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{1,3}[ .-]?\\d{2,4}[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>",
+    "\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b" -> "<PHONE>")
+
+  /** PII redaction — the scrubbing pass training pipelines run before
+    * release: emails, IPv4 addresses, and phone-shaped numbers are
+    * replaced with typed placeholder tokens, and the op reports how many
+    * of each it removed. A pure per-row map (chained codegen'd
+    * `regexp_replace`/`regexp_extract_all`) — no shuffle, scales with
+    * input splits. Patterns apply in fixed order (emails before phones so
+    * a numeric local-part is not half-eaten).
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    val countIn = (c: Column, pat: String) =>
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    // the separator-grouped phone pattern is counted AFTER international
+    // matches are removed — "+1 555-123-4567" contains both shapes and
+    // must count as ONE phone, exactly as redaction (fixed order) treats it
+    val afterIntl = regexp_replace(col("text"), PiiPatterns(2)._1, "")
+    docs.select(
+      col("doc_id"),
+      countIn(col("text"), PiiPatterns(0)._1).as("n_emails"),
+      countIn(col("text"), PiiPatterns(1)._1).as("n_ips"),
+      (countIn(col("text"), PiiPatterns(2)._1) +
+        countIn(afterIntl, PiiPatterns(3)._1)).as("n_phones"),
+      redacted.as("redacted_text"))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key that survives formatting-only edits.
     */

@@ -359,6 +359,25 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("PII redaction scrubs emails/IPs/phones and counts each once") {
+    import spark.implicits._
+    // planted fixture: the synthetic corpus contains no PII, so the op's
+    // behavior is pinned here instead of a vacuous all-zeros oracle row
+    val fixture = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or bob@test.io today"),
+      (2L, "server at 192.168.1.254 then call +1 555-123-4567 now"),
+      (3L, "plain 555-123-4567 and version 1.2 stays, 1.2.3.4 goes"),
+      (4L, "nothing sensitive here, just words and the number 42")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.redactPii(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) == ((2L, 0L, 0L, "contact <EMAIL> or <EMAIL> today")))
+    // "+1 555-123-4567" holds both phone shapes but counts as ONE phone
+    assert(got(2L) == ((0L, 1L, 1L, "server at <IP> then call <PHONE> now")))
+    assert(got(3L) == ((0L, 1L, 1L, "plain <PHONE> and version 1.2 stays, <IP> goes")))
+    assert(got(4L) == ((0L, 0L, 0L, "nothing sensitive here, just words and the number 42")))
+  }
+
   test("dup clustering collapses chains to one representative (transitive closure)") {
     import spark.implicits._
     // 1-2-3-4 is a CHAIN (1 and 4 never share a pair) — pairwise drop-the-
