@@ -210,7 +210,11 @@ object Similarity {
     */
   def kmeansFit(emb: DataFrame, k: Int = 16, iters: Int = 3): (Seq[(Int, Array[Double])], DataFrame) = {
     import emb.sparkSession.implicits._
-    val cached = emb.cache()
+    // only manage a cache WE created: if the caller already cached this
+    // plan, reuse it and leave it alone (Spark's cache manager has no
+    // refcount — unpersisting here would silently drop the caller's cache)
+    val callerCached = emb.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) emb else emb.cache()
     var cents: Seq[(Int, Array[Double])] = cached.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).as[Array[Float]].collect()
       .zipWithIndex.map { case (v, i) => (i, v.map(_.toDouble)) }.toSeq
@@ -238,7 +242,7 @@ object Similarity {
     // materialize the (vec_id, cell) assignment and drop the corpus cache:
     // without this every fit leaks one cached corpus copy per call
     assigned = assigned.localCheckpoint(true)
-    cached.unpersist()
+    if (!callerCached) cached.unpersist()
     (cents, assigned)
   }
 

@@ -221,26 +221,34 @@ object TextAnalysis {
     * replaced with typed placeholder tokens, and the op reports how many
     * of each it removed. A pure per-row map (chained codegen'd
     * `regexp_replace`/`regexp_extract_all`) — no shuffle, scales with
-    * input splits. Patterns apply in fixed order (emails before phones so
-    * a numeric local-part is not half-eaten).
+    * input splits.
+    *
+    * Patterns apply in fixed order (emails before phones so a numeric
+    * local-part is not half-eaten), and each kind is COUNTED on the text
+    * as it exists at that stage of the same sequential substitution — so
+    * every count equals the number of placeholders that stage actually
+    * inserted. Counting everything on the raw text instead would report a
+    * "phone" for `555-123-4567@relay.com` even though redaction consumed
+    * it as an email; placeholder (not empty-string) substitution also
+    * means removing one match can never splice surrounding digits into a
+    * phantom match for a later pattern.
     */
   def redactPii(docs: DataFrame): DataFrame = {
-    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (pat, tok)) =>
-      regexp_replace(c, pat, tok)
-    }
     val countIn = (c: Column, pat: String) =>
       size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
-    // the separator-grouped phone pattern is counted AFTER international
-    // matches are removed — "+1 555-123-4567" contains both shapes and
-    // must count as ONE phone, exactly as redaction (fixed order) treats it
-    val afterIntl = regexp_replace(col("text"), PiiPatterns(2)._1, "")
+    // stages(i) = text after the first i substitutions
+    val stages = PiiPatterns.scanLeft(col("text")) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+    val counts = PiiPatterns.zip(stages).map { case ((pat, _), before) =>
+      countIn(before, pat)
+    }
     docs.select(
       col("doc_id"),
-      countIn(col("text"), PiiPatterns(0)._1).as("n_emails"),
-      countIn(col("text"), PiiPatterns(1)._1).as("n_ips"),
-      (countIn(col("text"), PiiPatterns(2)._1) +
-        countIn(afterIntl, PiiPatterns(3)._1)).as("n_phones"),
-      redacted.as("redacted_text"))
+      counts(0).as("n_emails"),
+      counts(1).as("n_ips"),
+      (counts(2) + counts(3)).as("n_phones"),
+      stages.last.as("redacted_text"))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —

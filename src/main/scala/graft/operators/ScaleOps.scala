@@ -103,9 +103,13 @@ object ScaleOps {
     require(fs.rename(path, old), s"compaction aside-rename failed for $dir")
     if (!fs.rename(staging, path)) {
       val restored = fs.rename(old, path) // roll back: restore the original table
+      // after a successful rollback the staging copy is redundant — delete
+      // it so retry loops don't accumulate table-sized orphans; on
+      // rollback failure keep EVERYTHING and say where the data lives
+      if (restored) fs.delete(staging, true)
       sys.error(
         if (restored) s"compaction swap failed for $dir (original restored)"
-        else s"compaction swap failed for $dir AND rollback failed - original data is at $old")
+        else s"compaction swap failed for $dir AND rollback failed - original data is at $old, compacted copy at $staging")
     }
     fs.delete(old, true)
   }

@@ -367,7 +367,10 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "contact alice.smith+spam@example.co.uk or bob@test.io today"),
       (2L, "server at 192.168.1.254 then call +1 555-123-4567 now"),
       (3L, "plain 555-123-4567 and version 1.2 stays, 1.2.3.4 goes"),
-      (4L, "nothing sensitive here, just words and the number 42")
+      (4L, "nothing sensitive here, just words and the number 42"),
+      (5L, "reach 555-123-4567@relay.com"),
+      (6L, "user@192.168.0.1.com pinged"),
+      (7L, "id 555-123+44 20 7946 0958-4567 end")
     ).toDF("doc_id", "text")
     val got = graft.ext.TextAnalysis.redactPii(fixture).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
@@ -376,6 +379,12 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((0L, 1L, 1L, "server at <IP> then call <PHONE> now")))
     assert(got(3L) == ((0L, 1L, 1L, "plain <PHONE> and version 1.2 stays, <IP> goes")))
     assert(got(4L) == ((0L, 0L, 0L, "nothing sensitive here, just words and the number 42")))
+    // counts must agree with what redaction actually consumed: a phone- or
+    // IP-shaped string swallowed by the email pattern is an email, not both
+    assert(got(5L) == ((1L, 0L, 0L, "reach <EMAIL>")))
+    assert(got(6L) == ((1L, 0L, 0L, "<EMAIL> pinged")))
+    // placeholder substitution cannot splice neighbors into a phantom match
+    assert(got(7L) == ((0L, 0L, 1L, "id 555-123<PHONE>-4567 end")))
   }
 
   test("dup clustering collapses chains to one representative (transitive closure)") {
