@@ -60,6 +60,9 @@ object SparkEntry {
     // connected component (min-label propagation to a fixpoint)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.nearDupPipeline(docs(s, dir), 0.8))),
+    // containment (smaller-side-normalized winnowing overlap): catches a
+    // short doc embedded in a long one, which union-normalized Jaccard misses
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), 0.8)),
     "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan

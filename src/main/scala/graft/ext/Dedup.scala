@@ -326,6 +326,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment dedup candidates: pairs of documents whose WINNOWING
+    * fingerprint sets overlap by at least `threshold` of the SMALLER
+    * side's fingerprints. Complements shingle Jaccard, which union-
+    * normalizes and therefore misses a short document embedded verbatim
+    * in a much longer one (the quote/boilerplate-inclusion case every
+    * training corpus has) — containment normalizes by `least(n_a, n_b)`,
+    * so a fully-contained doc scores ~1 regardless of the size gap.
+    * Winnowing guarantees any shared substring of length ≥ w+k−1
+    * contributes a shared fingerprint, so candidate generation is a
+    * sparse fingerprint equi-join — docs sharing no substring never meet.
+    *
+    * Two levers keep the fingerprint join SPARSE at scale (without them a
+    * small shared vocabulary makes short common substrings collide
+    * everywhere and the pair join goes quasi-quadratic):
+    *   - long grams (k=12, w=8 → only shared substrings of ≥ 19 chars
+    *     produce shared fingerprints — phrase-level, not word-level);
+    *   - a document-frequency cap: fingerprints appearing in more than
+    *     `maxDf` docs are boilerplate, carry no containment evidence, and
+    *     are dropped BEFORE pairing — bounding per-key join fanout at
+    *     maxDf² regardless of corpus size. Containment is normalized on
+    *     the post-cap fingerprint counts, so the ratio stays consistent.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 12, w: Int = 8, maxDf: Int = 32): DataFrame = {
+    val fp = TextAnalysis.winnowingFingerprints(docs, k, w).cache()
+    val dfreq = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val rare = fp.join(dfreq.filter(col("df") <= maxDf), Seq("fp"))
+      .select(col("doc_id"), col("fp")).cache()
+    val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = rare.select(col("doc_id").as("a"), col("fp"))
+      .join(rare.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("a"), col("n_fp").as("n_a")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_fp").as("n_b")), Seq("b"))
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("shared"), col("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Transitive near-dup clustering: connected components over a dup-pair
     * graph, as iterative min-label propagation. A near-dup RELATION is not
     * transitive (A≈B, B≈C need not mean A≈C), but dedup must still keep

@@ -40,7 +40,8 @@ object StreamingCorpus {
   def trainIngest(docs: DataFrame, outDir: String, checkpointDir: String,
       watermark: String = "1 hour",
       minTokens: Long = 30, minStopwordRatio: Double = 0.01,
-      maxRepRatio: Double = 0.6, trainPct: Int = 80, valPct: Int = 10): StreamingQuery = {
+      maxRepRatio: Double = 0.6, trainPct: Int = 80, valPct: Int = 10,
+      nearDupThreshold: Option[Double] = None): StreamingQuery = {
     val deduped = docs
       .withColumn("fp", md5(col("text")))
       .withWatermark("event_time", watermark)
@@ -51,10 +52,23 @@ object StreamingCorpus {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.drop("event_time").cache()
         try {
-          val clean = b.join(
+          val gated = b.join(
             TextAnalysis.gopherFilter(b, minTokens, minStopwordRatio, maxRepRatio)
               .select(col("doc_id")),
             Seq("doc_id"), "left_semi")
+          // optional WITHIN-BATCH near-dup removal (LSH candidates + exact
+          // verify over just this micro-batch; smaller doc_id survives) —
+          // cross-batch near-dup detection needs corpus-wide signatures and
+          // stays the batch compaction pass
+          val clean = nearDupThreshold.fold(gated) { th =>
+            val g = gated.cache()
+            val dropped = graft.ext.Dedup.nearDupPipeline(g, th)
+              .select(col("b").as("doc_id")).distinct()
+            g.join(dropped, Seq("doc_id"), "left_anti")
+          }
+          // (caches created here — b, g, and the dedup pipeline's internal
+          // shingle stream — are dropped in the finally below once the
+          // write action has materialized everything)
           // batch-id-keyed partition + overwrite = idempotent under
           // foreachBatch's at-least-once replays: a re-delivered batch
           // rewrites its own directory instead of appending duplicates,
@@ -64,7 +78,15 @@ object StreamingCorpus {
             .filter(col("split") === "train")
             .drop("split")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        } finally { b.unpersist(); () }
+        } finally {
+          // with the near-dup stage on, nearDupPipeline holds an internal
+          // shingle cache we cannot reference — clear the session cache
+          // wholesale (a streaming ingestion job owns its session; without
+          // this, state accumulates one cached plan per micro-batch)
+          if (nearDupThreshold.isDefined) b.sparkSession.catalog.clearCache()
+          else b.unpersist()
+          ()
+        }
       }
       .start()
   }

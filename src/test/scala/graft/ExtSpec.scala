@@ -387,6 +387,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(7L) == ((0L, 0L, 1L, "id 555-123<PHONE>-4567 end")))
   }
 
+  test("containment pairs catch a short doc embedded in a long one where Jaccard misses it") {
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog while rain falls on the green valley"
+    val filler = (1 to 40).map(i => s"unrelated filler sentence number $i about weather and mountains").mkString(" ")
+    val fixture = Seq(
+      (1L, core),
+      (2L, s"$filler $core"), // core fully embedded in a much longer doc
+      (3L, "completely different text about databases and distributed systems engineering")
+    ).toDF("doc_id", "text")
+    // union-normalized Jaccard cannot see the inclusion (size gap crushes it)
+    val jac = graft.ext.Dedup.ngramJaccardPairs(fixture, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "fixture invalid: Jaccard should miss the containment")
+    // smaller-side-normalized winnowing overlap must find exactly it
+    val got = graft.ext.Dedup.containmentPairs(fixture, 0.8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    spark.catalog.clearCache()
+    assert(got.keySet == Set((1L, 2L)), s"got ${got.keySet}")
+    assert(got((1L, 2L)) >= 0.9, s"containment ${got((1L, 2L))}")
+  }
+
   test("dup clustering collapses chains to one representative (transitive closure)") {
     import spark.implicits._
     // 1-2-3-4 is a CHAIN (1 and 4 never share a pair) — pairwise drop-the-

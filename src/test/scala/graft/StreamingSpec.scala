@@ -352,6 +352,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).map(_._1)} extra=${streamed.diff(expected).map(_._1)}")
   }
 
+  test("streaming within-batch near-dup stage matches the batch pipeline on a single batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the whole corpus in ONE micro-batch: within-batch dedup == corpus-wide
+    val rows = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val docs = rows.zipWithIndex.map { case ((id, t, l, s), i) =>
+      CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-nd-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.trainIngest(mem.toDF(), outDir, ckpt,
+      nearDupThreshold = Some(0.8))
+    try { mem.addData(docs.toSeq: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch twin: exact dedup -> gopher -> near-dup drop -> train split
+    val allDf = docs.toSeq.toDF().drop("event_time")
+    val survivors = graft.ext.Dedup.exactSurvivors(allDf)
+    val gated = survivors.join(
+      graft.ext.TextAnalysis.gopherFilter(survivors).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val dropped = graft.ext.Dedup.nearDupPipeline(gated, 0.8)
+      .select(col("b").as("doc_id")).distinct()
+    val clean = gated.join(dropped, Seq("doc_id"), "left_anti")
+    val expected = graft.ext.TextAnalysis.deterministicSplit(clean)
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
