@@ -188,6 +188,12 @@ object Dedup {
     * candidates. Equivalent to the full quadratic [[ngramJaccardPairs]]
     * whenever banding recall is 1 at the threshold (holds for planted
     * near-dups at J≥0.9; banding parameters control the guarantee).
+    *
+    * Cache lifecycle: the shared shingle stream is cached for the
+    * duration of the (lazy) result's evaluation and the result may be
+    * large, so it is NOT eagerly materialized here — after materializing
+    * (write/collect), long-lived sessions should release the caches
+    * (`spark.catalog.clearCache()` or unpersist by plan).
     */
   def nearDupPipeline(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
@@ -359,7 +365,11 @@ object Dedup {
       .join(rare.select(col("doc_id").as("b"), col("fp")), Seq("fp"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
+    // materialize the (bounded: threshold-filtered pair list) result and
+    // drop the fingerprint caches — repeated library calls must not
+    // accumulate cached fingerprint sets (same discipline as
+    // embeddingCandidatePairs / lshTopK)
+    val out = shared
       .join(counts.select(col("doc_id").as("a"), col("n_fp").as("n_a")), Seq("a"))
       .join(counts.select(col("doc_id").as("b"), col("n_fp").as("n_b")), Seq("b"))
       .withColumn("containment",
@@ -367,6 +377,9 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("a"), col("b"), col("shared"), col("containment"))
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true)
+    fp.unpersist(); rare.unpersist()
+    out
   }
 
   /** Transitive near-dup clustering: connected components over a dup-pair

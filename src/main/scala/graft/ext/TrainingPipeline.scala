@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * them; the whole thing is one lazy plan until the sink.
   *
   * Output: (doc_id, n_tokens, seq_id, seq_offset) for the train split.
+  *
+  * Cache lifecycle: the pipeline caches its shared shingle stream, the
+  * gate-id set, the clean set, and the train split for the duration of
+  * the (lazy) result's evaluation; after materializing (write/collect),
+  * long-lived sessions should release them (`spark.catalog.clearCache()`
+  * or unpersist by plan). The harness mains do this between queries.
   */
 object TrainingPipeline {
 
