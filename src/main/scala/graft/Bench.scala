@@ -28,9 +28,11 @@ object Bench {
     // only make a run slower, never faster, so min-of-N is the estimator
     // that is robust to external load (a 3× outlier on one run cannot
     // manufacture a phantom regression). Raw runs ship in the JSON too.
-    // clamp to >= 1: reps=0 would make runs.min throw and kill the whole
-    // bench with no JSON — a misconfigured wrapper must not look like that
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // clamp to >= 1 and fall back on unparsable input: a misconfigured
+    // wrapper (reps=0, reps="three") must degrade to a sane rep count, not
+    // kill the whole bench with no JSON
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt).getOrElse(3))
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => SparkEntry.verifierOnly(name) }
       .map { case (name, fn) =>

@@ -196,13 +196,16 @@ object Dedup {
     * (`spark.catalog.clearCache()` or unpersist by plan).
     */
   def nearDupPipeline(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
-      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4,
+      cacheRegistry: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     // ONE tokenize+shingle scan feeds both stages: minhash signatures take
     // min over the hashed multiset (min is distinct-invariant), the
     // verifier takes the distinct set of the same hashed stream
     val shAll = shinglesMultiset(docs, n)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
-    nearDupPipelineFromHashedShingles(shAll, threshold, numHashes, bands, rowsPerBand)
+    cacheRegistry.foreach(_ += shAll)
+    nearDupPipelineFromHashedShingles(shAll, threshold, numHashes, bands, rowsPerBand,
+      cacheRegistry)
   }
 
   /** [[nearDupPipeline]] body over a PRE-COMPUTED hashed shingle multiset
@@ -210,10 +213,17 @@ object Dedup {
     * pipeline (e.g. [[TrainingPipeline]]) share one tokenize+shingle scan
     * between the quality gate's repetition metric and this dedup stage
     * instead of scanning the corpus twice.
+    *
+    * `cacheRegistry`, when supplied, collects every cache this pipeline
+    * creates so a caller that must bound memory (e.g. a long-running
+    * streaming job) can unpersist them BY PLAN after materializing —
+    * without resorting to a session-wide `clearCache` that would nuke
+    * co-resident workloads' caches.
     */
   private[graft] def nearDupPipelineFromHashedShingles(shAll: DataFrame,
       threshold: Double = 0.8, numHashes: Int = 32, bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      cacheRegistry: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     // k MinHash views as affine transforms of the ONE existing 64-bit
     // shingle hash (mod P) — a multiply-mod per view instead of a fresh
     // xxhash64 over the key bytes; the universal-hash family from
@@ -239,6 +249,7 @@ object Dedup {
     val shC = shAll.distinct()
       .join(docsInCand, Seq("doc_id"), "left_semi")
       .cache()
+    cacheRegistry.foreach(_ += shC)
     val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = shC.select(col("doc_id").as("a"), col("sh"))
       .join(shC.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
@@ -445,6 +456,30 @@ object Dedup {
     * by id, exactly like [[nearDupPipeline]] re-joins shingles for its
     * candidates.
     */
+  /** The LAZY candidate-id-pair plan (union of per-table in-bucket joins)
+    * — separated so PlanSpec can assert the stage that matters is
+    * cartesian-free BEFORE [[embeddingCandidatePairs]] checkpoint-
+    * materializes it (a checkpoint replaces the executed subtree with an
+    * RDD scan, hiding the join shape from any later plan inspection).
+    * When `cache` is set each table's bucket projection is cached (it sits
+    * on both sides of its self-join) and registered for the caller to
+    * drop after materialization.
+    */
+  private[graft] def embeddingCandidatePlan(emb: DataFrame, numPlanes: Int,
+      dim: Int, numTables: Int,
+      tableCaches: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame =
+    (0 until numTables).map { t =>
+      val projected = Similarity.lshBuckets(emb, numPlanes, dim, 42L + t)
+        .select(col("vec_id"), col("bucket"))
+      val bucketed = tableCaches.fold(projected) { reg =>
+        val c = projected.cache(); reg += c; c
+      }
+      bucketed.select(col("vec_id").as("a"), col("bucket"))
+        .join(bucketed.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+    }.reduce(_ unionByName _).distinct()
+
   def embeddingCandidatePairs(emb: DataFrame, numPlanes: Int = 4, dim: Int = 64,
       numTables: Int = 2): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)
@@ -453,15 +488,8 @@ object Dedup {
     // twice per table), then materialize the id-pair candidates and drop
     // the caches: same discipline as lshTopK
     val tableCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val cand = (0 until numTables).map { t =>
-      val bucketed = Similarity.lshBuckets(emb, numPlanes, dim, 42L + t)
-        .select(col("vec_id"), col("bucket")).cache()
-      tableCaches += bucketed
-      bucketed.select(col("vec_id").as("a"), col("bucket"))
-        .join(bucketed.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+    val cand = embeddingCandidatePlan(emb, numPlanes, dim, numTables,
+      Some(tableCaches)).localCheckpoint(true)
     tableCaches.foreach(_.unpersist())
     val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
     val embB = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))

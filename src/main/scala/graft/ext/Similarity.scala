@@ -475,16 +475,32 @@ object Similarity {
   private def pqScoreAndRank(codes: DataFrame, queries: DataFrame,
       vectors: DataFrame, luts: Seq[Column], m: Int, subDim: Int,
       k: Int, shortlist: Int): DataFrame = {
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), pqApproxCos(luts, m, subDim))
+    pqRankTail(scored, queries, vectors, k, shortlist)
+  }
+
+  /** The ADC approximate-cosine column over (q_emb, code_0..code_{m-1})
+    * rows: fixed-order left-assoc sums, mirrored exactly by the oracles —
+    * ONE definition shared by the flat-PQ and IVF-PQ paths so the
+    * arithmetic the oracles pin bit-exactly cannot silently fork.
+    */
+  private def pqApproxCos(luts: Seq[Column], m: Int, subDim: Int): Column = {
     val codeword = (s: Int) => element_at(luts(s), col(s"code_$s") + 1)
     val adc = (0 until m).map { s =>
       dot(slice(col("q_emb"), s * subDim + 1, subDim), codeword(s)) }.reduce(_ + _)
     val reconNorm2 = (0 until m).map { s =>
       dot(codeword(s), codeword(s)) }.reduce(_ + _)
     val qNorm2 = dot(col("q_emb"), col("q_emb"))
-    val scored = codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(adc / (sqrt(qNorm2) * sqrt(reconNorm2)), 6).as("cos_approx"))
+    round(adc / (sqrt(qNorm2) * sqrt(reconNorm2)), 6).as("cos_approx")
+  }
+
+  /** Shared PQ ranking tail: pure-ADC top-k, or shortlist nomination +
+    * exact cosine re-rank against `vectors`.
+    */
+  private def pqRankTail(scored: DataFrame, queries: DataFrame,
+      vectors: DataFrame, k: Int, shortlist: Int): DataFrame = {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_approx").desc, col("vec_id"))
     if (shortlist <= 0)
@@ -588,30 +604,12 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("c_cell"))))
       .filter(col("c_rank") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("c_cell"))
-    val codeword = (s: Int) => element_at(luts(s), col(s"code_$s") + 1)
-    val adc = (0 until m).map { s =>
-      dot(slice(col("q_emb"), s * subDim + 1, subDim), codeword(s)) }.reduce(_ + _)
-    val reconNorm2 = (0 until m).map { s =>
-      dot(codeword(s), codeword(s)) }.reduce(_ + _)
-    val qNorm2 = dot(col("q_emb"), col("q_emb"))
+    // same ADC arithmetic and ranking tail as flat PQ — only the join that
+    // selects WHICH codes get scored differs (probed cells vs the corpus)
     val scored = codes.join(broadcast(probes), col("cell") === col("c_cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(adc / (sqrt(qNorm2) * sqrt(reconNorm2)), 6).as("cos_approx"))
-    val nominated = scored
-      .withColumn("arank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos_approx").desc, col("vec_id"))))
-      .filter(col("arank") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
-    nominated
-      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("vec_id"), pqApproxCos(luts, m, subDim))
+    pqRankTail(scored, queries, emb, k, shortlist)
   }
 
   /** Probe subsets for multi-probe LSH: subsets of the `m`

@@ -194,7 +194,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
     val freq = tokens.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val total = tokens.agg(count(lit(1)).as("n_total"))
+    // corpus total = sum of the vocab-bounded frequency table, NOT another
+    // count over the token explode — saves one full corpus scan
+    val total = freq.agg(sum(col("tf")).as("n_total"))
     tokens.join(freq, Seq("token"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))

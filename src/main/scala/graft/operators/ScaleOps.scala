@@ -100,7 +100,10 @@ object ScaleOps {
     // window shrinks to the single rename into place
     val old = new org.apache.hadoop.fs.Path(
       dir + ".old-" + java.util.UUID.randomUUID())
-    require(fs.rename(path, old), s"compaction aside-rename failed for $dir")
+    if (!fs.rename(path, old)) {
+      fs.delete(staging, true) // the live table is untouched; staging is redundant
+      sys.error(s"compaction aside-rename failed for $dir (table untouched)")
+    }
     if (!fs.rename(staging, path)) {
       val restored = fs.rename(old, path) // roll back: restore the original table
       // after a successful rollback the staging copy is redundant — delete

@@ -50,7 +50,13 @@ object StreamingCorpus {
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // every cache created in this batch is registered here and dropped
+        // BY PLAN in the finally once the write action has materialized —
+        // never a session-wide clearCache, which would nuke co-resident
+        // workloads' caches in a shared session
+        val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         val b = batch.drop("event_time").cache()
+        caches += b
         try {
           val gated = b.join(
             TextAnalysis.gopherFilter(b, minTokens, minStopwordRatio, maxRepRatio)
@@ -62,13 +68,12 @@ object StreamingCorpus {
           // stays the batch compaction pass
           val clean = nearDupThreshold.fold(gated) { th =>
             val g = gated.cache()
-            val dropped = graft.ext.Dedup.nearDupPipeline(g, th)
+            caches += g
+            val dropped = graft.ext.Dedup.nearDupPipeline(g, th,
+                cacheRegistry = Some(caches))
               .select(col("b").as("doc_id")).distinct()
             g.join(dropped, Seq("doc_id"), "left_anti")
           }
-          // (caches created here — b, g, and the dedup pipeline's internal
-          // shingle stream — are dropped in the finally below once the
-          // write action has materialized everything)
           // batch-id-keyed partition + overwrite = idempotent under
           // foreachBatch's at-least-once replays: a re-delivered batch
           // rewrites its own directory instead of appending duplicates,
@@ -78,15 +83,7 @@ object StreamingCorpus {
             .filter(col("split") === "train")
             .drop("split")
             .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        } finally {
-          // with the near-dup stage on, nearDupPipeline holds an internal
-          // shingle cache we cannot reference — clear the session cache
-          // wholesale (a streaming ingestion job owns its session; without
-          // this, state accumulates one cached plan per micro-batch)
-          if (nearDupThreshold.isDefined) b.sparkSession.catalog.clearCache()
-          else b.unpersist()
-          ()
-        }
+        } finally { caches.foreach(_.unpersist()); () }
       }
       .start()
   }

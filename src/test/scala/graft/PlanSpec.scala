@@ -148,10 +148,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bucketed embedding dedup plans equi-joins only (never cartesian)") {
     val emb = Queries.table(spark, sf, "embeddings")
-    val plan = planOf(graft.ext.Dedup.embeddingTopPairsBucketed(emb, 20))
-    assert(!plan.contains("CartesianProduct"),
+    // assert the CANDIDATE-GENERATION stage itself, lazily — the public op
+    // checkpoint-materializes it, which would replace the join subtree
+    // with an RDD scan and hide a quadratic plan from this guard
+    val candPlan = planOf(graft.ext.Dedup.embeddingCandidatePlan(emb, 4, 64, 2))
+    assert(candPlan.contains("hashpartitioning(bucket") || candPlan.contains("BroadcastHashJoin"),
+      candPlan.take(2000))
+    assert(!candPlan.contains("CartesianProduct"),
       "the bucketed pipeline exists to avoid the corpus×corpus cross join")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!candPlan.contains("BroadcastNestedLoopJoin"), candPlan.take(2000))
+    // the verify tail (post-checkpoint) must stay equi-join shaped too
+    val plan = planOf(graft.ext.Dedup.embeddingTopPairsBucketed(emb, 20))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
   }
 
   test("persisted-PQ-index query scans only the codes columns corpus-wide") {
