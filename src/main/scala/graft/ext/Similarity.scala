@@ -263,6 +263,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incrementally add vectors to a persisted IVF index WITHOUT refitting:
+    * new vectors are assigned to the existing (frozen) centroids and
+    * appended into their cells' partitions — the standard maintain path
+    * for a serving index (centroid drift is handled by periodic rebuilds,
+    * not per-batch refits). Probing reads the union of old and appended
+    * files through the same partition pruning.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newEmb: DataFrame): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
+    val cells = kmeansAssign(newEmb, cents).select(col("vec_id"), col("cell"))
+    newEmb.join(cells, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Query a persisted IVF index: rank cells by query-centroid cosine,
     * read ONLY the nProbe nearest cells' partitions (pruned scan), exact
     * top-k within. The centroid table is tiny (k × dim) and broadcast.
@@ -544,6 +561,31 @@ object Similarity {
       .toDF("sub", "code", "centroid")
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     emb.write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Incrementally add vectors to a persisted PQ index WITHOUT refitting:
+    * each new vector is ENCODED against the existing (frozen) codebooks —
+    * per subspace, its code is the nearest codeword ([[kmeansAssign]] on
+    * the subvector slice with the stored centroids) — and the codes and
+    * raw vectors append to the index tables. Quantization drift from
+    * encoding new data with old codebooks is the accepted PQ trade;
+    * periodic rebuilds refresh the codebooks.
+    */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newEmb: DataFrame, dim: Int = 64): Unit = {
+    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val subDim = dim / m
+    val codes = (0 until m).map { s =>
+      val cents = cb.filter(_._1 == s)
+        .map { case (_, code, arr) => (code, arr) }.toSeq.sortBy(_._1)
+      val sub = newEmb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      kmeansAssign(sub, cents).select(col("vec_id"), col("cell").as(s"code_$s"))
+    }.reduce(_.join(_, Seq("vec_id")))
+    codes.write.mode("append").parquet(s"$dir/codes")
+    newEmb.write.mode("append").parquet(s"$dir/vectors")
   }
 
   /** Query a persisted PQ index: the corpus-wide scan reads the CODES

@@ -433,6 +433,35 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromIndex.toSeq == inMemory.toSeq)
   }
 
+  test("index append: new vectors join persisted IVF and PQ indexes without a refit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // plant a near-identical copy of query 0's vector under a fresh id —
+    // after append it must be the #1 neighbor through BOTH index paths
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 100000L
+    val planted = Seq((plantedId, q0.map(x => x + 1e-6f))).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    Similarity.buildIvfIndex(emb.withColumn("label",
+      org.apache.spark.sql.functions.lit(0)), ivfDir, nCells = 8, iters = 2)
+    Similarity.appendToIvfIndex(spark, ivfDir, planted)
+    val ivfTop = Similarity.ivfTopKFromIndex(spark, ivfDir, Seq(0L), 10, nProbe = 2)
+      .filter(col("rank") === 1).collect()(0)
+    assert(ivfTop.getAs[Long]("vec_id") == plantedId,
+      s"IVF append: expected planted $plantedId at rank 1, got ${ivfTop.getAs[Long]("vec_id")}")
+    spark.catalog.clearCache()
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-pq-append").toString
+    Similarity.buildPqIndex(emb, pqDir, m = 8, ks = 16, iters = 2)
+    Similarity.appendToPqIndex(spark, pqDir, planted.drop("label"))
+    val pqTop = Similarity.pqTopKFromIndex(spark, pqDir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0)
+    spark.catalog.clearCache()
+    assert(pqTop.getAs[Long]("vec_id") == plantedId,
+      s"PQ append: expected planted $plantedId at rank 1, got ${pqTop.getAs[Long]("vec_id")}")
+  }
+
   test("IVF-PQ confines results to probed cells and recovers their exact top-k") {
     val ivfpq = Similarity.ivfpqTopK(emb, Seq(0L, 1L, 2L), 10,
       nCells = 8, nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)
