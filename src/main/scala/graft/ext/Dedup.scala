@@ -400,17 +400,22 @@ object Dedup {
     * that pairwise "drop the larger id" approximates. Each doc gets the
     * smallest doc_id reachable through the pair graph (`cluster`).
     *
-    * Each iteration is one neighbor-join + min-aggregate over the EDGE
-    * list (never the corpus); labels flow ONE hop per iteration, so
-    * convergence is O(component diameter) — fine for near-dup chains
-    * (planted clusters: 2-3 docs; boilerplate families stay shallow once
-    * near-exact members collapse), while pathological long chains would
-    * want a large-star/pointer-jumping variant (O(log d) rounds).
-    * `localCheckpoint` truncates the growing lineage so the driver-side
-    * loop stays plan-bounded. Only docs that appear in some pair come
-    * back; every other doc is trivially its own cluster.
+    * Each round is edge-list-sized work (never the corpus): a one-hop
+    * neighbor-min propagation PLUS a pointer-jumping shortcut
+    * (`cluster := cluster's cluster` — labels are always node ids, so the
+    * lookup is a self-join), which halves effective path lengths each
+    * round and makes convergence O(log diameter) instead of O(diameter)
+    * (CC-in-MapReduce à la Rastogi et al.). `localCheckpoint` truncates
+    * the growing lineage so the driver-side loop stays plan-bounded. Only
+    * docs that appear in some pair come back; every other doc is
+    * trivially its own cluster.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame): DataFrame = dupClustersWithRounds(pairs)._1
+
+  /** [[dupClusters]] plus the number of rounds it took — exposed so the
+    * spec can pin the O(log d) convergence, not just the fixpoint.
+    */
+  private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     // materialize the pair list ONCE before symmetrizing: the union's two
     // branches would otherwise each re-execute the (expensive) upstream
     // pair pipeline
@@ -422,24 +427,34 @@ object Dedup {
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("n_cluster")),
           Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("n_cluster")).as("min_n"))
         .select(col("src").as("doc_id"), col("min_n"))
-      val next = labels
+      val hopped = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
+      // pointer jump: follow my label to ITS label (every label is a node
+      // id, monotonically non-increasing, so the parent lookup always
+      // resolves and only improves) — this is the path-halving step
+      val parents = hopped.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
+      val next = hopped
+        .join(parents, hopped("cluster") === parents("p_id"), "left")
+        .select(hopped("doc_id"),
+          least(hopped("cluster"), coalesce(col("parent"), hopped("cluster"))).as("cluster"))
         .localCheckpoint(true)
       changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
         .filter(col("cluster") =!= col("old")).count()
       labels = next
     }
-    labels.orderBy(col("doc_id"))
+    (labels.orderBy(col("doc_id")), rounds)
   }
 
   /** Candidate near-dup pairs in embedding space via multi-table

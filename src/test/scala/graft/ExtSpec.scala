@@ -420,6 +420,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> 5L, 6L -> 5L, 9L -> 9L, 10L -> 9L, 11L -> 9L))
   }
 
+  test("dup clustering converges in O(log d) rounds on a long chain (pointer jumping)") {
+    import spark.implicits._
+    // a 64-node path graph: one-hop-only propagation needs ~63 rounds;
+    // with the path-halving shortcut the round count must stay logarithmic
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = graft.ext.Dedup.dupClustersWithRounds(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64 && got.forall(_._2 == 0L),
+      s"all 64 chain nodes must collapse to cluster 0; got ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 12, s"expected O(log 64) rounds, took $rounds")
+  }
+
   test("persisted PQ index round-trips: index path equals the in-memory path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
     Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 2)
