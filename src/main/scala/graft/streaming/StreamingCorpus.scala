@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.TextAnalysis
+import graft.ext.{Similarity, TextAnalysis}
 
 /** Streaming twin of the batch training-data pipeline
   * ([[graft.ext.TrainingPipeline]]) — continuous corpus ingestion:
@@ -87,4 +87,27 @@ object StreamingCorpus {
       }
       .start()
   }
+
+  /** Streaming embedding ingestion into a PERSISTED IVF index: each
+    * micro-batch of (vec_id, embedding) rows is assigned to the index's
+    * frozen centroids and appended into its cell partitions
+    * ([[graft.ext.Similarity.appendToIvfIndex]]) — queries via
+    * `ivfTopKFromIndex` see new vectors as soon as their batch lands,
+    * still through the same partition-pruned probing. Centroid drift is a
+    * periodic-rebuild concern, exactly as in the batch append path. The
+    * exactly-once story matches the corpus sink: appends are checkpoint-
+    * tracked; a replayed batch re-appends, so feed ids are expected to be
+    * unique per vector (upstream dedup) and rebuilds compact any replay
+    * residue.
+    */
+  def indexIngest(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToIvfIndex(batch.sparkSession, indexDir, batch)
+        ()
+      }
+      .start()
 }

@@ -387,6 +387,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
   }
 
+  test("streaming embedding ingestion lands in the persisted IVF index (frozen centroids)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivf").toString
+    graft.ext.Similarity.buildIvfIndex(emb, dir, nCells = 8, iters = 2)
+    spark.catalog.clearCache()
+    // stream in a near-identical copy of query 0's vector under a new id
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 200000L
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ivf-ckpt").toString
+    val q = graft.streaming.StreamingCorpus.indexIngest(
+      mem.toDF().toDF("vec_id", "embedding")
+        .withColumn("label", org.apache.spark.sql.functions.lit(0)),
+      dir, ckpt)
+    try {
+      mem.addData((plantedId, q0.map(x => x + 1e-6f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = graft.ext.Similarity.ivfTopKFromIndex(spark, dir, Seq(0L), 10, nProbe = 2)
+      .filter(col("rank") === 1).collect()(0)
+    assert(top.getAs[Long]("vec_id") == plantedId,
+      s"streamed vector should be rank 1, got ${top.getAs[Long]("vec_id")}")
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
