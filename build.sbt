@@ -14,6 +14,12 @@ run / fork := true
 // Stream forked-run output straight to stdout (no "[info] " prefix) so the
 // driver can parse the one-line bench/verify JSON from the log tail.
 run / outputStrategy := Some(StdoutOutput)
+// Drop sbt's trailing "[success] Total time ..." line: the bench JSON line
+// must be the LAST thing on stdout so a tail-window parser always sees it.
+ThisBuild / showSuccess := false
+// showSuccess is read by the command engine, not a task — silence the
+// unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,10 +62,10 @@ object Prof {
     }
     if (mode == "tpipe") {
       val docs = Queries.table(spark, sfDir, "documents")
-      time("tpipe_1")(noop(graft.ext.TrainingPipeline.trainingSet(docs)))
-      spark.catalog.clearCache()
-      time("tpipe_2")(noop(graft.ext.TrainingPipeline.trainingSet(docs)))
-      spark.catalog.clearCache()
+      for (i <- 1 to 4) {
+        time(s"tpipe_$i")(noop(graft.ext.TrainingPipeline.trainingSet(docs)))
+        spark.catalog.clearCache()
+      }
     }
     if (mode == "pipeline_plan") {
       val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")

@@ -30,8 +30,10 @@ object Queries {
     * the same µs view DuckDB's oracle produces when formatting/casting.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // bootstrap conf lives in Graft.session(); set here only for sessions
-    // built elsewhere, and only when unset, so this stays idempotent
+    // bootstrap conf lives in Graft.session(); the nanos read path REQUIRES
+    // true (without it Spark rejects the TIMESTAMP(NANOS) column outright),
+    // so force it for sessions built elsewhere — deliberately overriding
+    // even an explicit false, which could never coexist with this query
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     table(spark, dir, "events")

@@ -257,27 +257,56 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 3): Unit = {
     import emb.sparkSession.implicits._
     val (cents, cells) = kmeansFit(emb, nCells, iters)
+    // the base build lands under batch=-1: every writer (base build,
+    // batch append, streaming ingest) owns exactly one batch=<id>
+    // directory, so an at-least-once replay of any one of them can
+    // OVERWRITE its own directory instead of appending duplicates.
+    // Readers discover (batch, cell) as partition columns; cell pruning
+    // is unaffected by the extra level.
     emb.join(cells, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors/batch=-1")
     cents.toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Next unused batch id under `vectorsDir` (max existing + 1; the base
+    * build is batch=-1). Single-writer maintain path — concurrent
+    * appenders need externally supplied ids.
+    */
+  private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
+      vectorsDir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(vectorsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption }
+      .flatten.foldLeft(-1L)(math.max) + 1
+  }
+
   /** Incrementally add vectors to a persisted IVF index WITHOUT refitting:
-    * new vectors are assigned to the existing (frozen) centroids and
-    * appended into their cells' partitions — the standard maintain path
-    * for a serving index (centroid drift is handled by periodic rebuilds,
-    * not per-batch refits). Probing reads the union of old and appended
-    * files through the same partition pruning.
+    * new vectors are assigned to the existing (frozen) centroids and land
+    * in their cells' partitions — the standard maintain path for a serving
+    * index (centroid drift is handled by periodic rebuilds, not per-batch
+    * refits). Probing reads the union of all batches through the same
+    * cell-partition pruning.
+    *
+    * Each append owns a `batch=<id>` directory and OVERWRITES it: with a
+    * stable caller-supplied `batchId` (e.g. the foreachBatch epoch in
+    * [[graft.streaming.StreamingCorpus.indexIngest]]) a replayed delivery
+    * rewrites its own directory instead of re-appending — idempotent under
+    * at-least-once. Without one, the next unused id is allocated (plain
+    * append semantics).
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newEmb: DataFrame): Unit = {
+      newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
     val cells = kmeansAssign(newEmb, cents).select(col("vec_id"), col("cell"))
+    val id = batchId.getOrElse(nextBatchId(spark, s"$dir/vectors"))
     newEmb.join(cells, Seq("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors/batch=$id")
   }
 
   /** Query a persisted IVF index: rank cells by query-centroid cosine,
@@ -514,7 +543,9 @@ object Similarity {
   }
 
   /** Shared PQ ranking tail: pure-ADC top-k, or shortlist nomination +
-    * exact cosine re-rank against `vectors`.
+    * exact cosine re-rank against `vectors`. Both branches emit the score
+    * as `cos` (one schema regardless of `shortlist`); with `shortlist <= 0`
+    * that score is the ADC approximation, not an exact cosine.
     */
   private def pqRankTail(scored: DataFrame, queries: DataFrame,
       vectors: DataFrame, k: Int, shortlist: Int): DataFrame = {
@@ -524,6 +555,7 @@ object Similarity {
       scored
         .withColumn("rank", row_number().over(wApprox))
         .filter(col("rank") <= k)
+        .withColumnRenamed("cos_approx", "cos")
         .orderBy(col("query_id"), col("rank"))
     else {
       val nominated = scored

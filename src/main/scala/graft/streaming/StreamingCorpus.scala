@@ -95,18 +95,20 @@ object StreamingCorpus {
     * `ivfTopKFromIndex` see new vectors as soon as their batch lands,
     * still through the same partition-pruned probing. Centroid drift is a
     * periodic-rebuild concern, exactly as in the batch append path. The
-    * exactly-once story matches the corpus sink: appends are checkpoint-
-    * tracked; a replayed batch re-appends, so feed ids are expected to be
-    * unique per vector (upstream dedup) and rebuilds compact any replay
-    * residue.
+    * exactly-once story matches the corpus sink: each micro-batch lands in
+    * a `batch=<epoch id>` partition of the index with OVERWRITE, so an
+    * at-least-once replay rewrites its own directory instead of
+    * re-appending duplicate vec_ids — the same idempotence discipline as
+    * [[trainIngest]]'s landing zone.
     */
   def indexIngest(vectors: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty)
-          Similarity.appendToIvfIndex(batch.sparkSession, indexDir, batch)
+          Similarity.appendToIvfIndex(batch.sparkSession, indexDir, batch,
+            batchId = Some(batchId))
         ()
       }
       .start()
