@@ -16,7 +16,9 @@ import graft.functions.{CosineSim, PortableHash64, VecDot}
   * }}}
   *
   * after which `cosine_sim` / `vec_dot` resolve in any SQL or
-  * `call_function` expression with no per-session registration call.
+  * `call_function` expression with no per-session registration call, and
+  * the [[graft.plans.AsOfJoinNode]] custom operator plans through
+  * [[graft.plans.AsOfJoinStrategy]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -24,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getCanonicalName, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", classOf[CosineSim]),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))

@@ -147,6 +147,21 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // custom-operator twin: the CUSTOM PHYSICAL PLAN must hash-match the
+    // exact same DuckDB ASOF LEFT JOIN the composed form is pinned to
+    "asof_join_exec" ->
+      """WITH signups AS (
+        |  SELECT user_id, ts, value AS signup_value, event_id AS sig_id
+        |  FROM events WHERE event_type = 'signup'
+        |), purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, s.signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

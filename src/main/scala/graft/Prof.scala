@@ -117,6 +117,16 @@ object Prof {
       time("s_train")(train.count())
       time("s_pack")(noop(graft.ext.TextAnalysis.packSequences(train, 512)))
     }
+    if (mode == "asofexec") {
+      val sf = "/root/testdata/sf0.001"
+      val b = Queries.asofJoinExecQuery(spark, sf)
+      println("=== analyzed ===\n" + b.queryExecution.analyzed.toString)
+      println("=== optimized ===\n" + b.queryExecution.optimizedPlan.toString)
+      println("=== physical ===\n" + b.queryExecution.executedPlan.toString)
+      val a = Queries.asofJoinQuery(spark, sf).collect().toSeq
+      val rows = b.collect().toSeq
+      println(s"PROF asofexec composed=${a.size} exec=${rows.size} equal=${a == rows}")
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

@@ -260,6 +260,28 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of join through the CUSTOM CATALYST OPERATOR
+    * ([[graft.plans.AsOfJoinExec]] — logical node + strategy + physical
+    * sort-merge plan) instead of the window composition. Registered
+    * separately so the oracle gate hash-pins the custom plan's semantics
+    * against DuckDB's native ASOF JOIN, independently of the composed
+    * form's row.
+    */
+  def asofJoinExecQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("value").as("signup_value"),
+        col("event_id").as("sig_id"))
+    graft.plans.AsOfJoinPlans.asOfJoinExec(
+        purchases, signups, "user_id", "ts", "ts", Seq("signup_value"), "sig_id")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("signup_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

@@ -40,6 +40,7 @@ object SparkEntry {
     "agg_rollup" -> (Queries.aggRollup _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
+    "asof_join_exec" -> (Queries.asofJoinExecQuery _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+import graft.plans.{AsOfJoinPlans, AsOfJoinStrategy}
+
+/** The custom Catalyst as-of operator (logical node → strategy → physical
+  * sort-merge exec) must be INDISTINGUISHABLE in results from the composed
+  * window formulation — which is itself oracle-pinned against DuckDB's
+  * native ASOF JOIN — while planning to the shape that scales: one
+  * exchange per side on its own key, pipelined merge, pruned right scan.
+  */
+class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-asof-exec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def both(left: DataFrame, right: DataFrame, payload: Seq[String],
+      tie: String = null): (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row]) = {
+    val ordCols = left.columns.map(col).toSeq
+    val composed = AsOfJoin.asOfJoin(left, right, "k", "t", "rt", payload, tie)
+      .orderBy(ordCols: _*).collect().toSeq
+    val exec = AsOfJoinPlans.asOfJoinExec(left, right, "k", "t", "rt", payload, tie)
+      .orderBy(ordCols: _*).collect().toSeq
+    (composed, exec)
+  }
+
+  test("events query: custom exec equals the composed (oracle-pinned) formulation") {
+    val composed = Queries.asofJoinQuery(spark, sf).collect().toSeq
+    val exec = Queries.asofJoinExecQuery(spark, sf).collect().toSeq
+    assert(exec.nonEmpty && exec == composed)
+  }
+
+  test("edge cases: ties, equal timestamps, missing keys, null payload values") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l1"),  // before any right row for key 1
+      (1L, 20L, "l2"),  // equal timestamp → matches (<=)
+      (1L, 35L, "l3"),  // after both right rows → latest wins
+      (2L, 50L, "l4"),  // key with no right rows → null payload
+      (4L, 5L, "l5"),   // left key BETWEEN right keys (state-reset check)
+      (5L, 99L, "l6")   // right rows exist only for keys 3 and 5
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 20L, 1L, Option(1.0)),   // tie on rt=20 …
+      (1L, 20L, 2L, Option(2.0)),   // … larger tie wins
+      (1L, 30L, 3L, None),          // null payload VALUE must be carried, not backfilled
+      (3L, 1L, 4L, Option(9.0)),    // key never asked for by the left side
+      (5L, 98L, 5L, Option(7.0))
+    ).toDF("k", "rt", "tie", "v")
+    val (composed, exec) = both(left, right, Seq("v"), "tie")
+    assert(exec == composed, s"exec $exec vs composed $composed")
+    // pin the semantics themselves, not just the equivalence
+    val byId = exec.map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(byId("l1") == None)            // nothing at or before t=10
+    assert(byId("l2") == Some(2.0))       // rt=20 matches t=20; tie 2 beats 1
+    assert(byId("l3") == None)            // rt=30 row matched, its null payload carried
+    assert(byId("l4") == None)            // no right rows for key 2
+    assert(byId("l5") == None)            // key 3's rows must not leak to key 4
+    assert(byId("l6") == Some(7.0))
+  }
+
+  test("null keys and null right times follow the window-formulation semantics") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), 10L, "a"),
+      (None: Option[Long], 10L, "b")   // null key groups with null key
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (Option(1L), Option(99L), 1.0),  // after the left row → no match
+      (Option(1L), None: Option[Long], 2.0), // null rt sorts first → matches
+      (None: Option[Long], Option(5L), 3.0)  // null key matches null-key left
+    ).toDF("k", "rt", "v")
+    val (composed, exec) = both(left, right, Seq("v"))
+    assert(exec == composed, s"exec $exec vs composed $composed")
+    val byId = exec.map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(byId("a") == Some(2.0) && byId("b") == Some(3.0))
+  }
+
+  test("plan shape: custom exec node, per-side exchanges, pruned right scan") {
+    val df = Queries.asofJoinExecQuery(spark, sf)
+    df.collect()
+    // AQE's toString repeats the initial plan below the final one — assert
+    // on the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan.take(1500))
+    // each side shuffles ON ITS OWN KEY — never a unioned shuffle
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 2, plan.take(2500))
+    // the right (signups) scan must not read props — pruning reached it
+    val signupScan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("value")).get
+    assert(!signupScan.contains("props"), signupScan)
+    // the strategy self-registers on the session's experimental hooks
+    assert(spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+  }
+}
