@@ -162,6 +162,38 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // funnel: first signup, first click strictly after it, first purchase
+    // strictly after that — each stage a keyed min, exactly the Spark
+    // stage chain
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id
+        |)
+        |SELECT 1 AS step, 'signup' AS event_type, count(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    // bit-exact replay of the Morton interleave (low 10 bits of each key)
+    "layout_zorder" -> {
+      def bit(src: String, i: Int, pos: Int) = s"((($src >> $i) & 1) << $pos)"
+      val chain = (0 until 10)
+        .flatMap(i => Seq(bit("l_partkey", i, 2 * i), bit("l_suppkey", i, 2 * i + 1)))
+        .mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, CAST($chain AS BIGINT) AS z
+         |FROM lineitem WHERE l_orderkey < 400
+         |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    },
+
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
@@ -452,6 +484,30 @@ object Oracles {
         |WHERE ('0x' || substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
         |  < (CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END)
         |ORDER BY doc_id""".stripMargin,
+
+    // domain mixture: N = min_d floor(avail_d / w_d), per-domain need =
+    // round(w_d * N), threshold = round(1e4 * need / avail). Weights are
+    // binary fractions CAST AS DOUBLE so every intermediate is the same
+    // IEEE double Spark computes (DuckDB decimal literals would divide
+    // exactly and could round differently).
+    "text_mix_domains" -> {
+      val w = "CASE lang WHEN 'de' THEN CAST(0.25 AS DOUBLE) WHEN 'en' THEN CAST(0.5 AS DOUBLE) " +
+        "WHEN 'es' THEN CAST(0.125 AS DOUBLE) WHEN 'fr' THEN CAST(0.125 AS DOUBLE) END"
+      s"""WITH avail AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS avail FROM documents
+         |  WHERE lang IN ('de', 'en', 'es', 'fr') GROUP BY lang
+         |), cap AS (
+         |  SELECT min(CAST(floor(avail / ($w)) AS BIGINT)) AS n_total FROM avail
+         |), thr AS (
+         |  SELECT lang,
+         |    CAST(round(CAST(10000 AS DOUBLE) *
+         |      CAST(round(($w) * n_total) AS BIGINT) / avail) AS BIGINT) AS thr
+         |  FROM avail, cap
+         |)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+         |WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr.thr
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // deterministic hash split: same portable hash, same bucket rule
     "text_split" ->

@@ -206,6 +206,27 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Funnel conversion over the event stream: users whose first signup is
+    * followed (strictly later) by a click, then a purchase — see
+    * [[graft.analytics.Funnel]] for the one-partitioning stage chain.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Funnel.funnelCounts(
+      events(spark, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")),
+      Seq("signup", "click", "purchase"))
+
+  /** Z-order (Morton) clustering value — the layout operator for
+    * multi-dimensional pruning ([[graft.operators.ScaleOps.zValue]]);
+    * bounded slice so the oracle replays the bit interleave exactly.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ScaleOps.zValue(col("l_partkey"), col("l_suppkey"), 10).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+
   /** Distinct aggregation (multiple COUNT(DISTINCT) in one pass). */
   def aggDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")

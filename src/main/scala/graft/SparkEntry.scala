@@ -41,6 +41,8 @@ object SparkEntry {
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
+    "events_funnel" -> (Queries.eventsFunnel _),
+    "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),
@@ -120,6 +122,13 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(docs(s, dir), "lang",
           Map("en" -> 0.5, "de" -> 0.25))
         .select(col0("doc_id"), col0("lang"), col0("source"))
+        .orderBy(col0("doc_id"))),
+    // data recipe: the largest corpus achieving an exact 4-language mix
+    // (binary-fraction weights, so normalization is float-exact)
+    "text_mix_domains" -> ((s, dir) =>
+      TextAnalysis.mixDomains(docs(s, dir),
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125), "lang")
+        .select(col0("doc_id"), col0("lang"))
         .orderBy(col0("doc_id"))),
     "text_split" -> ((s, dir) =>
       TextAnalysis.deterministicSplit(docs(s, dir))

@@ -348,6 +348,51 @@ object TextAnalysis {
     docs.filter(bucket < threshold)
   }
 
+  /** Domain mixture rebalancing — the "data recipe" operator: given
+    * target mix proportions over a domain column (source, language, …),
+    * build the LARGEST corpus that achieves exactly those proportions
+    * from what's available, by downsampling every domain that is
+    * over-represented relative to the binding (scarcest-per-weight)
+    * domain. Standard practice for LLM pretraining mixes (e.g. the
+    * fixed-weight data recipes in Gopher/LLaMA-style training).
+    *
+    * Let avail_d be each targeted domain's doc count and w_d its
+    * normalized weight. The achievable corpus size is
+    * `N = min_d floor(avail_d / w_d)`; each domain then needs
+    * `round(w_d · N)` docs, kept via the same deterministic portable-hash
+    * bucketing as [[stratifiedSample]] (salted independently, so mixing
+    * composes with sampling and splitting). Domains outside `targets`
+    * are dropped; targeted domains with no rows are ignored.
+    *
+    * Scale shape: one tiny per-domain count aggregation (≤ |domains|
+    * rows), a broadcast of the derived thresholds, and a per-row hash
+    * filter — never a global shuffle of the corpus.
+    */
+  def mixDomains(docs: DataFrame, targets: Map[String, Double],
+      domainCol: String = "lang", salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val wSum = targets.values.sum
+    val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(w / wSum)).otherwise(acc)
+    }
+    val avail = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("avail"))
+    // the binding domain caps the total: one row, broadcast everywhere
+    val cap = avail.agg(
+      min(floor(col("avail") / weight).cast("long")).as("n_total"))
+    val thresholds = avail.crossJoin(broadcast(cap))
+      .withColumn("need", round(weight * col("n_total")).cast("long"))
+      .withColumn("thr",
+        round(lit(10000.0) * col("need") / col("avail")).cast("long"))
+      .select(col(domainCol), col("thr"))
+    val bucket = pmod(
+      portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
+      lit(10000L))
+    docs.join(broadcast(thresholds), Seq(domainCol))
+      .filter(bucket < col("thr"))
+  }
+
   /** Sequence packing (GPT-style concat-then-chunk): lay every document's
     * tokens on one global stream in doc_id order and cut it into
     * fixed-size training sequences — each doc learns which sequence its

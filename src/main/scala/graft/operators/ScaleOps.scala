@@ -127,4 +127,45 @@ object ScaleOps {
       .write.mode("overwrite")
       .partitionBy("p_date")
       .parquet(dir)
+
+  /** Morton (Z-order) value of two non-negative integer columns: the low
+    * `bits` bits of `x` and `y` interleaved (x in even positions, y in
+    * odd). Rows close in BOTH dimensions get close z-values, so a
+    * range-partition + sort on z clusters each file into a small
+    * rectangle of (x, y) space — min/max file statistics then prune
+    * multi-dimensional predicates, which no single-column sort can do.
+    * Callers bucket/normalize real values into [0, 2^bits) first.
+    *
+    * Pure bit arithmetic (shift/and/or chain), whole-stage-codegen'd,
+    * and exactly reproducible in any engine — the oracle replays it
+    * bit-for-bit in DuckDB.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Rewrite `df` Z-order-clustered on (xCol, yCol): range-partition by
+    * the interleaved z-value and sort each partition by it, so every
+    * output file covers a tight (x, y) rectangle. This is the layout
+    * HALF of multi-dimensional pruning — [[zValue]] is the arithmetic —
+    * and the write-side sibling of [[writePartitionedByDate]]: pay one
+    * clustering pass at write time, prune on BOTH columns at every read.
+    */
+  def zorderRepartition(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    val z = zValue(col(xCol), col(yCol), bits)
+    val withZ = df.withColumn("_z", z)
+    val ranged =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("_z"))
+      else withZ.repartitionByRange(col("_z"))
+    ranged.sortWithinPartitions(col("_z")).drop("_z")
+  }
 }

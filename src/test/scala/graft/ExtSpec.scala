@@ -250,6 +250,69 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diff == 0)
   }
 
+  test("mixDomains hits the target proportions and maximizes the corpus") {
+    import graft.ext.TextAnalysis
+    val targets = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125)
+    val out = TextAnalysis.mixDomains(docs, targets, "lang")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.filter(org.apache.spark.sql.functions.col("lang")
+        .isin(targets.keys.toSeq: _*))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // untargeted domains are dropped entirely
+    assert(out.keySet.subsetOf(targets.keySet))
+    // the binding domain is kept (nearly) whole — N was maximized
+    val n = targets.keys.map(d => math.floor(avail(d) / targets(d)).toLong).min
+    targets.foreach { case (d, w) =>
+      val need = math.round(w * n).toDouble
+      // hash bucketing is exact in expectation; 20% slack on small strata
+      assert(math.abs(out.getOrElse(d, 0L) - need) <= math.max(3.0, 0.2 * need),
+        s"$d: got ${out.getOrElse(d, 0L)}, wanted ~$need of ${avail(d)}")
+    }
+    // membership is layout-independent (same docs on a different partitioning)
+    val a = TextAnalysis.mixDomains(docs, targets, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextAnalysis.mixDomains(docs.repartition(7), targets, "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("funnel stages are monotone and match a per-user replay") {
+    import org.apache.spark.sql.functions._
+    val ev = Queries.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val steps = Seq("signup", "click", "purchase")
+    val counts = graft.analytics.Funnel.funnelCounts(ev, steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts(1) >= counts(2) && counts(2) >= counts(3), s"$counts")
+    // driver-side replay over raw events (small SF only)
+    val byUser = ev.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val replay = byUser.values.map { evs =>
+      var t = Long.MinValue
+      var depth = 0
+      var going = true
+      steps.foreach { s =>
+        if (going) {
+          val nxt = evs.filter(e => e._2 == s && e._3 > t).map(_._3)
+          if (nxt.nonEmpty && (depth > 0 || t == Long.MinValue)) {
+            t = nxt.min; depth += 1
+          } else going = false
+        }
+      }
+      depth
+    }.toSeq
+    (1 to 3).foreach { d =>
+      assert(counts(d) == replay.count(_ >= d).toLong, s"step $d")
+    }
+    // funnelTimes: strictly increasing per completing user
+    val times = graft.analytics.Funnel.funnelTimes(ev, steps).collect()
+    assert(times.length == counts(3))
+    times.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2) && r.getLong(2) < r.getLong(3)) }
+  }
+
   test("deterministic split: stable under repartitioning, proportions near 80/10/10") {
     import graft.ext.TextAnalysis
     def splitMap(df: org.apache.spark.sql.DataFrame) =

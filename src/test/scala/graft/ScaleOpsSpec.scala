@@ -161,4 +161,43 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(joined.count() == 6000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("zValue interleaves bits exactly (reference implementation)") {
+    import spark.implicits._
+    def zRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)) }
+    val pairs = for (x <- 0L to 40L; y <- 0L to 40L) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), ScaleOps.zValue(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == zRef(x, y, 8), s"z($x,$y)")
+    }
+    // locality: the unit square's quadrants occupy disjoint z ranges
+    assert(zRef(3, 3, 8) < zRef(4, 0, 8) && zRef(3, 3, 8) < zRef(0, 4, 8))
+  }
+
+  test("zorderRepartition clusters each partition into a tight (x,y) rectangle") {
+    import spark.implicits._
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = ScaleOps.zorderRepartition(grid, "x", "y", bits = 6, numPartitions = 16)
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else Iterator((rows.size,
+          rows.map(_._1).max - rows.map(_._1).min,
+          rows.map(_._2).max - rows.map(_._2).min))
+      }.collect()
+    assert(parts.map(_._1).sum == n * n)
+    // a z-clustered partition of ~256 cells must span far less than the
+    // full 64-wide domain in BOTH dimensions (a single-column sort would
+    // span the whole domain in the other dimension)
+    parts.foreach { case (size, xSpan, ySpan) =>
+      assert(xSpan <= 31 && ySpan <= 31,
+        s"partition of $size rows spans x=$xSpan y=$ySpan — not clustered")
+    }
+  }
 }
