@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.{Similarity, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Streaming twin of the batch training-data pipeline
   * ([[graft.ext.TrainingPipeline]]) — continuous corpus ingestion:
@@ -101,6 +101,104 @@ object StreamingCorpus {
     * re-appending duplicate vec_ids — the same idempotence discipline as
     * [[trainIngest]]'s landing zone.
     */
+  /** Cross-batch NEAR-dup dedup against a persisted MinHash signature
+    * store — the missing streaming tier between exact streaming dedup
+    * (`dropDuplicatesWithinWatermark` on a fingerprint, bounded horizon)
+    * and the corpus-wide batch compaction pass: a new document is dropped
+    * when its signature agrees with ANY previously accepted document's,
+    * regardless of how long ago that document arrived.
+    *
+    * Per micro-batch:
+    *   1. MinHash signatures + LSH band keys for the batch
+    *      ([[graft.ext.Dedup.minhashSignatures]]/`minhashBands` — same
+    *      affine family as the batch pipeline);
+    *   2. WITHIN-batch candidates by band collision, estimated Jaccard ≥
+    *      `threshold` → the larger doc_id drops (batch-pipeline
+    *      convention);
+    *   3. CROSS-batch probe: the batch's band keys equi-join the STORE's
+    *      band keys (O(batch × bands) probes, never a scan of all stored
+    *      docs), signature agreement ≥ `threshold` → the new doc drops.
+    *      Matching here is signature-estimated, not exact-verified: the
+    *      store keeps 8-byte×`numHashes` signatures per doc, never text —
+    *      this is the standard store-size/precision trade for a serving
+    *      dedup tier, and the batch compaction pass remains the exact
+    *      authority.
+    *   4. Survivors land at `outDir/batch=<id>`; their signatures and
+    *      band keys append to the store at `storeDir/{sigs,bands}/
+    *      batch=<id>`. Every sink is batch-id-keyed with OVERWRITE, so an
+    *      at-least-once replay rewrites its own partitions — and the
+    *      cross-batch probe EXCLUDES the replaying batch's own store
+    *      rows, so a replay cannot match a document against itself.
+    *
+    * At 100 TB the store's band table is the thing to bucket (by band
+    * key) so each probe join is bucket-pruned; doc ids must be globally
+    * unique upstream.
+    */
+  def nearDupIngest(docs: DataFrame, outDir: String, storeDir: String,
+      checkpointDir: String, threshold: Double = 0.8,
+      numHashes: Int = 32, bands: Int = 8, rowsPerBand: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        try {
+          val b = batch.cache()
+          caches += b
+          if (!b.isEmpty) {
+            val sig = Dedup.minhashSignatures(b, numHashes).cache()
+            caches += sig
+            val bandDf = Dedup.minhashBands(sig, bands, rowsPerBand)
+            val agree = (0 until numHashes)
+              .map(i => when(col(s"n_mh_$i") === col(s"o_mh_$i"), 1).otherwise(0))
+              .reduce(_ + _).cast("double") / numHashes
+            val nSig = sig.select(col("doc_id").as("new_id") +:
+              (0 until numHashes).map(i => col(s"mh_$i").as(s"n_mh_$i")): _*)
+            // within-batch: band collision + agreement, larger id drops
+            val within = bandDf.select(col("doc_id").as("new_id"), col("band"), col("key"))
+              .join(bandDf.select(col("doc_id").as("old_id"), col("band"), col("key")),
+                Seq("band", "key"))
+              .filter(col("old_id") < col("new_id"))
+              .select(col("new_id"), col("old_id")).distinct()
+            // cross-batch: probe the persisted store, excluding rows a
+            // replay of THIS batch may have written before failing
+            val fs = new org.apache.hadoop.fs.Path(storeDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val cross =
+              if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/bands"))) None
+              else Some {
+                val sBands = spark.read.parquet(s"$storeDir/bands")
+                  .filter(col("batch") =!= batchId)
+                  .select(col("doc_id").as("old_id"), col("band"), col("key"))
+                val sSigs = spark.read.parquet(s"$storeDir/sigs")
+                  .filter(col("batch") =!= batchId)
+                bandDf.select(col("doc_id").as("new_id"), col("band"), col("key"))
+                  .join(sBands, Seq("band", "key"))
+                  .select(col("new_id"), col("old_id")).distinct()
+                  .join(sSigs.select(col("doc_id").as("old_id") +:
+                    (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*),
+                    Seq("old_id"))
+              }
+            val oSig = sig.select(col("doc_id").as("old_id") +:
+              (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*)
+            val withinScored = within.join(oSig, Seq("old_id"))
+            val dropped = cross.fold(withinScored)(withinScored.unionByName(_))
+              .join(nSig, Seq("new_id"))
+              .filter(round(agree, 4) >= threshold)
+              .select(col("new_id").as("doc_id")).distinct()
+            val survivors = b.join(dropped, Seq("doc_id"), "left_anti").cache()
+            caches += survivors
+            survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            val keep = survivors.select(col("doc_id"))
+            sig.join(keep, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+            bandDf.join(keep, Seq("doc_id"), "left_semi")
+              .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+          }
+        } finally { caches.foreach(_.unpersist()); () }
+      }
+      .start()
+
   def indexIngest(vectors: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =
     vectors.writeStream

@@ -431,4 +431,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.table("file_counts").count() == 2)
     } finally q.stop()
   }
+
+  test("cross-batch near-dup ingest drops late near-dups via the signature store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // distinct docs share no vocabulary; a near-dup appends one word (the
+    // shingle sets differ by 1 of ~59 — J≈0.98, certain band collision)
+    def base(seed: Int): String = (0 until 60).map(w => s"w${seed}_$w").mkString(" ")
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def doc(id: Long, text: String) =
+      CorpusDoc(id, text, "en", "src", new Timestamp(t0 + id * 1000L))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ndi-out").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ndi-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ndi-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.nearDupIngest(
+      mem.toDF(), outDir, storeDir, ckpt, threshold = 0.8)
+    try {
+      mem.addData(doc(1, base(1)), doc(2, base(2)), doc(3, base(3)))
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 1 (from the PREVIOUS batch — only the
+      // store can catch it) + one genuinely new doc
+      mem.addData(doc(10, base(1) + " extra"), doc(11, base(4)))
+      q.processAllAvailable()
+      // batch 3: a within-batch near-dup pair (smaller id survives) and a
+      // near-dup of doc 11 from batch 2
+      mem.addData(doc(20, base(5)), doc(21, base(5) + " tail"), doc(22, base(4) + " more"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 11L, 20L),
+      s"kept $kept — store must drop 10 (dup of 1), 21 (in-batch dup of 20), 22 (dup of 11)")
+    // the store holds exactly the survivors' signatures, batch-keyed
+    val stored = spark.read.parquet(s"$storeDir/sigs")
+      .select(col("doc_id"), col("batch").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.keySet == kept)
+    assert(stored(1L) == 0L && stored(11L) == 1L && stored(20L) == 2L)
+    spark.catalog.clearCache()
+  }
 }
