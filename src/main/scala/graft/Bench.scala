@@ -116,9 +116,10 @@ object Bench {
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$mins,"reps":$reps,"value_median":${jnum(totalMed)},"rep_anomalies":$anomalies,"errors":$errs,"n_errors":$nErr""" +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
         s""","sf":"$sfDir"}"""
-    // the wrapper's tail window is ~2000 chars; degrade gracefully rather
-    // than let the line start fall outside it
-    val stdoutLine = if (line(true).length <= 1850) line(true) else line(false)
+    // the wrapper's tail window is ~2000 chars and this line is the LAST
+    // thing on stdout (showSuccess off), so anything under ~1950 keeps the
+    // line start inside the window; degrade (drop `skipped`) past that
+    val stdoutLine = if (line(true).length <= 1950) line(true) else line(false)
     // full-detail twin (exact seconds, raw runs, medians) → the out file
     val qsFull = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

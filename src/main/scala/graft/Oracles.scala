@@ -183,6 +183,22 @@ object Oracles {
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step""".stripMargin,
 
+    // cohort = each user's first-activity date; day offsets counted with
+    // DISTINCT users (DATE - DATE is BIGINT in DuckDB, Spark datediff is
+    // INT — cast to match)
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |), c AS (
+        |  SELECT user_id, min(d) AS c FROM e GROUP BY user_id
+        |)
+        |SELECT strftime(c.c, '%Y-%m-%d') AS cohort_date,
+        |  CAST(e.d - c.c AS INTEGER) AS day_diff,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY c.c, e.d - c.c
+        |ORDER BY cohort_date, day_diff""".stripMargin,
+
     // bit-exact replay of the Morton interleave (low 10 bits of each key)
     "layout_zorder" -> {
       def bit(src: String, i: Int, pos: Int) = s"((($src >> $i) & 1) << $pos)"

@@ -216,6 +216,23 @@ object Queries {
         unix_micros(col("ts")).as("us")),
       Seq("signup", "click", "purchase"))
 
+  /** Cohort retention: users grouped by their first-activity date, counted
+    * again at each later day-offset they were active. Two keyed
+    * aggregations (user → cohort date, then (cohort, offset) → distinct
+    * users) plus one user-keyed join that reuses the first aggregation's
+    * partitioning — the companion operator to [[eventsFunnel]].
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("c"), datediff(col("d"), col("c")).as("day_diff"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .select(date_format(col("c"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_diff"), col("users"))
+      .orderBy(col("cohort_date"), col("day_diff"))
+  }
+
   /** Z-order (Morton) clustering value — the layout operator for
     * multi-dimensional pruning ([[graft.operators.ScaleOps.zValue]]);
     * bounded slice so the oracle replays the bit interleave exactly.

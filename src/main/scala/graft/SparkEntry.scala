@@ -42,6 +42,7 @@ object SparkEntry {
     "asof_join" -> (Queries.asofJoinQuery _),
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
     "events_funnel" -> (Queries.eventsFunnel _),
+    "events_retention" -> (Queries.eventsRetention _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

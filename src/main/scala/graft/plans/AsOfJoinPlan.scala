@@ -115,7 +115,11 @@ case class AsOfJoinExec(
     val lOut = left.output
     val rOut = right.output
     val (lKey, rKey, lTime, rTime) = (leftKey, rightKey, leftTime, rightTime)
-    val payloadAttrs = payload
+    // the NULLABLE payload view everywhere downstream: unmatched left rows
+    // emit a null payload row, so binding the result projection against
+    // the original (possibly non-nullable) attributes would let codegen
+    // skip the null check and read garbage instead of null
+    val payloadAttrs = payloadOut
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // codegen'd helpers are built per partition, on the executor

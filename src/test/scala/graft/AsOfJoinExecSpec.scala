@@ -90,6 +90,19 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId("a") == Some(2.0) && byId("b") == Some(3.0))
   }
 
+  test("non-nullable payload columns go null for unmatched left rows") {
+    import spark.implicits._
+    // plain Double/Long payload → non-nullable input attributes; the exec
+    // must still emit genuine nulls (not 0 garbage) where nothing matched
+    val left = Seq((1L, 10L, "m"), (2L, 10L, "u")).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 7.5, 42L)).toDF("k", "rt", "v", "w")
+    val (composed, exec) = both(left, right, Seq("v", "w"))
+    assert(exec == composed)
+    val byId = exec.map(r => r.getString(2) -> ((Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(byId("m") == ((Some(7.5), Some(42L))))
+    assert(byId("u") == ((None, None)), s"unmatched row must be null, got ${byId("u")}")
+  }
+
   test("plan shape: custom exec node, per-side exchanges, pruned right scan") {
     val df = Queries.asofJoinExecQuery(spark, sf)
     df.collect()

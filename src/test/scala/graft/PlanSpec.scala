@@ -192,4 +192,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!df.columns.contains("_salt"))
   }
+
+  test("funnel: one user-keyed exchange per step, none added by the stage joins") {
+    val plan = planOf(Queries.eventsFunnel(spark, sf))
+    // each step's filtered scan shuffles onto user_id ONCE; the
+    // join(prev) + groupBy chain reuses that partitioning — a plan where
+    // joins re-shuffle would show more user-keyed exchanges than steps
+    val userExchanges = "Exchange hashpartitioning\\(user_id"
+      .r.findAllIn(plan).length
+    assert(userExchanges <= 3, s"$userExchanges user-keyed exchanges\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
 }
