@@ -37,7 +37,7 @@ object Bench {
     * nothing references the checkpointed lineage once the query's result
     * has materialized through the sink.
     */
-  private def sweep(spark: SparkSession): Unit = {
+  private[graft] def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
   }
@@ -45,14 +45,17 @@ object Bench {
   private def jstr(s: String) =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   /** Compact number form: 3 significant digits, no exponent for the
-    * magnitudes a query time can take (0.001 .. 9999 s).
+    * magnitudes a query time can take (0.001 .. 9999 s). Locale.ROOT:
+    * a comma-decimal default locale would otherwise emit invalid JSON.
     */
+  private def fmt(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
   private def jnum(v: Double): String =
     if (v < 0) "-1"
-    else if (v >= 100) f"$v%.0f"
-    else if (v >= 10) f"$v%.1f"
-    else if (v >= 1) f"$v%.2f"
-    else f"$v%.3f"
+    else if (v >= 100) fmt("%.0f", v)
+    else if (v >= 10) fmt("%.1f", v)
+    else if (v >= 1) fmt("%.2f", v)
+    else fmt("%.3f", v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,7 +97,12 @@ object Bench {
         sec
       }.toSeq
       val sec = if (err.isEmpty) runs.min else -1.0
-      val med = if (err.isEmpty) runs.sorted.apply(runs.size / 2) else -1.0
+      // true median (mean of the two middles for even rep counts — the
+      // upper-middle alone would bias the anomaly detector high)
+      val med = if (err.isEmpty) {
+        val s = runs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      } else -1.0
       (name, sec, med, runs, err)
     }
     val mins = results.map { case (k, v, _, _, _) => jstr(k) + ":" + jnum(v) }
@@ -108,7 +116,7 @@ object Bench {
     // (state pollution, eviction) and the min alone would hide it
     val anomalies = results.collect {
       case (k, v, m, _, None) if v > 0.2 && m > 1.5 * v =>
-        jstr(k) + ":" + f"${m / v}%.1f"
+        jstr(k) + ":" + fmt("%.1f", m / v)
     }.mkString("{", ",", "}")
     val nErr = results.count(_._5.nonEmpty)
     val skipped = SparkEntry.verifierOnly.toSeq.sorted.map(jstr).mkString("[", ",", "]")
@@ -118,8 +126,16 @@ object Bench {
         s""","sf":"$sfDir"}"""
     // the wrapper's tail window is ~2000 chars and this line is the LAST
     // thing on stdout (showSuccess off), so anything under ~1950 keeps the
-    // line start inside the window; degrade (drop `skipped`) past that
-    val stdoutLine = if (line(true).length <= 1950) line(true) else line(false)
+    // line start inside the window. Degrade ladder: drop `skipped`, then —
+    // when many errors bloat the line past the window exactly when the
+    // bench is most broken — fall back to a minimal always-parseable line
+    // (full detail is in the out file regardless)
+    val minimal =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":{},"reps":$reps,"value_median":${jnum(totalMed)},"rep_anomalies":{},"errors":{},"n_errors":$nErr,"note":"line overflow: per-query detail in bench_out.json","sf":"$sfDir"}"""
+    val stdoutLine =
+      if (line(true).length <= 1950) line(true)
+      else if (line(false).length <= 1950) line(false)
+      else minimal
     // full-detail twin (exact seconds, raw runs, medians) → the out file
     val qsFull = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")

@@ -23,8 +23,7 @@ object Verify {
       }
       // drop caches AND localCheckpoint blocks (clearCache never frees the
       // latter) so 60+ queries of residue can't squeeze later ones
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      Bench.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -257,6 +257,14 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 3): Unit = {
     import emb.sparkSession.implicits._
     val (cents, cells) = kmeansFit(emb, nCells, iters)
+    // a (re)build owns the WHOLE vectors tree: appended batch=N
+    // partitions hold cell assignments computed against the OLD centroids
+    // (and possibly vec_ids the new base also carries), so leaving them
+    // behind would silently corrupt every post-rebuild probe — this is
+    // the compaction step the append path's scaladoc defers to
+    val vecPath = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = vecPath.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(vecPath)) { fs.delete(vecPath, true); () }
     // the base build lands under batch=-1: every writer (base build,
     // batch append, streaming ingest) owns exactly one batch=<id>
     // directory, so an at-least-once replay of any one of them can
@@ -284,6 +292,21 @@ object Similarity {
       .flatten.foldLeft(-1L)(math.max) + 1
   }
 
+  /** An index written by the pre-batch layout has cell=K at the top
+    * level; appending batch=N next to it would give Spark's partition
+    * discovery conflicting depths and brick every read of the index —
+    * fail loud and point at the fix instead.
+    */
+  private def requireBatchLayout(spark: org.apache.spark.sql.SparkSession,
+      vectorsDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(vectorsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      require(!fs.listStatus(path).exists(_.getPath.getName.startsWith("cell=")),
+        s"$vectorsDir uses the legacy cell-only layout; rebuild the index " +
+          "(buildIvfIndex) before appending")
+  }
+
   /** Incrementally add vectors to a persisted IVF index WITHOUT refitting:
     * new vectors are assigned to the existing (frozen) centroids and land
     * in their cells' partitions — the standard maintain path for a serving
@@ -301,6 +324,7 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
+    requireBatchLayout(spark, s"$dir/vectors")
     val cents = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
     val cells = kmeansAssign(newEmb, cents).select(col("vec_id"), col("cell"))

@@ -205,10 +205,18 @@ object AsOfJoinPlans {
         throw new IllegalArgumentException(
           s"$side side has no column '$name' (has: ${out.map(_.name).mkString(", ")})"))
     val rOut = rAliases.map(_.toAttribute)
+    val (lk, rk) = (attr(lPlan.output, key, "left"), attr(rOut, key, "right"))
+    val (lt, rt) = (attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"))
+    // the exec hashes each side on its own column and compares right rows
+    // with orderings built from the LEFT types — a type mismatch would not
+    // error, it would silently drop matches (different hashes for equal
+    // values, garbage comparisons), so reject it here
+    require(lk.dataType == rk.dataType,
+      s"key type mismatch: left '$key' is ${lk.dataType}, right is ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: left '$leftTime' is ${lt.dataType}, right '$rightTime' is ${rt.dataType}")
     PlanBridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan,
-      attr(lPlan.output, key, "left"), attr(rOut, key, "right"),
-      attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"),
+      lPlan, rPlan, lk, rk, lt, rt,
       Option(rightTieBreak).map(attr(rOut, _, "right")),
       payload.map(attr(rOut, _, "right"))))
   }

@@ -172,12 +172,27 @@ object StreamingCorpus {
                   .select(col("doc_id").as("old_id"), col("band"), col("key"))
                 val sSigs = spark.read.parquet(s"$storeDir/sigs")
                   .filter(col("batch") =!= batchId)
-                bandDf.select(col("doc_id").as("new_id"), col("band"), col("key"))
+                val candPairs = bandDf
+                  .select(col("doc_id").as("new_id"), col("band"), col("key"))
                   .join(sBands, Seq("band", "key"))
                   .select(col("new_id"), col("old_id")).distinct()
-                  .join(sSigs.select(col("doc_id").as("old_id") +:
-                    (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*),
-                    Seq("old_id"))
+                  .cache()
+                caches += candPairs
+                // the band probe is narrow (3 columns); the SIGS table is
+                // the wide one (numHashes columns × every stored doc), so
+                // never scan it whole per batch: the matched old_id set is
+                // batch-bounded — collect it and push the filter into the
+                // sigs scan. Fall back to the join only if a pathological
+                // batch matches more ids than the pushdown cap.
+                val oldIds = candPairs.select(col("old_id")).distinct()
+                  .limit(10001).collect().map(_.getLong(0)).toSeq
+                val sigsNeeded =
+                  if (oldIds.length <= 10000)
+                    sSigs.filter(col("doc_id").isInCollection(oldIds))
+                  else sSigs
+                candPairs.join(sigsNeeded.select(col("doc_id").as("old_id") +:
+                  (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*),
+                  Seq("old_id"))
               }
             val oSig = sig.select(col("doc_id").as("old_id") +:
               (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*)
