@@ -183,6 +183,17 @@ object Oracles {
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step""".stripMargin,
 
+    // trailing 1-hour RANGE frame on the µs timeline; frame sums rounded
+    // (intra-frame float accumulation order differs between engines)
+    "events_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w, 3) AS roll_value,
+        |  count(*) OVER w AS n_window
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // cohort = each user's first-activity date; day offsets counted with
     // DISTINCT users (DATE - DATE is BIGINT in DuckDB, Spark datediff is
     // INT — cast to match)

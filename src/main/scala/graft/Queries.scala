@@ -216,6 +216,24 @@ object Queries {
         unix_micros(col("ts")).as("us")),
       Seq("signup", "click", "purchase"))
 
+  /** Trailing time-window aggregation (velocity features): per user, the
+    * sum and count of event values in the hour ENDING at each event — a
+    * RANGE window frame on the µs timeline, partitioned on the
+    * high-cardinality user key (state per partition = one frame, never
+    * the history).
+    */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 3).as("roll_value"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy(col("event_id"))
+  }
+
   /** Cohort retention: users grouped by their first-activity date, counted
     * again at each later day-offset they were active. Two keyed
     * aggregations (user → cohort date, then (cohort, offset) → distinct

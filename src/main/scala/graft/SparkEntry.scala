@@ -43,6 +43,7 @@ object SparkEntry {
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_retention" -> (Queries.eventsRetention _),
+    "events_rolling" -> (Queries.eventsRolling _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

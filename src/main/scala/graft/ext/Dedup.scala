@@ -409,17 +409,50 @@ object Dedup {
     * the growing lineage so the driver-side loop stays plan-bounded. Only
     * docs that appear in some pair come back; every other doc is
     * trivially its own cluster.
+    *
+    * SIZE-ADAPTIVE: the dup-pair edge list is orders of magnitude smaller
+    * than the corpus (it exists because LSH already pruned it), so up to
+    * `maxDriverEdges` pairs the components are solved in one pass of
+    * driver-side union-find (~16 bytes/edge; the same justified bounded
+    * collect as a broadcast side) instead of paying per-round job latency
+    * — identical output, rounds reported as 0. The iterative path takes
+    * over beyond the bound.
     */
   def dupClusters(pairs: DataFrame): DataFrame = dupClustersWithRounds(pairs)._1
 
   /** [[dupClusters]] plus the number of rounds it took — exposed so the
-    * spec can pin the O(log d) convergence, not just the fixpoint.
+    * spec can pin the O(log d) convergence, not just the fixpoint
+    * (`maxDriverEdges = 0` forces the distributed path).
     */
-  private[graft] def dupClustersWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def dupClustersWithRounds(pairs: DataFrame,
+      maxDriverEdges: Long = 2000000L): (DataFrame, Int) = {
     // materialize the pair list ONCE before symmetrizing: the union's two
     // branches would otherwise each re-execute the (expensive) upstream
     // pair pipeline
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    if (p.count() <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // union-find with path compression; unions always point the LARGER
+      // root at the smaller, so every root is its component's minimum id
+      // — the same fixpoint the propagation converges to
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(x => (x, find(x))).sortBy(_._1)
+      return (spark.createDataset(out).toDF("doc_id", "cluster"), 0)
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint(true)

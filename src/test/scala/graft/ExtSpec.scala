@@ -488,11 +488,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a 64-node path graph: one-hop-only propagation needs ~63 rounds;
     // with the path-halving shortcut the round count must stay logarithmic
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
-    val (labels, rounds) = graft.ext.Dedup.dupClustersWithRounds(chain)
+    // maxDriverEdges = 0 forces the DISTRIBUTED path — the property under
+    // test is its convergence rate, which the union-find shortcut would
+    // make vacuous
+    val (labels, rounds) = graft.ext.Dedup.dupClustersWithRounds(chain, maxDriverEdges = 0L)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length == 64 && got.forall(_._2 == 0L),
       s"all 64 chain nodes must collapse to cluster 0; got ${got.filter(_._2 != 0L).take(5).toSeq}")
-    assert(rounds <= 12, s"expected O(log 64) rounds, took $rounds")
+    assert(rounds > 0 && rounds <= 12, s"expected O(log 64) rounds, took $rounds")
+  }
+
+  test("driver union-find fast path equals the distributed propagation exactly") {
+    import spark.implicits._
+    // pseudo-random graph: chains, merges, self-contained components
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 400).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b) + 1) }.toDF("a", "b")
+    val fast = graft.ext.Dedup.dupClustersWithRounds(pairs)
+    val dist = graft.ext.Dedup.dupClustersWithRounds(pairs, maxDriverEdges = 0L)
+    assert(fast._2 == 0 && dist._2 > 0)
+    val f = fast._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val d = dist._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(f == d)
   }
 
   test("persisted PQ index round-trips: index path equals the in-memory path") {

@@ -432,6 +432,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming funnel state converges to the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    val steps = Seq("signup", "click", "purchase")
+    // u1 completes the funnel across three batches; u2 stalls at depth 1
+    // (its click arrives AT its signup time — not strictly after); u3's
+    // purchase precedes its click (wrong order), landing at depth 2
+    val batches = Seq(
+      Seq(FunnelEvent(1, "signup", 10), FunnelEvent(2, "signup", 10),
+        FunnelEvent(3, "signup", 5)),
+      Seq(FunnelEvent(1, "click", 20), FunnelEvent(2, "click", 10),
+        FunnelEvent(3, "purchase", 6), FunnelEvent(3, "click", 8)),
+      Seq(FunnelEvent(1, "purchase", 30)))
+    val mem = MemoryStream[FunnelEvent]
+    val q = graft.streaming.StreamingFunnel.funnelDepth(mem.toDS(), steps)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("funnel_state").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // monotone updates: the max-depth row per user is the final state
+    val fin = spark.table("funnel_state")
+      .groupBy($"user_id").agg(org.apache.spark.sql.functions.max($"depth").as("depth"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin == Map(1L -> 3, 2L -> 1, 3L -> 2), s"$fin")
+    // convergence: equal to the batch operator over the union
+    val ev = batches.flatten.toDF()
+    val batchTimes = graft.analytics.Funnel.funnelTimes(ev, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batchTimes.toSeq == Seq((1L, 10L, 20L, 30L)))
+    val batchCounts = graft.analytics.Funnel.funnelCounts(ev, steps).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(batchCounts == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    assert(fin.values.count(_ >= 1) == batchCounts(1).toInt &&
+      fin.values.count(_ >= 2) == batchCounts(2).toInt &&
+      fin.values.count(_ >= 3) == batchCounts(3).toInt)
+  }
+
   test("cross-batch near-dup ingest drops late near-dups via the signature store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
