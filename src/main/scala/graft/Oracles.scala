@@ -15,6 +15,39 @@ object Oracles {
 
   val asOf = Queries.AsOfDate
 
+  // shared by dedup_clusters (size-adaptive: union-find at test scales)
+  // and dedup_clusters_dist (forces the distributed propagation) — BOTH
+  // engine branches must hash-match the same recursive ground truth
+  private val dupClustersSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE len(t) >= 3
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |), cand AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT p.a, p.b FROM cand p
+      |  JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+      |  WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+      |), edges AS (
+      |  SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b, a FROM pairs
+      |), reach(node, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+      |)
+      |SELECT node AS doc_id, min(lab) AS cluster
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "a1_filter_scan" ->
@@ -622,35 +655,8 @@ object Oracles {
     // WITH RECURSIVE propagates every label through the symmetric edge
     // list until fixpoint; min(reachable label) = min doc_id in the
     // component — exactly the min-label-propagation fixpoint Spark reaches
-    "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
-        |  WHERE len(t) >= 3
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        |), cand AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT p.a, p.b FROM cand p
-        |  JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
-        |  WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
-        |), edges AS (
-        |  SELECT a AS src, b AS dst FROM pairs
-        |  UNION SELECT b, a FROM pairs
-        |), reach(node, lab) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-        |)
-        |SELECT node AS doc_id, min(lab) AS cluster
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> dupClustersSql,
+    "dedup_clusters_dist" -> dupClustersSql,
 
     "corpus_clean" ->
       """WITH scored AS (

@@ -65,6 +65,11 @@ object SparkEntry {
     // connected component (min-label propagation to a fixpoint)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.nearDupPipeline(docs(s, dir), 0.8))),
+    // the >1M-edge production branch, forced, so BOTH clustering paths
+    // stay inside the recursive-ground-truth oracle gate
+    "dedup_clusters_dist" -> ((s, dir) =>
+      Dedup.dupClustersWithRounds(Dedup.nearDupPipeline(docs(s, dir), 0.8),
+        maxDriverEdges = 0L)._1),
     // containment (smaller-side-normalized winnowing overlap): catches a
     // short doc embedded in a long one, which union-normalized Jaccard misses
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), 0.8)),

@@ -413,9 +413,12 @@ object Dedup {
     * SIZE-ADAPTIVE: the dup-pair edge list is orders of magnitude smaller
     * than the corpus (it exists because LSH already pruned it), so up to
     * `maxDriverEdges` pairs the components are solved in one pass of
-    * driver-side union-find (~16 bytes/edge; the same justified bounded
-    * collect as a broadcast side) instead of paying per-round job latency
-    * — identical output, rounds reported as 0. The iterative path takes
+    * driver-side union-find instead of paying per-round job latency —
+    * identical output, rounds reported as 0. Honest driver cost at the
+    * default 1M-edge bound: the collected Row array plus a primitive
+    * LongMap parent table is roughly 100-150 MB transient — a bounded
+    * collect on the same order as a large broadcast side, NOT the 16
+    * bytes/edge the payload alone suggests. The iterative path takes
     * over beyond the bound.
     */
   def dupClusters(pairs: DataFrame): DataFrame = dupClustersWithRounds(pairs)._1
@@ -425,7 +428,7 @@ object Dedup {
     * (`maxDriverEdges = 0` forces the distributed path).
     */
   private[graft] def dupClustersWithRounds(pairs: DataFrame,
-      maxDriverEdges: Long = 2000000L): (DataFrame, Int) = {
+      maxDriverEdges: Long = 1000000L): (DataFrame, Int) = {
     // materialize the pair list ONCE before symmetrizing: the union's two
     // branches would otherwise each re-execute the (expensive) upstream
     // pair pipeline
@@ -435,8 +438,9 @@ object Dedup {
       import spark.implicits._
       // union-find with path compression; unions always point the LARGER
       // root at the smaller, so every root is its component's minimum id
-      // — the same fixpoint the propagation converges to
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // — the same fixpoint the propagation converges to. LongMap keeps
+      // the parent table primitive (no per-entry boxing).
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -445,13 +449,17 @@ object Dedup {
         r
       }
       p.as[(Long, Long)].collect().foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val out = parent.keys.toSeq.map(x => (x, find(x))).sortBy(_._1)
-      return (spark.createDataset(out).toDF("doc_id", "cluster"), 0)
+      // distribute the result instead of embedding a million-row
+      // LocalRelation literal in every downstream plan
+      val out = parent.keys.toArray.sorted.map(x => (x, find(x)))
+      return (spark.createDataset(
+        spark.sparkContext.parallelize(out.toIndexedSeq)).toDF("doc_id", "cluster")
+        .orderBy(col("doc_id")), 0)
     }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))

@@ -17,8 +17,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * step-2-before-step-1 arrival inversion resolves only if step 2
   * reoccurs later, the standard trade of O(steps) state vs full history.
   *
-  * Output (Update mode): one row per user whose state changed in the
-  * micro-batch, carrying the current depth and per-step times.
+  * Output (Update mode): one row per user WITH EVENTS in the micro-batch
+  * — an unchanged state re-emits its current row (mapGroupsWithState
+  * invokes the function for every active group), so consumers must treat
+  * rows as current-state snapshots, not as advancement deltas. State is
+  * only PERSISTED once a user matches step 1: users who never enter the
+  * funnel leave nothing in the state store, keeping it O(funnel
+  * entrants) like the batch operator's per-stage footprint.
   */
 object StreamingFunnel {
 
@@ -42,7 +47,9 @@ object StreamingFunnel {
                 (cur.depth == 0 || e.us > cur.times.last))
               cur = FunnelState(uid, cur.depth + 1, cur.times :+ e.us)
           }
-          state.update(cur)
+          // never persist depth-0 state: a user who hasn't entered the
+          // funnel would otherwise occupy the state store forever
+          if (cur.depth > 0 || state.exists) state.update(cur)
           cur
       }
   }
