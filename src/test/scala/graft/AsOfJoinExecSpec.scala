@@ -90,6 +90,28 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId("a") == Some(2.0) && byId("b") == Some(3.0))
   }
 
+  test("randomized instances: exec equals the composed formulation on 10 seeded graphs") {
+    import spark.implicits._
+    // dense key/time collisions (8 keys × 40 ticks) force every edge at
+    // once: equal timestamps, ties, keys missing from either side, null
+    // payload values, and (when the right side draws size 0) empty
+    // partitions — the composed formulation is the oracle-pinned model
+    val rnd = new scala.util.Random(42)
+    (1 to 10).foreach { trial =>
+      val left = Seq.fill(rnd.nextInt(60) + 1)(
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong)).zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong,
+          if (rnd.nextBoolean()) Some(rnd.nextDouble()) else (None: Option[Double])))
+        .zipWithIndex
+        .map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+        .toDF("k", "rt", "tie", "v")
+      val (composed, exec) = both(left, right, Seq("v"), "tie")
+      assert(exec == composed, s"trial $trial diverged")
+    }
+  }
+
   test("non-nullable payload columns go null for unmatched left rows") {
     import spark.implicits._
     // plain Double/Long payload → non-nullable input attributes; the exec
