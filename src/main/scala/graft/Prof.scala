@@ -127,6 +127,23 @@ object Prof {
       val rows = b.collect().toSeq
       println(s"PROF asofexec composed=${a.size} exec=${rows.size} equal=${a == rows}")
     }
+    if (mode == "planaudit") {
+      val sf = "/root/testdata/sf0.001"
+      for ((name, fn) <- Seq(
+          ("events_retention", Queries.eventsRetention _),
+          ("events_rolling", Queries.eventsRolling _),
+          ("layout_zorder", Queries.layoutZorder _),
+          ("text_mix_domains", (s: SparkSession, d: String) =>
+            graft.ext.TextAnalysis.mixDomains(Queries.table(s, d, "documents"),
+              Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125), "lang")))) {
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        val nEx = "Exchange".r.findAllIn(plan).length
+        val scans = plan.linesIterator.filter(_.contains("ReadSchema")).map(_.trim.takeRight(100)).toSeq
+        println(s"PROF $name exchanges=$nEx codegen=${plan.contains("WholeStageCodegen")}")
+        scans.foreach(s => println(s"  scan: $s"))
+      }
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())
