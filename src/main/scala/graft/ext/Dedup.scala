@@ -433,7 +433,11 @@ object Dedup {
     // branches would otherwise each re-execute the (expensive) upstream
     // pair pipeline
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
-    if (p.count() <= maxDriverEdges) {
+    // strict `maxDriverEdges > 0` guard: 0 is the documented way to FORCE
+    // the distributed branch (the oracle gate relies on it), and an empty
+    // pair set would otherwise satisfy `count <= 0` and sneak back onto
+    // the driver fast path
+    if (maxDriverEdges > 0 && p.count() <= maxDriverEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       // union-find with path compression; unions always point the LARGER
@@ -461,6 +465,8 @@ object Dedup {
         spark.sparkContext.parallelize(out.toIndexedSeq)).toDF("doc_id", "cluster")
         .orderBy(col("doc_id")), 0)
     }
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint(true)
@@ -479,20 +485,28 @@ object Dedup {
         .select(col("src").as("doc_id"), col("min_n"))
       val hopped = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
       // pointer jump: follow my label to ITS label (every label is a node
       // id, monotonically non-increasing, so the parent lookup always
       // resolves and only improves) — this is the path-halving step
       val parents = hopped.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
+      // ONE action per round: the convergence signal rides the checkpoint
+      // materialization as an accumulator tallied while each row is
+      // written, instead of a second join+count job over the result.
+      // Retries/speculation can only OVER-count rows that really changed,
+      // and a converged round adds zero from every attempt — the `> 0`
+      // test is exact either way.
+      val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.r$rounds")
       val next = hopped
         .join(parents, hopped("cluster") === parents("p_id"), "left")
-        .select(hopped("doc_id"),
+        .select(hopped("doc_id"), hopped("old"),
           least(hopped("cluster"), coalesce(col("parent"), hopped("cluster"))).as("cluster"))
+        .as[(Long, Long, Long)]
+        .map { case (id, old, cl) => if (cl != old) acc.add(1L); (id, cl) }
+        .toDF("doc_id", "cluster")
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster").as("old")), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old")).count()
+      changed = acc.value
       labels = next
     }
     (labels.orderBy(col("doc_id")), rounds)

@@ -257,14 +257,18 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 3): Unit = {
     import emb.sparkSession.implicits._
     val (cents, cells) = kmeansFit(emb, nCells, iters)
-    // a (re)build owns the WHOLE vectors tree: appended batch=N
-    // partitions hold cell assignments computed against the OLD centroids
-    // (and possibly vec_ids the new base also carries), so leaving them
-    // behind would silently corrupt every post-rebuild probe — this is
-    // the compaction step the append path's scaladoc defers to
-    val vecPath = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    val fs = vecPath.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(vecPath)) { fs.delete(vecPath, true); () }
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A rebuild writes a COMPLETE new v_<n> directory and flips the
+    // CURRENT pointer to it only after both halves exist: a crash at any
+    // earlier point leaves the previous version intact and still live, and
+    // readers can never pair fresh cell assignments with stale centroids.
+    // Appended batch=N partitions of the old version are abandoned with it
+    // (their assignments were computed against the OLD centroids) — this
+    // is the compaction step the append path's scaladoc defers to.
+    val n = nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$n"
     // the base build lands under batch=-1: every writer (base build,
     // batch append, streaming ingest) owns exactly one batch=<id>
     // directory, so an at-least-once replay of any one of them can
@@ -272,9 +276,57 @@ object Similarity {
     // Readers discover (batch, cell) as partition columns; cell pruning
     // is unaffected by the extra level.
     emb.join(cells, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors/batch=-1")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors/batch=-1")
     cents.toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    publishIndexVersion(fs, dir, n)
+  }
+
+  /** Resolve the live root of a versioned index: `$dir/CURRENT` names the
+    * published `v_<n>` subdirectory; absent a pointer, `dir` itself is the
+    * root (indexes written by the pre-versioning layout keep working).
+    */
+  def resolveIndexRoot(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) dir
+    else {
+      val in = fs.open(cur)
+      val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      s"$dir/$name"
+    }
+  }
+
+  private def nextIndexVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(path)) 0L
+    else fs.listStatus(path).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v_") =>
+        scala.util.Try(s.stripPrefix("v_").toLong).toOption }
+      .flatten.foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Flip `$dir/CURRENT` to `v_<n>` (write-temp + rename — the closest to
+    * atomic the Hadoop FS API offers; a reader hitting the sub-millisecond
+    * delete/rename window fails loud rather than reading a torn index),
+    * then best-effort delete superseded versions and the legacy in-place
+    * layout. Single-writer path, like [[appendToIvfIndex]].
+    */
+  private def publishIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, n: Long): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v_$n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    require(fs.rename(tmp, cur), s"failed to publish $dir/CURRENT -> v_$n")
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
+      val name = st.getPath.getName
+      val stale = (name.startsWith("v_") && name != s"v_$n") ||
+        name == "vectors" || name == "centroids" // pre-versioning layout
+      if (stale) { fs.delete(st.getPath, true); () }
+    }
   }
 
   /** Next unused batch id under `vectorsDir` (max existing + 1; the base
@@ -324,13 +376,14 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
     import spark.implicits._
-    requireBatchLayout(spark, s"$dir/vectors")
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = resolveIndexRoot(spark, dir)
+    requireBatchLayout(spark, s"$root/vectors")
+    val cents = spark.read.parquet(s"$root/centroids")
       .as[(Int, Array[Double])].collect().toSeq.sortBy(_._1)
     val cells = kmeansAssign(newEmb, cents).select(col("vec_id"), col("cell"))
-    val id = batchId.getOrElse(nextBatchId(spark, s"$dir/vectors"))
+    val id = batchId.getOrElse(nextBatchId(spark, s"$root/vectors"))
     newEmb.join(cells, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors/batch=$id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/vectors/batch=$id")
   }
 
   /** Query a persisted IVF index: rank cells by query-centroid cosine,
@@ -340,8 +393,9 @@ object Similarity {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryIds: Seq[Long], k: Int = 10, nProbe: Int = 2): DataFrame = {
     VectorFunctions.register(spark)
-    val vectors = spark.read.parquet(s"$dir/vectors")
-    val centDf = spark.read.parquet(s"$dir/centroids")
+    val root = resolveIndexRoot(spark, dir)
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val centDf = spark.read.parquet(s"$root/centroids")
     val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // bounded collect: nProbe × queries cell ids drive partition pruning

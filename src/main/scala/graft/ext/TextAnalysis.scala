@@ -361,8 +361,11 @@ object TextAnalysis {
     * `N = min_d floor(avail_d / w_d)`; each domain then needs
     * `round(w_d · N)` docs, kept via the same deterministic portable-hash
     * bucketing as [[stratifiedSample]] (salted independently, so mixing
-    * composes with sampling and splitting). Domains outside `targets`
-    * are dropped; targeted domains with no rows are ignored.
+    * composes with sampling and splitting). The kept fraction per domain
+    * hits the target proportion in expectation (hash buckets, not exact
+    * counts). Domains outside `targets` are dropped; a targeted domain
+    * with NO rows fails loud — silently omitting a requested domain would
+    * corrupt the mix.
     *
     * Scale shape: one tiny per-domain count aggregation (≤ |domains|
     * rows), a broadcast of the derived thresholds, and a per-row hash
@@ -376,8 +379,17 @@ object TextAnalysis {
     val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
       case (acc, (d, w)) => when(col(domainCol) === d, lit(w / wSum)).otherwise(acc)
     }
-    val avail = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+    import docs.sparkSession.implicits._
+    // one corpus scan, ≤ |targets| rows back: validate presence driver-side
+    // and feed the literal counts into the (unchanged) threshold arithmetic
+    // instead of re-scanning the corpus per derived aggregate
+    val availRows = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("avail"))
+      .as[(String, Long)].collect()
+    val missing = targets.keySet -- availRows.iterator.map(_._1).toSet
+    require(missing.isEmpty,
+      s"targeted domains with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    val avail = availRows.toSeq.toDF(domainCol, "avail")
     // the binding domain caps the total: one row, broadcast everywhere
     val cap = avail.agg(
       min(floor(col("avail") / weight).cast("long")).as("n_total"))

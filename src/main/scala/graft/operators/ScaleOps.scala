@@ -161,11 +161,16 @@ object ScaleOps {
     */
   def zorderRepartition(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    // collision-free temp column: an input that already carries `_z`
+    // must come back with it intact, not overwritten-then-dropped
+    val zName = Iterator.from(0)
+      .map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
     val z = zValue(col(xCol), col(yCol), bits)
-    val withZ = df.withColumn("_z", z)
+    val withZ = df.withColumn(zName, z)
     val ranged =
-      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("_z"))
-      else withZ.repartitionByRange(col("_z"))
-    ranged.sortWithinPartitions(col("_z")).drop("_z")
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col(zName))
+      else withZ.repartitionByRange(col(zName))
+    ranged.sortWithinPartitions(col(zName)).drop(zName)
   }
 }

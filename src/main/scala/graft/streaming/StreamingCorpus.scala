@@ -166,33 +166,39 @@ object StreamingCorpus {
               .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val cross =
               if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/bands"))) None
-              else Some {
+              else {
                 val sBands = spark.read.parquet(s"$storeDir/bands")
                   .filter(col("batch") =!= batchId)
                   .select(col("doc_id").as("old_id"), col("band"), col("key"))
-                val sSigs = spark.read.parquet(s"$storeDir/sigs")
-                  .filter(col("batch") =!= batchId)
                 val candPairs = bandDf
                   .select(col("doc_id").as("new_id"), col("band"), col("key"))
                   .join(sBands, Seq("band", "key"))
                   .select(col("new_id"), col("old_id")).distinct()
                   .cache()
                 caches += candPairs
-                // the band probe is narrow (3 columns); the SIGS table is
-                // the wide one (numHashes columns × every stored doc), so
-                // never scan it whole per batch: the matched old_id set is
-                // batch-bounded — collect it and push the filter into the
-                // sigs scan. Fall back to the join only if a pathological
-                // batch matches more ids than the pushdown cap.
-                val oldIds = candPairs.select(col("old_id")).distinct()
-                  .limit(10001).collect().map(_.getLong(0)).toSeq
-                val sigsNeeded =
-                  if (oldIds.length <= 10000)
-                    sSigs.filter(col("doc_id").isInCollection(oldIds))
-                  else sSigs
-                candPairs.join(sigsNeeded.select(col("doc_id").as("old_id") +:
-                  (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*),
-                  Seq("old_id"))
+                // the common batch collides with NOTHING in the store —
+                // skip the sigs read, the old_id collect, and the scoring
+                // join outright (isEmpty is cheap on the cached pairs)
+                if (candPairs.isEmpty) None
+                else Some {
+                  val sSigs = spark.read.parquet(s"$storeDir/sigs")
+                    .filter(col("batch") =!= batchId)
+                  // the band probe is narrow (3 columns); the SIGS table is
+                  // the wide one (numHashes columns × every stored doc), so
+                  // never scan it whole per batch: the matched old_id set is
+                  // batch-bounded — collect it and push the filter into the
+                  // sigs scan. Fall back to the join only if a pathological
+                  // batch matches more ids than the pushdown cap.
+                  val oldIds = candPairs.select(col("old_id")).distinct()
+                    .limit(10001).collect().map(_.getLong(0)).toSeq
+                  val sigsNeeded =
+                    if (oldIds.length <= 10000)
+                      sSigs.filter(col("doc_id").isInCollection(oldIds))
+                    else sSigs
+                  candPairs.join(sigsNeeded.select(col("doc_id").as("old_id") +:
+                    (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*),
+                    Seq("old_id"))
+                }
               }
             val oSig = sig.select(col("doc_id").as("old_id") +:
               (0 until numHashes).map(i => col(s"mh_$i").as(s"o_mh_$i")): _*)
