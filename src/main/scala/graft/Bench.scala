@@ -40,6 +40,14 @@ object Bench {
   private[graft] def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // give the ContextCleaner its GC trigger: shuffle files and broadcast
+    // blocks are reclaimed only when their driver-side handles are
+    // collected, so across 70+ queries × N reps the local dirs otherwise
+    // accumulate every shuffle ever written (disk + page-cache pressure
+    // that lands on whichever query runs late in the sequence — the
+    // mechanism behind median≫min rep anomalies). Harness hygiene,
+    // outside the timed window.
+    System.gc()
   }
 
   private def jstr(s: String) =
@@ -77,8 +85,13 @@ object Bench {
     // must degrade to a sane rep count, not kill the whole bench
     val reps = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt).getOrElse(3))
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    // run to the named queries (the driver never sets it — full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => SparkEntry.verifierOnly(name) }
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
       val runs = (1 to reps).iterator.takeWhile(_ => err.isEmpty).map { _ =>

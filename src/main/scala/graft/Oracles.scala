@@ -384,6 +384,43 @@ object Oracles {
         |  CAST(off % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // PII redaction on the shared planted fixture: the VALUES rows and the
+    // regex patterns both come from TextAnalysis (one source of truth), and
+    // DuckDB executes the SAME staged substitution — count each kind on the
+    // text as it exists at that stage, then replace globally — so the two
+    // engines compute redaction independently and must agree byte-for-byte.
+    // Patterns are RE2-safe by design (no lookaround/backreference), which
+    // is exactly what makes this oracle possible.
+    "text_pii" -> {
+      val rows = graft.ext.TextAnalysis.piiFixture.map { case (id, t) =>
+        s"    (CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n")
+      val pats = graft.ext.TextAnalysis.PiiPatterns.map(_._1.replace("'", "''"))
+      val Seq(email, ip, ph1, ph2) = pats
+      s"""WITH fixture(doc_id, text) AS (VALUES
+        |$rows
+        |), s1 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+        |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS t1
+        |  FROM fixture
+        |), s2 AS (
+        |  SELECT doc_id, n_emails,
+        |    CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+        |    regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, n_emails, n_ips,
+        |    CAST(len(regexp_extract_all(t2, '$ph1')) AS BIGINT) AS ph1,
+        |    regexp_replace(t2, '$ph1', '<PHONE>', 'g') AS t3
+        |  FROM s2
+        |)
+        |SELECT doc_id, n_emails, n_ips,
+        |  ph1 + CAST(len(regexp_extract_all(t3, '$ph2')) AS BIGINT) AS n_phones,
+        |  regexp_replace(t3, '$ph2', '<PHONE>', 'g') AS redacted_text
+        |FROM s3 ORDER BY doc_id""".stripMargin
+    },
+
     "text_tfidf" ->
       """WITH tokens AS (
         |  SELECT doc_id, t[g.i] AS token

@@ -162,6 +162,15 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
     // frequency-based quality rule (CCNet/Gopher-style perplexity proxy)
     "text_surprisal" -> ((s, dir) => TextAnalysis.unigramSurprisal(docs(s, dir))),
+    // PII redaction over the planted fixture (the corpus holds no PII, so
+    // the oracle plants literal rows on both sides — the
+    // report_source_scan pattern; DuckDB runs the SAME RE2-safe regexes
+    // independently, it is a computing oracle, not an expected-values list)
+    "text_pii" -> ((s, _) => {
+      import s.implicits._
+      TextAnalysis.redactPii(TextAnalysis.piiFixture.toDF("doc_id", "text"))
+        .orderBy(col0("doc_id"))
+    }),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),

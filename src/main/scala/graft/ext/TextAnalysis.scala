@@ -218,6 +218,27 @@ object TextAnalysis {
     "\\+\\d{1,3}[ .-]?\\d{2,4}[ .-]?\\d{3,4}[ .-]?\\d{3,4}\\b" -> "<PHONE>",
     "\\b\\d{3}[ .-]\\d{3}[ .-]\\d{4}\\b" -> "<PHONE>")
 
+  /** Planted-PII fixture shared by the `text_pii` oracle row (Spark builds
+    * a literal DataFrame from it, the DuckDB oracle a VALUES CTE) — the
+    * synthetic corpus holds no PII, so a corpus-table oracle would be
+    * vacuous. Rows cover the overlap cases the redaction ordering exists
+    * for: an email consuming a phone-shaped local part, an IP-shaped
+    * hostname inside an email, adjacent phone shapes, and near-miss digit
+    * runs that must survive untouched. No apostrophes (rows are embedded
+    * in single-quoted SQL literals).
+    */
+  private[graft] val piiFixture: Seq[(Long, String)] = Seq(
+    1L -> "contact alice@example.com or bob.smith+tag@mail.co.uk today",
+    2L -> "server at 10.0.0.1 then call +1 555-123-4567 now",
+    3L -> "plain 555-123-4567 and version 1.2 stays, 1.2.3.4 goes",
+    4L -> "nothing sensitive here, just words and the number 42",
+    5L -> "reach 555-123-4567@relay.com",
+    6L -> "user@192.168.0.1.com pinged",
+    7L -> "id 555-123+44 20 7946 0958-4567 end",
+    8L -> "call +44 20 7946 0958 or 212-555-0199, fallback to 8.8.8.8",
+    9L -> "edge 999.999.999.999 still redacts, 1.2.3.4.5 is ambiguous",
+    10L -> "mixed a@b.cc then 172.16.254.3 then +33 1 23 45 67 89 done")
+
   /** PII redaction — the scrubbing pass training pipelines run before
     * release: emails, IPv4 addresses, and phone-shaped numbers are
     * replaced with typed placeholder tokens, and the op reports how many
