@@ -207,11 +207,13 @@ object Queries {
   }
 
   /** Funnel conversion over the event stream: users whose first signup is
-    * followed (strictly later) by a click, then a purchase — see
-    * [[graft.analytics.Funnel]] for the one-partitioning stage chain.
+    * followed (strictly later) by a click, then a purchase. Production
+    * path is the SINGLE-PASS formulation — one fact scan, one user-keyed
+    * exchange, O(k) state per user — see [[graft.analytics.Funnel]];
+    * ExtSpec pins it ≡ the declarative stage chain.
     */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
-    graft.analytics.Funnel.funnelCounts(
+    graft.analytics.Funnel.funnelCountsSinglePass(
       events(spark, dir).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us")),
       Seq("signup", "click", "purchase"))

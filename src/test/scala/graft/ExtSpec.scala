@@ -311,6 +311,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(times.length == counts(3))
     times.foreach { r =>
       assert(r.getLong(1) < r.getLong(2) && r.getLong(2) < r.getLong(3)) }
+    // single-pass (production path) ≡ stage chain, counts AND times
+    val spCounts = graft.analytics.Funnel.funnelCountsSinglePass(ev, steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val scCounts = graft.analytics.Funnel.funnelCounts(ev, steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(spCounts == scCounts)
+    val spTimes = graft.analytics.Funnel.funnelTimesSinglePass(ev, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spTimes == times.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+    // a step no user reaches still reports 0 in the single-pass form
+    val none = graft.analytics.Funnel.funnelCountsSinglePass(
+      ev, Seq("signup", "no_such_event"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(none(2) == 0L && none(1) == counts(1))
   }
 
   test("deterministic split: stable under repartitioning, proportions near 80/10/10") {
