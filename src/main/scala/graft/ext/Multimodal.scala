@@ -1,16 +1,30 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{ImageIO, ImageReader}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side shape is real and tested — schema, partitioning, typed
-  * batch iteration — while the actual media decode is STUBBED with a
-  * deterministic arithmetic fake (this container ships no image/audio
-  * codecs). A production deployment replaces [[decodeStubBatch]]'s body
-  * with a JNI/FFI codec call; nothing else changes.
+  * Image payloads are decoded with a REAL codec — JDK `javax.imageio`
+  * ships PNG/JPEG/BMP/GIF/TIFF/WBMP readers, so PNG fixtures decode to
+  * genuine pixel dimensions and multi-frame GIFs to genuine frame counts
+  * with zero external dependencies. Payloads no registered reader
+  * recognizes (the magic-byte sniff fails — e.g. text, audio, or a codec
+  * this JVM lacks) fall back to a deterministic arithmetic feature map,
+  * so ONE batch path serves mixed media tables and never throws on a
+  * format gap. A production deployment widens coverage by registering
+  * more ImageIO service providers (or swapping [[decodeBatch]]'s image
+  * branch for a JNI/FFI codec); the Spark-side shape — schema,
+  * partitioning, `mapPartitions` batching — does not change.
+  *
+  * Scale notes: `ImageIO.setUseCache(false)` keeps decode off executor
+  * local disk (in-memory streams only); decode is per-row CPU with no
+  * shuffle — the operator scales linearly with input splits.
   */
 object Multimodal {
 
@@ -28,31 +42,71 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       concat(lit("fake/media-"), col("source")).as("media_type"))
 
-  /** STUB decode: deterministic pseudo-features from payload length.
-    * Replace with a real codec for production; signature and batch shape
-    * are the contract.
+  /** Header-level image probe: (format, width, height, frame count) via
+    * the registry-matched ImageReader, or None when no reader claims the
+    * bytes. Width/height come from the header (no full pixel decode);
+    * the frame count is an exact scan (`getNumImages(allowSearch=true)`),
+    * which for animated GIF/multi-page TIFF walks the stream once.
     */
-  def decodeStubBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
-      val len = r.payload.length.toLong
-      MediaFeatures(
-        doc_id = r.doc_id,
-        byte_len = len,
-        media_type = r.media_type,
-        width = (64 + len % 512).toInt,
-        height = (64 + (len * 7) % 512).toInt,
-        n_frames = (1 + len % 30).toInt,
-        checksum = java.security.MessageDigest.getInstance("MD5")
-          .digest(r.payload).map("%02x".format(_)).mkString)
+  private[ext] def imageMeta(payload: Array[Byte]): Option[(String, Int, Int, Int)] =
+    withReader(payload) { r =>
+      (r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), r.getNumImages(true))
     }
 
-  /** Batch feature extraction over the binary column: `mapPartitions` so a
-    * real decoder amortizes per-partition init (model load, codec setup) —
-    * the Scala analog of `mapInPandas` batching.
+  private def withReader[T](payload: Array[Byte])(f: ImageReader => T): Option[T] = {
+    ImageIO.setUseCache(false)
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false)
+          Some(f(reader))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
+  private def md5hex(payload: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+
+  /** Opaque-payload fallback features: deterministic arithmetic on the
+    * byte length (twinned declaratively by [[featuresExpr]] so the oracle
+    * gate covers the batch path end-to-end on non-image payloads).
     */
+  private def opaqueFeatures(r: MediaRow): MediaFeatures = {
+    val len = r.payload.length.toLong
+    MediaFeatures(
+      doc_id = r.doc_id,
+      byte_len = len,
+      media_type = r.media_type,
+      width = (64 + len % 512).toInt,
+      height = (64 + (len * 7) % 512).toInt,
+      n_frames = (1 + len % 30).toInt,
+      checksum = md5hex(r.payload))
+  }
+
+  /** Batch decode over the binary column: real ImageIO decode for image
+    * payloads (genuine width/height/frame-count), arithmetic fallback for
+    * opaque ones. `mapPartitions` so per-partition init (codec registry,
+    * a future model load) amortizes across the batch.
+    */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      imageMeta(r.payload) match {
+        case Some((fmt, w, h, n)) =>
+          MediaFeatures(r.doc_id, r.payload.length.toLong, s"image/$fmt",
+            w, h, n, md5hex(r.payload))
+        case None => opaqueFeatures(r)
+      }
+    }
+
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(decodeStubBatch _)
+    media.as[MediaRow].mapPartitions(decodeBatch _)
   }
 
   final case class ResizedMedia(
@@ -60,46 +114,78 @@ object Multimodal {
   final case class FrameSample(
       doc_id: Long, frame_idx: Int, frame_payload: Array[Byte])
 
-  /** STUB resize: deterministic payload transform targeting (w, h). The
-    * real implementation re-encodes via a codec; the stub truncates/pads
-    * the payload proportionally so output size tracks target dims —
-    * enough to exercise schema + batch plumbing downstream.
+  /** Scale a decoded frame to (w, h) and re-encode as PNG (lossless, so
+    * tests can assert exact pixels of solid-color fixtures).
     */
-  def resizeStubBatch(target: (Int, Int))(rows: Iterator[MediaRow]): Iterator[ResizedMedia] = {
+  private def scaleToPng(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batch resize: image payloads decode frame 0, scale with bilinear
+    * Graphics2D, and re-encode PNG; opaque payloads keep the
+    * deterministic truncation transform (the oracle-twinned path).
+    */
+  def resizeBatch(target: (Int, Int))(rows: Iterator[MediaRow]): Iterator[ResizedMedia] = {
     val (w, h) = target
     rows.map { r =>
-      val outLen = math.max(1, math.min(r.payload.length, w * h / 128))
-      ResizedMedia(r.doc_id, w, h, java.util.Arrays.copyOf(r.payload, outLen))
+      val decoded = withReader(r.payload) { reader => reader.read(0) }
+      decoded match {
+        case Some(img) => ResizedMedia(r.doc_id, w, h, scaleToPng(img, w, h))
+        case None =>
+          val outLen = math.max(1, math.min(r.payload.length, w * h / 128))
+          ResizedMedia(r.doc_id, w, h, java.util.Arrays.copyOf(r.payload, outLen))
+      }
     }
   }
 
-  /** STUB frame sampling: every `stride`-th chunk of the payload plays a
-    * video frame. Real impl: demux + keyframe selection; the explode shape
-    * (1 row in → n_frames rows out) is the contract.
+  /** Batch frame sampling (1 row in → n rows out): multi-frame image
+    * payloads (animated GIF, multi-page TIFF) decode every `stride`-th
+    * frame and re-encode each as PNG; opaque payloads keep the
+    * deterministic chunk transform. Real impl of a video path would demux
+    * + keyframe-select here — the explode shape is the contract.
     */
-  def frameSampleStubBatch(stride: Int)(rows: Iterator[MediaRow]): Iterator[FrameSample] =
+  def frameSampleBatch(stride: Int)(rows: Iterator[MediaRow]): Iterator[FrameSample] =
     rows.flatMap { r =>
-      val nFrames = (1 + r.payload.length % 30).toInt
-      (0 until nFrames by stride).map { i =>
-        val from = math.min(i * 16, math.max(0, r.payload.length - 1))
-        val until = math.min(from + 16, r.payload.length)
-        FrameSample(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+      val sampled = withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        (0 until n by stride).map { i =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(reader.read(i), "png", bos)
+          FrameSample(r.doc_id, i, bos.toByteArray)
+        }
+      }
+      sampled.getOrElse {
+        val nFrames = (1 + r.payload.length % 30).toInt
+        (0 until nFrames by stride).map { i =>
+          val from = math.min(i * 16, math.max(0, r.payload.length - 1))
+          val until = math.min(from + 16, r.payload.length)
+          FrameSample(r.doc_id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
       }
     }
 
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(resizeStubBatch((w, h)) _)
+    media.as[MediaRow].mapPartitions(resizeBatch((w, h)) _)
   }
 
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 2): Dataset[FrameSample] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(frameSampleStubBatch(stride) _)
+    media.as[MediaRow].mapPartitions(frameSampleBatch(stride) _)
   }
 
-  /** Declarative twin of the stub decode (same arithmetic as pure Catalyst
-    * expressions) — used by the oracle-checked query; proves the plumbing
-    * and the batch path agree (asserted in tests).
+  /** Declarative twin of the opaque-payload feature map (same arithmetic
+    * as pure Catalyst expressions) — used by the oracle-checked query;
+    * proves the plumbing and the batch fallback agree (asserted in tests).
     */
   def featuresExpr(media: DataFrame): DataFrame =
     media.select(

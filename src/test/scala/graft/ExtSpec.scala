@@ -420,6 +420,72 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       again.map(f => (f.doc_id, f.frame_idx)).sorted.toSeq)
   }
 
+  test("multimodal image branch runs a real codec: PNG/BMP dims, GIF frames, pixel checks") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // animated GIF: one solid frame per color, written as a sequence
+    val gifColors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val gifBytes = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      gifColors.foreach { c =>
+        writer.writeToSequence(new javax.imageio.IIOImage(solid(6, 4, c), null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, enc(solid(20, 12, 0x336699), "png"), "image/png"),
+      (2L, enc(solid(17, 9, 0xcc2200), "bmp"), "image/bmp"),
+      (3L, gifBytes, "image/gif"),
+      (4L, "just some text, no codec will claim this".getBytes("UTF-8"), "text/plain"))
+    import spark.implicits._
+    val media = rows.toDF("doc_id", "payload", "media_type")
+    // features: REAL dims and frame counts for images, arithmetic fallback for text
+    val f = Multimodal.extractFeatures(spark, media).collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).width == 20 && f(1L).height == 12 && f(1L).n_frames == 1
+      && f(1L).media_type == "image/png")
+    assert(f(2L).width == 17 && f(2L).height == 9 && f(2L).media_type == "image/bmp")
+    assert(f(3L).n_frames == 5 && f(3L).width == 6 && f(3L).height == 4
+      && f(3L).media_type == "image/gif")
+    val tLen = rows(3)._2.length
+    assert(f(4L).width == 64 + tLen % 512 && f(4L).byte_len == tLen.toLong)
+    // resize: decoded output must be a genuine 8x6 PNG of the SAME solid color
+    val rz = Multimodal.resize(spark, media, 8, 6).collect().map(x => x.doc_id -> x).toMap
+    val rimg = ImageIO.read(new java.io.ByteArrayInputStream(rz(1L).payload))
+    assert(rimg.getWidth == 8 && rimg.getHeight == 6)
+    assert((rimg.getRGB(3, 3) & 0xffffff) == 0x336699, "bilinear scale of a solid stays solid")
+    assert((ImageIO.read(new java.io.ByteArrayInputStream(rz(2L).payload)).getRGB(0, 0) & 0xffffff) == 0xcc2200)
+    assert(rz(4L).payload.length == math.min(tLen, 8 * 6 / 128).max(1)) // opaque fallback intact
+    // frame sampling: every stride-th GIF frame decodes to its planted color
+    val fs = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+      .filter(_.doc_id == 3L).sortBy(_.frame_idx)
+    assert(fs.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    fs.foreach { fr =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_payload))
+      assert(img.getWidth == 6 && img.getHeight == 4)
+      assert((img.getRGB(2, 2) & 0xffffff) == gifColors(fr.frame_idx),
+        s"frame ${fr.frame_idx} color")
+    }
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
