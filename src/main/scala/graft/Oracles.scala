@@ -195,6 +195,29 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // composite keys + staleness bound: DuckDB ASOF matches on BOTH
+    // equalities; the tolerance nulls the payload when the (unique)
+    // latest at-or-before candidate is too stale. epoch_us floors ns
+    // to µs exactly like the Spark read path's `ts div 1000`.
+    "asof_join_tol" ->
+      """WITH ev AS (
+        |  SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS grp
+        |  FROM events
+        |), signups AS (
+        |  SELECT user_id, grp, ts, value AS signup_value, event_id AS sig_id
+        |  FROM ev WHERE event_type = 'signup'
+        |), purchases AS (
+        |  SELECT event_id, user_id, grp, ts FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.grp,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  CASE WHEN s.ts IS NOT NULL
+        |         AND epoch_us(p.ts) - epoch_us(s.ts) <= 345600000000
+        |       THEN s.signup_value END AS signup_value
+        |FROM purchases p ASOF LEFT JOIN signups s
+        |  ON p.user_id = s.user_id AND p.grp = s.grp AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     // funnel: first signup, first click strictly after it, first purchase
     // strictly after that — each stage a keyed min, exactly the Spark
     // stage chain

@@ -340,6 +340,33 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join through the custom exec with BOTH extensions at once:
+    * composite equality keys (user_id, grp) and a staleness bound — a
+    * signup older than 4 days no longer explains a purchase, so the
+    * match is dropped (null payload) even though an at-or-before row
+    * exists. DuckDB's native ASOF replays the composite-key match and
+    * the tolerance is applied to its matched time (the latest
+    * at-or-before row is the only candidate; staleness only grows with
+    * older rows).
+    */
+  def asofJoinTolQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 4L * 86400L * 1000000L
+    val ev = events(spark, dir)
+      .withColumn("grp", get_json_object(col("props"), "$.k").cast("long") % 4)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("grp"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("grp"), col("ts"),
+        col("value").as("signup_value"), col("event_id").as("sig_id"))
+    graft.plans.AsOfJoinPlans.asOfJoinExecKeys(
+        purchases, signups, Seq("user_id", "grp"), "ts", "ts",
+        Seq("signup_value"), Some("sig_id"), Some(tolMicros))
+      .select(col("event_id"), col("user_id"), col("grp"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("signup_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

@@ -41,6 +41,7 @@ object SparkEntry {
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
+    "asof_join_tol" -> (Queries.asofJoinTolQuery _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),

@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.PlanBridge
+import org.apache.spark.sql.types.{
+  DataType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** As-of join as a first-class Catalyst operator — the full custom-plan
   * path (logical node → planner strategy → physical sort-merge exec),
@@ -23,7 +25,7 @@ import org.apache.spark.sql.graftshim.PlanBridge
   * whole-partition window (one shuffle of left+right TOGETHER, every left
   * row carries null payload slots through the exchange, the window sort
   * buffers the union). The exec shuffles each side independently on its
-  * own key, lets EnsureRequirements co-partition and sort them, and then
+  * own keys, lets EnsureRequirements co-partition and sort them, and then
   * streams BOTH sorted iterators through a single forward-only merge pass
   * per partition — no union row widening, no window buffer, O(1) state
   * (the latest matching right row) beyond the sort. Same exchange count,
@@ -31,29 +33,39 @@ import org.apache.spark.sql.graftshim.PlanBridge
   * than buffered.
   *
   * Semantics: for every left row, attach the payload of the latest right
-  * row with an equal key and `rightTime <= leftTime` (ties on rightTime
+  * row with equal keys (all columns, null keys grouping together as in
+  * the window formulation) and `rightTime <= leftTime` (ties on rightTime
   * broken by `rightTie`, largest wins); left rows with no match keep null
-  * payload. Null keys group together (as in the window formulation) and
-  * null right times sort first, i.e. match any left time — both pinned by
-  * the equivalence spec.
+  * payload. Null right times sort first, i.e. match any left time — both
+  * pinned by the equivalence spec.
+  *
+  * `tolerance` (optional) bounds staleness: a match additionally requires
+  * `leftTime - rightTime <= tolerance`, measured in the time column's
+  * native units (µs for timestamps, days for dates, raw units for
+  * integers). Because staleness grows monotonically as right rows age,
+  * the latest at-or-before row is the ONLY candidate — if it is too
+  * stale, the left row keeps null payload; the merge state stays O(1).
+  * Under a tolerance both times must be non-null to match (a null time
+  * has no defined staleness).
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Option[Attribute],
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    tolerance: Option[Long]) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 
   // generic optimizer rules (column pruning) must see EVERYTHING this node
   // consumes: all left columns pass through to the output, while the right
-  // side genuinely needs only key + time + tie + payload — so pruning is
+  // side genuinely needs only keys + time + tie + payload — so pruning is
   // free to strip any other right-side column down into the scan
   override def references: AttributeSet =
     AttributeSet(left.output) ++
-      AttributeSet(Seq(rightKey, rightTime) ++ rightTie ++ payload)
+      AttributeSet(rightKeys ++ Seq(rightTime) ++ rightTie ++ payload)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
@@ -63,8 +75,8 @@ case class AsOfJoinNode(
 /** Planner strategy: one logical node form, one physical form. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, payload) :: Nil
+    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tie, payload, tol) :: Nil
     case _ => Nil
   }
 }
@@ -72,37 +84,40 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Physical sort-merge as-of join.
   *
   * Declares, rather than implements, its distribution needs: each child
-  * requires `ClusteredDistribution` on its key and an ascending
-  * (key, time[, tie]) ordering, and EnsureRequirements inserts the
+  * requires `ClusteredDistribution` on its keys and an ascending
+  * (keys…, time[, tie]) ordering, and EnsureRequirements inserts the
   * exchanges and sorts — so AQE, whole-stage-codegen'd children, reused
   * exchanges and skew handling all compose with this operator for free.
   * `doExecute` is a per-partition two-iterator merge: advance the right
-  * iterator while its (key, time) is at or behind the current left row,
+  * iterator while its (keys, time) is at or behind the current left row,
   * remembering only the latest payload for the CURRENT key — the match
   * state is one buffered row, never a range buffer, because "latest at or
-  * before" needs exactly one candidate once inputs are sorted.
+  * before" needs exactly one candidate once inputs are sorted (and a
+  * staleness bound can only DISQUALIFY that candidate, never prefer an
+  * older one).
   */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Option[Attribute],
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   private val payloadOut = payload.map(_.withNullability(true))
 
   override def output: Seq[Attribute] = left.output ++ payloadOut
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-      rightTie.map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (Seq(SortOrder(rightTime, Ascending)) ++ rightTie.map(SortOrder(_, Ascending))))
 
   // left rows stream through in their sorted order, on their partitioning —
-  // a downstream consumer needing (key, time) order pays no second sort
+  // a downstream consumer needing (keys, time) order pays no second sort
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
@@ -110,11 +125,24 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Native-unit accessor for the single-column time row — only invoked
+    * when a tolerance is set (the API layer restricts time types then).
+    */
+  private def timeGetter(dt: DataType): InternalRow => Long = dt match {
+    case IntegerType | DateType => (r: InternalRow) => r.getInt(0).toLong
+    case ShortType => (r: InternalRow) => r.getShort(0).toLong
+    case LongType | TimestampType | TimestampNTZType => (r: InternalRow) => r.getLong(0)
+    case other =>
+      throw new IllegalStateException(s"tolerance unsupported for time type $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture plain values — the closure must not drag the SparkPlan in
     val lOut = left.output
     val rOut = right.output
-    val (lKey, rKey, lTime, rTime) = (leftKey, rightKey, leftTime, rightTime)
+    val (lKeys, rKeys, lTime, rTime) = (leftKeys, rightKeys, leftTime, rightTime)
+    val tol = tolerance
+    val getTime = tol.map(_ => timeGetter(lTime.dataType))
     // the NULLABLE payload view everywhere downstream: unmatched left rows
     // emit a null payload row, so binding the result projection against
     // the original (possibly non-nullable) attributes would let codegen
@@ -123,13 +151,13 @@ case class AsOfJoinExec(
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // codegen'd helpers are built per partition, on the executor
-      val lKeyProj = UnsafeProjection.create(Seq(lKey), lOut)
-      val rKeyProj = UnsafeProjection.create(Seq(rKey), rOut)
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
       val payloadProj = UnsafeProjection.create(payloadAttrs, rOut)
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ payloadAttrs)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lKey.dataType))
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
       val nullPayload = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow
@@ -137,32 +165,47 @@ case class AsOfJoinExec(
       // one-row lookahead over the right side; rows are copied because the
       // upstream sorter reuses its row buffer
       var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
-      // the latest matching right payload and the key it belongs to
+      // the latest matching right payload, the key it belongs to, and its
+      // time (for the staleness bound)
       var lastMatch: InternalRow = null
       var lastMatchKey: InternalRow = null
+      var lastTimeNull = false
+      var lastTimeVal = 0L
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow) // valid until the next left row
+        val lt = lTimeProj(lRow)
         var advancing = true
         while (rHead != null && advancing) {
           val c = keyOrd.compare(rKeyProj(rHead), lk)
           if (c < 0) {
             // right rows for keys already passed: discard
             rHead = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (c == 0 && timeOrd.compare(rTimeProj(rHead), lTimeProj(lRow)) <= 0) {
+          } else if (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0) {
             // at-or-before right row for THIS key: later ones overwrite
             // earlier ones (sorted by time then tie ⇒ latest + tie-break
             // win), so the state is exactly one buffered payload
             lastMatch = payloadProj(rHead).copy()
             lastMatchKey = rKeyProj(rHead).copy()
+            getTime.foreach { g =>
+              val tr = rTimeProj(rHead)
+              lastTimeNull = tr.isNullAt(0)
+              if (!lastTimeNull) lastTimeVal = g(tr)
+            }
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
         // the buffered match may be from an earlier key (left can skip
         // keys the right side never had, and vice versa) — emit it only
-        // for its own key
+        // for its own key, and under a tolerance only when fresh enough
         val matched =
-          lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0
+          lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0 &&
+            (tol match {
+              case None => true
+              case Some(t) =>
+                !lastTimeNull && !lt.isNullAt(0) &&
+                  getTime.get(lt) - lastTimeVal <= t
+            })
         resultProj(joined(lRow, if (matched) lastMatch else nullPayload))
       }
     }
@@ -172,23 +215,43 @@ case class AsOfJoinExec(
 /** DataFrame-level entry point. */
 object AsOfJoinPlans {
 
-  /** As-of join `left` to `right` through the custom operator; same
-    * argument contract as [[graft.operators.AsOfJoin.asOfJoin]].
-    * Registers [[AsOfJoinStrategy]] on the session's experimental
-    * strategies if absent, so it works in any session; deployments using
-    * `spark.sql.extensions=graft.GraftExtensions` get the strategy
-    * injected at session build instead.
+  private val toleranceTimeTypes: Set[DataType] =
+    Set(LongType, IntegerType, ShortType, DateType, TimestampType, TimestampNTZType)
+
+  /** Single-key as-of join through the custom operator; same argument
+    * contract as [[graft.operators.AsOfJoin.asOfJoin]].
     */
   def asOfJoinExec(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      payload: Seq[String], rightTieBreak: String = null): DataFrame = {
+      payload: Seq[String], rightTieBreak: String = null): DataFrame =
+    asOfJoinExecKeys(left, right, Seq(key), leftTime, rightTime, payload,
+      Option(rightTieBreak), None)
+
+  /** General form: composite equality keys and an optional staleness
+    * bound. `tolerance` is in the time column's native units (µs for
+    * TIMESTAMP, days for DATE, raw units for integral columns); a match
+    * requires `leftTime - rightTime <= tolerance`, so `Some(0)` means
+    * "exactly at the left time" and `None` means unbounded (classic
+    * as-of). Registers [[AsOfJoinStrategy]] on the session's experimental
+    * strategies if absent, so it works in any session; deployments using
+    * `spark.sql.extensions=graft.GraftExtensions` get the strategy
+    * injected at session build instead.
+    */
+  def asOfJoinExecKeys(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTime: String, rightTime: String,
+      payload: Seq[String],
+      rightTieBreak: Option[String] = None,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    require(keys.nonEmpty, "as-of join needs at least one key column")
     require(!payload.exists(left.columns.contains),
       s"payload columns ${payload.filter(left.columns.contains)} collide with left columns")
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val lPlan = left.queryExecution.analyzed
     // SELF-JOIN SAFETY: when both sides derive from the same Dataset their
     // subtrees share expression ids. The analyzer's DeduplicateRelations
@@ -205,19 +268,27 @@ object AsOfJoinPlans {
         throw new IllegalArgumentException(
           s"$side side has no column '$name' (has: ${out.map(_.name).mkString(", ")})"))
     val rOut = rAliases.map(_.toAttribute)
-    val (lk, rk) = (attr(lPlan.output, key, "left"), attr(rOut, key, "right"))
+    val lks = keys.map(attr(lPlan.output, _, "left"))
+    val rks = keys.map(attr(rOut, _, "right"))
     val (lt, rt) = (attr(lPlan.output, leftTime, "left"), attr(rOut, rightTime, "right"))
-    // the exec hashes each side on its own column and compares right rows
+    // the exec hashes each side on its own columns and compares right rows
     // with orderings built from the LEFT types — a type mismatch would not
     // error, it would silently drop matches (different hashes for equal
     // values, garbage comparisons), so reject it here
-    require(lk.dataType == rk.dataType,
-      s"key type mismatch: left '$key' is ${lk.dataType}, right is ${rk.dataType}")
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"key type mismatch: left '${lk.name}' is ${lk.dataType}, right is ${rk.dataType}")
+    }
     require(lt.dataType == rt.dataType,
       s"time type mismatch: left '$leftTime' is ${lt.dataType}, right '$rightTime' is ${rt.dataType}")
+    tolerance.foreach { _ =>
+      require(toleranceTimeTypes.contains(lt.dataType),
+        s"tolerance needs an integral-backed time column, got ${lt.dataType}")
+    }
     PlanBridge.ofRows(spark, AsOfJoinNode(
-      lPlan, rPlan, lk, rk, lt, rt,
-      Option(rightTieBreak).map(attr(rOut, _, "right")),
-      payload.map(attr(rOut, _, "right"))))
+      lPlan, rPlan, lks, rks, lt, rt,
+      rightTieBreak.map(attr(rOut, _, "right")),
+      payload.map(attr(rOut, _, "right")),
+      tolerance))
   }
 }

@@ -112,6 +112,74 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tolerance: boundary inclusive, stale match dropped, null times excluded, zero means exact") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "exact"),  // 100-90 = 10 <= 10 → boundary tie matches
+      (1L, 101L, "stale"),  // 101-90 = 11 > 10 → the ONLY candidate is too stale
+      (1L, 90L, "attime"),  // 90-90 = 0 → matches even at tolerance 0
+      (2L, 50L, "nullrt")   // right row has null time → excluded under tolerance
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, Option(90L), 1L, 5.0),
+      (2L, None: Option[Long], 2L, 9.0)
+    ).toDF("k", "rt", "tie", "v")
+    def run(tol: Option[Long]): Map[String, Option[Any]] =
+      AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"), "t", "rt",
+          Seq("v"), Some("tie"), tol)
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    val t10 = run(Some(10L))
+    assert(t10("exact") == Some(5.0), "staleness == tolerance must match (inclusive)")
+    assert(t10("stale") == None, "older-but-only candidate past the bound drops to null")
+    assert(t10("attime") == Some(5.0))
+    assert(t10("nullrt") == None, "null right time has no defined staleness")
+    val t0 = run(Some(0L))
+    assert(t0("attime") == Some(5.0) && t0("exact") == None)
+    // unbounded keeps the classic semantics: null rt matches anything
+    val un = run(None)
+    assert(un("exact") == Some(5.0) && un("stale") == Some(5.0) && un("nullrt") == Some(9.0))
+  }
+
+  test("randomized composite keys + tolerance: exec equals a brute-force replay on 12 seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 12).foreach { trial =>
+      val left = Seq.fill(rnd.nextInt(50) + 1)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(3).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+        .toDF("k1", "k2", "t", "lid")
+      val rightRows = Seq.fill(rnd.nextInt(50))(
+        (rnd.nextInt(4).toLong, rnd.nextInt(3).toLong,
+          if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(30).toLong),
+          rnd.nextDouble()))
+        .zipWithIndex.map { case ((k1, k2, rt, v), i) => (k1, k2, rt, i.toLong, v) }
+      val right = rightRows.toDF("k1", "k2", "rt", "tie", "v")
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(12).toLong) else None
+      val got = AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k1", "k2"),
+          "t", "rt", Seq("v"), Some("tie"), tol)
+        .collect().map(r => r.getLong(3) -> Option(r.get(4))).toMap
+      // model: winner = max by (rt nulls-first, tie) among at-or-before
+      // rows of the same composite key; tolerance then disqualifies a
+      // null-time or too-stale winner (older rows are staler — the
+      // winner is the only candidate)
+      val expected = left.collect().map { lr =>
+        val (k1, k2, t, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2), lr.getLong(3))
+        val cands = rightRows.filter(r => r._1 == k1 && r._2 == k2 && r._3.forall(_ <= t))
+        val winner = cands.sortBy(r => (r._3.isDefined, r._3.getOrElse(0L), r._4)).lastOption
+        lid -> winner.filter(w => tol.forall(tl => w._3.exists(rt => t - rt <= tl))).map(_._5)
+      }.toMap
+      assert(got == expected, s"trial $trial (tol=$tol) diverged")
+    }
+  }
+
+  test("composite-key plan shape: per-side exchanges, no union shuffle") {
+    val df = Queries.asofJoinTolQuery(spark, sf)
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan.take(1500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 2, plan.take(2500))
+  }
+
   test("non-nullable payload columns go null for unmatched left rows") {
     import spark.implicits._
     // plain Double/Long payload → non-nullable input attributes; the exec
