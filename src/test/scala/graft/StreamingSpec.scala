@@ -471,6 +471,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       fin.values.count(_ >= 3) == batchCounts(3).toInt)
   }
 
+  test("streaming rolling velocity converges to the batch RANGE frame; idle state expires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // ordered per-user arrival across batches; u1's 11:10 frame must DROP
+    // its 10:00 event (older than the trailing hour), u2's 12:00 frame
+    // holds only itself
+    val batches = Seq(
+      Seq((1L, 1L, 1.125, ts("2024-03-01 10:00:00")),
+        (2L, 1L, 2.5, ts("2024-03-01 10:20:00")),
+        (3L, 2L, 7.0625, ts("2024-03-01 10:05:00")),
+        (4L, 1L, 4.25, ts("2024-03-01 10:50:00"))),
+      Seq((5L, 1L, 8.0, ts("2024-03-01 11:10:00")),
+        (6L, 2L, 1.0, ts("2024-03-01 12:00:00"))),
+      // far-future event pushes the watermark past every earlier user's
+      // (last event + window) expiry timer → their deques are dropped
+      Seq((7L, 3L, 5.0, ts("2024-03-01 15:00:00"))),
+      // post-expiry event for u1: fresh window, frame = itself only
+      Seq((8L, 1L, 9.5, ts("2024-03-01 15:30:00"))))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Double, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "user_id", "value", "ts")
+      .withColumn("us", org.apache.spark.sql.functions.unix_micros(col("ts")))
+    val q = graft.streaming.StreamingRolling.rollingVelocityFromColumns(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rolling_stream").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("rolling_stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSet
+    // batch twin: the exact RANGE frame from Queries.eventsRolling
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    val expected = batches.flatten.toDF("event_id", "user_id", "value", "ts")
+      .withColumn("us", org.apache.spark.sql.functions.unix_micros(col("ts")))
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(col("value")).over(w), 3).as("roll_value"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(w).as("n_window"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected, s"stream $got vs batch $expected")
+    // spot-pin the frame semantics, not just the equivalence
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(4L) == ((7.875, 3L)), "10:50 frame holds all three u1 events")
+    assert(byId(5L) == ((14.75, 3L)), "11:10 frame drops the 10:00 event")
+    assert(byId(6L) == ((1.0, 1L)) && byId(8L) == ((9.5, 1L)))
+  }
+
   test("cross-batch near-dup ingest drops late near-dups via the signature store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
