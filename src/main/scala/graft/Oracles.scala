@@ -48,7 +48,7 @@ object Oracles {
       |SELECT node AS doc_id, min(lab) AS cluster
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "a1_filter_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -1411,4 +1411,14 @@ object Oracles {
         |) AS t(report_name, total_calls, n_rows)
         |ORDER BY report_name""".stripMargin
   )
+
+  /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
+    * persisted index is produced by the same deterministic fit over the
+    * same table, and the index round-trip is spec-pinned equal to the
+    * in-memory path (ExtSpec), so the correct oracle is the identical
+    * statement.
+    */
+  val sql: Map[String, String] = base ++ Map(
+    "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
+    "sim_topk_pq_index" -> base("sim_topk_pq"))
 }

@@ -112,6 +112,22 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ((s, dir) =>
       Similarity.ivfpqTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nCells = 8,
         nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)),
+    // serve-only twins: the index is built ONCE into a fingerprint-keyed
+    // cache (graft.ext.IndexCache) and later calls only serve — under the
+    // bench's min-of-N these rows report pure SERVING cost, which the
+    // fit+serve rows above conflate with the build
+    "sim_topk_ivf_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "ivf") { d =>
+        Similarity.buildIvfIndex(emb(s, dir), d, nCells = 8, iters = 3)
+      }
+      Similarity.ivfTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, nProbe = 2)
+    }),
+    "sim_topk_pq_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "pq") { d =>
+        Similarity.buildPqIndex(emb(s, dir), d, m = 8, ks = 16, iters = 2)
+      }
+      Similarity.pqTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)
+    }),
     // extensions: text analysis
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
