@@ -132,6 +132,8 @@ object Prof {
       for ((name, fn) <- Seq(
           ("events_retention", Queries.eventsRetention _),
           ("events_rolling", Queries.eventsRolling _),
+          ("events_funnel", Queries.eventsFunnel _),
+          ("asof_join_tol", Queries.asofJoinTolQuery _),
           ("layout_zorder", Queries.layoutZorder _),
           ("text_mix_domains", (s: SparkSession, d: String) =>
             graft.ext.TextAnalysis.mixDomains(Queries.table(s, d, "documents"),

@@ -193,8 +193,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!df.columns.contains("_salt"))
   }
 
-  test("funnel: one user-keyed exchange per step, none added by the stage joins") {
+  test("funnel single-pass: ONE events scan with the step filter pushed down") {
     val plan = planOf(Queries.eventsFunnel(spark, sf))
+    // the production path reads the fact table exactly once (the stage
+    // chain reads it k times); the IN filter reaches the scan
+    val eventScans = plan.linesIterator.count(l =>
+      l.contains("parquet") && l.contains("events"))
+    assert(eventScans == 1, s"$eventScans events scans\n${plan.take(3000)}")
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("funnel stage chain: one user-keyed exchange per step, none added by the stage joins") {
+    val ev = Queries.events(spark, sf).select(
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")).as("us"))
+    val plan = planOf(graft.analytics.Funnel.funnelCounts(
+      ev, Seq("signup", "click", "purchase")))
     // each step's filtered scan shuffles onto user_id ONCE; the
     // join(prev) + groupBy chain reuses that partitioning — a plan where
     // joins re-shuffle would show more user-keyed exchanges than steps
