@@ -36,4 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the committed heap: the bench's between-rep System.gc() otherwise
+  // SHRINKS it (G1 MaxHeapFreeRatio) and the next timed rep pays the
+  // re-commit — a uniform phantom slowdown on every query
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1412,6 +1412,25 @@ object Oracles {
         |ORDER BY report_name""".stripMargin
   )
 
+  /** multimodal_decode: the REAL ImageIO decode of three byte-exact PNG
+    * literals; expected dims/frame counts/byte lengths are known
+    * independently of any engine (they are properties of the planted
+    * bytes), so the oracle is a VALUES literal — the `report_source_scan`
+    * pattern. A silent fallback to the arithmetic path would emit
+    * width = 64 + len % 512 (137/138) instead of the true dims and flip
+    * the hash.
+    */
+  private val multimodalDecodeSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(73 AS BIGINT), 'image/png',
+      |   CAST(5 AS INTEGER), CAST(4 AS INTEGER), CAST(1 AS INTEGER)),
+      |  (CAST(2 AS BIGINT), CAST(74 AS BIGINT), 'image/png',
+      |   CAST(16 AS INTEGER), CAST(2 AS INTEGER), CAST(1 AS INTEGER)),
+      |  (CAST(3 AS BIGINT), CAST(73 AS BIGINT), 'image/png',
+      |   CAST(3 AS INTEGER), CAST(11 AS INTEGER), CAST(1 AS INTEGER))
+      |) AS t(doc_id, byte_len, media_type, width, height, n_frames)
+      |ORDER BY doc_id""".stripMargin
+
   /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
     * persisted index is produced by the same deterministic fit over the
     * same table, and the index round-trip is spec-pinned equal to the
@@ -1420,5 +1439,6 @@ object Oracles {
     */
   val sql: Map[String, String] = base ++ Map(
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
-    "sim_topk_pq_index" -> base("sim_topk_pq"))
+    "sim_topk_pq_index" -> base("sim_topk_pq"),
+    "multimodal_decode" -> multimodalDecodeSql)
 }

@@ -367,6 +367,30 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** The REAL image codec inside the hash gate: three byte-exact minimal
+    * truecolor PNG literals (written by a 15-line PNG encoder — header +
+    * one zlib IDAT, dims 5×4 / 16×2 / 3×11) flow through the SAME
+    * `mapPartitions` batch decode ([[graft.ext.Multimodal.decodeBatch]])
+    * any media table takes; the oracle is the independently-known
+    * (bytes, dims, frames) VALUES literal, so a codec regression (wrong
+    * reader, wrong header parse, fallback silently engaging) flips the
+    * hash. The fixture is sf-independent, like `report_source_scan`.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+      (1L, "iVBORw0KGgoAAAANSUhEUgAAAAUAAAAECAIAAADJUWIXAAAAEElEQVR4nGOQs4lCRgwk8gG9nw4R0Z05kQAAAABJRU5ErkJggg=="),
+      (2L, "iVBORw0KGgoAAAANSUhEUgAAABAAAAACCAIAAADej8umAAAAEUlEQVR4nGM4wcVFEmIgVQMAW+0bgVszwHMAAAAASUVORK5CYII="),
+      (3L, "iVBORw0KGgoAAAANSUhEUgAAAAMAAAALCAIAAAA1GaCFAAAAEElEQVR4nGNg+M8ARXRgAQAQwCDgbwaxswAAAABJRU5ErkJggg=="))
+    val media = fixtures.toDF("doc_id", "b64")
+      .select(col("doc_id"), unbase64(col("b64")).as("payload"),
+        lit("application/octet-stream").as("media_type"))
+    graft.ext.Multimodal.extractFeatures(spark, media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("media_type"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

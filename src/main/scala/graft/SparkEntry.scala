@@ -204,6 +204,9 @@ object SparkEntry {
         .select(col0("doc_id"), col0("frame_idx"),
           org.apache.spark.sql.functions.length(col0("frame_payload")).cast("long").as("frame_len"))
         .orderBy(col0("doc_id"), col0("frame_idx"))),
+    // the REAL ImageIO codec over byte-exact planted PNGs, hash-gated
+    // against the independently-known dims (VALUES oracle)
+    "multimodal_decode" -> (Queries.multimodalDecode _),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>
