@@ -487,10 +487,20 @@ object Dedup {
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
-      // pointer jump: follow my label to ITS label (every label is a node
-      // id, monotonically non-increasing, so the parent lookup always
-      // resolves and only improves) — this is the path-halving step
+      // pointer jump ×2: follow my label to ITS label, twice (every label
+      // is a node id, monotonically non-increasing, so the parent lookup
+      // always resolves and only improves). One jump halves path depth;
+      // two per round quarter it — rounds ≈ log₄(d) instead of log₂(d),
+      // which matters because round cost here is JOB LATENCY (the
+      // per-round data is edge-list-sized), not data volume. Both jumps
+      // run inside the same job; only the round's final labels
+      // materialize.
       val parents = hopped.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
+      val j1 = hopped
+        .join(parents, hopped("cluster") === parents("p_id"), "left")
+        .select(hopped("doc_id"), hopped("old"),
+          least(hopped("cluster"), coalesce(col("parent"), hopped("cluster"))).as("cluster"))
+      val parents2 = j1.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
       // ONE action per round: the convergence signal rides the checkpoint
       // materialization as an accumulator tallied while each row is
       // written, instead of a second join+count job over the result.
@@ -498,10 +508,10 @@ object Dedup {
       // and a converged round adds zero from every attempt — the `> 0`
       // test is exact either way.
       val acc = spark.sparkContext.longAccumulator(s"graft.dupClusters.changed.r$rounds")
-      val next = hopped
-        .join(parents, hopped("cluster") === parents("p_id"), "left")
-        .select(hopped("doc_id"), hopped("old"),
-          least(hopped("cluster"), coalesce(col("parent"), hopped("cluster"))).as("cluster"))
+      val next = j1
+        .join(parents2, j1("cluster") === parents2("p_id"), "left")
+        .select(j1("doc_id"), j1("old"),
+          least(j1("cluster"), coalesce(col("parent"), j1("cluster"))).as("cluster"))
         .as[(Long, Long, Long)]
         .map { case (id, old, cl) => if (cl != old) acc.add(1L); (id, cl) }
         .toDF("doc_id", "cluster")
