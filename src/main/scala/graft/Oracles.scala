@@ -1412,6 +1412,25 @@ object Oracles {
         |ORDER BY report_name""".stripMargin
   )
 
+  /** text_top_ngrams: the n-gram MULTISET (no per-doc dedup — occurrence
+    * counts, same tokenization as the dedup family's shingles), counted
+    * and cut to a deterministic top-50 on (count DESC, ngram ASC).
+    */
+  private val topNgramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE len(t) >= 3
+      |)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM sh GROUP BY ngram
+      |ORDER BY n_occurrences DESC, ngram
+      |LIMIT 50""".stripMargin
+
   /** multimodal_decode: the REAL ImageIO decode of three byte-exact PNG
     * literals; expected dims/frame counts/byte lengths are known
     * independently of any engine (they are properties of the planted
@@ -1440,5 +1459,6 @@ object Oracles {
   val sql: Map[String, String] = base ++ Map(
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
-    "multimodal_decode" -> multimodalDecodeSql)
+    "multimodal_decode" -> multimodalDecodeSql,
+    "text_top_ngrams" -> topNgramsSql)
 }

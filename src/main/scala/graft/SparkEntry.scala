@@ -129,6 +129,7 @@ object SparkEntry {
       Similarity.pqTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)
     }),
     // extensions: text analysis
+    "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
       col0("doc_id"),

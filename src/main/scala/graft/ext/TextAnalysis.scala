@@ -530,4 +530,26 @@ object TextAnalysis {
       .filter(col("_wlast").isNotNull)
     winMin.select(col("doc_id"), col("fp")).distinct()
   }
+
+  /** Top-k most frequent word n-grams across the corpus — the
+    * vocabulary-induction / boilerplate-mining primitive (the n-grams
+    * that dominate a crawl are navigation chrome, license headers, and
+    * template text; at 100 TB this is how you FIND the boilerplate the
+    * quality filters then strip).
+    *
+    * Scale shape: the n-gram multiset is one window pass per doc
+    * partition ([[graft.ext.Dedup.shinglesMultiset]] — same tokenization
+    * as every dedup operator, so mined n-grams are directly usable as
+    * dedup/decontamination inputs), the count is ONE map-side-combined
+    * shuffle keyed by the n-gram, and the global top-k is
+    * TakeOrderedAndProject (k rows per partition merged at the driver),
+    * never a full sort of the vocabulary. Ties break on the n-gram text,
+    * so the result is deterministic.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame =
+    graft.ext.Dedup.shinglesMultiset(docs, n)
+      .groupBy(col("sh").as("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
 }

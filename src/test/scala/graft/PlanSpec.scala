@@ -193,6 +193,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!df.columns.contains("_salt"))
   }
 
+  test("top n-grams: global top-k via TakeOrdered, never a full vocabulary sort") {
+    val plan = planOf(graft.ext.TextAnalysis.topNgrams(
+      Queries.table(spark, sf, "documents")))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("funnel single-pass: ONE events scan with the step filter pushed down") {
     val plan = planOf(Queries.eventsFunnel(spark, sf))
     // the production path reads the fact table exactly once (the stage
