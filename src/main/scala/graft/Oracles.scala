@@ -1431,6 +1431,31 @@ object Oracles {
       |ORDER BY n_occurrences DESC, ngram
       |LIMIT 50""".stripMargin
 
+  /** text_quality_filter: rank-relative quality gate — the same base
+    * ratios as text_quality (hash-green replica), composed into a scalar
+    * score, cut at the exact interpolated corpus quantile
+    * (quantile_cont ≡ Spark's percentile, the agg_percentiles parity).
+    */
+  private val qualityFilterSql: String = {
+    val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    $occ AS n_stopwords,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id,
+      |    round(round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4)
+      |        - round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4), 4) AS score
+      |  FROM base
+      |), t AS (SELECT quantile_cont(score, 0.3) AS thr FROM scored)
+      |SELECT s.doc_id, s.score FROM scored s, t
+      |WHERE s.score >= t.thr
+      |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** multimodal_decode: the REAL ImageIO decode of three byte-exact PNG
     * literals; expected dims/frame counts/byte lengths are known
     * independently of any engine (they are properties of the planted
@@ -1460,5 +1485,6 @@ object Oracles {
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     "multimodal_decode" -> multimodalDecodeSql,
-    "text_top_ngrams" -> topNgramsSql)
+    "text_top_ngrams" -> topNgramsSql,
+    "text_quality_filter" -> qualityFilterSql)
 }

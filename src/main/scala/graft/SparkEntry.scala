@@ -130,6 +130,7 @@ object SparkEntry {
     }),
     // extensions: text analysis
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
+    "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
       col0("doc_id"),

@@ -552,4 +552,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
+
+  /** Corpus-RELATIVE quality gate: keep documents whose quality score is
+    * at or above the corpus `quantile` (default: drop the bottom 30%).
+    * Absolute thresholds rot as the crawl mix shifts; rank-relative
+    * gating is how production pipelines actually cut ("keep the best
+    * 70%"). Score = stopword_ratio − non_alpha_ratio (natural prose
+    * scores high, symbol soup scores low), on the 4-decimal grid the
+    * oracle replays bit-exactly.
+    *
+    * Scale shape: ONE lazy plan — per-row scoring, a single-row exact
+    * percentile aggregate, and a broadcast of that scalar back onto the
+    * scored rows. No driver collect; the only corpus-wide exchange is
+    * the percentile's single-group aggregation (at 100 TB swap in
+    * `approx_percentile`, same plan shape).
+    */
+  def qualityFilter(docs: DataFrame, quantile: Double = 0.3): DataFrame = {
+    val scored = qualityScores(docs)
+      .select(col("doc_id"),
+        round(col("stopword_ratio") - col("non_alpha_ratio"), 4).as("score"))
+    val thr = scored.agg(
+      expr(s"percentile(score, CAST($quantile AS DOUBLE))").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
 }
