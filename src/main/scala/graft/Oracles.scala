@@ -239,6 +239,26 @@ object Oracles {
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step""".stripMargin,
 
+    // the TIMES shape of the same sequential-first semantics: per-user
+    // (t1 < t2 < t3) for funnel completers — gates the single-pass state
+    // machine's per-user output, not just its step counts
+    "events_funnel_times" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(us) AS t FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY e.user_id
+        |)
+        |SELECT s1.user_id, s1.t AS t1, s2.t AS t2, s3.t AS t3
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     // trailing 1-hour RANGE frame on the µs timeline; frame sums rounded
     // (intra-frame float accumulation order differs between engines)
     "events_rolling" ->

@@ -218,6 +218,18 @@ object Queries {
         unix_micros(col("ts")).as("us")),
       Seq("signup", "click", "purchase"))
 
+  /** Per-user funnel completion TIMES through the same single-pass state
+    * machine — (user, t1 < t2 < t3) for users completing the whole
+    * funnel in order; the companion gate row to [[eventsFunnel]]'s
+    * counts (same one-scan plan, different output shape).
+    */
+  def eventsFunnelTimes(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.Funnel.funnelTimesSinglePass(
+      events(spark, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")),
+      Seq("signup", "click", "purchase"))
+      .orderBy(col("user_id"))
+
   /** Trailing time-window aggregation (velocity features): per user, the
     * sum and count of event values in the hour ENDING at each event — a
     * RANGE window frame on the µs timeline, partitioned on the

@@ -43,6 +43,7 @@ object SparkEntry {
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
     "asof_join_tol" -> (Queries.asofJoinTolQuery _),
     "events_funnel" -> (Queries.eventsFunnel _),
+    "events_funnel_times" -> (Queries.eventsFunnelTimes _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),
     "layout_zorder" -> (Queries.layoutZorder _),
