@@ -314,7 +314,8 @@ object Similarity {
     * layout. Single-writer path, like [[appendToIvfIndex]].
     */
   private def publishIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, n: Long): Unit = {
+      dir: String, n: Long,
+      legacyDirs: Seq[String] = Seq("vectors", "centroids")): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/CURRENT.tmp")
     val out = fs.create(tmp, true)
@@ -324,7 +325,7 @@ object Similarity {
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).foreach { st =>
       val name = st.getPath.getName
       val stale = (name.startsWith("v_") && name != s"v_$n") ||
-        name == "vectors" || name == "centroids" // pre-versioning layout
+        legacyDirs.contains(name) // pre-versioning layout
       if (stale) { fs.delete(st.getPath, true); () }
     }
   }
@@ -661,16 +662,27 @@ object Similarity {
   def buildPqIndex(emb: DataFrame, dir: String, m: Int = 8, ks: Int = 16,
       iters: Int = 2, dim: Int = 64): Unit = {
     import emb.sparkSession.implicits._
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same atomic-rebuild protocol as [[buildIvfIndex]]: a COMPLETE v_<n>
+    // directory first, CURRENT flipped last — a crash mid-rebuild leaves
+    // the previous version live, and codes can never pair with codebooks
+    // from a different fit. The base build owns batch=-1 so appends and
+    // streaming ingest OVERWRITE their own batch=<id> (replay-idempotent).
+    val n = nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$n"
     val fits = pqFit(emb, m, ks, iters, dim)
     fits.zipWithIndex.map { case ((_, assigned), s) =>
       assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
     }.reduce(_.join(_, Seq("vec_id")))
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$root/codes/batch=-1")
     fits.zipWithIndex.flatMap { case ((cents, _), s) =>
       cents.map { case (code, arr) => (s, code, arr) } }
       .toDF("sub", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
-    emb.write.mode("overwrite").parquet(s"$dir/vectors")
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    emb.write.mode("overwrite").parquet(s"$root/vectors/batch=-1")
+    publishIndexVersion(fs, dir, n, Seq("codes", "codebooks", "vectors"))
   }
 
   /** Incrementally add vectors to a persisted PQ index WITHOUT refitting:
@@ -682,8 +694,10 @@ object Similarity {
     * periodic rebuilds refresh the codebooks.
     */
   def appendToPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      newEmb: DataFrame, dim: Int = 64): Unit = {
-    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+      newEmb: DataFrame, dim: Int = 64, batchId: Option[Long] = None): Unit = {
+    val root = resolveIndexRoot(spark, dir)
+    requirePqBatchLayout(spark, s"$root/codes")
+    val cb = spark.read.parquet(s"$root/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cb.map(_._1).max + 1
     val subDim = dim / m
@@ -694,8 +708,29 @@ object Similarity {
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
       kmeansAssign(sub, cents).select(col("vec_id"), col("cell").as(s"code_$s"))
     }.reduce(_.join(_, Seq("vec_id")))
-    codes.write.mode("append").parquet(s"$dir/codes")
-    newEmb.write.mode("append").parquet(s"$dir/vectors")
+    // each writer owns ONE batch=<id> directory with OVERWRITE, so an
+    // at-least-once replay (foreachBatch, retried job) rewrites its own
+    // partition instead of appending duplicates — same protocol as
+    // [[appendToIvfIndex]]
+    val id = batchId.getOrElse(nextBatchId(spark, s"$root/codes"))
+    codes.write.mode("overwrite").parquet(s"$root/codes/batch=$id")
+    newEmb.write.mode("overwrite").parquet(s"$root/vectors/batch=$id")
+  }
+
+  /** A PQ index written by the pre-batch layout has bare parquet files
+    * under codes/; appending batch=N beside them would give partition
+    * discovery a mixed layout and brick every read — fail loud instead.
+    */
+  private def requirePqBatchLayout(spark: org.apache.spark.sql.SparkSession,
+      codesDir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(codesDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      require(fs.listStatus(path).forall { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch=") || n.startsWith("_") || n.startsWith(".")
+      }, s"$codesDir uses the legacy flat layout; rebuild the index " +
+        "(buildPqIndex) before appending")
   }
 
   /** Query a persisted PQ index: the corpus-wide scan reads the CODES
@@ -707,9 +742,10 @@ object Similarity {
       queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50,
       dim: Int = 64): DataFrame = {
     VectorFunctions.register(spark)
-    val codes = spark.read.parquet(s"$dir/codes")
-    val vectors = spark.read.parquet(s"$dir/vectors")
-    val cb = spark.read.parquet(s"$dir/codebooks").collect()
+    val root = resolveIndexRoot(spark, dir)
+    val codes = spark.read.parquet(s"$root/codes")
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val cb = spark.read.parquet(s"$root/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = cb.map(_._1).max + 1
     val codebooks = (0 until m).map(s =>

@@ -231,4 +231,23 @@ object StreamingCorpus {
         ()
       }
       .start()
+
+  /** Streaming maintain path for a persisted PQ index — the PQ twin of
+    * [[indexIngest]]: each micro-batch is encoded against the FROZEN
+    * codebooks and lands in its own `batch=<id>` partition with
+    * OVERWRITE, so foreachBatch's at-least-once replay rewrites rather
+    * than duplicates, and a streamed vector is servable through
+    * [[Similarity.pqTopKFromIndex]] as soon as its batch commits.
+    */
+  def pqIndexIngest(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToPqIndex(batch.sparkSession, indexDir, batch,
+            batchId = Some(batchId))
+        ()
+      }
+      .start()
 }

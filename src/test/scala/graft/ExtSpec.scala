@@ -636,6 +636,63 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PQ append: expected planted $plantedId at rank 1, got ${pqTop.getAs[Long]("vec_id")}")
   }
 
+  test("PQ rebuild flips the version pointer; same-batch-id appends are replay-idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-version").toString
+    Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 300000L
+    val planted = Seq((plantedId, q0.map(x => x + 1e-6f))).toDF("vec_id", "embedding")
+    // an at-least-once delivery replays the SAME batch id: the second
+    // write must overwrite the first, not duplicate the vector
+    Similarity.appendToPqIndex(spark, dir, planted, batchId = Some(7L))
+    Similarity.appendToPqIndex(spark, dir, planted, batchId = Some(7L))
+    val root0 = Similarity.resolveIndexRoot(spark, dir)
+    val dup = spark.read.parquet(s"$root0/vectors")
+      .filter(col("vec_id") === plantedId).count()
+    assert(dup == 1L, s"replayed append duplicated the vector: $dup copies")
+    assert(spark.read.parquet(s"$root0/codes")
+      .filter(col("vec_id") === plantedId).count() == 1L)
+    spark.catalog.clearCache()
+    // a rebuild publishes a NEW version and retires the old one (with its
+    // appended batches — their codes came from the superseded codebooks)
+    Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    val root1 = Similarity.resolveIndexRoot(spark, dir)
+    assert(root1 != root0, "rebuild must publish a fresh version root")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(entries.count(_.startsWith("v_")) == 1, s"stale versions left: $entries")
+    assert(!entries.contains("codes") && !entries.contains("vectors") &&
+      !entries.contains("codebooks"), s"legacy layout left behind: $entries")
+    // the republished index still serves, without the abandoned append
+    val top = Similarity.pqTopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50).collect()
+    assert(top.length == 10, s"rebuilt index should serve a full top-10, got ${top.length}")
+    assert(!top.exists(_.getAs[Long]("vec_id") == plantedId),
+      "abandoned append must not be servable after the rebuild")
+    spark.catalog.clearCache()
+  }
+
+  test("PQ append fails loud on a legacy flat-layout index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-legacy").toString
+    // simulate the pre-versioning layout: bare parquet straight under codes/
+    emb.limit(4).select(col("vec_id"), lit(0).as("code_0"))
+      .write.parquet(s"$dir/codes")
+    emb.limit(4).write.parquet(s"$dir/vectors")
+    Seq((0, 0, Array.fill(8)(0.0))).toDF("sub", "code", "centroid")
+      .write.parquet(s"$dir/codebooks")
+    val planted = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToPqIndex(spark, dir, planted)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("IVF-PQ confines results to probed cells and recovers their exact top-k") {
     val ivfpq = Similarity.ivfpqTopK(emb, Seq(0L, 1L, 2L), 10,
       nCells = 8, nProbe = 2, m = 8, ks = 16, iters = 2, shortlist = 50)

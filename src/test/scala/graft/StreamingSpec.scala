@@ -415,6 +415,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed vector should be rank 1, got ${top.getAs[Long]("vec_id")}")
   }
 
+  test("streaming embedding ingestion lands in the persisted PQ index (frozen codebooks)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+    graft.ext.Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    spark.catalog.clearCache()
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 210000L
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-pq-ckpt").toString
+    val q = graft.streaming.StreamingCorpus.pqIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      mem.addData((plantedId, q0.map(x => x + 1e-6f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // servable immediately: ADC shortlist + exact re-rank must put the
+    // streamed near-copy at rank 1 for its twin query
+    val top = graft.ext.Similarity.pqTopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0)
+    spark.catalog.clearCache()
+    assert(top.getAs[Long]("vec_id") == plantedId,
+      s"streamed vector should be rank 1, got ${top.getAs[Long]("vec_id")}")
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
