@@ -1432,6 +1432,28 @@ object Oracles {
         |ORDER BY report_name""".stripMargin
   )
 
+  /** text_dedup_segments: CCNet-style segment df-pruning replayed on the
+    * segment STRINGS (the engine exchanges xxhash64 fingerprints instead —
+    * same results, 8-byte keys). DuckDB zips `unnest` with
+    * `generate_subscripts` to recover segment positions; reassembly is an
+    * ordered string_agg, mirroring the engine's sorted collect_list.
+    */
+  private val dedupSegmentsSql: String =
+    """WITH segs AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS seg,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), nz AS (SELECT * FROM segs WHERE seg <> ''),
+      |common AS (
+      |  SELECT seg FROM nz GROUP BY seg
+      |  HAVING count(DISTINCT doc_id) > 0.78 * (SELECT count(*) FROM documents)
+      |)
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text,
+      |  CAST(count(*) AS BIGINT) AS n_kept
+      |FROM nz WHERE seg NOT IN (SELECT seg FROM common)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** text_top_ngrams: the n-gram MULTISET (no per-doc dedup — occurrence
     * counts, same tokenization as the dedup family's shingles), counted
     * and cut to a deterministic top-50 on (count DESC, ngram ASC).
@@ -1506,5 +1528,6 @@ object Oracles {
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     "multimodal_decode" -> multimodalDecodeSql,
     "text_top_ngrams" -> topNgramsSql,
-    "text_quality_filter" -> qualityFilterSql)
+    "text_quality_filter" -> qualityFilterSql,
+    "text_dedup_segments" -> dedupSegmentsSql)
 }

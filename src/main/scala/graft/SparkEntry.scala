@@ -130,6 +130,8 @@ object SparkEntry {
       Similarity.pqTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)
     }),
     // extensions: text analysis
+    "text_dedup_segments" -> ((s, dir) =>
+      TextAnalysis.dedupSegments(docs(s, dir), maxDfFrac = 0.78, delim = " ")),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),

@@ -578,4 +578,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** CCNet-style segment-level boilerplate removal: split every document
+    * on `delim`, drop each segment whose document frequency exceeds
+    * `maxDfFrac` of the corpus, and reassemble the survivors in their
+    * original order. With `delim = "\n"` this is classic paragraph/line
+    * dedup (navigation chrome, license headers, cookie banners repeat
+    * across a crawl); the registered query runs it at the word level
+    * because the synthetic corpus is newline-free. Documents whose every
+    * segment is boilerplate disappear from the output (the pipeline-drop
+    * semantics).
+    *
+    * Scale shape: segments travel the df aggregation as their xxhash64
+    * (8-byte exchange keys, not the strings — the [[graft.ext.Dedup]]
+    * fingerprint stance); the aggregation is ONE map-side-combined
+    * shuffle; the boilerplate set is at most `total_segments /
+    * (maxDfFrac × n_docs)` distinct hashes, so it broadcasts into a
+    * storage-pruned anti-join; reassembly is one shuffle keyed by doc_id.
+    * The single driver action is the corpus count that anchors the
+    * threshold.
+    */
+  def dedupSegments(docs: DataFrame, maxDfFrac: Double = 0.5,
+      delim: String = "\n"): DataFrame = {
+    val total = docs.count()
+    val segs = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "seg")))
+      .filter(col("seg") =!= "")
+      .withColumn("h", xxhash64(col("seg")))
+    val common = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > lit(maxDfFrac * total))
+      .select("h")
+    segs.join(broadcast(common), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), delim).as("text"),
+        count(lit(1)).as("n_kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -193,6 +193,26 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
   }
 
+  test("segment dedup strips boilerplate lines, keeps order, drops emptied docs") {
+    import spark.implicits._
+    val boiler = "accept our cookies to continue"
+    val fixture = Seq(
+      (1L, s"unique opening line\n$boiler\nunique closing line"),
+      (2L, s"$boiler\nsecond doc body"),
+      (3L, s"third doc body\n$boiler"),
+      (4L, boiler), // nothing but boilerplate -> dropped entirely
+      (5L, s"alpha\nbeta\nalpha") // within-doc repeat is NOT corpus boilerplate
+    ).toDF("doc_id", "text")
+    // boiler df=4/5 > 0.5; every other line df=1
+    val out = graft.ext.TextAnalysis.dedupSegments(fixture, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "unique opening line\nunique closing line", 2L),
+      (2L, "second doc body", 1L),
+      (3L, "third doc body", 1L),
+      (5L, "alpha\nbeta\nalpha", 3L)))
+  }
+
   test("persisted IVF index equals the in-memory path and prunes cell partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
     Similarity.buildIvfIndex(emb, dir, nCells = 8)
