@@ -1524,6 +1524,9 @@ object Oracles {
     * statement.
     */
   val sql: Map[String, String] = base ++ Map(
+    // the Bloom path is prefilter + EXACT verify: same result set as the
+    // plain semi-join decontamination, so the correct oracle is identical
+    "dedup_contamination_bloom" -> base("dedup_contamination"),
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     "multimodal_decode" -> multimodalDecodeSql,

@@ -177,6 +177,13 @@ object SparkEntry {
         d.filter(col0("doc_id") % 50 =!= 0),
         d.filter(col0("doc_id") % 50 === 0), 3, 5)
     }),
+    // same semantics through the zero-shuffle Bloom prefilter + exact verify
+    "dedup_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationBloom(
+        d.filter(col0("doc_id") % 50 =!= 0),
+        d.filter(col0("doc_id") % 50 === 0), 3, 5)
+    }),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),

@@ -343,6 +343,39 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination with a Bloom-filter prefilter — same EXACT result as
+    * [[contamination]], different 100 TB cost envelope. The plain form
+    * broadcasts the probe shingles as an exact hash table; once the
+    * benchmark suite reaches tens of millions of shingles that table is
+    * gigabytes per executor and the broadcast stops fitting. A Bloom
+    * filter at the same capacity is ~10 bits/key, so the corpus-side scan
+    * keeps a ZERO-shuffle membership probe (a codegen'd
+    * [[graft.functions.BloomMightContain]] literal riding the task
+    * binary), and only the ≈(true matches + fpp) survivors travel to the
+    * exact semi-join that kills false positives — including xxhash64
+    * collisions, since the verify joins on the shingle STRING.
+    *
+    * Two bounded probe-side passes (filter build + verify), both over the
+    * small side; the 100 TB side is scanned once with no exchange before
+    * the survivor join.
+    */
+  def contaminationBloom(docs: DataFrame, probeDocs: DataFrame,
+      n: Int = 3, minShared: Long = 5, fpp: Double = 0.001): DataFrame = {
+    val corpusSh = shingles(docs, n)
+    val probeSh = shingles(probeDocs, n).select(col("sh")).distinct()
+    val nProbe = math.max(probeSh.count(), 1L) // bounded: the probe side is small
+    val bloom = probeSh.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", nProbe, fpp)
+    val bloomBytes = lit(graft.functions.BloomFunctions.serialize(bloom))
+    val candidates = corpusSh.filter(
+      graft.functions.BloomFunctions.mightContainLong(xxhash64(col("sh")), bloomBytes))
+    candidates.join(probeSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+      .orderBy(col("doc_id"))
+  }
+
   /** Containment dedup candidates: pairs of documents whose WINNOWING
     * fingerprint sets overlap by at least `threshold` of the SMALLER
     * side's fingerprints. Complements shingle Jaccard, which union-

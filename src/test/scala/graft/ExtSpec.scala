@@ -193,6 +193,36 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall(r => r.getLong(3) >= 0 && r.getLong(3) < 512))
   }
 
+  test("bloom-prefiltered decontamination equals the exact semi-join form") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val probe = docs.filter(col("doc_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows(Dedup.contamination(corpus, probe, 3, 5))
+    val bloomed = rows(Dedup.contaminationBloom(corpus, probe, 3, 5))
+    assert(exact.nonEmpty, "testdata should contain contaminated docs")
+    assert(bloomed == exact)
+    // the prefilter plan probes inside the scan: no join before the filter
+    val plan = Dedup.contaminationBloom(corpus, probe, 3, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
+      plan.take(1200))
+  }
+
+  test("bloom_might_contain has no false negatives and passes nulls through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val planted = (0L until 500L).toDF("v")
+    val bloom = planted.stat.bloomFilter("v", 500, 0.01)
+    val bytes = lit(graft.functions.BloomFunctions.serialize(bloom))
+    val hits = (0L until 2000L).map(Option(_)).:+(None: Option[Long]).toDF("v")
+      .filter(graft.functions.BloomFunctions.mightContainLong(col("v"), bytes))
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 500L).toSet.subsetOf(hits), "bloom filters must never miss a member")
+    assert(hits.size < 700, s"fpp blew past 1%: ${hits.size - 500} false positives")
+  }
+
   test("segment dedup strips boilerplate lines, keeps order, drops emptied docs") {
     import spark.implicits._
     val boiler = "accept our cookies to continue"
