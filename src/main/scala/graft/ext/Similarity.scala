@@ -717,6 +717,67 @@ object Similarity {
     newEmb.write.mode("overwrite").parquet(s"$root/vectors/batch=$id")
   }
 
+  /** Compact a persisted IVF index: fold every `batch=<id>` partition of
+    * the live version into a single base batch of a NEW version root,
+    * keeping the FROZEN centroids (no refit — compaction is file
+    * maintenance, not model maintenance). Two things get repaired:
+    *
+    *   - the small-file accumulation a streaming ingest leaves behind
+    *     (each micro-batch × each cell is its own parquet file; probe
+    *     scans pay per-file open cost);
+    *   - duplicate `vec_id`s from re-appended (updated) vectors, resolved
+    *     LAST-WRITER-WINS by batch id — until compaction both versions of
+    *     an updated vector are served, after it only the newest survives.
+    *
+    * The rewrite lands as a complete `v_<n>` and the CURRENT pointer
+    * flips last ([[publishIndexVersion]]) — readers never see a torn
+    * index, and a crash leaves the old version live. One shuffle on
+    * vec_id (the dedup window) + the cell-partitioned write.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveIndexRoot(spark, dir)
+    val n = nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    latestPerVector(spark.read.parquet(s"$root/vectors"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$newRoot/vectors/batch=-1")
+    spark.read.parquet(s"$root/centroids")
+      .write.mode("overwrite").parquet(s"$newRoot/centroids")
+    publishIndexVersion(fs, dir, n)
+  }
+
+  /** PQ twin of [[compactIvfIndex]]: codes and vectors fold to one base
+    * batch under a new version root; the codebooks are copied verbatim
+    * (frozen — appended codes were produced against them, so they stay
+    * mutually consistent through the compaction).
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveIndexRoot(spark, dir)
+    val n = nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    latestPerVector(spark.read.parquet(s"$root/codes"))
+      .write.mode("overwrite").parquet(s"$newRoot/codes/batch=-1")
+    latestPerVector(spark.read.parquet(s"$root/vectors"))
+      .write.mode("overwrite").parquet(s"$newRoot/vectors/batch=-1")
+    spark.read.parquet(s"$root/codebooks")
+      .write.mode("overwrite").parquet(s"$newRoot/codebooks")
+    publishIndexVersion(fs, dir, n)
+  }
+
+  /** Last-writer-wins per vec_id over the discovered `batch` partition
+    * column (base build = -1, appends ascend), then drop the column so
+    * the survivor set can re-land as the new base batch.
+    */
+  private def latestPerVector(df: DataFrame): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("batch").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch")
+
   /** A PQ index written by the pre-batch layout has bare parquet files
     * under codes/; appending batch=N beside them would give partition
     * discovery a mixed layout and brick every read — fail loud instead.

@@ -686,6 +686,80 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"PQ append: expected planted $plantedId at rank 1, got ${pqTop.getAs[Long]("vec_id")}")
   }
 
+  test("IVF compaction folds batches, keeps frozen centroids, resolves updates last-writer-wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val labeled = emb.withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    Similarity.buildIvfIndex(labeled, dir, nCells = 8, iters = 2)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val q9 = emb.filter(col("vec_id") === 9L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 400000L
+    def planted(v: Array[Float]) = Seq((plantedId, v)).toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    // batch 1: a near-copy of query 0; batch 2 UPDATES the same vec_id to
+    // a different vector — until compaction, BOTH versions are served
+    Similarity.appendToIvfIndex(spark, dir, planted(q0.map(_ + 1e-6f)), batchId = Some(1L))
+    Similarity.appendToIvfIndex(spark, dir, planted(q9.map(_ + 1e-6f)), batchId = Some(2L))
+    val preTop = Similarity.ivfTopKFromIndex(spark, dir, Seq(0L), 10, nProbe = 8)
+      .filter(col("rank") === 1).collect()(0).getAs[Long]("vec_id")
+    assert(preTop == plantedId, "stale version still served before compaction")
+    val centsPre = spark.read.parquet(s"${Similarity.resolveIndexRoot(spark, dir)}/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    spark.catalog.clearCache()
+    Similarity.compactIvfIndex(spark, dir)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/vectors"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(batches == Seq("batch=-1"), s"compaction left batch dirs: $batches")
+    val centsPost = spark.read.parquet(s"$root/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+    assert(centsPost == centsPre, "compaction must not refit centroids")
+    // last write (the q9-like vector) wins: plantedId stops being q0's
+    // nearest and exactly one copy remains
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") === plantedId).count() == 1L)
+    val postTop = Similarity.ivfTopKFromIndex(spark, dir, Seq(0L), 10, nProbe = 8)
+      .filter(col("rank") === 1).collect()(0).getAs[Long]("vec_id")
+    assert(postTop != plantedId, "updated vector must not serve its stale embedding")
+    val nearQ9 = Similarity.ivfTopKFromIndex(spark, dir, Seq(9L), 10, nProbe = 8)
+      .filter(col("rank") === 1).collect()(0).getAs[Long]("vec_id")
+    assert(nearQ9 == plantedId, "the surviving (latest) embedding still serves")
+    spark.catalog.clearCache()
+  }
+
+  test("PQ compaction folds codes and vectors, keeps the frozen codebooks serving") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-compact").toString
+    Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val plantedId = 410000L
+    val planted = Seq((plantedId, q0.map(_ + 1e-6f))).toDF("vec_id", "embedding")
+    Similarity.appendToPqIndex(spark, dir, planted, batchId = Some(3L))
+    spark.catalog.clearCache()
+    Similarity.compactPqIndex(spark, dir)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("codes", "vectors").foreach { sub =>
+      val batches = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$sub"))
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+      assert(batches == Seq("batch=-1"), s"$sub left batch dirs: $batches")
+    }
+    assert(spark.read.parquet(s"$root/codes").count() ==
+      spark.read.parquet(s"$root/vectors").count())
+    val top = Similarity.pqTopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0).getAs[Long]("vec_id")
+    assert(top == plantedId, s"appended vector lost in compaction, rank1=$top")
+    spark.catalog.clearCache()
+  }
+
   test("PQ rebuild flips the version pointer; same-batch-id appends are replay-idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
