@@ -130,6 +130,7 @@ object Prof {
     if (mode == "planaudit") {
       val sf = "/root/testdata/sf0.001"
       for ((name, fn) <- Seq(
+          ("events_pivot", Queries.eventsPivot _),
           ("events_retention", Queries.eventsRetention _),
           ("events_rolling", Queries.eventsRolling _),
           ("events_funnel", Queries.eventsFunnel _),

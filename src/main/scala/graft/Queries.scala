@@ -206,6 +206,42 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-to-wide pivot: one row per day, one BIGINT column per event
+    * type. The production formulation is ONE conditional aggregation —
+    * `.pivot()` plans a DOUBLE aggregate (groupBy(day, type) then a
+    * PivotFirst regroup: two hash exchanges), while k conditional counts
+    * over an explicit type list (the reporting contract) need a single
+    * map-side-combined exchange on the day key. Absent (day, type)
+    * combinations surface as 0. [[eventsPivotApi]] is the `.pivot` API
+    * twin, spec-pinned equal.
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val counts = PivotTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy(col("day"))
+  }
+
+  /** The `.pivot` DataFrame-API formulation of [[eventsPivot]] — kept as
+    * the declarative reference twin (explicit values list, so no
+    * discovery job; still a two-exchange plan, which is why the
+    * conditional-aggregation form above is the registered path).
+    */
+  def eventsPivotApi(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: PivotTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day"))
+  }
+
   /** Funnel conversion over the event stream: users whose first signup is
     * followed (strictly later) by a click, then a purchase. Production
     * path is the SINGLE-PASS formulation — one fact scan, one user-keyed

@@ -199,6 +199,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("pivot: conditional-aggregation form equals .pivot API and saves an exchange") {
+    // audit UNEXECUTED plans (AQE finalization would double-list nodes)
+    def exchanges(df: DataFrame) =
+      "\\(\\d+\\) Exchange".r.findAllIn(planOf(df)).length
+    // conditional agg: one hash exchange + the output sort;
+    // .pivot plans a double aggregate (one more exchange)
+    assert(exchanges(Queries.eventsPivot(spark, sf)) == 2,
+      planOf(Queries.eventsPivot(spark, sf)).take(2000))
+    assert(exchanges(Queries.eventsPivotApi(spark, sf)) == 3,
+      planOf(Queries.eventsPivotApi(spark, sf)).take(2000))
+    assert(Queries.eventsPivot(spark, sf).collect().toSeq ==
+      Queries.eventsPivotApi(spark, sf).collect().toSeq)
+  }
+
   test("funnel single-pass: ONE events scan with the step filter pushed down") {
     val plan = planOf(Queries.eventsFunnel(spark, sf))
     // the production path reads the fact table exactly once (the stage
