@@ -1526,6 +1526,30 @@ object Oracles {
       |) AS t(doc_id, byte_len, media_type, width, height, n_frames)
       |ORDER BY doc_id""".stripMargin
 
+  /** multimodal_audio: REAL RIFF/WAVE parses of three Python-`wave`-written
+    * PCM fixtures + one opaque fallback row. Rates/channels/sample counts
+    * are properties of the planted bytes (independent of any engine), so
+    * the oracle is a VALUES literal — a fallback-arithmetic leak on doc 1-3
+    * (e.g. sample_rate 12000 instead of 8000) flips the hash.
+    */
+  private val multimodalAudioSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(144 AS BIGINT), 'audio/wav',
+      |   CAST(8000 AS INTEGER), CAST(1 AS INTEGER), CAST(16 AS INTEGER),
+      |   CAST(50 AS BIGINT), CAST(6 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), CAST(164 AS BIGINT), 'audio/wav',
+      |   CAST(16000 AS INTEGER), CAST(2 AS INTEGER), CAST(16 AS INTEGER),
+      |   CAST(30 AS BIGINT), CAST(1 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), CAST(926 AS BIGINT), 'audio/wav',
+      |   CAST(44100 AS INTEGER), CAST(1 AS INTEGER), CAST(16 AS INTEGER),
+      |   CAST(441 AS BIGINT), CAST(10 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), CAST(49 AS BIGINT), 'application/octet-stream',
+      |   CAST(12000 AS INTEGER), CAST(2 AS INTEGER), CAST(16 AS INTEGER),
+      |   CAST(24 AS BIGINT), CAST(2 AS BIGINT))
+      |) AS t(doc_id, byte_len, media_type, sample_rate, channels,
+      |       bits_per_sample, n_samples, duration_ms)
+      |ORDER BY doc_id""".stripMargin
+
   /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
     * persisted index is produced by the same deterministic fit over the
     * same table, and the index round-trip is spec-pinned equal to the
@@ -1539,6 +1563,7 @@ object Oracles {
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_audio" -> multimodalAudioSql,
     "text_top_ngrams" -> topNgramsSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_dedup_segments" -> dedupSegmentsSql)

@@ -439,6 +439,36 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL RIFF/WAVE parses of three byte-exact PCM fixtures (written by
+    * Python's stdlib `wave` module — an INDEPENDENT encoder, so the probe
+    * can't share a bug with a sibling writer) plus one opaque payload
+    * exercising the deterministic fallback — the audio twin of
+    * [[multimodalDecode]]. Expected rates/channels/sample counts are
+    * properties of the planted bytes, so the oracle is a VALUES literal.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fixtures = Seq(
+      // 8 kHz mono, 50 samples (144 bytes)
+      (1L, "UklGRogAAABXQVZFZm10IBAAAAABAAEAQB8AAIA+AAACABAAZGF0YWQAAAAAAGQAyAAsAZAB9AFYArwCIAOEA+gDTASwBBQFeAXcBUAGpAYIB2wH0Ac0CJgI/AhgCcQJKAqMCvAKVAu4CxwMgAzkDEgNrA0QDnQO2A48D6APBBBoEMwQMBGUEfgRXBLAEiQT"),
+      // 16 kHz stereo, 30 sample frames (164 bytes)
+      (2L, "UklGRpwAAABXQVZFZm10IBAAAAABAAIAgD4AAAD6AAAEABAAZGF0YXgAAABI9DD4GPwAAOgD0Ae4C0j0MPgY/AAA6APQB7gLSPQw+Bj8AADoA9AHuAtI9DD4GPwAAOgD0Ae4C0j0MPgY/AAA6APQB7gLSPQw+Bj8AADoA9AHuAtI9DD4GPwAAOgD0Ae4C0j0MPgY/AAA6APQB7gLSPQw+Bj8AAA="),
+      // 44.1 kHz mono, 441 samples (926 bytes)
+      (3L, "UklGRpYDAABXQVZFZm10IBAAAAABAAEARKwAAIhYAQACABAAZGF0YXIDAAAY/D38YvyH/Kz80fz2/Bv9QP1l/Yr9r/3U/fn9Hv5D/mj+jf6y/tf+/P4h/0b/a/+Q/7X/2v///yQASQBuAJMAuADdAAIBJwFMAXEBlgG7AeABBQIqAk8CdAKZAr4C4wIIAy0DUgN3A5wDwQPmAzv8YPyF/Kr8z/z0/Bn9Pv1j/Yj9rf3S/ff9HP5B/mb+i/6w/tX++v4f/0T/af+O/7P/2P/9/yIARwBsAJEAtgDbAAABJQFKAW8BlAG5Ad4BAwIoAk0CcgKXArwC4QIGAysDUAN1A5oDvwPkAzn8XvyD/Kj8zfzy/Bf9PP1h/Yb9q/3Q/fX9Gv4//mT+if6u/tP++P4d/0L/Z/+M/7H/1v/7/yAARQBqAI8AtADZAP4AIwFIAW0BkgG3AdwBAQImAksCcAKVAroC3wIEAykDTgNzA5gDvQPiAzf8XPyB/Kb8y/zw/BX9Ov1f/YT9qf3O/fP9GP49/mL+h/6s/tH+9v4b/0D/Zf+K/6//1P/5/x4AQwBoAI0AsgDXAPwAIQFGAWsBkAG1AdoB/wEkAkkCbgKTArgC3QICAycDTANxA5YDuwPgAzX8Wvx//KT8yfzu/BP9OP1d/YL9p/3M/fH9Fv47/mD+hf6q/s/+9P4Z/z7/Y/+I/63/0v/3/xwAQQBmAIsAsADVAPoAHwFEAWkBjgGzAdgB/QEiAkcCbAKRArYC2wIAAyUDSgNvA5QDuQPeAzP8WPx9/KL8x/zs/BH9Nv1b/YD9pf3K/e/9FP45/l7+g/6o/s3+8v4X/zz/Yf+G/6v/0P/1/xoAPwBkAIkArgDTAPgAHQFCAWcBjAGxAdYB+wEgAkUCagKPArQC2QL+AiMDSANtA5IDtwPcAzH8Vvx7/KD8xfzq/A/9NP1Z/X79o/3I/e39Ev43/lz+gf6m/sv+8P4V/zr/X/+E/6n/zv/z/xgAPQBiAIcArADRAPYAGwFAAWUBigGvAdQB+QEeAkMCaAKNArIC1wL8AiEDRgNrA5ADtQPaAy/8VPx5/J78w/zo/A39Mv1X/Xz9of3G/ev9EP41/lr+f/6k/sn+7v4T/zj/Xf+C/6f/zP/x/xYAOwBgAIUAqgDPAPQAGQE+AWMBiAGtAdIB9wEcAkECZgKLArAC1QL6Ah8DRANpA44DswPYAy38Uvx3/Jz8wfzm/Av9MP0="))
+    val wavs = fixtures.toDF("doc_id", "b64")
+      .select(col("doc_id"), unbase64(col("b64")).as("payload"),
+        lit("application/octet-stream").as("media_type"))
+    val opaque = Seq((4L, "this payload is definitely not RIFF encoded audio"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"),
+        lit("application/octet-stream").as("media_type"))
+    graft.ext.Multimodal.extractAudioFeatures(spark, wavs.unionAll(opaque)).toDF()
+      .select(col("doc_id"), col("byte_len"), col("media_type"),
+        col("sample_rate"), col("channels"), col("bits_per_sample"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

@@ -220,6 +220,7 @@ object SparkEntry {
     // the REAL ImageIO codec over byte-exact planted PNGs, hash-gated
     // against the independently-known dims (VALUES oracle)
     "multimodal_decode" -> (Queries.multimodalDecode _),
+    "multimodal_audio" -> (Queries.multimodalAudio _),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * Image payloads are decoded with a REAL codec — JDK `javax.imageio`
   * ships PNG/JPEG/BMP/GIF/TIFF/WBMP readers, so PNG fixtures decode to
   * genuine pixel dimensions and multi-frame GIFs to genuine frame counts
-  * with zero external dependencies. Payloads no registered reader
-  * recognizes (the magic-byte sniff fails — e.g. text, audio, or a codec
+  * with zero external dependencies. Audio payloads get a REAL RIFF/WAVE
+  * container parse ([[wavMeta]]: genuine sample rates, channel layouts,
+  * sample counts, plus frame-exact PCM windowing). Payloads neither
+  * branch recognizes (the magic-byte sniff fails — e.g. text, or a codec
   * this JVM lacks) fall back to a deterministic arithmetic feature map,
   * so ONE batch path serves mixed media tables and never throws on a
   * format gap. A production deployment widens coverage by registering
@@ -181,6 +183,154 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 2): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions(frameSampleBatch(stride) _)
+  }
+
+  // ------------------------------------------------------------- audio
+
+  final case class AudioFeatures(
+      doc_id: Long, byte_len: Long, media_type: String,
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Long, duration_ms: Long, checksum: String)
+
+  final case class AudioWindow(
+      doc_id: Long, window_idx: Int, n_samples: Long, payload: Array[Byte])
+
+  /** RIFF/WAVE PCM probe — a REAL container parse (chunk walk, not a
+    * library shim): returns (sampleRate, channels, bitsPerSample,
+    * nSamples, dataOffset, dataLen) or None when the bytes are not
+    * integer-PCM WAV. Chunk sizes are word-aligned per the RIFF spec; a
+    * truncated final data chunk clamps to the payload (streaming uploads
+    * cut mid-chunk are a fact of crawled audio).
+    */
+  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
+    def le16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long =
+      (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
+        ((p(o + 2) & 0xFFL) << 16) | ((p(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var off = 12
+      var fmtOk = false; var pcm = false
+      var ch = 0; var rate = 0; var bits = 0
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
+        val id = tag(off); val sz = le32(off + 4).toInt
+        if (id == "fmt " && off + 24 <= p.length) {
+          pcm = le16(off + 8) == 1 // integer PCM only (no float/ADPCM)
+          ch = le16(off + 10); rate = le32(off + 12).toInt; bits = le16(off + 22)
+          fmtOk = true
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz.toLong, (p.length - dataOff).toLong).toInt
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      if (fmtOk && pcm && dataOff >= 0 && ch > 0 && bits >= 8 && rate > 0) {
+        val bytesPerFrame = ch * (bits / 8)
+        Some((rate, ch, bits, dataLen.toLong / bytesPerFrame, dataOff, dataLen))
+      } else None
+    }
+  }
+
+  /** Canonical 44-byte-header PCM WAV writer — each [[windowAudioBatch]]
+    * slice re-wraps as a standalone, replayable WAV.
+    */
+  private[graft] def wavBytes(rate: Int, ch: Int, bits: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + data.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(rate * ch * bits / 8); bb.putShort((ch * bits / 8).toShort)
+    bb.putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(data.length); bb.put(data)
+    bb.array()
+  }
+
+  /** Batch audio probe: real RIFF parse for WAV payloads (genuine sample
+    * rate / channel / sample counts), deterministic arithmetic fallback
+    * for opaque bytes (declaratively twinned by [[audioFeaturesExpr]]).
+    * duration_ms floors, like every media pipeline's millisecond field.
+    */
+  def audioFeaturesBatch(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.map { r =>
+      wavMeta(r.payload) match {
+        case Some((rate, ch, bits, n, _, _)) =>
+          AudioFeatures(r.doc_id, r.payload.length.toLong, "audio/wav",
+            rate, ch, bits, n, n * 1000L / rate, md5hex(r.payload))
+        case None =>
+          val len = r.payload.length.toLong
+          val rate = (8000L + (len % 5) * 1000L).toInt
+          val n = len / 2
+          AudioFeatures(r.doc_id, len, r.media_type,
+            rate, (1L + len % 2).toInt, 16, n, n * 1000L / rate,
+            md5hex(r.payload))
+      }
+    }
+
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(audioFeaturesBatch _)
+  }
+
+  /** Batch audio windowing (1 row in → n rows out): WAV payloads slice
+    * their PCM data chunk into `windowMs` windows on exact frame
+    * boundaries, each re-wrapped as a standalone WAV (so a window is
+    * itself probe-able and replayable downstream); a short tail window is
+    * kept, never padded. The audio twin of [[frameSampleBatch]] — a
+    * video/audio feature extractor consumes these windows. Opaque
+    * payloads keep the deterministic 16-byte chunk transform.
+    */
+  def windowAudioBatch(windowMs: Int)(rows: Iterator[MediaRow]): Iterator[AudioWindow] =
+    rows.flatMap { r =>
+      wavMeta(r.payload) match {
+        case Some((rate, ch, bits, _, dataOff, dataLen)) =>
+          val bytesPerFrame = ch * (bits / 8)
+          val framesPerWin = math.max(1L, rate.toLong * windowMs / 1000L)
+          val bytesPerWin = (framesPerWin * bytesPerFrame).toInt
+          (0 until dataLen by bytesPerWin).zipWithIndex.map { case (from, idx) =>
+            val until = math.min(from + bytesPerWin, dataLen)
+            val slice = java.util.Arrays.copyOfRange(
+              r.payload, dataOff + from, dataOff + until)
+            AudioWindow(r.doc_id, idx, (until - from).toLong / bytesPerFrame,
+              wavBytes(rate, ch, bits, slice))
+          }
+        case None =>
+          val nChunks = math.max(1, r.payload.length / 16)
+          (0 until nChunks).map { i =>
+            val from = i * 16
+            val until = math.min(from + 16, r.payload.length)
+            AudioWindow(r.doc_id, i, (until - from).toLong,
+              java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
+      }
+    }
+
+  def windowAudio(spark: SparkSession, media: DataFrame,
+      windowMs: Int = 25): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(windowAudioBatch(windowMs) _)
+  }
+
+  /** Declarative twin of [[audioFeaturesBatch]]'s opaque fallback — pins
+    * the mapPartitions plumbing to pure Catalyst arithmetic in tests.
+    */
+  def audioFeaturesExpr(media: DataFrame): DataFrame = {
+    val len = length(col("payload")).cast("long")
+    val rate = (lit(8000L) + (len % 5) * 1000L).cast("int")
+    val n = (len / 2).cast("long")
+    media.select(
+      col("doc_id"), len.as("byte_len"), col("media_type"),
+      rate.as("sample_rate"),
+      (lit(1L) + len % 2).cast("int").as("channels"),
+      lit(16).as("bits_per_sample"),
+      n.as("n_samples"),
+      (n * 1000L / rate).cast("long").as("duration_ms"),
+      md5(col("payload")).as("checksum"))
   }
 
   /** Declarative twin of the opaque-payload feature map (same arithmetic

@@ -410,6 +410,66 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.toSeq == decl.toSeq)
   }
 
+  test("audio probe equals the declarative twin on opaque payloads") {
+    val media = Multimodal.mediaTable(docs)
+    val batch = Multimodal.extractAudioFeatures(spark, media).collect()
+      .map(f => (f.doc_id, f.byte_len, f.sample_rate, f.channels,
+        f.bits_per_sample, f.n_samples, f.duration_ms, f.checksum)).sortBy(_._1)
+    val decl = Multimodal.audioFeaturesExpr(media).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_len"),
+        r.getAs[Int]("sample_rate"), r.getAs[Int]("channels"),
+        r.getAs[Int]("bits_per_sample"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("duration_ms"), r.getAs[String]("checksum"))).sortBy(_._1)
+    assert(batch.length == 500)
+    assert(batch.toSeq == decl.toSeq)
+  }
+
+  test("audio windowing slices PCM on frame boundaries and round-trips losslessly") {
+    import spark.implicits._
+    // 8 kHz mono 16-bit ramp, 100 samples; 5 ms windows = 40 samples each
+    val pcm = Array.tabulate(200)(i => (i % 256 - 128).toByte)
+    val mono = Multimodal.wavBytes(8000, 1, 16, pcm)
+    // 16 kHz STEREO: 30 frames (120 bytes); 1 ms windows = 16 frames
+    val pcm2 = Array.tabulate(120)(i => (i * 3 % 251).toByte)
+    val stereo = Multimodal.wavBytes(16000, 2, 16, pcm2)
+    val media = Seq((1L, mono), (2L, stereo)).toDF("doc_id", "payload")
+      .withColumn("media_type", org.apache.spark.sql.functions.lit("audio/wav"))
+    val winsMono = Multimodal.windowAudio(spark, media.filter($"doc_id" === 1L), 5)
+      .collect().sortBy(_.window_idx)
+    assert(winsMono.map(_.n_samples).toSeq == Seq(40L, 40L, 20L))
+    // every window is itself a valid standalone WAV with the source format
+    winsMono.foreach { w =>
+      val Some((rate, ch, bits, n, _, _)) = Multimodal.wavMeta(w.payload)
+      assert((rate, ch, bits, n) == (8000, 1, 16, w.n_samples))
+    }
+    // lossless: concatenated window PCM == the source data chunk
+    val rejoined = winsMono.flatMap(_.payload.drop(44)).toSeq
+    assert(rejoined == pcm.toSeq)
+    val winsStereo = Multimodal.windowAudio(spark, media.filter($"doc_id" === 2L), 1)
+      .collect().sortBy(_.window_idx)
+    assert(winsStereo.map(_.n_samples).toSeq == Seq(16L, 14L))
+    assert(winsStereo.flatMap(_.payload.drop(44)).toSeq == pcm2.toSeq)
+  }
+
+  test("wav probe survives extra chunks, truncation, and rejects non-PCM") {
+    // a LIST metadata chunk between fmt and data must not derail the walk
+    val pcm = Array.tabulate(80)(_.toByte)
+    val base = Multimodal.wavBytes(8000, 1, 16, pcm)
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val withMeta = base.take(36) ++ listChunk ++ base.drop(36)
+    // patch the RIFF size (not strictly checked, but keep it honest)
+    val Some((rate, ch, bits, n, _, _)) = Multimodal.wavMeta(withMeta)
+    assert((rate, ch, bits, n) == (8000, 1, 16, 40L))
+    // a mid-chunk truncation clamps the sample count instead of throwing
+    val truncated = base.take(base.length - 20)
+    assert(Multimodal.wavMeta(truncated).map(_._4).contains(30L))
+    // float PCM (format 3) is not integer PCM: fall to the opaque path
+    val floatWav = base.clone()
+    floatWav(20) = 3
+    assert(Multimodal.wavMeta(floatWav).isEmpty)
+  }
+
   test("native CosineSim/VecDot expressions are bit-identical with the HOF formulation") {
     import org.apache.spark.sql.functions._
     graft.functions.VectorFunctions.register(spark)
