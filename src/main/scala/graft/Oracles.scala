@@ -168,6 +168,13 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
     "set_ops" ->
       """SELECT 'with_orders' AS tag, c_custkey FROM
         |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
@@ -1330,6 +1337,35 @@ object Oracles {
         |  round(avg(-ln(CAST(f.tf AS DOUBLE) / tot.n_total)), 4) AS avg_surprisal
         |FROM tok t JOIN freq f USING (token), tot
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // bigram LM perplexity: add-0.5 smoothing, contexts summed over the
+    // compact bigram table, V = distinct unigrams; the division is built
+    // from the same exact-integer CASTs Spark uses so ln sees an
+    // identical IEEE double in both engines
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(t) AS token FROM toks
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM uni
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |), c2 AS (
+        |  SELECT sh, count(*) AS n2 FROM bg GROUP BY sh
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1
+        |  FROM (SELECT string_split(sh, ' ')[1] AS w1, n2 FROM c2) GROUP BY w1
+        |)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v))), 4) AS avg_surprisal,
+        |  round(exp(avg(-ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v)))), 4) AS ppl
+        |FROM bg b JOIN c2 USING (sh) JOIN ctx ON b.w1 = ctx.w1, vocab
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE

@@ -334,6 +334,21 @@ object Queries {
         col("sum_qty"), col("n_rows"))
       .orderBy(col("rf"), col("ls"))
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets in ONE
+    * pass — the expand-then-aggregate plan shares a single shuffle across
+    * every set (4 separate GROUP BYs would scan and shuffle 4×).
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"))
+
   /** Set operations in one relation: customers partitioned into
     * has-orders (INTERSECT) and no-orders (EXCEPT), tagged and unioned.
     */

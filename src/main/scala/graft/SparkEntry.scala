@@ -38,6 +38,7 @@ object SparkEntry {
     "agg_distinct" -> (Queries.aggDistinct _),
     "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
     "agg_rollup" -> (Queries.aggRollup _),
+    "agg_cube" -> (Queries.aggCube _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
@@ -133,6 +134,7 @@ object SparkEntry {
     // extensions: text analysis
     "text_dedup_segments" -> ((s, dir) =>
       TextAnalysis.dedupSegments(docs(s, dir), maxDfFrac = 0.78, delim = " ")),
+    "text_perplexity" -> ((s, dir) => TextAnalysis.bigramPerplexity(docs(s, dir))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),

@@ -579,6 +579,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model perplexity — the CCNet-style quality proxy one
+    * level up from [[unigramSurprisal]]: documents whose token TRANSITIONS
+    * are improbable under the corpus LM (symbol soup, shuffled text,
+    * machine-generated filler) score high even when every individual
+    * token is common. `P(w2|w1) = (c(w1w2)+0.5) / (ctx(w1)+0.5·V)`
+    * (add-0.5 smoothing, contexts summed over the compact bigram table),
+    * per-doc `avg -ln P` and `ppl = exp(avg)`.
+    *
+    * Scale shape: the bigram multiset is the dedup family's shared window
+    * pass; counts are two map-side-combined shuffles (bigrams, then
+    * contexts derived from the ALREADY-compact c2 table — never a second
+    * corpus scan); V is a single-row agg off the unigram frequency table;
+    * scoring joins the occurrence stream against the two count tables on
+    * their natural keys and aggregates once per doc.
+    */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val bg = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+    val c2 = bg.groupBy(col("sh")).agg(count(lit(1)).as("n2"))
+    val ctx = c2.select(substring_index(col("sh"), " ", 1).as("w1"), col("n2"))
+      .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+    val tokens = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = tokens.agg(countDistinct(col("token")).as("v"))
+    val logp = -log((col("n2").cast("double") + lit(0.5)) /
+      (col("n1").cast("double") + lit(0.5) * col("v")))
+    bg.join(c2, Seq("sh"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(logp), 4).as("avg_surprisal"),
+        round(exp(avg(logp)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style segment-level boilerplate removal: split every document
     * on `delim`, drop each segment whose document frequency exceeds
     * `maxDfFrac` of the corpus, and reassemble the survivors in their

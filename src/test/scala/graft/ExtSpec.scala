@@ -223,6 +223,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.size < 700, s"fpp blew past 1%: ${hits.size - 500} false positives")
   }
 
+  test("bigram perplexity matches a hand-computed LM on a tiny fixture") {
+    import spark.implicits._
+    val fixture = Seq((1L, "a b a b"), (2L, "z z"), (3L, "q")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bigramPerplexity(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // corpus LM: c2 = {ab:2, ba:1, zz:1}; ctx = {a:2, b:1, z:1}; V = 4
+    def p(n2: Long, n1: Long) = (n2 + 0.5) / (n1 + 0.5 * 4)
+    val h1 = -(math.log(p(2, 2)) + math.log(p(1, 1)) + math.log(p(2, 2))) / 3
+    val h2 = -math.log(p(1, 1))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 3 has no bigrams and drops out (single-token docs carry no signal)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0) == ((1L, 3L, r4(h1), r4(math.exp(h1)))))
+    assert(out(1) == ((2L, 1L, r4(h2), r4(math.exp(h2)))))
+  }
+
   test("segment dedup strips boilerplate lines, keeps order, drops emptied docs") {
     import spark.implicits._
     val boiler = "accept our cookies to continue"
