@@ -175,6 +175,66 @@ object Oracles {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
+    // one-pass constraint audit: violation counts per rule, long-form.
+    // The null-predicate convention (null comparisons count as
+    // violations) matches the engine's coalesce(pred, false)
+    "corpus_expectations" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_not_null,
+        |    CAST(sum(CASE WHEN coalesce(lang IN ('de','en','es','fr'), false) THEN 0 ELSE 1 END) AS BIGINT) AS lang_in_domain,
+        |    CAST(sum(CASE WHEN coalesce(n_chars = length(text), false) THEN 0 ELSE 1 END) AS BIGINT) AS n_chars_consistent,
+        |    CAST(sum(CASE WHEN coalesce(length(text) > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS text_nonempty,
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS doc_id_unique,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents
+        |)
+        |SELECT rule, n_violations, n_rows, n_violations = 0 AS pass FROM (
+        |  SELECT 'doc_id_not_null' AS rule, doc_id_not_null AS n_violations, n_rows FROM agg
+        |  UNION ALL SELECT 'lang_in_domain', lang_in_domain, n_rows FROM agg
+        |  UNION ALL SELECT 'n_chars_consistent', n_chars_consistent, n_rows FROM agg
+        |  UNION ALL SELECT 'text_nonempty', text_nonempty, n_rows FROM agg
+        |  UNION ALL SELECT 'doc_id_unique', doc_id_unique, n_rows FROM agg
+        |) ORDER BY rule""".stripMargin,
+
+    // top-k per group: the same composed 4-decimal quality score as
+    // text_quality_filter, ranked within each language
+    "text_top_per_lang" -> {
+      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    $occ AS n_stopwords,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    round(round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4)
+        |        - round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4), 4) AS score
+        |  FROM base
+        |)
+        |SELECT doc_id, lang, score,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 3
+        |ORDER BY lang, rank""".stripMargin
+    },
+
+    // per-type value quartiles: ntile with a unique event_id tiebreak so
+    // bucket boundaries are engine-independent
+    "events_value_quartiles" ->
+      """WITH q AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER) AS quartile
+        |  FROM events
+        |)
+        |SELECT event_type, quartile, count(*) AS n_events,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM q GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin,
+
     "set_ops" ->
       """SELECT 'with_orders' AS tag, c_custkey FROM
         |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

@@ -349,6 +349,52 @@ object Queries {
         col("sum_qty"), col("n_rows"))
       .orderBy(col("rf"), col("ls"))
 
+  /** One-pass constraint audit over the corpus (the deequ-style
+    * validation gate a pipeline runs before spending compute): four row
+    * rules + a uniqueness aggregate, all in a single aggregation job,
+    * reported long-form via unpivot.
+    */
+  def corpusExpectations(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DataQuality.expectations(
+      table(spark, dir, "documents"),
+      rowRules = Seq(
+        "doc_id_not_null" -> col("doc_id").isNotNull,
+        "lang_in_domain" -> col("lang").isin("de", "en", "es", "fr"),
+        "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+        "text_nonempty" -> (length(col("text")) > 0)),
+      aggRules = Seq(
+        "doc_id_unique" -> (count(lit(1)) - countDistinct(col("doc_id")))))
+
+  /** Top-k rows per group (the per-stratum shortlist shape): the 3
+    * highest-quality documents per language — rank window on the reused
+    * [[graft.ext.TextAnalysis.qualityScore]], unique doc_id tiebreak, one
+    * lang-keyed exchange.
+    */
+  def textTopPerLang(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.ext.TextAnalysis.qualityScore.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .orderBy(col("lang"), col("rank"))
+
+  /** Per-type purchase-value quartiles via ntile — the distribution
+    * summary shape (tie-broken on event_id so bucket edges are
+    * deterministic); one event_type-keyed exchange shared by the window
+    * and the aggregate.
+    */
+  def eventsValueQuartiles(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+      .groupBy(col("event_type"), col("quartile"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("event_type"), col("quartile"))
+
   /** Set operations in one relation: customers partitioned into
     * has-orders (INTERSECT) and no-orders (EXCEPT), tagged and unioned.
     */

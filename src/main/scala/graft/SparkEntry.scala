@@ -39,6 +39,9 @@ object SparkEntry {
     "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
     "agg_rollup" -> (Queries.aggRollup _),
     "agg_cube" -> (Queries.aggCube _),
+    "corpus_expectations" -> (Queries.corpusExpectations _),
+    "text_top_per_lang" -> ((s, dir) => Queries.textTopPerLang(s, dir)),
+    "events_value_quartiles" -> (Queries.eventsValueQuartiles _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),

@@ -567,10 +567,22 @@ object TextAnalysis {
     * the percentile's single-group aggregation (at 100 TB swap in
     * `approx_percentile`, same plan shape).
     */
+  /** The composed corpus-quality score ([[qualityFilter]]'s gate metric)
+    * as a reusable per-row Column over a `text` column — each ratio on
+    * the 4-decimal grid, then their difference re-rounded, exactly the
+    * arithmetic the oracle replays.
+    */
+  def qualityScore: Column = {
+    val nTokens = greatest(tokenCount(col("text")), lit(1L))
+    val stop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0))).cast("long")
+    val nonAlpha = length(regexp_replace(col("text"), lit("[a-zA-Z\\s]"), lit("")))
+    round(round(stop.cast("double") / nTokens, 4) -
+      round(nonAlpha.cast("double") / greatest(length(col("text")), lit(1)), 4), 4)
+  }
+
   def qualityFilter(docs: DataFrame, quantile: Double = 0.3): DataFrame = {
-    val scored = qualityScores(docs)
-      .select(col("doc_id"),
-        round(col("stopword_ratio") - col("non_alpha_ratio"), 4).as("score"))
+    val scored = docs.select(col("doc_id"), qualityScore.as("score"))
     val thr = scored.agg(
       expr(s"percentile(score, CAST($quantile AS DOUBLE))").as("thr"))
     scored.crossJoin(broadcast(thr))

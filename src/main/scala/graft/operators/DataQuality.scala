@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-validation primitives a training pipeline runs BEFORE spending
+  * compute on a corpus: declarative constraints audited in a single pass.
+  *
+  * Every row rule and aggregate rule folds into ONE aggregation job over
+  * one scan — k constraints cost the same shuffle as one (the deequ-style
+  * shape). The wide one-row result is unpivoted to a (rule, n_violations,
+  * n_rows, pass) report, so downstream gates read constraint outcomes as
+  * data (fail the pipeline when `pass` has a false, quarantine when a
+  * violation rate crosses a threshold, ...).
+  */
+object DataQuality {
+
+  /** Audit `rowRules` (a violation is a row where the predicate is false;
+    * null predicates — e.g. comparisons against a null column — count as
+    * violations, the conservative read) and `aggRules` (any aggregate
+    * expression yielding a violation COUNT, e.g.
+    * `count(*) - count(DISTINCT key)` for uniqueness) in one pass.
+    */
+  def expectations(df: DataFrame, rowRules: Seq[(String, Column)],
+      aggRules: Seq[(String, Column)] = Nil): DataFrame = {
+    require(rowRules.nonEmpty || aggRules.nonEmpty, "no rules to audit")
+    val rowAggs = rowRules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val aggAggs = aggRules.map { case (name, agg) => agg.cast("long").as(name) }
+    val all = rowAggs ++ aggAggs :+ count(lit(1)).as("_n_rows")
+    val wide = df.agg(all.head, all.tail: _*)
+    wide.unpivot(
+        Array(col("_n_rows")),
+        (rowRules ++ aggRules).map(r => col(r._1)).toArray,
+        "rule", "n_violations")
+      .select(col("rule"), col("n_violations"),
+        col("_n_rows").as("n_rows"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("rule"))
+  }
+}

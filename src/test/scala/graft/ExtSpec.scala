@@ -223,6 +223,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.size < 700, s"fpp blew past 1%: ${hits.size - 500} false positives")
   }
 
+  test("expectations audits row and aggregate rules in one pass, nulls count as violations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct, length, lit}
+    val fixture = Seq[(java.lang.Long, String, String)](
+      (1L, "hello world", "en"),
+      (2L, "", "en"),       // empty text
+      (2L, "dup id", "de"), // duplicate doc_id
+      (null, "no id", "xx") // null id (not-null viol) + out-of-domain lang
+    ).toDF("doc_id", "text", "lang")
+    val report = graft.operators.DataQuality.expectations(
+      fixture,
+      rowRules = Seq(
+        "doc_id_not_null" -> col("doc_id").isNotNull,
+        "lang_in_domain" -> col("lang").isin("de", "en"),
+        "text_nonempty" -> (length(col("text")) > 0)),
+      aggRules = Seq(
+        "doc_id_unique" -> (count(lit(1)) - countDistinct(col("doc_id")))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(report.toSeq == Seq(
+      ("doc_id_not_null", 1L, 4L, false),
+      ("doc_id_unique", 2L, 4L, false), // 4 rows, 2 distinct non-null ids
+      ("lang_in_domain", 1L, 4L, false),
+      ("text_nonempty", 1L, 4L, false)))
+    // a clean table passes everything
+    val clean = graft.operators.DataQuality.expectations(
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"),
+      rowRules = Seq("doc_id_not_null" -> col("doc_id").isNotNull),
+      aggRules = Seq("doc_id_unique" -> (count(lit(1)) - countDistinct(col("doc_id")))))
+      .collect().map(r => (r.getString(0), r.getBoolean(3)))
+    assert(clean.forall(_._2))
+  }
+
   test("bigram perplexity matches a hand-computed LM on a tiny fixture") {
     import spark.implicits._
     val fixture = Seq((1L, "a b a b"), (2L, "z z"), (3L, "q")).toDF("doc_id", "text")
