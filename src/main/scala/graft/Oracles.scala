@@ -1401,7 +1401,8 @@ object Oracles {
     // bigram LM perplexity: add-0.5 smoothing, contexts summed over the
     // compact bigram table, V = distinct unigrams; the division is built
     // from the same exact-integer CASTs Spark uses so ln sees an
-    // identical IEEE double in both engines
+    // identical IEEE double in both engines, and the per-doc mean is the
+    // SAME multiplicity-weighted form the engine computes
     "text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -1412,20 +1413,26 @@ object Oracles {
         |), vocab AS (
         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM uni
         |), bg AS (
-        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS sh
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS sh
         |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
         |  WHERE len(t) >= 2
+        |), bgdoc AS (
+        |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS mult FROM bg GROUP BY doc_id, sh
         |), c2 AS (
-        |  SELECT sh, count(*) AS n2 FROM bg GROUP BY sh
+        |  SELECT sh, CAST(sum(mult) AS BIGINT) AS n2 FROM bgdoc GROUP BY sh
         |), ctx AS (
         |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1
         |  FROM (SELECT string_split(sh, ' ')[1] AS w1, n2 FROM c2) GROUP BY w1
+        |), scored AS (
+        |  SELECT b.doc_id, b.mult,
+        |    -ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v)) AS logp
+        |  FROM bgdoc b JOIN c2 USING (sh)
+        |    JOIN ctx ON string_split(b.sh, ' ')[1] = ctx.w1, vocab
         |)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(-ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v))), 4) AS avg_surprisal,
-        |  round(exp(avg(-ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v)))), 4) AS ppl
-        |FROM bg b JOIN c2 USING (sh) JOIN ctx ON b.w1 = ctx.w1, vocab
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+        |SELECT doc_id, CAST(sum(mult) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE), 4) AS avg_surprisal,
+        |  round(exp(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE

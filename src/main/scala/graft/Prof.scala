@@ -131,6 +131,20 @@ object Prof {
       val sf = "/root/testdata/sf0.001"
       for ((name, fn) <- Seq(
           ("events_pivot", Queries.eventsPivot _),
+          ("events_value_quartiles", Queries.eventsValueQuartiles _),
+          ("corpus_expectations", Queries.corpusExpectations _),
+          ("text_top_per_lang", (s: SparkSession, d: String) => Queries.textTopPerLang(s, d)),
+          ("text_dedup_segments", (s: SparkSession, d: String) =>
+            graft.ext.TextAnalysis.dedupSegments(
+              Queries.table(s, d, "documents"), maxDfFrac = 0.78, delim = " ")),
+          ("text_perplexity", (s: SparkSession, d: String) =>
+            graft.ext.TextAnalysis.bigramPerplexity(Queries.table(s, d, "documents"))),
+          ("dedup_contamination_bloom", (s: SparkSession, d: String) => {
+            val docs = Queries.table(s, d, "documents")
+            graft.ext.Dedup.contaminationBloom(
+              docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0),
+              docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0), 3, 5)
+          }),
           ("events_retention", Queries.eventsRetention _),
           ("events_rolling", Queries.eventsRolling _),
           ("events_funnel", Queries.eventsFunnel _),

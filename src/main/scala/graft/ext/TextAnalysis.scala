@@ -599,17 +599,24 @@ object TextAnalysis {
     * (add-0.5 smoothing, contexts summed over the compact bigram table),
     * per-doc `avg -ln P` and `ppl = exp(avg)`.
     *
-    * Scale shape: the bigram multiset is the dedup family's shared window
-    * pass; counts are two map-side-combined shuffles (bigrams, then
-    * contexts derived from the ALREADY-compact c2 table — never a second
-    * corpus scan); V is a single-row agg off the unigram frequency table;
-    * scoring joins the occurrence stream against the two count tables on
-    * their natural keys and aggregates once per doc.
+    * Scale shape: the bigram stream immediately collapses to per-doc
+    * (doc_id, bigram, multiplicity) on the partitioning the window
+    * already established (no extra exchange), so every downstream table
+    * (global bigram counts, contexts summed off the compact c2 table,
+    * the scoring joins, the per-doc aggregate) is distinct-bigram-sized,
+    * never occurrence-sized. The c2 branch and the scoring branch share
+    * one corpus window pass at runtime (identical exchange subtrees →
+    * ReusedExchange, verified on the executed plan); V is a single-row
+    * agg off the unigram frequency table (one extra, text-only scan).
+    * The per-doc average is the multiplicity-weighted mean, algebraically
+    * the occurrence mean, and the oracle replays the SAME weighted form.
     */
   def bigramPerplexity(docs: DataFrame): DataFrame = {
-    val bg = graft.ext.Dedup.shinglesMultiset(docs, 2)
-      .withColumn("w1", substring_index(col("sh"), " ", 1))
-    val c2 = bg.groupBy(col("sh")).agg(count(lit(1)).as("n2"))
+    // one corpus window pass; groupBy(doc_id, sh) reuses the window's
+    // doc_id hash partitioning, so the collapse is exchange-free
+    val bgDoc = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("mult"))
+    val c2 = bgDoc.groupBy(col("sh")).agg(sum(col("mult")).as("n2"))
     val ctx = c2.select(substring_index(col("sh"), " ", 1).as("w1"), col("n2"))
       .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
     val tokens = docs
@@ -618,14 +625,16 @@ object TextAnalysis {
     val vocab = tokens.agg(countDistinct(col("token")).as("v"))
     val logp = -log((col("n2").cast("double") + lit(0.5)) /
       (col("n1").cast("double") + lit(0.5) * col("v")))
-    bg.join(c2, Seq("sh"))
+    val avgSur = sum(col("mult").cast("double") * logp) / sum(col("mult")).cast("double")
+    bgDoc.withColumn("w1", substring_index(col("sh"), " ", 1))
+      .join(c2, Seq("sh"))
       .join(ctx, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(logp), 4).as("avg_surprisal"),
-        round(exp(avg(logp)), 4).as("ppl"))
+        sum(col("mult")).as("n_bigrams"),
+        round(avgSur, 4).as("avg_surprisal"),
+        round(exp(avgSur), 4).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
