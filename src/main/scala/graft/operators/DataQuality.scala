@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** A row rule as a violation-count aggregate: false or NULL predicate
+    * (a comparison against a null column) counts as a violation — the
+    * conservative read.
+    */
+  private def violations(pred: Column): Column =
+    sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+
   /** Audit `rowRules` (a violation is a row where the predicate is false;
     * null predicates — e.g. comparisons against a null column — count as
     * violations, the conservative read) and `aggRules` (any aggregate
@@ -24,9 +31,7 @@ object DataQuality {
   def expectations(df: DataFrame, rowRules: Seq[(String, Column)],
       aggRules: Seq[(String, Column)] = Nil): DataFrame = {
     require(rowRules.nonEmpty || aggRules.nonEmpty, "no rules to audit")
-    val rowAggs = rowRules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
-    }
+    val rowAggs = rowRules.map { case (name, pred) => violations(pred).as(name) }
     val aggAggs = aggRules.map { case (name, agg) => agg.cast("long").as(name) }
     val all = rowAggs ++ aggAggs :+ count(lit(1)).as("_n_rows")
     val wide = df.agg(all.head, all.tail: _*)
@@ -38,5 +43,30 @@ object DataQuality {
         col("_n_rows").as("n_rows"),
         (col("n_violations") === 0L).as("pass"))
       .orderBy(col("rule"))
+  }
+
+  /** Streaming twin: the same row-rule audit per event-time tumbling
+    * window — the live data-quality monitor in front of an ingest (alert
+    * when a window's violation rate jumps: a bad producer deploy, a
+    * schema drift). Watermarking drops window state once closed, so a
+    * long-running monitor holds O(open windows) state regardless of
+    * stream age. Aggregate rules (distinct counts) are a batch-only
+    * concept — streaming distinct state is unbounded by nature — so this
+    * twin takes row rules only; the wide one-row-per-window layout keeps
+    * every rule inside ONE streaming aggregation.
+    */
+  def expectationsStream(stream: DataFrame, timeColumn: String,
+      rowRules: Seq[(String, Column)],
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(rowRules.nonEmpty, "no rules to audit")
+    val aggs = rowRules.map { case (name, pred) => violations(pred).as(name) } :+
+      count(lit(1)).as("n_rows")
+    stream
+      .withWatermark(timeColumn, watermarkDelay)
+      .groupBy(window(col(timeColumn), windowLength).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +:
+        col("n_rows") +: rowRules.map(r => col(r._1)): _*)
   }
 }

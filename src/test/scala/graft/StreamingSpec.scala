@@ -459,6 +459,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming expectations audit violations per window, converging to the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val mem = MemoryStream[(String, java.lang.Long, String)]
+    val rules = Seq(
+      "id_not_null" -> col("id").isNotNull,
+      "kind_in_domain" -> col("kind").isin("a", "b"))
+    val stream = mem.toDF().toDF("ts", "id", "kind")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val q = graft.operators.DataQuality
+      .expectationsStream(stream, "ts", rules, "1 hour", "10 minutes")
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dq_windows").start()
+    try {
+      mem.addData(
+        ("2024-03-01 01:05:00", 1L, "a"),
+        ("2024-03-01 01:20:00", null, "a"), // null id in window 1
+        ("2024-03-01 01:40:00", 2L, "zz")) // bad kind in window 1
+      q.processAllAvailable()
+      mem.addData(
+        ("2024-03-01 02:10:00", 3L, "b"), // window 2: clean
+        ("2024-03-01 02:30:00", 4L, "b"))
+      q.processAllAvailable()
+      val out = spark.table("dq_windows").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Long]("n_rows"), r.getAs[Long]("id_not_null"),
+          r.getAs[Long]("kind_in_domain"))).toSet
+      assert(out == Set(
+        ("2024-03-01 01:00:00.0", 3L, 1L, 1L),
+        ("2024-03-01 02:00:00.0", 2L, 0L, 0L)))
+      // convergence: identical numbers from the batch form of the same agg
+      val batch = Seq(
+        ("2024-03-01 01:05:00", Option(1L), "a"),
+        ("2024-03-01 01:20:00", None: Option[Long], "a"),
+        ("2024-03-01 01:40:00", Option(2L), "zz"),
+        ("2024-03-01 02:10:00", Option(3L), "b"),
+        ("2024-03-01 02:30:00", Option(4L), "b"))
+        .toDF("ts", "id", "kind").withColumn("ts", to_timestamp(col("ts")))
+      val batchOut = graft.operators.DataQuality
+        .expectationsStream(batch, "ts", rules, "1 hour", "10 minutes")
+        .collect().map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[Long]("n_rows"), r.getAs[Long]("id_not_null"),
+          r.getAs[Long]("kind_in_domain"))).toSet
+      assert(batchOut == out)
+    } finally q.stop()
+  }
+
   test("streaming funnel state converges to the batch funnel across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
