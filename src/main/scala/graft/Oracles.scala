@@ -1653,6 +1653,33 @@ object Oracles {
       |       bits_per_sample, n_samples, duration_ms)
       |ORDER BY doc_id""".stripMargin
 
+  /** multimodal_audio_windows: 2 ms PCM windows over the same planted
+    * fixtures — per window, sample count and re-wrapped byte length
+    * (44-byte header + frames × frame-size) are pure properties of the
+    * planted bytes. 8 kHz mono → 16-frame windows over 50 samples
+    * (16/16/16/2); 16 kHz stereo → one 30-frame window (32 ≥ 30);
+    * 44.1 kHz mono → 88-frame windows over 441 samples (5×88 + 1); the
+    * opaque payload keeps the deterministic 16-byte chunk transform
+    * (⌊49/16⌋ = 3 chunks).
+    */
+  private val multimodalAudioWindowsSql: String = {
+    val rows = Seq(
+      (1, 0, 16, 44 + 16 * 2), (1, 1, 16, 44 + 16 * 2),
+      (1, 2, 16, 44 + 16 * 2), (1, 3, 2, 44 + 2 * 2),
+      (2, 0, 30, 44 + 30 * 4),
+      (3, 0, 88, 44 + 88 * 2), (3, 1, 88, 44 + 88 * 2),
+      (3, 2, 88, 44 + 88 * 2), (3, 3, 88, 44 + 88 * 2),
+      (3, 4, 88, 44 + 88 * 2), (3, 5, 1, 44 + 1 * 2),
+      (4, 0, 16, 16), (4, 1, 16, 16), (4, 2, 16, 16))
+      .map { case (d, w, n, b) =>
+        s"  (CAST($d AS BIGINT), CAST($w AS INTEGER), CAST($n AS BIGINT), CAST($b AS BIGINT))"
+      }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$rows
+       |) AS t(doc_id, window_idx, n_samples, byte_len)
+       |ORDER BY doc_id, window_idx""".stripMargin
+  }
+
   /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
     * persisted index is produced by the same deterministic fit over the
     * same table, and the index round-trip is spec-pinned equal to the
@@ -1667,6 +1694,7 @@ object Oracles {
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,
+    "multimodal_audio_windows" -> multimodalAudioWindowsSql,
     "text_top_ngrams" -> topNgramsSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_dedup_segments" -> dedupSegmentsSql)

@@ -507,7 +507,17 @@ object Queries {
     * [[multimodalDecode]]. Expected rates/channels/sample counts are
     * properties of the planted bytes, so the oracle is a VALUES literal.
     */
-  def multimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.extractAudioFeatures(spark, multimodalAudioFixtures(spark)).toDF()
+      .select(col("doc_id"), col("byte_len"), col("media_type"),
+        col("sample_rate"), col("channels"), col("bits_per_sample"),
+        col("n_samples"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  /** The shared audio fixture table: three Python-`wave`-written PCM
+    * payloads + one opaque payload (see [[multimodalAudio]]).
+    */
+  private def multimodalAudioFixtures(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val fixtures = Seq(
       // 8 kHz mono, 50 samples (144 bytes)
@@ -523,11 +533,20 @@ object Queries {
       .toDF("doc_id", "s")
       .select(col("doc_id"), col("s").cast("binary").as("payload"),
         lit("application/octet-stream").as("media_type"))
-    graft.ext.Multimodal.extractAudioFeatures(spark, wavs.unionAll(opaque)).toDF()
-      .select(col("doc_id"), col("byte_len"), col("media_type"),
-        col("sample_rate"), col("channels"), col("bits_per_sample"),
-        col("n_samples"), col("duration_ms"))
-      .orderBy(col("doc_id"))
+    wavs.unionAll(opaque)
+  }
+
+  /** PCM windowing over the same planted WAV + opaque fixtures as
+    * [[multimodalAudio]]: window sizes, sample counts, and re-wrapped
+    * byte lengths are all properties of the planted bytes (44-byte
+    * header + frames × frame-size), so the oracle is a VALUES literal.
+    */
+  def multimodalAudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    val media = multimodalAudioFixtures(spark)
+    graft.ext.Multimodal.windowAudio(spark, media, windowMs = 2).toDF()
+      .select(col("doc_id"), col("window_idx"), col("n_samples"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .orderBy(col("doc_id"), col("window_idx"))
   }
 
   /** Exact percentiles (linear interpolation — same definition as the

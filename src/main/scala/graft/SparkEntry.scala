@@ -226,6 +226,7 @@ object SparkEntry {
     // against the independently-known dims (VALUES oracle)
     "multimodal_decode" -> (Queries.multimodalDecode _),
     "multimodal_audio" -> (Queries.multimodalAudio _),
+    "multimodal_audio_windows" -> (Queries.multimodalAudioWindows _),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>
