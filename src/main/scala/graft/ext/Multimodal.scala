@@ -211,21 +211,26 @@ object Multimodal {
       new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
-      var off = 12
+      // the walk offset and chunk size stay UNSIGNED (Long): a crafted
+      // 32-bit size like 0xFFFFFFF8 reinterpreted as a negative Int would
+      // advance by <= 0 and hang the executor on one bad row — as a Long
+      // every step moves >= 8 bytes forward, so termination is structural
+      var off = 12L
       var fmtOk = false; var pcm = false
       var ch = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = -1
       while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
-        val id = tag(off); val sz = le32(off + 4).toInt
-        if (id == "fmt " && off + 24 <= p.length) {
-          pcm = le16(off + 8) == 1 // integer PCM only (no float/ADPCM)
-          ch = le16(off + 10); rate = le32(off + 12).toInt; bits = le16(off + 22)
+        val o = off.toInt // off + 8 <= p.length keeps this exact
+        val id = tag(o); val sz = le32(o + 4)
+        if (id == "fmt " && o + 24 <= p.length) {
+          pcm = le16(o + 8) == 1 // integer PCM only (no float/ADPCM)
+          ch = le16(o + 10); rate = le32(o + 12).toInt; bits = le16(o + 22)
           fmtOk = true
         } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz.toLong, (p.length - dataOff).toLong).toInt
+          dataOff = o + 8
+          dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
         }
-        off += 8 + sz + (sz & 1)
+        off += 8L + sz + (sz & 1L)
       }
       if (fmtOk && pcm && dataOff >= 0 && ch > 0 && bits >= 8 && rate > 0) {
         val bytesPerFrame = ch * (bits / 8)

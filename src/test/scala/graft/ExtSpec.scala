@@ -516,6 +516,12 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val floatWav = base.clone()
     floatWav(20) = 3
     assert(Multimodal.wavMeta(floatWav).isEmpty)
+    // a crafted chunk size with the high bit set (0xFFFFFFF8 = -8 as an
+    // Int) must TERMINATE and reject, not hang the walk
+    val hostile = base.clone()
+    hostile(16) = 0xF8.toByte; hostile(17) = 0xFF.toByte
+    hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
+    assert(Multimodal.wavMeta(hostile).isEmpty)
   }
 
   test("native CosineSim/VecDot expressions are bit-identical with the HOF formulation") {
