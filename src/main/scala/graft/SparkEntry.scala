@@ -123,13 +123,15 @@ object SparkEntry {
     // bench's min-of-N these rows report pure SERVING cost, which the
     // fit+serve rows above conflate with the build
     "sim_topk_ivf_index" -> ((s, dir) => {
-      val idx = graft.ext.IndexCache.ensure(s, dir, "ivf") { d =>
+      val idx = graft.ext.IndexCache.ensure(s, dir, "ivf",
+          params = "nCells=8,iters=3") { d =>
         Similarity.buildIvfIndex(emb(s, dir), d, nCells = 8, iters = 3)
       }
       Similarity.ivfTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, nProbe = 2)
     }),
     "sim_topk_pq_index" -> ((s, dir) => {
-      val idx = graft.ext.IndexCache.ensure(s, dir, "pq") { d =>
+      val idx = graft.ext.IndexCache.ensure(s, dir, "pq",
+          params = "m=8,ks=16,iters=2") { d =>
         Similarity.buildPqIndex(emb(s, dir), d, m = 8, ks = 16, iters = 2)
       }
       Similarity.pqTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)

@@ -355,15 +355,17 @@ object Dedup {
     * exact semi-join that kills false positives — including xxhash64
     * collisions, since the verify joins on the shingle STRING.
     *
-    * Two bounded probe-side passes (filter build + verify), both over the
-    * small side; the 100 TB side is scanned once with no exchange before
-    * the survivor join.
+    * The probe shingle set is materialized ONCE (`localCheckpoint` —
+    * bounded: the probe side is small by definition) and reused by all
+    * three consumers (size count, filter build, verify join); the 100 TB
+    * side is scanned once with no exchange before the survivor join.
     */
   def contaminationBloom(docs: DataFrame, probeDocs: DataFrame,
       n: Int = 3, minShared: Long = 5, fpp: Double = 0.001): DataFrame = {
     val corpusSh = shingles(docs, n)
     val probeSh = shingles(probeDocs, n).select(col("sh")).distinct()
-    val nProbe = math.max(probeSh.count(), 1L) // bounded: the probe side is small
+      .localCheckpoint(true)
+    val nProbe = math.max(probeSh.count(), 1L)
     val bloom = probeSh.select(xxhash64(col("sh")).as("h"))
       .stat.bloomFilter("h", nProbe, fpp)
     val bloomBytes = lit(graft.functions.BloomFunctions.serialize(bloom))

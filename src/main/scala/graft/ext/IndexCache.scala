@@ -32,14 +32,21 @@ object IndexCache {
 
   /** Resolve (building if needed) the cached index of `kind` over
     * `$sfDir/$table.parquet`. `build` receives the target directory and
-    * must leave a complete, readable index there.
+    * must leave a complete, readable index there. `params` is the build
+    * hyperparameter signature (nCells/m/ks/iters/...) and is part of the
+    * cache key — without it, editing a registration's parameters would
+    * silently serve the index fitted with the OLD ones.
     */
   def ensure(spark: SparkSession, sfDir: String, kind: String,
-      table: String = "embeddings")(build: String => Unit): String = {
+      table: String = "embeddings", params: String = "")(build: String => Unit): String = {
     val src = new File(s"$sfDir/$table.parquet")
     require(src.exists(), s"no source table at $src")
+    val paramSig = if (params.isEmpty) "" else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      "-" + md.digest(params.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    }
     val dir = new File(
-      s"${sys.props("java.io.tmpdir")}/graft_indexes/$kind-${fingerprint(src)}")
+      s"${sys.props("java.io.tmpdir")}/graft_indexes/$kind-${fingerprint(src)}$paramSig")
     val ready = new File(dir, "_GRAFT_READY")
     if (!ready.exists()) {
       dir.mkdirs()

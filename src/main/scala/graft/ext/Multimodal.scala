@@ -63,9 +63,13 @@ object Multimodal {
       if (!readers.hasNext) None
       else {
         val reader = readers.next()
+        // a payload the sniffer CLAIMS can still fail to decode (valid
+        // magic bytes, truncated body — routine in crawled media); the
+        // batch contract is "never throws on a format gap", so a decode
+        // failure falls to the opaque path instead of killing the task
         try {
           reader.setInput(iis, false, false)
-          Some(f(reader))
+          scala.util.Try(f(reader)).toOption
         } finally reader.dispose()
       }
     } finally iis.close()
@@ -296,7 +300,13 @@ object Multimodal {
         case Some((rate, ch, bits, _, dataOff, dataLen)) =>
           val bytesPerFrame = ch * (bits / 8)
           val framesPerWin = math.max(1L, rate.toLong * windowMs / 1000L)
-          val bytesPerWin = (framesPerWin * bytesPerFrame).toInt
+          // clamp in Long BEFORE the Int narrowing: hostile-but-parseable
+          // fmt fields (rate near 2^31) would otherwise wrap the window
+          // size to <= 0 — a crash ('step cannot be 0') or a silently
+          // vanishing document (same stance as wavMeta's unsigned walk)
+          val bytesPerWin = math.min(
+            math.max(framesPerWin * bytesPerFrame, bytesPerFrame.toLong),
+            math.max(dataLen.toLong, 1L)).toInt
           (0 until dataLen by bytesPerWin).zipWithIndex.map { case (from, idx) =>
             val until = math.min(from + bytesPerWin, dataLen)
             val slice = java.util.Arrays.copyOfRange(

@@ -20,7 +20,10 @@ object DataQuality {
     * conservative read.
     */
   private def violations(pred: Column): Column =
-    sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+    // outer coalesce: sum over ZERO rows is NULL — an empty feed must
+    // report 0 violations (with n_rows = 0 as the emptiness signal), not
+    // null-poison the pass column and slip through a pass==false gate
+    coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
 
   /** Audit `rowRules` (a violation is a row where the predicate is false;
     * null predicates — e.g. comparisons against a null column — count as
@@ -32,7 +35,8 @@ object DataQuality {
       aggRules: Seq[(String, Column)] = Nil): DataFrame = {
     require(rowRules.nonEmpty || aggRules.nonEmpty, "no rules to audit")
     val rowAggs = rowRules.map { case (name, pred) => violations(pred).as(name) }
-    val aggAggs = aggRules.map { case (name, agg) => agg.cast("long").as(name) }
+    val aggAggs = aggRules.map { case (name, agg) =>
+      coalesce(agg.cast("long"), lit(0L)).as(name) }
     val all = rowAggs ++ aggAggs :+ count(lit(1)).as("_n_rows")
     val wide = df.agg(all.head, all.tail: _*)
     wide.unpivot(

@@ -253,6 +253,15 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       aggRules = Seq("doc_id_unique" -> (count(lit(1)) - countDistinct(col("doc_id")))))
       .collect().map(r => (r.getString(0), r.getBoolean(3)))
     assert(clean.forall(_._2))
+    // an EMPTY feed reports 0 violations / pass=true (n_rows = 0 is the
+    // emptiness signal), never null-poisoned sums
+    val empty = graft.operators.DataQuality.expectations(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      rowRules = Seq("doc_id_not_null" -> col("doc_id").isNotNull),
+      aggRules = Seq("doc_id_unique" -> (count(lit(1)) - countDistinct(col("doc_id")))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(empty.toSeq == Seq(
+      ("doc_id_not_null", 0L, 0L, true), ("doc_id_unique", 0L, 0L, true)))
   }
 
   test("bigram perplexity matches a hand-computed LM on a tiny fixture") {
@@ -522,6 +531,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     hostile(16) = 0xF8.toByte; hostile(17) = 0xFF.toByte
     hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
     assert(Multimodal.wavMeta(hostile).isEmpty)
+  }
+
+  test("truncated-but-sniffed image payloads fall back instead of failing the task") {
+    import spark.implicits._
+    // valid PNG magic + header, body cut off: ImageIO's sniffer CLAIMS it,
+    // decode then fails — the batch paths must fall to the opaque branch
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAUAAAAECAIAAADJUWIXAAAAEElEQVR4nGOQs4lCRgwk8gG9nw4R0Z05kQAAAABJRU5ErkJggg==")
+    val truncated = png.take(40)
+    val media = Seq((1L, truncated)).toDF("doc_id", "payload")
+      .withColumn("media_type", org.apache.spark.sql.functions.lit("image/png"))
+    // the header survives truncation, so the metadata probe still reads
+    // real dims (5x4) — only the PIXEL decode fails
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 1 && feats(0).width == 5 && feats(0).height == 4)
+    // resize needs the pixels: decode throws inside the reader and the
+    // row falls to the opaque truncation transform instead of killing
+    // the task (outLen = max(1, min(40, 8*8/128)) = 1)
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+    assert(resized.length == 1 && resized(0).payload.length == 1)
+    // frame sampling likewise: opaque chunks (nFrames = 1 + 40 % 30 = 11,
+    // stride 2 -> 6 chunks), not a thrown IIOException
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2).collect()
+    assert(frames.length == 6)
   }
 
   test("native CosineSim/VecDot expressions are bit-identical with the HOF formulation") {
