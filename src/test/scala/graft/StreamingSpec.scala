@@ -442,6 +442,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed vector should be rank 1, got ${top.getAs[Long]("vec_id")}")
   }
 
+  test("PQ index ingest survives a restart: no duplicate batches, streamed vectors stay servable") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-restart").toString
+    graft.ext.Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 1)
+    spark.catalog.clearCache()
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-pq-restart-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pq-restart-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    def start() = graft.streaming.StreamingCorpus.pqIndexIngest(
+      spark.readStream.schema(schema).parquet(srcDir), dir, ckpt)
+    // epoch 1 lands (a vector unrelated to query 0), then the query
+    // STOPS (crash/deploy)
+    val q9 = emb.filter(col("vec_id") === 9L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    Seq((500000L, q9.map(_ + 1e-6f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(srcDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // query 0's near-copy arrives while nothing is running
+    Seq((500001L, q0.map(_ + 1e-6f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    val streamed = spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") >= 500000L)
+      .groupBy(col("vec_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == Map(500000L -> 1L, 500001L -> 1L),
+      s"restart duplicated or lost streamed vectors: $streamed")
+    val top = graft.ext.Similarity.pqTopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0).getAs[Long]("vec_id")
+    spark.catalog.clearCache()
+    assert(top == 500001L, s"expected the post-restart vector at rank 1, got $top")
+  }
+
   test("file-stream binding consumes a parquet monitoring dir") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
