@@ -890,6 +890,28 @@ object Oracles {
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // hard negatives: the brute-force scoring with the similarity band
+    // applied BEFORE the rank (positives above the ceiling excluded,
+    // easy negatives below the floor dropped)
+    "sim_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), banded AS (
+        |  SELECT * FROM scored WHERE cos >= 0.15 AND cos < 0.30
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM banded
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings

@@ -227,6 +227,11 @@ object SparkEntry {
     // the REAL ImageIO codec over byte-exact planted PNGs, hash-gated
     // against the independently-known dims (VALUES oracle)
     "multimodal_decode" -> (Queries.multimodalDecode _),
+    // hard-negative mining band calibrated to the near-orthogonal
+    // synthetic embeddings (max off-diagonal cos ~0.37)
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir), Seq(0L, 1L, 2L), 10,
+        floor = 0.15, ceiling = 0.30)),
     "multimodal_audio" -> (Queries.multimodalAudio _),
     "multimodal_audio_windows" -> (Queries.multimodalAudioWindows _),
     // DataSource V2 report source (deterministic fake wire client; no oracle

@@ -58,6 +58,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor), the k most similar vectors INSIDE a similarity band —
+    * below `ceiling` (anything above is a near-duplicate/positive, not a
+    * negative) and at/above `floor` (anything below is an easy negative
+    * that contributes no gradient). The standard recipe for embedding-
+    * model training pairs; same exchange shape as [[bruteForceTopK]]
+    * (queries broadcast, one window on the anchor key), with the band
+    * filter BEFORE the rank so the window state holds only candidates.
+    * At corpus scale, swap the scoring scan for the IVF/PQ shortlist and
+    * keep the band + rank unchanged.
+    */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      floor: Double = 0.5, ceiling: Double = 0.95): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= floor && col("cos") < ceiling)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes: `numPlanes × dim` doubles in
     * [-1, 1), from a fixed-seed LCG — identical on every JVM/executor.
     */

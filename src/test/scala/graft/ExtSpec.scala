@@ -318,6 +318,23 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("hard negatives stay inside the band and rank like the banded brute force") {
+    import org.apache.spark.sql.functions.col
+    val hn = Similarity.hardNegatives(emb, Seq(0L, 1L, 2L), 10,
+      floor = 0.15, ceiling = 0.30).collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= 0.15 && c < 0.30 })
+    // positives/near-dups above the ceiling are excluded even though they
+    // outrank everything in the plain top-k
+    val plain = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+    val excluded = plain.filter(_.getAs[Double]("cos") >= 0.30)
+    assert(excluded.nonEmpty, "fixture should have near-positives above the ceiling")
+    val hnSet = hn.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(excluded.forall(r => !hnSet.contains((r.getLong(0), r.getLong(1)))))
+    spark.catalog.clearCache()
+  }
+
   test("bounded top-k Aggregator equals the window formulation exactly") {
     val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
       .select("query_id", "vec_id", "cos", "rank").collect()
