@@ -258,6 +258,21 @@ object Oracles {
 
     // custom-operator twin: the CUSTOM PHYSICAL PLAN must hash-match the
     // exact same DuckDB ASOF LEFT JOIN the composed form is pinned to
+    // forward as-of: DuckDB native ASOF with the inequality flipped
+    // (s.ts <= p.ts picks the EARLIEST purchase at-or-after each signup)
+    "asof_join_fwd" ->
+      """WITH signups AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+        |), purchases AS (
+        |  SELECT user_id, ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT s.event_id, s.user_id,
+        |  strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, p.purchase_value
+        |FROM signups s ASOF LEFT JOIN purchases p
+        |  ON s.user_id = p.user_id AND s.ts <= p.ts
+        |ORDER BY s.event_id""".stripMargin,
+
     "asof_join_exec" ->
       """WITH signups AS (
         |  SELECT user_id, ts, value AS signup_value, event_id AS sig_id

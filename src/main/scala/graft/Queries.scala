@@ -476,6 +476,28 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the custom exec: every signup joined to the
+    * user's EARLIEST purchase at-or-after it — the time-to-conversion
+    * shape (pandas merge_asof direction='forward'). Same merge plan as
+    * the backward exec; the candidate is the lookahead row itself, so
+    * per-partition state is zero beyond the sort.
+    */
+  def asofJoinFwdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("purchase_value"), col("event_id").as("p_id"))
+    graft.plans.AsOfJoinPlans.asOfJoinExecKeys(
+        signups, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_value"), Some("p_id"), None, direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** The REAL image codec inside the hash gate: three byte-exact minimal
     * truecolor PNG literals (written by a 15-line PNG encoder — header +
     * one zlib IDAT, dims 5×4 / 16×2 / 3×11) flow through the SAME

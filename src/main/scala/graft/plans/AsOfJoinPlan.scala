@@ -54,7 +54,8 @@ case class AsOfJoinNode(
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -75,8 +76,9 @@ case class AsOfJoinNode(
 /** Planner strategy: one logical node form, one physical form. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tie, payload, tol) :: Nil
+    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tie, payload,
+        tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -102,7 +104,8 @@ case class AsOfJoinExec(
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
-    tolerance: Option[Long]) extends BinaryExecNode {
+    tolerance: Option[Long],
+    forward: Boolean = false) extends BinaryExecNode {
 
   private val payloadOut = payload.map(_.withNullability(true))
 
@@ -142,6 +145,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val (lKeys, rKeys, lTime, rTime) = (leftKeys, rightKeys, leftTime, rightTime)
     val tol = tolerance
+    val fwd = forward
     val getTime = tol.map(_ => timeGetter(lTime.dataType))
     // the NULLABLE payload view everywhere downstream: unmatched left rows
     // emit a null payload row, so binding the result projection against
@@ -172,7 +176,35 @@ case class AsOfJoinExec(
       var lastTimeNull = false
       var lastTimeVal = 0L
 
-      lIter.map { lRow =>
+      if (fwd) lIter.map { lRow =>
+        // FORWARD direction: match the EARLIEST right row at-or-after the
+        // left time. The candidate is always the lookahead row itself —
+        // discard right rows strictly before the current left time (left
+        // times ascend, so they can never match a later left row either)
+        // and NEVER consume on match (the same right row may be the
+        // forward match of many left rows). Null right times sort first
+        // and are discarded by the advance, i.e. never match forward.
+        val lk = lKeyProj(lRow)
+        val lt = lTimeProj(lRow)
+        var advancing = true
+        while (rHead != null && advancing) {
+          val c = keyOrd.compare(rKeyProj(rHead), lk)
+          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
+            rHead = if (rIter.hasNext) rIter.next().copy() else null
+          } else advancing = false
+        }
+        val matched =
+          rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0 &&
+            (tol match {
+              case None => true
+              case Some(t) =>
+                val tr = rTimeProj(rHead)
+                !tr.isNullAt(0) && !lt.isNullAt(0) &&
+                  getTime.get(tr) - getTime.get(lt) <= t
+            })
+        resultProj(joined(lRow, if (matched) payloadProj(rHead) else nullPayload))
+      }
+      else lIter.map { lRow =>
         val lk = lKeyProj(lRow) // valid until the next left row
         val lt = lTimeProj(lRow)
         var advancing = true
@@ -243,12 +275,20 @@ object AsOfJoinPlans {
       keys: Seq[String], leftTime: String, rightTime: String,
       payload: Seq[String],
       rightTieBreak: Option[String] = None,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    // backward = latest right at-or-before (ties: LARGEST rightTieBreak
+    // wins — later rows overwrite); forward = earliest right at-or-after
+    // (ties: SMALLEST wins — the first row in sort order is the match).
+    // Under a tolerance the staleness is measured in the match direction:
+    // leftTime - rightTime (backward) / rightTime - leftTime (forward).
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     require(!payload.exists(left.columns.contains),
       s"payload columns ${payload.filter(left.columns.contains)} collide with left columns")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
@@ -289,6 +329,6 @@ object AsOfJoinPlans {
       lPlan, rPlan, lks, rks, lt, rt,
       rightTieBreak.map(attr(rOut, _, "right")),
       payload.map(attr(rOut, _, "right")),
-      tolerance))
+      tolerance, forward = direction == "forward"))
   }
 }

@@ -172,6 +172,61 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forward direction: earliest at-or-after, smallest tie, tolerance bounds lookahead") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "before"),  // before both right rows → earliest (rt=20) wins
+      (1L, 20L, "attime"),  // equal timestamp matches (>=)
+      (1L, 35L, "after"),   // past every right row → null payload
+      (2L, 50L, "nokey")    // key with no right rows → null payload
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 20L, 1L, Option(1.0)),  // tie on rt=20 …
+      (1L, 20L, 2L, Option(2.0)),  // … SMALLEST tie wins forward
+      (1L, 30L, 3L, Option(3.0))
+    ).toDF("k", "rt", "tie", "v")
+    def run(tol: Option[Long]): Map[String, Option[Any]] =
+      AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"), "t", "rt",
+          Seq("v"), Some("tie"), tol, direction = "forward")
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    val un = run(None)
+    assert(un == Map("before" -> Some(1.0), "attime" -> Some(1.0),
+      "after" -> None, "nokey" -> None))
+    // tolerance measures FORWARD staleness (rt - t): 20-10=10 > 5 drops,
+    // 20-20=0 keeps
+    val t5 = run(Some(5L))
+    assert(t5("before") == None && t5("attime") == Some(1.0))
+  }
+
+  test("randomized forward instances: exec equals a brute-force replay on 10 seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    (1 to 10).foreach { trial =>
+      val left = Seq.fill(rnd.nextInt(50) + 1)(
+        (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rightRows = Seq.fill(rnd.nextInt(50))(
+        (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, rnd.nextDouble()))
+        .zipWithIndex.map { case ((k, rt, v), i) => (k, rt, i.toLong, v) }
+      val right = rightRows.toDF("k", "rt", "tie", "v")
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(12).toLong) else None
+      val got = AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"),
+          "t", "rt", Seq("v"), Some("tie"), tol, direction = "forward")
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      // model: winner = min by (rt, tie) among at-or-after rows of the
+      // same key; tolerance disqualifies a winner too far in the future
+      // (later rows are farther — the winner is the only candidate)
+      val expected = left.collect().map { lr =>
+        val (k, t, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+        val cands = rightRows.filter(r => r._1 == k && r._2 >= t)
+        val winner = cands.sortBy(r => (r._2, r._3)).headOption
+        lid -> winner.filter(w => tol.forall(tl => w._2 - t <= tl)).map(_._4)
+      }.toMap
+      assert(got == expected, s"trial $trial (tol=$tol) diverged")
+    }
+  }
+
   test("composite-key plan shape: per-side exchanges, no union shuffle") {
     val df = Queries.asofJoinTolQuery(spark, sf)
     assert(df.collect().nonEmpty)
