@@ -149,6 +149,10 @@ object Prof {
           ("events_rolling", Queries.eventsRolling _),
           ("events_funnel", Queries.eventsFunnel _),
           ("asof_join_tol", Queries.asofJoinTolQuery _),
+          ("asof_join_fwd", Queries.asofJoinFwdQuery _),
+          ("sim_hard_negatives", (s: SparkSession, d: String) =>
+            graft.ext.Similarity.hardNegatives(
+              Queries.table(s, d, "embeddings"), Seq(0L, 1L, 2L), 10, 0.15, 0.30)),
           ("layout_zorder", Queries.layoutZorder _),
           ("text_mix_domains", (s: SparkSession, d: String) =>
             graft.ext.TextAnalysis.mixDomains(Queries.table(s, d, "documents"),
