@@ -289,10 +289,12 @@ object Oracles {
     // composite keys + staleness bound: DuckDB ASOF matches on BOTH
     // equalities; the tolerance nulls the payload when the (unique)
     // latest at-or-before candidate is too stale. epoch_us floors ns
-    // to µs exactly like the Spark read path's `ts div 1000`.
+    // to µs exactly like the Spark read path's `ts div 1000`. grp is
+    // coalesced to -1 on both engines (see Queries.asofJoinTolQuery):
+    // SQL ON-equality never matches NULL but the exec's sort-merge does.
     "asof_join_tol" ->
       """WITH ev AS (
-        |  SELECT *, CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS grp
+        |  SELECT *, COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4, -1) AS grp
         |  FROM events
         |), signups AS (
         |  SELECT user_id, grp, ts, value AS signup_value, event_id AS sig_id
@@ -1685,7 +1687,13 @@ object Oracles {
       |   CAST(441 AS BIGINT), CAST(10 AS BIGINT)),
       |  (CAST(4 AS BIGINT), CAST(49 AS BIGINT), 'application/octet-stream',
       |   CAST(12000 AS INTEGER), CAST(2 AS INTEGER), CAST(16 AS INTEGER),
-      |   CAST(24 AS BIGINT), CAST(2 AS BIGINT))
+      |   CAST(24 AS BIGINT), CAST(2 AS BIGINT)),
+      |  (CAST(5 AS BIGINT), CAST(202 AS BIGINT), 'audio/wav',
+      |   CAST(12000 AS INTEGER), CAST(1 AS INTEGER), CAST(32 AS INTEGER),
+      |   CAST(36 AS BIGINT), CAST(3 AS BIGINT)),
+      |  (CAST(6 AS BIGINT), CAST(143 AS BIGINT), 'audio/wav',
+      |   CAST(11025 AS INTEGER), CAST(1 AS INTEGER), CAST(24 AS INTEGER),
+      |   CAST(33 AS BIGINT), CAST(2 AS BIGINT))
       |) AS t(doc_id, byte_len, media_type, sample_rate, channels,
       |       bits_per_sample, n_samples, duration_ms)
       |ORDER BY doc_id""".stripMargin
@@ -1697,7 +1705,10 @@ object Oracles {
     * (16/16/16/2); 16 kHz stereo → one 30-frame window (32 ≥ 30);
     * 44.1 kHz mono → 88-frame windows over 441 samples (5×88 + 1); the
     * opaque payload keeps the deterministic 16-byte chunk transform
-    * (⌊49/16⌋ = 3 chunks).
+    * (⌊49/16⌋ = 3 chunks); 12 kHz float32 → 24-frame windows over 36
+    * samples (24 + 12), re-wrapped with the 58-byte non-PCM header
+    * (fmt 18 + fact); 11.025 kHz 24-bit → 22-frame windows over 33
+    * samples (22 + 11) at 3 bytes/frame.
     */
   private val multimodalAudioWindowsSql: String = {
     val rows = Seq(
@@ -1707,7 +1718,9 @@ object Oracles {
       (3, 0, 88, 44 + 88 * 2), (3, 1, 88, 44 + 88 * 2),
       (3, 2, 88, 44 + 88 * 2), (3, 3, 88, 44 + 88 * 2),
       (3, 4, 88, 44 + 88 * 2), (3, 5, 1, 44 + 1 * 2),
-      (4, 0, 16, 16), (4, 1, 16, 16), (4, 2, 16, 16))
+      (4, 0, 16, 16), (4, 1, 16, 16), (4, 2, 16, 16),
+      (5, 0, 24, 58 + 24 * 4), (5, 1, 12, 58 + 12 * 4),
+      (6, 0, 22, 44 + 22 * 3), (6, 1, 11, 44 + 11 * 3))
       .map { case (d, w, n, b) =>
         s"  (CAST($d AS BIGINT), CAST($w AS INTEGER), CAST($n AS BIGINT), CAST($b AS BIGINT))"
       }.mkString(",\n")

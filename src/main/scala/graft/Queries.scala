@@ -460,8 +460,14 @@ object Queries {
     */
   def asofJoinTolQuery(spark: SparkSession, dir: String): DataFrame = {
     val tolMicros = 4L * 86400L * 1000000L
+    // grp is coalesced to a -1 sentinel: the exec's sort-merge groups
+    // null keys together (null = null matches), but SQL ASOF ON equality
+    // (the oracle) never matches NULLs — coalescing on BOTH sides pins
+    // identical semantics independent of whether testdata ever produces
+    // an event without '$.k'
     val ev = events(spark, dir)
-      .withColumn("grp", get_json_object(col("props"), "$.k").cast("long") % 4)
+      .withColumn("grp",
+        coalesce(get_json_object(col("props"), "$.k").cast("long") % 4, lit(-1L)))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("grp"), col("ts"))
     val signups = ev.filter(col("event_type") === "signup")
@@ -536,8 +542,12 @@ object Queries {
         col("n_samples"), col("duration_ms"))
       .orderBy(col("doc_id"))
 
-  /** The shared audio fixture table: three Python-`wave`-written PCM
-    * payloads + one opaque payload (see [[multimodalAudio]]).
+  /** The shared audio fixture table: three Python-`wave`-written integer
+    * PCM payloads, one opaque payload (see [[multimodalAudio]]), one
+    * float32 WAV (format tag 3, extended 18-byte fmt chunk + fact chunk
+    * — written by an independent Python struct encoder) and one 24-bit
+    * integer PCM WAV (Python `wave`, sampwidth 3) — the two non-16-bit
+    * containers speech corpora actually ship.
     */
   private def multimodalAudioFixtures(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -551,11 +561,19 @@ object Queries {
     val wavs = fixtures.toDF("doc_id", "b64")
       .select(col("doc_id"), unbase64(col("b64")).as("payload"),
         lit("application/octet-stream").as("media_type"))
+    val extra = Seq(
+      // 12 kHz mono float32 (tag 3), 36 samples, fmt(18) + fact → 202 bytes
+      (5L, "UklGRsIAAABXQVZFZm10IBIAAAADAAEA4C4AAIC7AAAEACAAAABmYWN0BAAAACQAAABkYXRhkAAAAAAAAADlyZE9tU0QPtbFVD4cdIo+L7OnPpqHwT6katc+KOroPuCq9T5Kav0+/f//Pn1e/T6Fk/U+t8foPtM91z5RUcE+inSnPmEuij4KL1Q+qK4PPsOBkD01vSW69xGTvbLsEL6KXFW+ybmKvsTxp77PvcG+X5fXvn8M6b4hwvW+/HX9vuL//76WUv2+EHz1vg=="),
+      // 11.025 kHz mono 24-bit PCM, 33 samples, classic 44-byte header → 143 bytes
+      (6L, "UklGRocAAABXQVZFZm10IBAAAAABAAEAESsAADOBAAADABgAZGF0YWMAAAAAAAAaEAZU4gtEOxFY5BX9rRmOcRzTEh4rgR4vuB3ivxtgrBgOnRRauw8YOQqATgT0N/6WM/jQfvLdU+185+jRZuWc9eLKrOF3meFovOIDCuXIaug7vOxM0vESeffedv2KjgM="))
+      .toDF("doc_id", "b64")
+      .select(col("doc_id"), unbase64(col("b64")).as("payload"),
+        lit("application/octet-stream").as("media_type"))
     val opaque = Seq((4L, "this payload is definitely not RIFF encoded audio"))
       .toDF("doc_id", "s")
       .select(col("doc_id"), col("s").cast("binary").as("payload"),
         lit("application/octet-stream").as("media_type"))
-    wavs.unionAll(opaque)
+    wavs.unionAll(opaque).unionAll(extra)
   }
 
   /** PCM windowing over the same planted WAV + opaque fixtures as

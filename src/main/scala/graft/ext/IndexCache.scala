@@ -30,12 +30,27 @@ object IndexCache {
       .map("%02x".format(_)).mkString.take(16)
   }
 
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
   /** Resolve (building if needed) the cached index of `kind` over
     * `$sfDir/$table.parquet`. `build` receives the target directory and
     * must leave a complete, readable index there. `params` is the build
     * hyperparameter signature (nCells/m/ks/iters/...) and is part of the
     * cache key — without it, editing a registration's parameters would
     * silently serve the index fitted with the OLD ones.
+    *
+    * Concurrency: the cache lives in a shared java.io.tmpdir, and two
+    * JVMs (e.g. bench and verify in parallel) can race on the same key.
+    * The build therefore lands in a private `<dir>.build-<pid>` staging
+    * directory and is COMMITTED by an atomic rename onto the final path —
+    * the marker file inside travels with it, so a reader either sees no
+    * directory, or a complete one. The rename loser deletes its staging
+    * copy and serves the winner's artifact; a partial directory without
+    * the marker (pre-fix layout, or a crashed build) is swept and
+    * replaced rather than served.
     */
   def ensure(spark: SparkSession, sfDir: String, kind: String,
       table: String = "embeddings", params: String = "")(build: String => Unit): String = {
@@ -49,11 +64,29 @@ object IndexCache {
       s"${sys.props("java.io.tmpdir")}/graft_indexes/$kind-${fingerprint(src)}$paramSig")
     val ready = new File(dir, "_GRAFT_READY")
     if (!ready.exists()) {
-      dir.mkdirs()
-      build(dir.getAbsolutePath)
-      // marker last: a crash mid-build leaves no marker and the next call
-      // rebuilds over the partial artifact (all writers use overwrite)
-      ready.createNewFile()
+      dir.getParentFile.mkdirs()
+      val staging = new File(dir.getParentFile,
+        s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      build(staging.getAbsolutePath)
+      // marker BEFORE the commit rename: it travels with the directory,
+      // so `ready.exists()` implies the whole artifact is in place
+      new File(staging, "_GRAFT_READY").createNewFile()
+      if (!staging.renameTo(dir)) {
+        if (ready.exists()) {
+          // concurrent builder won the rename — serve its artifact
+          deleteRec(staging)
+        } else {
+          // the path is occupied by a partial artifact (old in-place
+          // layout, or a crashed build): sweep it and retry the commit.
+          // If ANOTHER racer commits in this window the retry fails with
+          // its complete artifact in place — serve that.
+          deleteRec(dir)
+          if (!staging.renameTo(dir)) {
+            require(ready.exists(), s"index cache commit failed for $dir")
+            deleteRec(staging)
+          }
+        }
+      }
     }
     dir.getAbsolutePath
   }

@@ -199,14 +199,19 @@ object Multimodal {
   final case class AudioWindow(
       doc_id: Long, window_idx: Int, n_samples: Long, payload: Array[Byte])
 
-  /** RIFF/WAVE PCM probe — a REAL container parse (chunk walk, not a
+  /** RIFF/WAVE probe — a REAL container parse (chunk walk, not a
     * library shim): returns (sampleRate, channels, bitsPerSample,
-    * nSamples, dataOffset, dataLen) or None when the bytes are not
-    * integer-PCM WAV. Chunk sizes are word-aligned per the RIFF spec; a
-    * truncated final data chunk clamps to the payload (streaming uploads
-    * cut mid-chunk are a fact of crawled audio).
+    * nSamples, dataOffset, dataLen, formatTag) or None when the bytes
+    * are not a supported WAV. Supported formats: integer PCM (tag 1, at
+    * 8/16/24/32 bits — 24-bit is the common studio container) and IEEE
+    * float (tag 3, at 32/64 bits — the common speech-corpus container);
+    * ADPCM/extensible fall through to the opaque path. Chunk sizes are
+    * word-aligned per the RIFF spec; a truncated final data chunk clamps
+    * to the payload (streaming uploads cut mid-chunk are a fact of
+    * crawled audio); auxiliary chunks (fact, LIST, cue) are skipped by
+    * the walk.
     */
-  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int)] = {
+  private[graft] def wavMeta(p: Array[Byte]): Option[(Int, Int, Int, Long, Int, Int, Int)] = {
     def le16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
     def le32(o: Int): Long =
       (p(o) & 0xFFL) | ((p(o + 1) & 0xFFL) << 8) |
@@ -220,42 +225,62 @@ object Multimodal {
       // advance by <= 0 and hang the executor on one bad row — as a Long
       // every step moves >= 8 bytes forward, so termination is structural
       var off = 12L
-      var fmtOk = false; var pcm = false
+      var fmtOk = false; var fmtTag = 0
       var ch = 0; var rate = 0; var bits = 0
       var dataOff = -1; var dataLen = -1
       while (off + 8 <= p.length && (!fmtOk || dataOff < 0)) {
         val o = off.toInt // off + 8 <= p.length keeps this exact
         val id = tag(o); val sz = le32(o + 4)
         if (id == "fmt " && o + 24 <= p.length) {
-          pcm = le16(o + 8) == 1 // integer PCM only (no float/ADPCM)
+          fmtTag = le16(o + 8)
           ch = le16(o + 10); rate = le32(o + 12).toInt; bits = le16(o + 22)
           fmtOk = true
-        } else if (id == "data") {
+        } else if (id == "data" && dataOff < 0) {
+          // FIRST data chunk only: the walk continues while fmt is still
+          // unseen, and a later data chunk must not overwrite the one the
+          // format describes (multi-data WAVs are malformed but occur)
           dataOff = o + 8
           dataLen = math.min(sz, (p.length - dataOff).toLong).toInt
         }
         off += 8L + sz + (sz & 1L)
       }
-      if (fmtOk && pcm && dataOff >= 0 && ch > 0 && bits >= 8 && rate > 0) {
+      // bit widths are pinned per format: a tag-1 container carries 8/16/
+      // 24/32-bit integers, a tag-3 container 32/64-bit IEEE floats —
+      // anything else (12-bit ADPCM remnants, zero) is not frame-sliceable
+      val bitsOk =
+        (fmtTag == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+          (fmtTag == 3 && (bits == 32 || bits == 64))
+      if (fmtOk && bitsOk && dataOff >= 0 && ch > 0 && rate > 0) {
         val bytesPerFrame = ch * (bits / 8)
-        Some((rate, ch, bits, dataLen.toLong / bytesPerFrame, dataOff, dataLen))
+        Some((rate, ch, bits, dataLen.toLong / bytesPerFrame, dataOff, dataLen, fmtTag))
       } else None
     }
   }
 
-  /** Canonical 44-byte-header PCM WAV writer — each [[windowAudioBatch]]
-    * slice re-wraps as a standalone, replayable WAV.
+  /** Canonical WAV writer — each [[windowAudioBatch]] slice re-wraps as a
+    * standalone, replayable WAV. Integer PCM (tag 1) gets the classic
+    * 44-byte header; non-PCM formats (tag 3 float) get the spec-required
+    * extended fmt chunk (18 bytes, cbSize 0) plus a `fact` chunk carrying
+    * the frame count — 58 bytes of header — so the output is what a
+    * strict reader expects for float WAV.
     */
   private[graft] def wavBytes(rate: Int, ch: Int, bits: Int,
-      data: Array[Byte]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      data: Array[Byte], fmtTag: Int = 1): Array[Byte] = {
+    val blockAlign = ch * bits / 8
+    val headerLen = if (fmtTag == 1) 44 else 58
+    val bb = java.nio.ByteBuffer.allocate(headerLen + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + data.length)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(headerLen - 8 + data.length)
     bb.put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
-    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
-    bb.putInt(rate * ch * bits / 8); bb.putShort((ch * bits / 8).toShort)
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(if (fmtTag == 1) 16 else 18)
+    bb.putShort(fmtTag.toShort); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
     bb.putShort(bits.toShort)
+    if (fmtTag != 1) {
+      bb.putShort(0) // cbSize
+      bb.put("fact".getBytes("US-ASCII")); bb.putInt(4)
+      bb.putInt(if (blockAlign > 0) data.length / blockAlign else 0)
+    }
     bb.put("data".getBytes("US-ASCII")); bb.putInt(data.length); bb.put(data)
     bb.array()
   }
@@ -268,7 +293,7 @@ object Multimodal {
   def audioFeaturesBatch(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
     rows.map { r =>
       wavMeta(r.payload) match {
-        case Some((rate, ch, bits, n, _, _)) =>
+        case Some((rate, ch, bits, n, _, _, _)) =>
           AudioFeatures(r.doc_id, r.payload.length.toLong, "audio/wav",
             rate, ch, bits, n, n * 1000L / rate, md5hex(r.payload))
         case None =>
@@ -297,7 +322,7 @@ object Multimodal {
   def windowAudioBatch(windowMs: Int)(rows: Iterator[MediaRow]): Iterator[AudioWindow] =
     rows.flatMap { r =>
       wavMeta(r.payload) match {
-        case Some((rate, ch, bits, _, dataOff, dataLen)) =>
+        case Some((rate, ch, bits, _, dataOff, dataLen, fmtTag)) =>
           val bytesPerFrame = ch * (bits / 8)
           val framesPerWin = math.max(1L, rate.toLong * windowMs / 1000L)
           // clamp in Long BEFORE the Int narrowing: hostile-but-parseable
@@ -312,7 +337,7 @@ object Multimodal {
             val slice = java.util.Arrays.copyOfRange(
               r.payload, dataOff + from, dataOff + until)
             AudioWindow(r.doc_id, idx, (until - from).toLong / bytesPerFrame,
-              wavBytes(rate, ch, bits, slice))
+              wavBytes(rate, ch, bits, slice, fmtTag))
           }
         case None =>
           val nChunks = math.max(1, r.payload.length / 16)

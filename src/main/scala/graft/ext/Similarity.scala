@@ -793,7 +793,10 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$newRoot/vectors/batch=-1")
     spark.read.parquet(s"$root/codebooks")
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
-    publishIndexVersion(fs, dir, n)
+    // PQ legacy-dir list (matches buildPqIndex): the IVF default would
+    // leave stale top-level codes/ and codebooks/ from a pre-versioning
+    // PQ layout in place forever
+    publishIndexVersion(fs, dir, n, Seq("codes", "codebooks", "vectors"))
   }
 
   /** Last-writer-wins per vec_id over the discovered `batch` partition

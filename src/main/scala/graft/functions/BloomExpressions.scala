@@ -61,10 +61,16 @@ case class BloomMightContain(valueExpr: Expression, bloomExpr: Expression)
 }
 
 object BloomFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    // idempotence guard — same rationale as VectorFunctions.register:
+    // re-registration logs a WARN per call; the builder is pure
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "bloom_might_contain",
+        exprs => BloomMightContain(exprs(0), exprs(1)), "scala_udf")
+  }
 
   /** Column form: `value` BIGINT probed against `bloom` (serialized). */
   def mightContainLong(value: Column, bloomBytes: Column): Column = {

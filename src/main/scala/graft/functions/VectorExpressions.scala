@@ -175,12 +175,20 @@ object PortableHash64 {
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("portable_hash64",
-      exprs => PortableHash64(exprs(0)), "scala_udf")
+    // idempotence guard: register() is called from every query
+    // constructor (16 call sites), and createOrReplaceTempFunction logs a
+    // "replacing existing function" WARN on each re-registration —
+    // registry churn spam through every bench/verify tail. The builders
+    // are pure, so if the name already resolves there is nothing to do.
+    val probe = org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hash64")
+    if (!reg.functionExists(probe)) {
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("cosine_sim",
+        exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+      reg.createOrReplaceTempFunction("portable_hash64",
+        exprs => PortableHash64(exprs(0)), "scala_udf")
+    }
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -182,25 +182,35 @@ case class AsOfJoinExec(
         // discard right rows strictly before the current left time (left
         // times ascend, so they can never match a later left row either)
         // and NEVER consume on match (the same right row may be the
-        // forward match of many left rows). Null right times sort first
-        // and are discarded by the advance, i.e. never match forward.
+        // forward match of many left rows).
+        //
+        // Null-time semantics (pinned; tested in AsOfJoinSpec): a null
+        // RIGHT time never matches forward — "at-or-after" is undefined
+        // for it — and is consumed unconditionally by the advance (null
+        // times sort first within their key, so no later left row could
+        // match it either). A null LEFT time matches nothing: an unknown
+        // anchor has no earliest-at-or-after row. Both choices mirror
+        // what a tolerance would force anyway (tol requires non-null on
+        // both sides) so tol/no-tol agree on null handling.
         val lk = lKeyProj(lRow)
         val lt = lTimeProj(lRow)
+        val ltNull = lt.isNullAt(0)
         var advancing = true
         while (rHead != null && advancing) {
           val c = keyOrd.compare(rKeyProj(rHead), lk)
-          if (c < 0 || (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
+          if (c < 0 ||
+              (c == 0 && rTimeProj(rHead).isNullAt(0)) ||
+              (c == 0 && !ltNull && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
         val matched =
-          rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0 &&
+          !ltNull && rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0 &&
             (tol match {
               case None => true
               case Some(t) =>
                 val tr = rTimeProj(rHead)
-                !tr.isNullAt(0) && !lt.isNullAt(0) &&
-                  getTime.get(tr) - getTime.get(lt) <= t
+                !tr.isNullAt(0) && getTime.get(tr) - getTime.get(lt) <= t
             })
         resultProj(joined(lRow, if (matched) payloadProj(rHead) else nullPayload))
       }

@@ -198,6 +198,32 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t5("before") == None && t5("attime") == Some(1.0))
   }
 
+  test("forward null-time semantics: null right times never match, null left times match nothing") {
+    import spark.implicits._
+    // pinned semantics (AsOfJoinPlan forward advance): a null RIGHT time
+    // has no defined "at-or-after" position → discarded, never a forward
+    // match; a null LEFT time is an unknown anchor → null payload. Both
+    // agree with what a tolerance forces (non-null on both sides).
+    val left = Seq(
+      (Option(1L), Option(10L), "anchored"),   // normal: earliest at-or-after
+      (Option(1L), None: Option[Long], "lnull"), // null left time → no match
+      (Option(2L), Option(5L), "onlynullrt")   // key 2's only right row has null rt
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (Option(1L), None: Option[Long], 0L, 9.0), // null rt: must NOT match "anchored"
+      (Option(1L), Option(20L), 1L, 1.0),
+      (Option(2L), None: Option[Long], 2L, 7.0)
+    ).toDF("k", "rt", "tie", "v")
+    def run(tol: Option[Long]): Map[String, Option[Any]] =
+      AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"), "t", "rt",
+          Seq("v"), Some("tie"), tol, direction = "forward")
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    val expected = Map[String, Option[Any]](
+      "anchored" -> Some(1.0), "lnull" -> None, "onlynullrt" -> None)
+    assert(run(None) == expected)
+    assert(run(Some(100L)) == expected, "tol/no-tol must agree on null handling")
+  }
+
   test("randomized forward instances: exec equals a brute-force replay on 10 seeds") {
     import spark.implicits._
     val rnd = new scala.util.Random(777)

@@ -513,7 +513,7 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(winsMono.map(_.n_samples).toSeq == Seq(40L, 40L, 20L))
     // every window is itself a valid standalone WAV with the source format
     winsMono.foreach { w =>
-      val Some((rate, ch, bits, n, _, _)) = Multimodal.wavMeta(w.payload)
+      val Some((rate, ch, bits, n, _, _, _)) = Multimodal.wavMeta(w.payload)
       assert((rate, ch, bits, n) == (8000, 1, 16, w.n_samples))
     }
     // lossless: concatenated window PCM == the source data chunk
@@ -533,12 +533,13 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
     val withMeta = base.take(36) ++ listChunk ++ base.drop(36)
     // patch the RIFF size (not strictly checked, but keep it honest)
-    val Some((rate, ch, bits, n, _, _)) = Multimodal.wavMeta(withMeta)
+    val Some((rate, ch, bits, n, _, _, _)) = Multimodal.wavMeta(withMeta)
     assert((rate, ch, bits, n) == (8000, 1, 16, 40L))
     // a mid-chunk truncation clamps the sample count instead of throwing
     val truncated = base.take(base.length - 20)
     assert(Multimodal.wavMeta(truncated).map(_._4).contains(30L))
-    // float PCM (format 3) is not integer PCM: fall to the opaque path
+    // format tag 3 (IEEE float) at 16 bits is an invalid container —
+    // float is only defined at 32/64 — so it falls to the opaque path
     val floatWav = base.clone()
     floatWav(20) = 3
     assert(Multimodal.wavMeta(floatWav).isEmpty)
@@ -548,6 +549,61 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     hostile(16) = 0xF8.toByte; hostile(17) = 0xFF.toByte
     hostile(18) = 0xFF.toByte; hostile(19) = 0xFF.toByte
     assert(Multimodal.wavMeta(hostile).isEmpty)
+  }
+
+  test("float32 and 24-bit PCM WAVs parse, window on frame boundaries, and round-trip") {
+    import spark.implicits._
+    // float32 (tag 3): 4 bytes/frame, non-PCM header is 58 bytes
+    // (fmt 18 + fact); 6 kHz mono, 30 frames; 2 ms windows = 12 frames
+    val f32 = Array.tabulate(120)(i => (i * 11 % 253).toByte)
+    val floatWav = Multimodal.wavBytes(6000, 1, 32, f32, fmtTag = 3)
+    val Some((fr, fc, fb, fn, fOff, fLen, fTag)) = Multimodal.wavMeta(floatWav)
+    assert((fr, fc, fb, fn, fTag) == (6000, 1, 32, 30L, 3))
+    assert(fOff == 58 && fLen == 120)
+    // 24-bit integer PCM: 3 bytes/frame, classic 44-byte header;
+    // 8 kHz mono, 40 frames; 3 ms windows = 24 frames
+    val p24 = Array.tabulate(120)(i => (i * 7 % 249).toByte)
+    val pcm24Wav = Multimodal.wavBytes(8000, 1, 24, p24)
+    val Some((pr, pc, pb, pn, pOff, _, pTag)) = Multimodal.wavMeta(pcm24Wav)
+    assert((pr, pc, pb, pn, pTag) == (8000, 1, 24, 40L, 1))
+    assert(pOff == 44)
+    val media = Seq((1L, floatWav), (2L, pcm24Wav)).toDF("doc_id", "payload")
+      .withColumn("media_type", org.apache.spark.sql.functions.lit("audio/wav"))
+    val fWins = Multimodal.windowAudio(spark, media.filter($"doc_id" === 1L), 2)
+      .collect().sortBy(_.window_idx)
+    assert(fWins.map(_.n_samples).toSeq == Seq(12L, 12L, 6L))
+    // each float window re-wraps with the non-PCM header and REMAINS a
+    // parseable tag-3 WAV; concatenated payloads reproduce the source
+    fWins.foreach { w =>
+      val Some((r2, _, b2, n2, o2, _, t2)) = Multimodal.wavMeta(w.payload)
+      assert((r2, b2, n2, o2, t2) == (6000, 32, w.n_samples, 58, 3))
+    }
+    assert(fWins.flatMap(_.payload.drop(58)).toSeq == f32.toSeq)
+    val pWins = Multimodal.windowAudio(spark, media.filter($"doc_id" === 2L), 3)
+      .collect().sortBy(_.window_idx)
+    assert(pWins.map(_.n_samples).toSeq == Seq(24L, 16L))
+    assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
+  }
+
+  test("multi-data-chunk WAV windows the FIRST data chunk, even when data precedes fmt") {
+    // hostile-but-real layout: data chunk BEFORE fmt, plus a second data
+    // chunk after it — the probe must describe the FIRST data chunk (the
+    // walk keeps going until fmt is found, and the later chunk must not
+    // overwrite the one already recorded)
+    val d1 = Array.tabulate(20)(_.toByte)
+    val d2 = Array.tabulate(40)(i => (i + 100).toByte)
+    val base = Multimodal.wavBytes(8000, 1, 16, d1)
+    val fmtChunk = base.slice(12, 36)   // "fmt " + 16-byte body
+    val dataChunk1 = base.slice(36, 36 + 8 + 20)
+    val dataChunk2 = "data".getBytes("US-ASCII") ++
+      Array[Byte](40, 0, 0, 0) ++ d2
+    val body = "WAVE".getBytes("US-ASCII") ++ dataChunk1 ++ fmtChunk ++ dataChunk2
+    val riff = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte]((body.length & 0xFF).toByte, ((body.length >> 8) & 0xFF).toByte, 0, 0) ++ body
+    val Some((rate, ch, bits, n, off, len, _)) = Multimodal.wavMeta(riff)
+    assert((rate, ch, bits) == (8000, 1, 16))
+    assert(n == 10L && len == 20, s"must describe the FIRST data chunk, got n=$n len=$len")
+    assert(riff.slice(off, off + len).toSeq == d1.toSeq)
   }
 
   test("truncated-but-sniffed image payloads fall back instead of failing the task") {
