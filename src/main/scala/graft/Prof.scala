@@ -90,7 +90,7 @@ object Prof {
       time("p_minhash_only")(noop(graft.ext.Dedup.minhashCandidatePairs(docs)))
       spark.catalog.clearCache()
     }
-    if (mode == "tstages") {
+    if (mode == "tstages") for (it <- 1 to 3) {
       val docs = Queries.table(spark, sfDir, "documents")
       val shAll = graft.ext.Dedup.shinglesMultiset(docs)
         .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
@@ -116,6 +116,9 @@ object Prof {
         .filter(col("split") === "train").drop("split").cache()
       time("s_train")(train.count())
       time("s_pack")(noop(graft.ext.TextAnalysis.packSequences(train, 512)))
+      println(s"PROF --- end iteration $it ---")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     if (mode == "asofexec") {
       val sf = "/root/testdata/sf0.001"
