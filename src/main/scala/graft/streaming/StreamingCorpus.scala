@@ -250,4 +250,72 @@ object StreamingCorpus {
         ()
       }
       .start()
+
+  /** Streaming twin of the CORPUS-RELATIVE quality gate
+    * ([[graft.ext.TextAnalysis.qualityFilter]]): keep documents scoring
+    * at or above the corpus `quantile`.
+    *
+    * The batch form is two-pass (score everything, take the global
+    * percentile, filter) — a one-pass stream cannot replicate it, because
+    * a document's verdict depends on documents that haven't arrived yet.
+    * Freezing each doc's verdict at arrival time against the
+    * threshold-so-far would silently diverge from the batch result
+    * forever. So verdicts are LATE-BOUND instead:
+    *
+    *   1. each micro-batch lands its per-doc scores at
+    *      `outDir/scores/batch=<id>` (OVERWRITE — replay-idempotent, the
+    *      same discipline as every other landing zone here);
+    *   2. the gate threshold is REFRESHED per batch: an exact percentile
+    *      over ALL scores landed so far, written to
+    *      `outDir/threshold/batch=<id>` (one row). The threshold history
+    *      stays queryable; readers use the newest row;
+    *   3. [[qualityGateView]] composes the two at READ time — so every
+    *      document, however early it arrived, is always judged against
+    *      the freshest corpus-wide threshold, and once the stream has
+    *      seen the whole corpus the view EQUALS the batch gate exactly
+    *      (the convergence spec pins this).
+    *
+    * Scale shape: scoring is per-row; the refresh re-aggregates the
+    * score landing zone (scores only — 16 bytes/doc, never text) into a
+    * single-group percentile. At 100 TB swap the exact percentile for
+    * `approx_percentile` (same plan, mergeable sketch) or refresh on a
+    * cadence instead of every batch — the view composition is unchanged
+    * by either.
+    */
+  def qualityGateIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      quantile: Double = 0.3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), TextAnalysis.qualityScore.as("score"))
+            .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+          // threshold over everything landed so far; a replayed batch
+          // rewrites its own threshold row but the view reads only the
+          // NEWEST batch's row, so replays cannot regress the gate
+          spark.read.parquet(s"$outDir/scores")
+            .agg(expr(s"percentile(score, CAST($quantile AS DOUBLE))").as("thr"))
+            .write.mode("overwrite").parquet(s"$outDir/threshold/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time composition of [[qualityGateIngest]]'s two landing zones:
+    * all scored docs, gated by the NEWEST threshold row. Same filter
+    * semantics as the batch [[graft.ext.TextAnalysis.qualityFilter]];
+    * once ingestion has covered the corpus the results are identical.
+    */
+  def qualityGateView(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    val scores = spark.read.parquet(s"$outDir/scores")
+      .select(col("doc_id"), col("score"))
+    val latest = spark.read.parquet(s"$outDir/threshold")
+      .orderBy(col("batch").desc).limit(1).select(col("thr"))
+    scores.crossJoin(broadcast(latest))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -683,4 +683,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored(1L) == 0L && stored(11L) == 1L && stored(20L) == 2L)
     spark.catalog.clearCache()
   }
+
+  test("streaming corpus-relative quality gate converges to the batch percentile filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the whole sf0.001 corpus in THREE ordered micro-batches; verdicts
+    // are late-bound (scores land, the threshold refreshes per batch, the
+    // VIEW applies the newest threshold), so after full coverage the view
+    // must equal the two-pass batch gate EXACTLY — including docs from
+    // batch 1 whose verdict under the batch-1 threshold would have
+    // differed
+    val rows = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-qgate-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-qgate-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.qualityGateIngest(mem.toDF(), outDir, ckpt)
+    val thresholds = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try chunks.foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+      thresholds += spark.read.parquet(s"$outDir/threshold")
+        .orderBy(col("batch").desc).limit(1).collect()(0).getDouble(0)
+    } finally q.stop()
+    // the threshold genuinely refreshed: the mid-stream value differs from
+    // the final one (a frozen-verdict design would never notice)
+    assert(thresholds.size == 3 && thresholds.distinct.size > 1,
+      s"threshold never moved: $thresholds")
+    val streamed = graft.streaming.StreamingCorpus.qualityGateView(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = graft.ext.TextAnalysis.qualityFilter(
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+  }
 }
