@@ -718,6 +718,26 @@ object Oracles {
         |  < (CASE WHEN lang = 'de' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END)
         |ORDER BY doc_id""".stripMargin,
 
+    // temperature rebalancing, alpha = 0.5: threshold = round(1e4 *
+    // sqrt(n_min / n_lang)) — division and sqrt are IEEE-correctly-
+    // rounded in both engines, so the thresholds replay bit-identically
+    // (pow would not); the hash gate is the shared portable-hash bucket
+    "text_sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+        |), mn AS (
+        |  SELECT min(n) AS n_min FROM c
+        |), thr AS (
+        |  SELECT lang,
+        |    CAST(round(CAST(10000 AS DOUBLE) *
+        |      sqrt(CAST(n_min AS DOUBLE) / n)) AS BIGINT) AS thr
+        |  FROM c, mn
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN thr USING (lang)
+        |WHERE ('0x' || substring(md5('tsample:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |  < thr
+        |ORDER BY d.doc_id""".stripMargin,
+
     // domain mixture: N = min_d floor(avail_d / w_d), per-domain need =
     // round(w_d * N), threshold = round(1e4 * need / avail). Weights are
     // binary fractions CAST AS DOUBLE so every intermediate is the same
@@ -1730,6 +1750,42 @@ object Oracles {
        |ORDER BY doc_id, window_idx""".stripMargin
   }
 
+  /** multimodal_audio_energy: per-window RMS/peak/ZCR of the planted WAV
+    * fixtures, computed by an INDEPENDENT Python decode (struct unpack of
+    * 16/24-bit PCM and float32, same mono mixdown, same sequential
+    * accumulation → bit-identical IEEE doubles, same round-half-even to 6
+    * decimals). Format coverage: doc 1 = 8 kHz mono 16-bit (a ramp — zero
+    * crossings 0), doc 2 = 16 kHz STEREO 16-bit (mixdown + high ZCR),
+    * doc 3 = 44.1 kHz mono 16-bit, doc 5 = float32 sine (peak 0.5),
+    * doc 6 = 24-bit PCM sine. The opaque doc 4 contributes NO rows.
+    */
+  private val multimodalAudioEnergySql: String = {
+    val rows = Seq(
+      (1, 0, 16L, 0.026866, 0.045776, 0.0),
+      (1, 1, 16L, 0.073083, 0.094604, 0.0),
+      (1, 2, 16L, 0.121363, 0.143433, 0.0),
+      (1, 3, 2L, 0.148018, 0.149536, 0.0),
+      (2, 0, 30L, 0.048733, 0.076294, 0.413793),
+      (3, 0, 88L, 0.01711, 0.030518, 0.034483),
+      (3, 1, 88L, 0.019178, 0.030396, 0.034483),
+      (3, 2, 88L, 0.015594, 0.030273, 0.034483),
+      (3, 3, 88L, 0.018471, 0.030212, 0.034483),
+      (3, 4, 88L, 0.018517, 0.03009, 0.034483),
+      (3, 5, 1L, 0.021973, 0.021973, 0.0),
+      (5, 0, 24L, 0.338751, 0.5, 0.043478),
+      (5, 1, 12L, 0.405408, 0.499999, 0.0),
+      (6, 0, 22L, 0.159336, 0.238317, 0.047619),
+      (6, 1, 11L, 0.174542, 0.237504, 0.1))
+      .map { case (d, w, n, rms, peak, zcr) =>
+        s"  (CAST($d AS BIGINT), CAST($w AS INTEGER), CAST($n AS BIGINT), " +
+          s"CAST($rms AS DOUBLE), CAST($peak AS DOUBLE), CAST($zcr AS DOUBLE))"
+      }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$rows
+       |) AS t(doc_id, window_idx, n_samples, rms, peak, zcr)
+       |ORDER BY doc_id, window_idx""".stripMargin
+  }
+
   /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
     * persisted index is produced by the same deterministic fit over the
     * same table, and the index round-trip is spec-pinned equal to the
@@ -1745,6 +1801,7 @@ object Oracles {
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_audio_windows" -> multimodalAudioWindowsSql,
+    "multimodal_audio_energy" -> multimodalAudioEnergySql,
     "text_top_ngrams" -> topNgramsSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_dedup_segments" -> dedupSegmentsSql)

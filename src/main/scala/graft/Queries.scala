@@ -589,6 +589,23 @@ object Queries {
       .orderBy(col("doc_id"), col("window_idx"))
   }
 
+  /** REAL per-window signal features (RMS energy, peak amplitude, zero-
+    * crossing rate) with genuine sample decode across every supported
+    * container: 16-bit PCM mono+stereo, 24-bit PCM, and IEEE float32 —
+    * the energy gates a speech pipeline trims silence and detects
+    * clipping with. The oracle is a VALUES literal computed by an
+    * INDEPENDENT Python decode of the same planted fixtures (struct
+    * unpack, same mono mixdown and accumulation order — bit-identical
+    * IEEE doubles, so the 6-decimal rounding agrees exactly). The opaque
+    * doc 4 produces no rows: energy of undecodable bytes is noise.
+    */
+  def multimodalAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.audioWindowFeatures(
+        spark, multimodalAudioFixtures(spark), windowMs = 2).toDF()
+      .select(col("doc_id"), col("window_idx"), col("n_samples"),
+        col("rms"), col("peak"), col("zcr"))
+      .orderBy(col("doc_id"), col("window_idx"))
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

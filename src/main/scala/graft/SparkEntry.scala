@@ -161,6 +161,13 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25))
         .select(col0("doc_id"), col0("lang"), col0("source"))
         .orderBy(col0("doc_id"))),
+    // XLM-R-style temperature rebalancing: flatten the language mix
+    // toward p^alpha; alpha = 0.5 has the sqrt closed form both engines
+    // compute bit-identically
+    "text_sample_temperature" -> ((s, dir) =>
+      TextAnalysis.temperatureSample(docs(s, dir))
+        .select(col0("doc_id"), col0("lang"), col0("source"))
+        .orderBy(col0("doc_id"))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>
@@ -235,6 +242,7 @@ object SparkEntry {
         floor = 0.15, ceiling = 0.30)),
     "multimodal_audio" -> (Queries.multimodalAudio _),
     "multimodal_audio_windows" -> (Queries.multimodalAudioWindows _),
+    "multimodal_audio_energy" -> (Queries.multimodalAudioEnergy _),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>

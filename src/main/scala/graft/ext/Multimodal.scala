@@ -356,6 +356,104 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(windowAudioBatch(windowMs) _)
   }
 
+  final case class AudioWindowFeatures(
+      doc_id: Long, window_idx: Int, n_samples: Long,
+      rms: Double, peak: Double, zcr: Double)
+
+  /** Decode ONE sample frame to a mono double in [-1, 1]: each channel's
+    * sample is normalized per its format (8-bit WAV PCM is UNSIGNED
+    * around 128 per the spec; 16/24/32-bit are signed little-endian over
+    * their full range; tag-3 is IEEE float32/64 taken as-is), then the
+    * channels average — the standard mono mixdown, kept sequential so an
+    * independent (Python) replay accumulates the identical IEEE doubles.
+    */
+  private def monoFrame(p: Array[Byte], off: Int, ch: Int, bits: Int,
+      fmtTag: Int): Double = {
+    val bytesPer = bits / 8
+    var sum = 0.0
+    var c = 0
+    while (c < ch) {
+      val o = off + c * bytesPer
+      val v: Double =
+        if (fmtTag == 3 && bits == 32)
+          java.lang.Float.intBitsToFloat(
+            (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+              ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)).toDouble
+        else if (fmtTag == 3)
+          java.lang.Double.longBitsToDouble(
+            (0 until 8).foldLeft(0L)((acc, i) => acc | ((p(o + i) & 0xFFL) << (8 * i))))
+        else bits match {
+          case 8 => ((p(o) & 0xFF) - 128) / 128.0
+          case 16 => ((p(o) & 0xFF) | (p(o + 1) << 8)).toShort / 32768.0
+          case 24 => (((p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+            (p(o + 2) << 16)) << 8 >> 8) / 8388608.0
+          case _ => ((p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+            ((p(o + 2) & 0xFF) << 16) | (p(o + 3) << 24)) / 2147483648.0
+        }
+      sum += v
+      c += 1
+    }
+    sum / ch
+  }
+
+  /** Per-window signal features with REAL sample decode — the audio
+    * quality/energy metrics a speech-corpus pipeline gates on (silence
+    * trimming, clipping detection, voiced-frame selection): windows are
+    * cut exactly like [[windowAudioBatch]] (same frame boundaries, short
+    * tail kept), each window's frames decode to a mono mixdown, and the
+    * window reports
+    *   - `rms`  — √(mean mono²), the energy gate for silence/loudness,
+    *   - `peak` — max |mono|, the clipping detector,
+    *   - `zcr`  — zero crossings / (frames−1), the cheap voiced/unvoiced
+    *     discriminator (strict sign flips, product < 0),
+    * each rounded to 6 decimals (both engines accumulate the same IEEE
+    * doubles in the same order, so the rounded values are bit-identical
+    * cross-engine). Non-WAV payloads produce NO rows — energy features
+    * of undecodable bytes would be noise with a schema. Per-row
+    * mapPartitions work, no shuffle; the oracle replays the planted
+    * fixtures through an independent Python decode.
+    */
+  def audioWindowFeaturesBatch(windowMs: Int)(
+      rows: Iterator[MediaRow]): Iterator[AudioWindowFeatures] =
+    rows.flatMap { r =>
+      wavMeta(r.payload) match {
+        case Some((rate, ch, bits, _, dataOff, dataLen, fmtTag)) =>
+          val bytesPerFrame = ch * (bits / 8)
+          val framesPerWin = math.max(1L, rate.toLong * windowMs / 1000L)
+          val bytesPerWin = math.min(
+            math.max(framesPerWin * bytesPerFrame, bytesPerFrame.toLong),
+            math.max(dataLen.toLong, 1L)).toInt
+          (0 until dataLen by bytesPerWin).zipWithIndex.map { case (from, idx) =>
+            val until = math.min(from + bytesPerWin, dataLen)
+            val n = (until - from) / bytesPerFrame
+            var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+            var prev = 0.0
+            var i = 0
+            while (i < n) {
+              val x = monoFrame(r.payload, dataOff + from + i * bytesPerFrame,
+                ch, bits, fmtTag)
+              sumSq += x * x
+              val ax = math.abs(x)
+              if (ax > peak) peak = ax
+              if (i > 0 && prev * x < 0) crossings += 1
+              prev = x
+              i += 1
+            }
+            def r6(v: Double) = math.rint(v * 1e6) / 1e6
+            AudioWindowFeatures(r.doc_id, idx, n.toLong,
+              r6(math.sqrt(sumSq / math.max(n, 1))), r6(peak),
+              r6(crossings.toDouble / math.max(n - 1, 1)))
+          }
+        case None => Seq.empty
+      }
+    }
+
+  def audioWindowFeatures(spark: SparkSession, media: DataFrame,
+      windowMs: Int = 25): Dataset[AudioWindowFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(audioWindowFeaturesBatch(windowMs) _)
+  }
+
   /** Declarative twin of [[audioFeaturesBatch]]'s opaque fallback — pins
     * the mapPartitions plumbing to pure Catalyst arithmetic in tests.
     */

@@ -369,6 +369,45 @@ object TextAnalysis {
     docs.filter(bucket < threshold)
   }
 
+  /** Temperature-based language rebalancing — the multilingual "α
+    * sampling" recipe (XLM-R / mBERT style): flatten the language
+    * distribution from `p_l` toward `p_l^α` so high-resource languages
+    * stop drowning out the tail. Each language keeps a deterministic
+    * hash-bucket fraction `r_l = (p_l / p_min)^(α−1)`, normalized so the
+    * RAREST language keeps everything (r = 1) — the expected post-sample
+    * distribution is then ∝ p_l^α with the largest corpus that achieves
+    * it by pure downsampling.
+    *
+    * α = 0.5 (the default, and the common production choice) uses the
+    * closed form `r_l = √(n_min / n_l)`: division and square root are
+    * IEEE-correctly-rounded in every engine, so the DuckDB oracle
+    * replays the thresholds bit-identically. Other α values go through
+    * `pow`, whose last-ulp behavior is libm-specific — fine for
+    * production, not for a cross-engine hash gate.
+    *
+    * Scale shape: one tiny per-language count aggregation (≤ |langs|
+    * rows), a single-row min, thresholds derived IN the plan (no driver
+    * collect) and broadcast back onto a per-row hash filter. Composes
+    * with [[stratifiedSample]]/[[deterministicSplit]] via an independent
+    * salt.
+    */
+  def temperatureSample(docs: DataFrame, langCol: String = "lang",
+      alpha: Double = 0.5, salt: String = "tsample"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+    val nMin = counts.agg(min(col("n")).as("n_min"))
+    val rate =
+      if (alpha == 0.5) sqrt(col("n_min").cast("double") / col("n"))
+      else pow(col("n").cast("double") / col("n_min"), alpha - 1.0)
+    val thr = counts.crossJoin(broadcast(nMin))
+      .select(col(langCol), round(lit(10000.0) * rate).cast("long").as("thr"))
+    val bucket = pmod(
+      portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
+      lit(10000L))
+    docs.join(broadcast(thr), Seq(langCol)).filter(bucket < col("thr"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Domain mixture rebalancing — the "data recipe" operator: given
     * target mix proportions over a domain column (source, language, …),
     * build the LARGEST corpus that achieves exactly those proportions

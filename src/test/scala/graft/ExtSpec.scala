@@ -585,6 +585,70 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
   }
 
+  test("temperature sampling keeps the rarest language whole and flattens the mix") {
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.ext.TextAnalysis.temperatureSample(docs)
+    val after = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rarest = before.minBy(_._2)._1
+    // r = 1 for the rarest language: every row survives
+    assert(after(rarest) == before(rarest),
+      s"rarest lang '$rarest' lost rows: ${before(rarest)} -> ${after.getOrElse(rarest, 0L)}")
+    // the mix genuinely flattens: max/min imbalance strictly shrinks
+    def imbalance(m: Map[String, Long]) = m.values.max.toDouble / m.values.min
+    assert(imbalance(after) < imbalance(before),
+      s"imbalance did not shrink: ${imbalance(before)} -> ${imbalance(after)}")
+    // every language's survival fraction tracks sqrt(n_min/n) within
+    // hash-bucket noise (10000 buckets, small strata → a loose 15% band)
+    val nMin = before.values.min.toDouble
+    before.foreach { case (l, n) =>
+      val expected = math.sqrt(nMin / n)
+      val got = after.getOrElse(l, 0L).toDouble / n
+      assert(math.abs(got - expected) <= 0.15,
+        s"lang $l kept ${got}%, expected ~${expected}")
+    }
+    // deterministic: a second evaluation is row-identical
+    assert(sampled.collect().toSeq ==
+      graft.ext.TextAnalysis.temperatureSample(docs).collect().toSeq)
+  }
+
+  test("audio window features match analytic signals (square wave, stereo cancellation, float32)") {
+    import spark.implicits._
+    // mono 16-bit square wave at half amplitude: x alternates +0.5/-0.5 →
+    // rms = 0.5 exactly, peak = 0.5, every step crosses zero → zcr = 1
+    val sq = Array.tabulate(40) { i =>
+      val v = if (i % 2 == 0) 16384 else -16384
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    }.flatten
+    val squareWav = Multimodal.wavBytes(8000, 1, 16, sq)
+    // STEREO with right = -left: the mono mixdown cancels every frame →
+    // rms = peak = zcr = 0 (pins that channels really average, not concat)
+    val st = Array.tabulate(20) { _ =>
+      val l = 12000; val r = -12000
+      Array((l & 0xFF).toByte, ((l >> 8) & 0xFF).toByte,
+        (r & 0xFF).toByte, ((r >> 8) & 0xFF).toByte)
+    }.flatten
+    val cancelWav = Multimodal.wavBytes(8000, 2, 16, st)
+    // float32 constant 0.25: rms = peak = 0.25 exactly, zcr = 0
+    val fl = Array.tabulate(16) { _ =>
+      val bits = java.lang.Float.floatToIntBits(0.25f)
+      Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+        ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte)
+    }.flatten
+    val floatWav = Multimodal.wavBytes(8000, 1, 32, fl, fmtTag = 3)
+    val media = Seq((1L, squareWav), (2L, cancelWav), (3L, floatWav))
+      .toDF("doc_id", "payload")
+      .withColumn("media_type", org.apache.spark.sql.functions.lit("audio/wav"))
+    // 5 ms @ 8 kHz = 40-frame windows → one window per doc
+    val f = Multimodal.audioWindowFeatures(spark, media, 5)
+      .collect().map(w => w.doc_id -> ((w.n_samples, w.rms, w.peak, w.zcr))).toMap
+    assert(f(1L) == ((40L, 0.5, 0.5, 1.0)), s"square: ${f(1L)}")
+    assert(f(2L) == ((20L, 0.0, 0.0, 0.0)), s"stereo cancel: ${f(2L)}")
+    assert(f(3L) == ((16L, 0.25, 0.25, 0.0)), s"float32 const: ${f(3L)}")
+  }
+
   test("multi-data-chunk WAV windows the FIRST data chunk, even when data precedes fmt") {
     // hostile-but-real layout: data chunk BEFORE fmt, plus a second data
     // chunk after it — the probe must describe the FIRST data chunk (the
