@@ -1283,67 +1283,7 @@ object Oracles {
     // fixed-order reduce exactly. The ADC pass nominates a 50-candidate
     // shortlist per query; the reported top-10 is an EXACT cosine re-rank
     // of the shortlist (the PQ serving shape).
-    "sim_topk_pq" -> {
-      val m = 8; val ks = 16; val iters = 2; val subDim = 8; val shortlist = 50
-      def d2(e: String, c: String) =
-        s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
-      def sub(s: Int) =
-        s"sub$s AS (\n  SELECT vec_id, e[${s * subDim + 1}:${(s + 1) * subDim}] AS e FROM emb\n)"
-      def init(s: Int) =
-        s"init$s AS (\n  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c\n  FROM (SELECT vec_id, e FROM sub$s ORDER BY vec_id LIMIT $ks)\n)"
-      def assign(s: Int, i: Int, centSrc: String) =
-        s"a${s}_$i AS (\n  SELECT vec_id, e, cell FROM (\n    SELECT v.vec_id, v.e, c.cell, row_number() OVER\n      (PARTITION BY v.vec_id ORDER BY ${d2("v.e", "c.c")}, c.cell) AS rn\n    FROM sub$s v, $centSrc c)\n  WHERE rn = 1\n)"
-      def cent(s: Int, i: Int) =
-        s"c${s}_$i AS (\n  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (\n    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv\n    FROM a${s}_$i, UNNEST(generate_series(1, len(e))) AS g(i)\n    GROUP BY cell, g.i)\n  GROUP BY cell\n)"
-      val perSub = (0 until m).map { s =>
-        val lloyd = (1 to iters).map { i =>
-          val src = if (i == 1) s"init$s" else s"c${s}_${i - 1}"
-          assign(s, i, src) + ",\n" + cent(s, i)
-        }.mkString(",\n")
-        sub(s) + ",\n" + init(s) + ",\n" + lloyd
-      }.mkString(",\n")
-      val codeCols = (0 until m).map(s => s"a${s}_$iters.cell AS code_$s").mkString(", ")
-      val codeJoins = (1 until m).map(s => s"JOIN a${s}_$iters USING (vec_id)").mkString(" ")
-      val centJoins = (0 until m).map(s => s"JOIN c${s}_$iters t$s ON t$s.cell = cd.code_$s").mkString("\n  ")
-      val adc = (0 until m).map(s =>
-        s"list_dot_product(q.e[${s * subDim + 1}:${(s + 1) * subDim}], t$s.c)").mkString(" + ")
-      val rnorm2 = (0 until m).map(s => s"list_dot_product(t$s.c, t$s.c)").mkString(" + ")
-      s"""WITH emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |),
-        |$perSub,
-        |codes AS (
-        |  SELECT vec_id, $codeCols
-        |  FROM a0_$iters $codeJoins
-        |), q AS (
-        |  SELECT vec_id AS query_id, e FROM emb WHERE vec_id IN (0, 1, 2)
-        |), scored AS (
-        |  SELECT q.query_id, cd.vec_id,
-        |    round(($adc) / (sqrt(list_dot_product(q.e, q.e)) * sqrt($rnorm2)), 6) AS cos_approx
-        |  FROM codes cd
-        |  $centJoins
-        |  , q
-        |  WHERE cd.vec_id <> q.query_id
-        |), ashort AS (
-        |  SELECT query_id, vec_id FROM (
-        |    SELECT query_id, vec_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY cos_approx DESC, vec_id) AS arank
-        |    FROM scored)
-        |  WHERE arank <= $shortlist
-        |), rescored AS (
-        |  SELECT n.query_id, n.vec_id,
-        |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
-        |  FROM ashort n
-        |  JOIN emb v ON n.vec_id = v.vec_id
-        |  JOIN q ON n.query_id = q.query_id
-        |), ranked AS (
-        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-        |  FROM rescored
-        |)
-        |SELECT query_id, vec_id, cos, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "sim_topk_pq" -> pqReplaySql(shortlist = 50),
 
     // IVF-PQ: the coarse k-means tier (8 cells, 2 unrolled Lloyd
     // iterations over FULL vectors — g_* CTEs) prunes which vectors are
@@ -1750,6 +1690,85 @@ object Oracles {
        |ORDER BY doc_id, window_idx""".stripMargin
   }
 
+  /** Full DuckDB replay of the PQ serving path — the per-subspace k-means
+    * fits (unrolled Lloyd iterations), the codes table, fixed-order ADC
+    * scoring, shortlist nomination by approximate cosine, and the exact
+    * cosine re-rank. An APPROXIMATE algorithm's oracle must replay the
+    * algorithm, not the brute force it approximates — recall gaps are the
+    * algorithm's documented behavior, not an error. Parameterized so the
+    * flat-PQ top-k and the index-served hard-negative miner (ADC floor
+    * prefilter + exact band) share one definition and cannot silently
+    * fork arithmetic.
+    *
+    * `adcFloorSql`/`bandSql` are WHERE-fragments injected into the
+    * nomination and re-rank stages; thresholds inside them must be
+    * spelled as the same IEEE double expressions the Spark side computes
+    * (e.g. `CAST(0.15 AS DOUBLE) - CAST(0.05 AS DOUBLE)`, not a folded
+    * decimal) so both engines compare against the bit-identical bound.
+    */
+  private def pqReplaySql(shortlist: Int, adcFloorSql: String = "",
+      bandSql: String = ""): String = {
+    val m = 8; val ks = 16; val iters = 2; val subDim = 8
+    def d2(e: String, c: String) =
+      s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
+    def sub(s: Int) =
+      s"sub$s AS (\n  SELECT vec_id, e[${s * subDim + 1}:${(s + 1) * subDim}] AS e FROM emb\n)"
+    def init(s: Int) =
+      s"init$s AS (\n  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c\n  FROM (SELECT vec_id, e FROM sub$s ORDER BY vec_id LIMIT $ks)\n)"
+    def assign(s: Int, i: Int, centSrc: String) =
+      s"a${s}_$i AS (\n  SELECT vec_id, e, cell FROM (\n    SELECT v.vec_id, v.e, c.cell, row_number() OVER\n      (PARTITION BY v.vec_id ORDER BY ${d2("v.e", "c.c")}, c.cell) AS rn\n    FROM sub$s v, $centSrc c)\n  WHERE rn = 1\n)"
+    def cent(s: Int, i: Int) =
+      s"c${s}_$i AS (\n  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (\n    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv\n    FROM a${s}_$i, UNNEST(generate_series(1, len(e))) AS g(i)\n    GROUP BY cell, g.i)\n  GROUP BY cell\n)"
+    val perSub = (0 until m).map { s =>
+      val lloyd = (1 to iters).map { i =>
+        val src = if (i == 1) s"init$s" else s"c${s}_${i - 1}"
+        assign(s, i, src) + ",\n" + cent(s, i)
+      }.mkString(",\n")
+      sub(s) + ",\n" + init(s) + ",\n" + lloyd
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"a${s}_$iters.cell AS code_$s").mkString(", ")
+    val codeJoins = (1 until m).map(s => s"JOIN a${s}_$iters USING (vec_id)").mkString(" ")
+    val centJoins = (0 until m).map(s => s"JOIN c${s}_$iters t$s ON t$s.cell = cd.code_$s").mkString("\n  ")
+    val adc = (0 until m).map(s =>
+      s"list_dot_product(q.e[${s * subDim + 1}:${(s + 1) * subDim}], t$s.c)").mkString(" + ")
+    val rnorm2 = (0 until m).map(s => s"list_dot_product(t$s.c, t$s.c)").mkString(" + ")
+    s"""WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |),
+      |$perSub,
+      |codes AS (
+      |  SELECT vec_id, $codeCols
+      |  FROM a0_$iters $codeJoins
+      |), q AS (
+      |  SELECT vec_id AS query_id, e FROM emb WHERE vec_id IN (0, 1, 2)
+      |), scored AS (
+      |  SELECT q.query_id, cd.vec_id,
+      |    round(($adc) / (sqrt(list_dot_product(q.e, q.e)) * sqrt($rnorm2)), 6) AS cos_approx
+      |  FROM codes cd
+      |  $centJoins
+      |  , q
+      |  WHERE cd.vec_id <> q.query_id
+      |), ashort AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_approx DESC, vec_id) AS arank
+      |    FROM scored$adcFloorSql)
+      |  WHERE arank <= $shortlist
+      |), rescored AS (
+      |  SELECT n.query_id, n.vec_id,
+      |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+      |  FROM ashort n
+      |  JOIN emb v ON n.vec_id = v.vec_id
+      |  JOIN q ON n.query_id = q.query_id
+      |), ranked AS (
+      |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM rescored$bandSql
+      |)
+      |SELECT query_id, vec_id, cos, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** multimodal_audio_energy: per-window RMS/peak/ZCR of the planted WAV
     * fixtures, computed by an INDEPENDENT Python decode (struct unpack of
     * 16/24-bit PCM and float32, same mono mixdown, same sequential
@@ -1798,6 +1817,14 @@ object Oracles {
     "dedup_contamination_bloom" -> base("dedup_contamination"),
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
+    // the index-served miner's oracle replays the APPROXIMATE algorithm
+    // (ADC floor prefilter, shortlist 200, exact band on the re-rank) —
+    // shortlist recall vs brute force is documented behavior, not error
+    "sim_hard_negatives_index" -> pqReplaySql(shortlist = 200,
+      adcFloorSql =
+        "\n    WHERE cos_approx >= CAST(0.15 AS DOUBLE) - CAST(0.05 AS DOUBLE)",
+      bandSql =
+        "\n  WHERE cos >= CAST(0.15 AS DOUBLE) AND cos < CAST(0.30 AS DOUBLE)"),
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_audio_windows" -> multimodalAudioWindowsSql,

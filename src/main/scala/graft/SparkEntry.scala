@@ -240,6 +240,16 @@ object SparkEntry {
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(emb(s, dir), Seq(0L, 1L, 2L), 10,
         floor = 0.15, ceiling = 0.30)),
+    // the scale path: codes-only ADC nomination off the persisted PQ
+    // index, exact band + top-k on the shortlist only
+    "sim_hard_negatives_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "pq",
+          params = "m=8,ks=16,iters=2") { d =>
+        Similarity.buildPqIndex(emb(s, dir), d, m = 8, ks = 16, iters = 2)
+      }
+      Similarity.hardNegativesFromIndex(s, idx, Seq(0L, 1L, 2L), 10,
+        floor = 0.15, ceiling = 0.30, shortlist = 200)
+    }),
     "multimodal_audio" -> (Queries.multimodalAudio _),
     "multimodal_audio_windows" -> (Queries.multimodalAudioWindows _),
     "multimodal_audio_energy" -> (Queries.multimodalAudioEnergy _),

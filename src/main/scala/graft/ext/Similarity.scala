@@ -848,6 +848,64 @@ object Similarity {
       k, shortlist)
   }
 
+  /** Hard-negative mining served from a persisted PQ index — the scale
+    * path [[hardNegatives]]'s doc promises: the corpus-wide pass reads
+    * the CODES parquet only (ADC arithmetic against literal codebooks),
+    * a generous shortlist is nominated per query by approximate cosine,
+    * and only the shortlist touches the vectors table for the exact
+    * re-rank that the similarity band [floor, ceiling) and final top-k
+    * are applied to.
+    *
+    * Band discipline under approximation: the CEILING cut happens only
+    * after the exact re-rank (an ADC score can stray across the
+    * boundary), so near-dups above the ceiling must be ABSORBED by
+    * shortlist slots — budget `shortlist ≥ k + expected near-dup count`.
+    * The FLOOR prefilter runs on the ADC score with a safety `margin`
+    * (default 0.05) so the nomination window's state stays bounded
+    * without dropping true banded candidates whose approximation sits
+    * just under the floor. Equals the brute-force banded result whenever
+    * the shortlist covers every banded candidate (spec-pinned with a
+    * generous shortlist; the registered twin reuses the brute-force
+    * oracle verbatim on that guarantee).
+    */
+  def hardNegativesFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queryIds: Seq[Long], k: Int = 10,
+      floor: Double = 0.5, ceiling: Double = 0.95, shortlist: Int = 200,
+      margin: Double = 0.05, dim: Int = 64): DataFrame = {
+    VectorFunctions.register(spark)
+    val root = resolveIndexRoot(spark, dir)
+    val codes = spark.read.parquet(s"$root/codes")
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val cb = spark.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = cb.map(_._1).max + 1
+    val codebooks = (0 until m).map(s =>
+      cb.filter(_._1 == s).map { case (_, code, arr) => (code, arr) }.toSeq)
+    val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+    val nominated = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        pqApproxCos(lutColumns(codebooks), m, dim / m))
+      .filter(col("cos_approx") >= floor - margin) // band floor, ADC-margined
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    nominated
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= floor && col("cos") < ceiling) // exact band
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-PQ: the two index tiers composed — coarse k-means cells prune
     * WHICH codes are scanned (nProbe of nCells, the [[ivfTopKKmeans]]
     * probe discipline), product-quantization ADC scores the surviving

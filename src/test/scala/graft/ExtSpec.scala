@@ -335,6 +335,33 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("index-served hard negatives: band containment; equals brute force when exhaustive") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-hn-idx").toString
+    Similarity.buildPqIndex(emb, dir, m = 8, ks = 16, iters = 2)
+    spark.catalog.clearCache()
+    // production settings: every emitted pair sits inside the exact band
+    val served = Similarity.hardNegativesFromIndex(spark, dir, Seq(0L, 1L, 2L), 10,
+      floor = 0.15, ceiling = 0.30, shortlist = 200).collect()
+    assert(served.nonEmpty)
+    assert(served.forall { r =>
+      val c = r.getAs[Double]("cos"); c >= 0.15 && c < 0.30 })
+    // exhaustive settings (no ADC floor, corpus-sized shortlist): the
+    // nomination covers every candidate, so the band + top-k logic must
+    // reproduce the banded brute force EXACTLY — recall is the only
+    // thing approximation is allowed to cost
+    val n = emb.count().toInt
+    val exhaustive = Similarity.hardNegativesFromIndex(spark, dir, Seq(0L, 1L, 2L), 10,
+        floor = 0.15, ceiling = 0.30, shortlist = n, margin = 2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val brute = Similarity.hardNegatives(emb, Seq(0L, 1L, 2L), 10,
+        floor = 0.15, ceiling = 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    assert(exhaustive == brute,
+      s"missed=${brute.diff(exhaustive).take(5)} extra=${exhaustive.diff(brute).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("bounded top-k Aggregator equals the window formulation exactly") {
     val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
       .select("query_id", "vec_id", "cos", "rank").collect()
