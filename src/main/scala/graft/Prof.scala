@@ -159,7 +159,12 @@ object Prof {
           ("layout_zorder", Queries.layoutZorder _),
           ("text_mix_domains", (s: SparkSession, d: String) =>
             graft.ext.TextAnalysis.mixDomains(Queries.table(s, d, "documents"),
-              Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125), "lang")))) {
+              Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125), "lang")),
+          ("text_sample_temperature", (s: SparkSession, d: String) =>
+            graft.ext.TextAnalysis.temperatureSample(Queries.table(s, d, "documents"))),
+          ("multimodal_audio_energy", Queries.multimodalAudioEnergy _),
+          ("dedup_pipeline", (s: SparkSession, d: String) =>
+            graft.ext.Dedup.nearDupPipeline(Queries.table(s, d, "documents"), 0.8)))) {
         val df = fn(spark, sf)
         val plan = df.queryExecution.executedPlan.toString
         val nEx = "Exchange".r.findAllIn(plan).length

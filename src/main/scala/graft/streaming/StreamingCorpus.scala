@@ -302,6 +302,52 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming decontamination against a FROZEN benchmark set — the
+    * screening tier that keeps eval material out of a continuously
+    * ingested training corpus. Unlike the quality gate, a document's
+    * verdict here depends only on the document and the (static) probe
+    * set, so verdicts are final at arrival and the stream equals the
+    * batch filter exactly — no late binding needed.
+    *
+    * The probe side is materialized ONCE at stream start: the distinct
+    * probe shingle set (bounded — benchmarks are small by definition) is
+    * checkpointed for the exact verify join, and its Bloom filter is
+    * built a single time and rides every micro-batch's scan as a plan
+    * literal (the codegen'd `bloom_might_contain` — zero shuffle until
+    * the ≈(matches + fpp) survivors hit the exact semi-join that kills
+    * false positives). Documents sharing ≥ `minShared` shingles with the
+    * benchmark drop; survivors land batch-id-keyed with OVERWRITE, the
+    * replay-idempotence discipline of every landing zone here.
+    */
+  def decontaminateIngest(docs: DataFrame, probeDocs: DataFrame,
+      outDir: String, checkpointDir: String,
+      n: Int = 3, minShared: Long = 5, fpp: Double = 0.001): StreamingQuery = {
+    val probeSh = Dedup.shingles(probeDocs, n)
+      .select(col("sh")).distinct().localCheckpoint(true)
+    val nProbe = math.max(probeSh.count(), 1L)
+    val bloom = probeSh.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", nProbe, fpp)
+    val bloomBytes = graft.functions.BloomFunctions.serialize(bloom)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.drop("event_time")
+          val contaminated = Dedup.shingles(b, n)
+            .filter(graft.functions.BloomFunctions.mightContainLong(
+              xxhash64(col("sh")), lit(bloomBytes)))
+            .join(probeSh, Seq("sh"), "left_semi")
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= minShared)
+            .select(col("doc_id"))
+          b.join(contaminated, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Read-time composition of [[qualityGateIngest]]'s two landing zones:
     * all scored docs, gated by the NEWEST threshold row. Same filter
     * semantics as the batch [[graft.ext.TextAnalysis.qualityFilter]];

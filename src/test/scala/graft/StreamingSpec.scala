@@ -684,6 +684,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming decontamination drops benchmark-overlapping docs exactly like the batch filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark = every 50th doc; corpus stream = the rest, in two
+    // micro-batches. A doc's verdict depends only on itself + the frozen
+    // probe set, so streamed survivors must equal the batch anti-join
+    // (and the planted self-overlap guarantees contaminated docs exist:
+    // dup docs share all shingles with their benchmark twin)
+    val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val probeRows = all.filter(_._1 % 50 == 0)
+    val corpusRows = all.filter(_._1 % 50 != 0)
+    val probeDf = probeRows.toSeq.toDF("doc_id", "text", "lang", "source")
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = corpusRows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((corpusRows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-decon-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-decon-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.decontaminateIngest(
+      mem.toDF(), probeDf, outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val corpusDf = corpusRows.toSeq.toDF("doc_id", "text", "lang", "source")
+    val expected = corpusDf.join(
+        graft.ext.Dedup.contamination(corpusDf, probeDf).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.size < corpusRows.length,
+      "fixture should contain contaminated docs (near-dups of benchmark rows)")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming corpus-relative quality gate converges to the batch percentile filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
