@@ -489,11 +489,14 @@ object Dedup {
     // branches would otherwise each re-execute the (expensive) upstream
     // pair pipeline
     val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // one cheap action on the checkpointed 2-col frame; the count picks
+    // the driver fast path AND sizes the distributed branch's joins
+    val nPairs = p.count()
     // strict `maxDriverEdges > 0` guard: 0 is the documented way to FORCE
     // the distributed branch (the oracle gate relies on it), and an empty
     // pair set would otherwise satisfy `count <= 0` and sneak back onto
     // the driver fast path
-    if (maxDriverEdges > 0 && p.count() <= maxDriverEdges) {
+    if (maxDriverEdges > 0 && nPairs <= maxDriverEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       // union-find with path compression; unions always point the LARGER
@@ -531,16 +534,27 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
+    // size-adaptive join strategy for the rounds: labels/neighbor-min/
+    // parent tables are all node-sized (≤ 2×pairs rows of two longs), so
+    // below the bound they BROADCAST — each round then runs ONE shuffle
+    // (the neighbor-min groupBy) instead of five, and round cost is
+    // dominated by exactly the job latency the double pointer jump
+    // already minimizes. The checkpointed frames carry no stats, so AQE
+    // cannot make this call itself; the measured pair count can. Beyond
+    // the bound (≈64 MB of broadcast at 2M pairs) every join falls back
+    // to the shuffled form unchanged — the 100 TB posture.
+    val bcRounds = nPairs <= 2000000L
+    def maybeBc(df: DataFrame): DataFrame = if (bcRounds) broadcast(df) else df
     while (changed > 0) {
       rounds += 1
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("n_cluster")),
+        .join(maybeBc(labels.select(col("doc_id").as("dst"), col("cluster").as("n_cluster"))),
           Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("n_cluster")).as("min_n"))
         .select(col("src").as("doc_id"), col("min_n"))
       val hopped = labels
-        .join(neighborMin, Seq("doc_id"), "left")
+        .join(maybeBc(neighborMin), Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("min_n"), col("cluster"))).as("cluster"))
       // pointer jump ×2: follow my label to ITS label, twice (every label
@@ -551,12 +565,14 @@ object Dedup {
       // per-round data is edge-list-sized), not data volume. Both jumps
       // run inside the same job; only the round's final labels
       // materialize.
-      val parents = hopped.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
+      val parents = maybeBc(
+        hopped.select(col("doc_id").as("p_id"), col("cluster").as("parent")))
       val j1 = hopped
         .join(parents, hopped("cluster") === parents("p_id"), "left")
         .select(hopped("doc_id"), hopped("old"),
           least(hopped("cluster"), coalesce(col("parent"), hopped("cluster"))).as("cluster"))
-      val parents2 = j1.select(col("doc_id").as("p_id"), col("cluster").as("parent"))
+      val parents2 = maybeBc(
+        j1.select(col("doc_id").as("p_id"), col("cluster").as("parent")))
       // ONE action per round: the convergence signal rides the checkpoint
       // materialization as an accumulator tallied while each row is
       // written, instead of a second join+count job over the result.
