@@ -1817,6 +1817,10 @@ object Oracles {
     "dedup_contamination_bloom" -> base("dedup_contamination"),
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
+    // scoring a corpus against its own persisted LM = the in-memory fit
+    // (identical add-0.5 arithmetic; left-join coalescing only matters
+    // for held-out text, which the spec covers)
+    "text_perplexity_lm" -> base("text_perplexity"),
     // the index-served miner's oracle replays the APPROXIMATE algorithm
     // (ADC floor prefilter, shortlist 200, exact band on the re-rank) —
     // shortlist recall vs brute force is documented behavior, not error

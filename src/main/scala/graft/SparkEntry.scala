@@ -141,6 +141,15 @@ object SparkEntry {
     "text_dedup_segments" -> ((s, dir) =>
       TextAnalysis.dedupSegments(docs(s, dir), maxDfFrac = 0.78, delim = " ")),
     "text_perplexity" -> ((s, dir) => TextAnalysis.bigramPerplexity(docs(s, dir))),
+    // serve-only twin: score against the PERSISTED bigram LM (KenLM-style
+    // frozen reference model); same arithmetic, so the oracle is reused
+    "text_perplexity_lm" -> ((s, dir) => {
+      val lm = graft.ext.IndexCache.ensure(s, dir, "bigram_lm",
+          table = "documents") { d =>
+        TextAnalysis.buildBigramLm(docs(s, dir), d)
+      }
+      TextAnalysis.perplexityFromLm(s, lm, docs(s, dir))
+    }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),

@@ -677,6 +677,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist the bigram LM [[bigramPerplexity]] fits on the fly — the
+    * build-once/score-many lifecycle (KenLM-style): production scores a
+    * continuous stream of candidate documents against a FROZEN
+    * reference-corpus LM, it does not refit the LM per batch. The
+    * artifact is three parquet tables under an atomically versioned root
+    * (the [[Similarity]] index discipline — complete `v_<n>` directory,
+    * CURRENT pointer flipped last, stale versions swept):
+    *   - `c2`   — (sh "w1 w2", n2) distinct-bigram counts,
+    *   - `ctx`  — (w1, n1) context totals,
+    *   - `meta` — one row, the vocabulary size V.
+    * Every table is distinct-bigram-sized, never occurrence-sized.
+    */
+  def buildBigramLm(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = graft.ext.Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    val c2 = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n2"))
+    c2.write.mode("overwrite").parquet(s"$newRoot/c2")
+    spark.read.parquet(s"$newRoot/c2")
+      .select(substring_index(col("sh"), " ", 1).as("w1"), col("n2"))
+      .groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+      .write.mode("overwrite").parquet(s"$newRoot/ctx")
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .agg(countDistinct(col("token")).as("v"))
+      .write.mode("overwrite").parquet(s"$newRoot/meta")
+    graft.ext.Similarity.publishIndexVersion(fs, dir, n,
+      Seq("c2", "ctx", "meta"))
+  }
+
+  /** Score documents against a PERSISTED bigram LM — identical add-0.5
+    * arithmetic to [[bigramPerplexity]], so scoring a corpus against its
+    * own LM reproduces the in-memory result bit-for-bit (the registered
+    * twin reuses that oracle verbatim). The joins are LEFT with
+    * zero-coalesced counts, which is exactly what the smoothing
+    * prescribes for HELD-OUT text: an unseen bigram in a seen context
+    * scores `-ln(0.5 / (n1 + 0.5·V))`, an unseen context scores
+    * `-ln(1/V)` — finite surprisal everywhere, no special-casing.
+    *
+    * Scale shape: the scored corpus collapses to per-doc distinct
+    * bigrams on the window pass's partitioning, then joins the
+    * distinct-bigram-sized LM tables; V is a one-row broadcast.
+    */
+  def perplexityFromLm(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    val c2 = spark.read.parquet(s"$root/c2")
+    val ctx = spark.read.parquet(s"$root/ctx")
+    val vocab = spark.read.parquet(s"$root/meta")
+    val bgDoc = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("mult"))
+    val logp = -log((coalesce(col("n2"), lit(0L)).cast("double") + lit(0.5)) /
+      (coalesce(col("n1"), lit(0L)).cast("double") + lit(0.5) * col("v")))
+    val avgSur = sum(col("mult").cast("double") * logp) / sum(col("mult")).cast("double")
+    bgDoc.withColumn("w1", substring_index(col("sh"), " ", 1))
+      .join(c2, Seq("sh"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("mult")).as("n_bigrams"),
+        round(avgSur, 4).as("avg_surprisal"),
+        round(exp(avgSur), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style segment-level boilerplate removal: split every document
     * on `delim`, drop each segment whose document frequency exceeds
     * `maxDfFrac` of the corpus, and reassemble the survivors in their

@@ -612,6 +612,39 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
   }
 
+  test("persisted bigram LM reproduces the in-memory fit and scores held-out text") {
+    import spark.implicits._
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    graft.ext.TextAnalysis.buildBigramLm(docs, dir)
+    // same corpus vs its own LM == the in-memory single-pass fit, exactly
+    val fromLm = graft.ext.TextAnalysis.perplexityFromLm(spark, dir, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val inMem = graft.ext.TextAnalysis.bigramPerplexity(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(fromLm.toSeq == inMem.toSeq)
+    // held-out: a doc of entirely UNSEEN tokens — every bigram unseen in
+    // an unseen context, so each smoothed logp is -ln(0.5/(0.5·V)) =
+    // ln(V): finite, and exactly computable from the persisted V
+    val v = spark.read.parquet(
+      s"${graft.ext.Similarity.resolveIndexRoot(spark, dir)}/meta")
+      .collect()(0).getLong(0)
+    val held = Seq((900001L, "zzqx1 zzqx2 zzqx3 zzqx4")).toDF("doc_id", "text")
+    val scored = graft.ext.TextAnalysis.perplexityFromLm(spark, dir, held).collect()(0)
+    assert(scored.getLong(1) == 3L)
+    val expected = math.rint(math.log(v.toDouble) * 1e4) / 1e4
+    assert(math.abs(scored.getDouble(2) - expected) < 2e-4,
+      s"unseen-token surprisal ${scored.getDouble(2)} should be ~ln(V)=$expected")
+    // a rebuild lands as a NEW version, the old one is swept
+    val root1 = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    graft.ext.TextAnalysis.buildBigramLm(docs, dir)
+    val root2 = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    def ver(r: String) = r.split("/v_").last.toLong
+    assert(ver(root2) == ver(root1) + 1, s"$root1 -> $root2")
+    assert(!new java.io.File(root1).exists(), s"stale $root1 not swept")
+    spark.catalog.clearCache()
+  }
+
   test("temperature sampling keeps the rarest language whole and flattens the mix") {
     val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
     val before = docs.groupBy("lang").count().collect()
