@@ -348,6 +348,37 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming perplexity scoring against a FROZEN persisted bigram LM
+    * ([[graft.ext.TextAnalysis.buildBigramLm]]) — the serving shape of
+    * LM-based quality gating: the reference model is fit offline on a
+    * curated corpus, a continuous candidate stream scores against it.
+    * Verdict-final-at-arrival (doc + frozen LM only), so the stream
+    * equals the batch [[graft.ext.TextAnalysis.perplexityFromLm]] over
+    * the same input exactly; held-out smoothing (zero-coalesced LEFT
+    * joins) keeps every score finite. The LM version is resolved ONCE at
+    * stream start — a concurrent rebuild flips CURRENT for the NEXT
+    * stream, never mid-stream (scores within one run are mutually
+    * consistent). Scores land batch-id-keyed with OVERWRITE.
+    */
+  def lmScoreIngest(docs: DataFrame, lmDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    // pin the version at stream start: a versioned root carries no
+    // CURRENT pointer inside it, so per-batch resolution is a no-op on
+    // the pinned path and a concurrent rebuild cannot flip it mid-stream
+    val root = graft.ext.Similarity.resolveIndexRoot(docs.sparkSession, lmDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.perplexityFromLm(batch.sparkSession, root,
+              batch.drop("event_time"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Read-time composition of [[qualityGateIngest]]'s two landing zones:
     * all scored docs, gated by the NEWEST threshold row. Same filter
     * semantics as the batch [[graft.ext.TextAnalysis.qualityFilter]];

@@ -723,6 +723,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming LM scoring equals the batch scorer against the same frozen LM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // LM frozen on the full sf0.001 corpus; the candidate stream carries
+    // both in-corpus docs and a held-out unseen-token doc across two
+    // micro-batches — verdicts are final at arrival, so streamed scores
+    // must equal the batch scorer row-for-row (including the held-out
+    // smoothing path)
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-lm-stream").toString
+    graft.ext.TextAnalysis.buildBigramLm(docs, lmDir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = docs.select("doc_id", "text", "lang", "source").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))) :+
+      ((900001L, "zzqx1 zzqx2 zzqx3 zzqx4", "xx", "heldout"))
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lmscore-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lmscore-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.lmScoreIngest(mem.toDF(), lmDir, outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_bigrams", "avg_surprisal", "ppl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val expected = graft.ext.TextAnalysis.perplexityFromLm(spark, lmDir,
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(expected.exists(_._1 == 900001L), "held-out doc must score (finite smoothing)")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming corpus-relative quality gate converges to the batch percentile filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
