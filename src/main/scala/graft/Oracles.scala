@@ -501,6 +501,25 @@ object Oracles {
         |FROM toks GROUP BY doc_id, pos // 32
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // overlapping chunks (32-token windows, stride 16): each token lands
+    // in chunk ids ceil((pos-31)/16) .. floor(pos/16) — the same
+    // double-floor/ceil arithmetic the Spark side computes
+    "text_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, g.i - 1 AS pos, t[g.i] AS token
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |)
+        |SELECT doc_id, c.chunk_id,
+        |  string_agg(token, ' ' ORDER BY pos) AS chunk,
+        |  count(*) AS n_tokens
+        |FROM toks, UNNEST(generate_series(
+        |    GREATEST(CAST(ceil(CAST(pos - 31 AS DOUBLE) / 16) AS BIGINT), 0),
+        |    CAST(floor(CAST(pos AS DOUBLE) / 16) AS BIGINT))) AS c(chunk_id)
+        |GROUP BY doc_id, c.chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // sequence packing: the oracle uses ONE global window — tiny data is
     // fine there; the Spark side runs the scalable two-phase prefix sum
     // and must agree exactly

@@ -212,6 +212,10 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
+    // sliding-window chunking: 32-token windows at stride 16 (half
+    // overlap) — the RAG/pretraining context-preserving chunk shape
+    "text_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkDocumentsOverlap(docs(s, dir), 32, 16)),
     "text_pack" -> ((s, dir) => TextAnalysis.packSequences(docs(s, dir), 512)),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
     // frequency-based quality rule (CCNet/Gopher-style perplexity proxy)

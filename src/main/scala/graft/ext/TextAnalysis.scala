@@ -147,6 +147,42 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** OVERLAPPING (sliding-window) chunking — the RAG/pretraining stride
+    * pattern: chunk `c` covers token positions `[c·stride, c·stride +
+    * chunkTokens)`, so consecutive chunks share `chunkTokens − stride`
+    * tokens of context and no boundary ever splits a fact from its
+    * surrounding window. `stride = chunkTokens` degenerates to
+    * [[chunkDocuments]].
+    *
+    * Declarative membership expansion: each token explodes into the
+    * chunk-id range `[ceil((pos−chunkTokens+1)/stride), floor(pos/stride)]`
+    * — at most `⌈chunkTokens/stride⌉` rows per token, the inherent
+    * duplication cost of overlap (2× at the default half-overlap), paid
+    * in the scan stage before the one per-chunk aggregation exchange.
+    * Position indexes mirror [[chunkDocuments]]'s convention (pre-filter
+    * split positions), so the DuckDB oracle replays identically.
+    */
+  def chunkDocumentsOverlap(docs: DataFrame, chunkTokens: Int = 32,
+      strideTokens: Int = 16): DataFrame = {
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $strideTokens/$chunkTokens")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\s+")))
+      .withColumnRenamed("col", "token")
+      .filter(col("token") =!= "")
+      .withColumn("chunk_id", explode(sequence(
+        greatest(ceil((col("pos") - lit(chunkTokens) + 1).cast("double") /
+          strideTokens).cast("long"), lit(0L)),
+        floor(col("pos").cast("double") / strideTokens).cast("long"))))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("chunk"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** TF-IDF with per-document top terms: term frequency from one token
     * explode, document frequency from the distinct doc-term pairs, N from
     * a broadcast single-row aggregate (stays lazy — no driver action),

@@ -612,6 +612,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
   }
 
+  test("overlapping chunks share exactly chunk-minus-stride tokens; stride=chunk degenerates") {
+    import spark.implicits._
+    val doc = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.chunkDocumentsOverlap(doc, 8, 4)
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    // chunk c covers positions [4c, 4c+8) clipped to 20 tokens
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    (0 to 4).foreach { c =>
+      val toks = (4 * c until math.min(4 * c + 8, 20)).map(i => s"t$i")
+      assert(got(c.toLong) == ((toks.mkString(" "), toks.length.toLong)), s"chunk $c")
+    }
+    // half-overlap: consecutive chunks share chunk-stride = 4 tokens
+    assert(got(0L)._1.split(" ").takeRight(4).toSeq == got(1L)._1.split(" ").take(4).toSeq)
+    // stride == chunk reproduces the non-overlapping chunker exactly
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val degen = graft.ext.TextAnalysis.chunkDocumentsOverlap(docs, 32, 32).collect().toSeq
+    val plain = graft.ext.TextAnalysis.chunkDocuments(docs, 32).collect().toSeq
+    assert(degen == plain)
+  }
+
   test("persisted bigram LM reproduces the in-memory fit and scores held-out text") {
     import spark.implicits._
     val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
