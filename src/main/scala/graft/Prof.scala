@@ -166,25 +166,37 @@ object Prof {
           ("dedup_pipeline", (s: SparkSession, d: String) =>
             graft.ext.Dedup.nearDupPipeline(Queries.table(s, d, "documents"), 0.8)))) {
         val df = fn(spark, sf)
-        // materialize FIRST: the pre-execution tree duplicates shared
-        // subplans textually (a self-join prints its common child twice),
-        // overstating shuffles; the AQE-final plan shows ReusedExchange
-        // where the runtime actually deduplicated
-        df.write.format("noop").mode("overwrite").save()
-        // post-execution AQE toString carries BOTH "Final Plan" and
-        // "Initial Plan" sections — audit only the final one
+        // materialize through df's OWN QueryExecution (collect, small
+        // sf0.001 results): a write would wrap the logical plan in a NEW
+        // QueryExecution and leave df.queryExecution un-executed — the
+        // audit would silently read the initial plan, where a self-join
+        // prints its shared child twice (overstated shuffles, reused=0)
+        df.collect()
+        // walk the AQE-final PHYSICAL nodes: the final plan's tree STRING
+        // hides upstream exchanges inside materialized query-stage
+        // references (undercount) while the initial tree duplicates
+        // shared subplans (overcount) — node identity is the honest count
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{
+          BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+        var sh = 0; var bc = 0; var reused = 0
+        def walk(n: SparkPlan): Unit = {
+          n match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case s: QueryStageExec => walk(s.plan)
+            case _: ShuffleExchangeExec => sh += 1
+            case _: BroadcastExchangeExec => bc += 1
+            case _: ReusedExchangeExec => reused += 1
+            case _ =>
+          }
+          n.children.foreach(walk)
+        }
+        walk(df.queryExecution.executedPlan)
         val plan = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head
-        // the tree string repeats a reused exchange at every reference —
-        // count kinds separately so the audit reads actual shuffle count
-        val nAll = "Exchange".r.findAllIn(plan).length
-        val nReused = "ReusedExchange".r.findAllIn(plan).length
-        val nBc = "BroadcastExchange".r.findAllIn(plan).length
         val scans = plan.linesIterator.filter(_.contains("ReadSchema")).map(_.trim.takeRight(100)).toSeq
-        // no codegen flag: the AQE-final simple tree hides codegen stage
-        // markers inside materialized stage references — PlanSpec asserts
-        // codegen properties where they matter, with formatted explain
-        println(s"PROF $name shuffles=${nAll - nReused - nBc} broadcast=$nBc reused=$nReused")
+        println(s"PROF $name shuffles=$sh broadcast=$bc reused=$reused")
         scans.foreach(s => println(s"  scan: $s"))
       }
     }

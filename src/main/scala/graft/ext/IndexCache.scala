@@ -44,13 +44,16 @@ object IndexCache {
     *
     * Concurrency: the cache lives in a shared java.io.tmpdir, and two
     * JVMs (e.g. bench and verify in parallel) can race on the same key.
-    * The build therefore lands in a private `<dir>.build-<pid>` staging
-    * directory and is COMMITTED by an atomic rename onto the final path —
-    * the marker file inside travels with it, so a reader either sees no
-    * directory, or a complete one. The rename loser deletes its staging
-    * copy and serves the winner's artifact; a partial directory without
-    * the marker (pre-fix layout, or a crashed build) is swept and
-    * replaced rather than served.
+    * The fast path (`_GRAFT_READY` present) is lock-free; otherwise the
+    * build-and-commit runs under an exclusive cross-process FILE LOCK on
+    * `<dir>.lock`, the build lands in a private `<dir>.build-<pid>`
+    * staging directory, and the commit is an atomic rename onto the
+    * final path with the marker already inside — so a reader either sees
+    * no directory or a complete one, the lock loser finds the winner's
+    * marker and serves it without rebuilding, and a partial directory
+    * without the marker (crashed build, pre-fix layout) is swept under
+    * the lock, never while another process could be committing or
+    * reading a complete artifact over the same path.
     */
   def ensure(spark: SparkSession, sfDir: String, kind: String,
       table: String = "embeddings", params: String = "")(build: String => Unit): String = {
@@ -63,31 +66,29 @@ object IndexCache {
     val dir = new File(
       s"${sys.props("java.io.tmpdir")}/graft_indexes/$kind-${fingerprint(src)}$paramSig")
     val ready = new File(dir, "_GRAFT_READY")
-    if (!ready.exists()) {
-      dir.getParentFile.mkdirs()
-      val staging = new File(dir.getParentFile,
-        s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      build(staging.getAbsolutePath)
-      // marker BEFORE the commit rename: it travels with the directory,
-      // so `ready.exists()` implies the whole artifact is in place
-      new File(staging, "_GRAFT_READY").createNewFile()
-      if (!staging.renameTo(dir)) {
-        if (ready.exists()) {
-          // concurrent builder won the rename — serve its artifact
-          deleteRec(staging)
-        } else {
-          // the path is occupied by a partial artifact (old in-place
-          // layout, or a crashed build): sweep it and retry the commit.
-          // If ANOTHER racer commits in this window the retry fails with
-          // its complete artifact in place — serve that.
-          deleteRec(dir)
-          if (!staging.renameTo(dir)) {
-            require(ready.exists(), s"index cache commit failed for $dir")
-            deleteRec(staging)
-          }
-        }
+    if (ready.exists()) return dir.getAbsolutePath
+    dir.getParentFile.mkdirs()
+    val lockCh = java.nio.channels.FileChannel.open(
+      new File(dir.getParentFile, dir.getName + ".lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    // blocks until exclusive — a concurrent builder finishes, this
+    // process then sees its marker and serves without a duplicate build
+    val lock = lockCh.lock()
+    try {
+      if (!ready.exists()) {
+        val staging = new File(dir.getParentFile,
+          s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        build(staging.getAbsolutePath)
+        // marker BEFORE the commit rename: it travels with the directory,
+        // so `ready.exists()` implies the whole artifact is in place
+        new File(staging, "_GRAFT_READY").createNewFile()
+        // no marker under the lock ⇒ anything at the path is a crashed
+        // build or the pre-fix in-place layout: safe to sweep
+        if (dir.exists()) deleteRec(dir)
+        require(staging.renameTo(dir), s"index cache commit failed for $dir")
       }
-    }
+    } finally { lock.release(); lockCh.close() }
     dir.getAbsolutePath
   }
 }

@@ -625,13 +625,22 @@ object Similarity {
     * sums, mirrored exactly by the oracle), then either pure-ADC top-k or
     * shortlist nomination + exact cosine re-rank against `vectors`.
     */
+  /** `adcFloor`/`band` parameterize the hard-negative variant: the ADC
+    * floor prunes the nomination window's input, the exact band applies
+    * after the re-rank — ONE definition of the arithmetic both the
+    * flat-PQ top-k and the index-served miner share, mirroring the
+    * parameterized oracle builder (Oracles.pqReplaySql) so the engine
+    * and oracle cannot silently fork.
+    */
   private def pqScoreAndRank(codes: DataFrame, queries: DataFrame,
       vectors: DataFrame, luts: Seq[Column], m: Int, subDim: Int,
-      k: Int, shortlist: Int): DataFrame = {
-    val scored = codes.crossJoin(broadcast(queries))
+      k: Int, shortlist: Int, adcFloor: Option[Double] = None,
+      band: Option[(Double, Double)] = None): DataFrame = {
+    val scoredAll = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), pqApproxCos(luts, m, subDim))
-    pqRankTail(scored, queries, vectors, k, shortlist)
+    val scored = adcFloor.fold(scoredAll)(f => scoredAll.filter(col("cos_approx") >= f))
+    pqRankTail(scored, queries, vectors, k, shortlist, band)
   }
 
   /** The ADC approximate-cosine column over (q_emb, code_0..code_{m-1})
@@ -655,25 +664,32 @@ object Similarity {
     * that score is the ADC approximation, not an exact cosine.
     */
   private def pqRankTail(scored: DataFrame, queries: DataFrame,
-      vectors: DataFrame, k: Int, shortlist: Int): DataFrame = {
+      vectors: DataFrame, k: Int, shortlist: Int,
+      band: Option[(Double, Double)] = None): DataFrame = {
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_approx").desc, col("vec_id"))
+    def bandFilter(df: DataFrame): DataFrame = band.fold(df) { case (floor, ceiling) =>
+      df.filter(col("cos") >= floor && col("cos") < ceiling)
+    }
     if (shortlist <= 0)
-      scored
-        .withColumn("rank", row_number().over(wApprox))
+      bandFilter(scored.withColumnRenamed("cos_approx", "cos"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= k)
-        .withColumnRenamed("cos_approx", "cos")
         .orderBy(col("query_id"), col("rank"))
     else {
       val nominated = scored
         .withColumn("arank", row_number().over(wApprox))
         .filter(col("arank") <= shortlist)
         .select(col("query_id"), col("vec_id"))
-      nominated
+      val rescored = nominated
         .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .join(broadcast(queries), Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
           round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      // band (when set) applies to the EXACT score, before the rank —
+      // filter-then-rank, identical to the brute-force miner's ordering
+      bandFilter(rescored)
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rank") <= k)
@@ -830,9 +846,11 @@ object Similarity {
     * the vectors table is touched just for the query rows and the
     * shortlist re-rank.
     */
-  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50,
-      dim: Int = 64): DataFrame = {
+  /** Shared persisted-PQ prologue: codes + vectors readers, literal LUT
+    * columns from the (driver-bounded) codebooks, and the subspace count.
+    */
+  private def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, Seq[Column], Int) = {
     VectorFunctions.register(spark)
     val root = resolveIndexRoot(spark, dir)
     val codes = spark.read.parquet(s"$root/codes")
@@ -842,10 +860,16 @@ object Similarity {
     val m = cb.map(_._1).max + 1
     val codebooks = (0 until m).map(s =>
       cb.filter(_._1 == s).map { case (_, code, arr) => (code, arr) }.toSeq)
+    (codes, vectors, lutColumns(codebooks), m)
+  }
+
+  def pqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50,
+      dim: Int = 64): DataFrame = {
+    val (codes, vectors, luts, m) = loadPqIndex(spark, dir)
     val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    pqScoreAndRank(codes, queries, vectors, lutColumns(codebooks), m, dim / m,
-      k, shortlist)
+    pqScoreAndRank(codes, queries, vectors, luts, m, dim / m, k, shortlist)
   }
 
   /** Hard-negative mining served from a persisted PQ index — the scale
@@ -872,38 +896,13 @@ object Similarity {
       dir: String, queryIds: Seq[Long], k: Int = 10,
       floor: Double = 0.5, ceiling: Double = 0.95, shortlist: Int = 200,
       margin: Double = 0.05, dim: Int = 64): DataFrame = {
-    VectorFunctions.register(spark)
-    val root = resolveIndexRoot(spark, dir)
-    val codes = spark.read.parquet(s"$root/codes")
-    val vectors = spark.read.parquet(s"$root/vectors")
-    val cb = spark.read.parquet(s"$root/codebooks").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = cb.map(_._1).max + 1
-    val codebooks = (0 until m).map(s =>
-      cb.filter(_._1 == s).map { case (_, code, arr) => (code, arr) }.toSeq)
+    val (codes, vectors, luts, m) = loadPqIndex(spark, dir)
     val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val wApprox = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_approx").desc, col("vec_id"))
-    val nominated = codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        pqApproxCos(lutColumns(codebooks), m, dim / m))
-      .filter(col("cos_approx") >= floor - margin) // band floor, ADC-margined
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    nominated
-      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-      .filter(col("cos") >= floor && col("cos") < ceiling) // exact band
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    // same shared scoring/ranking tail as pqTopKFromIndex, with the
+    // margined ADC floor on nomination and the exact band on the re-rank
+    pqScoreAndRank(codes, queries, vectors, luts, m, dim / m, k, shortlist,
+      adcFloor = Some(floor - margin), band = Some((floor, ceiling)))
   }
 
   /** IVF-PQ: the two index tiers composed — coarse k-means cells prune
