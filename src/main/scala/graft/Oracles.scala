@@ -1840,6 +1840,45 @@ object Oracles {
     // (identical add-0.5 arithmetic; left-join coalescing only matters
     // for held-out text, which the spec covers)
     "text_perplexity_lm" -> base("text_perplexity"),
+    // int8 serving replay: per-vector symmetric quantization (the exact
+    // quantizeInt8 scale formula), cosine on the whole-number code
+    // arrays (scale cancels), shortlist nomination, exact re-rank —
+    // every step IEEE-deterministic in both engines (greatest/division/
+    // round/cosine; no pow)
+    "sim_topk_int8_index" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), scaled AS (
+        |  SELECT vec_id, e,
+        |    127.0 / greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS s
+        |  FROM emb
+        |), q8 AS (
+        |  SELECT vec_id, list_transform(e, x -> round(x * s)) AS qv FROM scaled
+        |), q AS (
+        |  SELECT vec_id AS query_id, e FROM emb WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(q.e, c.qv), 6) AS cos_approx
+        |  FROM q8 c, q WHERE c.vec_id <> q.query_id
+        |), ashort AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_approx DESC, vec_id) AS arank
+        |    FROM scored)
+        |  WHERE arank <= 50
+        |), rescored AS (
+        |  SELECT n.query_id, n.vec_id,
+        |    round(list_cosine_similarity(q.e, v.e), 6) AS cos
+        |  FROM ashort n
+        |  JOIN emb v ON n.vec_id = v.vec_id
+        |  JOIN q ON n.query_id = q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM rescored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // the index-served miner's oracle replays the APPROXIMATE algorithm
     // (ADC floor prefilter, shortlist 200, exact band on the re-rank) —
     // shortlist recall vs brute force is documented behavior, not error

@@ -253,6 +253,14 @@ object SparkEntry {
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(emb(s, dir), Seq(0L, 1L, 2L), 10,
         floor = 0.15, ceiling = 0.30)),
+    // int8 serving tier: quantized-codes scan (scale cancels in cosine),
+    // exact re-rank on the shortlist only
+    "sim_topk_int8_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "int8") { d =>
+        Similarity.buildInt8Index(emb(s, dir), d)
+      }
+      Similarity.int8TopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)
+    }),
     // the scale path: codes-only ADC nomination off the persisted PQ
     // index, exact band + top-k on the shortlist only
     "sim_hard_negatives_index" -> ((s, dir) => {

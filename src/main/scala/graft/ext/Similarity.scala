@@ -846,6 +846,65 @@ object Similarity {
     * the vectors table is touched just for the query rows and the
     * shortlist re-rank.
     */
+  /** Persist an INT8 index — the standard serving compression one tier
+    * lighter than PQ: per-vector symmetric quantization (scale =
+    * 127/max|v|, [[quantizeInt8]]'s exact formula) stores each embedding
+    * as d bytes + one scale. Cosine against the int8 codes needs NO
+    * dequantization — the per-vector scale cancels in the cosine ratio —
+    * so serving scans an array<int> column and the raw vectors are read
+    * only for the shortlist re-rank. Same atomic versioned layout as the
+    * IVF/PQ builders (complete `v_<n>`, CURRENT flip, stale sweep).
+    *
+    * The quantize pass is posexplode + per-vector window + ordered
+    * re-collect (ONE vec_id shuffle): computing the row max inside a
+    * `transform` lambda would re-evaluate it per element once
+    * CollapseProject inlines it — the [[quantizeInt8]] trap, avoided the
+    * same way.
+    */
+  def buildInt8Index(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$n"
+    val w = Window.partitionBy(col("vec_id"))
+    val v = col("col").cast("double")
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .withColumn("scale", lit(127.0) / greatest(max(abs(v)).over(w), lit(1e-12)))
+      .withColumn("q", round(v * col("scale")).cast("int"))
+      .groupBy(col("vec_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("q")))),
+          x => x.getField("q")).as("codes"),
+        max(col("scale")).as("scale"))
+      .write.mode("overwrite").parquet(s"$root/codes")
+    emb.write.mode("overwrite").parquet(s"$root/vectors")
+    publishIndexVersion(fs, dir, n, Seq("codes", "vectors"))
+  }
+
+  /** Serve top-k off the persisted int8 index: approximate cosine on the
+    * codes column (cast to double — the shared codegen'd [[CosineSim]]
+    * loop; the quantization scale cancels), then the SAME shortlist
+    * nomination + exact re-rank tail as the PQ paths ([[pqRankTail]]),
+    * so the rank/tiebreak discipline has one definition across every
+    * approximate server.
+    */
+  def int8TopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(spark)
+    val root = resolveIndexRoot(spark, dir)
+    val codes = spark.read.parquet(s"$root/codes")
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("codes").cast("array<double>")), 6)
+          .as("cos_approx"))
+    pqRankTail(scored, queries, vectors, k, shortlist)
+  }
+
   /** Shared persisted-PQ prologue: codes + vectors readers, literal LUT
     * columns from the (driver-bounded) codebooks, and the subspace count.
     */

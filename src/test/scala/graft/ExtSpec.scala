@@ -362,6 +362,36 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("int8 index serving: exhaustive shortlist equals brute force; rebuild versions advance") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8").toString
+    Similarity.buildInt8Index(emb, dir)
+    spark.catalog.clearCache()
+    // exact re-rank over a corpus-sized shortlist makes the quantization
+    // ordering irrelevant: the served top-k must equal brute force
+    val n = emb.count().toInt
+    val served = Similarity.int8TopKFromIndex(spark, dir, Seq(0L, 1L, 2L), 10, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
+      .select("query_id", "vec_id", "cos", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(served == brute,
+      s"missed=${brute.diff(served).take(5)} extra=${served.diff(brute).take(5)}")
+    // production shortlist: int8 cosine error is tiny (~1/254 per dim),
+    // so rank 1 for a query's nearest neighbor survives quantization
+    val top = Similarity.int8TopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0)
+    val bfTop = Similarity.bruteForceTopK(emb, Seq(0L), 1).collect()(0)
+    assert(top.getLong(1) == bfTop.getLong(1), "rank-1 neighbor must survive quantization")
+    // rebuild lands as a new version, stale root swept
+    val root1 = Similarity.resolveIndexRoot(spark, dir)
+    Similarity.buildInt8Index(emb, dir)
+    val root2 = Similarity.resolveIndexRoot(spark, dir)
+    def ver(r: String) = r.split("/v_").last.toLong
+    assert(ver(root2) == ver(root1) + 1 && !new java.io.File(root1).exists())
+    spark.catalog.clearCache()
+  }
+
   test("bounded top-k Aggregator equals the window formulation exactly") {
     val window = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10)
       .select("query_id", "vec_id", "cos", "rank").collect()
