@@ -539,6 +539,28 @@ object Oracles {
         |  CAST(off % 512 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // normalization on the shared planted fixture (one source of truth):
+    // DuckDB's nfc_normalize computes the SAME Unicode NFC independently
+    // of java.text.Normalizer, then the identical Cf-strip / newline /
+    // whitespace chain — two engines, one canonical form, byte-for-byte
+    "text_normalize" -> {
+      val rows = graft.ext.TextAnalysis.normalizeFixture.map { case (id, t) =>
+        s"    (CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+      }.mkString(",\n")
+      s"""WITH fixture(doc_id, text) AS (VALUES
+         |$rows
+         |), norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      nfc_normalize(text), '\\p{Cf}', '', 'g'),
+         |      chr(13) || chr(10) || '?', chr(10), 'g'),
+         |      '[ ' || chr(9) || ']+', ' ', 'g')) AS text_norm
+         |  FROM fixture
+         |)
+         |SELECT doc_id, text_norm, CAST(length(text_norm) AS BIGINT) AS n_chars
+         |FROM norm ORDER BY doc_id""".stripMargin
+    },
+
     // PII redaction on the shared planted fixture: the VALUES rows and the
     // regex patterns both come from TextAnalysis (one source of truth), and
     // DuckDB executes the SAME staged substitution — count each kind on the

@@ -229,6 +229,12 @@ object SparkEntry {
       TextAnalysis.redactPii(TextAnalysis.piiFixture.toDF("doc_id", "text"))
         .orderBy(col0("doc_id"))
     }),
+    // Unicode canonicalization ahead of every hash-keyed operator; NFC
+    // rides a native codegen'd expression (Spark has no built-in)
+    "text_normalize" -> ((s, _) => {
+      import s.implicits._
+      TextAnalysis.normalizeText(TextAnalysis.normalizeFixture.toDF("doc_id", "text"))
+    }),
     // extensions: multimodal plumbing (decode stubbed, see Multimodal)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresExpr(Multimodal.mediaTable(docs(s, dir))).orderBy(col0("doc_id"))),

@@ -147,6 +147,40 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Planted normalization fixture (shared by the `text_normalize` oracle
+    * — same rationale as [[piiFixture]]: the synthetic corpus is clean
+    * ASCII, so a corpus-table oracle would be vacuous). Rows cover NFC
+    * composition (combining acute, the U+212B ANGSTROM→Å singleton),
+    * format-char stripping (ZWSP/ZWJ), newline canonicalization (CRLF +
+    * lone CR), whitespace collapse, and an untouched-ASCII control row.
+    */
+  private[graft] val normalizeFixture: Seq[(Long, String)] = Seq(
+    1L -> "cafe\u0301 bistro",     // e + combining acute: NFC composes
+    2L -> "tab\tand  spaces",
+    3L -> "zero\u200Bwidth\u200Djoined", // ZWSP + ZWJ: \p{Cf} strips
+    4L -> "line\r\nbreak\rkept",
+    5L -> "  padded  ",
+    6L -> "unit \u212B is composed",  // ANGSTROM SIGN: NFC maps to U+00C5
+    7L -> "already clean ascii")
+
+  /** Text normalization — the canonicalization pass that runs BEFORE any
+    * hash-keyed operator (exact dedup, shingles, segment hashes): without
+    * it, canonically-equivalent byte sequences (`e`+U+0301 vs `é`) hash
+    * as different documents. Unicode NFC via the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (Spark has no built-in;
+    * a UDF would break the scan stage's codegen), then format-char
+    * (`\p{Cf}`: ZWSP, ZWJ, BOM) stripping, CRLF/CR → LF, space/tab-run
+    * collapse, trim. Pure per-row map — no shuffle; the oracle replays
+    * the identical chain with DuckDB's `nfc_normalize`.
+    */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        graft.functions.TextFunctions.nfcNormalize(col("text")),
+        "\\p{Cf}", ""), "\r\n?", "\n"), "[ \t]+", " ")).as("text_norm"))
+      .withColumn("n_chars", length(col("text_norm")).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** OVERLAPPING (sliding-window) chunking — the RAG/pretraining stride
     * pattern: chunk `c` covers token positions `[c·stride, c·stride +
     * chunkTokens)`, so consecutive chunks share `chunkTokens − stride`

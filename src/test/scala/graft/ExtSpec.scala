@@ -642,6 +642,25 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
   }
 
+  test("text normalization: NFC composes, format chars strip, newlines/whitespace canonicalize") {
+    import spark.implicits._
+    val got = graft.ext.TextAnalysis.normalizeText(
+        graft.ext.TextAnalysis.normalizeFixture.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "café bistro", "combining acute must compose to U+00E9")
+    assert(got(2L) == "tab and spaces")
+    assert(got(3L) == "zerowidthjoined", "ZWSP/ZWJ must strip")
+    assert(got(4L) == "line\nbreak\nkept", "CRLF and lone CR both canonicalize to LF")
+    assert(got(5L) == "padded")
+    assert(got(6L) == "unit Å is composed", "ANGSTROM SIGN must compose to U+00C5")
+    assert(got(7L) == "already clean ascii", "clean ASCII must pass through untouched")
+    // idempotent: normalizing the normalized output is a fixpoint
+    val again = graft.ext.TextAnalysis.normalizeText(
+        got.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
   test("overlapping chunks share exactly chunk-minus-stride tokens; stride=chunk degenerates") {
     import spark.implicits._
     val doc = Seq((1L, (0 until 20).map(i => s"t$i").mkString(" ")))
