@@ -262,7 +262,10 @@ object SparkEntry {
     // int8 serving tier: quantized-codes scan (scale cancels in cosine),
     // exact re-rank on the shortlist only
     "sim_topk_int8_index" -> ((s, dir) => {
-      val idx = graft.ext.IndexCache.ensure(s, dir, "int8") { d =>
+      // params bumps the cache key with the layout generation: a stale
+      // pre-batch-layout artifact must rebuild, not serve
+      val idx = graft.ext.IndexCache.ensure(s, dir, "int8",
+          params = "layout=batch") { d =>
         Similarity.buildInt8Index(emb(s, dir), d)
       }
       Similarity.int8TopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10, shortlist = 50)

@@ -861,12 +861,11 @@ object Similarity {
     * CollapseProject inlines it — the [[quantizeInt8]] trap, avoided the
     * same way.
     */
-  def buildInt8Index(emb: DataFrame, dir: String): Unit = {
-    val spark = emb.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = nextIndexVersion(fs, dir)
-    val root = s"$dir/v_$n"
+  /** The int8 code table for a vector batch: per-vector scale + ordered
+    * code array — shared by the base build and the append/streaming
+    * maintain paths, so the quantization arithmetic has one definition.
+    */
+  private def int8Codes(emb: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
     val v = col("col").cast("double")
     emb.select(col("vec_id"), posexplode(col("embedding")))
@@ -877,8 +876,49 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("q")))),
           x => x.getField("q")).as("codes"),
         max(col("scale")).as("scale"))
-      .write.mode("overwrite").parquet(s"$root/codes")
-    emb.write.mode("overwrite").parquet(s"$root/vectors")
+  }
+
+  def buildInt8Index(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$n"
+    // base build owns batch=-1, appends own batch=<id> with OVERWRITE —
+    // the replay-idempotence protocol every index here follows
+    int8Codes(emb).write.mode("overwrite").parquet(s"$root/codes/batch=-1")
+    emb.write.mode("overwrite").parquet(s"$root/vectors/batch=-1")
+    publishIndexVersion(fs, dir, n, Seq("codes", "vectors"))
+  }
+
+  /** Append vectors to a persisted int8 index. Unlike IVF/PQ there is no
+    * frozen model to encode against — the scale is PER-VECTOR — so
+    * appends never drift from a stale fit; batch=<id> + OVERWRITE makes
+    * replays rewrite their own partition ([[appendToIvfIndex]] protocol).
+    */
+  def appendToInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
+    val root = resolveIndexRoot(spark, dir)
+    val id = batchId.getOrElse(nextBatchId(spark, s"$root/codes"))
+    int8Codes(newEmb).write.mode("overwrite").parquet(s"$root/codes/batch=$id")
+    newEmb.write.mode("overwrite").parquet(s"$root/vectors/batch=$id")
+  }
+
+  /** Compact a persisted int8 index: fold every batch into one base batch
+    * under a NEW version root, duplicate vec_ids resolving last-writer-
+    * wins by batch id — same file-maintenance semantics as
+    * [[compactIvfIndex]]/[[compactPqIndex]], no model to preserve.
+    */
+  def compactInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = resolveIndexRoot(spark, dir)
+    val n = nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    latestPerVector(spark.read.parquet(s"$root/codes"))
+      .write.mode("overwrite").parquet(s"$newRoot/codes/batch=-1")
+    latestPerVector(spark.read.parquet(s"$root/vectors"))
+      .write.mode("overwrite").parquet(s"$newRoot/vectors/batch=-1")
     publishIndexVersion(fs, dir, n, Seq("codes", "vectors"))
   }
 

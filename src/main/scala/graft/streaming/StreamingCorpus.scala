@@ -251,6 +251,25 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming maintain path for a persisted int8 index — the int8 twin
+    * of [[indexIngest]]/[[pqIndexIngest]]: nothing to encode against (the
+    * quantization scale is per-vector), so each micro-batch simply
+    * quantizes itself and lands in its own `batch=<id>` partition with
+    * OVERWRITE — replay-idempotent, servable via `int8TopKFromIndex` as
+    * soon as the batch commits.
+    */
+  def int8Ingest(vectors: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          Similarity.appendToInt8Index(batch.sparkSession, indexDir, batch,
+            batchId = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Streaming twin of the CORPUS-RELATIVE quality gate
     * ([[graft.ext.TextAnalysis.qualityFilter]]): keep documents scoring
     * at or above the corpus `quantile`.

@@ -383,12 +383,34 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("rank") === 1).collect()(0)
     val bfTop = Similarity.bruteForceTopK(emb, Seq(0L), 1).collect()(0)
     assert(top.getLong(1) == bfTop.getLong(1), "rank-1 neighbor must survive quantization")
+    // append lifecycle: a planted near-copy of query 0 lands in its own
+    // batch and immediately serves as rank 1
+    import spark.implicits._
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    Similarity.appendToInt8Index(spark, dir,
+      Seq((700001L, q0.map(_ + 1e-6f))).toDF("vec_id", "embedding"))
+    spark.catalog.clearCache()
+    val afterAppend = Similarity.int8TopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0).getLong(1)
+    assert(afterAppend == 700001L, s"appended near-copy should rank 1, got $afterAppend")
+    // compaction folds batches into one base under a NEW version and the
+    // appended vector keeps serving
+    Similarity.compactInt8Index(spark, dir)
+    spark.catalog.clearCache()
+    val root2 = Similarity.resolveIndexRoot(spark, dir)
+    val batches = new java.io.File(s"$root2/codes").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batches == Set("batch=-1"), s"compaction should fold to one base: $batches")
+    val afterCompact = Similarity.int8TopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0).getLong(1)
+    assert(afterCompact == 700001L)
     // rebuild lands as a new version, stale root swept
     val root1 = Similarity.resolveIndexRoot(spark, dir)
     Similarity.buildInt8Index(emb, dir)
-    val root2 = Similarity.resolveIndexRoot(spark, dir)
+    val root3 = Similarity.resolveIndexRoot(spark, dir)
     def ver(r: String) = r.split("/v_").last.toLong
-    assert(ver(root2) == ver(root1) + 1 && !new java.io.File(root1).exists())
+    assert(ver(root3) == ver(root1) + 1 && !new java.io.File(root1).exists())
     spark.catalog.clearCache()
   }
 

@@ -684,6 +684,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming embedding ingestion lands in the persisted int8 index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-int8-stream").toString
+    graft.ext.Similarity.buildInt8Index(emb2, dir)
+    spark.catalog.clearCache()
+    val q0 = emb2.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-int8-stream-ckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingCorpus.int8Ingest(
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    try {
+      mem.addData((800001L, q0.map(_ + 1e-6f))); q.processAllAvailable()
+    } finally q.stop()
+    val top = graft.ext.Similarity.int8TopKFromIndex(spark, dir, Seq(0L), 10, shortlist = 50)
+      .filter(col("rank") === 1).collect()(0).getLong(1)
+    spark.catalog.clearCache()
+    assert(top == 800001L, s"streamed near-copy should serve as rank 1, got $top")
+  }
+
   test("streaming decontamination drops benchmark-overlapping docs exactly like the batch filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
