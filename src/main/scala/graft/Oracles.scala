@@ -1862,6 +1862,21 @@ object Oracles {
     // (identical add-0.5 arithmetic; left-join coalescing only matters
     // for held-out text, which the spec covers)
     "text_perplexity_lm" -> base("text_perplexity"),
+    // per-dimension moments: same double accumulation targets, rounded
+    // to 6 (partial-agg order differs in the last ulp); min/max exact
+    "sim_dim_stats" ->
+      """WITH x AS (
+        |  SELECT g.i - 1 AS dim, CAST(e[g.i] AS DOUBLE) AS v
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |    UNNEST(generate_series(1, len(e))) AS g(i)
+        |)
+        |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(v), 6) AS mean,
+        |  round(stddev_pop(v), 6) AS std,
+        |  round(min(v), 6) AS v_min,
+        |  round(max(v), 6) AS v_max
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
     // int8 serving replay: per-vector symmetric quantization (the exact
     // quantizeInt8 scale formula), cosine on the whole-number code
     // arrays (scale cancels), shortlist nomination, exact re-rank —

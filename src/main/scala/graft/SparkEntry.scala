@@ -259,6 +259,9 @@ object SparkEntry {
     "sim_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(emb(s, dir), Seq(0L, 1L, 2L), 10,
         floor = 0.15, ceiling = 0.30)),
+    // per-dimension corpus diagnostics (dead/skewed dims, ranges) — d
+    // rows out regardless of corpus size
+    "sim_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(emb(s, dir))),
     // int8 serving tier: quantized-codes scan (scale cancels in cosine),
     // exact re-rank on the shortlist only
     "sim_topk_int8_index" -> ((s, dir) => {

@@ -134,6 +134,28 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-DIMENSION embedding statistics — the corpus diagnostic run
+    * before any embedding-dependent stage (ANN index fit, quantization,
+    * contrastive training): dead dimensions (std ≈ 0), scale-skewed
+    * dimensions (|mean| ≫ std), and range blowouts all surface here, and
+    * int8 quantization quality is a direct function of the per-dim
+    * ranges this reports. One posexplode + ONE map-side-combined
+    * aggregation keyed by dimension index — d output rows regardless of
+    * corpus size. Moments round to 6 decimals (partial-aggregation order
+    * differs across engines in the last ulp; min/max are exact).
+    */
+  def embeddingDimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("dim"), col("col").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("mean"),
+        round(stddev_pop(col("v")), 6).as("std"),
+        round(min(col("v")), 6).as("v_min"),
+        round(max(col("v")), 6).as("v_max"))
+      .orderBy(col("dim"))
+
   /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
     * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,
     * and participates in map-side partial aggregation. At scale this beats
