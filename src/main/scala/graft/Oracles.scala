@@ -273,6 +273,41 @@ object Oracles {
         |  ON s.user_id = p.user_id AND s.ts <= p.ts
         |ORDER BY s.event_id""".stripMargin,
 
+    // nearest = the two native ASOF directions composed + the exec's
+    // choice rule (smaller distance wins, ties backward, 4-day bound on
+    // the chosen side) — epoch_us distances, exactly the exec's native
+    // microsecond arithmetic
+    "asof_join_nearest" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), signups AS (
+        |  SELECT user_id, ts, value AS signup_value, event_id AS sig_id
+        |  FROM events WHERE event_type = 'signup'
+        |), b AS (
+        |  SELECT p.event_id, s.ts AS bts, s.signup_value AS bval
+        |  FROM purchases p ASOF LEFT JOIN signups s
+        |    ON p.user_id = s.user_id AND p.ts >= s.ts
+        |), f AS (
+        |  SELECT p.event_id, s.ts AS fts, s.signup_value AS fval
+        |  FROM purchases p ASOF LEFT JOIN signups s
+        |    ON p.user_id = s.user_id AND p.ts < s.ts
+        |)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  CASE WHEN bts IS NOT NULL
+        |         AND epoch_us(p.ts) - epoch_us(bts) <= 345600000000
+        |         AND (fts IS NULL
+        |              OR epoch_us(fts) - epoch_us(p.ts) > 345600000000
+        |              OR epoch_us(p.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(p.ts))
+        |       THEN bval
+        |       WHEN fts IS NOT NULL
+        |         AND epoch_us(fts) - epoch_us(p.ts) <= 345600000000
+        |       THEN fval
+        |  END AS signup_value
+        |FROM purchases p
+        |JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY p.event_id""".stripMargin,
+
     "asof_join_exec" ->
       """WITH signups AS (
         |  SELECT user_id, ts, value AS signup_value, event_id AS sig_id

@@ -504,6 +504,32 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of through the custom exec — pandas merge_asof
+    * direction='nearest': each purchase takes whichever adjacent signup
+    * (latest at-or-before vs earliest after) sits closer in time, ties
+    * resolving backward, within a 4-day bound either way. The exec gets
+    * both candidates from ONE merge pass (the backward buffer + the
+    * lookahead row); the DuckDB oracle composes the two native ASOF
+    * directions and replays the same choice rule.
+    */
+  def asofJoinNearestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tolMicros = 4L * 86400L * 1000000L
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("value").as("signup_value"), col("event_id").as("sig_id"))
+    graft.plans.AsOfJoinPlans.asOfJoinExecKeys(
+        purchases, signups, Seq("user_id"), "ts", "ts",
+        Seq("signup_value"), Some("sig_id"), Some(tolMicros),
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("signup_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** The REAL image codec inside the hash gate: three byte-exact minimal
     * truecolor PNG literals (written by a 15-line PNG encoder — header +
     * one zlib IDAT, dims 5×4 / 16×2 / 3×11) flow through the SAME

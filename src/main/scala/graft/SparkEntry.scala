@@ -47,6 +47,7 @@ object SparkEntry {
     "asof_join_exec" -> (Queries.asofJoinExecQuery _),
     "asof_join_tol" -> (Queries.asofJoinTolQuery _),
     "asof_join_fwd" -> (Queries.asofJoinFwdQuery _),
+    "asof_join_nearest" -> (Queries.asofJoinNearestQuery _),
     "events_pivot" -> (Queries.eventsPivot _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_funnel_times" -> (Queries.eventsFunnelTimes _),

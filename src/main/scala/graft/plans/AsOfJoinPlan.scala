@@ -55,7 +55,7 @@ case class AsOfJoinNode(
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
     tolerance: Option[Long],
-    forward: Boolean = false) extends BinaryNode {
+    direction: String = "backward") extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -76,9 +76,9 @@ case class AsOfJoinNode(
 /** Planner strategy: one logical node form, one physical form. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol, fwd) =>
+    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol, dir) =>
       AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tie, payload,
-        tol, fwd) :: Nil
+        tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +105,7 @@ case class AsOfJoinExec(
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
     tolerance: Option[Long],
-    forward: Boolean = false) extends BinaryExecNode {
+    direction: String = "backward") extends BinaryExecNode {
 
   private val payloadOut = payload.map(_.withNullability(true))
 
@@ -145,8 +145,11 @@ case class AsOfJoinExec(
     val rOut = right.output
     val (lKeys, rKeys, lTime, rTime) = (leftKeys, rightKeys, leftTime, rightTime)
     val tol = tolerance
-    val fwd = forward
-    val getTime = tol.map(_ => timeGetter(lTime.dataType))
+    val fwd = direction == "forward"
+    val near = direction == "nearest"
+    // nearest needs native-unit times even without a tolerance (distances
+    // are compared); the API layer restricts its time types accordingly
+    val getTime = if (tol.nonEmpty || near) Some(timeGetter(lTime.dataType)) else None
     // the NULLABLE payload view everywhere downstream: unmatched left rows
     // emit a null payload row, so binding the result projection against
     // the original (possibly non-nullable) attributes would let codegen
@@ -226,29 +229,73 @@ case class AsOfJoinExec(
           } else if (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0) {
             // at-or-before right row for THIS key: later ones overwrite
             // earlier ones (sorted by time then tie ⇒ latest + tie-break
-            // win), so the state is exactly one buffered payload
-            lastMatch = payloadProj(rHead).copy()
-            lastMatchKey = rKeyProj(rHead).copy()
-            getTime.foreach { g =>
-              val tr = rTimeProj(rHead)
-              lastTimeNull = tr.isNullAt(0)
-              if (!lastTimeNull) lastTimeVal = g(tr)
+            // win), so the state is exactly one buffered payload. In
+            // nearest mode a null-time row is consumed but NOT buffered —
+            // it has no distance (nearest null-time semantics mirror the
+            // forward path's: null times on either side never match).
+            val tr = rTimeProj(rHead)
+            val trNull = tr.isNullAt(0)
+            if (!near || !trNull) {
+              lastMatch = payloadProj(rHead).copy()
+              lastMatchKey = rKeyProj(rHead).copy()
+              getTime.foreach { g =>
+                lastTimeNull = trNull
+                if (!trNull) lastTimeVal = g(tr)
+              }
             }
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
-        // the buffered match may be from an earlier key (left can skip
-        // keys the right side never had, and vice versa) — emit it only
-        // for its own key, and under a tolerance only when fresh enough
-        val matched =
-          lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0 &&
-            (tol match {
-              case None => true
-              case Some(t) =>
-                !lastTimeNull && !lt.isNullAt(0) &&
-                  getTime.get(lt) - lastTimeVal <= t
-            })
-        resultProj(joined(lRow, if (matched) lastMatch else nullPayload))
+        if (near) {
+          // NEAREST: the backward advance leaves BOTH candidates in hand —
+          // the buffered latest at-or-before row, and the lookahead row,
+          // which is exactly the earliest strictly-after row for this key
+          // (equal-time rows were consumed into the backward buffer, where
+          // distance 0 wins anyway). Pick the smaller |distance|; ties go
+          // BACKWARD (the pandas merge_asof convention); a tolerance
+          // bounds the CHOSEN side's distance symmetrically.
+          val ltNull = lt.isNullAt(0)
+          // explicit candidate flags — a sentinel "infinite distance"
+          // would slip through an unbounded tolerance (MaxValue <=
+          // MaxValue) and match a row that does not exist
+          var backOk = false
+          var backDist = 0L
+          if (!ltNull && lastMatch != null && !lastTimeNull &&
+              keyOrd.compare(lastMatchKey, lk) == 0) {
+            backOk = true
+            backDist = getTime.get(lt) - lastTimeVal
+          }
+          var fwdOk = false
+          var fwdDist = 0L
+          if (!ltNull && rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0) {
+            val tr = rTimeProj(rHead)
+            if (!tr.isNullAt(0)) {
+              fwdOk = true
+              fwdDist = getTime.get(tr) - getTime.get(lt)
+            }
+          }
+          val bound = tol.getOrElse(Long.MaxValue)
+          val bOk = backOk && backDist <= bound
+          val fOk = fwdOk && fwdDist <= bound
+          val payloadRow =
+            if (bOk && (!fOk || backDist <= fwdDist)) lastMatch
+            else if (fOk) payloadProj(rHead)
+            else nullPayload
+          resultProj(joined(lRow, payloadRow))
+        } else {
+          // the buffered match may be from an earlier key (left can skip
+          // keys the right side never had, and vice versa) — emit it only
+          // for its own key, and under a tolerance only when fresh enough
+          val matched =
+            lastMatch != null && keyOrd.compare(lastMatchKey, lk) == 0 &&
+              (tol match {
+                case None => true
+                case Some(t) =>
+                  !lastTimeNull && !lt.isNullAt(0) &&
+                    getTime.get(lt) - lastTimeVal <= t
+              })
+          resultProj(joined(lRow, if (matched) lastMatch else nullPayload))
+        }
       }
     }
   }
@@ -294,11 +341,15 @@ object AsOfJoinPlans {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     // backward = latest right at-or-before (ties: LARGEST rightTieBreak
     // wins — later rows overwrite); forward = earliest right at-or-after
-    // (ties: SMALLEST wins — the first row in sort order is the match).
-    // Under a tolerance the staleness is measured in the match direction:
-    // leftTime - rightTime (backward) / rightTime - leftTime (forward).
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    // (ties: SMALLEST wins — the first row in sort order is the match);
+    // nearest = whichever of those two candidates has the smaller
+    // |leftTime − rightTime|, equal distances resolving BACKWARD (the
+    // pandas merge_asof convention) and null times on either side never
+    // matching. Under a tolerance the staleness is measured in the match
+    // direction: leftTime - rightTime (backward) / rightTime - leftTime
+    // (forward) / the chosen side's distance (nearest).
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     require(!payload.exists(left.columns.contains),
       s"payload columns ${payload.filter(left.columns.contains)} collide with left columns")
     tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
@@ -331,14 +382,13 @@ object AsOfJoinPlans {
     }
     require(lt.dataType == rt.dataType,
       s"time type mismatch: left '$leftTime' is ${lt.dataType}, right '$rightTime' is ${rt.dataType}")
-    tolerance.foreach { _ =>
+    if (tolerance.nonEmpty || direction == "nearest")
       require(toleranceTimeTypes.contains(lt.dataType),
-        s"tolerance needs an integral-backed time column, got ${lt.dataType}")
-    }
+        s"tolerance/nearest need an integral-backed time column, got ${lt.dataType}")
     PlanBridge.ofRows(spark, AsOfJoinNode(
       lPlan, rPlan, lks, rks, lt, rt,
       rightTieBreak.map(attr(rOut, _, "right")),
       payload.map(attr(rOut, _, "right")),
-      tolerance, forward = direction == "forward"))
+      tolerance, direction))
   }
 }

@@ -253,6 +253,76 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearest direction: closest side wins, ties go backward, nulls never match") {
+    import spark.implicits._
+    val left = Seq[(Option[Long], Option[Long], String)](
+      (Some(1L), Some(10L), "closerBack"), // back at 8 (d=2) vs fwd at 15 (d=5) → back
+      (Some(1L), Some(14L), "closerFwd"),  // back at 8 (d=6) vs fwd at 15 (d=1) → fwd
+      (Some(1L), Some(20L), "tie"),        // back at 15 (d=5) vs fwd at 25 (d=5) → BACKWARD
+      (Some(2L), Some(50L), "onlyBack"),   // no forward rows for key 2
+      (Some(3L), Some(5L), "onlyFwd"),     // no backward rows for key 3
+      (Some(4L), Some(7L), "nokey"),
+      (Some(5L), None, "lnull")            // null left time → no match
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (Option(1L), Option(8L), 1L, 1.0),
+      (Option(1L), Option(15L), 2L, 2.0),
+      (Option(1L), Option(25L), 3L, 3.0),
+      (Option(2L), Option(40L), 4L, 4.0),
+      (Option(3L), Option(9L), 5L, 5.0),
+      (Option(5L), None: Option[Long], 6L, 6.0) // null right time: never a candidate
+    ).toDF("k", "rt", "tie", "v")
+    def run(tol: Option[Long]): Map[String, Option[Any]] =
+      AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"), "t", "rt",
+          Seq("v"), Some("tie"), tol, direction = "nearest")
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    val un = run(None)
+    assert(un == Map("closerBack" -> Some(1.0), "closerFwd" -> Some(2.0),
+      "tie" -> Some(2.0), "onlyBack" -> Some(4.0), "onlyFwd" -> Some(5.0),
+      "nokey" -> None, "lnull" -> None), s"got $un")
+    // tolerance bounds the CHOSEN side's distance: d=5 drops at tol=4,
+    // and the other side does NOT substitute when it is even farther
+    val t4 = run(Some(4L))
+    assert(t4("tie") == None && t4("closerBack") == Some(1.0) && t4("closerFwd") == Some(2.0))
+  }
+
+  test("randomized nearest instances: exec equals a brute-force replay on 10 seeds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 10).foreach { trial =>
+      val left = Seq.fill(rnd.nextInt(50) + 1)(
+        (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rightRows = Seq.fill(rnd.nextInt(50))(
+        (rnd.nextInt(6).toLong, rnd.nextInt(30).toLong, rnd.nextDouble()))
+        .zipWithIndex.map { case ((k, rt, v), i) => (k, rt, i.toLong, v) }
+      val right = rightRows.toDF("k", "rt", "tie", "v")
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(12).toLong) else None
+      val got = AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"),
+          "t", "rt", Seq("v"), Some("tie"), tol, direction = "nearest")
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      // model: backward candidate = max (rt, tie) among at-or-before;
+      // forward = min (rt, tie) among strictly-after; choose smaller
+      // distance (ties backward), bound the chosen side by tol
+      val expected = left.collect().map { lr =>
+        val (k, t, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+        val back = rightRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption
+        val fwd = rightRows.filter(r => r._1 == k && r._2 > t)
+          .sortBy(r => (r._2, r._3)).headOption
+        val bOk = back.exists(b => tol.forall(tl => t - b._2 <= tl))
+        val fOk = fwd.exists(f => tol.forall(tl => f._2 - t <= tl))
+        val chosen =
+          if (bOk && (!fOk || (t - back.get._2) <= (fwd.get._2 - t))) back
+          else if (fOk) fwd
+          else None
+        lid -> chosen.map(_._4)
+      }.toMap
+      assert(got == expected, s"trial $trial (tol=$tol) diverged")
+    }
+  }
+
   test("composite-key plan shape: per-side exchanges, no union shuffle") {
     val df = Queries.asofJoinTolQuery(spark, sf)
     assert(df.collect().nonEmpty)
