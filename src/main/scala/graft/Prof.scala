@@ -153,6 +153,7 @@ object Prof {
           ("events_funnel", Queries.eventsFunnel _),
           ("asof_join_tol", Queries.asofJoinTolQuery _),
           ("asof_join_fwd", Queries.asofJoinFwdQuery _),
+          ("asof_join_nearest", Queries.asofJoinNearestQuery _),
           ("sim_hard_negatives", (s: SparkSession, d: String) =>
             graft.ext.Similarity.hardNegatives(
               Queries.table(s, d, "embeddings"), Seq(0L, 1L, 2L), 10, 0.15, 0.30)),
