@@ -1685,6 +1685,35 @@ object Oracles {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** text_select_budget: best-first selection under a 5000-token budget.
+    * The oracle runs ONE global ordered cumulative sum (tiny data is fine
+    * there); the Spark side runs the score-bucketed two-phase prefix sum
+    * and must agree exactly. Same score grid as the quality gate.
+    */
+  private val selectBudgetSql: String = {
+    val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    $occ AS n_stopwords,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4)
+      |        - round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4), 4) AS score
+      |  FROM base
+      |), c AS (
+      |  SELECT doc_id, score, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens
+      |  FROM scored
+      |)
+      |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+      |WHERE cum_tokens <= 5000
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** multimodal_decode: the REAL ImageIO decode of three byte-exact PNG
     * literals; expected dims/frame counts/byte lengths are known
     * independently of any engine (they are properties of the planted
@@ -1965,5 +1994,6 @@ object Oracles {
     "multimodal_audio_energy" -> multimodalAudioEnergySql,
     "text_top_ngrams" -> topNgramsSql,
     "text_quality_filter" -> qualityFilterSql,
+    "text_select_budget" -> selectBudgetSql,
     "text_dedup_segments" -> dedupSegmentsSql)
 }

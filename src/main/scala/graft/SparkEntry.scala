@@ -213,6 +213,10 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
+    // best-first data selection under a token budget (two-phase prefix
+    // sum bucketed by score range — never one global window)
+    "text_select_budget" -> ((s, dir) =>
+      TextAnalysis.selectByTokenBudget(docs(s, dir), 5000L)),
     // sliding-window chunking: 32-token windows at stride 16 (half
     // overlap) — the RAG/pretraining context-preserving chunk shape
     "text_chunk_overlap" -> ((s, dir) =>

@@ -582,6 +582,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget corpus selection — the data-selection primitive: fill
+    * a token budget BEST-FIRST by quality score ("give me the best 10B
+    * tokens"), keeping every document whose running token total, in
+    * (score desc, doc_id) order, stays within `maxTokens`. Mixing-budget
+    * allocation and curriculum selection both reduce to this.
+    *
+    * The global ordered prefix sum uses the [[packSequences]] two-phase
+    * shape, but bucketed by SCORE RANGE instead of doc_id range (score
+    * descending ⟺ bucket ascending, so contiguous score buckets preserve
+    * the global order): per-bucket cumulative sums shuffle on the bucket
+    * key, and the ≤`buckets` bucket totals go through one tiny
+    * single-partition window — never a corpus-wide single-partition
+    * window. Scores land on the 4-decimal grid ([[qualityScore]]), so
+    * bucket assignment is exact and ties stay inside one bucket.
+    */
+  def selectByTokenBudget(docs: DataFrame, maxTokens: Long,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), qualityScore.as("score"),
+      tokenCount(col("text")).as("n_tokens"))
+      // qualityScore ∈ [-1, 1]: map descending score onto ascending
+      // bucket ids, clamped to the grid edges
+      .withColumn("bucket", least(lit(buckets - 1), greatest(lit(0),
+        floor((lit(1.0) - col("score")) / 2.0 * buckets).cast("int"))))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal = scored.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
+    val prefixes = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_prefix",
+        coalesce(sum(col("bucket_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_prefix"))
+    withLocal.join(broadcast(prefixes), Seq("bucket"))
+      .withColumn("cum_tokens", col("bucket_prefix") + col("cum_in"))
+      .filter(col("cum_tokens") <= maxTokens)
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash-based train/validation/test split — the stable-
     * split primitive for training pipelines: membership depends only on
     * the key (never on partitioning, sampling RNGs, or row order), so the

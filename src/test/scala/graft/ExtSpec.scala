@@ -664,6 +664,41 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pWins.flatMap(_.payload.drop(44)).toSeq == p24.toSeq)
   }
 
+  test("token-budget selection: best-first prefix, budget respected, equals one global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val sel = graft.ext.TextAnalysis.selectByTokenBudget(docs, 5000L).collect()
+    assert(sel.nonEmpty)
+    // the budget is a hard ceiling on the running total
+    assert(sel.map(_.getLong(3)).max <= 5000L)
+    assert(sel.map(_.getLong(2)).sum == sel.map(_.getLong(3)).max,
+      "kept token counts must sum to the final running total")
+    // best-first: every kept doc outranks every dropped doc in the
+    // (score desc, doc_id) order
+    val keptIds = sel.map(_.getLong(0)).toSet
+    val all = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore.as("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val worstKept = all.filter(t => keptIds(t._1)).map(t => (-t._2, t._1)).max
+    val bestDropped = all.filterNot(t => keptIds(t._1)).map(t => (-t._2, t._1)).min
+    assert(worstKept._1 < bestDropped._1 ||
+      (worstKept._1 == bestDropped._1 && worstKept._2 < bestDropped._2),
+      s"kept/dropped order inverted: $worstKept vs $bestDropped")
+    // the score-bucketed two-phase prefix sum equals ONE global window
+    // (the formulation that does not scale but is trivially correct)
+    val single = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.qualityScore.as("score"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tokens") <= 5000L)
+      .select("doc_id", "score", "n_tokens", "cum_tokens")
+      .orderBy("doc_id").collect().toSeq
+    assert(sel.toSeq == single)
+  }
+
   test("text normalization: NFC composes, format chars strip, newlines/whitespace canonicalize") {
     import spark.implicits._
     val got = graft.ext.TextAnalysis.normalizeText(
