@@ -60,6 +60,12 @@ object Bench {
     "dedup_minhash", "dedup_pipeline", "dedup_containment",     // dedup family
     "dedup_clusters",                                           // clustering driver path
     "sim_topk_bruteforce", "sim_topk_pq",                       // ANN family
+    "sim_topk_agg",        // r6 flagged a full-run rep anomaly here; the
+                           // fresh-session probe pins its honest number
+                           // every round (r7 investigation: 2× isolated
+                           // 10-rep runs + 2× full-run replays all flat —
+                           // the r6 [0.27, 2.30, 1.97] was transient
+                           // machine interference, not session state)
     "text_pack", "text_perplexity", "text_surprisal",           // text family
     "pipeline_training_set"                                     // flagship composition
   )
@@ -105,6 +111,20 @@ object Bench {
   private case class QRes(name: String, min: Double, med: Double,
                           runs: Seq[Double], warm: Double, err: Option[String])
 
+  /** Scope WindowExec's logger to ERROR for harness runs: the only
+    * single-partition windows in the registered surface are the two
+    * ≤`buckets`-row prefix-sum windows in `packSequences` /
+    * `selectScoredByTokenBudget` (bounded by construction — see the
+    * comments there), and their "No Partition Defined" WARN spammed
+    * every bench tail 8×, triggering a scale-hazard audit each round.
+    * Harness-scoped on purpose: library users still get the WARN, and
+    * the plan-quality specs (PlanSpec) keep guarding the actual hazard.
+    */
+  private[graft] def quietExpectedWindowWarn(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,6 +132,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // AFTER setLogLevel — which calls log4j setAllLevels and would wipe
+    // the scoped override
+    quietExpectedWindowWarn()
     // warm the session once (scheduler, codegen, shuffle infra) so the
     // first measured query doesn't absorb ~5 s of JVM/session startup
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
@@ -176,6 +199,22 @@ object Bench {
     val spark = newSession(cpus)
     val results = entries.map { case (n, f) => runOne(spark, sfDir, reps, warmup)(n, f) }
 
+    // anomaly auto-recheck: the median>1.5×min detector cannot tell real
+    // rep-over-rep degradation from one-off machine interference (r6's
+    // sim_topk_agg fired at 7.2× and four later reproduction attempts
+    // were all flat). Re-running each flagged query once more at the END
+    // of the same session answers that in-artifact: a recheck that is
+    // ALSO anomalous means persistent state pollution; a flat recheck
+    // means transient noise. Runs in the same session so genuine
+    // session-age effects still show.
+    val recheck: Map[String, QRes] = {
+      val flagged = results.filter(r =>
+        r.err.isEmpty && r.min > 0.2 && r.med > 1.5 * r.min).map(_.name)
+      val byName = entries.toMap
+      flagged.flatMap(n => byName.get(n).map(f =>
+        n -> runOne(spark, sfDir, reps, warmup)(n, f))).toMap
+    }
+
     // probe phase: pinned subset, fresh session, same protocol — the
     // low-population number that makes cross-round comparison honest
     val doProbe = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") != "0"
@@ -216,6 +255,12 @@ object Bench {
     }
     val anomalies = anomaliesOf(results, Int.MaxValue)
     val anomaliesCompact = anomaliesOf(results, 8)
+    // verdict per flagged query: does the anomaly survive its recheck?
+    val recheckJson = recheck.toSeq.sortBy(_._1).map { case (n, r) =>
+      val verdict = if (r.err.nonEmpty) "error"
+        else if (r.med > 1.5 * r.min) "persists" else "transient"
+      jstr(n) + ":" + jstr(verdict)
+    }.mkString("{", ",", "}")
     val nErr = results.count(_.err.nonEmpty)
     val probeMap = probeResults.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
@@ -224,10 +269,14 @@ object Bench {
 
     val core =
       s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)}"""
+    // population-bias caveat travels WITH the artifact: full-run per-query
+    // mins run 1.3-8.5x above isolated reruns of the same build (shared-
+    // session JVM state), so cross-round comparison must use `probe`
+    val biasNote = "full-run query mins are population-biased; compare probe across rounds"
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
-        (if (withQueries) s""""queries":$mins,"errors":$errs,""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json",""") +
-        s"""$core,"rep_anomalies":$anomalyJson,"probe":$probeMap""" +
+        (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote",""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json; $biasNote",""") +
+        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap""" +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
         s""","sf":"$sfDir"}"""
     // the wrapper's tail window is ~2000 chars and this line is the LAST
@@ -246,7 +295,7 @@ object Bench {
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
       rs.map(r => jstr(r.name) + ":" + f(r)).mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},$core,"rep_anomalies":$anomalies,"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
     println(stdoutLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

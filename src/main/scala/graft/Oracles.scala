@@ -273,6 +273,27 @@ object Oracles {
         |  ON s.user_id = p.user_id AND s.ts <= p.ts
         |ORDER BY s.event_id""".stripMargin,
 
+    // strict (allow_exact_matches=false): replayed as a windowed
+    // previous-row lookup rather than native ASOF — the window's
+    // (ts DESC, event_id DESC) order replays the exec's tie-break
+    // deterministically where ASOF's choice among equal right times is
+    // unspecified. Strictness is the l.ts > r.ts join predicate; the
+    // LEFT JOIN keeps no-match rows with a null payload.
+    "asof_join_strict" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), ranked AS (
+        |  SELECT l.event_id, l.user_id, l.ts, r.value AS prev_value,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM purchases l LEFT JOIN purchases r
+        |    ON l.user_id = r.user_id AND r.ts < l.ts
+        |)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, prev_value
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     // nearest = the two native ASOF directions composed + the exec's
     // choice rule (smaller distance wins, ties backward, 4-day bound on
     // the chosen side) — epoch_us distances, exactly the exec's native
@@ -429,6 +450,26 @@ object Oracles {
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // bounded-error gates for the sketch aggregations: the oracle asserts
+    // the EXACT side of each row and literal `true` for every `*_ok`
+    // flag, so a Spark sketch estimate outside its documented envelope
+    // breaks the hash — the sketch VALUES themselves never enter the hash
+    // (engine-specific internals)
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS parts_ok, true AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        |  true AS p50_ok, true AS p90_ok,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -504,6 +504,31 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** STRICT as-of (pandas merge_asof `allow_exact_matches=False`) through
+    * the custom exec: each purchase takes the user's latest purchase
+    * STRICTLY before it — a self-as-of, so an equal-time candidate (the
+    * row itself) exists for every single left row and the gate genuinely
+    * discriminates strict from at-or-before semantics (non-strict would
+    * match every row to itself, value ≡ prev_value). The previous-event
+    * lookup is the canonical inter-arrival/feature-lag shape.
+    */
+  def asofJoinStrictQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val prior = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("value").as("prev_value"), col("event_id").as("p_id"))
+    graft.plans.AsOfJoinPlans.asOfJoinExecKeys(
+        purchases, prior, Seq("user_id"), "ts", "ts",
+        Seq("prev_value"), Some("p_id"), None,
+        direction = "backward", allowExactMatches = false)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("prev_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** NEAREST as-of through the custom exec — pandas merge_asof
     * direction='nearest': each purchase takes whichever adjacent signup
     * (latest at-or-before vs earliest after) sits closer in time, ties
@@ -704,32 +729,61 @@ object Queries {
 
   /** Sketch aggregation: HyperLogLog++ approximate distinct counts — the
     * cardinality operator that stays mergeable/bounded at 100 TB where
-    * exact COUNT(DISTINCT) must shuffle every key. No oracle (sketch
-    * internals are engine-specific); error vs exact is bounded in tests.
+    * exact COUNT(DISTINCT) must shuffle every key.
+    *
+    * Sketch VALUES are engine-specific, so the registered output is the
+    * bounded-error GATE, not the raw estimate: each group emits its exact
+    * distinct counts plus `*_ok = |approx − exact| ≤ 5·rsd·exact`
+    * (rsd = 0.02 ⇒ a 10 % band, 5 standard errors — an HLL++ estimate
+    * outside it means the sketch is broken, not unlucky). The DuckDB
+    * oracle computes the same exact counts and literal `true` flags, so
+    * the hash gate FAILS iff the sketch leaves its documented envelope —
+    * a real correctness row instead of the former `no_oracle`.
     */
-  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(5 * 0.02)).as("parts_ok"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(5 * 0.02)).as("orders_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Sketch percentiles: `approx_percentile` holds a bounded, MERGEABLE
     * summary per group where the exact form ([[aggPercentiles]]) buffers
-    * every value — the only viable percentile at 100 TB. No oracle
-    * (sketch internals are engine-specific); ExtSpec bounds the error
-    * against the exact percentiles.
+    * every value — the only viable percentile at 100 TB.
+    *
+    * Like [[aggApproxDistinct]], the registered output is the bounded-
+    * error GATE: exact interpolated percentiles (the proven
+    * `quantile_cont` parity from `agg_percentiles`) plus
+    * `*_ok = |approx − exact| ≤ 0.5 % · exact`. accuracy = 10000 bounds
+    * the rank error to n/10000 (scale-invariant: 0.01 % of the group's
+    * mass), which on this price distribution is far inside a 0.5 % value
+    * band — an estimate outside it means the KLL-style summary is broken.
+    * The DuckDB oracle emits the same exact percentiles and literal
+    * `true` flags, so the row is hash-gated instead of `no_oracle`.
     */
   def aggApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 10000)").as("ps"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pe"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"),
-        round(element_at(col("ps"), 1), 4).as("p50"),
-        round(element_at(col("ps"), 2), 4).as("p90"),
+        round(element_at(col("pe"), 1), 4).as("p50_exact"),
+        round(element_at(col("pe"), 2), 4).as("p90_exact"),
+        (abs(element_at(col("ps"), 1) - element_at(col("pe"), 1)) <=
+          element_at(col("pe"), 1) * lit(0.005)).as("p50_ok"),
+        (abs(element_at(col("ps"), 2) - element_at(col("pe"), 2)) <=
+          element_at(col("pe"), 2) * lit(0.005)).as("p90_ok"),
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 

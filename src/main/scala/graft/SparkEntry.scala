@@ -48,6 +48,7 @@ object SparkEntry {
     "asof_join_tol" -> (Queries.asofJoinTolQuery _),
     "asof_join_fwd" -> (Queries.asofJoinFwdQuery _),
     "asof_join_nearest" -> (Queries.asofJoinNearestQuery _),
+    "asof_join_strict" -> (Queries.asofJoinStrictQuery _),
     "events_pivot" -> (Queries.eventsPivot _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_funnel_times" -> (Queries.eventsFunnelTimes _),

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the two bounded prefix-sum windows warn on every run — expected;
+    // must come AFTER setLogLevel (which wipes scoped logger overrides)
+    Bench.quietExpectedWindowWarn()
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for local iteration; driver sets none
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -270,7 +270,10 @@ object Dedup {
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (size(col("shs_a")).cast("long") + size(col("shs_b")).cast("long") - col("common")), 4))
-      .filter(col("jaccard") >= threshold)
+      // common > 0 first: the old inner shingle-join structurally dropped
+      // zero-overlap candidate pairs, so at threshold 0.0 the array form
+      // would otherwise ADD jaccard=0 rows the verified contract excludes
+      .filter(col("common") > 0 && col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }

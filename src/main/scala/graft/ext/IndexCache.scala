@@ -21,6 +21,16 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexCache {
 
+  /** Per-cache-key JVM-wide monitors: `FileChannel.lock()` only arbitrates
+    * ACROSS processes — an overlapping lock request from a second thread in
+    * the SAME JVM throws `OverlappingFileLockException` instead of
+    * blocking, so two threads racing `ensure` for one key would crash
+    * rather than queue. Serializing same-key callers on a shared monitor
+    * first makes the file lock strictly cross-process.
+    */
+  private val keyMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def fingerprint(f: File): String = {
     def stats(x: File): Seq[String] =
       if (x.isDirectory) x.listFiles().sortBy(_.getName).toSeq.flatMap(stats)
@@ -68,27 +78,42 @@ object IndexCache {
     val ready = new File(dir, "_GRAFT_READY")
     if (ready.exists()) return dir.getAbsolutePath
     dir.getParentFile.mkdirs()
-    val lockCh = java.nio.channels.FileChannel.open(
-      new File(dir.getParentFile, dir.getName + ".lock").toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    // blocks until exclusive — a concurrent builder finishes, this
-    // process then sees its marker and serves without a duplicate build
-    val lock = lockCh.lock()
-    try {
-      if (!ready.exists()) {
-        val staging = new File(dir.getParentFile,
-          s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-        build(staging.getAbsolutePath)
-        // marker BEFORE the commit rename: it travels with the directory,
-        // so `ready.exists()` implies the whole artifact is in place
-        new File(staging, "_GRAFT_READY").createNewFile()
-        // no marker under the lock ⇒ anything at the path is a crashed
-        // build or the pre-fix in-place layout: safe to sweep
-        if (dir.exists()) deleteRec(dir)
-        require(staging.renameTo(dir), s"index cache commit failed for $dir")
-      }
-    } finally { lock.release(); lockCh.close() }
+    val monitor = keyMonitors.computeIfAbsent(dir.getName, _ => new Object)
+    monitor.synchronized {
+      val lockCh = java.nio.channels.FileChannel.open(
+        new File(dir.getParentFile, dir.getName + ".lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      // blocks until exclusive — a concurrent builder finishes, this
+      // process then sees its marker and serves without a duplicate build
+      val lock = lockCh.lock()
+      try {
+        if (!ready.exists()) {
+          // sweep orphaned staging dirs from crashed past builds of THIS
+          // key (we hold its lock, so none of them can be mid-commit);
+          // without this a build() that threw would leak its staging dir
+          // in the shared tmpdir forever
+          Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(dir.getName + ".build-"))
+            .foreach(deleteRec)
+          val staging = new File(dir.getParentFile,
+            s"${dir.getName}.build-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          var committed = false
+          try {
+            build(staging.getAbsolutePath)
+            // marker BEFORE the commit rename: it travels with the
+            // directory, so `ready.exists()` implies the whole artifact
+            // is in place
+            new File(staging, "_GRAFT_READY").createNewFile()
+            // no marker under the lock ⇒ anything at the path is a crashed
+            // build or the pre-fix in-place layout: safe to sweep
+            if (dir.exists()) deleteRec(dir)
+            require(staging.renameTo(dir), s"index cache commit failed for $dir")
+            committed = true
+          } finally if (!committed && staging.exists()) deleteRec(staging)
+        }
+      } finally { lock.release(); lockCh.close() }
+    }
     dir.getAbsolutePath
   }
 }

@@ -688,6 +688,12 @@ object Similarity {
   private def pqRankTail(scored: DataFrame, queries: DataFrame,
       vectors: DataFrame, k: Int, shortlist: Int,
       band: Option[(Double, Double)] = None): DataFrame = {
+    // the documented band contract filters the EXACT score; the no-rerank
+    // branch only has the ADC approximation, so banding there would
+    // silently change semantics for a future caller
+    require(band.isEmpty || shortlist > 0,
+      "a score band requires the exact-rerank path (shortlist > 0): the " +
+      "pure-ADC branch would band the approximate score")
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_approx").desc, col("vec_id"))
     def bandFilter(df: DataFrame): DataFrame = band.fold(df) { case (floor, ceiling) =>

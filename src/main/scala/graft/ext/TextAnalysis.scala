@@ -566,7 +566,12 @@ object TextAnalysis {
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal = sized.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
-    // bucket prefix offsets: <= `buckets` rows through one tiny window
+    // bucket prefix offsets: <= `buckets` rows through one tiny window.
+    // WindowExec's "No Partition Defined" WARN is EXPECTED and benign
+    // here — the input is <= `buckets` rows by construction, so the
+    // single partition is the intended, bounded shape. (A constant
+    // partitionBy(lit(0)) does not silence it: EliminateWindowPartitions
+    // folds it away. The harness mains scope the logger down instead.)
     val prefixes = sized.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_total"))
       .withColumn("bucket_prefix",
@@ -598,10 +603,21 @@ object TextAnalysis {
     * bucket assignment is exact and ties stay inside one bucket.
     */
   def selectByTokenBudget(docs: DataFrame, maxTokens: Long,
+      buckets: Int = 32): DataFrame =
+    selectScoredByTokenBudget(
+      docs.select(col("doc_id"), qualityScore.as("score"),
+        tokenCount(col("text")).as("n_tokens")),
+      maxTokens, buckets)
+
+  /** [[selectByTokenBudget]] over an ALREADY-SCORED `(doc_id, score,
+    * n_tokens)` frame — the reusable core: the streaming twin's read-time
+    * view delegates here over its landing zone, so stream and batch share
+    * one selection plan by construction.
+    */
+  def selectScoredByTokenBudget(preScored: DataFrame, maxTokens: Long,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col("doc_id"), qualityScore.as("score"),
-      tokenCount(col("text")).as("n_tokens"))
+    val scored = preScored
       // qualityScore ∈ [-1, 1]: map descending score onto ascending
       // bucket ids, clamped to the grid edges
       .withColumn("bucket", least(lit(buckets - 1), greatest(lit(0),
@@ -610,6 +626,8 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal = scored.withColumn("cum_in", sum(col("n_tokens")).over(inBucket))
+    // <= `buckets` rows; the WindowExec global-window WARN is expected
+    // and benign on this bounded input (see packSequences)
     val prefixes = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bucket_total"))
       .withColumn("bucket_prefix",

@@ -55,7 +55,8 @@ case class AsOfJoinNode(
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
     tolerance: Option[Long],
-    direction: String = "backward") extends BinaryNode {
+    direction: String = "backward",
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -76,9 +77,9 @@ case class AsOfJoinNode(
 /** Planner strategy: one logical node form, one physical form. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol, dir) =>
+    case AsOfJoinNode(l, r, lks, rks, lt, rt, tie, payload, tol, dir, exact) =>
       AsOfJoinExec(planLater(l), planLater(r), lks, rks, lt, rt, tie, payload,
-        tol, dir) :: Nil
+        tol, dir, exact) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +106,8 @@ case class AsOfJoinExec(
     rightTie: Option[Attribute],
     payload: Seq[Attribute],
     tolerance: Option[Long],
-    direction: String = "backward") extends BinaryExecNode {
+    direction: String = "backward",
+    allowExactMatches: Boolean = true) extends BinaryExecNode {
 
   private val payloadOut = payload.map(_.withNullability(true))
 
@@ -147,6 +149,10 @@ case class AsOfJoinExec(
     val tol = tolerance
     val fwd = direction == "forward"
     val near = direction == "nearest"
+    // allowExactMatches=false (pandas merge_asof): equal times do NOT
+    // match — backward becomes strictly-before, forward strictly-after,
+    // nearest picks among the two strict candidates
+    val exact = allowExactMatches
     // nearest needs native-unit times even without a tolerance (distances
     // are compared); the API layer restricts its time types accordingly
     val getTime = if (tol.nonEmpty || near) Some(timeGetter(lTime.dataType)) else None
@@ -178,6 +184,14 @@ case class AsOfJoinExec(
       var lastMatchKey: InternalRow = null
       var lastTimeNull = false
       var lastTimeVal = 0L
+      // nearest+strict only: the last row of a time group EQUAL to the
+      // current left time. Not a candidate for this left row, but the
+      // newest strictly-before row for any LATER left time — held here so
+      // the lookahead can advance past the group to the true forward
+      // candidate, then promoted into lastMatch once the left time moves
+      var eqMatch: InternalRow = null
+      var eqMatchKey: InternalRow = null
+      var eqTimeVal = 0L
 
       if (fwd) lIter.map { lRow =>
         // FORWARD direction: match the EARLIEST right row at-or-after the
@@ -201,9 +215,13 @@ case class AsOfJoinExec(
         var advancing = true
         while (rHead != null && advancing) {
           val c = keyOrd.compare(rKeyProj(rHead), lk)
+          // strict mode also discards the equal-time row: no later left
+          // row (times ascend) could need it under strictly-after either
+          val tCmp = if (c == 0 && !ltNull && !rTimeProj(rHead).isNullAt(0))
+            timeOrd.compare(rTimeProj(rHead), lt) else 1
           if (c < 0 ||
               (c == 0 && rTimeProj(rHead).isNullAt(0)) ||
-              (c == 0 && !ltNull && timeOrd.compare(rTimeProj(rHead), lt) < 0)) {
+              (c == 0 && !ltNull && (tCmp < 0 || (!exact && tCmp == 0)))) {
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
@@ -220,13 +238,31 @@ case class AsOfJoinExec(
       else lIter.map { lRow =>
         val lk = lKeyProj(lRow) // valid until the next left row
         val lt = lTimeProj(lRow)
+        // promote a stalled equal-time group the left time has now passed:
+        // it supersedes any older buffered match (it is newer in sort
+        // order); a group from an already-passed key is dropped
+        if (near && !exact && eqMatch != null) {
+          val kc = keyOrd.compare(eqMatchKey, lk)
+          if (kc < 0) { eqMatch = null; eqMatchKey = null }
+          else if (kc == 0 && !lt.isNullAt(0) && eqTimeVal < getTime.get(lt)) {
+            lastMatch = eqMatch; lastMatchKey = eqMatchKey
+            lastTimeNull = false; lastTimeVal = eqTimeVal
+            eqMatch = null; eqMatchKey = null
+          }
+        }
         var advancing = true
         while (rHead != null && advancing) {
           val c = keyOrd.compare(rKeyProj(rHead), lk)
           if (c < 0) {
             // right rows for keys already passed: discard
             rHead = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (c == 0 && timeOrd.compare(rTimeProj(rHead), lt) <= 0) {
+          } else if (c == 0 && {
+            // strict mode leaves the equal-time row as lookahead: it is
+            // not an at-or-before match for this left row, but a LATER
+            // left row with a larger time still consumes it
+            val tCmp = timeOrd.compare(rTimeProj(rHead), lt)
+            tCmp < 0 || (exact && tCmp == 0)
+          }) {
             // at-or-before right row for THIS key: later ones overwrite
             // earlier ones (sorted by time then tie ⇒ latest + tie-break
             // win), so the state is exactly one buffered payload. In
@@ -243,6 +279,16 @@ case class AsOfJoinExec(
                 if (!trNull) lastTimeVal = g(tr)
               }
             }
+            rHead = if (rIter.hasNext) rIter.next().copy() else null
+          } else if (near && !exact && c == 0 && !lt.isNullAt(0) &&
+              !rTimeProj(rHead).isNullAt(0) &&
+              timeOrd.compare(rTimeProj(rHead), lt) == 0) {
+            // nearest+strict: consume the equal-time row into the eq slot
+            // (later rows of the group overwrite — the latest wins) so the
+            // lookahead reaches the first strictly-after row
+            eqMatch = payloadProj(rHead).copy()
+            eqMatchKey = rKeyProj(rHead).copy()
+            eqTimeVal = getTime.get(rTimeProj(rHead))
             rHead = if (rIter.hasNext) rIter.next().copy() else null
           } else advancing = false
         }
@@ -270,8 +316,11 @@ case class AsOfJoinExec(
           if (!ltNull && rHead != null && keyOrd.compare(rKeyProj(rHead), lk) == 0) {
             val tr = rTimeProj(rHead)
             if (!tr.isNullAt(0)) {
-              fwdOk = true
               fwdDist = getTime.get(tr) - getTime.get(lt)
+              // in strict mode the equal-time row stays in the lookahead
+              // (the backward advance no longer consumes it) — it is not
+              // a candidate on either side
+              fwdOk = exact || fwdDist > 0
             }
           }
           val bound = tol.getOrElse(Long.MaxValue)
@@ -333,7 +382,8 @@ object AsOfJoinPlans {
       payload: Seq[String],
       rightTieBreak: Option[String] = None,
       tolerance: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      allowExactMatches: Boolean = true): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -348,6 +398,11 @@ object AsOfJoinPlans {
     // matching. Under a tolerance the staleness is measured in the match
     // direction: leftTime - rightTime (backward) / rightTime - leftTime
     // (forward) / the chosen side's distance (nearest).
+    // allowExactMatches=false is pandas merge_asof's strict mode: an
+    // equal-time right row never matches — backward means strictly
+    // before, forward strictly after, nearest picks among the two strict
+    // candidates (a pair of equal times counts as equal, so null-null
+    // also never matches strictly).
     require(Set("backward", "forward", "nearest").contains(direction),
       s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     require(!payload.exists(left.columns.contains),
@@ -389,6 +444,6 @@ object AsOfJoinPlans {
       lPlan, rPlan, lks, rks, lt, rt,
       rightTieBreak.map(attr(rOut, _, "right")),
       payload.map(attr(rOut, _, "right")),
-      tolerance, direction))
+      tolerance, direction, allowExactMatches))
   }
 }

@@ -398,6 +398,64 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming token-budget best-first selection — the streaming twin of
+    * [[graft.ext.TextAnalysis.selectByTokenBudget]]. A document's
+    * membership in "the best `maxTokens` tokens seen so far" is a GLOBAL
+    * property that out-of-order arrival keeps revising: every batch of
+    * better documents tightens the effective score cut and can evict
+    * early arrivals. So, like the quality gate (and unlike
+    * decontamination), verdicts are LATE-BOUND:
+    *
+    *   1. each micro-batch lands per-doc `(doc_id, score, n_tokens)` at
+    *      `outDir/scored/batch=<id>` (OVERWRITE — replay-idempotent);
+    *   2. a one-row budget-cut summary over everything landed so far
+    *      (selected doc count, tokens used, the running score cut) lands
+    *      at `outDir/cut/batch=<id>` — the observable "threshold
+    *      tightening" history;
+    *   3. [[budgetSelectView]] applies the BATCH selection core
+    *      ([[graft.ext.TextAnalysis.selectScoredByTokenBudget]]) to the
+    *      scored zone at read time, so once the stream has covered the
+    *      corpus the view EQUALS the batch selection exactly — same
+    *      plan, same two-phase bucketed prefix sum, by construction.
+    *
+    * Scale shape: scoring is per-row; the landing zone holds scores only
+    * (~24 bytes/doc, never text), and the read-time selection is the
+    * batch operator's scale-safe shape (per-bucket cumulative sums, one
+    * ≤`buckets`-row window).
+    */
+  def budgetSelectIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      maxTokens: Long, buckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), TextAnalysis.qualityScore.as("score"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/scored/batch=$batchId")
+          // running budget cut over everything landed so far; a replayed
+          // batch rewrites its own row, so replays cannot corrupt history
+          TextAnalysis.selectScoredByTokenBudget(
+              spark.read.parquet(s"$outDir/scored"), maxTokens, buckets)
+            .agg(count(lit(1)).as("n_selected"),
+              coalesce(max(col("cum_tokens")), lit(0L)).as("used_tokens"),
+              coalesce(min(col("score")), lit(-1.0)).as("cut_score"))
+            .write.mode("overwrite").parquet(s"$outDir/cut/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time selection over [[budgetSelectIngest]]'s scored zone: the
+    * batch [[graft.ext.TextAnalysis.selectScoredByTokenBudget]] applied
+    * to all documents landed so far. Converges to the batch
+    * `selectByTokenBudget` once ingestion has covered the corpus.
+    */
+  def budgetSelectView(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, maxTokens: Long, buckets: Int = 32): DataFrame =
+    TextAnalysis.selectScoredByTokenBudget(
+      spark.read.parquet(s"$outDir/scored"), maxTokens, buckets)
+
   /** Read-time composition of [[qualityGateIngest]]'s two landing zones:
     * all scored docs, gated by the NEWEST threshold row. Same filter
     * semantics as the batch [[graft.ext.TextAnalysis.qualityFilter]];

@@ -323,6 +323,78 @@ class AsOfJoinExecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("strict mode (allow_exact_matches=false): equal times never match, any direction") {
+    import spark.implicits._
+    // right rows at 8, 10, 10, 15 for key 1 — the 10s exist PRECISELY to
+    // sit equal to a left time; the duplicated 10 also pins the eq-slot
+    // "latest of the group wins" promotion in nearest mode
+    val left = Seq(
+      (1L, 10L, "atEq"),   // back: 8 (equal 10s excluded); fwd: 15
+      (1L, 12L, "afterEq") // back: the LATER 10 (tie 3); fwd: 15
+    ).toDF("k", "t", "lid")
+    val right = Seq(
+      (1L, 8L, 1L, 1.0),
+      (1L, 10L, 2L, 2.0),
+      (1L, 10L, 3L, 3.0),
+      (1L, 15L, 4L, 4.0)
+    ).toDF("k", "rt", "tie", "v")
+    def run(dir: String): Map[String, Option[Any]] =
+      AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"), "t", "rt",
+          Seq("v"), Some("tie"), None, direction = dir,
+          allowExactMatches = false)
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(run("backward") == Map("atEq" -> Some(1.0), "afterEq" -> Some(3.0)))
+    assert(run("forward") == Map("atEq" -> Some(4.0), "afterEq" -> Some(4.0)))
+    // nearest at t=10: back 8 (d=2) vs fwd 15 (d=5) → 8; the equal-time
+    // rows are no candidate but must not hide the forward row. At t=12:
+    // back 10 (d=2, later tie wins) vs fwd 15 (d=3) → 10
+    assert(run("nearest") == Map("atEq" -> Some(1.0), "afterEq" -> Some(3.0)))
+  }
+
+  test("randomized strict instances: exec equals a brute-force replay on all directions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    (1 to 10).foreach { trial =>
+      // narrow time range → frequent equal-time collisions, the case
+      // strict mode exists for
+      val left = Seq.fill(rnd.nextInt(40) + 1)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(12).toLong))
+        .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      val rightRows = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(4).toLong, rnd.nextInt(12).toLong, rnd.nextDouble()))
+        .zipWithIndex.map { case ((k, rt, v), i) => (k, rt, i.toLong, v) }
+      val right = rightRows.toDF("k", "rt", "tie", "v")
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(6).toLong) else None
+      Seq("backward", "forward", "nearest").foreach { dir =>
+        val got = AsOfJoinPlans.asOfJoinExecKeys(left, right, Seq("k"),
+            "t", "rt", Seq("v"), Some("tie"), tol, direction = dir,
+            allowExactMatches = false)
+          .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+        val expected = left.collect().map { lr =>
+          val (k, t, lid) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+          val back = rightRows.filter(r => r._1 == k && r._2 < t)
+            .sortBy(r => (r._2, r._3)).lastOption
+          val fwd = rightRows.filter(r => r._1 == k && r._2 > t)
+            .sortBy(r => (r._2, r._3)).headOption
+          val chosen = dir match {
+            case "backward" => back.filter(b => tol.forall(tl => t - b._2 <= tl))
+            case "forward" => fwd.filter(f => tol.forall(tl => f._2 - t <= tl))
+            case "nearest" =>
+              val bOk = back.exists(b => tol.forall(tl => t - b._2 <= tl))
+              val fOk = fwd.exists(f => tol.forall(tl => f._2 - t <= tl))
+              if (bOk && (!fOk || (t - back.get._2) <= (fwd.get._2 - t))) back
+              else if (fOk) fwd
+              else None
+          }
+          lid -> chosen.map(_._4)
+        }.toMap
+        assert(got == expected, s"trial $trial dir=$dir (tol=$tol) diverged: " +
+          s"${got.toSeq.diff(expected.toSeq).take(3)} vs ${expected.toSeq.diff(got.toSeq).take(3)}")
+      }
+    }
+  }
+
   test("composite-key plan shape: per-side exchanges, no union shuffle") {
     val df = Queries.asofJoinTolQuery(spark, sf)
     assert(df.collect().nonEmpty)

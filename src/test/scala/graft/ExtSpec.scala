@@ -424,16 +424,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg == window, s"diff: ${agg.diff(window)} / ${window.diff(agg)}")
   }
 
-  test("approx percentiles track the exact percentiles within 1%") {
-    def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
+  test("approx percentiles track the exact percentiles within the gate band") {
+    // the registered query now EMBEDS the error bound: exact percentiles
+    // plus p50_ok/p90_ok flags (|approx − exact| ≤ 0.5 %·exact) that the
+    // DuckDB oracle pins to `true`
+    val rows = Queries.aggApproxPercentiles(spark, sf).collect()
+    val exact = Queries.aggPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val exact = byFlag(Queries.aggPercentiles(spark, sf))
-    val approx = byFlag(Queries.aggApproxPercentiles(spark, sf))
-    assert(exact.keySet == approx.keySet)
-    exact.foreach { case (flag, (p50, p90)) =>
-      val (a50, a90) = approx(flag)
-      assert(math.abs(a50 - p50) / p50 < 0.01, s"$flag p50: exact $p50 approx $a50")
-      assert(math.abs(a90 - p90) / p90 < 0.01, s"$flag p90: exact $p90 approx $a90")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Boolean]("p50_ok"), s"$flag p50 outside 0.5% of exact")
+      assert(r.getAs[Boolean]("p90_ok"), s"$flag p90 outside 0.5% of exact")
+      // the emitted exact side must be the agg_percentiles values
+      assert(r.getAs[Double]("p50_exact") == exact(flag)._1)
+      assert(r.getAs[Double]("p90_exact") == exact(flag)._2)
     }
   }
 
@@ -916,13 +921,17 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx distinct counts are within the configured HLL error of exact") {
+    // the registered query now EMBEDS the bound (parts_ok/orders_ok =
+    // |approx − exact| ≤ 5·rsd·exact) and emits the exact counts the
+    // DuckDB oracle recomputes independently
     val exact = Queries.aggDistinct(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap // n_parts, n_rows... use n_parts
-    val approx = Queries.aggApproxDistinct(spark, sf).collect()
-    approx.foreach { r =>
-      val (exactParts, _) = exact(r.getString(0))
-      val err = math.abs(r.getLong(1) - exactParts).toDouble / exactParts
-      assert(err < 0.05, s"${r.getString(0)}: approx ${r.getLong(1)} vs exact $exactParts")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // n_parts
+    val rows = Queries.aggApproxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Boolean]("parts_ok"), s"$flag partkey HLL outside 10% of exact")
+      assert(r.getAs[Boolean]("orders_ok"), s"$flag orderkey HLL outside 10% of exact")
+      assert(r.getAs[Long]("exact_parts") == exact(flag))
     }
   }
 

@@ -821,4 +821,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty && streamed == expected,
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
+
+  test("streaming token-budget selection converges to the batch best-first selection across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // membership in "the best N tokens so far" is late-bound: better docs
+    // arriving later must evict early arrivals from the selection. Feed
+    // the corpus in doc_id order (scores arrive shuffled), crash the
+    // stream after batch 1, land batch 2 while it is down, restart for
+    // batches 2-3, then require the read-time view to equal the batch
+    // operator EXACTLY over the full corpus.
+    val rows = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val budget = 5000L // the text_select_budget registration's budget
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-budget-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-budget-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-budget-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("event_time", TimestampType)))
+    def start() = graft.streaming.StreamingCorpus.budgetSelectIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt, budget)
+    def land(c: Seq[CorpusDoc]): Unit =
+      c.toDF().write.mode("append").parquet(srcDir)
+    // batch 1 processed, then the query STOPS (crash/deploy)
+    land(chunks(0))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // batch 2 lands while nothing runs; the restart picks it up
+    land(chunks(1))
+    val q2 = start(); q2.processAllAvailable()
+    land(chunks(2)); q2.processAllAvailable(); q2.stop()
+    // exactly-once across the restart: no doc scored twice, none lost
+    val scored = spark.read.parquet(s"$outDir/scored")
+    assert(scored.count() == rows.length &&
+      scored.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "restart duplicated or lost scored docs")
+    // the cut history genuinely tightened as better docs arrived
+    val cuts = spark.read.parquet(s"$outDir/cut")
+      .orderBy(col("batch")).collect().map(_.getAs[Double]("cut_score")).toSeq
+    assert(cuts.size == 3 && cuts.distinct.size > 1, s"cut never moved: $cuts")
+    val streamed = graft.streaming.StreamingCorpus
+      .budgetSelectView(spark, outDir, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = graft.ext.TextAnalysis.selectByTokenBudget(
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"), budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+  }
 }
