@@ -120,6 +120,31 @@ object Prof {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+    if (mode == "pipewarm" || mode == "pipecold") {
+      // first-run-latency experiment for pipeline_training_set (r6 ask):
+      // is the fresh-session warm-up data work or code compilation?
+      //   pipecold: fresh JVM → run at sf0.1 three times.
+      //   pipewarm: fresh JVM → run ONCE at sf0.001 (tiny data, same code
+      //             paths: pays Janino codegen + C2 JIT on ~1/100th the
+      //             rows), then the same three sf0.1 runs.
+      // If warm's first sf0.1 run lands near cold's steady state, the
+      // warm-up is JIT/codegen (data-independent) and "warm on a sample"
+      // is the production pattern for one-shot jobs.
+      def sweep(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      def onePipe(dir: String): Unit = {
+        noop(graft.ext.TrainingPipeline.trainingSet(
+          Queries.table(spark, dir, "documents")))
+        sweep()
+      }
+      if (mode == "pipewarm")
+        time("pipe_sf0.001_prewarm")({ onePipe("/root/testdata/sf0.001"); 0L })
+      (1 to 3).foreach { i =>
+        time(s"pipe_sf0.1_run$i")({ onePipe(sfDir); 0L })
+      }
+    }
     if (mode == "asofexec") {
       val sf = "/root/testdata/sf0.001"
       val b = Queries.asofJoinExecQuery(spark, sf)
@@ -154,6 +179,7 @@ object Prof {
           ("asof_join_tol", Queries.asofJoinTolQuery _),
           ("asof_join_fwd", Queries.asofJoinFwdQuery _),
           ("asof_join_nearest", Queries.asofJoinNearestQuery _),
+          ("asof_join_strict", Queries.asofJoinStrictQuery _),
           ("sim_hard_negatives", (s: SparkSession, d: String) =>
             graft.ext.Similarity.hardNegatives(
               Queries.table(s, d, "embeddings"), Seq(0L, 1L, 2L), 10, 0.15, 0.30)),

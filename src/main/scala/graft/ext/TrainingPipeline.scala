@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions._
   * the (lazy) result's evaluation; after materializing (write/collect),
   * long-lived sessions should release them (`spark.catalog.clearCache()`
   * or unpersist by plan). The harness mains do this between queries.
+  *
+  * First-run latency (measured, `graft.Prof pipecold`/`pipewarm`,
+  * local[32]): a fresh session pays ~17 s for its first run at sf0.1 vs
+  * ~6 s steady — and the SAME ~17 s for a first run at sf0.001, on 1/100th
+  * the data. The warm-up is therefore ≥95 % data-independent code cost
+  * (Janino whole-stage-codegen compilation, C2 JIT, Catalyst
+  * analysis/optimization of the composed plan — all cached per session,
+  * keyed by generated source, so a tiny-sample run fully pre-warms the
+  * full-scale run: sf0.1-after-sf0.001 starts at 8.5 s). At production
+  * scale this is noise (seconds of compile vs hours of 100 TB I/O); for
+  * latency-sensitive repeated serving, run the pipeline once on a sample
+  * during idle time — the codegen cache does the rest.
   */
 object TrainingPipeline {
 
