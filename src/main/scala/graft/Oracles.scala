@@ -48,6 +48,49 @@ object Oracles {
       |SELECT node AS doc_id, min(lab) AS cluster
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Shared Lloyd-replay CTE chain (3 unrolled iterations): `emb`
+    * (double-cast embeddings), `init` (the `nCells` smallest vec_ids'
+    * vectors), assign1..assign3 / cent1..cent3. Each assign is the
+    * squared-L2 argmin with the SAME expanded dot-product formula as
+    * Spark's `kmeansAssign` (identical IEEE op sequence); each centroid
+    * mean rounds to 9 decimals, matching the driver-boundary rounding in
+    * `Similarity.kmeansFit` — so both engines iterate from bit-identical
+    * centroids. assign3 is the assignment that PRODUCED cent3, exactly
+    * what `kmeansFit` returns. Shared by `sim_topk_ivf_kmeans` (and its
+    * index twin) and `dedup_semantic` so the replay cannot fork.
+    */
+  private def kmeansAssign3Ctes(nCells: Int): String = {
+    def d2(e: String, c: String) =
+      s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
+    def assign(i: Int, centSrc: String) =
+      s"""assign$i AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT m.vec_id, m.e, c.cell, row_number() OVER
+        |      (PARTITION BY m.vec_id ORDER BY ${d2("m.e", "c.c")}, c.cell) AS rn
+        |    FROM emb m, $centSrc c)
+        |  WHERE rn = 1
+        |)""".stripMargin
+    def cent(i: Int) =
+      s"""cent$i AS (
+        |  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (
+        |    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv
+        |    FROM assign$i, UNNEST(generate_series(1, len(e))) AS g(i)
+        |    GROUP BY cell, g.i)
+        |  GROUP BY cell
+        |)""".stripMargin
+    s"""WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
+      |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT $nCells)
+      |), ${assign(1, "init")},
+      |${cent(1)},
+      |${assign(2, "cent1")},
+      |${cent(2)},
+      |${assign(3, "cent2")},
+      |${cent(3)}""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
 
     "a1_filter_scan" ->
@@ -1330,44 +1373,24 @@ object Oracles {
         |SELECT query_id, vec_id, cell, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // k-means IVF: 3 unrolled Lloyd iterations. Init = the 8 smallest
-    // vec_ids' vectors; each assign is the squared-L2 argmin (same
-    // expanded dot-product formula as Spark's kmeansAssign, identical
-    // IEEE op sequence); each centroid mean is rounded to 9 decimals —
-    // matching the driver-boundary rounding in Similarity.kmeansFit —
-    // so both engines' iterations proceed from bit-identical centroids.
-    // Probing uses cent3 + assign3: the assignment that PRODUCED the
-    // final centroids, exactly what ivfTopKKmeans reuses.
+    // SemDeDup: the shared Lloyd replay (kmeansAssign3Ctes) + the
+    // within-cell pair scan verbatim — pairs exist only where the
+    // clustering co-locates them, so the oracle gates the full
+    // approximate algorithm (fit + cell scoping + cosine), not just
+    // the pair arithmetic
+    "dedup_semantic" ->
+      s"""${kmeansAssign3Ctes(8)}
+        |SELECT a.cell, a.vec_id AS a, b.vec_id AS b,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS cos
+        |FROM assign3 a JOIN assign3 b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
+
+    // k-means IVF: probing uses cent3 + assign3 from the shared Lloyd
+    // replay (kmeansAssign3Ctes): the assignment that PRODUCED the final
+    // centroids, exactly what ivfTopKKmeans reuses.
     "sim_topk_ivf_kmeans" -> {
-      def d2(e: String, c: String) =
-        s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
-      def assign(i: Int, centSrc: String) =
-        s"""assign$i AS (
-          |  SELECT vec_id, e, cell FROM (
-          |    SELECT m.vec_id, m.e, c.cell, row_number() OVER
-          |      (PARTITION BY m.vec_id ORDER BY ${d2("m.e", "c.c")}, c.cell) AS rn
-          |    FROM emb m, $centSrc c)
-          |  WHERE rn = 1
-          |)""".stripMargin
-      def cent(i: Int) =
-        s"""cent$i AS (
-          |  SELECT cell, list(round(cv, 9) ORDER BY pos) AS c FROM (
-          |    SELECT cell, g.i AS pos, avg(e[g.i]) AS cv
-          |    FROM assign$i, UNNEST(generate_series(1, len(e))) AS g(i)
-          |    GROUP BY cell, g.i)
-          |  GROUP BY cell
-          |)""".stripMargin
-      s"""WITH emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-        |), init AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
-        |  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 8)
-        |), ${assign(1, "init")},
-        |${cent(1)},
-        |${assign(2, "cent1")},
-        |${cent(2)},
-        |${assign(3, "cent2")},
-        |${cent(3)},
+      s"""${kmeansAssign3Ctes(8)},
         |q AS (
         |  SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id IN (0, 1, 2)
         |), probes AS (

@@ -91,6 +91,8 @@ object SparkEntry {
     // maxHamming=3 = the 4x16-bit banding's exactness radius (see Dedup)
     "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    // SemDeDup: k-means-cell-scoped near-dup pairs (fit replayed by oracle)
+    "dedup_semantic" -> ((s, dir) => Dedup.semanticDedupPairs(emb(s, dir), 20)),
     // the production path: multi-table LSH buckets -> in-bucket pairs ->
     // cosine verify (the cross-join form above is its quadratic verifier)
     "dedup_embedding_pipeline" -> ((s, dir) =>

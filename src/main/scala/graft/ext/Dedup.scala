@@ -688,4 +688,38 @@ object Dedup {
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    * scoped to k-means cells: cluster the embeddings once
+    * ([[Similarity.kmeansFit]], the same deterministic Lloyd the IVF
+    * index uses), then compute pairwise cosine only WITHIN a cell and
+    * surface the top-`n` pairs (drop policy: callers keep the smaller
+    * id, as in the near-dup pipeline). The clustering is what makes the
+    * quadratic comparison tractable: pair work is Σ|cell|², not |corpus|²,
+    * and `nCells` is the scale lever — at 100 TB you raise it until
+    * cells fit a partition (the paper runs ~10k cells for LAION-scale),
+    * with the fit cost linear either way. Candidate recall loss (true
+    * near-dups split across a cell boundary) is the algorithm's accepted
+    * approximation, bounded by how tight the clustering is.
+    *
+    * The DuckDB oracle replays the Lloyd fit with the proven
+    * `sim_topk_ivf_kmeans` CTE chain and the within-cell pair scan
+    * verbatim — the full approximate ALGORITHM is hash-gated, not just
+    * the arithmetic.
+    */
+  def semanticDedupPairs(emb: DataFrame, n: Int = 20,
+      nCells: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val (_, assign) = Similarity.kmeansFit(emb, nCells, iters)
+    val withCell = emb.join(assign.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val a = withCell.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"))
+    val b = withCell.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(n)
+  }
 }

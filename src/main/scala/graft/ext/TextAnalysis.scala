@@ -463,20 +463,38 @@ object TextAnalysis {
     */
   def temperatureSample(docs: DataFrame, langCol: String = "lang",
       alpha: Double = 0.5, salt: String = "tsample"): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val counts = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+    val thr = temperatureThresholds(counts, langCol, alpha)
+    docs.join(broadcast(thr), Seq(langCol))
+      .filter(sampleBucket(salt) < col("thr"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** The corpus-global half of [[temperatureSample]], reusable on its
+    * own: per-language acceptance thresholds (out of 10000 hash buckets)
+    * from a `(langCol, n)` count frame. Split out so the STREAMING twin
+    * can refresh thresholds over its landing zone through the exact
+    * arithmetic the batch operator uses — one shared formula, no drift.
+    */
+  def temperatureThresholds(counts: DataFrame, langCol: String = "lang",
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     val nMin = counts.agg(min(col("n")).as("n_min"))
     val rate =
       if (alpha == 0.5) sqrt(col("n_min").cast("double") / col("n"))
       else pow(col("n").cast("double") / col("n_min"), alpha - 1.0)
-    val thr = counts.crossJoin(broadcast(nMin))
+    counts.crossJoin(broadcast(nMin))
       .select(col(langCol), round(lit(10000.0) * rate).cast("long").as("thr"))
-    val bucket = pmod(
-      portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
-      lit(10000L))
-    docs.join(broadcast(thr), Seq(langCol)).filter(bucket < col("thr"))
-      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** The per-document half of the hash samplers: the deterministic
+    * 10000-bucket assignment keyed on doc_id + salt. Final at arrival —
+    * the property that lets streaming twins land it once and re-judge it
+    * against refreshed thresholds forever after.
+    */
+  def sampleBucket(salt: String): Column = pmod(
+    portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
+    lit(10000L))
 
   /** Domain mixture rebalancing — the "data recipe" operator: given
     * target mix proportions over a domain column (source, language, …),

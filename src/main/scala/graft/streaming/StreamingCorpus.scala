@@ -456,6 +456,66 @@ object StreamingCorpus {
     TextAnalysis.selectScoredByTokenBudget(
       spark.read.parquet(s"$outDir/scored"), maxTokens, buckets)
 
+  /** Streaming temperature rebalancing — the streaming twin of
+    * [[graft.ext.TextAnalysis.temperatureSample]]. A document's hash
+    * bucket is final at arrival, but its VERDICT depends on the
+    * corpus-wide language distribution, which every batch reshapes (a
+    * burst of high-resource documents lowers that language's acceptance
+    * threshold and retroactively evicts its early arrivals). Same
+    * late-binding discipline as the quality gate:
+    *
+    *   1. per-doc `(doc_id, lang, bucket)` lands at
+    *      `outDir/meta/batch=<id>` (OVERWRITE — replay-idempotent; ~20
+    *      bytes/doc, never text);
+    *   2. per-language thresholds are REFRESHED per batch over all meta
+    *      landed so far, through the batch operator's own
+    *      [[graft.ext.TextAnalysis.temperatureThresholds]] arithmetic,
+    *      into `outDir/thresholds/batch=<id>` (≤ |langs| rows);
+    *   3. [[temperatureView]] judges every landed doc against the NEWEST
+    *      thresholds — after full coverage it selects exactly the docs
+    *      the batch operator keeps.
+    */
+  def temperatureIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      langCol: String = "lang", alpha: Double = 0.5,
+      salt: String = "tsample"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), col(langCol),
+              TextAnalysis.sampleBucket(salt).as("bucket"))
+            .write.mode("overwrite").parquet(s"$outDir/meta/batch=$batchId")
+          TextAnalysis.temperatureThresholds(
+              spark.read.parquet(s"$outDir/meta")
+                .groupBy(col(langCol)).agg(count(lit(1)).as("n")),
+              langCol, alpha)
+            .write.mode("overwrite").parquet(s"$outDir/thresholds/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time selection over [[temperatureIngest]]'s landing zones: all
+    * landed docs, judged against the newest per-language thresholds.
+    * Equals the batch `temperatureSample` doc set once ingestion has
+    * covered the corpus.
+    */
+  def temperatureView(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, langCol: String = "lang"): DataFrame = {
+    val thrAll = spark.read.parquet(s"$outDir/thresholds")
+    // newest batch's threshold set (≤ |langs| rows; the bounded driver
+    // lookup mirrors qualityGateView's newest-row read). batch is a
+    // DISCOVERED partition column — inferred int for small ids — so cast
+    val latest = thrAll.agg(max(col("batch")).cast("long")).head().getLong(0)
+    val thr = thrAll.filter(col("batch") === latest).drop("batch")
+    spark.read.parquet(s"$outDir/meta")
+      .join(broadcast(thr), Seq(langCol))
+      .filter(col("bucket") < col("thr"))
+      .select(col("doc_id"), col(langCol))
+      .orderBy(col("doc_id"))
+  }
+
   /** Read-time composition of [[qualityGateIngest]]'s two landing zones:
     * all scored docs, gated by the NEWEST threshold row. Same filter
     * semantics as the batch [[graft.ext.TextAnalysis.qualityFilter]];

@@ -920,6 +920,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no separation: planted min ${plantedJacs.min} vs random max ${randomJacs.max}")
   }
 
+  test("semantic dedup pairs are exactly the within-cell restriction of the quadratic verifier") {
+    val (_, assign) = Similarity.kmeansFit(emb, 8, 3)
+    val cellOf = assign.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // full quadratic top pairs, restricted to co-clustered pairs, must be
+    // the SemDeDup result — the clustering is the only approximation
+    val expected = Dedup.embeddingTopPairs(emb, 200000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => cellOf(a) == cellOf(b) }
+      .sortBy { case (a, b, cos) => (-cos, a, b) }
+      .take(20).toSeq
+    val got = Dedup.semanticDedupPairs(emb, 20).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("cos"))).toSeq
+    assert(got == expected, s"diff: ${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    // and the pairs really are cell-scoped
+    val cells = Dedup.semanticDedupPairs(emb, 20).collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("a"), r.getAs[Long]("b")))
+    cells.foreach { case (c, a, b) =>
+      assert(cellOf(a) == c && cellOf(b) == c, s"pair ($a,$b) not in cell $c")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("approx distinct counts are within the configured HLL error of exact") {
     // the registered query now EMBEDS the bound (parts_ok/orders_ok =
     // |approx − exact| ≤ 5·rsd·exact) and emits the exact counts the

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -818,6 +818,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val expected = graft.ext.TextAnalysis.qualityFilter(
         rows.toSeq.toDF("doc_id", "text", "lang", "source"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+  }
+
+  test("streaming temperature rebalancing converges to the batch sampler as thresholds tighten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // language-skewed arrival: the tail languages land first, then the
+    // high-resource bulk — the en threshold must TIGHTEN as en's share
+    // grows, retroactively evicting early en arrivals the early (looser)
+    // thresholds would have kept
+    val rows = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(r => (r._3 == "en", r._1)) // non-en first, then en
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-temp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-temp-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.temperatureIngest(mem.toDF(), outDir, ckpt)
+    val enThr = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try chunks.foreach { c =>
+      mem.addData(c: _*); q.processAllAvailable()
+      val thrAll = spark.read.parquet(s"$outDir/thresholds")
+      val latestB = thrAll.agg(max(col("batch")).cast("long")).head().getLong(0)
+      enThr ++= thrAll.filter(col("batch") === latestB && col("lang") === "en")
+        .collect().map(_.getAs[Long]("thr")).headOption
+    } finally q.stop()
+    // the en threshold genuinely TIGHTENED as the en bulk arrived — a
+    // frozen-verdict design would keep judging early docs by the loose
+    // early threshold
+    assert(enThr.nonEmpty && enThr.last < enThr.head,
+      s"en threshold never tightened: $enThr")
+    val streamed = graft.streaming.StreamingCorpus.temperatureView(spark, outDir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = graft.ext.TextAnalysis.temperatureSample(
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
     assert(expected.nonEmpty && streamed == expected,
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
