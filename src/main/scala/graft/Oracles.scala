@@ -1126,6 +1126,55 @@ object Oracles {
         |SELECT query_id, vec_id, cos, rank FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // matryoshka: identical replay with both sides sliced to the prefix
+    // BEFORE the cosine — same slice-then-score order as the Spark side
+    "sim_topk_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb[1:16] AS DOUBLE[]),
+        |      CAST(e.embedding[1:16] AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // contrastive pairs: the bruteforce and hard-negative replays off one
+    // scored CTE, role-labeled and unioned — (query_id, role, rank) is a
+    // unique deterministic order on both engines
+    "sim_contrastive_pairs" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), pos AS (
+        |  SELECT query_id, vec_id, cos, rank, 'pos' AS role FROM (
+        |    SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 3
+        |), neg AS (
+        |  SELECT query_id, vec_id, cos, rank, 'neg' AS role FROM (
+        |    SELECT query_id, vec_id, cos, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |    FROM scored WHERE cos >= 0.15 AND cos < 0.30)
+        |  WHERE rank <= 10
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |ORDER BY query_id, role, rank""".stripMargin,
+
     "text_quality" -> {
       val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
       s"""WITH base AS (

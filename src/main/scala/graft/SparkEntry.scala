@@ -99,6 +99,13 @@ object SparkEntry {
       Dedup.embeddingTopPairsBucketed(emb(s, dir), 20)),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
+    // MRL prefix-truncated scoring (16 of 64 dims): the serving-cost dial
+    "sim_topk_matryoshka" -> ((s, dir) => Similarity.matryoshkaTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, 16)),
+    // contrastive pair builder: positives + banded hard negatives, one
+    // output (band matches sim_hard_negatives — where this testdata's
+    // random near-orthogonal cosines actually live)
+    "sim_contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(emb(s, dir), Seq(0L, 1L, 2L), 3, 10, 0.15, 0.30)),
     // same exact result through the bounded TopKAggregator (map-side
     // partial top-k) instead of the window sort
     "sim_topk_agg" -> ((s, dir) => Similarity.bruteForceTopKAgg(emb(s, dir), Seq(0L, 1L, 2L), 10)),

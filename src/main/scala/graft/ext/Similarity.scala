@@ -58,6 +58,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka-truncated top-k (MRL, Kusupati et al. 2022,
+    * arXiv:2205.13147): score on only the FIRST `dims` components of
+    * each embedding — the serving-cost dial for models trained with
+    * matryoshka losses, whose leading prefix is itself a valid (coarser)
+    * embedding. Scan bytes, dot-product FLOPs and shuffle width all
+    * shrink by dims/fullDims with modest recall loss; compose with the
+    * int8 tier for the compounded cheap-serving path, or use as the
+    * shortlist stage before a full-dimension re-rank. Pure composition:
+    * a column `slice` in front of the unchanged [[bruteForceTopK]], so
+    * every downstream shape (broadcast queries, banded window) carries
+    * over; the oracle replays the same slice-then-cosine.
+    */
+  def matryoshkaTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      dims: Int = 16): DataFrame =
+    bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding")),
+      queryIds, k)
+
   /** Hard-negative mining for contrastive training: for each query
     * (anchor), the k most similar vectors INSIDE a similarity band —
     * below `ceiling` (anything above is a near-duplicate/positive, not a
@@ -84,6 +102,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Contrastive training-pair mining — the one-stop pair builder for
+    * embedding-model training: for each anchor, its `kPos` nearest
+    * neighbors labeled `pos` (the self-supervised positives) and its
+    * `kNeg` banded hard negatives labeled `neg` (the
+    * [[hardNegatives]] recipe), in ONE output ready to feed a
+    * contrastive loss. Both roles rank over the SAME scored scan
+    * (queries broadcast once per branch, band filter before the
+    * negative window); at corpus scale serve both branches from the
+    * persisted-index shortlist ([[hardNegativesFromIndex]]) and keep
+    * the role split unchanged.
+    */
+  def contrastivePairs(emb: DataFrame, queryIds: Seq[Long],
+      kPos: Int = 3, kNeg: Int = 10,
+      floor: Double = 0.5, ceiling: Double = 0.95): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pos = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPos).withColumn("role", lit("pos"))
+    val neg = scored.filter(col("cos") >= floor && col("cos") < ceiling)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeg).withColumn("role", lit("neg"))
+    pos.unionByName(neg).orderBy(col("query_id"), col("role"), col("rank"))
   }
 
   /** Deterministic random hyperplanes: `numPlanes × dim` doubles in

@@ -920,6 +920,31 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no separation: planted min ${plantedJacs.min} vs random max ${randomJacs.max}")
   }
 
+  test("contrastive pairs decompose into the top-k positives and the banded hard negatives") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "cos", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    import org.apache.spark.sql.functions.col
+    val pairs = Similarity.contrastivePairs(emb, Seq(0L, 1L, 2L), 3, 10, 0.15, 0.30)
+    val pos = rows(pairs.filter(col("role") === "pos"))
+    val neg = rows(pairs.filter(col("role") === "neg"))
+    assert(pos == rows(Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 3)))
+    assert(neg == rows(Similarity.hardNegatives(emb, Seq(0L, 1L, 2L), 10, 0.15, 0.30)))
+    assert(pos.nonEmpty && neg.nonEmpty)
+  }
+
+  test("matryoshka top-k at full width equals the brute-force ranking") {
+    val full = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val m64 = Similarity.matryoshkaTopK(emb, Seq(0L, 1L, 2L), 10, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(m64 == full)
+    // truncated scoring is a genuinely different (coarser) ranking
+    val m16 = Similarity.matryoshkaTopK(emb, Seq(0L, 1L, 2L), 10, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(m16.size == 30 && m16 != full.map(r => (r._1, r._2)).toSeq)
+  }
+
   test("semantic dedup pairs are exactly the within-cell restriction of the quadratic verifier") {
     val (_, assign) = Similarity.kmeansFit(emb, 8, 3)
     val cellOf = assign.select("vec_id", "cell").collect()
