@@ -207,9 +207,13 @@ object Bench {
     // ALSO anomalous means persistent state pollution; a flat recheck
     // means transient noise. Runs in the same session so genuine
     // session-age effects still show.
+    // the ONE anomaly predicate (min > 0.2 s floor keeps sub-second GC
+    // noise out) — shared by the detector, the recheck trigger AND the
+    // recheck verdict so the three can never desynchronize
+    def isAnomalous(r: QRes): Boolean =
+      r.err.isEmpty && r.min > 0.2 && r.med > 1.5 * r.min
     val recheck: Map[String, QRes] = {
-      val flagged = results.filter(r =>
-        r.err.isEmpty && r.min > 0.2 && r.med > 1.5 * r.min).map(_.name)
+      val flagged = results.filter(isAnomalous).map(_.name)
       val byName = entries.toMap
       flagged.flatMap(n => byName.get(n).map(f =>
         n -> runOne(spark, sfDir, reps, warmup)(n, f))).toMap
@@ -244,7 +248,7 @@ object Bench {
     // the warm-up rep outside the window this no longer fires on JIT.
     def anomaliesOf(rs: Seq[QRes], cap: Int): String = {
       val all = rs.collect {
-        case r if r.err.isEmpty && r.min > 0.2 && r.med > 1.5 * r.min =>
+        case r if isAnomalous(r) =>
           jstr(r.name) + ":" + fmt("%.1f", r.med / r.min)
       }
       // cap protects the stdout budget while never reporting "{}" when
@@ -258,7 +262,7 @@ object Bench {
     // verdict per flagged query: does the anomaly survive its recheck?
     val recheckJson = recheck.toSeq.sortBy(_._1).map { case (n, r) =>
       val verdict = if (r.err.nonEmpty) "error"
-        else if (r.med > 1.5 * r.min) "persists" else "transient"
+        else if (isAnomalous(r)) "persists" else "transient"
       jstr(n) + ":" + jstr(verdict)
     }.mkString("{", ",", "}")
     val nErr = results.count(_.err.nonEmpty)

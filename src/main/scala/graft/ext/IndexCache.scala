@@ -78,7 +78,9 @@ object IndexCache {
     val ready = new File(dir, "_GRAFT_READY")
     if (ready.exists()) return dir.getAbsolutePath
     dir.getParentFile.mkdirs()
-    val monitor = keyMonitors.computeIfAbsent(dir.getName, _ => new Object)
+    // keyed by the FULL path: a leaf-name key would false-share one
+    // monitor across unrelated cache roots that happen to collide
+    val monitor = keyMonitors.computeIfAbsent(dir.getAbsolutePath, _ => new Object)
     monitor.synchronized {
       val lockCh = java.nio.channels.FileChannel.open(
         new File(dir.getParentFile, dir.getName + ".lock").toPath,

@@ -39,24 +39,35 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosineSim(a, b)
 
+  /** The shared scoring prelude of the exact-scan family: every corpus
+    * vector against every broadcast query vector, self-excluded, rounded
+    * cosine — `(query_id, vec_id, cos)`. One definition so a change to
+    * the rounding/exclusion rule cannot silently fork between the
+    * operators (and their oracles/specs) built on it.
+    */
+  private def scoredScan(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+  }
+
+  /** The shared `(cos desc, vec_id)` per-anchor ranking window. */
+  private val anchorRank = Window.partitionBy(col("query_id"))
+    .orderBy(col("cos").desc, col("vec_id"))
+
   /** Exact top-k neighbors for each query vector (queries broadcast).
     * Rank on the ROUNDED cosine with vec_id tiebreak so ordering is
     * engine-deterministic.
     */
-  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
-    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+  def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame =
+    scoredScan(emb, queryIds)
+      .withColumn("rank", row_number().over(anchorRank))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Matryoshka-truncated top-k (MRL, Kusupati et al. 2022,
     * arXiv:2205.13147): score on only the FIRST `dims` components of
@@ -88,21 +99,12 @@ object Similarity {
     * keep the band + rank unchanged.
     */
   def hardNegatives(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      floor: Double = 0.5, ceiling: Double = 0.95): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
-    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      floor: Double = 0.5, ceiling: Double = 0.95): DataFrame =
+    scoredScan(emb, queryIds)
       .filter(col("cos") >= floor && col("cos") < ceiling)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(anchorRank))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Contrastive training-pair mining — the one-stop pair builder for
     * embedding-model training: for each anchor, its `kPos` nearest
@@ -118,19 +120,11 @@ object Similarity {
   def contrastivePairs(emb: DataFrame, queryIds: Seq[Long],
       kPos: Int = 3, kNeg: Int = 10,
       floor: Double = 0.5, ceiling: Double = 0.95): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
-    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    val pos = scored.withColumn("rank", row_number().over(w))
+    val scored = scoredScan(emb, queryIds)
+    val pos = scored.withColumn("rank", row_number().over(anchorRank))
       .filter(col("rank") <= kPos).withColumn("role", lit("pos"))
     val neg = scored.filter(col("cos") >= floor && col("cos") < ceiling)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(anchorRank))
       .filter(col("rank") <= kNeg).withColumn("role", lit("neg"))
     pos.unionByName(neg).orderBy(col("query_id"), col("role"), col("rank"))
   }
@@ -253,14 +247,9 @@ object Similarity {
     * `row_number` window — same output, the scale-preferred plan.
     */
   def bruteForceTopKAgg(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    VectorFunctions.register(emb.sparkSession)
     import emb.sparkSession.implicits._
-    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = emb.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"), col("vec_id"))
+    val scored = scoredScan(emb, queryIds)
+      .select(col("query_id"), col("cos"), col("vec_id"))
       .as[(Long, Double, Long)]
     val agg = new TopKAggregator(k)
     scored
