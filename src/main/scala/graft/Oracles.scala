@@ -1798,6 +1798,76 @@ object Oracles {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Shared DSIR weights pipeline (text_dsir_weights /
+    * text_dsir_select): add-1-smoothed bag-of-hashed-n-grams models
+    * (64 buckets of the portable md5-prefix hash over word unigrams +
+    * bigrams) for the English-subset target vs the raw corpus, per-doc
+    * log importance weight Σ c_b·(ln p_b − ln q_b). All divisions are
+    * built from exact-integer CASTs so ln sees identical IEEE doubles in
+    * both engines; the 4-decimal round absorbs partial-aggregation ulp
+    * noise in the per-doc sum.
+    */
+  private val dsirWtsCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), feats AS (
+      |  SELECT doc_id, t[i] AS f
+      |  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+      |  WHERE len(t) >= 1
+      |  UNION ALL
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+      |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+      |  WHERE len(t) >= 2
+      |), docb AS (
+      |  SELECT doc_id, ('0x' || substring(md5(f), 1, 15))::BIGINT % 64 AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM feats GROUP BY 1, 2
+      |), rawm AS (
+      |  SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM docb GROUP BY b
+      |), tgtm AS (
+      |  SELECT x.b, CAST(sum(x.c) AS BIGINT) AS ct
+      |  FROM docb x JOIN documents d USING (doc_id)
+      |  WHERE d.lang = 'en' GROUP BY x.b
+      |), model AS (
+      |  SELECT COALESCE(r.b, t.b) AS b, COALESCE(cr, 0) AS cr,
+      |    COALESCE(ct, 0) AS ct
+      |  FROM rawm r FULL OUTER JOIN tgtm t ON r.b = t.b
+      |), tot AS (
+      |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+      |  FROM model
+      |), lmodel AS (
+      |  SELECT b,
+      |    ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 64.0)) -
+      |    ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 64.0)) AS lr
+      |  FROM model, tot
+      |), wts AS (
+      |  SELECT x.doc_id, CAST(sum(x.c) AS BIGINT) AS n_feats,
+      |    round(sum(x.c * lr), 4) AS logw
+      |  FROM docb x JOIN lmodel USING (b) GROUP BY x.doc_id
+      |)""".stripMargin
+
+  private val dsirWeightsSql: String =
+    dsirWtsCte + "\nSELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id"
+
+  /** Gumbel-top-k resample ∝ importance weight: the noise is the same
+    * deterministic portable-hash uniform (never 0/1 via the +0.5/1e6
+    * midpoint) the engine computes, the key rounds the ALREADY-rounded
+    * logw so both engines rank identical doubles.
+    */
+  private val dsirSelectSql: String =
+    dsirWtsCte +
+      """, sel AS (
+        |  SELECT doc_id, n_feats, logw,
+        |    round(logw - ln(-ln(
+        |      (('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0)), 4) AS sel_key
+        |  FROM wts
+        |  ORDER BY sel_key DESC, doc_id LIMIT 100
+        |)
+        |SELECT doc_id, n_feats, logw, sel_key FROM sel ORDER BY doc_id""".stripMargin
+
   /** text_select_budget: best-first selection under a 5000-token budget.
     * The oracle runs ONE global ordered cumulative sum (tiny data is fine
     * there); the Spark side runs the score-bucketed two-phase prefix sum
@@ -2108,5 +2178,7 @@ object Oracles {
     "text_top_ngrams" -> topNgramsSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_select_budget" -> selectBudgetSql,
+    "text_dsir_weights" -> dsirWeightsSql,
+    "text_dsir_select" -> dsirSelectSql,
     "text_dedup_segments" -> dedupSegmentsSql)
 }

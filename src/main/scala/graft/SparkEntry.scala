@@ -227,6 +227,18 @@ object SparkEntry {
     // sum bucketed by score range — never one global window)
     "text_select_budget" -> ((s, dir) =>
       TextAnalysis.selectByTokenBudget(docs(s, dir), 5000L)),
+    // DSIR (arXiv:2302.03169): importance weights of the raw corpus
+    // against the English-subset target distribution (hashed n-gram bags)
+    "text_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.dsirWeights(d, d.filter(col0("lang") === "en"))
+    }),
+    // DSIR Gumbel-top-k resample: 100 docs drawn ∝ importance weight
+    // with deterministic hash noise
+    "text_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.dsirSelect(d, d.filter(col0("lang") === "en"), 100)
+    }),
     // sliding-window chunking: 32-token windows at stride 16 (half
     // overlap) — the RAG/pretraining context-preserving chunk shape
     "text_chunk_overlap" -> ((s, dir) =>

@@ -934,4 +934,92 @@ object TextAnalysis {
         count(lit(1)).as("n_kept"))
       .orderBy("doc_id")
   }
+
+  /** Hashed word-n-gram feature buckets (doc_id, b), one row per feature
+    * occurrence: unigrams + bigrams through [[portableHash64]] mod
+    * `buckets` — the DSIR feature space (Xie et al. 2022,
+    * arXiv:2302.03169 §2.2 uses hashed unigram+bigram bags). One
+    * tokenize+posexplode scan; the bigram branch reuses the token rows
+    * via a per-doc `lead` window (same shape as
+    * [[Dedup.shinglesMultiset]], and the same reason: higher-order
+    * `transform` lambdas re-run the tokenizer per element).
+    */
+  private def hashedNgramFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
+      .withColumnRenamed("col", "token")
+      .filter(col("token") =!= "")
+    val uni = tok.select(col("doc_id"), col("token").as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok.withColumn("nxt", lead(col("token"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("f"))
+    uni.union(bi)
+      .select(col("doc_id"),
+        pmod(portableHash64(col("f")), lit(buckets.toLong)).as("b"))
+  }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2022, arXiv:2302.03169): per-document log importance
+    * weight `log p_target(x) − log p_raw(x)` under add-λ-smoothed
+    * bag-of-hashed-n-grams models fit on a target corpus and the raw
+    * corpus itself. High `logw` = "looks like the target distribution" —
+    * the data-selection score behind DSIR's quality filtering.
+    *
+    * Scale shape: one feature scan per corpus; both models aggregate to
+    * ≤`buckets` rows (broadcastable however big the corpora are), the
+    * scalar feature totals ride a 1-row broadcast crossJoin, and scoring
+    * is a broadcast join of the tiny log-ratio model onto the per-doc
+    * bucket counts — the only big shuffles are the two (doc_id,b)
+    * aggregations. The raw feature scan is computed twice (model fit +
+    * scoring); at 100 TB persist [[hashedNgramFeatures]]' aggregation or
+    * fit the raw model on a sample (the paper does) — the smoothed model
+    * only needs bucket *proportions*.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 64,
+      lambda: Double = 1.0): DataFrame = {
+    val docB = hashedNgramFeatures(raw, buckets)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val rawM = docB.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgtM = hashedNgramFeatures(target, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val model = rawM.join(tgtM, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    // scalar totals: 1-row aggregate, broadcast onto the ≤buckets-row model
+    val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val lmodel = model.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lambda) / (col("tt") + lambda * buckets)) -
+          log((col("cr") + lambda) / (col("tr") + lambda * buckets))).as("lr"))
+    docB.join(broadcast(lmodel), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * col("lr")), 4).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling without replacement with
+    * probabilities ∝ the importance weights (arXiv:2302.03169 §2.3) —
+    * `argtop-k(logw + g_i)`, g_i standard Gumbel. The noise is
+    * deterministic hash randomness (same portable-hash uniform both
+    * engines compute bit-identically, [[sampleBucket]]'s convention) so
+    * the selected SET is layout/run/engine-independent and
+    * oracle-checkable. orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row driver merge, never a global sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+      buckets: Int = 64, lambda: Double = 1.0,
+      salt: String = "dsir"): DataFrame = {
+    // u in (0,1): (h mod 1e6 + 0.5)/1e6 — never 0 or 1, so -ln(-ln u) is finite
+    val u = (pmod(portableHash64(concat_ws(":", lit(salt),
+      col("doc_id").cast("string"))), lit(1000000L)).cast("double") + 0.5) /
+      1000000.0
+    dsirWeights(raw, target, buckets, lambda)
+      .withColumn("sel_key", round(col("logw") - log(-log(u)), 4))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1414,4 +1414,41 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "bucketed embedding dedup planned a quadratic join")
   }
+
+  test("DSIR: weights separate target-like docs, Gumbel resample is enriched and deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val target = docs.filter(col("lang") === "en")
+    val wts = graft.ext.TextAnalysis.dsirWeights(docs, target).collect()
+    assert(wts.length == docs.count())
+    // feature count = unigrams + bigrams = 2·tokens − 1 for every doc
+    val tokCounts = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.tokenCount(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wts.foreach { r =>
+      val n = tokCounts(r.getLong(0))
+      assert(r.getLong(1) == (if (n >= 2) 2 * n - 1 else n),
+        s"doc ${r.getLong(0)}: n_feats ${r.getLong(1)} for $n tokens")
+    }
+    // importance separates the distributions: mean logw of in-target
+    // (English) docs must exceed mean logw of the rest
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = wts.partition(r => langOf(r.getLong(0)) == "en")
+    val meanEn = en.map(_.getDouble(2)).sum / en.length
+    val meanOther = other.map(_.getDouble(2)).sum / other.length
+    assert(meanEn > meanOther,
+      s"target-likeness not separated: en=$meanEn other=$meanOther")
+    // Gumbel-top-k: exactly k rows, en-enriched vs the
+    // base rate, and bit-identical across runs (hash noise, no RNG)
+    val k = 20
+    val sel = graft.ext.TextAnalysis.dsirSelect(docs, target, k).collect()
+    assert(sel.length == k)
+    val enRateSel = sel.count(r => langOf(r.getLong(0)) == "en").toDouble / k
+    val enRateAll = en.length.toDouble / wts.length
+    assert(enRateSel > enRateAll,
+      s"selection not enriched: $enRateSel <= base $enRateAll")
+    val again = graft.ext.TextAnalysis.dsirSelect(docs, target, k).collect()
+    assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
 }
