@@ -1851,6 +1851,42 @@ object Oracles {
   private val dsirWeightsSql: String =
     dsirWtsCte + "\nSELECT doc_id, n_feats, logw FROM wts ORDER BY doc_id"
 
+  /** corpus_diff: the same synthetic snapshot derivation (old drops
+    * id%13, new drops id%11 and appends ' v2' to id%7) diffed by md5
+    * content fingerprint.
+    */
+  private val corpusDiffSql: String =
+    """WITH olds AS (
+      |  SELECT doc_id, md5(text) AS old_fp FROM documents WHERE doc_id % 13 <> 0
+      |), news AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |), j AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.old_fp IS NULL THEN 'added'
+      |         WHEN n.new_fp IS NULL THEN 'removed'
+      |         WHEN o.old_fp <> n.new_fp THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+      |)
+      |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
+  /** corpus_profile: per-column null/distinct/min/max over the documents
+    * table — one UNION ALL branch per column (the oracle may re-scan; the
+    * engine folds all columns into one aggregation).
+    */
+  private val corpusProfileSql: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""  SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |    CAST(min($c) AS VARCHAR) AS min_value,
+         |    CAST(max($c) AS VARCHAR) AS max_value
+         |  FROM documents""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\n  UNION ALL\n", "\n) ORDER BY col_name")
+
   /** Gumbel-top-k resample ∝ importance weight: the noise is the same
     * deterministic portable-hash uniform (never 0/1 via the +0.5/1e6
     * midpoint) the engine computes, the key rounds the ALREADY-rounded
@@ -2111,6 +2147,38 @@ object Oracles {
     "text_perplexity_lm" -> base("text_perplexity"),
     // per-dimension moments: same double accumulation targets, rounded
     // to 6 (partial-agg order differs in the last ulp); min/max exact
+    // PSI drift: same parity-split snapshots, same fixed [-1,1] bins with
+    // edge clamping, add-0.5 smoothing — all ratios built from exact
+    // integers so ln sees identical doubles; round 6 absorbs sum-order ulp
+    "sim_drift_psi" ->
+      """WITH x AS (
+        |  SELECT vec_id, g.i - 1 AS dim, CAST(e[g.i] AS DOUBLE) AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |    UNNEST(generate_series(1, len(e))) AS g(i)
+        |), binned AS (
+        |  SELECT vec_id % 2 = 0 AS is_ref, dim,
+        |    LEAST(GREATEST(CAST(floor((v + 1.0) / (2.0 / 10)) AS INTEGER), 0), 9) AS bin
+        |  FROM x
+        |), h AS (
+        |  SELECT dim, bin,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+        |  FROM binned GROUP BY dim, bin
+        |), t AS (
+        |  SELECT dim, c_ref, c_cur,
+        |    CAST(sum(c_ref) OVER (PARTITION BY dim) AS BIGINT) AS t_ref,
+        |    CAST(sum(c_cur) OVER (PARTITION BY dim) AS BIGINT) AS t_cur
+        |  FROM h
+        |), p AS (
+        |  SELECT dim,
+        |    (c_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+        |    (c_cur + 0.5) / (t_cur + 5.0) AS p_cur
+        |  FROM t
+        |)
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi
+        |FROM p GROUP BY dim ORDER BY dim""".stripMargin,
+
     "sim_dim_stats" ->
       """WITH x AS (
         |  SELECT g.i - 1 AS dim, CAST(e[g.i] AS DOUBLE) AS v
@@ -2180,5 +2248,7 @@ object Oracles {
     "text_select_budget" -> selectBudgetSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
+    "corpus_diff" -> corpusDiffSql,
+    "corpus_profile" -> corpusProfileSql,
     "text_dedup_segments" -> dedupSegmentsSql)
 }

@@ -84,6 +84,24 @@ object SparkEntry {
     // short doc embedded in a long one, which union-normalized Jaccard misses
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir), 0.8)),
     "corpus_clean" -> ((s, dir) => TextAnalysis.cleanCorpus(docs(s, dir))),
+    // snapshot diff: synthetic adjacent corpus versions derived from one
+    // table (old drops id%13, new drops id%11 and edits id%7) so both
+    // engines diff identical snapshots
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col0("doc_id") % 13 =!= 0)
+      val newSnap = d.filter(col0("doc_id") % 11 =!= 0)
+        .withColumn("text", org.apache.spark.sql.functions.when(
+          col0("doc_id") % 7 === 0,
+          org.apache.spark.sql.functions.concat(col0("text"),
+            org.apache.spark.sql.functions.lit(" v2")))
+          .otherwise(col0("text")))
+      graft.operators.DataQuality.snapshotDiff(oldSnap, newSnap)
+    }),
+    // one-pass column profiling of the corpus table
+    "corpus_profile" -> ((s, dir) =>
+      graft.operators.DataQuality.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan
     "pipeline_training_set" -> ((s, dir) =>
@@ -289,6 +307,13 @@ object SparkEntry {
     // per-dimension corpus diagnostics (dead/skewed dims, ranges) — d
     // rows out regardless of corpus size
     "sim_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(emb(s, dir))),
+    // PSI drift between two synthetic snapshots (vec_id parity split) —
+    // d rows out, histograms bounded at dims×bins rows
+    "sim_drift_psi" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.embeddingDriftPsi(
+        e.filter(col0("vec_id") % 2 === 0), e.filter(col0("vec_id") % 2 === 1))
+    }),
     // int8 serving tier: quantized-codes scan (scale cancels in cosine),
     // exact re-rank on the shortlist only
     "sim_topk_int8_index" -> ((s, dir) => {

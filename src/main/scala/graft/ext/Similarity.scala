@@ -199,6 +199,44 @@ object Similarity {
         round(max(col("v")), 6).as("v_max"))
       .orderBy(col("dim"))
 
+  /** Per-dimension embedding drift between a reference and a current
+    * snapshot: Population Stability Index over `bins` fixed-width
+    * histogram buckets on [-1, 1] (values clamped into the edge bins),
+    * `PSI_d = Σ_b (p_cur − p_ref)·ln(p_cur/p_ref)` with add-0.5 bucket
+    * smoothing so empty buckets stay finite. PSI > 0.2 on a dimension is
+    * the standard "distribution shifted, investigate the encoder" alarm.
+    *
+    * Shape: one posexplode aggregation per snapshot to `dims × bins`
+    * rows, a full-outer join of the two tiny histograms, and a
+    * dims-partitioned window for the per-dimension totals (each partition
+    * holds ≤ `bins` rows — bounded by construction regardless of corpus
+    * size). Output is `dims` rows.
+    */
+  def embeddingDriftPsi(ref: DataFrame, cur: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 histogram bins")
+    def binned(df: DataFrame, cnt: String): DataFrame = df
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("dim"), col("col").cast("double").as("v"))
+      .withColumn("bin", least(greatest(
+        floor((col("v") + 1.0) / (2.0 / bins)).cast("int"), lit(0)), lit(bins - 1)))
+      .groupBy(col("dim"), col("bin")).agg(count(lit(1)).as(cnt))
+    val j = binned(ref, "c_ref").join(binned(cur, "c_cur"), Seq("dim", "bin"), "full_outer")
+      .select(col("dim"), col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val wd = Window.partitionBy(col("dim"))
+    j.withColumn("t_ref", sum(col("c_ref")).over(wd))
+      .withColumn("t_cur", sum(col("c_cur")).over(wd))
+      .withColumn("p_ref",
+        (col("c_ref") + 0.5) / (col("t_ref") + 0.5 * bins))
+      .withColumn("p_cur",
+        (col("c_cur") + 0.5) / (col("t_cur") + 0.5 * bins))
+      .groupBy(col("dim"))
+      .agg(round(sum((col("p_cur") - col("p_ref")) *
+        log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+      .orderBy(col("dim"))
+  }
+
   /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
     * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,
     * and participates in map-side partial aggregation. At scale this beats

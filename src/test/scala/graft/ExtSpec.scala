@@ -264,6 +264,54 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("doc_id_not_null", 0L, 0L, true), ("doc_id_unique", 0L, 0L, true)))
   }
 
+  test("snapshotDiff classifies added/removed/changed by content, drops unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val diff = graft.operators.DataQuality.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+    // identical snapshots: empty report
+    assert(graft.operators.DataQuality.snapshotDiff(oldSnap, oldSnap).count() == 0)
+  }
+
+  test("profile reports nulls/distinct/min/max per column in one aggregation") {
+    import spark.implicits._
+    val t = Seq[(java.lang.Long, String)]((3L, "b"), (1L, "a"), (null, "a"))
+      .toDF("id", "s")
+    val rows = graft.operators.DataQuality.profile(t, Seq("id", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(rows.toSeq == Seq(
+      ("id", 3L, 1L, 2L, "1", "3"),
+      ("s", 3L, 0L, 2L, "a", "b")))
+    // ONE aggregation over ONE scan: exactly one Aggregate leaf pair and
+    // one FileScan/LocalTableScan in the plan (the Expand multiplies rows,
+    // not scans)
+    val plan = graft.operators.DataQuality.profile(t, Seq("id", "s"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.split("LocalRelation|Relation").length <= 3, plan)
+  }
+
+  test("embeddingDriftPsi: identical snapshots drift 0, shifted snapshot flags dims") {
+    import spark.implicits._
+    val base = (0L until 100L).map { i =>
+      (i, Array.tabulate(4)(d => ((i + d) % 10).toFloat / 10f - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val zero = graft.ext.Similarity.embeddingDriftPsi(base, base).collect()
+    assert(zero.length == 4 && zero.forall(r => math.abs(r.getDouble(1)) < 1e-9))
+    // shift dimension 2 hard right; other dims keep their distribution
+    val shifted = base.select($"vec_id",
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, (v, d) -> CASE WHEN d = 2 THEN v + float(0.8) ELSE v END)")
+        .as("embedding"))
+    val drift = graft.ext.Similarity.embeddingDriftPsi(base, shifted)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(drift(2) > 0.2, s"shifted dim should alarm: ${drift(2)}")
+    assert(Seq(0, 1, 3).forall(d => drift(d) < 0.05),
+      s"unshifted dims should stay quiet: $drift")
+  }
+
   test("bigram perplexity matches a hand-computed LM on a tiny fixture") {
     import spark.implicits._
     val fixture = Seq((1L, "a b a b"), (2L, "z z"), (3L, "q")).toDF("doc_id", "text")
