@@ -2247,6 +2247,9 @@ object Oracles {
     "text_quality_filter" -> qualityFilterSql,
     "text_select_budget" -> selectBudgetSql,
     "text_dsir_weights" -> dsirWeightsSql,
+    // the persisted-model serve path must reproduce the in-memory weights
+    // bit-for-bit — same oracle
+    "text_dsir_model" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "corpus_diff" -> corpusDiffSql,
     "corpus_profile" -> corpusProfileSql,

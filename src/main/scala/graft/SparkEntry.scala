@@ -257,6 +257,17 @@ object SparkEntry {
       val d = docs(s, dir)
       TextAnalysis.dsirSelect(d, d.filter(col0("lang") === "en"), 100)
     }),
+    // fit-once-score-many: same weights served from the persisted model
+    // (shares the text_dsir_weights oracle — outputs are bit-identical)
+    "text_dsir_model" -> ((s, dir) => {
+      val model = graft.ext.IndexCache.ensure(s, dir, "dsir_model",
+          table = "documents") { d =>
+        val corpus = docs(s, dir)
+        TextAnalysis.buildDsirModel(corpus,
+          corpus.filter(col0("lang") === "en"), d)
+      }
+      TextAnalysis.dsirWeightsFromModel(s, model, docs(s, dir))
+    }),
     // sliding-window chunking: 32-token windows at stride 16 (half
     // overlap) — the RAG/pretraining context-preserving chunk shape
     "text_chunk_overlap" -> ((s, dir) =>

@@ -984,20 +984,81 @@ object TextAnalysis {
     val rawM = docB.groupBy(col("b")).agg(sum(col("c")).as("cr"))
     val tgtM = hashedNgramFeatures(target, buckets)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    dsirScore(docB, dsirLrFromCounts(rawM, tgtM, buckets, lambda))
+  }
+
+  /** The smoothed log-ratio model from bucket counts — ONE definition
+    * shared by the in-memory and persisted-model paths so their
+    * arithmetic can never fork. ≤`buckets` rows in, ≤`buckets` rows out;
+    * the scalar totals ride a 1-row broadcast crossJoin.
+    */
+  private def dsirLrFromCounts(rawM: DataFrame, tgtM: DataFrame,
+      buckets: Int, lambda: Double): DataFrame = {
     val model = rawM.join(tgtM, Seq("b"), "full_outer")
       .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("ct"), lit(0L)).as("ct"))
-    // scalar totals: 1-row aggregate, broadcast onto the ≤buckets-row model
     val tot = model.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val lmodel = model.crossJoin(broadcast(tot))
+    model.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + lambda) / (col("tt") + lambda * buckets)) -
           log((col("cr") + lambda) / (col("tr") + lambda * buckets))).as("lr"))
+  }
+
+  /** Score per-doc bucket counts against a (b, lr) model: broadcast join
+    * + one doc_id aggregation. Buckets absent from the model contribute
+    * nothing (inner join) — with a model fit on the scored corpus itself
+    * every observed bucket is present; a FROZEN model scoring held-out
+    * text treats unseen-bucket mass as ratio 1 (log-ratio 0), the neutral
+    * read.
+    */
+  private def dsirScore(docB: DataFrame, lmodel: DataFrame): DataFrame =
     docB.join(broadcast(lmodel), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
         round(sum(col("c") * col("lr")), 4).as("logw"))
       .orderBy(col("doc_id"))
+
+  /** Persist the DSIR log-ratio model (fit-once-score-many, the
+    * [[buildBigramLm]] lifecycle): versioned `v_<n>` root with an atomic
+    * CURRENT flip, holding the ≤`buckets`-row `lmodel` table and a 1-row
+    * `meta` (bucket count). The expensive corpus passes happen HERE, at
+    * build time; every subsequent scoring job pays only its own feature
+    * scan plus a broadcast of the tiny model.
+    */
+  def buildDsirModel(raw: DataFrame, target: DataFrame, dir: String,
+      buckets: Int = 64, lambda: Double = 1.0): Unit = {
+    val spark = raw.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = graft.ext.Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    val rawM = hashedNgramFeatures(raw, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtM = hashedNgramFeatures(target, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    dsirLrFromCounts(rawM, tgtM, buckets, lambda)
+      .write.mode("overwrite").parquet(s"$newRoot/lmodel")
+    spark.range(1).select(lit(buckets).cast("int").as("buckets"))
+      .write.mode("overwrite").parquet(s"$newRoot/meta")
+    graft.ext.Similarity.publishIndexVersion(fs, dir, n, Seq("lmodel", "meta"))
+  }
+
+  /** Score documents against a PERSISTED DSIR model — identical
+    * arithmetic to [[dsirWeights]] (shared [[dsirScore]] and a
+    * round-tripped double `lr` column), so scoring a corpus against its
+    * own model reproduces the in-memory result bit-for-bit and the
+    * registered twin reuses that oracle verbatim. The version root is
+    * resolved once; the only driver action is the 1-row meta read.
+    */
+  def dsirWeightsFromModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame): DataFrame = {
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    val lmodel = spark.read.parquet(s"$root/lmodel")
+    // bounded driver action: meta is one row by construction
+    val buckets = spark.read.parquet(s"$root/meta").first().getInt(0)
+    val docB = hashedNgramFeatures(docs, buckets)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    dsirScore(docB, lmodel)
   }
 
   /** DSIR selection: Gumbel-top-k resampling without replacement with

@@ -398,6 +398,33 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming DSIR scoring against a FROZEN persisted log-ratio model
+    * ([[graft.ext.TextAnalysis.buildDsirModel]]) — the serving shape of
+    * importance-weight data selection: the target/raw models are fit
+    * offline, a continuous candidate stream scores against them. A
+    * document's weight depends only on itself and the frozen model, so
+    * verdicts are final at arrival and the stream equals the batch
+    * [[graft.ext.TextAnalysis.dsirWeightsFromModel]] over the same input
+    * exactly. The model version is pinned at stream start (a concurrent
+    * rebuild flips CURRENT for the NEXT stream, never mid-stream); scores
+    * land batch-id-keyed with OVERWRITE for replay idempotence.
+    */
+  def dsirScoreIngest(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val root = graft.ext.Similarity.resolveIndexRoot(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.dsirWeightsFromModel(batch.sparkSession, root,
+              batch.drop("event_time"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming token-budget best-first selection — the streaming twin of
     * [[graft.ext.TextAnalysis.selectByTokenBudget]]. A document's
     * membership in "the best `maxTokens` tokens seen so far" is a GLOBAL

@@ -1498,5 +1498,13 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"selection not enriched: $enRateSel <= base $enRateAll")
     val again = graft.ext.TextAnalysis.dsirSelect(docs, target, k).collect()
     assert(sel.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // the persisted-model serve path reproduces in-memory weights
+    // bit-for-bit (shared scoring + round-tripped double lr)
+    val dirM = java.nio.file.Files.createTempDirectory("graft-dsir-m").toString
+    graft.ext.TextAnalysis.buildDsirModel(docs, target, dirM)
+    val served = graft.ext.TextAnalysis.dsirWeightsFromModel(spark, dirM, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(served.toSeq ==
+      wts.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 }

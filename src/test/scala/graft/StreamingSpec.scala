@@ -781,6 +781,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming DSIR scoring equals the batch scorer against the same frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model frozen on the full sf0.001 corpus (target = English subset);
+    // candidate stream carries in-corpus docs plus a held-out doc whose
+    // features miss the model's buckets partially — weights are final at
+    // arrival, so streamed scores equal the batch serve path row-for-row
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-dsir-stream").toString
+    graft.ext.TextAnalysis.buildDsirModel(docs,
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en"), modelDir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = docs.select("doc_id", "text", "lang", "source").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))) :+
+      ((900002L, "unseen words entirely fresh tokens", "xx", "heldout"))
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dsirscore-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dsirscore-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.dsirScoreIngest(mem.toDF(), modelDir, outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_feats", "logw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = graft.ext.TextAnalysis.dsirWeightsFromModel(spark, modelDir,
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.exists(_._1 == 900002L), "held-out doc must score")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming corpus-relative quality gate converges to the batch percentile filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
