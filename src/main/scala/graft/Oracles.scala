@@ -1773,6 +1773,33 @@ object Oracles {
       |ORDER BY n_occurrences DESC, ngram
       |LIMIT 50""".stripMargin
 
+  /** text_heavy_hitters: the exact top-20 trigram side plus the
+    * Misra-Gries theorem flags. `guaranteed` is pure exact arithmetic
+    * (count·(k+1) > total, k = 512); `found_ok`/`err_ok` are pinned TRUE
+    * — the sketch side must honor its contract (presence of every
+    * guaranteed item; undercount within n/(k+1)) at every scale, which is
+    * the theorem, not tuning.
+    */
+  private val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE len(t) >= 3
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM sh
+      |)
+      |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(*) AS BIGINT) * 513 > tot.n_total AS guaranteed,
+      |  TRUE AS found_ok,
+      |  TRUE AS err_ok
+      |FROM sh, tot GROUP BY ngram, tot.n_total
+      |ORDER BY n_occurrences DESC, ngram
+      |LIMIT 20""".stripMargin
+
   /** text_quality_filter: rank-relative quality gate — the same base
     * ratios as text_quality (hash-green replica), composed into a scalar
     * score, cut at the exact interpolated corpus quantile
@@ -2244,6 +2271,7 @@ object Oracles {
     "multimodal_audio_windows" -> multimodalAudioWindowsSql,
     "multimodal_audio_energy" -> multimodalAudioEnergySql,
     "text_top_ngrams" -> topNgramsSql,
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_quality_filter" -> qualityFilterSql,
     "text_select_budget" -> selectBudgetSql,
     "text_dsir_weights" -> dsirWeightsSql,

@@ -191,7 +191,12 @@ object Prof {
             graft.ext.TextAnalysis.temperatureSample(Queries.table(s, d, "documents"))),
           ("multimodal_audio_energy", Queries.multimodalAudioEnergy _),
           ("dedup_pipeline", (s: SparkSession, d: String) =>
-            graft.ext.Dedup.nearDupPipeline(Queries.table(s, d, "documents"), 0.8)))) {
+            graft.ext.Dedup.nearDupPipeline(Queries.table(s, d, "documents"), 0.8)),
+          ("text_dsir_weights", SparkEntry.queries("text_dsir_weights")),
+          ("text_dsir_select", SparkEntry.queries("text_dsir_select")),
+          ("corpus_diff", SparkEntry.queries("corpus_diff")),
+          ("corpus_profile", SparkEntry.queries("corpus_profile")),
+          ("sim_drift_psi", SparkEntry.queries("sim_drift_psi")))) {
         val df = fn(spark, sf)
         // materialize through df's OWN QueryExecution (collect, small
         // sf0.001 results): a write would wrap the logical plan in a NEW

@@ -180,6 +180,10 @@ object SparkEntry {
       TextAnalysis.perplexityFromLm(s, lm, docs(s, dir))
     }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
+    // Misra-Gries sketch gated by its own theorem (exact side + pinned
+    // presence/error-bound flags) — the bounded-state scale path for
+    // topNgrams
+    "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(

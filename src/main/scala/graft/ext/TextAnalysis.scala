@@ -1083,4 +1083,87 @@ object TextAnalysis {
       .limit(k)
       .orderBy(col("doc_id"))
   }
+
+  /** Mergeable Misra-Gries heavy-hitters summary (Misra & Gries 1982;
+    * mergeable form Agarwal et al., PODS'12): at most `k` counters per
+    * buffer; an over-full insert decrements every counter, an over-full
+    * merge subtracts the (k+1)-th largest count and keeps the top k.
+    * Guarantees after any merge tree: estimates never exceed true counts,
+    * undercount by at most n/(k+1) occurrences, and every item with
+    * true count > n/(k+1) survives — which is exactly what
+    * [[heavyHitters]]' oracle gate checks.
+    *
+    * This is the scale path for "top n-grams over 100 TB": the exact
+    * [[topNgrams]] shuffles every distinct n-gram's count; this keeps ≤ k
+    * counters per partition and ships ≤ k entries per merge, at the cost
+    * of bounded undercount.
+    */
+  final class MisraGriesAggregator(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[(String, Long)]] {
+    require(k >= 1, "need at least one counter")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+      b.get(x) match {
+        case Some(c) => b.updated(x, c + 1)
+        case None if b.size < k => b.updated(x, 1L)
+        // over-full: decrement all (drop zeros) — the classic MG step;
+        // O(k) but amortized O(1) per input (each decrement pays off k
+        // prior inserts)
+        case None => b.collect { case (s, c) if c > 1 => s -> (c - 1) }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (s, c)) =>
+        m.updated(s, m.getOrElse(s, 0L) + c) }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count, keep survivors (≤ k by
+        // construction; deterministic given the merged multiset)
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.collect { case (s, c) if c > d => s -> (c - d) }
+      }
+    }
+    override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (s, c) => (-c, s) }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Heavy hitters with a PROVABLE gate: the exact top-`topM` n-grams
+    * (the [[topNgrams]] ranking) annotated with whether the Misra-Gries
+    * theorem guarantees each one a sketch entry
+    * (`guaranteed` ⇔ exact > n/(k+1)) and whether the sketch honored its
+    * contract — `found_ok` (every guaranteed item present) and `err_ok`
+    * (0 ≤ exact − estimate ≤ n/(k+1) when present). The two flags are
+    * THEOREMS, not tuning accidents, so the DuckDB oracle computes the
+    * exact side + `guaranteed` independently and pins both flags true at
+    * every scale — no `no_oracle` escape hatch.
+    */
+  def heavyHitters(docs: DataFrame, n: Int = 3, k: Int = 512,
+      topM: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = graft.ext.Dedup.shinglesMultiset(docs, n)
+    val est = sh.select(col("sh")).as[String]
+      .groupByKey(_ => 0)
+      .agg(new MisraGriesAggregator(k).toColumn.name("hh"))
+      .flatMap { case (_, hh) => hh }
+      .toDF("ngram", "est")
+    val total = sh.agg(count(lit(1)).as("n_total"))
+    val exactTop = topNgrams(docs, n, topM)
+    exactTop
+      .join(est, Seq("ngram"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("ngram"), col("n_occurrences"),
+        (col("n_occurrences") * (k + 1L) > col("n_total")).as("guaranteed"),
+        (col("n_occurrences") * (k + 1L) <= col("n_total") ||
+          col("est").isNotNull).as("found_ok"),
+        (col("est").isNull ||
+          (col("est") <= col("n_occurrences") &&
+            (col("n_occurrences") - col("est")) * (k + 1L) <= col("n_total")))
+          .as("err_ok"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+  }
 }

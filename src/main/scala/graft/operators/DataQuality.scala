@@ -83,9 +83,18 @@ object DataQuality {
     * majority between adjacent snapshots) are dropped from the report.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-      keyCol: String = "doc_id", payloadCol: String = "text"): DataFrame = {
-    val o = oldSnap.select(col(keyCol), md5(col(payloadCol)).as("old_fp"))
-    val n = newSnap.select(col(keyCol), md5(col(payloadCol)).as("new_fp"))
+      keyCol: String = "doc_id", payloadCol: String = "text"): DataFrame =
+    diffFromFingerprints(
+      oldSnap.select(col(keyCol), md5(col(payloadCol)).as("old_fp")),
+      newSnap.select(col(keyCol), md5(col(payloadCol)).as("new_fp")),
+      keyCol)
+
+  /** The classification core of [[snapshotDiff]], over already-computed
+    * fingerprint frames `(key, old_fp)` / `(key, new_fp)` — shared with
+    * the streaming CDC view so batch and stream can never diverge.
+    */
+  private[graft] def diffFromFingerprints(o: DataFrame, n: DataFrame,
+      keyCol: String): DataFrame =
     o.join(n, Seq(keyCol), "full_outer")
       .withColumn("status",
         when(col("old_fp").isNull, lit("added"))
@@ -95,7 +104,6 @@ object DataQuality {
       .filter(col("status") =!= "unchanged")
       .select(col(keyCol), col("status"))
       .orderBy(col(keyCol))
-  }
 
   /** One-pass column profiling: per-column null count, exact distinct
     * count, min and max (stringified so heterogeneous column types share

@@ -483,6 +483,44 @@ object StreamingCorpus {
     TextAnalysis.selectScoredByTokenBudget(
       spark.read.parquet(s"$outDir/scored"), maxTokens, buckets)
 
+  /** Streaming snapshot diff (the CDC shape of
+    * [[graft.operators.DataQuality.snapshotDiff]]): the NEW corpus
+    * version arrives as a stream; each batch lands its content
+    * fingerprints `(doc_id, new_fp)` batch-id-keyed with OVERWRITE
+    * (replay-idempotent, 16-byte digests only — never document text).
+    * Added/changed verdicts are final at arrival (doc + frozen old side
+    * only); REMOVED is a corpus-level property that only closes once the
+    * new snapshot is fully ingested, so classification lives in
+    * [[diffView]], which runs the batch operator's own classification
+    * core over the landed zone — at full coverage the view equals the
+    * batch diff exactly.
+    */
+  def diffIngest(newDocs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col("doc_id"), md5(col("text")).as("new_fp"))
+            .write.mode("overwrite").parquet(s"$outDir/fp/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time diff of [[diffIngest]]'s landed fingerprints against the
+    * frozen OLD snapshot — the shared
+    * [[graft.operators.DataQuality.diffFromFingerprints]] core, so batch
+    * and stream can never diverge. Until ingestion completes, not-yet-
+    * arrived docs read as `removed` (the honest partial-coverage answer).
+    */
+  def diffView(spark: org.apache.spark.sql.SparkSession, oldSnap: DataFrame,
+      outDir: String, payloadCol: String = "text"): DataFrame =
+    graft.operators.DataQuality.diffFromFingerprints(
+      oldSnap.select(col("doc_id"), md5(col(payloadCol)).as("old_fp")),
+      spark.read.parquet(s"$outDir/fp").select(col("doc_id"), col("new_fp")),
+      "doc_id")
+
   /** Streaming temperature rebalancing — the streaming twin of
     * [[graft.ext.TextAnalysis.temperatureSample]]. A document's hash
     * bucket is final at arrival, but its VERDICT depends on the

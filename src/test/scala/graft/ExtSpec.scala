@@ -1507,4 +1507,31 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.toSeq ==
       wts.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
+
+  test("Misra-Gries sketch honors presence and error-bound guarantees under tiny k") {
+    import spark.implicits._
+    // 3 heavy items over a 400-item tail, only k = 8 counters: both the
+    // over-full insert (decrement-all) and the over-full merge (subtract
+    // (k+1)-th largest) paths fire constantly across 8 partitions
+    val items = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++
+      Seq.fill(120)("gamma") ++ (0 until 400).map(i => s"tail$i")
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val k = 8
+    val est = shuffled.toDS().repartition(8)
+      .groupByKey(_ => 0)
+      .agg(new graft.ext.TextAnalysis.MisraGriesAggregator(k).toColumn.name("hh"))
+      .flatMap(_._2).collect().toMap
+    assert(est.size <= k)
+    val n = items.size
+    val bound = n / (k + 1.0)
+    val exact = items.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    // theorem 1: every item with true count > n/(k+1) is present
+    exact.filter(_._2 > bound).keys
+      .foreach(s => assert(est.contains(s), s"guaranteed item $s missing"))
+    // theorem 2: estimates never exceed truth, undercount <= n/(k+1)
+    est.foreach { case (s, e) =>
+      val t = exact.getOrElse(s, 0L)
+      assert(e <= t && t - e <= bound, s"$s: est=$e true=$t bound=$bound")
+    }
+  }
 }

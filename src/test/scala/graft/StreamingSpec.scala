@@ -818,6 +818,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming snapshot diff converges to the batch diff at full coverage") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus_diff snapshots: old drops id%13, new drops id%11 and
+    // edits id%7 — the NEW side streamed in three micro-batches
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val oldSnap = docs.filter($"doc_id" % 13 =!= 0)
+    val newRows = docs.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.when($"doc_id" % 7 === 0,
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" v2"))).otherwise($"text")
+          .as("text"), $"lang", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = newRows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((newRows.length + 2) / 3).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-diff-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-diff-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.diffIngest(
+      mem.toDF().drop("event_time"), outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = graft.streaming.StreamingCorpus.diffView(spark, oldSnap, outDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val newSnap = newRows.toSeq.toDF("doc_id", "text", "lang", "source")
+    val expected = graft.operators.DataQuality.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(expected.nonEmpty && streamed == expected)
+    spark.catalog.clearCache()
+  }
+
   test("streaming corpus-relative quality gate converges to the batch percentile filter") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
