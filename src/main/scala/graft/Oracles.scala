@@ -1261,6 +1261,47 @@ object Oracles {
         |ORDER BY c.a, c.b""".stripMargin
     },
 
+    // Incremental MinHash-index dedup: identical signature replay, but the
+    // band joins pair the indexed side (doc_id%5!=0) against the incoming
+    // batch (doc_id%5==0) — the oracle replays exactly what
+    // dedupAgainstMinhashIndex computes over the persisted signatures
+    "dedup_minhash_index" -> {
+      val p = graft.ext.Dedup.MinhashP
+      val sigCols = graft.ext.Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * h + $b) % $p) AS mh_$i" }
+        .mkString(",\n    ")
+      val bandJoins = (0 until 8).map { bIdx =>
+        val conds = (0 until 4).map(r => s"sa.mh_${bIdx * 4 + r} = sb.mh_${bIdx * 4 + r}")
+          .mkString(" AND ")
+        s"SELECT sb.doc_id AS new_id, sa.doc_id AS dup_of FROM sig sa JOIN sig sb\n      ON $conds AND sa.doc_id % 5 <> 0 AND sb.doc_id % 5 = 0"
+      }.mkString("\n    UNION ALL\n    ")
+      val matches = (0 until 32)
+        .map(i => s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), hashed AS (
+        |  SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT % $p AS h FROM sh
+        |), sig AS (
+        |  SELECT doc_id,
+        |    $sigCols
+        |  FROM hashed GROUP BY doc_id
+        |), cand AS (
+        |  SELECT DISTINCT new_id, dup_of FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT c.new_id, c.dup_of, round(($matches) / 32.0, 4) AS est_jaccard
+        |FROM cand c JOIN sig sb ON c.new_id = sb.doc_id JOIN sig sa ON c.dup_of = sa.doc_id
+        |WHERE round(($matches) / 32.0, 4) >= 0.5
+        |ORDER BY c.new_id, c.dup_of""".stripMargin
+    },
+
     // SimHash over the portable hash: 64 per-bit sign sums, 4×16-bit band
     // equi-joins for candidates, bit_count(xor) Hamming verification
     "dedup_simhash" -> {

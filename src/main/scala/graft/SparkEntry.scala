@@ -71,6 +71,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
+    // incremental dedup against a PERSISTED fingerprint index: the corpus
+    // (doc_id%5!=0) is fingerprinted once into a versioned index; the
+    // incoming batch (doc_id%5==0) is deduped against it without touching
+    // corpus text — the continuous-crawl serving path
+    "dedup_minhash_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "minhash",
+          table = "documents", params = "k=32,n=3,b=8,r=4,split=mod5") { d =>
+        Dedup.buildMinhashIndex(docs(s, dir).filter(col0("doc_id") % 5 =!= 0), d)
+      }
+      Dedup.dedupAgainstMinhashIndex(s, idx, docs(s, dir).filter(col0("doc_id") % 5 === 0))
+    }),
     // transitive closure of the dup-pair graph: one representative per
     // connected component (min-label propagation to a fixpoint)
     "dedup_clusters" -> ((s, dir) =>

@@ -707,6 +707,149 @@ object Dedup {
     * verbatim — the full approximate ALGORITHM is hash-gated, not just
     * the arithmetic.
     */
+  // ======================================================================
+  // Persisted MinHash fingerprint index — incremental dedup
+  // ======================================================================
+
+  /** Build a persisted MinHash fingerprint index over `docs`: the 32-column
+    * signature table lands under a fresh `v_<n>/signatures/batch=-1` and the
+    * build hyperparameters under `v_<n>/params`, then the CURRENT pointer
+    * flips — same crash-safe versioned lifecycle as the ANN indexes
+    * ([[Similarity.buildIvfIndex]]). This is the production shape of
+    * continuous crawl dedup: fingerprint the accepted corpus ONCE, then
+    * dedup every incoming batch against the persisted fingerprints instead
+    * of re-shingling 100 TB per batch.
+    *
+    * Storage is signatures only (32×8 B per doc — ~0.3 % of a 100 KB doc);
+    * band keys are derived on read as k cheap xxhash64 calls over 4-int
+    * structs, which costs arithmetic but keeps the persisted index 9×
+    * smaller than materializing the exploded band table. At serving scale,
+    * sort/bucket the signature files by doc_id so appends compact well.
+    */
+  def buildMinhashIndex(docs: DataFrame, dir: String, numHashes: Int = 32,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$v"
+    minhashSignatures(docs, numHashes, n)
+      .write.mode("overwrite").parquet(s"$root/signatures/batch=-1")
+    // params travel WITH the index: serve paths read them back instead of
+    // trusting caller arguments, so a registration edit can never band a
+    // signature table fitted with different k/n
+    Seq((numHashes, n, bands, rowsPerBand))
+      .toDF("num_hashes", "shingle_n", "bands", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$root/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
+
+  private[graft] def readMinhashParams(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$root/params").head()
+    (r.getAs[Int]("num_hashes"), r.getAs[Int]("shingle_n"),
+      r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"))
+  }
+
+  /** Last-writer-wins per doc_id over the discovered `batch` partition
+    * column (base build = -1, appends ascend) — a re-fingerprinted doc's
+    * newest signature is the live one.
+    */
+  private def latestPerDoc(df: DataFrame): DataFrame =
+    df.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("batch").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch")
+
+  /** Fingerprint `newDocs` with the index's own stored params and append
+    * them as a `batch=<id>` directory. Each append OWNS its directory and
+    * overwrites it, so an at-least-once replay with a stable caller
+    * `batchId` (e.g. a streaming epoch) is idempotent — the same contract
+    * as [[Similarity.appendToIvfIndex]].
+    */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val (numHashes, n, _, _) = readMinhashParams(spark, root)
+    val id = batchId.getOrElse(Similarity.nextBatchId(spark, s"$root/signatures"))
+    minhashSignatures(newDocs, numHashes, n)
+      .write.mode("overwrite").parquet(s"$root/signatures/batch=$id")
+  }
+
+  /** Live signature view of a persisted MinHash index (all batches,
+    * last-writer-wins per doc).
+    */
+  def minhashIndexSignatures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    latestPerDoc(spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/signatures"))
+
+  /** Dedup an incoming batch against the persisted index WITHOUT touching
+    * the indexed corpus text: fingerprint `newDocs` in flight, band both
+    * signature sides, bucket-join on (band, key), and verify candidates by
+    * signature agreement. Cost is O(new batch) fingerprinting plus an
+    * equi-join against the index's derived band table — never a re-scan of
+    * the corpus text, and never O(corpus × batch).
+    *
+    * Output: (new_id, dup_of, est_jaccard) — every indexed doc the incoming
+    * doc collides with at est-Jaccard ≥ `estThreshold`. Callers drop or
+    * quarantine the flagged new docs.
+    */
+  def dedupAgainstMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: DataFrame, estThreshold: Double = 0.5,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val (numHashes, n, bands, rowsPerBand) = readMinhashParams(spark, root)
+    // excludeBatch: a streaming replay must not match the batch against the
+    // partial signatures its own failed delivery appended (discovered
+    // `batch` partition columns infer as INT for small ids — compare, don't
+    // getLong)
+    val allSig = spark.read.parquet(s"$root/signatures")
+    val visible = excludeBatch.fold(allSig)(id =>
+      allSig.filter(col("batch").cast("long") =!= id))
+    val idxSig = latestPerDoc(visible)
+    // cached: the batch-side signatures feed both the band join and the
+    // verification join, and are batch-sized (32 longs/doc), not corpus-sized
+    val newSig = minhashSignatures(newDocs, numHashes, n).cache()
+    val idxBands = minhashBands(idxSig, bands, rowsPerBand)
+      .select(col("doc_id").as("dup_of"), col("band"), col("key"))
+    val newBands = minhashBands(newSig, bands, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val cand = newBands.join(idxBands, Seq("band", "key"))
+      .select(col("new_id"), col("dup_of")).distinct()
+    val sigN = newSig.select(col("doc_id").as("new_id") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val sigI = idxSig.select(col("doc_id").as("dup_of") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigN, Seq("new_id")).join(sigI, Seq("dup_of"))
+      .withColumn("est_jaccard", round(matches.cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("new_id"), col("dup_of"), col("est_jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Fold all signature batches into a fresh version's base batch (CURRENT
+    * flips atomically; readers never see a half-compacted index). Run after
+    * enough appends that small-batch file counts dominate scan setup.
+    */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$v"
+    latestPerDoc(spark.read.parquet(s"$root/signatures"))
+      .write.mode("overwrite").parquet(s"$newRoot/signatures/batch=-1")
+    spark.read.parquet(s"$root/params")
+      .write.mode("overwrite").parquet(s"$newRoot/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
+
   def semanticDedupPairs(emb: DataFrame, n: Int = 20,
       nCells: Int = 8, iters: Int = 3): DataFrame = {
     graft.functions.VectorFunctions.register(emb.sparkSession)

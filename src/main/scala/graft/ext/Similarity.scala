@@ -460,7 +460,7 @@ object Similarity {
     * build is batch=-1). Single-writer maintain path — concurrent
     * appenders need externally supplied ids.
     */
-  private def nextBatchId(spark: org.apache.spark.sql.SparkSession,
+  private[ext] def nextBatchId(spark: org.apache.spark.sql.SparkSession,
       vectorsDir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(vectorsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

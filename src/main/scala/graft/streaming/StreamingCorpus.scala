@@ -220,6 +220,49 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming crawl loop over the persisted MinHash fingerprint index
+    * ([[Dedup.buildMinhashIndex]]): each micro-batch is deduped against the
+    * index as of the PREVIOUS batches (within-batch dups resolved first,
+    * larger id drops), survivors land in `outDir/batch=<id>` and their
+    * signatures are appended to the SAME index under the same batch id —
+    * so tomorrow's crawl is checked against everything accepted today.
+    * Both writes OVERWRITE batch-owned directories and the index probe
+    * excludes this batch id, so an at-least-once replay rewrites its own
+    * output instead of duplicating or self-matching.
+    */
+  def minhashIndexIngest(docs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, estThreshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          if (!b.isEmpty) {
+            val root = graft.ext.Similarity.resolveIndexRoot(spark, indexDir)
+            val (numHashes, _, bands, rowsPerBand) =
+              Dedup.readMinhashParams(spark, root)
+            // within-batch first: larger id drops (the candidate generator
+            // is the same banded LSH the index probe uses)
+            val withinDups = Dedup.minhashCandidatePairs(b, numHashes, bands,
+                rowsPerBand, estThreshold)
+              .select(col("b").as("doc_id")).distinct()
+            val crossDups = Dedup.dedupAgainstMinhashIndex(spark, indexDir, b,
+                estThreshold, excludeBatch = Some(batchId))
+              .select(col("new_id").as("doc_id")).distinct()
+            val survivors = b
+              .join(withinDups.unionByName(crossDups), Seq("doc_id"), "left_anti")
+              .cache()
+            try {
+              survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              Dedup.appendToMinhashIndex(spark, indexDir, survivors,
+                batchId = Some(batchId))
+            } finally { survivors.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   def indexIngest(vectors: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =
     vectors.writeStream

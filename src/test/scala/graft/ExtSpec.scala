@@ -1534,4 +1534,71 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e <= t && t - e <= bound, s"$s: est=$e true=$t bound=$bound")
     }
   }
+
+  test("persisted minhash index: incremental dedup equals the full pair scan restricted to cross-split pairs") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.buildMinhashIndex(corpus, dir)
+    val got = Dedup.dedupAgainstMinhashIndex(spark, dir, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    // ground truth: the full-corpus candidate scan, keeping only pairs that
+    // cross the index/batch split and re-orienting them as (new, indexed)
+    val expected = Dedup.minhashCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if a % 5 == 0 && b % 5 != 0 => (a, b, j)
+        case (a, b, j) if a % 5 != 0 && b % 5 == 0 => (b, a, j)
+      }.toSet
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty, "planted dups should cross the mod-5 split")
+    assert(got == expected,
+      s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
+  }
+
+  test("minhash index lifecycle: replay-idempotent append, last-writer-wins, lossless compaction") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-life").toString
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    // append an exact text copy of indexed doc 1 under a new id — twice
+    // with the same batch id, simulating an at-least-once redelivery
+    val copy = docs.filter(col("doc_id") === 1L).withColumn("doc_id", lit(900001L))
+    Dedup.appendToMinhashIndex(spark, dir, copy, batchId = Some(1L))
+    Dedup.appendToMinhashIndex(spark, dir, copy, batchId = Some(1L))
+    val live = Dedup.minhashIndexSignatures(spark, dir)
+    assert(live.filter(col("doc_id") === 900001L).count() == 1,
+      "replayed append must not duplicate the signature")
+    // a probe carrying the same text must collide with BOTH the original
+    // and the appended copy at est_jaccard 1.0
+    val probe = docs.filter(col("doc_id") === 1L).withColumn("doc_id", lit(900005L))
+    val hits = Dedup.dedupAgainstMinhashIndex(spark, dir, probe)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.keySet.contains(1L) && hits.keySet.contains(900001L), s"hits=$hits")
+    assert(hits(1L) == 1.0 && hits(900001L) == 1.0)
+    // last-writer-wins: re-fingerprint doc 1 with doc 2's text in a later
+    // batch; the live view must serve exactly one signature per doc and
+    // doc 1's must now equal doc 2's
+    val replaced = docs.filter(col("doc_id") === 2L).withColumn("doc_id", lit(1L))
+    Dedup.appendToMinhashIndex(spark, dir, replaced, batchId = Some(2L))
+    val after = Dedup.minhashIndexSignatures(spark, dir)
+    assert(after.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    val sig1 = after.filter(col("doc_id") === 1L).drop("doc_id").collect()(0)
+    val sig2 = after.filter(col("doc_id") === 2L).drop("doc_id").collect()(0)
+    assert(sig1 == sig2, "doc 1's live signature should be its batch-2 rewrite")
+    // compaction folds every batch into a fresh version's base; the served
+    // result is unchanged and the old version remains untouched on disk
+    val preCompact = Dedup.dedupAgainstMinhashIndex(spark, dir, probe)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    Dedup.compactMinhashIndex(spark, dir)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val batches = new java.io.File(s"$root/signatures").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(batches == Set("batch=-1"), s"compaction should fold to one base: $batches")
+    val postCompact = Dedup.dedupAgainstMinhashIndex(spark, dir, probe)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(postCompact == preCompact,
+      s"compaction changed results: pre=$preCompact post=$postCompact")
+  }
 }

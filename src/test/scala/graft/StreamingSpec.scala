@@ -991,4 +991,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty && streamed == expected,
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
+
+  test("streaming minhash ingest: dups drop against the growing index, survivors are indexed for later batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-mh-ingest-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mh-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mh-ingest-ckpt").toString
+    graft.ext.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), indexDir)
+    val indexedText = docs.filter(col("doc_id") === 1L)
+      .select("text").collect()(0).getString(0)
+    val freshA = "qq1 ww2 ee3 rr4 tt5 yy6 uu7 ii8 oo9 pp0 aa1 ss2 dd3 ff4"
+    val freshB = "zz9 xx8 cc7 vv6 bb5 nn4 mm3 kk2 jj1 hh0 gg9 ll8 rr7 tt6"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.minhashIndexIngest(
+      mem.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt)
+    try {
+      // batch 0: a copy of indexed doc 1 (cross-dup → drops), plus the same
+      // fresh text twice (within-batch dup → larger id drops)
+      mem.addData((1000001L, indexedText), (1000003L, freshA), (1000007L, freshA))
+      q.processAllAvailable()
+      // batch 1: freshA again (now indexed via batch 0's survivor → drops),
+      // plus a genuinely new text (survives)
+      mem.addData((1000011L, freshA), (1000013L, freshB))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1000003L), (1L, 1000013L)),
+      s"survivor set wrong: $out")
+    // both survivors are live in the index — tomorrow's crawl sees them
+    val liveIds = graft.ext.Dedup.minhashIndexSignatures(spark, indexDir)
+      .filter(col("doc_id") >= 1000000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds == Set(1000003L, 1000013L), s"indexed ids: $liveIds")
+  }
 }
