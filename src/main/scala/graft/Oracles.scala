@@ -1722,6 +1722,84 @@ object Oracles {
         |FROM winmin WHERE wsize = 4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // duplicated-substring spans: k-token window hashes (portable
+    // md5-prefix), corpus-wide count>1 predicate, islands-and-gaps merge
+    // of positions within k — replays TextAnalysis.dupSpans exactly
+    "text_dup_spans" -> {
+      val k = 10
+      val gram = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substring(md5($gram), 1, 15))::BIGINT AS h
+        |  FROM toks, UNNEST(generate_series(1, len(t) - ${k - 1})) AS g(i)
+        |  WHERE len(t) >= $k
+        |), dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM wins
+        |  ) WHERE cnt > 1
+        |), flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $k
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), islands AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flagged
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+        |  CAST(max(pos) - min(pos) + $k AS BIGINT) AS n_dup_tokens
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin
+    },
+
+    // substring-dedup cleaning: window ownership = min (doc_id,pos) per
+    // hash (row_number over the duplicated set), token kept iff uncovered
+    // or covered by an own-doc owner window; rebuild via ordered
+    // string_agg — replays TextAnalysis.cutDupSpans
+    "text_cut_dup_spans" -> {
+      val k = 10
+      val gram = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS token
+        |  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ('0x' || substring(md5(lower($gram)), 1, 15))::BIGINT AS h
+        |  FROM toks, UNNEST(generate_series(1, len(t) - ${k - 1})) AS g(i)
+        |  WHERE len(t) >= $k
+        |), dupocc AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS is_owner
+        |  FROM (SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS cnt
+        |        FROM wins) w
+        |  WHERE cnt > 1
+        |), covered AS (
+        |  SELECT doc_id, c.tpos, bool_or(is_owner) AS kept
+        |  FROM dupocc, UNNEST(generate_series(pos, pos + ${k - 1})) AS c(tpos)
+        |  GROUP BY doc_id, c.tpos
+        |)
+        |SELECT tok.doc_id,
+        |  coalesce(string_agg(
+        |    CASE WHEN cov.kept IS NULL OR cov.kept THEN token END,
+        |    ' ' ORDER BY pos), '') AS clean_text,
+        |  CAST(count(CASE WHEN cov.kept = false THEN 1 END) AS BIGINT)
+        |    AS n_removed_tokens
+        |FROM tok LEFT JOIN covered cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.tpos
+        |GROUP BY tok.doc_id
+        |ORDER BY tok.doc_id""".stripMargin
+    },
+
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified
     "multimodal_resize" ->

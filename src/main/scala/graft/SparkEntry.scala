@@ -191,6 +191,12 @@ object SparkEntry {
       TextAnalysis.perplexityFromLm(s, lm, docs(s, dir))
     }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
+    // Lee et al. 2022 exact-substring dedup, window-hash formulation:
+    // maximal >=10-token runs duplicated anywhere in the corpus
+    "text_dup_spans" -> ((s, dir) => TextAnalysis.dupSpans(docs(s, dir))),
+    // ...and the cleaning half: cut every duplicated run, keep the
+    // globally-first occurrence
+    "text_cut_dup_spans" -> ((s, dir) => TextAnalysis.cutDupSpans(docs(s, dir))),
     // Misra-Gries sketch gated by its own theorem (exact side + pinned
     // presence/error-bound flags) — the bounded-state scale path for
     // topNgrams

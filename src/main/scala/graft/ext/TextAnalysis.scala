@@ -1166,4 +1166,128 @@ object TextAnalysis {
           .as("err_ok"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
   }
+
+  /** Exact duplicated-substring SPAN detection (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): find every maximal run of tokens that appears
+    * more than once in the corpus — across documents or repeated within
+    * one — at granularity `k` consecutive tokens. Suffix arrays don't
+    * distribute; the Spark-native equivalent is window hashing: every
+    * k-token window is hashed, a window is DUPLICATED iff its hash occurs
+    * more than once corpus-wide, and overlapping-or-contiguous duplicated
+    * windows (position gap ≤ k) merge into one reported span
+    * `[span_start, span_end]` (token indices, 0-based inclusive). A
+    * duplicated substring of length L ≥ k yields L−k+1 duplicated windows
+    * that merge back into the single maximal span.
+    *
+    * Scale shape: tokenize+window is one doc_id-partitioned window pass,
+    * the duplicate predicate is ONE map-side-combined count keyed by the
+    * 60-bit window hash, the flag-back is a semi-join on the same hash key
+    * (exchange reuse: both sides derive from one window scan), and the
+    * island merge is a second doc_id window pass over ONLY the duplicated
+    * positions. Nothing is quadratic and no state exceeds one document's
+    * positions; this is the practical 100 TB substitute for the paper's
+    * single-machine suffix array.
+    *
+    * Output: (doc_id, span_start, span_end, n_dup_tokens), one row per
+    * maximal duplicated span. Feed to a slicer to cut spans, or aggregate
+    * for a duplication-burden report per source/domain.
+    */
+  def dupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // reindex positions AFTER dropping empty split artifacts so oracle
+    // list_filter positions agree
+    val toks = docs
+      .select(col("doc_id"), posexplode(
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+      .withColumnRenamed("col", "token")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("token") +: (1 until k).map(j => lead(col("token"), j).over(byDoc))
+    val wins = toks
+      .withColumn("_last", lead(col("token"), k - 1).over(byDoc))
+      .withColumn("h", portableHash64(concat_ws(" ", parts: _*)))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).select(col("h"))
+    val dupPos = wins.join(dupHashes, Seq("h"), "left_semi")
+    // islands-and-gaps: a window starting within k of the previous one
+    // overlaps or abuts its covered range → same span
+    val spans = dupPos
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("_island", sum(col("_brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + k - 1).as("span_end"))
+    spans
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("n_dup_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The CLEANING half of exact-substring dedup ([[dupSpans]] is the
+    * report): cut every duplicated k-token run, keeping exactly the
+    * globally-first occurrence. Ownership is per window hash — the
+    * occurrence with the smallest (doc_id, pos) owns it — and removal is
+    * token-level: a token is cut iff some duplicated window covers it and
+    * NO owner window in its own document does. So the first copy of a
+    * boilerplate block survives verbatim and every later copy (in any
+    * document, or later in the same one) is sliced out.
+    *
+    * Output text is rebuilt from the surviving tokens (original case,
+    * whitespace normalized to single spaces — token space, not byte
+    * space). Rows: (doc_id, clean_text, n_removed_tokens), one per doc
+    * with ≥1 token.
+    *
+    * Scale shape: everything from [[dupSpans]] plus one owner pass (the
+    * same hash-keyed count aggregation also takes min(doc_id,pos)), a
+    * k-wide position explosion of ONLY the duplicated occurrences, and
+    * one doc_id-keyed rebuild aggregation. The rebuild's
+    * collect_list(struct(pos,token)) is per-document bounded — the same
+    * bound any "reconstruct a document" operator carries.
+    */
+  def cutDupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(
+        filter(split(col("text"), "\\s+"), t => t =!= "")))
+      .withColumnRenamed("col", "token")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("token") +: (1 until k).map(j => lead(col("token"), j).over(byDoc))
+    // hash on the LOWERCASED window so duplicate detection agrees with
+    // dupSpans; tokens keep original case for the rebuild
+    val wins = toks
+      .withColumn("_last", lead(col("token"), k - 1).over(byDoc))
+      .withColumn("h", portableHash64(lower(concat_ws(" ", parts: _*))))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val dupOcc = wins
+      .withColumn("_cnt", count(lit(1)).over(byHash))
+      .withColumn("_rk", row_number().over(
+        byHash.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("_cnt") > 1)
+      .select(col("doc_id"), col("pos"), (col("_rk") === 1).as("is_owner"))
+    // k-wide explosion of duplicated occurrences only; per covered token:
+    // does ANY owner window in this doc cover it?
+    val covered = dupOcc
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"),
+        col("is_owner"))
+      .groupBy(col("doc_id"), col("tpos"))
+      .agg(max(col("is_owner")).as("kept"))
+    val flagged = toks
+      .join(covered.withColumnRenamed("tpos", "pos"), Seq("doc_id", "pos"), "left")
+      .withColumn("_cut", coalesce(!col("kept"), lit(false)))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("_cut"),
+            struct(col("pos"), col("token"))))),
+          x => x.getField("token"))).as("clean_text"),
+        sum(when(col("_cut"), 1L).otherwise(0L)).as("n_removed_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1535,6 +1535,47 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("dupSpans: maximal cross-doc and within-doc duplicated runs, overlap merge, clean docs silent") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"intro one two three $shared tail1 tail2"),
+      (2L, s"$shared completely different ending here"),
+      // a 10-token phrase repeated back-to-back: two duplicated windows at
+      // gap exactly k merge into the single maximal 20-token span
+      (3L, ("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 " * 2) + "unique suffix"),
+      (4L, "nothing duplicated in this document at all beyond short words")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.dupSpans(docsDf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set((1L, 4L, 18L, 15L), (2L, 0L, 14L, 15L), (3L, 0L, 19L, 20L)),
+      s"got $spans")
+  }
+
+  test("cutDupSpans keeps the globally-first occurrence and cuts every later copy") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, s"intro one two three $shared tail1 tail2"),
+      (2L, s"$shared completely different ending here"),
+      (3L, ("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 " * 2) + "unique suffix"),
+      (4L, "nothing duplicated in this document at all beyond short words")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cutDupSpans(docsDf, k = 10).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    // doc 1 owns every shared window (smallest doc_id) — survives verbatim
+    assert(got(1L) == (s"intro one two three $shared tail1 tail2", 0L))
+    // doc 2's copy of the shared run is cut
+    assert(got(2L) == ("completely different ending here", 15L))
+    // doc 3's second back-to-back repeat is cut, first kept
+    assert(got(3L) == ("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 unique suffix", 10L))
+    // untouched doc reconstructs exactly
+    assert(got(4L) ==
+      ("nothing duplicated in this document at all beyond short words", 0L))
+  }
+
   test("persisted minhash index: incremental dedup equals the full pair scan restricted to cross-split pairs") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString
