@@ -870,6 +870,80 @@ object Oracles {
         |GROUP BY s.doc_id HAVING count(*) >= 5
         |ORDER BY s.doc_id""".stripMargin,
 
+    // fractional overlap decontamination: shared distinct shingles
+    // normalized by the doc's own distinct-shingle total, round-4 grid,
+    // threshold applied to the rounded value in both engines
+    "dedup_contamination_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), probe AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_shingles
+        |  FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id
+        |), shr AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS shared_shingles
+        |  FROM sh s JOIN probe p ON s.sh = p.sh
+        |  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id
+        |)
+        |SELECT t.doc_id, shr.shared_shingles, t.total_shingles,
+        |  round(CAST(shr.shared_shingles AS DOUBLE) / t.total_shingles, 4)
+        |    AS overlap_frac
+        |FROM shr JOIN tot t USING (doc_id)
+        |WHERE round(CAST(shr.shared_shingles AS DOUBLE) / t.total_shingles, 4) >= 0.1
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // CCNet head/middle/tail bucketing: the text_perplexity LM verbatim,
+    // per-language tercile cuts via quantile_cont over the SAME round-4
+    // ppl values Spark's exact percentile sees, boundary ties on <=
+    "text_ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(t) AS token FROM toks
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM uni
+        |), bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |), bgdoc AS (
+        |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS mult FROM bg GROUP BY doc_id, sh
+        |), c2 AS (
+        |  SELECT sh, CAST(sum(mult) AS BIGINT) AS n2 FROM bgdoc GROUP BY sh
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1
+        |  FROM (SELECT string_split(sh, ' ')[1] AS w1, n2 FROM c2) GROUP BY w1
+        |), scored AS (
+        |  SELECT b.doc_id, b.mult,
+        |    -ln((CAST(c2.n2 AS DOUBLE) + 0.5) / (CAST(ctx.n1 AS DOUBLE) + 0.5 * vocab.v)) AS logp
+        |  FROM bgdoc b JOIN c2 USING (sh)
+        |    JOIN ctx ON string_split(b.sh, ' ')[1] = ctx.w1, vocab
+        |), ppl AS (
+        |  SELECT doc_id,
+        |    round(exp(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE)), 4) AS ppl
+        |  FROM scored GROUP BY doc_id
+        |), lng AS (
+        |  SELECT d.doc_id, d.lang, p.ppl FROM documents d JOIN ppl p USING (doc_id)
+        |), cuts AS (
+        |  SELECT lang, quantile_cont(ppl, 1.0/3) AS t1, quantile_cont(ppl, 2.0/3) AS t2
+        |  FROM lng GROUP BY lang
+        |)
+        |SELECT l.doc_id, l.lang, l.ppl,
+        |  CASE WHEN l.ppl <= c.t1 THEN 'head'
+        |       WHEN l.ppl <= c.t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lng l JOIN cuts c USING (lang)
+        |ORDER BY l.doc_id""".stripMargin,
+
     // stratified sampling: same salted hash buckets, same per-stratum
     // thresholds (en 5000/10000, de 2500/10000, others kept whole)
     "text_sample_stratified" ->

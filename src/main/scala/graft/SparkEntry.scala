@@ -197,6 +197,8 @@ object SparkEntry {
     // ...and the cleaning half: cut every duplicated run, keep the
     // globally-first occurrence
     "text_cut_dup_spans" -> ((s, dir) => TextAnalysis.cutDupSpans(docs(s, dir))),
+    // CCNet head/middle/tail: per-language LM-perplexity terciles
+    "text_ppl_buckets" -> ((s, dir) => TextAnalysis.perplexityBuckets(docs(s, dir))),
     // Misra-Gries sketch gated by its own theorem (exact side + pinned
     // presence/error-bound flags) — the bounded-state scale path for
     // topNgrams
@@ -251,6 +253,13 @@ object SparkEntry {
       Dedup.contamination(
         d.filter(col0("doc_id") % 50 =!= 0),
         d.filter(col0("doc_id") % 50 === 0), 3, 5)
+    }),
+    // GPT-3-style fractional overlap: shared shingles normalized per doc
+    "dedup_contamination_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationFraction(
+        d.filter(col0("doc_id") % 50 =!= 0),
+        d.filter(col0("doc_id") % 50 === 0), 3, 0.1)
     }),
     // same semantics through the zero-shuffle Bloom prefilter + exact verify
     "dedup_contamination_bloom" -> ((s, dir) => {

@@ -354,6 +354,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Fractional n-gram–overlap contamination (the GPT-3/PaLM family:
+    * "flag a document when more than X% of its n-grams appear in an eval
+    * benchmark"): unlike the absolute [[contamination]] count, the shared
+    * count is NORMALIZED by the document's own distinct-shingle total, so
+    * long documents aren't flagged for incidentally brushing a benchmark
+    * and short ones can't hide under an absolute floor.
+    *
+    * Same scale shape as [[contamination]] — one corpus shingle scan
+    * feeding BOTH the per-doc total and the probe semi-join (shared
+    * subtree, one doc_id aggregation each), the probe side small by
+    * definition. Output: (doc_id, shared_shingles, total_shingles,
+    * overlap_frac) for every doc at or above `minFrac`.
+    */
+  def contaminationFraction(docs: DataFrame, probeDocs: DataFrame,
+      n: Int = 3, minFrac: Double = 0.1): DataFrame = {
+    val corpusSh = shingles(docs, n)
+    val probeSh = shingles(probeDocs, n).select(col("sh")).distinct()
+    val totals = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_shingles"))
+    val shared = corpusSh.join(probeSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared.join(totals, Seq("doc_id"))
+      .withColumn("overlap_frac", round(
+        col("shared_shingles").cast("double") / col("total_shingles"), 4))
+      .filter(col("overlap_frac") >= minFrac)
+      .select(col("doc_id"), col("shared_shingles"), col("total_shingles"),
+        col("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Decontamination with a Bloom-filter prefilter — same EXACT result as
     * [[contamination]], different 100 TB cost envelope. The plain form
     * broadcasts the probe shingles as an exact hash table; once the

@@ -1227,6 +1227,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): split each language's documents into head /
+    * middle / tail by LM-perplexity terciles. CCNet's defining move —
+    * perplexity thresholds are meaningless across languages, so the cuts
+    * are per-language and rank-relative; downstream recipes then sample
+    * "head-heavy" mixes.
+    *
+    * Scale shape: [[bigramPerplexity]] scores in one pass; the tercile
+    * cuts are ONE exact-percentile aggregation per language (≤|langs|
+    * rows, broadcast back), NOT a per-language global sort — the same
+    * threshold-join pattern as [[qualityFilter]]. Bucketing is a per-row
+    * comparison against the broadcast cuts.
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(bigramPerplexity(docs).select(col("doc_id"), col("ppl")), Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(ppl, array(1.0D/3.0D, 2.0D/3.0D))").as("ts"))
+      .select(col("lang"), col("ts")(0).as("t1"), col("ts")(1).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("bucket",
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The CLEANING half of exact-substring dedup ([[dupSpans]] is the
     * report): cut every duplicated k-token run, keeping exactly the
     * globally-first occurrence. Ownership is per window hash — the

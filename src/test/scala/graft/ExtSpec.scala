@@ -1553,6 +1553,44 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $spans")
   }
 
+  test("perplexityBuckets: per-language terciles are balanced and ordered") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.TextAnalysis
+    val b = TextAnalysis.perplexityBuckets(docs).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    b.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 2,
+        s"$lang terciles unbalanced: $sizes")
+      val headMax = rows.filter(_._3 == "head").map(_._2).maxOption
+      val midMin = rows.filter(_._3 == "middle").map(_._2).minOption
+      val midMax = rows.filter(_._3 == "middle").map(_._2).maxOption
+      val tailMin = rows.filter(_._3 == "tail").map(_._2).minOption
+      for (h <- headMax; m <- midMin) assert(h <= m, s"$lang head>$m")
+      for (m <- midMax; t <- tailMin) assert(m <= t, s"$lang middle>$t")
+    }
+    assert(b.nonEmpty)
+  }
+
+  test("contaminationFraction flags by normalized overlap, not absolute count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val probe = Seq((100L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // exact copy: every shingle shared -> frac 1.0
+      (1L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"),
+      // shares 3 of its 48 shingles (brushes the probe) -> below 0.1
+      (2L, ("x" + (1 to 46).map(i => s" w$i").mkString) + " p1 p2 p3 p4 p5"),
+      (3L, "entirely unrelated content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, probe, 3, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set(1L), s"got $out")
+    val (_, shared, total, frac) = out.head
+    assert(shared == 8 && total == 8 && frac == 1.0)
+  }
+
   test("cutDupSpans keeps the globally-first occurrence and cuts every later copy") {
     import spark.implicits._
     import graft.ext.TextAnalysis
