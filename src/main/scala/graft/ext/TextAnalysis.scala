@@ -1278,19 +1278,8 @@ object TextAnalysis {
     */
   def cutDupSpans(docs: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), posexplode(
-        filter(split(col("text"), "\\s+"), t => t =!= "")))
-      .withColumnRenamed("col", "token")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = col("token") +: (1 until k).map(j => lead(col("token"), j).over(byDoc))
-    // hash on the LOWERCASED window so duplicate detection agrees with
-    // dupSpans; tokens keep original case for the rebuild
-    val wins = toks
-      .withColumn("_last", lead(col("token"), k - 1).over(byDoc))
-      .withColumn("h", portableHash64(lower(concat_ws(" ", parts: _*))))
-      .filter(col("_last").isNotNull)
-      .select(col("doc_id"), col("pos"), col("h"))
+    val toks = posTokens(docs)
+    val wins = tokenWindows(toks, k)
     val byHash = Window.partitionBy(col("h"))
     val dupOcc = wins
       .withColumn("_cnt", count(lit(1)).over(byHash))
@@ -1298,9 +1287,43 @@ object TextAnalysis {
         byHash.orderBy(col("doc_id"), col("pos"))))
       .filter(col("_cnt") > 1)
       .select(col("doc_id"), col("pos"), (col("_rk") === 1).as("is_owner"))
-    // k-wide explosion of duplicated occurrences only; per covered token:
-    // does ANY owner window in this doc cover it?
-    val covered = dupOcc
+    rebuildWithoutCutWindows(toks, dupOcc, k)
+  }
+
+  /** (doc_id, pos, token): whitespace tokens with original case, empties
+    * dropped BEFORE positions are assigned (oracle list_filter parity).
+    */
+  private def posTokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), posexplode(
+      filter(split(col("text"), "\\s+"), t => t =!= "")))
+    .withColumnRenamed("col", "token")
+
+  /** (doc_id, pos, h): every k-token window, hashed on the LOWERCASED
+    * window text so duplicate detection agrees with [[dupSpans]] while
+    * tokens keep original case for rebuilds.
+    */
+  private def tokenWindows(toks: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("token") +: (1 until k).map(j => lead(col("token"), j).over(byDoc))
+    toks
+      .withColumn("_last", lead(col("token"), k - 1).over(byDoc))
+      .withColumn("h", portableHash64(lower(concat_ws(" ", parts: _*))))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+  }
+
+  /** Token-level cut + text rebuild shared by the batch and store-backed
+    * cutters. `cutOcc` is (doc_id, pos, is_owner): window occurrences
+    * marked duplicated; a token is cut iff some such window covers it and
+    * no own-doc OWNER window does. k-wide explosion of duplicated
+    * occurrences only; the rebuild's collect_list(struct(pos,token)) is
+    * per-document bounded — the same bound any "reconstruct a document"
+    * operator carries.
+    */
+  private def rebuildWithoutCutWindows(toks: DataFrame, cutOcc: DataFrame,
+      k: Int): DataFrame = {
+    val covered = cutOcc
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"),
         col("is_owner"))
@@ -1317,5 +1340,84 @@ object TextAnalysis {
           x => x.getField("token"))).as("clean_text"),
         sum(when(col("_cut"), 1L).otherwise(0L)).as("n_removed_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  // ======================================================================
+  // Persisted window-hash store — cross-batch exact-substring dedup
+  // ======================================================================
+
+  /** Seed a persisted window-hash store: the distinct lowercased k-token
+    * window hashes of `docs` land under `hashes/batch=-1`, and k travels
+    * with the store in `params` so every later probe/append uses the k
+    * the store was built with (a caller-side k mismatch can never band a
+    * foreign window width). Plain append-only layout — the store is a
+    * monotone SET of seen k-grams, so there is no update semantics to
+    * version; batch-owned dirs keep at-least-once replays idempotent.
+    */
+  def buildWindowStore(docs: DataFrame, dir: String, k: Int = 10): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenWindows(posTokens(docs), k).select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=-1")
+    Seq(k).toDF("k").write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private[graft] def windowStoreK(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    spark.read.parquet(s"$dir/params").head().getAs[Int]("k")
+
+  /** Append `docs`' distinct window hashes under `hashes/batch=<id>` —
+    * the "these k-grams have now been seen" record a crawl loop writes
+    * after accepting a batch. Overwrites its own batch dir, so replays
+    * with a stable id (a streaming epoch) are idempotent.
+    */
+  def appendToWindowStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, batchId: Long): Unit =
+    tokenWindows(posTokens(docs), windowStoreK(spark, dir))
+      .select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/hashes/batch=$batchId")
+
+  /** Cut duplicated k-token runs from an incoming batch against
+    * EVERYTHING seen so far: a window is cut-worthy if its hash is in the
+    * persisted store (someone already owns it — no owner in this batch),
+    * or if it repeats within the batch (first occurrence by (doc_id,pos)
+    * owns it, later ones cut). With batches arriving in document order
+    * this reproduces [[cutDupSpans]]'s global keep-first semantics
+    * incrementally — the continuous-crawl form of exact-substring dedup.
+    *
+    * `excludeBatch`: a replayed epoch must not probe the partial hash set
+    * its own failed delivery appended.
+    *
+    * Scale shape: O(batch) window hashing, one semi-join against the
+    * store (hash-keyed, no text), and the [[cutDupSpans]] rebuild over
+    * the batch only. The store is k-gram hashes alone — 8 bytes per
+    * distinct window, never text.
+    */
+  def cutDupSpansAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = windowStoreK(spark, dir)
+    val toks = posTokens(batch)
+    val wins = tokenWindows(toks, k)
+    val allStore = spark.read.parquet(s"$dir/hashes")
+    // discovered `batch` partition cols infer as INT for small ids —
+    // compare through a cast, never getLong
+    val store = excludeBatch.fold(allStore)(id =>
+      allStore.filter(col("batch").cast("long") =!= id))
+      .select(col("h"))
+    val byHash = Window.partitionBy(col("h"))
+    val flaggedWins = wins
+      .join(store.withColumn("_seen", lit(true)).distinct(), Seq("h"), "left")
+      .withColumn("_cnt", count(lit(1)).over(byHash))
+      .withColumn("_rk", row_number().over(
+        byHash.orderBy(col("doc_id"), col("pos"))))
+    val cutOcc = flaggedWins
+      .filter(col("_seen").isNotNull || col("_cnt") > 1)
+      // a store hit has NO owner in this batch; a batch-only dup's first
+      // occurrence owns it
+      .select(col("doc_id"), col("pos"),
+        (col("_seen").isNull && col("_rk") === 1).as("is_owner"))
+    rebuildWithoutCutWindows(toks, cutOcc, k)
   }
 }

@@ -263,6 +263,40 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming exact-substring dedup over the persisted window-hash
+    * store ([[graft.ext.TextAnalysis.buildWindowStore]]): each
+    * micro-batch is cut against every k-gram seen so far (store hits cut
+    * unconditionally, within-batch repeats keep their first occurrence),
+    * the CLEANED docs land in `outDir/batch=<id>`, and the ORIGINAL
+    * batch's window hashes are appended to the store — the first copy of
+    * a boilerplate block stays servable while every later crawl of it is
+    * sliced out. Batch-owned dirs on both writes plus self-batch
+    * exclusion on the probe make at-least-once replays idempotent. With
+    * in-order arrival this converges to the batch [[TextAnalysis
+    * .cutDupSpans]] (StreamingSpec pins it).
+    */
+  def dupSpanIngest(docs: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          if (!b.isEmpty) {
+            graft.ext.TextAnalysis
+              .cutDupSpansAgainstStore(spark, storeDir, b,
+                excludeBatch = Some(batchId))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+            // append the PRE-cut hashes: the kept first copy contributed
+            // them, and recut rebuilt text would synthesize windows across
+            // cut boundaries that never existed in any document
+            graft.ext.TextAnalysis.appendToWindowStore(spark, storeDir, b, batchId)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   def indexIngest(vectors: DataFrame, indexDir: String,
       checkpointDir: String): StreamingQuery =
     vectors.writeStream

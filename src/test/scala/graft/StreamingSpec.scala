@@ -992,6 +992,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
 
+  test("streaming substring dedup converges to batch cutDupSpans under in-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"intro one two three $shared tail1 tail2"),
+      (2L, s"$shared completely different ending here"),
+      (3L, ("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 " * 2) + "unique suffix"),
+      (4L, "nothing duplicated in this document at all beyond short words"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-ws-store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ws-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ws-ckpt").toString
+    // empty seed: the store starts as "nothing seen yet"
+    graft.ext.TextAnalysis.buildWindowStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), storeDir)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.dupSpanIngest(
+      mem.toDF().toDF("doc_id", "text"), storeDir, outDir, ckpt)
+    try {
+      mem.addData(fixture(0), fixture(2)) // docs 1, 3
+      q.processAllAvailable()
+      mem.addData(fixture(1), fixture(3)) // docs 2, 4
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "clean_text", "n_removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = graft.ext.TextAnalysis
+      .cutDupSpans(fixture.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
+  }
+
   test("streaming minhash ingest: dups drop against the growing index, survivors are indexed for later batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
