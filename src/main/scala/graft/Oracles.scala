@@ -1578,6 +1578,29 @@ object Oracles {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // cluster-balanced diversity sampling: shared Lloyd replay, one more
+    // argmin against the FINAL centroids (keeping d2), per-cell
+    // prototypicality rank capped at the quota
+    "sim_cluster_sample" -> {
+      def d2(e: String, c: String) =
+        s"list_dot_product($e, $e) + list_dot_product($c, $c) - 2 * list_dot_product($e, $c)"
+      s"""${kmeansAssign3Ctes(8)},
+        |final_assign AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT m.vec_id, c.cell, ${d2("m.e", "c.c")} AS d2,
+        |      row_number() OVER
+        |        (PARTITION BY m.vec_id ORDER BY ${d2("m.e", "c.c")}, c.cell) AS rn
+        |    FROM emb m, cent3 c)
+        |  WHERE rn = 1
+        |), ranked AS (
+        |  SELECT vec_id, cell, d2, CAST(row_number() OVER
+        |    (PARTITION BY cell ORDER BY d2, vec_id) AS INT) AS rank
+        |  FROM final_assign
+        |)
+        |SELECT vec_id, cell, round(d2, 6) AS d2, rank FROM ranked
+        |WHERE rank <= 25 ORDER BY cell, rank""".stripMargin
+    },
+
     // Product quantization: per-subspace unrolled Lloyd (2 iterations,
     // same init/rounding discipline as sim_topk_ivf_kmeans — 16 smallest
     // vec_ids' subvectors seed each codebook, means rounded to 9 decimals),

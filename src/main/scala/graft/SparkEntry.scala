@@ -148,6 +148,9 @@ object SparkEntry {
     "sim_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
+    // DataComp-style balanced selection: per-cluster prototypicality quota
+    "sim_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), nCells = 8, iters = 3, quota = 25)),
     // product quantization: per-subspace k-means codebooks, asymmetric
     // distance over the codes-only corpus scan (8 bytes/vector at scale),
     // exact cosine re-rank of the 50-candidate shortlist

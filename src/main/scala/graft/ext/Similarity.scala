@@ -375,6 +375,37 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): Seq[(Int, Array[Double])] =
     kmeansFit(emb, k, iters)._1
 
+  /** Cluster-balanced diversity sampling: k-means the embedding space,
+    * then keep each cluster's `quota` most PROTOTYPICAL vectors (smallest
+    * squared-L2 to their final centroid, vec_id tiebreak). Caps how much
+    * any one mode of the data can contribute — the balanced-coverage
+    * selection step curation pipelines run after dedup (a crawl that is
+    * 80% one topic yields at most `quota` of it, while sparse modes keep
+    * everything they have).
+    *
+    * Scale shape: the Lloyd fit is [[kmeansFit]]'s two-shuffles-per-
+    * iteration; the final scoring pass is one broadcast argmin (k × dim
+    * doubles) and the per-cluster cut is a rank window PARTITIONED BY
+    * cell — ≤nCells partitions each bounded by its cell population, never
+    * a global sort.
+    */
+  def clusterBalancedSample(emb: DataFrame, nCells: Int = 8, iters: Int = 3,
+      quota: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, _) = kmeansFit(emb, nCells, iters)
+    // one more assign pass against the FINAL centroids: prototypicality is
+    // distance to the centroid the vector ends up with, not the stale
+    // assignment that produced it
+    val scored = kmeansAssign(emb, cents)
+    val byCell = Window.partitionBy(col("cell")).orderBy(col("d2"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(byCell))
+      .filter(col("rank") <= quota)
+      .select(col("vec_id"), col("cell"), round(col("d2"), 6).as("d2"),
+        col("rank"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
   /** Persist a k-means IVF index: the corpus PARTITIONED BY cell (so a
     * probe reads only its cells' directories — partition pruning makes
     * "touch nProbe/cells of the data" literal at the file-system level)

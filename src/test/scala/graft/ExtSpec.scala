@@ -1553,6 +1553,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $spans")
   }
 
+  test("clusterBalancedSample caps every cluster at the quota, ranks by centroid distance") {
+    val out = Similarity.clusterBalancedSample(emb, nCells = 4, iters = 2, quota = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    val byCell = out.groupBy(_._2)
+    assert(byCell.nonEmpty && out.map(_._1).distinct.length == out.length)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 10, s"cell $cell over quota: ${rows.length}")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"cell $cell ranks not contiguous")
+      val d2ByRank = rows.sortBy(_._4).map(_._3)
+      assert(d2ByRank.zip(d2ByRank.tail).forall { case (a, b) => a <= b },
+        s"cell $cell distance not monotone in rank")
+    }
+  }
+
   test("perplexityBuckets: per-language terciles are balanced and ordered") {
     import org.apache.spark.sql.functions.col
     import graft.ext.TextAnalysis
