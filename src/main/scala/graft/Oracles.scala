@@ -1897,6 +1897,35 @@ object Oracles {
         |ORDER BY tok.doc_id""".stripMargin
     },
 
+    // perceptual-hash image dedup on the all-opaque corpus: every payload
+    // takes the md5-prefix fallback hash, banding is 4×16-bit Hamming
+    // (the simhash discipline); only exact-duplicate payloads survive the
+    // hamming<=3 verify, since distinct md5 prefixes differ ~30 bits.
+    // The corpus has no byte-identical texts, so the gate plants exact
+    // copies (doc_id % 50 == 0, shifted by 1e6) — same planting as the
+    // Spark side; each must pair with its source at Hamming 0
+    "multimodal_image_dedup" -> {
+      val bandJoins = (0 until 4).map { bIdx =>
+        val sh = bIdx * 16
+        s"SELECT ha.doc_id AS a, hb.doc_id AS b, ha.ahash AS h_a, hb.ahash AS h_b\n    FROM h ha JOIN h hb\n      ON ((ha.ahash >> $sh) & 65535) = ((hb.ahash >> $sh) & 65535) AND ha.doc_id < hb.doc_id"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS ahash
+        |  FROM d
+        |), cand AS (
+        |  SELECT DISTINCT a, b, h_a, h_b FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT a, b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        |ORDER BY a, b""".stripMargin
+    },
+
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified
     "multimodal_resize" ->

@@ -343,6 +343,19 @@ object SparkEntry {
     // the REAL ImageIO codec over byte-exact planted PNGs, hash-gated
     // against the independently-known dims (VALUES oracle)
     "multimodal_decode" -> (Queries.multimodalDecode _),
+    // perceptual-hash (aHash) image dedup via banded Hamming; on the
+    // all-opaque synthetic corpus every payload takes the md5-prefix
+    // fallback, so the gate covers the banding end-to-end while real
+    // decoded-image pairing is pinned by ExtSpec PNG fixtures. The
+    // corpus has zero byte-identical texts, so the gate plants exact
+    // copies (doc_id % 50 == 0, shifted by 1e6) — those MUST surface as
+    // Hamming-0 pairs through the banded join in both engines
+    "multimodal_image_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.filter(col0("doc_id") % 50 === 0)
+        .withColumn("doc_id", col0("doc_id") + 1000000L)
+      Multimodal.imageNearDups(s, Multimodal.mediaTable(d.unionByName(planted)))
+    }),
     // hard-negative mining band calibrated to the near-orthogonal
     // synthetic embeddings (max off-diagonal cos ~0.37)
     "sim_hard_negatives" -> ((s, dir) =>

@@ -484,4 +484,93 @@ object Multimodal {
       (lit(64) + (length(col("payload")).cast("long") * 7) % 512).cast("int").as("height"),
       (lit(1) + length(col("payload")).cast("long") % 30).cast("int").as("n_frames"),
       md5(col("payload")).as("checksum"))
+
+  // ---------------------------------------------------- image near-dup
+
+  final case class ImageHashRow(doc_id: Long, ahash: Long, is_image: Boolean)
+
+  /** 64-bit average hash (aHash) of a decoded frame: grayscale-downscale
+    * to 8×8 (bilinear), bit i set iff pixel i ≥ the frame mean — the
+    * classic perceptual fingerprint (re-encodes, mild resizes, and small
+    * edits keep most bits). Deterministic for a given JVM's raster
+    * pipeline; fixtures pin it at 8×8 where no interpolation runs at all.
+    */
+  private[ext] def aHash64(img: BufferedImage): Long = {
+    val g8 = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    val g = g8.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val px = new Array[Int](64)
+    g8.getRaster.getSamples(0, 0, 8, 8, 0, px)
+    val mean = px.sum.toDouble / 64.0
+    px.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (p >= mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Opaque-payload fallback: the 60-bit portable md5-prefix hash — the
+    * same hash family every text operator uses, replayed verbatim by the
+    * DuckDB oracle. Exact-duplicate payloads collide at Hamming 0, so
+    * exact dedup still works through the fallback; near-dup semantics
+    * need a real decode.
+    */
+  private def fallbackHash(p: Array[Byte]): Long =
+    java.lang.Long.parseLong(md5hex(p).take(15), 16)
+
+  /** Per-payload perceptual hash: real ImageIO decode → [[aHash64]] for
+    * image payloads, md5-prefix fallback for opaque ones. mapPartitions
+    * batch, no shuffle.
+    */
+  def imageHashBatch(rows: Iterator[MediaRow]): Iterator[ImageHashRow] =
+    rows.map { r =>
+      withReader(r.payload)(_.read(0)) match {
+        case Some(img) => ImageHashRow(r.doc_id, aHash64(img), is_image = true)
+        case None => ImageHashRow(r.doc_id, fallbackHash(r.payload), is_image = false)
+      }
+    }
+
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(imageHashBatch _)
+  }
+
+  /** Image near-dup pairs by banded Hamming over the perceptual hash —
+    * the multimodal sibling of SimHash text dedup, same guarantee: 4
+    * 16-bit bands make candidate generation EXACT for Hamming ≤ 3
+    * (pigeonhole: ≤3 flipped bits leave ≥1 band untouched), so no
+    * quadratic pair scan ever runs. Candidates verify on
+    * `bit_count(xor)`. Cost: 4 rows per image through one band-keyed
+    * equi-join; 65,536 buckets per band bound skew.
+    *
+    * Output: (a, b, hamming) with a < b, every pair at Hamming ≤
+    * `maxHamming`. Mixed tables work end-to-end: opaque payloads carry
+    * the md5 fallback hash, so only EXACT opaque duplicates pair (their
+    * Hamming is 0) while decoded images pair perceptually.
+    */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val h = imageHashes(spark, media).toDF()
+    val bandKeys = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("ahash"), i * 16).bitwiseAND(lit(65535L)).as("key"))
+    }
+    val bands = h
+      .select(col("doc_id"), col("ahash"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands
+      .select(col("doc_id").as("a"), col("ahash").as("ha"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("b"), col("ahash").as("hb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -1553,6 +1553,43 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $spans")
   }
 
+  test("imageNearDups pairs perceptually-close decoded images, exact-dup opaque payloads, nothing else") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    // 8x8 grayscale patterns (already at aHash resolution — no
+    // interpolation runs, so the hash is pinned by construction):
+    // A = left-half black; B = A with two cells toggled (hamming 2);
+    // C = inverted A (hamming far above the radius)
+    def png(cells: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val a = png((x, _) => if (x < 4) 0 else 255)
+    val b = png((x, y) =>
+      if ((x, y) == (0, 0) || (x, y) == (7, 7)) (if (x < 4) 255 else 0)
+      else if (x < 4) 0 else 255)
+    val c = png((x, _) => if (x < 4) 255 else 0)
+    val txt = "opaque payload the codec rejects".getBytes("UTF-8")
+    val media = Seq(
+      (1L, a, "image/png"), (2L, b, "image/png"), (3L, c, "image/png"),
+      (4L, txt, "text/plain"), (5L, txt, "text/plain"),
+      (6L, "different opaque payload".getBytes("UTF-8"), "text/plain")
+    ).toDF("doc_id", "payload", "media_type")
+    val hashes = Multimodal.imageHashes(spark, media).collect()
+      .map(h => h.doc_id -> h).toMap
+    assert(hashes(1L).is_image && !hashes(4L).is_image)
+    assert(java.lang.Long.bitCount(hashes(1L).ahash ^ hashes(2L).ahash) == 2)
+    val pairs = Multimodal.imageNearDups(spark, media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2), (4L, 5L, 0)), s"got $pairs")
+  }
+
   test("clusterBalancedSample caps every cluster at the quota, ranks by centroid distance") {
     val out = Similarity.clusterBalancedSample(emb, nCells = 4, iters = 2, quota = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
