@@ -1926,6 +1926,31 @@ object Oracles {
         |ORDER BY a, b""".stripMargin
     },
 
+    // store-probe replay: corpus fingerprints (md5 fallback on the
+    // all-opaque synthetic corpus) banded against the planted batch
+    // (doc_id % 50 == 0, +1e6) — exactly what dedupAgainstImageStore
+    // computes over the persisted hashes
+    "multimodal_image_dedup_index" -> {
+      val bandJoins = (0 until 4).map { bIdx =>
+        val sh = bIdx * 16
+        s"SELECT nb.new_id, s.doc_id AS dup_of, nb.ha, s.ahash AS hb\n    FROM nb JOIN h s\n      ON ((nb.ha >> $sh) & 65535) = ((s.ahash >> $sh) & 65535)"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS ahash
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id + 1000000 AS new_id, ahash AS ha
+        |  FROM h WHERE doc_id % 50 = 0
+        |), cand AS (
+        |  SELECT DISTINCT new_id, dup_of, ha, hb FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT new_id, dup_of, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY new_id, dup_of""".stripMargin
+    },
+
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified
     "multimodal_resize" ->

@@ -356,6 +356,22 @@ object SparkEntry {
         .withColumn("doc_id", col0("doc_id") + 1000000L)
       Multimodal.imageNearDups(s, Multimodal.mediaTable(d.unionByName(planted)))
     }),
+    // incremental image-crawl dedup against the PERSISTED perceptual-hash
+    // store (serve-only: the store builds once into the fingerprint-keyed
+    // cache): the corpus is fingerprinted once at 8 B/doc; the incoming
+    // batch is planted exact copies (doc_id % 50 == 0, +1e6), each of
+    // which must collide with its source at Hamming 0 through the banded
+    // store probe — never a corpus re-decode
+    "multimodal_image_dedup_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "imghash",
+          table = "documents", params = "bands=4x16,radius=3") { d =>
+        Multimodal.buildImageHashStore(Multimodal.mediaTable(docs(s, dir)), d)
+      }
+      val batch = Multimodal.mediaTable(docs(s, dir)
+        .filter(col0("doc_id") % 50 === 0)
+        .withColumn("doc_id", col0("doc_id") + 1000000L))
+      Multimodal.dedupAgainstImageStore(s, idx, batch)
+    }),
     // hard-negative mining band calibrated to the near-orthogonal
     // synthetic embeddings (max off-diagonal cos ~0.37)
     "sim_hard_negatives" -> ((s, dir) =>

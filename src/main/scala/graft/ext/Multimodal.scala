@@ -573,4 +573,135 @@ object Multimodal {
       .select(col("a"), col("b"), col("hamming"))
       .orderBy(col("a"), col("b"))
   }
+
+  // ------------------------------------- persisted perceptual-hash store
+
+  /** 16-bit band keys of a 64-bit perceptual hash — the shared banding
+    * discipline ([[imageNearDups]]): 4 bands, exact candidate generation
+    * for Hamming ≤ 3 by pigeonhole.
+    */
+  private def hashBands(h: DataFrame): DataFrame = {
+    val bandKeys = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("ahash"), i * 16).bitwiseAND(lit(65535L)).as("key"))
+    }
+    h.select(col("doc_id"), col("ahash"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Last-writer-wins per doc over the discovered `batch` partition column
+    * (base build = -1, appends ascend) — a re-hashed doc's newest
+    * fingerprint is the live one.
+    */
+  private def latestHashPerDoc(df: DataFrame): DataFrame =
+    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("batch").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "batch")
+
+  /** Build a persisted perceptual-hash store over `media`: hash every
+    * payload ONCE ([[imageHashes]] — real decode for images, md5 fallback
+    * for opaque bytes), land the 8-byte fingerprints under a fresh
+    * `v_<n>/hashes/batch=-1` with the radius in `v_<n>/params`, and flip
+    * the CURRENT pointer — the same crash-safe versioned lifecycle as the
+    * ANN and MinHash indexes ([[Similarity.buildIvfIndex]],
+    * [[Dedup.buildMinhashIndex]]). This is continuous image-crawl dedup:
+    * decode the accepted corpus once, then screen every incoming batch
+    * against 8 B/doc fingerprints instead of re-decoding 100 TB of pixels.
+    */
+  def buildImageHashStore(media: DataFrame, dir: String,
+      maxHamming: Int = 3): Unit = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$v"
+    imageHashes(spark, media).toDF()
+      .write.mode("overwrite").parquet(s"$root/hashes/batch=-1")
+    // params travel WITH the store: serve paths read the radius back
+    // instead of trusting caller arguments
+    Seq(maxHamming).toDF("max_hamming")
+      .write.mode("overwrite").parquet(s"$root/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
+
+  private def readImageStoreRadius(spark: SparkSession, root: String): Int =
+    spark.read.parquet(s"$root/params").head().getAs[Int]("max_hamming")
+
+  /** Hash `media` and append under a `batch=<id>` directory the append
+    * OWNS (overwrite) — an at-least-once replay with a stable caller
+    * `batchId` is idempotent, the shared contract of every persisted
+    * index in this library.
+    */
+  def appendToImageHashStore(spark: SparkSession, dir: String,
+      media: DataFrame, batchId: Option[Long] = None): Unit = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val id = batchId.getOrElse(Similarity.nextBatchId(spark, s"$root/hashes"))
+    imageHashes(spark, media).toDF()
+      .write.mode("overwrite").parquet(s"$root/hashes/batch=$id")
+  }
+
+  /** Live fingerprint view of a persisted store (all batches,
+    * last-writer-wins per doc).
+    */
+  def imageStoreHashes(spark: SparkSession, dir: String): DataFrame =
+    latestHashPerDoc(spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/hashes"))
+
+  /** Screen an incoming batch against the persisted store WITHOUT
+    * re-decoding the accepted corpus: hash the batch in flight, band both
+    * sides, bucket-join on (band, key), verify on `bit_count(xor)` at the
+    * store's own radius. Cost is O(batch) decode plus an equi-join
+    * against the store's derived band table — never O(corpus × batch),
+    * never a corpus re-decode.
+    *
+    * Output: (new_id, dup_of, hamming) — every stored doc the incoming
+    * doc collides with at Hamming ≤ the store radius.
+    */
+  def dedupAgainstImageStore(spark: SparkSession, dir: String,
+      media: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val maxHamming = readImageStoreRadius(spark, root)
+    // excludeBatch: a streaming replay must not match the batch against
+    // the partial hashes its own failed delivery appended (discovered
+    // partition columns infer as INT for small ids — compare, don't get)
+    val all = spark.read.parquet(s"$root/hashes")
+    val visible = excludeBatch.fold(all)(id =>
+      all.filter(col("batch").cast("long") =!= id))
+    val storeH = latestHashPerDoc(visible)
+    val newH = imageHashes(spark, media).toDF()
+    val storeBands = hashBands(storeH)
+      .select(col("doc_id").as("dup_of"), col("ahash").as("hb"),
+        col("band"), col("key"))
+    val newBands = hashBands(newH)
+      .select(col("doc_id").as("new_id"), col("ahash").as("ha"),
+        col("band"), col("key"))
+    newBands.join(storeBands, Seq("band", "key"))
+      .select(col("new_id"), col("dup_of"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("dup_of"), col("hamming"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Fold all hash batches into a fresh version's base batch (CURRENT
+    * flips atomically; readers never see a half-compacted store).
+    */
+  def compactImageHashStore(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$v"
+    latestHashPerDoc(spark.read.parquet(s"$root/hashes"))
+      .write.mode("overwrite").parquet(s"$newRoot/hashes/batch=-1")
+    spark.read.parquet(s"$root/params")
+      .write.mode("overwrite").parquet(s"$newRoot/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
 }

@@ -263,6 +263,50 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming image-crawl dedup over the persisted perceptual-hash
+    * store ([[graft.ext.Multimodal.buildImageHashStore]]) — the
+    * multimodal twin of [[minhashIndexIngest]]: each micro-batch of
+    * media rows is hashed once (real decode for images, md5 fallback for
+    * opaque payloads), deduped within the batch (banded Hamming, larger
+    * id drops), then screened against every fingerprint accepted so far
+    * (excluding this batch's own replayed append); survivors land in
+    * `outDir/batch=<id>` and their hashes append to the SAME store under
+    * the same id — tomorrow's crawl is checked against everything
+    * accepted today, at 8 B/doc, never a corpus re-decode. Batch-owned
+    * overwrites on both writes keep at-least-once replays idempotent.
+    */
+  def imageDedupIngest(media: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          if (!b.isEmpty) {
+            val root = Similarity.resolveIndexRoot(spark, storeDir)
+            val radius = spark.read.parquet(s"$root/params")
+              .head().getAs[Int]("max_hamming")
+            val withinDups = graft.ext.Multimodal
+              .imageNearDups(spark, b, maxHamming = radius)
+              .select(col("b").as("doc_id")).distinct()
+            val crossDups = graft.ext.Multimodal
+              .dedupAgainstImageStore(spark, storeDir, b,
+                excludeBatch = Some(batchId))
+              .select(col("new_id").as("doc_id")).distinct()
+            val survivors = b
+              .join(withinDups.unionByName(crossDups), Seq("doc_id"), "left_anti")
+              .cache()
+            try {
+              survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              graft.ext.Multimodal.appendToImageHashStore(spark, storeDir,
+                survivors, batchId = Some(batchId))
+            } finally { survivors.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming exact-substring dedup over the persisted window-hash
     * store ([[graft.ext.TextAnalysis.buildWindowStore]]): each
     * micro-batch is cut against every k-gram seen so far (store hits cut

@@ -1590,6 +1590,57 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L, 2), (4L, 5L, 0)), s"got $pairs")
   }
 
+  test("image-hash store: build, probe at the stored radius, idempotent append, lossless compaction") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def png(cells: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val xImg = png((x, _) => if (x < 4) 0 else 255)          // corpus image
+    val yImg = png((x, y) =>                                  // hamming 2 from X
+      if ((x, y) == (0, 0) || (x, y) == (7, 7)) (if (x < 4) 255 else 0)
+      else if (x < 4) 0 else 255)
+    val fImg = png((_, y) => if (y < 4) 0 else 255)          // hamming 32 from X
+    val o1 = "opaque corpus payload".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-imgstore").toString
+    Multimodal.buildImageHashStore(
+      Seq((1L, xImg, "image/png"), (2L, o1, "text/plain"))
+        .toDF("doc_id", "payload", "media_type"), dir)
+    // probe: Y pairs with X perceptually (hamming 2), an exact opaque copy
+    // pairs at 0, a far image and a fresh opaque stay silent
+    val batch = Seq((11L, yImg, "image/png"), (12L, o1, "text/plain"),
+      (13L, fImg, "image/png"), (14L, "fresh opaque".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "media_type")
+    val hits = Multimodal.dedupAgainstImageStore(spark, dir, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hits == Set((11L, 1L, 2), (12L, 2L, 0)), s"got $hits")
+    // append the survivors twice under the same batch id: last-writer-wins
+    // rewrite, not duplication
+    val survivors = batch.filter($"doc_id".isin(13L, 14L))
+    Multimodal.appendToImageHashStore(spark, dir, survivors, batchId = Some(0L))
+    Multimodal.appendToImageHashStore(spark, dir, survivors, batchId = Some(0L))
+    val live = Multimodal.imageStoreHashes(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 2L, 13L, 14L), s"live ids: $live")
+    // a re-crawl of F now collides with the appended fingerprint
+    val recrawl = Multimodal.dedupAgainstImageStore(spark, dir,
+        Seq((21L, fImg, "image/png")).toDF("doc_id", "payload", "media_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(recrawl == Set((21L, 13L, 0)), s"got $recrawl")
+    // compaction folds batches into a fresh base; the live view is unchanged
+    Multimodal.compactImageHashStore(spark, dir)
+    val compacted = Multimodal.imageStoreHashes(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted == live, s"compacted ids: $compacted")
+  }
+
   test("clusterBalancedSample caps every cluster at the quota, ranks by centroid distance") {
     val out = Similarity.clusterBalancedSample(emb, nCells = 4, iters = 2, quota = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))

@@ -1062,4 +1062,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(liveIds == Set(1000003L, 1000013L), s"indexed ids: $liveIds")
   }
+
+  test("streaming image dedup: perceptual dups drop against the growing hash store, survivors are fingerprinted for later batches") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def png(cells: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val xImg = png((x, _) => if (x < 4) 0 else 255)
+    val yImg = png((x, y) =>  // hamming 2 from X — perceptual near-dup
+      if ((x, y) == (0, 0) || (x, y) == (7, 7)) (if (x < 4) 255 else 0)
+      else if (x < 4) 0 else 255)
+    val fImg = png((_, y) => if (y < 4) 0 else 255)  // far from X (hamming 32)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-img-ingest-store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-img-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-img-ingest-ckpt").toString
+    graft.ext.Multimodal.buildImageHashStore(
+      Seq((1L, xImg, "image/png")).toDF("doc_id", "payload", "media_type"),
+      storeDir)
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = graft.streaming.StreamingCorpus.imageDedupIngest(
+      mem.toDF().toDF("doc_id", "payload", "media_type"),
+      storeDir, outDir, ckpt)
+    try {
+      // batch 0: a perceptual near-dup of the stored image (drops), the
+      // same opaque payload twice (within-batch: larger id drops), and a
+      // far image (survives)
+      val o = "streamed opaque payload".getBytes("UTF-8")
+      mem.addData((101L, yImg, "image/png"), (103L, o, "text/plain"),
+        (107L, o, "text/plain"), (109L, fImg, "image/png"))
+      q.processAllAvailable()
+      // batch 1: a byte-identical re-crawl of batch 0's far-image survivor
+      // (drops against its appended fingerprint) plus a fresh opaque
+      mem.addData((111L, fImg, "image/png"),
+        (113L, "late fresh opaque".getBytes("UTF-8"), "text/plain"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 103L), (0L, 109L), (1L, 113L)),
+      s"survivor set wrong: $out")
+    val live = graft.ext.Multimodal.imageStoreHashes(spark, storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
+  }
 }
