@@ -18,7 +18,12 @@ object Oracles {
   // shared by dedup_clusters (size-adaptive: union-find at test scales)
   // and dedup_clusters_dist (forces the distributed propagation) — BOTH
   // engine branches must hash-match the same recursive ground truth
-  private val dupClustersSql: String =
+  /** The near-dup cluster CTE chain (3-gram Jaccard ≥ 0.8 ground-truth
+    * pairs → WITH RECURSIVE min-label propagation), shared by the
+    * cluster oracles and the leakage-safe-split oracle so the replayed
+    * cluster definition cannot fork.
+    */
+  private val dupClustersCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
@@ -44,8 +49,11 @@ object Oracles {
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-      |)
-      |SELECT node AS doc_id, min(lab) AS cluster
+      |)""".stripMargin
+
+  private val dupClustersSql: String =
+    dupClustersCtes + "\n" +
+    """SELECT node AS doc_id, min(lab) AS cluster
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   /** Shared Lloyd-replay CTE chain (3 unrolled iterations): `emb`
@@ -995,6 +1003,57 @@ object Oracles {
          |WHERE ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr.thr
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // epoch upsampling: need = round(w * budget), full epochs floor
+    // (need / avail), remainder epoch hash-sampled at threshold
+    // round(1e4 * rem / avail). Binary-fraction weights CAST AS DOUBLE
+    // (decimal literals would round differently); '/' is double division
+    // in both engines, so floor sees the identical IEEE value
+    "text_upsample_epochs" -> {
+      val w = "CASE lang WHEN 'de' THEN CAST(0.25 AS DOUBLE) WHEN 'en' THEN CAST(0.5 AS DOUBLE) " +
+        "WHEN 'zh' THEN CAST(0.25 AS DOUBLE) END"
+      s"""WITH avail AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS avail FROM documents
+         |  WHERE lang IN ('de', 'en', 'zh') GROUP BY lang
+         |), plan AS (
+         |  SELECT lang, avail, CAST(round(($w) * 1000) AS BIGINT) AS need
+         |  FROM avail
+         |), thr AS (
+         |  SELECT lang,
+         |    CAST(floor(need / avail) AS BIGINT) AS full_epochs,
+         |    CAST(round(CAST(10000 AS DOUBLE) *
+         |      (need - CAST(floor(need / avail) AS BIGINT) * avail) / avail)
+         |      AS BIGINT) AS thr
+         |  FROM plan
+         |), copies AS (
+         |  SELECT d.doc_id, d.lang, t.full_epochs +
+         |    (CASE WHEN ('0x' || substring(md5('epoch:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thr
+         |      THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents d JOIN thr t ON d.lang = t.lang
+         |)
+         |SELECT doc_id, lang, CAST(g.i AS BIGINT) AS epoch
+         |FROM copies, UNNEST(generate_series(0, n_copies - 1)) AS g(i)
+         |WHERE n_copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+
+    // leakage-safe split: the shared recursive cluster CTEs provide the
+    // dup-cluster representative; singletons key by their own id, then
+    // the text_split bucket rule applies to the KEY
+    "text_split_leakage" ->
+      (dupClustersCtes + ",\n" +
+      """clusters AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+        |), keyed AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |)
+        |SELECT doc_id, split_key,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, split_key,
+        |    ('0x' || substring(md5(CAST(split_key AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM keyed)
+        |ORDER BY doc_id""".stripMargin),
 
     // deterministic hash split: same portable hash, same bucket rule
     "text_split" ->

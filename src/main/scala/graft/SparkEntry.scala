@@ -239,6 +239,22 @@ object SparkEntry {
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.125, "fr" -> 0.125), "lang")
         .select(col0("doc_id"), col0("lang"))
         .orderBy(col0("doc_id"))),
+    // epoch upsampling to an explicit 1000-doc budget: scarce domains
+    // repeat whole epochs, the remainder epoch hash-samples
+    // (binary-fraction weights, so normalization is float-exact)
+    "text_upsample_epochs" -> ((s, dir) =>
+      TextAnalysis.upsampleToBudget(docs(s, dir),
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), budget = 1000L, "lang")
+        .select(col0("doc_id"), col0("lang"), col0("epoch"))
+        .orderBy(col0("doc_id"), col0("epoch"))),
+    // leakage-safe split: every near-dup cluster lands wholly inside one
+    // split (split key = cluster representative, singletons = own id)
+    "text_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.leakageSafeSplit(d, Dedup.nearDupPipeline(d, 0.8))
+        .select(col0("doc_id"), col0("split_key"), col0("split"))
+        .orderBy(col0("doc_id"))
+    }),
     "text_split" -> ((s, dir) =>
       TextAnalysis.deterministicSplit(docs(s, dir))
         .groupBy(col0("split"))

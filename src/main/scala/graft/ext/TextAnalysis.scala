@@ -553,6 +553,96 @@ object TextAnalysis {
       .filter(bucket < col("thr"))
   }
 
+  /** Epoch upsampling to a document budget under a fixed domain mix —
+    * the complement of [[mixDomains]]: that operator builds the largest
+    * corpus achievable WITHOUT repetition; this one hits an explicit
+    * `budget` WITH repetition, the way production runs actually meet a
+    * token target when the mix calls for more of a scarce domain than
+    * exists (LLaMA-style data recipes repeat curated domains for multiple
+    * epochs while a web-scale domain contributes a fraction of one).
+    *
+    * Each targeted domain d with normalized weight w_d and `avail_d`
+    * docs owes `need_d = round(w_d · budget)` rows: every doc repeats
+    * `floor(need_d / avail_d)` full epochs, and the remainder epoch takes
+    * a deterministic hash-sampled fraction (same portable-hash bucketing
+    * as [[mixDomains]], independently salted) — so the emitted count hits
+    * `need_d` up to hash quantization, membership is engine/run/layout
+    * independent, and every emitted copy carries its `epoch` index for
+    * downstream shuffling or curriculum ordering.
+    *
+    * Scale shape: one tiny per-domain count aggregation, a broadcast of
+    * the ≤|targets|-row epoch plan, then a per-row `sequence` explode —
+    * the output is bigger than the input by exactly the intended
+    * repetition factor, and nothing else shuffles.
+    */
+  def upsampleToBudget(docs: DataFrame, targets: Map[String, Double],
+      budget: Long, domainCol: String = "lang",
+      salt: String = "epoch"): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    require(budget > 0, "budget must be positive")
+    val wSum = targets.values.sum
+    val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(w / wSum)).otherwise(acc)
+    }
+    import docs.sparkSession.implicits._
+    val availRows = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("avail"))
+      .as[(String, Long)].collect()
+    val missing = targets.keySet -- availRows.iterator.map(_._1).toSet
+    require(missing.isEmpty,
+      s"targeted domains with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    val plan = availRows.toSeq.toDF(domainCol, "avail")
+      .withColumn("need", round(weight * budget).cast("long"))
+      .withColumn("full_epochs", floor(col("need") / col("avail")).cast("long"))
+      .withColumn("thr", round(lit(10000.0) *
+        (col("need") - col("full_epochs") * col("avail")) / col("avail"))
+        .cast("long"))
+      .select(col(domainCol), col("full_epochs"), col("thr"))
+    val bucket = pmod(
+      portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
+      lit(10000L))
+    docs.join(broadcast(plan), Seq(domainCol))
+      .withColumn("n_copies", col("full_epochs") +
+        when(bucket < col("thr"), 1L).otherwise(0L))
+      // a doc owing zero copies contributes nothing; filtering first keeps
+      // sequence() strictly ascending (sequence(0,-1) would DESCEND)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("full_epochs", "thr", "n_copies")
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split, or val/test scores are inflated by training
+    * near-copies — the classic contamination path a per-document hash
+    * split ([[deterministicSplit]]) cannot prevent, because two
+    * near-identical docs hash independently. Here every doc splits by its
+    * dup-CLUSTER representative (transitive closure over the near-dup
+    * pair graph, [[graft.ext.Dedup.dupClusters]]; singletons represent
+    * themselves), with the same bucket rule as [[deterministicSplit]] —
+    * so cluster membership, not luck, decides the boundary, and docs
+    * outside any cluster split exactly as the per-doc rule would.
+    *
+    * Scale shape: the pair graph is LSH-pruned (pair-sized, not
+    * corpus-sized), so the representative table is small — and it comes
+    * off `dupClusters`' checkpointed/parallelized output with no stats
+    * for AQE to see, hence the explicit broadcast hint. One left join +
+    * a per-row hash: no corpus shuffle.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
+    val reps = graft.ext.Dedup.dupClusters(pairs)
+      .withColumnRenamed("cluster", "split_key")
+    val keyed = docs.join(broadcast(reps), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("split_key"), col("doc_id")))
+    val bucket = pmod(portableHash64(col("split_key").cast("string")), lit(100L))
+    keyed.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Sequence packing (GPT-style concat-then-chunk): lay every document's
     * tokens on one global stream in doc_id order and cut it into
     * fixed-size training sequences — each doc learns which sequence its

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Extension-operator semantics tests at sf0.001: approximate methods are
   * checked against their exact counterparts (minhash vs true Jaccard, LSH
@@ -1588,6 +1588,58 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Multimodal.imageNearDups(spark, media, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 2), (4L, 5L, 0)), s"got $pairs")
+  }
+
+  test("upsampleToBudget repeats scarce domains whole epochs, hash-samples the remainder, keeps epochs contiguous") {
+    import spark.implicits._
+    val docs = ((1L to 4L).map(i => (i, "a")) ++ (11L to 12L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    // exact-multiple budgets: no remainder epoch, counts are exact
+    val even = TextAnalysis.upsampleToBudget(docs,
+      Map("a" -> 0.5, "b" -> 0.5), budget = 8L)
+    val byLang = even.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("a" -> 4L, "b" -> 4L), s"got $byLang")
+    // every doc's epochs are contiguous 0..n-1
+    val perDoc = even.groupBy("doc_id").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.min($"epoch").as("mn"),
+      org.apache.spark.sql.functions.max($"epoch").as("mx")).collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("mn") == 0L &&
+        r.getAs[Long]("mx") == r.getAs[Long]("n") - 1, s"gap in $r")
+    }
+    // fractional remainder: count lands between the full-epoch floor and
+    // one extra epoch, never outside
+    val frac = TextAnalysis.upsampleToBudget(docs,
+      Map("a" -> 0.5, "b" -> 0.5), budget = 10L)
+    val aCount = frac.filter($"lang" === "a").count()
+    assert(aCount >= 4L && aCount <= 8L, s"a emitted $aCount")
+    // a targeted domain with no rows fails loud
+    val err = intercept[IllegalArgumentException] {
+      TextAnalysis.upsampleToBudget(docs, Map("a" -> 0.5, "zz" -> 0.5), 8L)
+    }
+    assert(err.getMessage.contains("zz"))
+  }
+
+  test("leakageSafeSplit keeps every dup cluster inside one split and leaves singletons on the per-doc rule") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = TextAnalysis.leakageSafeSplit(docs, pairs)
+      .select($"doc_id", $"split_key", $"split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // chained cluster {1,2,3} and pair {5,6} each share key + split
+    assert(Set(1L, 2L, 3L).map(out(_)._1) == Set(1L))
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size == 1)
+    assert(Set(5L, 6L).map(out(_)._1) == Set(5L))
+    assert(Set(5L, 6L).map(out(_)._2).size == 1)
+    // singletons split exactly as the per-doc hash rule would
+    val plain = TextAnalysis.deterministicSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    Seq(4L, 7L, 8L, 9L, 10L).foreach { id =>
+      assert(out(id)._1 == id && out(id)._2 == plain(id), s"doc $id diverged")
+    }
   }
 
   test("image-hash store: build, probe at the stored radius, idempotent append, lossless compaction") {
