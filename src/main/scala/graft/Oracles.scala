@@ -51,6 +51,31 @@ object Oracles {
       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
       |)""".stripMargin
 
+  /** The 2-table LSH candidate-pair CTE chain over `embeddings` (seeds
+    * 42/43, 4 hyperplanes each, embedded as DOUBLE literals) — shared by
+    * the bucketed embedding-dedup oracle and the kNN-PageRank oracle so
+    * the replayed candidate generation cannot fork. Produces CTEs
+    * `t0, t1, cand(a, b)` (to be embedded right after `WITH `).
+    */
+  private val embLshCandCtes: String = {
+    def bucketExpr(seed: Long): String =
+      graft.ext.Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+    val tables = Seq(42L, 43L).zipWithIndex.map { case (seed, t) =>
+      s"t$t AS (\n  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket\n  FROM embeddings\n)"
+    }.mkString(", ")
+    val perTable = (0 until 2).map { t =>
+      s"SELECT x.vec_id AS a, y.vec_id AS b FROM t$t x JOIN t$t y\n      ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""$tables, cand AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    $perTable
+      |  )
+      |)""".stripMargin
+  }
+
   private val dupClustersSql: String =
     dupClustersCtes + "\n" +
     """SELECT node AS doc_id, min(lab) AS cluster
@@ -1176,30 +1201,64 @@ object Oracles {
     // the bucketed production pipeline: 2 LSH tables (seeds 42, 43) of 4
     // fixed hyperplanes each, embedded as DOUBLE literals; candidates are
     // in-bucket pairs unioned across tables, then cosine-ranked
-    "dedup_embedding_pipeline" -> {
-      def bucketExpr(seed: Long): String =
-        graft.ext.Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, i) =>
-          val arr = p.mkString("[", ", ", "]::DOUBLE[]")
-          s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
-        }.mkString("\n    + ")
-      val tables = Seq(42L, 43L).zipWithIndex.map { case (seed, t) =>
-        s"t$t AS (\n  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket\n  FROM embeddings\n)"
-      }.mkString(", ")
-      val perTable = (0 until 2).map { t =>
-        s"SELECT x.vec_id AS a, y.vec_id AS b FROM t$t x JOIN t$t y\n      ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
-      }.mkString("\n    UNION ALL\n    ")
-      s"""WITH $tables, cand AS (
-        |  SELECT DISTINCT a, b FROM (
-        |    $perTable
-        |  )
-        |)
+    "dedup_embedding_pipeline" ->
+      s"""WITH $embLshCandCtes
         |SELECT c.a, c.b,
         |  round(list_cosine_similarity(
         |    CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
         |FROM cand c
         |JOIN embeddings ea ON c.a = ea.vec_id
         |JOIN embeddings eb ON c.b = eb.vec_id
-        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin
+        |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
+
+    // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
+    // per-src top-4 by (rounded cos DESC, dst), then 3 damped power
+    // steps with dangling redistribution — every per-step rank rounds
+    // to 9 decimals, matching the engine's iteration discipline exactly
+    "sim_pagerank" -> {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = s"r${i - 1}"
+        s"""c$i AS (
+          |  SELECT t.dst AS vec_id, sum(r.rank / o.outdeg) AS contrib
+          |  FROM topk t JOIN $prev r ON t.src = r.vec_id
+          |    JOIN outdeg o ON t.src = o.src
+          |  GROUP BY t.dst
+          |), d$i AS (
+          |  SELECT COALESCE(round(sum(r.rank), 9), CAST(0 AS DOUBLE)) AS dm
+          |  FROM $prev r LEFT JOIN outdeg o ON r.vec_id = o.src
+          |  WHERE o.src IS NULL
+          |), r$i AS (
+          |  SELECT e.vec_id,
+          |    round((1 - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) *
+          |      (COALESCE(c.contrib, CAST(0 AS DOUBLE)) + d.dm / nn.n), 9) AS rank
+          |  FROM embeddings e LEFT JOIN c$i c ON e.vec_id = c.vec_id, d$i d, nn
+          |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $embLshCandCtes, edges AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst, cos FROM edges
+        |  UNION ALL SELECT b, a, cos FROM edges
+        |), topk AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 4
+        |), outdeg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM topk GROUP BY src
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |), r0 AS (
+        |  SELECT vec_id, CAST(1 AS DOUBLE) / nn.n AS rank FROM embeddings, nn
+        |), $iterCtes
+        |SELECT vec_id, round(rank, 6) AS rank FROM r3
+        |ORDER BY vec_id""".stripMargin
     },
 
     // identical semantics via the bounded TopKAggregator — same oracle

@@ -396,6 +396,9 @@ object SparkEntry {
     // per-dimension corpus diagnostics (dead/skewed dims, ranges) — d
     // rows out regardless of corpus size
     "sim_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(emb(s, dir))),
+    // PageRank representativeness over the LSH-bucketed kNN graph: 3
+    // damped power steps, dangling mass redistributed, per-step round-9
+    "sim_pagerank" -> ((s, dir) => Similarity.embeddingPagerank(emb(s, dir))),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

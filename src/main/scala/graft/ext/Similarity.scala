@@ -406,6 +406,71 @@ object Similarity {
       .orderBy(col("cell"), col("rank"))
   }
 
+  /** PageRank centrality over the embedding kNN graph — a
+    * representativeness score for data curation: a document whose
+    * neighborhood keeps pointing back at it (dense modes, canonical
+    * copies) ranks high, drifting outliers rank near the teleport floor.
+    * Useful as a selection/weighting signal alongside prototypicality
+    * ([[clusterBalancedSample]]) and density dedup.
+    *
+    * Graph: the LSH-bucketed candidate pairs
+    * ([[graft.ext.Dedup.embeddingCandidatePairs]] — never a quadratic
+    * scan), symmetrized, then each node keeps its `k` highest-cosine
+    * out-edges (rounded cosine + dst tiebreak, engine-deterministic).
+    * Iteration: `iters` damped power steps with dangling-mass
+    * redistribution, every rank rounded to 9 decimals per step so both
+    * engines iterate from bit-identical vectors (the [[kmeansFit]]
+    * centroid discipline).
+    *
+    * Scale shape: edges are O(N·k) after the per-src rank window
+    * (partitioned by src, never global); each iteration is one
+    * edge-sized join-aggregate plus a 1-row dangling aggregate; the
+    * node count is the only driver action. The candidate/top-k frame is
+    * checkpointed ONCE and reused by every iteration — the LSH pipeline
+    * never re-runs.
+    */
+  def embeddingPagerank(emb: DataFrame, k: Int = 4, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionByName(
+        pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+    val topk = sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val outdeg = topk.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = emb.select(col("vec_id"))
+    // bounded driver action: one count, reused as a plan literal so both
+    // engines divide by the identical double
+    val n = nodes.count()
+    var r = nodes.withColumn("rank", lit(1.0) / lit(n))
+    for (_ <- 0 until iters) {
+      val contrib = topk
+        .join(r.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("vec_id"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("contrib"))
+      // dangling mass: nodes with no out-edges leak nowhere — redistribute
+      // uniformly (1-row aggregate, rounded like every per-step rank)
+      val dm = r
+        .join(outdeg.withColumnRenamed("src", "vec_id"), Seq("vec_id"),
+          "left_anti")
+        .agg(coalesce(round(sum(col("rank")), 9), lit(0.0)).as("dm"))
+      r = nodes.join(contrib, Seq("vec_id"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("vec_id"),
+          round(lit(1.0 - damping) / lit(n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / lit(n)), 9)
+            .as("rank"))
+    }
+    r.select(col("vec_id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Persist a k-means IVF index: the corpus PARTITIONED BY cell (so a
     * probe reads only its cells' directories — partition pruning makes
     * "touch nProbe/cells of the data" literal at the file-system level)

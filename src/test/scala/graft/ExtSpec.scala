@@ -1693,6 +1693,28 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == live, s"compacted ids: $compacted")
   }
 
+  test("embeddingPagerank conserves mass and concentrates it on the kNN hub") {
+    import spark.implicits._
+    // hub-spoke: 6 spokes = base + orthogonal jitters, so every spoke's
+    // NEAREST neighbor is the hub (|eps_i - eps_j|^2 > |eps_i|^2) while
+    // the hub's top-4 covers only 4 of the 6 spokes — the k-truncation
+    // asymmetry PageRank exists to measure (in-deg 6, out-deg 4)
+    val base = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    def spoke(i: Int) = base.zipWithIndex.map { case (v, d) =>
+      if (d == i) v + 0.05f else v }
+    val fixture = ((1L, base) +: (2L to 7L).map(i => (i, spoke(i.toInt))))
+      .toDF("vec_id", "embedding")
+    val ranks = Similarity.embeddingPagerank(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 7)
+    // teleport + dangling redistribution conserve total mass
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-5, s"mass ${ranks.values.sum}")
+    // every spoke keeps an edge to the hub; the hub cannot reciprocate
+    // them all — its stationary mass must dominate every spoke's
+    val spokeMax = (2L to 7L).map(ranks).max
+    assert(ranks(1L) > spokeMax, s"hub ${ranks(1L)} vs spokes $spokeMax")
+  }
+
   test("clusterBalancedSample caps every cluster at the quota, ranks by centroid distance") {
     val out = Similarity.clusterBalancedSample(emb, nCells = 4, iters = 2, quota = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
