@@ -221,6 +221,29 @@ object Oracles {
         |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
         |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // session_window replay: islands split at gap >= 1h (the half-open
+    // window boundary), session_end = last event + gap
+    "events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "events_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -196,7 +196,11 @@ object Prof {
           ("text_dsir_select", SparkEntry.queries("text_dsir_select")),
           ("corpus_diff", SparkEntry.queries("corpus_diff")),
           ("corpus_profile", SparkEntry.queries("corpus_profile")),
-          ("sim_drift_psi", SparkEntry.queries("sim_drift_psi")))) {
+          ("sim_drift_psi", SparkEntry.queries("sim_drift_psi")),
+          ("text_upsample_epochs", SparkEntry.queries("text_upsample_epochs")),
+          ("text_split_leakage", SparkEntry.queries("text_split_leakage")),
+          ("sim_pagerank", SparkEntry.queries("sim_pagerank")),
+          ("multimodal_image_dedup", SparkEntry.queries("multimodal_image_dedup")))) {
         val df = fn(spark, sf)
         // materialize through df's OWN QueryExecution (collect, small
         // sf0.001 results): a write would wrap the logical plan in a NEW

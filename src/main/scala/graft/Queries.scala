@@ -206,6 +206,27 @@ object Queries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-session rows via the BUILT-IN `session_window` aggregation — the
+    * declarative twin of [[eventsSessionize]]'s lag/running-sum islands,
+    * and the exact batch form of the streaming
+    * [[graft.streaming.MonitoringStream.sessionizedActivity]] (same
+    * grouping, so a landed streaming run verifies against this query).
+    * One hash aggregation with window merging, no window-function sort
+    * pass. Boundary semantics: `session_window` starts a NEW session
+    * when the gap is ≥ 1 h (an event at exactly `prev_end` falls outside
+    * the half-open window), where the islands form breaks at > 1 h; the
+    * oracle replays ≥.
+    */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Long-to-wide pivot: one row per day, one BIGINT column per event

@@ -35,6 +35,8 @@ object SparkEntry {
     "b4_daily_value" -> (Queries.b4DailyValue _),
     "d_json_extract" -> (Queries.dJsonExtract _),
     "events_sessionize" -> (Queries.eventsSessionize _),
+    // built-in session_window per-session rows (the streaming-ready form)
+    "events_sessions" -> (Queries.eventsSessions _),
     "agg_distinct" -> (Queries.aggDistinct _),
     "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
     "agg_rollup" -> (Queries.aggRollup _),

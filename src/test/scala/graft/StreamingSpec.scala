@@ -1063,6 +1063,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(liveIds == Set(1000003L, 1000013L), s"indexed ids: $liveIds")
   }
 
+  test("streaming session_window absorbs late in-watermark events and equals the batch session_window twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = MonitoringStream.sessionizedActivity(
+        mem.toDF().toDF("user_id", "ts", "value"), "1 hour", "3 hours")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_late_stream").start()
+    try {
+      // batch 0: the LATER events arrive first
+      mem.addData((1L, ts("2024-03-01 12:00:00"), 4.0),
+        (2L, ts("2024-03-01 11:00:00"), 8.0))
+      q.processAllAvailable()
+      // batch 1: late-but-in-watermark events open user 1's EARLIER
+      // session (10:00 + 10:30 merge; 12:00 stays separate, gap >= 1 h)
+      mem.addData((1L, ts("2024-03-01 10:00:00"), 1.0),
+        (1L, ts("2024-03-01 10:30:00"), 2.0))
+      q.processAllAvailable()
+      // flush: advance the watermark far past every real session's end
+      mem.addData((99L, ts("2024-03-01 23:59:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sessions_late_stream")
+      .filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val expected = Set(
+      (1L, "2024-03-01 10:00:00.0", "2024-03-01 11:30:00.0", 2L, 3.0),
+      (1L, "2024-03-01 12:00:00.0", "2024-03-01 13:00:00.0", 1L, 4.0),
+      (2L, "2024-03-01 11:00:00.0", "2024-03-01 12:00:00.0", 1L, 8.0))
+    assert(streamed == expected, s"streamed $streamed")
+    // the SAME session_window grouping in batch mode (the oracle-gated
+    // Queries.eventsSessions form) reproduces the landed sessions
+    val batchTwin = MonitoringStream.sessionizedActivity(
+        Seq((1L, ts("2024-03-01 12:00:00"), 4.0),
+          (2L, ts("2024-03-01 11:00:00"), 8.0),
+          (1L, ts("2024-03-01 10:00:00"), 1.0),
+          (1L, ts("2024-03-01 10:30:00"), 2.0))
+          .toDF("user_id", "ts", "value"), "1 hour", "3 hours")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(batchTwin == expected, s"batch twin $batchTwin")
+  }
+
   test("streaming image dedup: perceptual dups drop against the growing hash store, survivors are fingerprinted for later batches") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
