@@ -551,16 +551,20 @@ object Multimodal {
     * Hamming is 0) while decoded images pair perceptually.
     */
   def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    imageNearDupsFromHashes(imageHashes(spark, media).toDF(), maxHamming)
+
+  /** [[imageNearDups]] from a precomputed (doc_id, ahash) frame — the
+    * shared pairing core, exposed so callers that already paid the
+    * decode (the streaming ingest) never hash twice.
+    */
+  private[graft] def imageNearDupsFromHashes(h: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    val h = imageHashes(spark, media).toDF()
-    val bandKeys = (0 until 4).map { i =>
-      struct(lit(i).as("band"),
-        shiftright(col("ahash"), i * 16).bitwiseAND(lit(65535L)).as("key"))
-    }
-    val bands = h
-      .select(col("doc_id"), col("ahash"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    // the pigeonhole exactness claim is a 4-band property: >3 flipped
+    // bits CAN touch every band, silently losing recall — refuse
+    require(maxHamming <= 3 && maxHamming >= 0,
+      s"4x16-bit banding is exact only for 0 <= maxHamming <= 3, got $maxHamming")
+    val bands = hashBands(h)
     val cand = bands
       .select(col("doc_id").as("a"), col("ahash").as("ha"), col("band"), col("key"))
       .join(bands.select(col("doc_id").as("b"), col("ahash").as("hb"),
@@ -615,6 +619,10 @@ object Multimodal {
     */
   def buildImageHashStore(media: DataFrame, dir: String,
       maxHamming: Int = 3): Unit = {
+    // the persisted radius is authoritative for every later probe, so the
+    // banding exactness bound must hold at build time
+    require(maxHamming <= 3 && maxHamming >= 0,
+      s"4x16-bit banding is exact only for 0 <= maxHamming <= 3, got $maxHamming")
     val spark = media.sparkSession
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -630,7 +638,8 @@ object Multimodal {
     Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
   }
 
-  private def readImageStoreRadius(spark: SparkSession, root: String): Int =
+  private[graft] def readImageStoreRadius(spark: SparkSession,
+      root: String): Int =
     spark.read.parquet(s"$root/params").head().getAs[Int]("max_hamming")
 
   /** Hash `media` and append under a `batch=<id>` directory the append
@@ -639,11 +648,18 @@ object Multimodal {
     * index in this library.
     */
   def appendToImageHashStore(spark: SparkSession, dir: String,
-      media: DataFrame, batchId: Option[Long] = None): Unit = {
-    val root = Similarity.resolveIndexRoot(spark, dir)
+      media: DataFrame, batchId: Option[Long] = None): Unit =
+    appendHashesToStore(spark, Similarity.resolveIndexRoot(spark, dir),
+      imageHashes(spark, media).toDF(), batchId)
+
+  /** Append a precomputed hash frame to an already-resolved store root —
+    * the no-re-decode half of [[appendToImageHashStore]], for callers
+    * that pinned the version and paid the decode once (streaming).
+    */
+  private[graft] def appendHashesToStore(spark: SparkSession, root: String,
+      hashes: DataFrame, batchId: Option[Long] = None): Unit = {
     val id = batchId.getOrElse(Similarity.nextBatchId(spark, s"$root/hashes"))
-    imageHashes(spark, media).toDF()
-      .write.mode("overwrite").parquet(s"$root/hashes/batch=$id")
+    hashes.write.mode("overwrite").parquet(s"$root/hashes/batch=$id")
   }
 
   /** Live fingerprint view of a persisted store (all batches,
@@ -666,7 +682,18 @@ object Multimodal {
   def dedupAgainstImageStore(spark: SparkSession, dir: String,
       media: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
     val root = Similarity.resolveIndexRoot(spark, dir)
-    val maxHamming = readImageStoreRadius(spark, root)
+    probeStoreWithHashes(spark, root, readImageStoreRadius(spark, root),
+      imageHashes(spark, media).toDF(), excludeBatch)
+  }
+
+  /** [[dedupAgainstImageStore]] against an already-resolved root, radius,
+    * and precomputed batch hashes — one resolve, one decode, shared with
+    * the streaming ingest so a concurrent CURRENT flip cannot split the
+    * within-batch and probe radii.
+    */
+  private[graft] def probeStoreWithHashes(spark: SparkSession, root: String,
+      maxHamming: Int, newH: DataFrame,
+      excludeBatch: Option[Long] = None): DataFrame = {
     // excludeBatch: a streaming replay must not match the batch against
     // the partial hashes its own failed delivery appended (discovered
     // partition columns infer as INT for small ids — compare, don't get)
@@ -674,7 +701,6 @@ object Multimodal {
     val visible = excludeBatch.fold(all)(id =>
       all.filter(col("batch").cast("long") =!= id))
     val storeH = latestHashPerDoc(visible)
-    val newH = imageHashes(spark, media).toDF()
     val storeBands = hashBands(storeH)
       .select(col("doc_id").as("dup_of"), col("ahash").as("hb"),
         col("band"), col("key"))

@@ -631,16 +631,13 @@ object TextAnalysis {
     */
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct + valPct <= 100, "trainPct + valPct must be <= 100")
     val reps = graft.ext.Dedup.dupClusters(pairs)
       .withColumnRenamed("cluster", "split_key")
     val keyed = docs.join(broadcast(reps), Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("split_key"), col("doc_id")))
-    val bucket = pmod(portableHash64(col("split_key").cast("string")), lit(100L))
-    keyed.withColumn("split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test"))
+    // ONE bucket rule: the per-doc splitter applied to the cluster key —
+    // the singleton-parity guarantee is then structural, not coincidental
+    deterministicSplit(keyed, keyCol = "split_key", trainPct, valPct)
   }
 
   /** Sequence packing (GPT-style concat-then-chunk): lay every document's

@@ -276,7 +276,13 @@ object StreamingCorpus {
     * overwrites on both writes keep at-least-once replays idempotent.
     */
   def imageDedupIngest(media: DataFrame, storeDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // pin the store version at stream start (the lmScoreIngest
+    // discipline): a concurrent rebuild flips CURRENT for the NEXT
+    // stream, never mid-stream — within-batch and probe radii can't split
+    val root = Similarity.resolveIndexRoot(media.sparkSession, storeDir)
+    val radius = graft.ext.Multimodal
+      .readImageStoreRadius(media.sparkSession, root)
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -284,28 +290,37 @@ object StreamingCorpus {
         val b = batch.cache()
         try {
           if (!b.isEmpty) {
-            val root = Similarity.resolveIndexRoot(spark, storeDir)
-            val radius = spark.read.parquet(s"$root/params")
-              .head().getAs[Int]("max_hamming")
-            val withinDups = graft.ext.Multimodal
-              .imageNearDups(spark, b, maxHamming = radius)
-              .select(col("b").as("doc_id")).distinct()
-            val crossDups = graft.ext.Multimodal
-              .dedupAgainstImageStore(spark, storeDir, b,
-                excludeBatch = Some(batchId))
-              .select(col("new_id").as("doc_id")).distinct()
-            val survivors = b
-              .join(withinDups.unionByName(crossDups), Seq("doc_id"), "left_anti")
+            // decode ONCE: within-batch pairing, the store probe, and the
+            // survivor append all work off this hash frame (ImageIO decode
+            // dominates batch cost — never pay it three times)
+            val h = graft.ext.Multimodal.imageHashes(spark, b.toDF()).toDF()
               .cache()
             try {
-              survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-              graft.ext.Multimodal.appendToImageHashStore(spark, storeDir,
-                survivors, batchId = Some(batchId))
-            } finally { survivors.unpersist(); () }
+              val withinDups = graft.ext.Multimodal
+                .imageNearDupsFromHashes(h, maxHamming = radius)
+                .select(col("b").as("doc_id")).distinct()
+              val crossDups = graft.ext.Multimodal
+                .probeStoreWithHashes(spark, root, radius, h,
+                  excludeBatch = Some(batchId))
+                .select(col("new_id").as("doc_id")).distinct()
+              val survivors = b
+                .join(withinDups.unionByName(crossDups), Seq("doc_id"),
+                  "left_anti")
+                .cache()
+              try {
+                survivors.write.mode("overwrite")
+                  .parquet(s"$outDir/batch=$batchId")
+                graft.ext.Multimodal.appendHashesToStore(spark, root,
+                  h.join(survivors.select(col("doc_id")), Seq("doc_id"),
+                    "left_semi"),
+                  batchId = Some(batchId))
+              } finally { survivors.unpersist(); () }
+            } finally { h.unpersist(); () }
           }
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 
   /** Streaming exact-substring dedup over the persisted window-hash
     * store ([[graft.ext.TextAnalysis.buildWindowStore]]): each
