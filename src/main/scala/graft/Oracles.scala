@@ -1901,6 +1901,71 @@ object Oracles {
         |  round(exp(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // multinomial NB model: per-(label, token) counts with add-1
+    // smoothing, ll = ln((c+1)/(n_label+V)); the ratio is built from the
+    // same exact-integer casts Spark uses so ln sees an identical IEEE
+    // double; only label-SEEN pairs are stored (matches the engine)
+    "text_nb_model" ->
+      """WITH tok AS (
+        |  SELECT lang AS label, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), classtok AS (
+        |  SELECT label, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY label, token
+        |), classtotal AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY label
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok
+        |)
+        |SELECT k.label, k.token, k.c,
+        |  round(ln((CAST(k.c AS DOUBLE) + 1.0) / CAST(t.n + v.v AS DOUBLE)), 4) AS ll
+        |FROM classtok k JOIN classtotal t USING (label) CROSS JOIN vocab v
+        |ORDER BY k.label, k.token""".stripMargin,
+
+    // NB scoring: per-doc distinct tokens with multiplicity, fan out by
+    // label, left-join the seen-pair count table (c=0 when unseen), sum
+    // mult*ll + ln(prior); argmax on the UNROUNDED score with ties to the
+    // lexicographically larger label — the exact struct-max semantics of
+    // the engine's max(struct(score, label)); round only on output
+    "text_nb_predict" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang AS label, unnest(
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |), doctok AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS mult FROM tok GROUP BY doc_id, token
+        |), classtok AS (
+        |  SELECT label, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY label, token
+        |), classtotal AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY label
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok
+        |), priors AS (
+        |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+        |), total AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+        |), scores AS (
+        |  SELECT d.doc_id, ct.label,
+        |    ln(CAST(p.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)) +
+        |    sum(CAST(d.mult AS DOUBLE) *
+        |      ln((CAST(coalesce(k.c, 0) AS DOUBLE) + 1.0) / CAST(ct.n + v.v AS DOUBLE))) AS score
+        |  FROM doctok d
+        |  CROSS JOIN classtotal ct
+        |  LEFT JOIN classtok k ON k.label = ct.label AND k.token = d.token
+        |  CROSS JOIN vocab v
+        |  JOIN priors p ON p.label = ct.label
+        |  CROSS JOIN total t
+        |  GROUP BY d.doc_id, ct.label, p.n_docs, t.n_total, ct.n, v.v
+        |), best AS (
+        |  SELECT doc_id, label AS pred_label, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+        |  FROM scores
+        |)
+        |SELECT d.doc_id, d.lang, b.pred_label, round(b.score, 4) AS score,
+        |  d.lang = b.pred_label AS correct
+        |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        |ORDER BY d.doc_id""".stripMargin,
+
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE
     // pairing, overlap normalized by the SMALLER side's post-cap count

@@ -25,19 +25,33 @@ object Queries {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by
-    * default; read it as nanos-since-epoch and truncate to microseconds —
-    * the same µs view DuckDB's oracle produces when formatting/casting.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations — TIMESTAMP(NANOS) (read as nanos-since-epoch under the
+    * legacy conf, truncated to µs here) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ) — so
+    * normalize BY SCHEMA to one canonical µs TimestampType view. The NTZ
+    * cast reinterprets the wall clock in the session zone (pinned UTC
+    * everywhere in this engine), i.e. the same instant the nanos path
+    * produced; DuckDB's oracle sees the identical naive-µs values either
+    * way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // bootstrap conf lives in Graft.session(); the nanos read path REQUIRES
     // true (without it Spark rejects the TIMESTAMP(NANOS) column outright),
     // so force it for sessions built elsewhere — deliberately overriding
-    // even an explicit false, which could never coexist with this query
+    // even an explicit false, which could never coexist with this query.
+    // Harmless for the micros generation (the flag only touches NANOS).
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Deterministic "as of" date for the events-table analytics (events span

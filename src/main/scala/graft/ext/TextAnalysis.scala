@@ -1507,4 +1507,96 @@ object TextAnalysis {
         (col("_seen").isNull && col("_rk") === 1).as("is_owner"))
     rebuildWithoutCutWindows(toks, cutOcc, k)
   }
+
+  /** Per-class token stream shared by [[nbModel]] and [[nbPredict]]:
+    * (doc_id, label, token) occurrences under the corpus-standard
+    * whitespace tokenization.
+    */
+  private def labeledTokens(docs: DataFrame, labelCol: String): DataFrame =
+    docs.select(col("doc_id"), col(labelCol).as("label"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Multinomial Naive Bayes MODEL over whitespace tokens — the learned
+    * (fasttext-style linear) counterpart to the heuristic [[langId]]:
+    * real pipelines train exactly this shape of classifier (token counts
+    * per class, add-1 smoothing) for language ID and quality gating, then
+    * score the crawl with it. Emits the per-(label, token) log-likelihood
+    * table `ll = ln((c+1) / (n_label + V))` plus the raw count, one row
+    * per label×token pair SEEN in that label (unseen pairs reconstruct as
+    * `ln(1 / (n_label + V))` at scoring time — storing them would blow
+    * the table up to |labels|·V for no information).
+    *
+    * Scale shape: training is pure aggregation — one map-side-combined
+    * shuffle to (label, token) counts, a label-sized total, and a one-row
+    * vocabulary count. The model is distinct-(label, token)-sized, never
+    * occurrence-sized, so at 100 TB it is the by-product of a single
+    * corpus scan and broadcasts into the scorer.
+    */
+  def nbModel(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    val tok = labeledTokens(docs, labelCol)
+    val classTok = tok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val classTotal = tok.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val vocab = tok.agg(countDistinct(col("token")).as("v"))
+    classTok
+      .join(broadcast(classTotal), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col("label"), col("token"), col("c"),
+        round(log((col("c").cast("double") + lit(1.0)) /
+          (col("n") + col("v")).cast("double")), 4).as("ll"))
+      .orderBy(col("label"), col("token"))
+  }
+
+  /** Score every document under the [[nbModel]] trained on the SAME
+    * corpus (self-train — the registered-query form; production freezes
+    * the model and scores held-out text, same plan with the model tables
+    * read from parquet). Per (doc, label):
+    * `score = ln(n_docs_label / N) + Σ_tok mult · ln((c+1)/(n_label+V))`
+    * with `c = 0` for label-unseen tokens; prediction is the argmax,
+    * ties broken by label descending (struct-max semantics, replayed
+    * verbatim by the oracle's `ORDER BY score DESC, label DESC`).
+    *
+    * Scale shape: the corpus collapses to per-doc distinct tokens with
+    * multiplicity (the [[bigramPerplexity]] stance), fans out only by
+    * |labels| (a broadcast of the label-total table), left-joins the
+    * distinct-(label, token)-sized count table, and reduces back to one
+    * row per (doc, label) then one row per doc. No quadratic anywhere;
+    * the only corpus-wide exchanges are the doc-token collapse and the
+    * final per-doc aggregation, both keyed by doc_id.
+    */
+  def nbPredict(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    val tok = labeledTokens(docs, labelCol)
+    val docTok = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("mult"))
+    val classTok = tok.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val classTotal = tok.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val vocab = tok.agg(countDistinct(col("token")).as("v"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    // exact-integer casts on both sides of every division so ln sees an
+    // identical IEEE double in engine and oracle
+    val ll = log((coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("n") + col("v")).cast("double"))
+    val prior = log(col("n_docs").cast("double") / col("n_total").cast("double"))
+    val scores = docTok
+      .crossJoin(broadcast(classTotal))
+      .join(classTok, Seq("label", "token"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"), col("label"), col("n"))
+      .agg(sum(col("mult").cast("double") * ll).as("loglik"))
+      .join(broadcast(priors), Seq("label"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("label"), (prior + col("loglik")).as("score"))
+    val best = scores.groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("label"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred_label"),
+        round(col("best.score"), 4).as("score"))
+    docs.select(col("doc_id"), col(labelCol))
+      .join(best, Seq("doc_id"))
+      .withColumn("correct", col(labelCol) === col("pred_label"))
+      .orderBy(col("doc_id"))
+  }
 }
