@@ -70,6 +70,41 @@ object Bench {
     "pipeline_training_set"                                     // flagship composition
   )
 
+  /** Machine-drift calibration anchor (r7 ask #1): a FIXED,
+    * data-independent workload timed in every bench session, so
+    * cross-round probe comparison can separate code regressions from
+    * machine drift — r7's pinned probe reported a phantom 36% regression
+    * (22.6 s vs 16.6 s) that took a two-build A/B to falsify; the
+    * mechanism built for honest comparison could not itself tell how
+    * fast the machine was that day.
+    *
+    * Workload: one CPU-bound pass (2e9-row range, per-row xxhash64 —
+    * nothing Catalyst can fold away) plus one small fixed shuffle
+    * (2e6 rows → 1024 keys), covering the two resources (cores, shuffle
+    * machinery) the probe queries actually contend on. One untimed warm
+    * pass pays codegen, then min-of-2 timed passes. The artifact records
+    * `calib_s` per session and `probe_normalized = probe_total /
+    * calib_probe`; compare THE NORMALIZED number across rounds — a slow
+    * machine inflates numerator and denominator together.
+    */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // mask the hash to 20 bits before summing: 2e9 × 2^20 ≈ 2^51 keeps
+      // the running sum inside a long under ANSI overflow checking
+      spark.range(0L, 2000000000L, 1L, 32)
+        .selectExpr("sum(xxhash64(id) & 1048575) s")
+        .write.format("noop").mode("overwrite").save()
+      spark.range(0L, 2000000L, 1L, 32)
+        .selectExpr("pmod(xxhash64(id), 1024) k", "id v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm: codegen + JIT, untimed
+    math.min(pass(), pass())
+  }
+
   /** Drop every cached plan and every persistent RDD (including
     * `localCheckpoint` blocks, which the catalog cache doesn't track),
     * blocking until the blocks are actually gone. Safe between queries:
@@ -197,6 +232,8 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val spark = newSession(cpus)
+    // calibration anchor for THIS session's numbers (see [[calibrate]])
+    val calibFull = calibrate(spark)
     val results = entries.map { case (n, f) => runOne(spark, sfDir, reps, warmup)(n, f) }
 
     // anomaly auto-recheck: the median>1.5×min detector cannot tell real
@@ -222,19 +259,45 @@ object Bench {
     // probe phase: pinned subset, fresh session, same protocol — the
     // low-population number that makes cross-round comparison honest
     val doProbe = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE", "1") != "0"
-    val probeResults: Seq[QRes] = if (doProbe) {
+    // scale-up smoke (r7 ask #5): after the sf-probe, generate (or reuse)
+    // a 10× replica of the bench scale factor and re-run the probe subset
+    // against it, so the artifact carries MEASURED per-query scaling
+    // exponents instead of plan-shape arguments. warmup stays ON for the
+    // sf1 pass — the first run at the new scale pays index-cache builds
+    // and page-cache fill that must not masquerade as scaling cost.
+    val doSf1 = doProbe && sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+    val sf1Reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_REPS", "1").trim.toInt).getOrElse(1))
+    var sf1Gen = -1.0
+    var sf1Err = ""
+    val (probeResults, sf1Results, calibProbe): (Seq[QRes], Seq[QRes], Double) = if (doProbe) {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       System.gc()
       val ps = newSession(cpus)
+      val calibP = calibrate(ps)
       val byName = entries.toMap
       val prs = probeSubset.flatMap { n =>
         byName.get(n).map(f => runOne(ps, sfDir, reps, warmup)(n, f))
       }
+      val s1 = if (doSf1) {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
+        try {
+          sf1Gen = ScaleUp.ensure(ps, sfDir, sf1Dir, factor = 10)
+          sweep(ps)
+          probeSubset.flatMap { n =>
+            byName.get(n).map(f => runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f))
+          }
+        } catch { case e: Throwable =>
+          // a broken scale-up must read as broken, never as silently absent
+          sf1Err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)}"
+          Seq.empty
+        }
+      } else Seq.empty
       ps.stop()
-      prs
-    } else { spark.stop(); Seq.empty }
+      (prs, s1, calibP)
+    } else { spark.stop(); (Seq.empty, Seq.empty, -1.0) }
 
     val mins = results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
@@ -270,36 +333,58 @@ object Bench {
       .mkString("{", ",", "}")
     val probeTotal = probeResults.collect { case r if r.err.isEmpty => r.min }.sum
     val skipped = SparkEntry.verifierOnly.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // the number to compare across rounds: probe seconds per calibration
+    // second — machine drift moves numerator and denominator together
+    val probeNorm = if (calibProbe > 0) probeTotal / calibProbe else -1.0
+    val sf1Map = sf1Results.map(r => jstr(r.name) + ":" + jnum(r.min))
+      .mkString("{", ",", "}")
+    val sf1Total = sf1Results.collect { case r if r.err.isEmpty => r.min }.sum
+    // measured scaling exponent per probe query: log10(t_sf1 / t_sf0.1)
+    // for a 10× scale-up — 1.00 is perfectly linear, >1.11 is worse than
+    // 1.3× linear (the audit threshold: 10^1.11 ≈ 13 ≈ 1.3 × 10)
+    val probeMin = probeResults.map(r => r.name -> r.min).toMap
+    val sf1Exp = sf1Results.flatMap { r =>
+      probeMin.get(r.name).collect {
+        case t0 if t0 > 0 && r.min > 0 =>
+          jstr(r.name) + ":" + fmt("%.2f", math.log10(r.min / t0))
+      }
+    }.mkString("{", ",", "}")
 
     val core =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)}"""
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"calib_full":${jnum(calibFull)},"calib_probe":${jnum(calibProbe)},"probe_normalized":${jnum(probeNorm)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+      (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
     // session JVM state), so cross-round comparison must use `probe`
-    val biasNote = "full-run query mins are population-biased; compare probe across rounds"
-    def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String): String =
+    val biasNote = "full-run query mins are population-biased; compare probe_normalized across rounds"
+    def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
+        withSf1Exp: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
         (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote",""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json; $biasNote",""") +
-        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap""" +
+        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap,"sf1_probe":$sf1Map""" +
+        (if (withSf1Exp) s""","sf1_exponents":$sf1Exp""" else "") +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
         s""","sf":"$sfDir"}"""
     // the wrapper's tail window is ~2000 chars and this line is the LAST
     // thing on stdout (showSuccess off), so anything under ~1950 keeps the
     // line start inside the window. Degrade ladder sheds detail only:
     // full → drop `skipped` → drop per-query mins/errors → compact
-    // anomalies. EVERY rung keeps rep_anomalies, n_errors, probe — the
-    // r5 artifact emptied rep_anomalies on overflow and hid 4 anomalies.
+    // anomalies → drop sf1_exponents (recomputable from probe + sf1_probe,
+    // both of which every rung keeps). EVERY rung keeps rep_anomalies,
+    // n_errors, probe, sf1_probe, calib/probe_normalized — the r5 artifact
+    // emptied rep_anomalies on overflow and hid 4 anomalies.
     val candidates = Seq(
       line(withQueries = true,  withSkipped = true,  anomalies),
       line(withQueries = true,  withSkipped = false, anomalies),
       line(withQueries = false, withSkipped = false, anomalies),
-      line(withQueries = false, withSkipped = false, anomaliesCompact))
+      line(withQueries = false, withSkipped = false, anomaliesCompact),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, withSf1Exp = false))
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(candidates.last)
     // full-detail twin (exact seconds, raw runs, medians, warm-ups) → out file
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
       rs.map(r => jstr(r.name) + ":" + f(r)).mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},"sf1_exponents":$sf1Exp,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
     println(stdoutLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -1957,11 +1957,12 @@ object Oracles {
         |  CROSS JOIN total t
         |  GROUP BY d.doc_id, ct.label, p.n_docs, t.n_total, ct.n, v.v
         |), best AS (
-        |  SELECT doc_id, label AS pred_label, score,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label DESC) AS rn
+        |  SELECT doc_id, label AS pred_label, round(score, 4) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(score, 4) DESC, label DESC) AS rn
         |  FROM scores
         |)
-        |SELECT d.doc_id, d.lang, b.pred_label, round(b.score, 4) AS score,
+        |SELECT d.doc_id, d.lang, b.pred_label, b.score,
         |  d.lang = b.pred_label AS correct
         |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin,

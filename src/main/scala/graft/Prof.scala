@@ -145,6 +145,29 @@ object Prof {
         time(s"pipe_sf0.1_run$i")({ onePipe(sfDir); 0L })
       }
     }
+    if (mode == "scaleup") {
+      // smoke the bench's scale-up + calibration plumbing at sf0.01 → ×10
+      time("calibrate")({ println(f"PROF calib_s=${Bench.calibrate(spark)}%.2f"); 0L })
+      val out = "target/prof_sf1_smoke"
+      time("scaleup_gen")({
+        println(f"PROF gen_s=${ScaleUp.ensure(spark, "/root/testdata/sf0.01", out)}%.2f"); 0L })
+      for (t <- Seq("lineitem", "documents", "embeddings", "events")) {
+        val n0 = Queries.table(spark, "/root/testdata/sf0.01", t).count()
+        val n1 = Queries.table(spark, out, t).count()
+        println(s"PROF scaleup $t: $n0 -> $n1 (x${n1 / n0})")
+      }
+      // dedup density must stay per-copy-local: pair count should scale
+      // ~10x, not ~100x (the quadratic lie verbatim replication would tell)
+      val p0 = graft.ext.Dedup.nearDupPipeline(
+        Queries.table(spark, "/root/testdata/sf0.01", "documents"), 0.8).count()
+      val p1 = graft.ext.Dedup.nearDupPipeline(
+        Queries.table(spark, out, "documents"), 0.8).count()
+      println(s"PROF scaleup dedup_pairs: $p0 -> $p1 (x${if (p0 > 0) p1.toDouble / p0 else -1})")
+      // joins must still land: q5-shaped join row counts scale linearly
+      val j0 = Queries.q5LocalSupplier(spark, "/root/testdata/sf0.01").count()
+      val j1 = Queries.q5LocalSupplier(spark, out).count()
+      println(s"PROF scaleup q5_rows: $j0 -> $j1")
+    }
     if (mode == "asofexec") {
       val sf = "/root/testdata/sf0.001"
       val b = Queries.asofJoinExecQuery(spark, sf)

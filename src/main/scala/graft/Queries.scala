@@ -48,6 +48,13 @@ object Queries {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ->TimestampType cast reinterprets the wall clock in the
+        // SESSION zone; a session built elsewhere in a non-UTC zone would
+        // shift every instant on this path while the nanos path stays
+        // correct — mirror the nanosAsLong guard and pin UTC (r7 advice)
+        val tzKey = "spark.sql.session.timeZone"
+        if (!spark.conf.getOption(tzKey).contains("UTC"))
+          spark.conf.set(tzKey, "UTC")
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

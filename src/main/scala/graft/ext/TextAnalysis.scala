@@ -1590,10 +1590,15 @@ object TextAnalysis {
       .join(broadcast(priors), Seq("label"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("label"), (prior + col("loglik")).as("score"))
+    // argmax over the QUANTIZED score (r7 advice): Spark partial-agg
+    // summation order vs DuckDB's can differ by ulps, so within-ulp label
+    // scores could argmax differently across engines — rounding to the
+    // output precision BEFORE the struct-max makes the argmax and the
+    // label-DESC tiebreak operate on identical values in both
     val best = scores.groupBy(col("doc_id"))
-      .agg(max(struct(col("score"), col("label"))).as("best"))
+      .agg(max(struct(round(col("score"), 4).as("score"), col("label"))).as("best"))
       .select(col("doc_id"), col("best.label").as("pred_label"),
-        round(col("best.score"), 4).as("score"))
+        col("best.score").as("score"))
     docs.select(col("doc_id"), col(labelCol))
       .join(best, Seq("doc_id"))
       .withColumn("correct", col(labelCol) === col("pred_label"))
