@@ -124,6 +124,32 @@ object Oracles {
       |${cent(3)}""".stripMargin
   }
 
+  // shared by the url/domain family: the harness's deterministic
+  // messy-URL derivation (SparkEntry.withUrl) replayed verbatim, plus the
+  // domain key (lower host, www/port stripped)
+  private val urlCtes: String =
+    """u AS (
+      |  SELECT doc_id, lang, text,
+      |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS' ELSE 'Http' END)
+      |    || '://' ||
+      |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'cdn.' || source || '.com'
+      |      WHEN 1 THEN upper(source) || '.COM'
+      |      WHEN 2 THEN 'WWW.' || source || '.com'
+      |      ELSE 'www.' || source || '.org' END)
+      |    || '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR)
+      |    || (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '' WHEN 1 THEN '/'
+      |      WHEN 2 THEN '?utm_source=feed&utm_campaign=spring'
+      |      WHEN 3 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=email&ref=tw'
+      |      ELSE '#section-2' END) AS url
+      |  FROM documents
+      |), dom AS (
+      |  SELECT doc_id, lang, text, url,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+      |      '^www\.', ''), ':[0-9]+$', '') AS domain
+      |  FROM u
+      |)""".stripMargin
+
   private val base: Map[String, String] = Map(
 
     "a1_filter_scan" ->
@@ -999,6 +1025,61 @@ object Oracles {
         |       ELSE 'tail' END AS bucket
         |FROM lng l JOIN cuts c USING (lang)
         |ORDER BY l.doc_id""".stripMargin,
+
+    // URL canonicalization: the same regex chain as UrlCuration
+    // (fragment -> scheme/host lowercase -> tracking-param strip ->
+    // ?/& residue -> trailing slash); pure string ops, directly replayable
+    "url_canonicalize" -> ("WITH " + urlCtes + "," +
+      """ c AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*', '', 'g') AS nofrag FROM u
+        |), p AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(nofrag, '^([^:/?#]+)://', 1) AS scheme,
+        |    regexp_extract(nofrag, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+        |    regexp_extract(nofrag, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+        |  FROM c
+        |), q AS (
+        |  SELECT doc_id, url, scheme, host,
+        |    regexp_replace(regexp_replace(regexp_replace(rest,
+        |      '(utm_[^&=]*|fbclid|gclid|ref)=[^&]*&?', '', 'g'),
+        |      '\?&', '?', 'g'), '[?&]+$', '', 'g') AS cleaned
+        |  FROM p
+        |)
+        |SELECT doc_id, url,
+        |  lower(scheme) || '://' || lower(host) ||
+        |    regexp_replace(cleaned, '/$', '', 'g') AS canonical_url,
+        |  regexp_replace(regexp_replace(lower(host), '^www\.', ''),
+        |    ':[0-9]+$', '') AS domain
+        |FROM q ORDER BY doc_id""".stripMargin),
+
+    // per-domain cap ~5 via the shared portable-hash 10000-bucket keep:
+    // thr = min(10000, round(1e4 * cap / n_domain)), bucket < thr
+    "domain_caps" -> ("WITH " + urlCtes + "," +
+      """ cnt AS (
+        |  SELECT domain, CAST(count(*) AS BIGINT) AS n FROM dom GROUP BY domain
+        |), thr AS (
+        |  SELECT domain,
+        |    least(10000, CAST(round(10000.0 * 5 / n) AS BIGINT)) AS thr
+        |  FROM cnt
+        |)
+        |SELECT d.doc_id, d.domain,
+        |  ('0x' || substring(md5('domcap:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+        |FROM dom d JOIN thr USING (domain)
+        |WHERE ('0x' || substring(md5('domcap:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // mixture report: exact-integer counts; avg/share are single IEEE
+    // divisions of exact integers so round(.,2)/round(.,4) replay exactly
+    "domain_mix" -> ("WITH " + urlCtes + "," +
+      """ t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM dom
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  round(avg(length(text)), 2) AS avg_chars,
+        |  round(CAST(count(*) AS DOUBLE) / t.n_total, 4) AS share
+        |FROM dom, t GROUP BY domain, t.n_total
+        |ORDER BY domain""".stripMargin),
 
     // stratified sampling: same salted hash buckets, same per-stratum
     // thresholds (en 5000/10000, de 2500/10000, others kept whole)

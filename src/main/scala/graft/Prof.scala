@@ -145,6 +145,24 @@ object Prof {
         time(s"pipe_sf0.1_run$i")({ onePipe(sfDir); 0L })
       }
     }
+    if (mode == "pipeprewarm") {
+      // the SUPPORTED pre-warm path (TrainingPipeline.preWarm): fresh JVM
+      // -> preWarm on a hash-sample of the real input -> 3 full runs.
+      // Acceptance (r7 ask #2): run1 <= 1.5x steady (min of runs 2-3).
+      val docs = Queries.table(spark, sfDir, "documents")
+      time("prewarm")({ graft.ext.TrainingPipeline.preWarm(docs); 0L })
+      val runs = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        noop(graft.ext.TrainingPipeline.trainingSet(docs))
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"PROF pipe_run$i: $s%.2f s")
+        s
+      }
+      val steady = runs.tail.min
+      println(f"PROF prewarm_ratio: first=${runs.head}%.2f steady=$steady%.2f ratio=${runs.head / steady}%.2f (accept <= 1.5)")
+    }
     if (mode == "scaleup") {
       // smoke the bench's scale-up + calibration plumbing at sf0.01 → ×10
       time("calibrate")({ println(f"PROF calib_s=${Bench.calibrate(spark)}%.2f"); 0L })

@@ -214,6 +214,30 @@ object SparkEntry {
     // topNgrams
     "text_heavy_hitters" -> ((s, dir) => TextAnalysis.heavyHitters(docs(s, dir))),
     "text_quality_filter" -> ((s, dir) => TextAnalysis.qualityFilter(docs(s, dir))),
+    // URL/domain curation (r7 ask #3): the corpus has no URL column, so
+    // the harness derives a deterministic messy one from (doc_id, source,
+    // lang) — mixed-case schemes/hosts, tracking params, trailing slashes,
+    // fragments — so every canonicalization rule has planted exercise;
+    // the oracle replays the same derivation verbatim
+    "url_canonicalize" -> ((s, dir) => withUrl(docs(s, dir))
+      .select(col0("doc_id"), col0("url"),
+        graft.ext.UrlCuration.canonicalizeUrl(col0("url")).as("canonical_url"),
+        graft.ext.UrlCuration.domainOf(col0("url")).as("domain"))
+      .orderBy(col0("doc_id"))),
+    // per-domain contribution cap at ~5 docs via the shared deterministic
+    // hash-bucket sampler — threshold keep, never a per-domain window sort
+    "domain_caps" -> ((s, dir) => {
+      val d = withUrl(docs(s, dir)).withColumn("domain",
+        graft.ext.UrlCuration.domainOf(col0("url")))
+      graft.ext.UrlCuration.domainCaps(
+          d.select(col0("domain"), col0("doc_id"), col0("lang")), cap = 5)
+        .select(col0("doc_id"), col0("domain"), col0("bucket"))
+        .orderBy(col0("doc_id"))
+    }),
+    // the mixture report a curation run reads before choosing caps
+    "domain_mix" -> ((s, dir) => graft.ext.UrlCuration.domainMix(
+      withUrl(docs(s, dir)).withColumn("domain",
+        graft.ext.UrlCuration.domainOf(col0("url"))))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
       col0("doc_id"),
@@ -462,6 +486,32 @@ object SparkEntry {
     Queries.table(s, dir, "embeddings")
 
   private val col0 = org.apache.spark.sql.functions.col _
+
+  /** Deterministic messy-URL derivation for the url/domain family (the
+    * corpus carries no URL column): scheme case, host case/prefix, a
+    * tracking-parameter tail, a trailing slash and a fragment each cycle
+    * on doc_id residues so every [[graft.ext.UrlCuration]] rule fires on
+    * real rows. Pure string ops — the oracle replays it verbatim.
+    */
+  private def withUrl(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val scheme = when(col("doc_id") % 3 === 0, lit("https"))
+      .when(col("doc_id") % 3 === 1, lit("HTTPS")).otherwise(lit("Http"))
+    val host = when(col("doc_id") % 4 === 0,
+        concat(lit("cdn."), col("source"), lit(".com")))
+      .when(col("doc_id") % 4 === 1, concat(upper(col("source")), lit(".COM")))
+      .when(col("doc_id") % 4 === 2, concat(lit("WWW."), col("source"), lit(".com")))
+      .otherwise(concat(lit("www."), col("source"), lit(".org")))
+    val path = concat(lit("/docs/"), col("lang"), lit("/"),
+      col("doc_id").cast("string"))
+    val tail = when(col("doc_id") % 5 === 0, lit(""))
+      .when(col("doc_id") % 5 === 1, lit("/"))
+      .when(col("doc_id") % 5 === 2, lit("?utm_source=feed&utm_campaign=spring"))
+      .when(col("doc_id") % 5 === 3, concat(lit("?id="),
+        col("doc_id").cast("string"), lit("&utm_medium=email&ref=tw")))
+      .otherwise(lit("#section-2"))
+    d.withColumn("url", concat(scheme, lit("://"), host, path, tail))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

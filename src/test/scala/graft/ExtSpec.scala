@@ -1857,4 +1857,69 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(postCompact == preCompact,
       s"compaction changed results: pre=$preCompact post=$postCompact")
   }
+
+  test("url canonicalization: case, fragment, tracking params, slash, passthrough") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved, fragment dropped
+      ("HTTP://ExAmple.Com/Path#frag", "http://example.com/Path"),
+      // tracking-only query disappears entirely (with its '?')
+      ("https://a.com/p?utm_source=x", "https://a.com/p"),
+      // tracking stripped from the middle and end, real param kept
+      ("https://a.com/p?id=1&ref=tw&gclid=99", "https://a.com/p?id=1"),
+      ("https://a.com/p?fbclid=9&x=2", "https://a.com/p?x=2"),
+      // trailing slash collapses, including the bare root
+      ("https://a.com/p/", "https://a.com/p"),
+      ("https://a.com/", "https://a.com"),
+      // port survives canonicalization (distinct origin), case fixed
+      ("HTTPS://WWW.A.com:8080/x", "https://www.a.com:8080/x"),
+      // a 'reference=' param is NOT the tracking param 'ref='
+      ("https://a.com/p?reference=7", "https://a.com/p?reference=7"),
+      // non-URL: recognizable passthrough, never null
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.ext.UrlCuration.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // idempotence: canonical of canonical is canonical
+    val twice = cases.map(_._2).toDF("url")
+      .select(graft.ext.UrlCuration.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(twice == cases.map(_._2), s"not idempotent: $twice")
+    val domains = Seq("https://WWW.A.com:8080/x", "http://cdn.b.org/y", "junk")
+      .toDF("url")
+      .select(graft.ext.UrlCuration.domainOf(col("url")).as("d"))
+      .as[String].collect().toSeq
+    assert(domains == Seq("a.com", "cdn.b.org", ""), s"got $domains")
+  }
+
+  test("domain caps: under-cap domains keep all; over-cap trims ~cap, deterministically, monotone in corpus growth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def corpus(nBig: Int) =
+      ((0 until 3).map(i => (1000L + i, "small.com", "en")) ++
+        (0 until nBig).map(i => (2000L + i, "big.com", "en")))
+        .toDF("doc_id", "domain", "lang")
+    val kept200 = graft.ext.UrlCuration.domainCaps(corpus(200), cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    // every under-cap doc survives (thr saturates at 10000)
+    assert((1000L until 1003L).forall(kept200.contains))
+    // the over-cap domain lands near the cap (hash expectation, 10/200
+    // buckets kept): exact count is deterministic for these ids
+    val bigKept = kept200.count(_ >= 2000L)
+    assert(bigKept >= 2 && bigKept <= 30, s"bigKept=$bigKept")
+    // deterministic: the same call returns the same set
+    val again = graft.ext.UrlCuration.domainCaps(corpus(200), cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept200)
+    // final-at-arrival monotonicity: as the domain grows, its threshold
+    // only shrinks — survivors of the larger corpus are a subset of the
+    // smaller corpus's survivors (plus the untouched small domain)
+    val kept100 = graft.ext.UrlCuration.domainCaps(corpus(100), cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    val bigIn100 = (2000L until 2100L).toSet
+    assert(kept200.intersect(bigIn100).subsetOf(kept100),
+      "growing the domain must never resurrect a dropped doc")
+  }
 }

@@ -146,6 +146,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("warmFirst pre-warm is a semantic no-op (and leaves no cached residue)") {
+    val docs = Queries.table(spark, sf, "documents")
+    val plain = graft.ext.TrainingPipeline.trainingSet(docs).collect().toSeq
+    spark.catalog.clearCache()
+    val warmed = graft.ext.TrainingPipeline.trainingSet(docs, warmFirst = true)
+      .collect().toSeq
+    assert(warmed == plain, "pre-warm must not change the training set")
+    // preWarm ran BEFORE the real pass and released its own caches; after
+    // materializing + clearing here, nothing may linger
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("bucketed embedding dedup plans equi-joins only (never cartesian)") {
     val emb = Queries.table(spark, sf, "embeddings")
     // assert the CANDIDATE-GENERATION stage itself, lazily — the public op
