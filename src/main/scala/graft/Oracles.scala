@@ -2239,6 +2239,56 @@ object Oracles {
         |ORDER BY new_id, dup_of""".stripMargin
     },
 
+    // acoustic-fingerprint audio dedup replay: the all-opaque corpus
+    // takes the md5-prefix fallback (no RIFF header), banding is the
+    // shared 4×16-bit Hamming discipline; planted exact copies
+    // (doc_id % 40 == 0, +2e6) must pair with their source at Hamming 0
+    "multimodal_audio_dedup" -> {
+      val bandJoins = (0 until 4).map { bIdx =>
+        val sh = bIdx * 16
+        s"SELECT ha.doc_id AS a, hb.doc_id AS b, ha.ahash AS h_a, hb.ahash AS h_b\n    FROM h ha JOIN h hb\n      ON ((ha.ahash >> $sh) & 65535) = ((hb.ahash >> $sh) & 65535) AND ha.doc_id < hb.doc_id"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 40 = 0
+        |), h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS ahash
+        |  FROM d
+        |), cand AS (
+        |  SELECT DISTINCT a, b, h_a, h_b FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT a, b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        |ORDER BY a, b""".stripMargin
+    },
+
+    // audio store-probe replay: corpus fingerprints banded against the
+    // planted batch (doc_id % 40 == 0, +2e6) — exactly what
+    // dedupAgainstAudioStore computes over the persisted hashes
+    "multimodal_audio_dedup_index" -> {
+      val bandJoins = (0 until 4).map { bIdx =>
+        val sh = bIdx * 16
+        s"SELECT nb.new_id, s.doc_id AS dup_of, nb.ha, s.ahash AS hb\n    FROM nb JOIN h s\n      ON ((nb.ha >> $sh) & 65535) = ((s.ahash >> $sh) & 65535)"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""WITH h AS (
+        |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS ahash
+        |  FROM documents
+        |), nb AS (
+        |  SELECT doc_id + 2000000 AS new_id, ahash AS ha
+        |  FROM h WHERE doc_id % 40 = 0
+        |), cand AS (
+        |  SELECT DISTINCT new_id, dup_of, ha, hb FROM (
+        |    $bandJoins
+        |  )
+        |)
+        |SELECT new_id, dup_of, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY new_id, dup_of""".stripMargin
+    },
+
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified
     "multimodal_resize" ->

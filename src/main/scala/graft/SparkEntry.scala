@@ -419,6 +419,33 @@ object SparkEntry {
         .withColumn("doc_id", col0("doc_id") + 1000000L))
       Multimodal.dedupAgainstImageStore(s, idx, batch)
     }),
+    // acoustic-fingerprint audio dedup via the shared 4x16 banding; on
+    // the all-opaque synthetic corpus every payload takes the md5-prefix
+    // fallback (no RIFF header), so the gate covers the banded pairing
+    // end-to-end while real WAV energy-delta fingerprinting is pinned by
+    // ExtSpec fixtures (re-encoded + volume-scaled twins). Planting is
+    // doc_id % 40 == 0 shifted by 2e6 — distinct from the image family
+    // so the two gates cannot mask each other
+    "multimodal_audio_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.filter(col0("doc_id") % 40 === 0)
+        .withColumn("doc_id", col0("doc_id") + 2000000L)
+      Multimodal.audioNearDups(s, Multimodal.mediaTable(d.unionByName(planted)))
+    }),
+    // incremental audio-crawl dedup against the PERSISTED acoustic store:
+    // corpus fingerprinted once at 8 B/doc, planted exact copies must
+    // collide with their source at Hamming 0 through the banded probe —
+    // never a corpus re-decode
+    "multimodal_audio_dedup_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "audiohash",
+          table = "documents", params = "bands=4x16,radius=3") { d =>
+        Multimodal.buildAudioHashStore(Multimodal.mediaTable(docs(s, dir)), d)
+      }
+      val batch = Multimodal.mediaTable(docs(s, dir)
+        .filter(col0("doc_id") % 40 === 0)
+        .withColumn("doc_id", col0("doc_id") + 2000000L))
+      Multimodal.dedupAgainstAudioStore(s, idx, batch)
+    }),
     // hard-negative mining band calibrated to the near-orthogonal
     // synthetic embeddings (max off-diagonal cos ~0.37)
     "sim_hard_negatives" -> ((s, dir) =>

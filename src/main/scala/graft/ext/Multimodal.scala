@@ -552,13 +552,15 @@ object Multimodal {
     */
   def imageNearDups(spark: SparkSession, media: DataFrame,
       maxHamming: Int = 3): DataFrame =
-    imageNearDupsFromHashes(imageHashes(spark, media).toDF(), maxHamming)
+    bandedNearDupsFromHashes(imageHashes(spark, media).toDF(), maxHamming)
 
-  /** [[imageNearDups]] from a precomputed (doc_id, ahash) frame — the
-    * shared pairing core, exposed so callers that already paid the
-    * decode (the streaming ingest) never hash twice.
+  /** Near-dup pairing from a precomputed (doc_id, ahash) frame — the
+    * shared banding core behind [[imageNearDups]] AND [[audioNearDups]]
+    * (any 64-bit perceptual fingerprint pairs the same way), exposed so
+    * callers that already paid the decode (the streaming ingests) never
+    * hash twice.
     */
-  private[graft] def imageNearDupsFromHashes(h: DataFrame,
+  private[graft] def bandedNearDupsFromHashes(h: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     // the pigeonhole exactness claim is a 4-band property: >3 flipped
     // bits CAN touch every band, silently losing recall — refuse
@@ -618,19 +620,27 @@ object Multimodal {
     * against 8 B/doc fingerprints instead of re-decoding 100 TB of pixels.
     */
   def buildImageHashStore(media: DataFrame, dir: String,
-      maxHamming: Int = 3): Unit = {
+      maxHamming: Int = 3): Unit =
+    writeHashStore(imageHashes(media.sparkSession, media).toDF(), dir, maxHamming)
+
+  /** Shared store-build core ([[buildImageHashStore]] /
+    * [[buildAudioHashStore]]): land a (doc_id, ahash) frame under a fresh
+    * `v_<n>/hashes/batch=-1` with the radius in `v_<n>/params`, flip
+    * CURRENT.
+    */
+  private def writeHashStore(hashes: DataFrame, dir: String,
+      maxHamming: Int): Unit = {
     // the persisted radius is authoritative for every later probe, so the
     // banding exactness bound must hold at build time
     require(maxHamming <= 3 && maxHamming >= 0,
       s"4x16-bit banding is exact only for 0 <= maxHamming <= 3, got $maxHamming")
-    val spark = media.sparkSession
+    val spark = hashes.sparkSession
     import spark.implicits._
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = Similarity.nextIndexVersion(fs, dir)
     val root = s"$dir/v_$v"
-    imageHashes(spark, media).toDF()
-      .write.mode("overwrite").parquet(s"$root/hashes/batch=-1")
+    hashes.write.mode("overwrite").parquet(s"$root/hashes/batch=-1")
     // params travel WITH the store: serve paths read the radius back
     // instead of trusting caller arguments
     Seq(maxHamming).toDF("max_hamming")
@@ -638,7 +648,7 @@ object Multimodal {
     Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
   }
 
-  private[graft] def readImageStoreRadius(spark: SparkSession,
+  private[graft] def readStoreRadius(spark: SparkSession,
       root: String): Int =
     spark.read.parquet(s"$root/params").head().getAs[Int]("max_hamming")
 
@@ -682,7 +692,7 @@ object Multimodal {
   def dedupAgainstImageStore(spark: SparkSession, dir: String,
       media: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
     val root = Similarity.resolveIndexRoot(spark, dir)
-    probeStoreWithHashes(spark, root, readImageStoreRadius(spark, root),
+    probeStoreWithHashes(spark, root, readStoreRadius(spark, root),
       imageHashes(spark, media).toDF(), excludeBatch)
   }
 
@@ -718,7 +728,13 @@ object Multimodal {
   /** Fold all hash batches into a fresh version's base batch (CURRENT
     * flips atomically; readers never see a half-compacted store).
     */
-  def compactImageHashStore(spark: SparkSession, dir: String): Unit = {
+  def compactImageHashStore(spark: SparkSession, dir: String): Unit =
+    compactHashStore(spark, dir)
+
+  /** Hash-agnostic compaction core — the stored fingerprints are opaque
+    * 8-byte values, so image and audio stores compact identically.
+    */
+  private def compactHashStore(spark: SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = Similarity.resolveIndexRoot(spark, dir)
@@ -730,4 +746,119 @@ object Multimodal {
       .write.mode("overwrite").parquet(s"$newRoot/params")
     Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
   }
+
+  // ----------------------------------------------------- audio near-dup
+
+  final case class AudioHashRow(doc_id: Long, ahash: Long, is_audio: Boolean)
+
+  /** 64-bit acoustic fingerprint of a decoded WAV payload: the data chunk
+    * is cut into 65 equal-duration segments, each segment's mean-square
+    * energy is accumulated over the [[monoFrame]] mono mixdown, and bit i
+    * is set iff energy(i+1) > energy(i) — the energy-delta-sign
+    * fingerprint (the Haitsma–Kalker construction collapsed to one
+    * spectral band). The SIGN of a consecutive-segment energy delta
+    * survives exactly the transforms a crawl dedup must see through:
+    *   - amplitude scaling (volume normalization) multiplies every
+    *     energy by c², preserving every comparison;
+    *   - bit-depth / int-vs-float re-encodes perturb energies by
+    *     quantization noise orders below any real envelope change;
+    *   - time-proportional segmentation makes the layout rate-agnostic.
+    * A genuinely different recording has a different energy envelope and
+    * lands far away in Hamming space (ExtSpec pins both directions).
+    * None for payloads [[wavMeta]] rejects or with zero audio frames.
+    */
+  private[ext] def audioFingerprint64(p: Array[Byte]): Option[Long] =
+    wavMeta(p).flatMap { case (_, ch, bits, _, dataOff, dataLen, fmtTag) =>
+      val bytesPerFrame = ch * (bits / 8)
+      val n = dataLen / bytesPerFrame
+      if (n <= 0) None
+      else {
+        val e = new Array[Double](65)
+        var s = 0
+        while (s < 65) {
+          val from = (s.toLong * n / 65).toInt
+          val until = ((s + 1).toLong * n / 65).toInt
+          var sumSq = 0.0
+          var i = from
+          while (i < until) {
+            val x = monoFrame(p, dataOff + i * bytesPerFrame, ch, bits, fmtTag)
+            sumSq += x * x
+            i += 1
+          }
+          e(s) = if (until > from) sumSq / (until - from) else 0.0
+          s += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < 64) {
+          if (e(b + 1) > e(b)) h |= (1L << b)
+          b += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Per-payload audio fingerprint: real RIFF decode → [[audioFingerprint64]]
+    * for WAV payloads, md5-prefix fallback for opaque ones — the audio
+    * sibling of [[imageHashBatch]], same mixed-table contract: opaque
+    * payloads pair only as exact byte duplicates (Hamming 0), decoded
+    * audio pairs acoustically. mapPartitions batch, no shuffle.
+    */
+  def audioHashBatch(rows: Iterator[MediaRow]): Iterator[AudioHashRow] =
+    rows.map { r =>
+      audioFingerprint64(r.payload) match {
+        case Some(h) => AudioHashRow(r.doc_id, h, is_audio = true)
+        case None => AudioHashRow(r.doc_id, fallbackHash(r.payload), is_audio = false)
+      }
+    }
+
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[AudioHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(audioHashBatch _)
+  }
+
+  /** Audio near-dup pairs by banded Hamming over the acoustic
+    * fingerprint — completes modality symmetry with [[imageNearDups]]
+    * on the SAME 4×16-bit banding discipline (exact for Hamming ≤ 3 by
+    * pigeonhole, never a quadratic pair scan).
+    */
+  def audioNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    bandedNearDupsFromHashes(audioHashes(spark, media).toDF(), maxHamming)
+
+  /** Persisted acoustic-fingerprint store: decode the accepted audio
+    * corpus ONCE, screen every incoming crawl batch against 8 B/doc
+    * fingerprints — the audio twin of [[buildImageHashStore]], same
+    * versioned `v_<n>`/CURRENT lifecycle, same crash-safe publish.
+    */
+  def buildAudioHashStore(media: DataFrame, dir: String,
+      maxHamming: Int = 3): Unit =
+    writeHashStore(audioHashes(media.sparkSession, media).toDF(), dir, maxHamming)
+
+  /** Fingerprint `media` and append under a batch dir the append OWNS —
+    * idempotent under at-least-once replay with a stable `batchId`.
+    */
+  def appendToAudioHashStore(spark: SparkSession, dir: String,
+      media: DataFrame, batchId: Option[Long] = None): Unit =
+    appendHashesToStore(spark, Similarity.resolveIndexRoot(spark, dir),
+      audioHashes(spark, media).toDF(), batchId)
+
+  /** Live fingerprint view of a persisted audio store. */
+  def audioStoreHashes(spark: SparkSession, dir: String): DataFrame =
+    latestHashPerDoc(spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/hashes"))
+
+  /** Screen an incoming batch against the persisted audio store WITHOUT
+    * re-decoding the accepted corpus — O(batch) decode plus a band-keyed
+    * equi-join, never O(corpus × batch).
+    */
+  def dedupAgainstAudioStore(spark: SparkSession, dir: String,
+      media: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    probeStoreWithHashes(spark, root, readStoreRadius(spark, root),
+      audioHashes(spark, media).toDF(), excludeBatch)
+  }
+
+  def compactAudioHashStore(spark: SparkSession, dir: String): Unit =
+    compactHashStore(spark, dir)
 }

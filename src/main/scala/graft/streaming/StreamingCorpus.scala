@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -276,13 +276,37 @@ object StreamingCorpus {
     * overwrites on both writes keep at-least-once replays idempotent.
     */
   def imageDedupIngest(media: DataFrame, storeDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String): StreamingQuery =
+    hashDedupIngest(media, storeDir, outDir, checkpointDir,
+      (s, b) => graft.ext.Multimodal.imageHashes(s, b).toDF())
+
+  /** Streaming audio-crawl dedup over the persisted acoustic-fingerprint
+    * store ([[graft.ext.Multimodal.buildAudioHashStore]]) — identical
+    * lifecycle to [[imageDedupIngest]] with the WAV energy-delta
+    * fingerprint in place of the perceptual image hash: each micro-batch
+    * decodes once, dedups within itself, screens against every
+    * fingerprint accepted so far, and appends its survivors' 8 B/doc
+    * fingerprints under a batch-owned dir (at-least-once replays stay
+    * idempotent).
+    */
+  def audioDedupIngest(media: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    hashDedupIngest(media, storeDir, outDir, checkpointDir,
+      (s, b) => graft.ext.Multimodal.audioHashes(s, b).toDF())
+
+  /** Shared crawl-dedup micro-batch loop: `hasher` is the only modality-
+    * specific step (both produce (doc_id, ahash) frames; banding, store
+    * probe, and append are fingerprint-agnostic).
+    */
+  private def hashDedupIngest(media: DataFrame, storeDir: String,
+      outDir: String, checkpointDir: String,
+      hasher: (SparkSession, DataFrame) => DataFrame): StreamingQuery = {
     // pin the store version at stream start (the lmScoreIngest
     // discipline): a concurrent rebuild flips CURRENT for the NEXT
     // stream, never mid-stream — within-batch and probe radii can't split
     val root = Similarity.resolveIndexRoot(media.sparkSession, storeDir)
     val radius = graft.ext.Multimodal
-      .readImageStoreRadius(media.sparkSession, root)
+      .readStoreRadius(media.sparkSession, root)
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -291,13 +315,12 @@ object StreamingCorpus {
         try {
           if (!b.isEmpty) {
             // decode ONCE: within-batch pairing, the store probe, and the
-            // survivor append all work off this hash frame (ImageIO decode
+            // survivor append all work off this hash frame (codec decode
             // dominates batch cost — never pay it three times)
-            val h = graft.ext.Multimodal.imageHashes(spark, b.toDF()).toDF()
-              .cache()
+            val h = hasher(spark, b.toDF()).cache()
             try {
               val withinDups = graft.ext.Multimodal
-                .imageNearDupsFromHashes(h, maxHamming = radius)
+                .bandedNearDupsFromHashes(h, maxHamming = radius)
                 .select(col("b").as("doc_id")).distinct()
               val crossDups = graft.ext.Multimodal
                 .probeStoreWithHashes(spark, root, radius, h,

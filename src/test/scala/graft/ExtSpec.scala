@@ -1693,6 +1693,98 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == live, s"compacted ids: $compacted")
   }
 
+  // 65 segments × 40 frames; segment s holds the constant amplitude
+  // amp(s) — a gcd(37,65)=1 stride makes all 65 levels distinct, so every
+  // consecutive energy delta is decisive (min energy gap ~2.5e-3 vs
+  // ~5e-5 worst-case 16-bit quantization error)
+  private def audioAmp(s: Int): Double = 0.1 + 0.8 * ((s * 37) % 65) / 65.0
+  private def audioPcm16(a: Int => Double): Array[Byte] =
+    Array.tabulate(65 * 40) { i =>
+      val v = math.round(a(i / 40) * 32767).toInt
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    }.flatten
+
+  test("audioNearDups pairs re-encoded and re-leveled WAVs acoustically, exact-dup opaque payloads, nothing else") {
+    import spark.implicits._
+    def pcm24(a: Int => Double): Array[Byte] =
+      Array.tabulate(65 * 40) { i =>
+        val v = math.round(a(i / 40) * 8388607).toInt
+        Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+          ((v >> 16) & 0xFF).toByte)
+      }.flatten
+    def f32(a: Int => Double): Array[Byte] =
+      Array.tabulate(65 * 40) { i =>
+        val bits = java.lang.Float.floatToIntBits(a(i / 40).toFloat)
+        Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+          ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte)
+      }.flatten
+    val base = Multimodal.wavBytes(8000, 1, 16, audioPcm16(audioAmp))
+    // the same recording back at 24-bit, float32, and 0.8× volume — the
+    // re-encodes a crawl dedup must see through
+    val re24 = Multimodal.wavBytes(8000, 1, 24, pcm24(audioAmp))
+    val reF32 = Multimodal.wavBytes(8000, 1, 32, f32(audioAmp), fmtTag = 3)
+    val quiet = Multimodal.wavBytes(8000, 1, 16, audioPcm16(s => audioAmp(s) * 0.8))
+    // a genuinely different recording: reversed envelope (hamming 8 > 3)
+    val other = Multimodal.wavBytes(8000, 1, 16, audioPcm16(s => audioAmp(64 - s)))
+    val opaque = "opaque payload the sniff rejects".getBytes("UTF-8")
+    val media = Seq(
+      (1L, base, "audio/wav"), (2L, re24, "audio/wav"), (3L, reF32, "audio/wav"),
+      (4L, quiet, "audio/wav"), (5L, other, "audio/wav"),
+      (6L, opaque, "text/plain"), (7L, opaque, "text/plain"),
+      (8L, "different opaque".getBytes("UTF-8"), "text/plain")
+    ).toDF("doc_id", "payload", "media_type")
+    val h = Multimodal.audioHashes(spark, media).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(h(1L).is_audio && !h(6L).is_audio)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(java.lang.Long.bitCount(h(1L).ahash ^ h(id).ahash) == 0,
+        s"re-encode $id drifted ${java.lang.Long.bitCount(h(1L).ahash ^ h(id).ahash)} bits")
+    }
+    assert(java.lang.Long.bitCount(h(1L).ahash ^ h(5L).ahash) > 3)
+    val pairs = Multimodal.audioNearDups(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0),
+      (2L, 3L, 0), (2L, 4L, 0), (3L, 4L, 0), (6L, 7L, 0)), s"got $pairs")
+  }
+
+  test("audio-hash store: build, probe at the stored radius, idempotent append, lossless compaction") {
+    import spark.implicits._
+    val base = Multimodal.wavBytes(8000, 1, 16, audioPcm16(audioAmp))
+    val quiet = Multimodal.wavBytes(8000, 1, 16, audioPcm16(s => audioAmp(s) * 0.8))
+    val other = Multimodal.wavBytes(8000, 1, 16, audioPcm16(s => audioAmp(64 - s)))
+    val o1 = "opaque corpus payload".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-audiostore").toString
+    Multimodal.buildAudioHashStore(
+      Seq((1L, base, "audio/wav"), (2L, o1, "text/plain"))
+        .toDF("doc_id", "payload", "media_type"), dir)
+    // probe: the re-leveled recording pairs with its source (hamming 0),
+    // an exact opaque copy pairs at 0, a different recording and a fresh
+    // opaque stay silent
+    val batch = Seq((11L, quiet, "audio/wav"), (12L, o1, "text/plain"),
+      (13L, other, "audio/wav"), (14L, "fresh opaque".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "payload", "media_type")
+    val hits = Multimodal.dedupAgainstAudioStore(spark, dir, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hits == Set((11L, 1L, 0), (12L, 2L, 0)), s"got $hits")
+    // append the survivors twice under the same batch id: last-writer-wins
+    // rewrite, not duplication
+    val survivors = batch.filter($"doc_id".isin(13L, 14L))
+    Multimodal.appendToAudioHashStore(spark, dir, survivors, batchId = Some(0L))
+    Multimodal.appendToAudioHashStore(spark, dir, survivors, batchId = Some(0L))
+    val live = Multimodal.audioStoreHashes(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 2L, 13L, 14L), s"live ids: $live")
+    // a re-crawl of the other recording now collides with its fingerprint
+    val recrawl = Multimodal.dedupAgainstAudioStore(spark, dir,
+        Seq((21L, other, "audio/wav")).toDF("doc_id", "payload", "media_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(recrawl == Set((21L, 13L, 0)), s"got $recrawl")
+    Multimodal.compactAudioHashStore(spark, dir)
+    val compacted = Multimodal.audioStoreHashes(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted == live, s"compacted ids: $compacted")
+  }
+
   test("embeddingPagerank conserves mass and concentrates it on the kNN hub") {
     import spark.implicits._
     // hub-spoke: 6 spokes = base + orthogonal jitters, so every spoke's

@@ -1165,4 +1165,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
+
+  test("streaming audio dedup: acoustic dups drop against the growing fingerprint store, survivors are fingerprinted for later batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 65 segments × 40 frames of per-segment constant amplitude (the
+    // ExtSpec fingerprint fixture): quiet = same recording at 0.8×
+    // volume (hamming 0), other = reversed envelope (hamming 8)
+    def amp(s: Int): Double = 0.1 + 0.8 * ((s * 37) % 65) / 65.0
+    def pcm16(a: Int => Double): Array[Byte] =
+      Array.tabulate(65 * 40) { i =>
+        val v = math.round(a(i / 40) * 32767).toInt
+        Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      }.flatten
+    val baseWav = graft.ext.Multimodal.wavBytes(8000, 1, 16, pcm16(amp))
+    val quietWav = graft.ext.Multimodal.wavBytes(8000, 1, 16, pcm16(s => amp(s) * 0.8))
+    val otherWav = graft.ext.Multimodal.wavBytes(8000, 1, 16, pcm16(s => amp(64 - s)))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-audio-ingest-store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-audio-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-audio-ingest-ckpt").toString
+    graft.ext.Multimodal.buildAudioHashStore(
+      Seq((1L, baseWav, "audio/wav")).toDF("doc_id", "payload", "media_type"),
+      storeDir)
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = graft.streaming.StreamingCorpus.audioDedupIngest(
+      mem.toDF().toDF("doc_id", "payload", "media_type"),
+      storeDir, outDir, ckpt)
+    try {
+      // batch 0: a re-leveled copy of the stored recording (drops), the
+      // same opaque payload twice (within-batch: larger id drops), and a
+      // different recording (survives)
+      val o = "streamed opaque payload".getBytes("UTF-8")
+      mem.addData((101L, quietWav, "audio/wav"), (103L, o, "text/plain"),
+        (107L, o, "text/plain"), (109L, otherWav, "audio/wav"))
+      q.processAllAvailable()
+      // batch 1: a re-crawl of batch 0's surviving recording (drops
+      // against its appended fingerprint) plus a fresh opaque
+      mem.addData((111L, otherWav, "audio/wav"),
+        (113L, "late fresh opaque".getBytes("UTF-8"), "text/plain"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 103L), (0L, 109L), (1L, 113L)),
+      s"survivor set wrong: $out")
+    val live = graft.ext.Multimodal.audioStoreHashes(spark, storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
+  }
 }
