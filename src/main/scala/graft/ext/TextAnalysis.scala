@@ -578,26 +578,7 @@ object TextAnalysis {
   def upsampleToBudget(docs: DataFrame, targets: Map[String, Double],
       budget: Long, domainCol: String = "lang",
       salt: String = "epoch"): DataFrame = {
-    require(targets.nonEmpty && targets.values.forall(_ > 0),
-      "targets must be non-empty with positive weights")
-    require(budget > 0, "budget must be positive")
-    val wSum = targets.values.sum
-    val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
-      case (acc, (d, w)) => when(col(domainCol) === d, lit(w / wSum)).otherwise(acc)
-    }
-    import docs.sparkSession.implicits._
-    val availRows = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("avail"))
-      .as[(String, Long)].collect()
-    val missing = targets.keySet -- availRows.iterator.map(_._1).toSet
-    require(missing.isEmpty,
-      s"targeted domains with no rows: ${missing.toSeq.sorted.mkString(", ")}")
-    val plan = availRows.toSeq.toDF(domainCol, "avail")
-      .withColumn("need", round(weight * budget).cast("long"))
-      .withColumn("full_epochs", floor(col("need") / col("avail")).cast("long"))
-      .withColumn("thr", round(lit(10000.0) *
-        (col("need") - col("full_epochs") * col("avail")) / col("avail"))
-        .cast("long"))
+    val plan = upsamplePlan(docs, targets, budget, domainCol)
       .select(col(domainCol), col("full_epochs"), col("thr"))
     val bucket = pmod(
       portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
@@ -610,6 +591,43 @@ object TextAnalysis {
       .filter(col("n_copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("full_epochs", "thr", "n_copies")
+  }
+
+  /** The per-domain epoch plan behind [[upsampleToBudget]], exposed so
+    * the streaming twin can land the plan's DRIFT history as domain
+    * counts grow batch over batch: for each targeted domain seen in
+    * `docs`, its current avail count, owed rows
+    * (`need = round(w_d · budget)`), full epochs, and remainder-epoch
+    * hash threshold. `requireAll = false` tolerates targeted domains
+    * with no rows YET (a legitimate mid-stream state — they are simply
+    * absent from the plan); the batch operator keeps the fail-loud
+    * contract. ≤|targets| rows out; one tiny count aggregation in.
+    */
+  private[graft] def upsamplePlan(docs: DataFrame,
+      targets: Map[String, Double], budget: Long,
+      domainCol: String = "lang", requireAll: Boolean = true): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    require(budget > 0, "budget must be positive")
+    val wSum = targets.values.sum
+    val weight = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (d, w)) => when(col(domainCol) === d, lit(w / wSum)).otherwise(acc)
+    }
+    import docs.sparkSession.implicits._
+    val availRows = docs.filter(col(domainCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("avail"))
+      .as[(String, Long)].collect()
+    if (requireAll) {
+      val missing = targets.keySet -- availRows.iterator.map(_._1).toSet
+      require(missing.isEmpty,
+        s"targeted domains with no rows: ${missing.toSeq.sorted.mkString(", ")}")
+    }
+    availRows.toSeq.toDF(domainCol, "avail")
+      .withColumn("need", round(weight * budget).cast("long"))
+      .withColumn("full_epochs", floor(col("need") / col("avail")).cast("long"))
+      .withColumn("thr", round(lit(10000.0) *
+        (col("need") - col("full_epochs") * col("avail")) / col("avail"))
+        .cast("long"))
   }
 
   /** Leakage-safe train/val/test split: near-duplicate documents must

@@ -642,6 +642,59 @@ object StreamingCorpus {
     TextAnalysis.selectScoredByTokenBudget(
       spark.read.parquet(s"$outDir/scored"), maxTokens, buckets)
 
+  /** Streaming twin of [[graft.ext.TextAnalysis.upsampleToBudget]]. A
+    * doc's epoch count depends on its domain's TOTAL corpus count
+    * (`full_epochs = floor(need/avail)`), which every arriving batch
+    * revises — more docs in a domain mean FEWER repeats each, so epoch
+    * assignments are late-bound (the budget-selection discipline, not
+    * the final-at-arrival quality gate):
+    *
+    *   1. each micro-batch lands the per-doc upsampling state —
+    *      `(doc_id, domain)`, ~20 bytes/doc, never text — at
+    *      `outDir/docs/batch=<id>` (OVERWRITE: replays rewrite their own
+    *      batch, so at-least-once delivery cannot double-count a domain);
+    *   2. the CURRENT per-domain plan over everything landed so far
+    *      ([[graft.ext.TextAnalysis.upsamplePlan]] with
+    *      `requireAll=false` — a targeted domain not yet seen is a
+    *      legitimate mid-stream state) lands at `outDir/plan/batch=<id>`:
+    *      the observable drift history of avail/full_epochs/thr;
+    *   3. [[upsampleView]] applies the BATCH operator to the landed doc
+    *      zone at read time, so once the stream has covered the corpus
+    *      the view EQUALS `upsampleToBudget` exactly — same plan, same
+    *      salt-keyed remainder hash, by construction. Epoch indices are
+    *      pure functions of (doc_id, salt, final plan), so a replayed or
+    *      restarted stream converges to the identical assignment.
+    */
+  def upsampleIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      targets: Map[String, Double], budget: Long,
+      domainCol: String = "lang"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), col(domainCol))
+            .write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
+          TextAnalysis.upsamplePlan(spark.read.parquet(s"$outDir/docs"),
+              targets, budget, domainCol, requireAll = false)
+            .write.mode("overwrite").parquet(s"$outDir/plan/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time epoch assignment over [[upsampleIngest]]'s landed doc
+    * zone: the batch [[graft.ext.TextAnalysis.upsampleToBudget]] itself
+    * (fail-loud contract included — a targeted domain still absent reads
+    * as an error, the honest partial-coverage answer for a fixed
+    * recipe). Converges to the batch operator at full coverage.
+    */
+  def upsampleView(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      targets: Map[String, Double], budget: Long,
+      domainCol: String = "lang", salt: String = "epoch"): DataFrame =
+    TextAnalysis.upsampleToBudget(spark.read.parquet(s"$outDir/docs"),
+      targets, budget, domainCol, salt)
+
   /** Streaming snapshot diff (the CDC shape of
     * [[graft.operators.DataQuality.snapshotDiff]]): the NEW corpus
     * version arrives as a stream; each batch lands its content

@@ -992,6 +992,71 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
 
+  test("streaming epoch upsampling converges to the batch assignment across a restart, plan history shows the drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // epoch counts are late-bound: each arriving batch grows a domain's
+    // avail count, so full_epochs = floor(need/avail) shrinks as the
+    // corpus fills in. Feed the corpus in doc_id order, crash the stream
+    // after batch 1, land batch 2 while it is down, restart for batches
+    // 2-3, then require the read-time view to equal the batch operator
+    // EXACTLY over the full corpus.
+    val targets = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25)
+    val budget = 1000L // the text_upsample_epochs registration's recipe
+    val rows = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 2) / 3).toSeq
+    assert(chunks.length == 3)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-upsample-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-upsample-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsample-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("event_time", TimestampType)))
+    def start() = graft.streaming.StreamingCorpus.upsampleIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt,
+      targets, budget)
+    def land(c: Seq[CorpusDoc]): Unit =
+      c.toDF().write.mode("append").parquet(srcDir)
+    land(chunks(0))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(chunks(1))
+    val q2 = start(); q2.processAllAvailable()
+    land(chunks(2)); q2.processAllAvailable(); q2.stop()
+    // exactly-once across the restart: every doc landed once
+    val landed = spark.read.parquet(s"$outDir/docs")
+    assert(landed.count() == rows.length &&
+      landed.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "restart duplicated or lost landed docs")
+    // the plan history genuinely drifted: en's full_epochs shrank as its
+    // avail count grew batch over batch
+    val enPlan = spark.read.parquet(s"$outDir/plan")
+      .filter(col("lang") === "en").orderBy(col("batch"))
+      .select("avail", "full_epochs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(enPlan.size == 3 && enPlan.map(_._1).distinct.size == 3 &&
+      enPlan.last._2 < enPlan.head._2,
+      s"plan never drifted: $enPlan")
+    // the read-time view equals the batch operator over the full corpus
+    val streamed = graft.streaming.StreamingCorpus
+      .upsampleView(spark, outDir, targets, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("epoch"))).toSet
+    val expected = graft.ext.TextAnalysis.upsampleToBudget(
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"), targets, budget)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("epoch"))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+  }
+
   test("streaming substring dedup converges to batch cutDupSpans under in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
