@@ -270,10 +270,17 @@ object Dedup {
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (size(col("shs_a")).cast("long") + size(col("shs_b")).cast("long") - col("common")), 4))
-      // common > 0 first: the old inner shingle-join structurally dropped
-      // zero-overlap candidate pairs, so at threshold 0.0 the array form
-      // would otherwise ADD jaccard=0 rows the verified contract excludes
-      .filter(col("common") > 0 && col("jaccard") >= threshold)
+      // at threshold 0.0 the old inner shingle-join structurally dropped
+      // zero-overlap candidate pairs, so the array form needs an explicit
+      // common > 0 there — but ONLY there: any positive threshold already
+      // rejects jaccard = 0, and the extra conjunct is not free (pushdown
+      // inlines `common` = size(array_intersect(...)) into every
+      // conjunct, and FilterExec codegen has no cross-conjunct
+      // subexpression elimination, so surviving pairs would pay a third
+      // array_intersect evaluation — measured ~9% on the composed
+      // pipeline at sf0.1)
+      .filter(if (threshold > 0) col("jaccard") >= threshold
+        else col("common") > 0 && col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
   }
