@@ -124,6 +124,84 @@ object Oracles {
       |${cent(3)}""".stripMargin
   }
 
+  /** Fixed-round power-iteration PCA replay CTEs (Similarity.pcaFit):
+    * one-pass covariance (round-9), then per component `iters` unrolled
+    * matvec+normalize steps (each round-9) with a rank-1 deflation
+    * between components — the same unrolled-iteration discipline as the
+    * pagerank and Lloyd replays.
+    */
+  private def pcaCtes(k: Int, iters: Int): String = {
+    def compCtes(c: Int): String = {
+      // decimally-rough start (NOT 1/sqrt(d) = a short decimal): a
+      // uniform 0.125 start puts step-1 products exactly on the 1e-9
+      // rounding grid's .5 boundary, where the engines' tie behaviors
+      // split systematically
+      val v0 =
+        s"""v${c}_0 AS MATERIALIZED (
+          |  SELECT g.i - 1 AS j,
+          |    round((1.0 + ((g.i - 1) * 2654435761) % 1000003 / 1000003.0)
+          |      / sqrt(CAST(dd.d AS DOUBLE)), 9) AS w
+          |  FROM dd, UNNEST(generate_series(1, dd.d)) AS g(i)
+          |)""".stripMargin
+      val steps = (1 to iters).map { t =>
+        s"""u${c}_$t AS MATERIALIZED (
+          |  SELECT cv.i, round(sum(cv.c * v.w), 9) AS u
+          |  FROM cov$c cv JOIN v${c}_${t - 1} v ON cv.j = v.j GROUP BY cv.i
+          |), m${c}_$t AS MATERIALIZED (
+          |  SELECT round(sqrt(sum(u * u)), 9) AS nrm FROM u${c}_$t
+          |), v${c}_$t AS MATERIALIZED (
+          |  SELECT u.i AS j, round(u.u / m.nrm, 9) AS w FROM u${c}_$t u, m${c}_$t m
+          |)""".stripMargin
+      }.mkString(",\n")
+      val lam =
+        s"""lam$c AS MATERIALIZED (
+          |  SELECT round(sum(wi.w * cv.c * wj.w), 7) AS lam
+          |  FROM cov$c cv JOIN v${c}_$iters wi ON cv.i = wi.j
+          |    JOIN v${c}_$iters wj ON cv.j = wj.j
+          |)""".stripMargin
+      val deflate = if (c < k - 1)
+        s""",
+          |cov${c + 1} AS MATERIALIZED (
+          |  SELECT cv.i, cv.j, round(cv.c - l.lam * wi.w * wj.w, 9) AS c
+          |  FROM cov$c cv JOIN v${c}_$iters wi ON cv.i = wi.j
+          |    JOIN v${c}_$iters wj ON cv.j = wj.j, lam$c l
+          |)""".stripMargin
+      else ""
+      s"$v0,\n$steps,\n$lam$deflate"
+    }
+    s"""e AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), nn AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n FROM e
+      |), dd AS MATERIALIZED (
+      |  SELECT CAST(max(len(e)) AS INT) AS d FROM e
+      |), mu AS MATERIALIZED (
+      |  SELECT g.i - 1 AS dim, round(sum(e[g.i]) / nn.n, 7) AS mu
+      |  FROM e, UNNEST(generate_series(1, len(e))) AS g(i), nn
+      |  GROUP BY g.i - 1, nn.n
+      |), cp AS MATERIALIZED (
+      |  SELECT g1.i - 1 AS i, g2.i - 1 AS j, sum(e[g1.i] * e[g2.i]) AS sp
+      |  FROM e, UNNEST(generate_series(1, len(e))) AS g1(i),
+      |    UNNEST(generate_series(1, len(e))) AS g2(i)
+      |  GROUP BY 1, 2
+      |), cov0 AS MATERIALIZED (
+      |  SELECT cp.i, cp.j, round(cp.sp / nn.n - ma.mu * mb.mu, 7) AS c
+      |  FROM cp JOIN mu ma ON ma.dim = cp.i JOIN mu mb ON mb.dim = cp.j, nn
+      |), tr AS MATERIALIZED (
+      |  SELECT round(sum(c), 7) AS trace FROM cov0 WHERE i = j
+      |),
+      |${(0 until k).map(compCtes).mkString(",\n")}""".stripMargin
+  }
+
+  /** The k·d-row model projection of [[pcaCtes]]'s final state. */
+  private def pcaModelSelect(k: Int, iters: Int): String =
+    (0 until k).map { c =>
+      s"""SELECT CAST($c AS INT) AS component, CAST(v.j AS INT) AS dim,
+        |  round(v.w, 6) AS w, round(l.lam, 6) AS eigenvalue,
+        |  round(l.lam / t.trace, 6) AS var_share
+        |FROM v${c}_$iters v, lam$c l, tr t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   // shared by the url/domain family: the harness's deterministic
   // messy-URL derivation (SparkEntry.withUrl) replayed verbatim, plus the
   // domain key (lower host, www/port stripped)
@@ -2289,6 +2367,34 @@ object Oracles {
         |ORDER BY new_id, dup_of""".stripMargin
     },
 
+    // frame-hash set-overlap video dedup replay: the all-opaque corpus
+    // takes the fake-frame-sampler shape (1 + bytes%30 frames, stride 2)
+    // with md5-prefix⊕(k·FNV) per-frame hashes; planted exact copies
+    // (doc_id % 60 == 0, +3e6) share every frame hash → overlap 1.0
+    "multimodal_video_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 60 = 0
+        |), fh AS (
+        |  SELECT DISTINCT doc_id,
+        |    xor(('0x' || substring(md5(text), 1, 15))::BIGINT,
+        |        g.k * 1099511628211) AS fhash
+        |  FROM d, UNNEST(generate_series(0,
+        |    CAST(1 + strlen(text) % 30 AS BIGINT) - 1, 2)) AS g(k)
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS total FROM fh GROUP BY doc_id
+        |), cm AS (
+        |  SELECT fa.doc_id AS a, fb.doc_id AS b, CAST(count(*) AS BIGINT) AS common_frames
+        |  FROM fh fa JOIN fh fb ON fa.fhash = fb.fhash AND fa.doc_id < fb.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cm.a, cm.b, cm.common_frames,
+        |  round(CAST(cm.common_frames AS DOUBLE) / least(ta.total, tb.total), 4) AS overlap
+        |FROM cm JOIN tot ta ON ta.doc_id = cm.a JOIN tot tb ON tb.doc_id = cm.b
+        |WHERE round(CAST(cm.common_frames AS DOUBLE) / least(ta.total, tb.total), 4) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified
     "multimodal_resize" ->
@@ -2826,6 +2932,33 @@ object Oracles {
         |  round(min(v), 6) AS v_min,
         |  round(max(v), 6) AS v_max
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // fixed-round power-iteration PCA replay (the pagerank discipline:
+    // every cross-partition aggregate rounds to 9 decimals before the
+    // next step consumes it, so both engines iterate from bit-identical
+    // state); covariance from one cross-product pass, k components via
+    // unrolled iteration CTEs with rank-1 deflation between components
+    "sim_pca_model" ->
+      s"""WITH ${pcaCtes(2, 5)}
+        |${pcaModelSelect(2, 5)}
+        |ORDER BY component, dim""".stripMargin,
+
+    "sim_pca_project" ->
+      s"""WITH ${pcaCtes(2, 5)}, model AS MATERIALIZED (
+        |${pcaModelSelect(2, 5)}
+        |), px AS MATERIALIZED (
+        |  SELECT t.vec_id, g.i - 1 AS dim, t.e[g.i] AS x
+        |  FROM e t, UNNEST(generate_series(1, len(t.e))) AS g(i)
+        |), pcs AS (
+        |  SELECT px.vec_id, m.component,
+        |    round(sum((px.x - mu.mu) * m.w), 6) AS pc
+        |  FROM px JOIN mu ON mu.dim = px.dim JOIN model m ON m.dim = px.dim
+        |  GROUP BY px.vec_id, m.component
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN component = 0 THEN pc END) AS pc1,
+        |  max(CASE WHEN component = 1 THEN pc END) AS pc2
+        |FROM pcs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // int8 serving replay: per-vector symmetric quantization (the exact
     // quantizeInt8 scale formula), cosine on the whole-number code

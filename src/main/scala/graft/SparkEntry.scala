@@ -446,6 +446,18 @@ object SparkEntry {
         .withColumn("doc_id", col0("doc_id") + 2000000L))
       Multimodal.dedupAgainstAudioStore(s, idx, batch)
     }),
+    // frame-hash set-overlap video dedup (containment discipline); on the
+    // all-opaque corpus every payload takes the fake-frame-sampler shape
+    // with md5-prefix⊕index hashes, so the gate covers the frame join +
+    // overlap pipeline end-to-end while real multi-frame GIF pairing is
+    // pinned by ExtSpec animated-GIF fixtures. Planting %60+3e6, disjoint
+    // from the image (%50) and audio (%40) families
+    "multimodal_video_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.filter(col0("doc_id") % 60 === 0)
+        .withColumn("doc_id", col0("doc_id") + 3000000L)
+      Multimodal.videoNearDups(s, Multimodal.mediaTable(d.unionByName(planted)))
+    }),
     // hard-negative mining band calibrated to the near-orthogonal
     // synthetic embeddings (max off-diagonal cos ~0.37)
     "sim_hard_negatives" -> ((s, dir) =>
@@ -454,6 +466,12 @@ object SparkEntry {
     // per-dimension corpus diagnostics (dead/skewed dims, ranges) — d
     // rows out regardless of corpus size
     "sim_dim_stats" -> ((s, dir) => Similarity.embeddingDimStats(emb(s, dir))),
+    // fixed-round power-iteration PCA: one covariance pass (d² products
+    // generated in-task, map-side partials), then the iteration runs on
+    // the d²-row frame only — k·d rows out
+    "sim_pca_model" -> ((s, dir) => Similarity.embeddingPcaModel(emb(s, dir))),
+    // corpus projected onto the fitted axes — the 2-D embedding map
+    "sim_pca_project" -> ((s, dir) => Similarity.embeddingPcaProject(emb(s, dir))),
     // PageRank representativeness over the LSH-bucketed kNN graph: 3
     // damped power steps, dangling mass redistributed, per-step round-9
     "sim_pagerank" -> ((s, dir) => Similarity.embeddingPagerank(emb(s, dir))),

@@ -861,4 +861,78 @@ object Multimodal {
 
   def compactAudioHashStore(spark: SparkSession, dir: String): Unit =
     compactHashStore(spark, dir)
+
+  // ----------------------------------------------------- video near-dup
+
+  final case class FrameHashRow(doc_id: Long, frame_idx: Int, fhash: Long,
+      is_video: Boolean)
+
+  /** Per-frame perceptual hashes of a multi-frame payload: a REAL
+    * multi-image decode (ImageIO's GIF/TIFF readers walk every frame —
+    * `getNumImages(true)` is an exact scan) with [[aHash64]] per frame;
+    * payloads no reader claims fall back to the deterministic fake
+    * frame-sampler shape (`1 + bytes%30` frames, stride 2 — the
+    * [[frameSampleBatch]] contract) hashed as the portable md5-prefix
+    * XOR a per-index FNV multiple, so exact-duplicate opaque payloads
+    * share EVERY frame hash while distinct payloads share none — the
+    * same mixed-table contract as the image and audio families.
+    */
+  def videoFrameHashBatch(rows: Iterator[MediaRow]): Iterator[FrameHashRow] =
+    rows.flatMap { r =>
+      val real = withReader(r.payload) { rd =>
+        val n = rd.getNumImages(true)
+        (0 until n).map(k => FrameHashRow(r.doc_id, k, aHash64(rd.read(k)),
+          is_video = true))
+      }
+      real match {
+        case Some(frames) if frames.nonEmpty => frames
+        case _ =>
+          val nf = 1 + (r.payload.length % 30)
+          val base = fallbackHash(r.payload)
+          // k*FNV stays far under Long.MaxValue for k < 30 — the oracle's
+          // BIGINT multiply must not overflow (DuckDB errors, Scala wraps)
+          (0 until nf by 2).map(k => FrameHashRow(r.doc_id, k,
+            base ^ (k.toLong * 1099511628211L), is_video = false))
+      }
+    }
+
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): Dataset[FrameHashRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(videoFrameHashBatch _)
+  }
+
+  /** Video near-dup pairs by frame-hash set overlap — the containment
+    * discipline (winnowing fingerprints) lifted to frames: two videos
+    * pair when they SHARE at least `minOverlap` of the smaller one's
+    * distinct frame hashes (`|A∩B| / min(|A|,|B|)`, round-4, threshold
+    * applied to the rounded value in both engines). Catches re-encodes
+    * (same frames → same aHashes), supercuts/trims (a clip of a stored
+    * video shares all ITS frames — containment, which a symmetric
+    * Jaccard would dilute), and exact opaque duplicates (fallback hashes
+    * align); genuinely different footage shares nothing.
+    *
+    * Scale shape: one decode pass to (doc_id, fhash) distinct rows, one
+    * sparse equi-join on the 8-byte frame hash, two broadcast-sized
+    * total joins. Frame-hash join skew (a black frame shared by half the
+    * crawl) is the winnowing hot-key class — cap frames per hash
+    * upstream if a real corpus shows it.
+    */
+  def videoNearDups(spark: SparkSession, media: DataFrame,
+      minOverlap: Double = 0.8): DataFrame = {
+    val fh = videoFrameHashes(spark, media).toDF()
+      .select(col("doc_id"), col("fhash")).distinct()
+    val totals = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
+    val common = fh.select(col("doc_id").as("a"), col("fhash"))
+      .join(fh.select(col("doc_id").as("b"), col("fhash")), Seq("fhash"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common_frames"))
+    common
+      .join(totals.select(col("doc_id").as("a"), col("total").as("ta")), Seq("a"))
+      .join(totals.select(col("doc_id").as("b"), col("total").as("tb")), Seq("b"))
+      .withColumn("overlap", round(col("common_frames").cast("double") /
+        least(col("ta"), col("tb")), 4))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("a"), col("b"), col("common_frames"), col("overlap"))
+      .orderBy(col("a"), col("b"))
+  }
 }

@@ -237,6 +237,147 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Principal components of the embedding cloud — the classic corpus
+    * diagnostic/compaction model (dead-direction detection, whitening,
+    * dimensionality reduction ahead of clustering): a ONE-PASS covariance
+    * estimate followed by FIXED-ROUND power iteration with deflation.
+    *
+    * Determinism contract (the pagerank discipline): every aggregate
+    * that crosses a partition boundary rounds before the next step
+    * consumes it, so engine and oracle iterate from bit-identical state.
+    * The corpus-wide sums (mean, covariance) land on a 1e-7 grid — their
+    * engine-vs-oracle summation-order noise is ~1e-13, and with d² = 4k
+    * covariance entries a 1e-9 grid makes a boundary flip (and its
+    * amplification through the iteration) likely, while at 1e-7 it is
+    * ~1e-5-rare; the d-sized iteration steps (sums of 64 terms, noise
+    * ~1e-16) stay on the finer 1e-9 grid. The component count and round budget are
+    * parameters OF the operator — this is "`iters`-step power-iteration
+    * PCA", not "PCA to convergence": with a narrow eigengap both engines
+    * converge equally partially, by construction. (MLlib's SVD is not an
+    * option here for the same reason its k-means wasn't for the IVF
+    * family: non-replayable internal iteration order.)
+    *
+    * Scale shape: the covariance pass generates the d² cross-products
+    * INSIDE each task (nested `transform` + one explode feeding a
+    * map-side partial aggregate — the shuffle carries ≤ d²·partitions
+    * rows, never N·d²); the power iteration then runs entirely on the
+    * d²-row covariance frame (localCheckpointed once, KB-sized), and the
+    * corpus is never touched again. Driver actions are all bounded:
+    * count, width, and the two scalars (eigenvalue, trace).
+    *
+    * Output: `(component, dim, w, eigenvalue, var_share)` — k·d rows,
+    * eigenvector entries round-6, eigenvalue/variance-share round-6.
+    */
+  def embeddingPcaModel(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame = {
+    val (_, model) = pcaFit(emb, k, iters)
+    model
+  }
+
+  /** Shared PCA core: (means, model). Means stay round-9 (iteration
+    * grid); the model's eigenvector entries are round-6 (output grid,
+    * also what projection consumes so engine and oracle project with
+    * identical weights).
+    */
+  private[graft] def pcaFit(emb: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val spark = emb.sparkSession
+    // bounded driver actions: corpus count and embedding width become
+    // plan literals so both engines divide by identical doubles
+    val n = emb.count().toDouble
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    val e = col("embedding").cast("array<double>")
+    val mu = emb.select(posexplode(e).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(round(sum(col("x")) / lit(n), 7).as("mu"))
+      .localCheckpoint(true)
+    // d² cross-products generated in-task; the map-side partial bounds
+    // the shuffle at d² rows per partition
+    val prods = emb.select(explode(flatten(transform(e, (xi, i) =>
+        transform(e, (xj, j) =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            (xi * xj).as("p")))))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    val cov0 = prods.groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"))
+      .join(mu.select(col("dim").as("i"), col("mu").as("mu_i")), Seq("i"))
+      .join(mu.select(col("dim").as("j"), col("mu").as("mu_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sp") / lit(n) - col("mu_i") * col("mu_j"), 7).as("c"))
+      .localCheckpoint(true) // ONE corpus pass; every iteration reuses it
+    val trace = cov0.filter(col("i") === col("j"))
+      .agg(round(sum(col("c")), 7)).head().getDouble(0)
+    var cov = cov0
+    val comps = Seq.newBuilder[DataFrame]
+    for (comp <- 0 until k) {
+      // all-positive DECIMALLY-ROUGH start: deterministic, never
+      // orthogonal to a nonnegative-dominant leading eigenvector, and —
+      // critically — not a short decimal or power of two. A uniform
+      // 1/√64 = 0.125 start makes the step-1 products land EXACTLY on
+      // the .5 boundary of the 1e-9 rounding grid (0.125·(k·1e-7) =
+      // k·1.25e-8), where Spark's BigDecimal HALF_UP and DuckDB's
+      // scale-and-rint round DIFFERENT ways — a systematic cross-engine
+      // split, not a rare flip. Nine full hash-derived digits per entry
+      // keep every later product off the boundaries (measure ~1e-7).
+      var v: DataFrame = spark.range(d.toLong)
+        .select(col("id").cast("int").as("j"),
+          round((lit(1.0) + (col("id") * lit(2654435761L)) % lit(1000003L)
+            / lit(1000003.0)) / lit(math.sqrt(d.toDouble)), 9).as("w"))
+      for (_ <- 0 until iters) {
+        val u = cov.join(v, Seq("j"))
+          .groupBy(col("i"))
+          .agg(round(sum(col("c") * col("w")), 9).as("u"))
+        val nrm = u.agg(round(sqrt(sum(col("u") * col("u"))), 9).as("nrm"))
+        v = u.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), round(col("u") / col("nrm"), 9).as("w"))
+      }
+      // cut the per-iteration lineage once per component (d-row frame)
+      val vv = v.localCheckpoint(true)
+      val lam = cov
+        .join(vv.select(col("j"), col("w").as("wj")), Seq("j"))
+        .join(vv.select(col("j").as("i"), col("w").as("wi")), Seq("i"))
+        .agg(round(sum(col("wi") * col("c") * col("wj")), 7))
+        .head().getDouble(0)
+      comps += vv.select(lit(comp).as("component"), col("j").as("dim"),
+        round(col("w"), 6).as("w"),
+        round(lit(lam), 6).as("eigenvalue"),
+        round(lit(lam) / lit(trace), 6).as("var_share"))
+      // deflate: C ← C − λ v vᵀ (a rank-1 update on the d²-row frame)
+      if (comp < k - 1)
+        cov = cov
+          .join(vv.select(col("j").as("i"), col("w").as("wi")), Seq("i"))
+          .join(vv.select(col("j"), col("w").as("wj")), Seq("j"))
+          .select(col("i"), col("j"),
+            round(col("c") - lit(lam) * col("wi") * col("wj"), 9).as("c"))
+    }
+    val model = comps.result().reduce(_ unionByName _)
+      .orderBy(col("component"), col("dim"))
+    (mu, model)
+  }
+
+  /** Project every embedding onto the fitted principal axes:
+    * `pc_c = Σ_i (x_i − μ_i)·w_{c,i}` over the round-6 model weights —
+    * one corpus pass with the k·d-row model broadcast, output
+    * `(vec_id, pc1..pck)` round-6. The compact training-set
+    * representation (and the 2-D map every embedding-space dashboard
+    * plots).
+    */
+  def embeddingPcaProject(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame = {
+    val (mu, model) = pcaFit(emb, k, iters)
+    val x = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val pcs = x
+      .join(broadcast(mu), Seq("dim"))
+      .join(broadcast(model.select(col("component"), col("dim"), col("w"))),
+        Seq("dim"))
+      .groupBy(col("vec_id"), col("component"))
+      .agg(round(sum((col("x") - col("mu")) * col("w")), 6).as("pc"))
+    val pivots = (0 until k).map(c =>
+      max(when(col("component") === c, col("pc"))).as(s"pc${c + 1}"))
+    pcs.groupBy(col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
     * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,
     * and participates in map-side partial aggregation. At scale this beats

@@ -1785,6 +1785,100 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(compacted == live, s"compacted ids: $compacted")
   }
 
+  test("videoNearDups pairs by REAL multi-frame GIF overlap: supersets contain, half-overlap below threshold, opaque exact dups pair") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def frame(cells: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // four distinct binary frames (distinct aHashes by construction)
+    val f1 = frame((x, _) => if (x < 4) 0 else 255)
+    val f2 = frame((_, y) => if (y < 4) 0 else 255)
+    val f3 = frame((x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val f4 = frame((x, y) => if (x < 2 || y < 2) 0 else 255)
+    val f5 = frame((x, _) => if (x % 2 == 0) 0 else 255)
+    val f6 = frame((_, y) => if (y % 2 == 0) 0 else 255)
+    val f7 = frame((x, _) => if (x < 6) 0 else 255)
+    val f8 = frame((_, y) => if (y < 6) 0 else 255)
+    val a = gif(Seq(f1, f2, f3, f4))           // 4 frames
+    val b = gif(Seq(f1, f2, f3, f4, f5))       // superset: contains all of A
+    val c = gif(Seq(f1, f2, f5, f6))           // shares 2 of A's 4
+    val dOther = gif(Seq(f7, f8))              // frames nobody else has
+    val o = "opaque video payload".getBytes("UTF-8")
+    val media = Seq(
+      (1L, a, "image/gif"), (2L, b, "image/gif"), (3L, c, "image/gif"),
+      (4L, dOther, "image/gif"),
+      (5L, o, "video/fake"), (6L, o, "video/fake"),
+      (7L, "distinct opaque".getBytes("UTF-8"), "video/fake")
+    ).toDF("doc_id", "payload", "media_type")
+    val fh = Multimodal.videoFrameHashes(spark, media).collect()
+    assert(fh.count(_.doc_id == 1L) == 4 && fh.filter(_.doc_id == 1L).forall(_.is_video))
+    assert(fh.count(_.doc_id == 2L) == 5)
+    assert(!fh.filter(_.doc_id == 5L).head.is_video)
+    // at 0.8: the superset contains A (overlap 1.0 on min side); the
+    // half-overlap C stays silent; exact opaque dups pair in full
+    val strict = Multimodal.videoNearDups(spark, media, minOverlap = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val oFrames = fh.count(_.doc_id == 5L).toLong
+    assert(strict == Set((1L, 2L, 4L, 1.0), (5L, 6L, oFrames, 1.0)), s"got $strict")
+    // at 0.4 the partial overlaps surface with exact fractions
+    val loose = Multimodal.videoNearDups(spark, media, minOverlap = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(loose.contains((1L, 3L, 2L, 0.5)) && loose.contains((2L, 3L, 2L, 0.5)),
+      s"got $loose")
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L),
+      s"disjoint video paired: $loose")
+  }
+
+  test("embeddingPcaModel recovers the dominant axis; deflation yields the orthogonal second component; projection matches") {
+    import spark.implicits._
+    // diagonal-covariance fixture: dim0 variance 1, dim1 0.25,
+    // dim2 0.0625, dim3 dead — eigenpairs known in closed form
+    val emb = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)), (2L, Array(-2f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, -1f, 0f, 0f)),
+      (5L, Array(0f, 0f, 0.5f, 0f)), (6L, Array(0f, 0f, -0.5f, 0f)),
+      (7L, Array(0f, 0f, 0f, 0f)), (8L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val model = Similarity.embeddingPcaModel(emb, k = 2, iters = 8).collect()
+    val byComp = model.groupBy(_.getInt(0))
+    val w0 = byComp(0).map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(math.abs(w0(0)) > 0.999, s"top component should align with dim0: $w0")
+    val ev0 = byComp(0).head.getDouble(3)
+    assert(math.abs(ev0 - 1.0) < 0.01, s"top eigenvalue should be ~1.0: $ev0")
+    // var_share = 1 / (1 + 0.25 + 0.0625)
+    val vs0 = byComp(0).head.getDouble(4)
+    assert(math.abs(vs0 - 0.761905) < 0.01, s"var_share: $vs0")
+    val w1 = byComp(1).map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(math.abs(w1(1)) > 0.99, s"second component should align with dim1: $w1")
+    val dot = (0 until 4).map(i => w0(i) * w1(i)).sum
+    assert(math.abs(dot) < 0.01, s"components not orthogonal: dot=$dot")
+    // projection: mean is 0, so pc1 = x0·w0(0) exactly (up to convergence)
+    val proj = Similarity.embeddingPcaProject(emb, k = 2, iters = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val s0 = math.signum(w0(0))
+    assert(math.abs(proj(1L)._1 - s0 * 2.0) < 0.01, s"pc1(vec 1): ${proj(1L)}")
+    assert(math.abs(proj(2L)._1 + s0 * 2.0) < 0.01, s"pc1(vec 2): ${proj(2L)}")
+    val s1 = math.signum(w1(1))
+    assert(math.abs(proj(3L)._2 - s1 * 1.0) < 0.01, s"pc2(vec 3): ${proj(3L)}")
+  }
+
   test("embeddingPagerank conserves mass and concentrates it on the kNN hub") {
     import spark.implicits._
     // hub-spoke: 6 spokes = base + orthogonal jitters, so every spoke's
