@@ -1132,6 +1132,24 @@ object Oracles {
 
     // per-domain cap ~5 via the shared portable-hash 10000-bucket keep:
     // thr = min(10000, round(1e4 * cap / n_domain)), bucket < thr
+    // blocklist replay: the suffix chain down to two labels equi-joined
+    // against the VALUES blocklist; survivors = anti-join on doc_id
+    "url_blocklist" -> ("WITH " + urlCtes + "," +
+      """ parts AS (
+        |  SELECT doc_id, domain, string_split(domain, '.') AS p FROM dom
+        |), sfx AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(p, g.i, len(p)), '.') AS sfx
+        |  FROM parts, UNNEST(generate_series(1, greatest(len(p) - 1, 1))) AS g(i)
+        |), blocked(bdom) AS (
+        |  VALUES ('src3.com'), ('src7.org'), ('cdn.src5.com')
+        |), hit AS (
+        |  SELECT DISTINCT doc_id FROM sfx JOIN blocked ON sfx.sfx = blocked.bdom
+        |)
+        |SELECT d.doc_id, d.domain FROM dom d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY d.doc_id""".stripMargin),
+
     "domain_caps" -> ("WITH " + urlCtes + "," +
       """ cnt AS (
         |  SELECT domain, CAST(count(*) AS BIGINT) AS n FROM dom GROUP BY domain
@@ -2394,6 +2412,34 @@ object Oracles {
         |FROM cm JOIN tot ta ON ta.doc_id = cm.a JOIN tot tb ON tb.doc_id = cm.b
         |WHERE round(CAST(cm.common_frames AS DOUBLE) / least(ta.total, tb.total), 4) >= 0.8
         |ORDER BY a, b""".stripMargin,
+
+    // video store-probe replay: corpus frame hashes equi-joined against
+    // the planted batch's (doc_id % 60 == 0, +3e6) — exactly what
+    // dedupAgainstVideoStore computes over the persisted frame sets
+    "multimodal_video_dedup_index" ->
+      """WITH fh AS (
+        |  SELECT DISTINCT doc_id,
+        |    xor(('0x' || substring(md5(text), 1, 15))::BIGINT,
+        |        g.k * 1099511628211) AS fhash
+        |  FROM documents, UNNEST(generate_series(0,
+        |    CAST(1 + strlen(text) % 30 AS BIGINT) - 1, 2)) AS g(k)
+        |), nf AS (
+        |  SELECT doc_id + 3000000 AS new_id, fhash
+        |  FROM fh WHERE doc_id % 60 = 0
+        |), ts AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS t FROM fh GROUP BY doc_id
+        |), tn AS (
+        |  SELECT new_id, CAST(count(*) AS BIGINT) AS t FROM nf GROUP BY new_id
+        |), cm AS (
+        |  SELECT nf.new_id, fh.doc_id AS dup_of, CAST(count(*) AS BIGINT) AS common_frames
+        |  FROM nf JOIN fh ON nf.fhash = fh.fhash
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cm.new_id, cm.dup_of, cm.common_frames,
+        |  round(CAST(cm.common_frames AS DOUBLE) / least(tn.t, ts.t), 4) AS overlap
+        |FROM cm JOIN tn ON tn.new_id = cm.new_id JOIN ts ON ts.doc_id = cm.dup_of
+        |WHERE round(CAST(cm.common_frames AS DOUBLE) / least(tn.t, ts.t), 4) >= 0.8
+        |ORDER BY cm.new_id, cm.dup_of""".stripMargin,
 
     // mapPartitions resize stub: out_len = max(1, min(bytes, w*h/128));
     // byte arithmetic only — payload content is ExtSpec-verified

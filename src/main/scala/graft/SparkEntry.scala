@@ -234,6 +234,18 @@ object SparkEntry {
         .select(col0("doc_id"), col0("domain"), col0("bucket"))
         .orderBy(col0("doc_id"))
     }),
+    // crawl-hygiene blocklist: apex entries block subdomains (suffix
+    // chain equi-join, never an endswith nested loop); host entries
+    // block only that host
+    "url_blocklist" -> ((s, dir) => {
+      val d = withUrl(docs(s, dir)).withColumn("domain",
+        graft.ext.UrlCuration.domainOf(col0("url")))
+      import s.implicits._
+      val blocked = Seq("src3.com", "src7.org", "cdn.src5.com").toDF("domain")
+      graft.ext.UrlCuration.blocklistFilter(
+          d.select(col0("doc_id"), col0("domain")), blocked)
+        .orderBy(col0("doc_id"))
+    }),
     // the mixture report a curation run reads before choosing caps
     "domain_mix" -> ((s, dir) => graft.ext.UrlCuration.domainMix(
       withUrl(docs(s, dir)).withColumn("domain",
@@ -457,6 +469,20 @@ object SparkEntry {
       val planted = d.filter(col0("doc_id") % 60 === 0)
         .withColumn("doc_id", col0("doc_id") + 3000000L)
       Multimodal.videoNearDups(s, Multimodal.mediaTable(d.unionByName(planted)))
+    }),
+    // incremental video-crawl dedup against the PERSISTED frame store:
+    // corpus decoded once to 8 B/frame fingerprints; the planted
+    // exact-copy batch must collide with its source at overlap 1.0
+    // through the frame equi-join — never a corpus re-decode
+    "multimodal_video_dedup_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "videoframes",
+          table = "documents", params = "overlap=0.8") { d =>
+        Multimodal.buildVideoFrameStore(Multimodal.mediaTable(docs(s, dir)), d)
+      }
+      val batch = Multimodal.mediaTable(docs(s, dir)
+        .filter(col0("doc_id") % 60 === 0)
+        .withColumn("doc_id", col0("doc_id") + 3000000L))
+      Multimodal.dedupAgainstVideoStore(s, idx, batch)
     }),
     // hard-negative mining band calibrated to the near-orthogonal
     // synthetic embeddings (max off-diagonal cos ~0.37)

@@ -918,9 +918,16 @@ object Multimodal {
     * upstream if a real corpus shows it.
     */
   def videoNearDups(spark: SparkSession, media: DataFrame,
-      minOverlap: Double = 0.8): DataFrame = {
-    val fh = videoFrameHashes(spark, media).toDF()
-      .select(col("doc_id"), col("fhash")).distinct()
+      minOverlap: Double = 0.8): DataFrame =
+    videoNearDupsFromFrames(videoFrameHashes(spark, media).toDF()
+      .select(col("doc_id"), col("fhash")).distinct(), minOverlap)
+
+  /** [[videoNearDups]] from a precomputed DISTINCT (doc_id, fhash)
+    * frame — the shared pairing core, exposed so the streaming ingest
+    * never decodes twice.
+    */
+  private[graft] def videoNearDupsFromFrames(fh: DataFrame,
+      minOverlap: Double): DataFrame = {
     val totals = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("total"))
     val common = fh.select(col("doc_id").as("a"), col("fhash"))
       .join(fh.select(col("doc_id").as("b"), col("fhash")), Seq("fhash"))
@@ -934,5 +941,122 @@ object Multimodal {
       .filter(col("overlap") >= minOverlap)
       .select(col("a"), col("b"), col("common_frames"), col("overlap"))
       .orderBy(col("a"), col("b"))
+  }
+
+  // ------------------------------------- persisted video frame store
+
+  /** Build a persisted frame-hash store over `media`: decode every
+    * payload ONCE to its distinct per-frame fingerprints (8 B/frame)
+    * under `v_<n>/frames/batch=-1` with `min_overlap` in params — the
+    * video member of the crawl-store family (MinHash text, banded
+    * image/audio), same versioned `v_<n>`/CURRENT lifecycle. A frame
+    * SET per doc (not one hash) is what makes trim/supercut containment
+    * detectable at serve time.
+    */
+  def buildVideoFrameStore(media: DataFrame, dir: String,
+      minOverlap: Double = 0.8): Unit = {
+    require(minOverlap > 0 && minOverlap <= 1,
+      s"minOverlap must be in (0, 1], got $minOverlap")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$v"
+    videoFrameHashes(spark, media).toDF()
+      .select(col("doc_id"), col("fhash")).distinct()
+      .write.mode("overwrite").parquet(s"$root/frames/batch=-1")
+    Seq(minOverlap).toDF("min_overlap")
+      .write.mode("overwrite").parquet(s"$root/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
+
+  private[graft] def readStoreOverlap(spark: SparkSession, root: String): Double =
+    spark.read.parquet(s"$root/params").head().getAs[Double]("min_overlap")
+
+  /** Decode `media` once and append its distinct frame hashes under a
+    * batch dir the append OWNS — idempotent under at-least-once replay
+    * with a stable `batchId`.
+    */
+  def appendToVideoFrameStore(spark: SparkSession, dir: String,
+      media: DataFrame, batchId: Option[Long] = None): Unit =
+    appendFramesToStore(spark, Similarity.resolveIndexRoot(spark, dir),
+      videoFrameHashes(spark, media).toDF()
+        .select(col("doc_id"), col("fhash")).distinct(), batchId)
+
+  private[graft] def appendFramesToStore(spark: SparkSession, root: String,
+      frames: DataFrame, batchId: Option[Long] = None): Unit = {
+    val id = batchId.getOrElse(Similarity.nextBatchId(spark, s"$root/frames"))
+    frames.write.mode("overwrite").parquet(s"$root/frames/batch=$id")
+  }
+
+  /** Last-writer-wins frame SETS: a re-crawled doc's newest batch
+    * replaces its whole set (frame-level merge of two crawls of one doc
+    * would conflate versions).
+    */
+  private def latestFramesPerDoc(df: DataFrame): DataFrame = {
+    val latest = df.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.max(col("batch")).as("batch"))
+    df.join(latest, Seq("doc_id", "batch"), "left_semi").drop("batch")
+  }
+
+  /** Live frame-hash view of a persisted video store. */
+  def videoStoreFrames(spark: SparkSession, dir: String): DataFrame =
+    latestFramesPerDoc(spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/frames"))
+
+  /** Screen an incoming batch against the persisted store WITHOUT
+    * re-decoding the accepted corpus: decode the batch once, equi-join
+    * its frame hashes against the stored 8 B/frame fingerprints, report
+    * every stored doc the incoming one overlaps at ≥ the store's
+    * min_overlap (`common / min(totals)` — containment, so a stored
+    * video's TRIM collides with it). Output: (new_id, dup_of,
+    * common_frames, overlap).
+    */
+  def dedupAgainstVideoStore(spark: SparkSession, dir: String,
+      media: DataFrame, excludeBatch: Option[Long] = None): DataFrame = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    probeVideoStoreWithFrames(spark, root, readStoreOverlap(spark, root),
+      videoFrameHashes(spark, media).toDF()
+        .select(col("doc_id"), col("fhash")).distinct(), excludeBatch)
+  }
+
+  private[graft] def probeVideoStoreWithFrames(spark: SparkSession,
+      root: String, minOverlap: Double, newFh: DataFrame,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val all = spark.read.parquet(s"$root/frames")
+    val visible = excludeBatch.fold(all)(id =>
+      all.filter(col("batch").cast("long") =!= id))
+    val store = latestFramesPerDoc(visible)
+      .select(col("doc_id").as("dup_of"), col("fhash"))
+    val storeTotals = store.groupBy(col("dup_of")).agg(count(lit(1)).as("ts"))
+    val newTotals = newFh.groupBy(col("doc_id")).agg(count(lit(1)).as("tn"))
+    newFh.select(col("doc_id").as("new_id"), col("fhash"))
+      .join(store, Seq("fhash"))
+      .groupBy(col("new_id"), col("dup_of"))
+      .agg(count(lit(1)).as("common_frames"))
+      .join(newTotals.select(col("doc_id").as("new_id"), col("tn")), Seq("new_id"))
+      .join(storeTotals, Seq("dup_of"))
+      .withColumn("overlap", round(col("common_frames").cast("double") /
+        least(col("tn"), col("ts")), 4))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("new_id"), col("dup_of"), col("common_frames"), col("overlap"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
+  /** Fold all frame batches into a fresh version's base (atomic CURRENT
+    * flip; readers never see a half-compacted store).
+    */
+  def compactVideoFrameStore(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$v"
+    latestFramesPerDoc(spark.read.parquet(s"$root/frames"))
+      .write.mode("overwrite").parquet(s"$newRoot/frames/batch=-1")
+    spark.read.parquet(s"$root/params")
+      .write.mode("overwrite").parquet(s"$newRoot/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
   }
 }

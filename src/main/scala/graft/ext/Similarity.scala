@@ -286,23 +286,8 @@ object Similarity {
     // plan literals so both engines divide by identical doubles
     val n = emb.count().toDouble
     val d = emb.select(size(col("embedding"))).head().getInt(0)
-    val e = col("embedding").cast("array<double>")
-    val mu = emb.select(posexplode(e).as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(round(sum(col("x")) / lit(n), 7).as("mu"))
-      .localCheckpoint(true)
-    // d² cross-products generated in-task; the map-side partial bounds
-    // the shuffle at d² rows per partition
-    val prods = emb.select(explode(flatten(transform(e, (xi, i) =>
-        transform(e, (xj, j) =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-            (xi * xj).as("p")))))).as("s"))
-      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
-    val cov0 = prods.groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sp"))
-      .join(mu.select(col("dim").as("i"), col("mu").as("mu_i")), Seq("i"))
-      .join(mu.select(col("dim").as("j"), col("mu").as("mu_j")), Seq("j"))
-      .select(col("i"), col("j"),
-        round(col("sp") / lit(n) - col("mu_i") * col("mu_j"), 7).as("c"))
+    val mu = pcaMeans(emb, n).localCheckpoint(true)
+    val cov0 = pcaCovariance(emb, n, mu)
       .localCheckpoint(true) // ONE corpus pass; every iteration reuses it
     val trace = cov0.filter(col("i") === col("j"))
       .agg(round(sum(col("c")), 7)).head().getDouble(0)
@@ -352,6 +337,36 @@ object Similarity {
     val model = comps.result().reduce(_ unionByName _)
       .orderBy(col("component"), col("dim"))
     (mu, model)
+  }
+
+  /** Per-dimension corpus means on the 1e-7 grid (lazy — [[pcaFit]]
+    * checkpoints it once).
+    */
+  private[graft] def pcaMeans(emb: DataFrame, n: Double): DataFrame =
+    emb.select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(round(sum(col("x")) / lit(n), 7).as("mu"))
+
+  /** The one-pass covariance frame (lazy): d² cross-products generated
+    * in-task by nested transform + explode, feeding a map-side partial
+    * aggregate — the shuffle carries ≤ d²·partitions partial rows, never
+    * N·d² (PlanSpec asserts the partial_sum). [[pcaFit]] checkpoints the
+    * d²-row result once; every iteration reuses it.
+    */
+  private[graft] def pcaCovariance(emb: DataFrame, n: Double,
+      mu: DataFrame): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val prods = emb.select(explode(flatten(transform(e, (xi, i) =>
+        transform(e, (xj, j) =>
+          struct(i.cast("int").as("i"), j.cast("int").as("j"),
+            (xi * xj).as("p")))))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    prods.groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"))
+      .join(mu.select(col("dim").as("i"), col("mu").as("mu_i")), Seq("i"))
+      .join(mu.select(col("dim").as("j"), col("mu").as("mu_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("sp") / lit(n) - col("mu_i") * col("mu_j"), 7).as("c"))
   }
 
   /** Project every embedding onto the fitted principal axes:

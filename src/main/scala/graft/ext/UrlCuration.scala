@@ -95,6 +95,45 @@ object UrlCuration {
       .filter(col("bucket") < col("thr"))
   }
 
+  /** The suffix chain of a domain down to two labels:
+    * `ads.tracker.example.com` → `[ads.tracker.example.com,
+    * tracker.example.com, example.com]` — never the bare TLD (a
+    * blocklist entry of `com` would be a typo'd kill-switch, so suffix
+    * matching stops above it). Single-label or empty domains yield
+    * themselves (exact match only).
+    */
+  private[graft] def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    val n = size(parts)
+    // n = 1 would make sequence(0, -1) DESCEND — guard to exact-only
+    when(n >= 2, transform(sequence(lit(0), n - 2),
+        i => array_join(slice(parts, i + 1, n - i), ".")))
+      .otherwise(array(domain))
+  }
+
+  /** Drop documents whose domain is blocklisted, subdomains included
+    * (`example.com` blocks `cdn.example.com`; `cdn.example.com` blocks
+    * only that host) — the crawl-hygiene gate every pipeline runs
+    * against spam/SEO/malware domain lists. Matching explodes each
+    * domain into its ≤depth suffix chain and EQUI-joins the blocklist —
+    * O(docs × label-depth) rows through a hash join, never the
+    * O(docs × |blocklist|) broadcast-nested-loop a LIKE/endswith
+    * condition would plan. No broadcast hint: real blocklists run to
+    * millions of rows, and a plain equi-join lets AQE pick broadcast
+    * for small lists and shuffle-hash beyond that.
+    *
+    * `blocked` contract: one `domain` column, entries already
+    * lowercase/apex-or-host form ([[domainOf]] output).
+    */
+  def blocklistFilter(docs: DataFrame, blocked: DataFrame,
+      domainCol: String = "domain"): DataFrame = {
+    val hit = docs
+      .select(col("doc_id"), explode(domainSuffixes(col(domainCol))).as("sfx"))
+      .join(blocked.select(col("domain").as("sfx")), Seq("sfx"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(hit, Seq("doc_id"), "left_anti")
+  }
+
   /** Domain-mix report: documents and share per domain, with the
     * per-domain language spread and mean length — the table a curation
     * run reads before choosing caps and mix targets. One count aggregate

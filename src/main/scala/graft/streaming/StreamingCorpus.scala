@@ -294,6 +294,59 @@ object StreamingCorpus {
     hashDedupIngest(media, storeDir, outDir, checkpointDir,
       (s, b) => graft.ext.Multimodal.audioHashes(s, b).toDF())
 
+  /** Streaming video-crawl dedup over the persisted frame-hash store
+    * ([[graft.ext.Multimodal.buildVideoFrameStore]]) — the frame-SET
+    * member of the crawl-dedup family: each micro-batch decodes once to
+    * distinct (doc_id, fhash) rows, dedups within the batch
+    * (containment overlap, larger id drops), screens against every
+    * frame set accepted so far (self-batch excluded), lands survivors
+    * in `outDir/batch=<id>`, and appends the survivors' frame hashes
+    * under the same id. Batch-owned overwrites keep at-least-once
+    * replays idempotent.
+    */
+  def videoDedupIngest(media: DataFrame, storeDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val root = Similarity.resolveIndexRoot(media.sparkSession, storeDir)
+    val minOverlap = graft.ext.Multimodal
+      .readStoreOverlap(media.sparkSession, root)
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          if (!b.isEmpty) {
+            // decode ONCE: within-batch pairing, the store probe, and
+            // the survivor append all share this frame table
+            val fh = graft.ext.Multimodal.videoFrameHashes(spark, b.toDF())
+              .toDF().select(col("doc_id"), col("fhash")).distinct().cache()
+            try {
+              val withinDups = graft.ext.Multimodal
+                .videoNearDupsFromFrames(fh, minOverlap)
+                .select(col("b").as("doc_id")).distinct()
+              val crossDups = graft.ext.Multimodal
+                .probeVideoStoreWithFrames(spark, root, minOverlap, fh,
+                  excludeBatch = Some(batchId))
+                .select(col("new_id").as("doc_id")).distinct()
+              val survivors = b
+                .join(withinDups.unionByName(crossDups), Seq("doc_id"),
+                  "left_anti")
+                .cache()
+              try {
+                survivors.write.mode("overwrite")
+                  .parquet(s"$outDir/batch=$batchId")
+                graft.ext.Multimodal.appendFramesToStore(spark, root,
+                  fh.join(survivors.select(col("doc_id")), Seq("doc_id"),
+                    "left_semi"),
+                  batchId = Some(batchId))
+              } finally { survivors.unpersist(); () }
+            } finally { fh.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Shared crawl-dedup micro-batch loop: `hasher` is the only modality-
     * specific step (both produce (doc_id, ahash) frames; banding, store
     * probe, and append are fingerprint-agnostic).

@@ -1846,6 +1846,71 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"disjoint video paired: $loose")
   }
 
+  test("video frame store: build, containment probe (a trim collides), idempotent append, lossless compaction") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def frame(cells: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val f1 = frame((x, _) => if (x < 4) 0 else 255)
+    val f2 = frame((_, y) => if (y < 4) 0 else 255)
+    val f3 = frame((x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val f4 = frame((x, y) => if (x < 2 || y < 2) 0 else 255)
+    val f5 = frame((x, _) => if (x % 2 == 0) 0 else 255)
+    val f6 = frame((_, y) => if (y % 2 == 0) 0 else 255)
+    val full = gif(Seq(f1, f2, f3, f4))
+    val trim = gif(Seq(f1, f2))         // a clip of `full`
+    val other = gif(Seq(f5, f6))
+    val o1 = "opaque corpus payload".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-videostore").toString
+    Multimodal.buildVideoFrameStore(
+      Seq((1L, full, "image/gif"), (2L, o1, "video/fake"))
+        .toDF("doc_id", "payload", "media_type"), dir)
+    // probe: the TRIM of the stored video collides (containment 1.0 on
+    // the min side — a symmetric Jaccard would score it 0.5 and miss),
+    // an exact opaque copy collides, different footage stays silent
+    val batch = Seq((11L, trim, "image/gif"), (12L, o1, "video/fake"),
+      (13L, other, "image/gif"), (14L, "fresh opaque".getBytes("UTF-8"), "video/fake"))
+      .toDF("doc_id", "payload", "media_type")
+    val hits = Multimodal.dedupAgainstVideoStore(spark, dir, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val oFrames = (1 + (o1.length % 30) + 1) / 2
+    assert(hits == Set((11L, 1L, 2L, 1.0), (12L, 2L, oFrames.toLong, 1.0)),
+      s"got $hits")
+    // double-append under one batch id: last-writer-wins, not duplication
+    val survivors = batch.filter($"doc_id".isin(13L, 14L))
+    Multimodal.appendToVideoFrameStore(spark, dir, survivors, batchId = Some(0L))
+    Multimodal.appendToVideoFrameStore(spark, dir, survivors, batchId = Some(0L))
+    val live = Multimodal.videoStoreFrames(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 2L, 13L, 14L), s"live ids: $live")
+    // a re-crawl of the appended footage now collides
+    val recrawl = Multimodal.dedupAgainstVideoStore(spark, dir,
+        Seq((21L, other, "image/gif")).toDF("doc_id", "payload", "media_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(recrawl == Set((21L, 13L, 2L, 1.0)), s"got $recrawl")
+    Multimodal.compactVideoFrameStore(spark, dir)
+    val compacted = Multimodal.videoStoreFrames(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(compacted == live, s"compacted ids: $compacted")
+  }
+
   test("embeddingPcaModel recovers the dominant axis; deflation yields the orthogonal second component; projection matches") {
     import spark.implicits._
     // diagonal-covariance fixture: dim0 variance 1, dim1 0.25,
@@ -2107,5 +2172,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bigIn100 = (2000L until 2100L).toSet
     assert(kept200.intersect(bigIn100).subsetOf(kept100),
       "growing the domain must never resurrect a dropped doc")
+  }
+
+  test("blocklistFilter: apex entries block subdomains, host entries block only that host, no TLD or substring bleed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "example.com"), (2L, "cdn.example.com"), (3L, "a.b.example.com"),
+      (4L, "notexample.com"), (5L, "cdn.other.com"), (6L, "other.com"),
+      (7L, "localhost"), (8L, "blocked-host")
+    ).toDF("doc_id", "domain")
+    val blocked = Seq("example.com", "cdn.other.com", "blocked-host")
+      .toDF("domain")
+    val kept = graft.ext.UrlCuration.blocklistFilter(docs, blocked)
+      .select("doc_id").as[Long].collect().toSet
+    // example.com takes itself and every subdomain; cdn.other.com takes
+    // only that host (other.com survives); blocked-host exact-matches a
+    // single-label domain; notexample.com must NOT match by substring
+    assert(kept == Set(4L, 6L, 7L), s"kept: $kept")
   }
 }

@@ -177,6 +177,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(2000))
   }
 
+  test("video near-dup: frame-hash equi-join, never cartesian or nested-loop") {
+    val media = graft.ext.Multimodal.mediaTable(
+      Queries.table(spark, sf, "documents"))
+    val plan = planOf(graft.ext.Multimodal.videoNearDups(spark, media))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // pairing is a hash-based join keyed on the 8-byte frame hash
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(plan.contains("fhash"), plan.take(2000))
+  }
+
+  test("PCA covariance: d² generation feeds a map-side partial aggregate (shuffle carries partials, not N·d² rows)") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    // assert the LAZY covariance stage: the public operator checkpoints
+    // it, which would hide the aggregation subtree from this guard
+    val n = emb.count().toDouble
+    val cov = graft.ext.Similarity.pcaCovariance(emb, n,
+      graft.ext.Similarity.pcaMeans(emb, n))
+    val plan = planOf(cov)
+    // partial_sum under the (i, j) grouping = the explode feeds map-side
+    // combine; without it the exchange would carry every cross-product
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("persisted-PQ-index query scans only the codes columns corpus-wide") {
     val emb = Queries.table(spark, sf, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString

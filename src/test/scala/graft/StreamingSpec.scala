@@ -1279,4 +1279,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
+
+  test("streaming video dedup: frame-overlap dups (incl. trims) drop against the growing store, survivors' frames are indexed") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def frame(cells: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val f1 = frame((x, _) => if (x < 4) 0 else 255)
+    val f2 = frame((_, y) => if (y < 4) 0 else 255)
+    val f3 = frame((x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val f4 = frame((x, y) => if (x < 2 || y < 2) 0 else 255)
+    val f5 = frame((x, _) => if (x % 2 == 0) 0 else 255)
+    val f6 = frame((_, y) => if (y % 2 == 0) 0 else 255)
+    val fullGif = gif(Seq(f1, f2, f3, f4))
+    val trimGif = gif(Seq(f1, f2))      // clip of the stored video
+    val otherGif = gif(Seq(f5, f6))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-video-ingest-store").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-video-ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-video-ingest-ckpt").toString
+    graft.ext.Multimodal.buildVideoFrameStore(
+      Seq((1L, fullGif, "image/gif")).toDF("doc_id", "payload", "media_type"),
+      storeDir)
+    val mem = MemoryStream[(Long, Array[Byte], String)]
+    val q = graft.streaming.StreamingCorpus.videoDedupIngest(
+      mem.toDF().toDF("doc_id", "payload", "media_type"),
+      storeDir, outDir, ckpt)
+    try {
+      // batch 0: a trim of the stored video (containment hit, drops),
+      // the same opaque payload twice (within-batch: larger id drops),
+      // and different footage (survives)
+      val o = "streamed opaque payload".getBytes("UTF-8")
+      mem.addData((101L, trimGif, "image/gif"), (103L, o, "video/fake"),
+        (107L, o, "video/fake"), (109L, otherGif, "image/gif"))
+      q.processAllAvailable()
+      // batch 1: a re-crawl of batch 0's surviving footage (drops
+      // against its appended frames) plus a fresh opaque
+      mem.addData((111L, otherGif, "image/gif"),
+        (113L, "late fresh opaque".getBytes("UTF-8"), "video/fake"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 103L), (0L, 109L), (1L, 113L)),
+      s"survivor set wrong: $out")
+    val live = graft.ext.Multimodal.videoStoreFrames(spark, storeDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
+  }
 }
