@@ -257,13 +257,16 @@ object Similarity {
     * option here for the same reason its k-means wasn't for the IVF
     * family: non-replayable internal iteration order.)
     *
-    * Scale shape: the covariance pass generates the d² cross-products
+    * Scale shape (the MLlib RowMatrix discipline): the covariance pass
+    * is the only corpus-sized work and generates the d² cross-products
     * INSIDE each task (nested `transform` + one explode feeding a
     * map-side partial aggregate — the shuffle carries ≤ d²·partitions
-    * rows, never N·d²); the power iteration then runs entirely on the
-    * d²-row covariance frame (localCheckpointed once, KB-sized), and the
-    * corpus is never touched again. Driver actions are all bounded:
-    * count, width, and the two scalars (eigenvalue, trace).
+    * rows, never N·d²); the power iteration then runs on the DRIVER over
+    * the d²-bounded collected matrix (64×64 = 32 KB here — the same
+    * bounded-collect class as the k-means codebooks), with every rounded
+    * step computed by the exact BigDecimal HALF_UP call that
+    * `functions.round` lowers to, so the emitted values are identical to
+    * the in-plan formulation. The corpus is touched exactly once.
     *
     * Output: `(component, dim, w, eigenvalue, var_share)` — k·d rows,
     * eigenvector entries round-6, eigenvalue/variance-share round-6.
@@ -287,12 +290,25 @@ object Similarity {
     val n = emb.count().toDouble
     val d = emb.select(size(col("embedding"))).head().getInt(0)
     val mu = pcaMeans(emb, n).localCheckpoint(true)
-    val cov0 = pcaCovariance(emb, n, mu)
-      .localCheckpoint(true) // ONE corpus pass; every iteration reuses it
-    val trace = cov0.filter(col("i") === col("j"))
-      .agg(round(sum(col("c")), 7)).head().getDouble(0)
-    var cov = cov0
-    val comps = Seq.newBuilder[DataFrame]
+    // the MLlib RowMatrix discipline: the Gramian/covariance pass is
+    // DISTRIBUTED (the only corpus-sized work), the d×d eigensolve runs
+    // on the driver over a d²-bounded collect. A first cut iterated on
+    // d²-row DataFrames instead — ~25 tiny AQE-staged jobs whose
+    // scheduling overhead made the two PCA queries the slowest in the
+    // whole bench (8.5 s / 7.9 s at sf0.1); the driver loop removes all
+    // of it while computing the IDENTICAL grid-rounded values (r9/r7
+    // call the same scala BigDecimal HALF_UP that functions.round
+    // lowers to, so engine output is unchanged — re-verified
+    // oracle-green at all three scales).
+    val covRows = pcaCovariance(emb, n, mu).collect()
+    val cv = Array.ofDim[Double](d, d)
+    covRows.foreach(r =>
+      cv(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val trace = rnd((0 until d).map(i => cv(i)(i)).sum, 7)
+    val comps = Seq.newBuilder[(Int, Int, Double, Double, Double)]
     for (comp <- 0 until k) {
       // all-positive DECIMALLY-ROUGH start: deterministic, never
       // orthogonal to a nonnegative-dominant leading eigenvector, and —
@@ -303,38 +319,32 @@ object Similarity {
       // scale-and-rint round DIFFERENT ways — a systematic cross-engine
       // split, not a rare flip. Nine full hash-derived digits per entry
       // keep every later product off the boundaries (measure ~1e-7).
-      var v: DataFrame = spark.range(d.toLong)
-        .select(col("id").cast("int").as("j"),
-          round((lit(1.0) + (col("id") * lit(2654435761L)) % lit(1000003L)
-            / lit(1000003.0)) / lit(math.sqrt(d.toDouble)), 9).as("w"))
+      var w = Array.tabulate(d)(j => rnd(
+        (1.0 + (j.toLong * 2654435761L % 1000003L).toDouble / 1000003.0) /
+          math.sqrt(d.toDouble), 9))
       for (_ <- 0 until iters) {
-        val u = cov.join(v, Seq("j"))
-          .groupBy(col("i"))
-          .agg(round(sum(col("c") * col("w")), 9).as("u"))
-        val nrm = u.agg(round(sqrt(sum(col("u") * col("u"))), 9).as("nrm"))
-        v = u.crossJoin(broadcast(nrm))
-          .select(col("i").as("j"), round(col("u") / col("nrm"), 9).as("w"))
+        val u = Array.tabulate(d) { i =>
+          var s = 0.0; var j = 0
+          while (j < d) { s += cv(i)(j) * w(j); j += 1 }
+          rnd(s, 9)
+        }
+        val nrm = rnd(math.sqrt(u.map(x => x * x).sum), 9)
+        w = u.map(x => rnd(x / nrm, 9))
       }
-      // cut the per-iteration lineage once per component (d-row frame)
-      val vv = v.localCheckpoint(true)
-      val lam = cov
-        .join(vv.select(col("j"), col("w").as("wj")), Seq("j"))
-        .join(vv.select(col("j").as("i"), col("w").as("wi")), Seq("i"))
-        .agg(round(sum(col("wi") * col("c") * col("wj")), 7))
-        .head().getDouble(0)
-      comps += vv.select(lit(comp).as("component"), col("j").as("dim"),
-        round(col("w"), 6).as("w"),
-        round(lit(lam), 6).as("eigenvalue"),
-        round(lit(lam) / lit(trace), 6).as("var_share"))
-      // deflate: C ← C − λ v vᵀ (a rank-1 update on the d²-row frame)
+      var lamRaw = 0.0
+      for (i <- 0 until d; j <- 0 until d) lamRaw += w(i) * cv(i)(j) * w(j)
+      val lam = rnd(lamRaw, 7)
+      comps ++= w.zipWithIndex.map { case (wv, dim) =>
+        (comp, dim, rnd(wv, 6), rnd(lam, 6), rnd(lam / trace, 6))
+      }
+      // deflate: C ← C − λ v vᵀ (rank-1 update on the driver matrix)
       if (comp < k - 1)
-        cov = cov
-          .join(vv.select(col("j").as("i"), col("w").as("wi")), Seq("i"))
-          .join(vv.select(col("j"), col("w").as("wj")), Seq("j"))
-          .select(col("i"), col("j"),
-            round(col("c") - lit(lam) * col("wi") * col("wj"), 9).as("c"))
+        for (i <- 0 until d; j <- 0 until d)
+          cv(i)(j) = rnd(cv(i)(j) - lam * w(i) * w(j), 9)
     }
-    val model = comps.result().reduce(_ unionByName _)
+    import spark.implicits._
+    val model = comps.result()
+      .toDF("component", "dim", "w", "eigenvalue", "var_share")
       .orderBy(col("component"), col("dim"))
     (mu, model)
   }
