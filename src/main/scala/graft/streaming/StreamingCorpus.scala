@@ -748,6 +748,52 @@ object StreamingCorpus {
     TextAnalysis.upsampleToBudget(spark.read.parquet(s"$outDir/docs"),
       targets, budget, domainCol, salt)
 
+  /** Streaming twin of [[graft.ext.UrlCuration.domainCaps]]. A doc's
+    * keep/drop depends on its domain's TOTAL count (`thr =
+    * min(10000, 10000·cap/n)`), which every batch revises DOWNWARD for a
+    * growing domain — late-bound thresholds over a final-at-arrival
+    * per-doc hash bucket (the monotonicity ExtSpec pins for the batch
+    * operator: growth can only drop more docs, never resurrect one):
+    *
+    *   1. each micro-batch lands `(doc_id, domain)` — the bucket is a
+    *      pure hash of (salt, doc_id), so it needs no storage — at
+    *      `outDir/docs/batch=<id>` (OVERWRITE: replays idempotent);
+    *   2. the CURRENT per-domain threshold table over everything landed
+    *      so far goes to `outDir/thr/batch=<id>` — the observable
+    *      tightening history;
+    *   3. [[domainCapView]] applies the batch operator to the landed
+    *      zone — equality at full coverage by construction.
+    */
+  def domainCapIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      cap: Long, domainCol: String = "domain"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), col(domainCol))
+            .write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
+          spark.read.parquet(s"$outDir/docs")
+            .groupBy(col(domainCol)).agg(count(lit(1)).as("n_domain"))
+            .withColumn("thr", least(lit(10000L),
+              round(lit(10000.0) * cap / col("n_domain")).cast("long")))
+            .write.mode("overwrite").parquet(s"$outDir/thr/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time cap over [[domainCapIngest]]'s landed zone — the batch
+    * [[graft.ext.UrlCuration.domainCaps]] itself. Converges at full
+    * coverage; mid-stream it is the honest partial answer (thresholds
+    * looser than final, never tighter — supersets of the final keep).
+    */
+  def domainCapView(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      cap: Long, domainCol: String = "domain",
+      salt: String = "domcap"): DataFrame =
+    graft.ext.UrlCuration.domainCaps(spark.read.parquet(s"$outDir/docs"),
+      cap, domainCol, salt)
+
   /** Streaming snapshot diff (the CDC shape of
     * [[graft.operators.DataQuality.snapshotDiff]]): the NEW corpus
     * version arrives as a stream; each batch lands its content

@@ -1837,10 +1837,11 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val oFrames = fh.count(_.doc_id == 5L).toLong
     assert(strict == Set((1L, 2L, 4L, 1.0), (5L, 6L, oFrames, 1.0)), s"got $strict")
-    // at 0.4 the partial overlaps surface with exact fractions
+    // at 0.4 the partial overlaps surface with exact fractions:
+    // A∩C = {f1,f2} of min(4,4) → 0.5; B∩C = {f1,f2,f5} of min(5,4) → 0.75
     val loose = Multimodal.videoNearDups(spark, media, minOverlap = 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    assert(loose.contains((1L, 3L, 2L, 0.5)) && loose.contains((2L, 3L, 2L, 0.5)),
+    assert(loose.contains((1L, 3L, 2L, 0.5)) && loose.contains((2L, 3L, 3L, 0.75)),
       s"got $loose")
     assert(!loose.exists(p => p._1 == 4L || p._2 == 4L),
       s"disjoint video paired: $loose")

@@ -1057,6 +1057,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
 
+  test("streaming domain caps converge to the batch threshold keep; the hot domain's threshold tightens monotonically") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val cap = 10L
+    // hot domain grows batch over batch (threshold tightens 10000 →
+    // ~500 → ~250); the small domain stays under cap (threshold 10000)
+    def rows(from: Long, until: Long, dom: String): Seq[(Long, String)] =
+      (from until until).map(i => (i, dom))
+    val b0 = rows(0, 100, "hot.com") ++ rows(9000, 9005, "small.org")
+    val b1 = rows(100, 200, "hot.com")
+    val b2 = rows(200, 400, "hot.com") ++ rows(9005, 9010, "small.org")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-domcap-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-domcap-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-domcap-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("domain", StringType)))
+    def start() = graft.streaming.StreamingCorpus.domainCapIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt, cap)
+    def land(c: Seq[(Long, String)]): Unit =
+      c.toDF("doc_id", "domain").write.mode("append").parquet(srcDir)
+    land(b0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(b1) // lands while the stream is down; the restart picks it up
+    val q2 = start(); q2.processAllAvailable()
+    land(b2); q2.processAllAvailable(); q2.stop()
+    // exactly-once landing across the restart
+    val landed = spark.read.parquet(s"$outDir/docs")
+    assert(landed.count() == (b0 ++ b1 ++ b2).length &&
+      landed.groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0,
+      "restart duplicated or lost landed docs")
+    // the hot domain's threshold tightened monotonically; small stayed open
+    val hotThr = spark.read.parquet(s"$outDir/thr")
+      .filter(col("domain") === "hot.com").orderBy(col("batch"))
+      .select("thr").collect().map(_.getLong(0)).toSeq
+    assert(hotThr.size == 3 && hotThr == hotThr.sorted.reverse &&
+      hotThr.distinct.size == 3, s"hot thresholds: $hotThr")
+    val smallThr = spark.read.parquet(s"$outDir/thr")
+      .filter(col("domain") === "small.org")
+      .select("thr").collect().map(_.getLong(0)).toSet
+    assert(smallThr == Set(10000L), s"small thresholds: $smallThr")
+    // the read-time view equals the batch operator over the full corpus
+    val streamed = graft.streaming.StreamingCorpus
+      .domainCapView(spark, outDir, cap)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = graft.ext.UrlCuration.domainCaps(
+        (b0 ++ b1 ++ b2).toDF("doc_id", "domain")
+          .select(col("domain"), col("doc_id")), cap)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
+  }
+
   test("streaming substring dedup converges to batch cutDupSpans under in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
