@@ -622,6 +622,26 @@ object Oracles {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    // dense per-user day calendar with forward fill; generate_series over
+    // each user's span mirrors the engine's sequence+explode
+    "events_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 3) AS v
+        |  FROM events GROUP BY 1, 2
+        |), cal AS (
+        |  SELECT user_id, CAST(g.d AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |    UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS g(d)
+        |), j AS (
+        |  SELECT c.user_id, c.day, d.v FROM cal c LEFT JOIN daily d USING (user_id, day)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+        |  v IS NULL AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
     // cohort = each user's first-activity date; day offsets counted with
     // DISTINCT users (DATE - DATE is BIGINT in DuckDB, Spark datediff is
     // INT — cast to match)
@@ -900,6 +920,58 @@ object Oracles {
         |)
         |SELECT doc_id, rank, token, tf, df, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Okapi BM25 top-5 per corpus-derived query (first 4 distinct tokens of
+    // every 100th doc); same quantize-before-rank discipline as the engine
+    "text_bm25" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, t[g.i] AS token, g.i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qsel AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY first_pos) AS rk
+        |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
+        |          FROM tokens WHERE doc_id % 100 = 0 GROUP BY 1, 2))
+        |  WHERE rk <= 4
+        |), scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(round(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |  FROM qsel q
+        |  JOIN tf ON q.token = tf.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq d ON tf.token = d.token
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // brute-force ground truth for the prefix-filtered edit-distance join —
+    // the oracle-side cross join is the exactness check the engine's
+    // q-gram blocking must reproduce
+    "fuzzy_join" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+        |)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // The full training-set pipeline: gopher gate -> near-dup drop (keep
     // the smaller doc_id of each verified pair) -> en downsample -> train

@@ -326,6 +326,37 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Calendar gap-fill with forward fill: one row per (user, day) over each
+    * user's active span, carrying the last observed daily total across the
+    * missing days (`filled` marks carried rows) — the standard time-series
+    * densification step before per-day joins or charting, which the
+    * reference's daily rollup (B4) silently lacks (absent days just drop).
+    *
+    * Scale shape: the day calendar is GENERATED per user from a ≤users-row
+    * span aggregate (`sequence` + explode — no driver loop, no cross join
+    * against a global calendar) and the forward fill is one
+    * `last(ignoreNulls)` window per user partition; both reuse the same
+    * user-keyed shuffle. Span is bounded by the retention window of the
+    * data, so rows out ≈ users × span-days — linear in the dense output.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 3).as("v"))
+    val calendar = daily
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val ff = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        last(col("v"), ignoreNulls = true).over(ff).as("day_value"),
+        col("v").isNull.as("filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Cohort retention: users grouped by their first-activity date, counted
     * again at each later day-offset they were active. Two keyed
     * aggregations (user → cohort date, then (cohort, offset) → distinct

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FuzzyJoin, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,7 @@ object SparkEntry {
     "events_funnel_times" -> (Queries.eventsFunnelTimes _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),
+    "events_gapfill" -> (Queries.eventsGapfill _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
@@ -366,6 +367,11 @@ object SparkEntry {
       TextAnalysis.chunkDocumentsOverlap(docs(s, dir), 32, 16)),
     "text_pack" -> ((s, dir) => TextAnalysis.packSequences(docs(s, dir), 512)),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
+    // BM25 inverted-index retrieval (queries derived from the corpus)
+    "text_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
+    // edit-distance record linkage over the part-name dictionary
+    "fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.editDistanceSelfJoin(Queries.table(s, dir, "part"), "p_name")),
     // frequency-based quality rule (CCNet/Gopher-style perplexity proxy)
     "text_surprisal" -> ((s, dir) => TextAnalysis.unigramSurprisal(docs(s, dir))),
     // PII redaction over the planted fixture (the corpus holds no PII, so

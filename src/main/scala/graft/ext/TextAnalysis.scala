@@ -1622,4 +1622,78 @@ object TextAnalysis {
       .withColumn("correct", col(labelCol) === col("pred_label"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 sparse retrieval: top-k documents per query via an
+    * inverted-index equi-join — the lexical half of a RAG serving stack,
+    * complementing the dense ANN tier in [[Similarity]]. Okapi weighting:
+    * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+    * `w(t,d) = idf · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))`.
+    *
+    * Queries are derived deterministically from the corpus itself (every
+    * `queryEvery`-th document contributes its first `queryTerms` distinct
+    * tokens in order of first appearance), so the operator needs no
+    * external input and the DuckDB oracle can replay it exactly. Scores
+    * quantize per-term to 6 decimals and per-doc to 4 BEFORE ranking so
+    * partial-aggregation summation order can't flip the argsort across
+    * engines (the [[nbPredict]] discipline).
+    *
+    * Scale shape: the postings list `(token, doc_id, tf)` is the one
+    * corpus-sized frame and every step over it is token- or doc-keyed
+    * (map-side combinable); `df` is vocabulary-bounded, `N`/`avgdl` a
+    * broadcast scalar, and the query set broadcasts into the postings
+    * join so scoring touches only postings of queried tokens — at 100 TB
+    * this is the standard distributed inverted-index shape. Top-k is a
+    * per-query window over the scored candidates (bounded by queries ×
+    * matched docs), not a global sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryEvery: Int = 100,
+      queryTerms: Int = 4,
+      topK: Int = 5,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val tokens = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // N counts docs with at least one token — the indexed population
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    val qtokens = tokens
+      .filter(col("doc_id") % queryEvery === 0)
+      .groupBy(col("doc_id").as("query_id"), col("token"))
+      .agg(min(col("pos")).as("first_pos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("first_pos"))))
+      .filter(col("rk") <= queryTerms)
+      .select(col("query_id"), col("token"))
+
+    val termW = round(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+    // df only for queried tokens — a ≤ queries×terms frame, broadcastable
+    // regardless of full-vocabulary size
+    val qdf = dfreq.join(qtokens.select(col("token")).distinct(), Seq("token"))
+    val scored = broadcast(qtokens)
+      .join(tf, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qdf), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(termW), 4).as("score"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{FuzzyJoin, TextAnalysis}
+
+/** BM25 retrieval, edit-distance fuzzy join, and calendar gap-fill:
+  * blocking exactness vs brute force, hand-computed score parity, and
+  * forward-fill semantics.
+  */
+class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-retrieval")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy join q-gram blocking is EXACT vs brute force on part names") {
+    val parts = Queries.table(spark, sf, "part")
+    val names = parts.select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    val got = FuzzyJoin.editDistanceSelfJoin(parts, "p_name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "dictionary should contain near-duplicate names")
+    assert(got == brute, s"missed=${brute.diff(got)} extra=${got.diff(brute)}")
+  }
+
+  test("fuzzy join covers gram-poor strings (no shared gram, still within d)") {
+    import spark.implicits._
+    // "ab" vs "cd": edit distance 2 with ZERO shared 2-grams — only the
+    // length-band fallback can pair them; plus short-long ("abcde"/"abcdef")
+    val rows = Seq("ab", "cd", "b", "abcde", "abcdef", "zzzzzzzzzz")
+      .toDF("name")
+    val got = FuzzyJoin.editDistanceSelfJoin(rows, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val names = Seq("ab", "cd", "b", "abcde", "abcdef", "zzzzzzzzzz")
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    assert(got == brute, s"missed=${brute.diff(got)} extra=${got.diff(brute)}")
+  }
+
+  test("bm25 matches a hand-computed score on a tiny corpus") {
+    import spark.implicits._
+    // doc 0 is the query doc (first 2 distinct tokens: "apple banana")
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple banana cherry"),
+      (2L, "cherry cherry cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, queryEvery = 100, queryTerms = 2, topK = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getInt(1), r.getDouble(3)))).toMap
+
+    val n = 4.0
+    val dls = Map(0L -> 2.0, 1L -> 4.0, 2L -> 3.0, 3L -> 2.0)
+    val avgdl = dls.values.sum / n
+    val dfs = Map("apple" -> 3.0, "banana" -> 2.0, "cherry" -> 2.0, "date" -> 1.0)
+    val tfs = Map(
+      (0L, "apple") -> 1.0, (0L, "banana") -> 1.0,
+      (1L, "apple") -> 2.0, (1L, "banana") -> 1.0, (1L, "cherry") -> 1.0,
+      (2L, "cherry") -> 3.0, (3L, "apple") -> 1.0, (3L, "date") -> 1.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(doc: Long, t: String): Option[Double] = tfs.get((doc, t)).map { tf =>
+      val idf = math.log(1.0 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+      r6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls(doc) / avgdl)))
+    }
+    val expected = (0L to 3L).flatMap { d =>
+      val terms = Seq("apple", "banana").flatMap(t => w(d, t))
+      if (terms.isEmpty) None else Some(d -> r4(terms.sum))
+    }.toMap
+    assert(got.keySet == expected.keySet.map(d => (0L, d)))
+    expected.foreach { case (d, s) =>
+      assert(math.abs(got((0L, d))._2 - s) < 1e-9, s"doc $d: ${got((0L, d))._2} vs $s")
+    }
+    // ranks follow score desc
+    val byRank = got.toSeq.sortBy(_._2._1).map(_._2._2)
+    assert(byRank == byRank.sortBy(-(_: Double)))
+  }
+
+  test("bm25 on the corpus: ranks contiguous, scores monotone, query docs rank themselves well") {
+    val docs = Queries.table(spark, sf, "documents")
+    val res = TextAnalysis.bm25TopK(docs, queryEvery = 25, queryTerms = 4, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      val scores = sorted.map(_._4).toSeq
+      assert(scores == scores.sortBy(-(_: Double)))
+    }
+  }
+
+  test("gapfill densifies each user's span and forward-fills values") {
+    val res = Queries.eventsGapfill(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(res.nonEmpty)
+    val byUser = res.groupBy(_._1)
+    byUser.foreach { case (_, rows) =>
+      val days = rows.map(_._2).sorted
+      val d0 = java.time.LocalDate.parse(days.head)
+      val d1 = java.time.LocalDate.parse(days.last)
+      assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+        "span must be dense")
+      assert(days.distinct.length == days.length)
+      // forward fill: a filled row carries the previous day's value
+      val sorted = rows.sortBy(_._2)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq(prev, cur) if cur._4 => assert(cur._3 == prev._3)
+        case _ =>
+      }
+      // first row of a span is never filled (span starts at an observed day)
+      assert(!sorted.head._4)
+    }
+  }
+}
