@@ -642,6 +642,34 @@ object Oracles {
         |  v IS NULL AS filled
         |FROM j ORDER BY user_id, day""".stripMargin,
 
+    // rolling z-score anomaly scoring: mean/variance derived from the
+    // window's Σn / Σn² with the same (Σn² − (Σn)²/c)/(c−1) arithmetic as
+    // the engine — no Welford-order dependence between engines
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER w AS cnt_w,
+        |    sum(CAST(n AS DOUBLE)) OVER w AS s1,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |), g AS (
+        |  SELECT event_type, day, n, s1 / cnt_w AS mu,
+        |    (s2 - s1 * s1 / cnt_w) / (cnt_w - 1) AS variance
+        |  FROM stats WHERE cnt_w >= 4
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(mu, 4) AS mu,
+        |  round(sqrt(variance), 4) AS sd,
+        |  round((n - mu) / sqrt(variance), 4) AS z,
+        |  abs((n - mu) / sqrt(variance)) >= 3.0 AS is_anomaly
+        |FROM g WHERE variance > 0
+        |ORDER BY event_type, day""".stripMargin,
+
     // cohort = each user's first-activity date; day offsets counted with
     // DISTINCT users (DATE - DATE is BIGINT in DuckDB, Spark datediff is
     // INT — cast to match)
@@ -959,6 +987,79 @@ object Oracles {
         |)
         |SELECT query_id, rank, doc_id, score FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid RRF: the BM25 replay (pool depth 20) full-outer-joined with a
+    // dense cosine pool over the aligned embeddings table, fused with
+    // 1/(60+rank) per tier (absent rank contributes 0, reported as 0);
+    // fused score rounds to 6 BEFORE the final rank (tiebreak doc_id) —
+    // identical quantize-before-rank order to the engine
+    "retrieval_hybrid_rrf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, t[g.i] AS token, g.i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qsel AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY first_pos) AS rk
+        |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
+        |          FROM tokens WHERE doc_id % 100 = 0 GROUP BY 1, 2))
+        |  WHERE rk <= 4
+        |), sscored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(round(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |  FROM qsel q
+        |  JOIN tf ON q.token = tf.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq d ON tf.token = d.token
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), stop AS (
+        |  SELECT query_id, doc_id, rank_sparse FROM (
+        |    SELECT query_id, doc_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
+        |    FROM sscored)
+        |  WHERE rank_sparse <= 20
+        |), dq AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |), dscored AS (
+        |  SELECT dq.query_id, e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(
+        |      CAST(dq.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings e, dq
+        |), dtop AS (
+        |  SELECT query_id, doc_id, rank_dense FROM (
+        |    SELECT query_id, doc_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rank_dense
+        |    FROM dscored)
+        |  WHERE rank_dense <= 20
+        |), fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    s.rank_sparse, d.rank_dense,
+        |    round(coalesce(1.0 / (60 + s.rank_sparse), 0)
+        |      + coalesce(1.0 / (60 + d.rank_dense), 0), 6) AS rrf
+        |  FROM stop s FULL OUTER JOIN dtop d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        |), franked AS (
+        |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, rank, doc_id, rrf,
+        |  CAST(coalesce(rank_sparse, 0) AS INT) AS rank_sparse,
+        |  CAST(coalesce(rank_dense, 0) AS INT) AS rank_dense
+        |FROM franked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // brute-force ground truth for the prefix-filtered edit-distance join —
     // the oracle-side cross join is the exactness check the engine's

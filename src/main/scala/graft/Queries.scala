@@ -374,6 +374,61 @@ object Queries {
       .orderBy(col("cohort_date"), col("day_diff"))
   }
 
+  /** Rolling z-score anomaly detection over the per-type daily event
+    * series: each day's count is scored against the mean/stddev of the
+    * trailing 7 OBSERVED days (frame `[-7, -1]` — the current day never
+    * contaminates its own baseline), flagging `|z| >= 3`. The monitoring
+    * twin to [[b4DailyValue]]: the reference reports daily volumes
+    * (README.md:479-489) but has no notion of "today is abnormal"; this is
+    * the standard ops alarm on top of that rollup.
+    *
+    * Determinism discipline: mean and variance are derived from the
+    * window's integer `Σn` / `Σn²` (cast to double BEFORE multiplying so
+    * petabyte-scale daily counts cannot overflow int64) with the textbook
+    * `(Σn² − (Σn)²/c)/(c−1)` form — identical arithmetic on both engines,
+    * no reliance on Welford-order parity between Spark's and DuckDB's
+    * stddev implementations. Days with under `minPrior` observed baseline
+    * days or zero variance are unscoreable and excluded.
+    *
+    * Scale shape: one keyed aggregation (events → (type, day) counts —
+    * map-side combinable, output is days × types rows) and one window
+    * over the tiny per-type series; the raw event scan never reaches the
+    * window. At 100 TB of events this is a full scan feeding a
+    * kilobyte-scale window — the scan dominates and parallelizes freely.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    anomalyScores(daily)
+  }
+
+  /** The scoring half of [[eventsAnomaly]], on an already-aggregated
+    * `(event_type, day, n)` frame — split out so specs can plant a spike
+    * in a hand-built series and assert the flag fires.
+    */
+  private[graft] def anomalyScores(daily: DataFrame, minPrior: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val nd = col("n").cast("double")
+    val z = (col("n") - col("mu")) / col("sd")
+    daily
+      .select(col("event_type"), col("day"), col("n"),
+        count(col("n")).over(w).as("cnt_w"),
+        sum(nd).over(w).as("s1"),
+        sum(nd * nd).over(w).as("s2"))
+      .filter(col("cnt_w") >= minPrior)
+      .withColumn("mu", col("s1") / col("cnt_w"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("cnt_w")) / (col("cnt_w") - 1))
+      .filter(col("variance") > 0)
+      .withColumn("sd", sqrt(col("variance")))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("mu"), 4).as("mu"), round(col("sd"), 4).as("sd"),
+        round(z, 4).as("z"), (abs(z) >= 3.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Z-order (Morton) clustering value — the layout operator for
     * multi-dimensional pruning ([[graft.operators.ScaleOps.zValue]]);
     * bounded slice so the oracle replays the bit interleave exactly.

@@ -57,6 +57,7 @@ object SparkEntry {
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),
     "events_gapfill" -> (Queries.eventsGapfill _),
+    "events_anomaly" -> (Queries.eventsAnomaly _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
@@ -369,6 +370,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
     // BM25 inverted-index retrieval (queries derived from the corpus)
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(docs(s, dir))),
+    // RRF fusion of the BM25 tier with a dense cosine tier over the
+    // aligned embeddings table (doc_id ≡ vec_id in the corpus)
+    "retrieval_hybrid_rrf" -> ((s, dir) =>
+      TextAnalysis.hybridRrfTopK(docs(s, dir), emb(s, dir))),
     // edit-distance record linkage over the part-name dictionary
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.editDistanceSelfJoin(Queries.table(s, dir, "part"), "p_name")),

@@ -1696,4 +1696,66 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): fuse the lexical [[bm25TopK]] candidate list with a dense
+    * cosine top-k over the document embeddings —
+    * `rrf(d) = Σ_systems 1/(rrfK + rank_system(d))` — the stock recipe
+    * for RAG serving stacks, where BM25 catches exact-term matches the
+    * embedding space smears and the dense tier catches paraphrases BM25
+    * cannot see. Queries are the same corpus-derived set as [[bm25TopK]]
+    * (every `queryEvery`-th doc), so `doc_id` and `vec_id` align and the
+    * DuckDB oracle replays both tiers plus the fusion exactly.
+    *
+    * Each tier contributes its top `poolK`; a document missing from one
+    * tier's pool simply contributes 0 from that tier (absent rank is
+    * reported as 0). The fused score is rounded to 6 decimals BEFORE the
+    * final ranking (the quantize-before-rank discipline), tiebreak
+    * `doc_id`. The dense tier keeps the self-match (cos=1) — a real
+    * serving stack returns the query document — while BM25 retrieves it
+    * on term overlap; both tiers therefore agree on the trivial hit.
+    *
+    * Scale shape: the sparse tier is the inverted-index join of
+    * [[bm25TopK]]; the dense tier broadcasts the ≤N/queryEvery query
+    * vectors against one corpus scan (the brute tier — at index-serving
+    * scale, swap in [[Similarity.searchIvfIndex]]-style shortlists for
+    * the dense pool; the fusion step is unchanged). The fusion itself
+    * joins two (queries × poolK)-bounded frames — negligible at any
+    * scale.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      emb: DataFrame,
+      queryEvery: Int = 100,
+      queryTerms: Int = 4,
+      poolK: Int = 20,
+      topK: Int = 5,
+      rrfK: Int = 60): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sparse = bm25TopK(docs, queryEvery, queryTerms, poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dense = emb.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank_dense", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rank_dense") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        coalesce(col("rank_sparse"), lit(0)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -135,4 +135,81 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!sorted.head._4)
     }
   }
+
+  test("hybrid RRF fuses the bm25 and dense tiers (driver-side reference fusion)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple banana cherry"),
+      (2L, "cherry cherry cherry"),
+      (3L, "apple date")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val got = TextAnalysis.hybridRrfTopK(docs, vecs, queryEvery = 100,
+      queryTerms = 2, poolK = 4, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5)))
+    assert(got.forall(_._1 == 0L))
+
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference sparse ranks from the (separately verified) bm25 tier
+    val sparse = TextAnalysis.bm25TopK(docs, 100, 2, topK = 4)
+      .collect().map(r => (r.getLong(2), r.getInt(1))).toMap
+    // reference dense ranks from a driver-side cosine (self-match kept)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val embs = Map(0L -> Array(1.0f, 0.0f, 0.0f), 1L -> Array(0.9f, 0.1f, 0.0f),
+      2L -> Array(0.0f, 1.0f, 0.0f), 3L -> Array(0.5f, 0.5f, 0.0f))
+    val dense = embs.toSeq.map { case (id, v) => (id, r6(cos(q, v))) }
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // reference fusion
+    val fusedRef = (sparse.keySet ++ dense.keySet).toSeq.map { d =>
+      val s = sparse.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val dn = dense.get(d).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (d, r6(s + dn))
+    }.sortBy { case (d, sc) => (-sc, d) }
+      .zipWithIndex.map { case ((d, sc), i) => (0L, i + 1, d, sc,
+        sparse.getOrElse(d, 0), dense.getOrElse(d, 0)) }
+    assert(got.toSeq == fusedRef, s"got=${got.toSeq}\nref=$fusedRef")
+    // doc 2 shares no query term: dense-only, absent sparse rank surfaces as 0
+    val doc2 = got.find(_._3 == 2L)
+    assert(doc2.exists(_._5 == 0) && doc2.exists(_._6 > 0))
+  }
+
+  test("anomaly scoring flags a planted spike against its trailing baseline") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")
+    // alternating 9/11 baseline, a 100-count spike on day 11, recovery day 12
+    val ns = Seq(9L, 11L, 9L, 11L, 9L, 11L, 9L, 11L, 9L, 11L, 100L, 10L)
+    val daily = ns.zipWithIndex.map { case (n, i) => ("click", d(i + 1), n) }
+      .toDF("event_type", "day", "n")
+    val got = Queries.anomalyScores(daily).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getBoolean(6)))).toMap
+    // first scoreable day is day 5 (4 observed baseline days); day 4 has 3
+    assert(!got.contains("2024-01-04") && got.contains("2024-01-05"))
+
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // day 11's baseline = days 4..10 = (11,9,11,9,11,9,11)
+    val base = Seq(11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0)
+    val mu = base.sum / base.length
+    val v = (base.map(x => x * x).sum - base.sum * base.sum / base.length) /
+      (base.length - 1)
+    val z = (100 - mu) / math.sqrt(v)
+    val (n11, mu11, sd11, z11, flag11) = got("2024-01-11")
+    assert(n11 == 100L && flag11)
+    assert(mu11 == r4(mu) && sd11 == r4(math.sqrt(v)) && z11 == r4(z))
+    assert(z11 > 3.0)
+    // day 12's baseline contains the spike: inflated sd, not anomalous
+    assert(!got("2024-01-12")._5)
+  }
 }
