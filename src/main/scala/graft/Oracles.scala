@@ -2758,6 +2758,73 @@ object Oracles {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** text_quality_calibrated: the qualityFilter score with per-source and
+    * global percent_rank — keep flag gates on the ROUNDED per-source
+    * percentile, same order of operations as the engine.
+    */
+  private val qualityCalibratedSql: String = {
+    val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+    s"""WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    $occ AS n_stopwords,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, source,
+      |    round(round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4)
+      |        - round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4), 4) AS score
+      |  FROM base
+      |), p AS (
+      |  SELECT doc_id, source, score,
+      |    round(percent_rank() OVER (PARTITION BY source ORDER BY score), 6)
+      |      AS pct_in_source,
+      |    round(percent_rank() OVER (ORDER BY score), 6) AS pct_global
+      |  FROM scored
+      |)
+      |SELECT doc_id, source, score, pct_in_source, pct_global,
+      |  pct_in_source >= 0.7 AS keep_calibrated
+      |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** text_vocab_drift: add-one Dirichlet log-odds between the doc_id-parity
+    * halves — every ln argument is a ratio of exact integers on both
+    * engines; totals computed over the UNFILTERED vocabulary, support
+    * filter applied before scoring, rank on the rounded |z|.
+    */
+  private val vocabDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 = 0 AS grp_a, t[g.i] AS token
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |    UNNEST(generate_series(1, len(t))) AS g(i)
+      |  WHERE t[g.i] <> ''
+      |), counts AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN grp_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+      |    CAST(sum(CASE WHEN grp_a THEN 0 ELSE 1 END) AS BIGINT) AS yb
+      |  FROM toks GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+      |    count(*) AS v FROM counts
+      |), g AS (
+      |  SELECT token, ya, yb,
+      |    ln(CAST(ya + 1 AS DOUBLE) / CAST(na + v - ya - 1 AS DOUBLE))
+      |      - ln(CAST(yb + 1 AS DOUBLE) / CAST(nb + v - yb - 1 AS DOUBLE)) AS delta,
+      |    (ln(CAST(ya + 1 AS DOUBLE) / CAST(na + v - ya - 1 AS DOUBLE))
+      |      - ln(CAST(yb + 1 AS DOUBLE) / CAST(nb + v - yb - 1 AS DOUBLE)))
+      |      / sqrt(1.0 / (ya + 1) + 1.0 / (yb + 1)) AS z
+      |  FROM counts, tot WHERE ya + yb >= 5
+      |), r AS (
+      |  SELECT token, ya, yb, round(delta, 4) AS delta, round(z, 4) AS z FROM g
+      |), ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY abs(z) DESC, token) AS INT) AS rank,
+      |    token, ya, yb, delta, z
+      |  FROM r
+      |)
+      |SELECT rank, token, ya, yb, delta, z FROM ranked
+      |WHERE rank <= 30 ORDER BY rank""".stripMargin
+
   /** Shared DSIR weights pipeline (text_dsir_weights /
     * text_dsir_select): add-1-smoothed bag-of-hashed-n-grams models
     * (64 buckets of the portable md5-prefix hash over word unigrams +
@@ -3233,6 +3300,8 @@ object Oracles {
     "text_top_ngrams" -> topNgramsSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_quality_filter" -> qualityFilterSql,
+    "text_quality_calibrated" -> qualityCalibratedSql,
+    "text_vocab_drift" -> vocabDriftSql,
     "text_select_budget" -> selectBudgetSql,
     "text_dsir_weights" -> dsirWeightsSql,
     // the persisted-model serve path must reproduce the in-memory weights

@@ -309,6 +309,8 @@ object SparkEntry {
           org.apache.spark.sql.functions.max(col0("doc_id")).as("max_id"))
         .orderBy(col0("split"))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScores(docs(s, dir))),
+    "text_quality_calibrated" -> ((s, dir) => TextAnalysis.qualityCalibrated(docs(s, dir))),
+    "text_vocab_drift" -> ((s, dir) => TextAnalysis.vocabDrift(docs(s, dir))),
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScores(docs(s, dir))),
     "corpus_gopher" -> ((s, dir) => TextAnalysis.gopherFilter(docs(s, dir))),
     // decontamination: every 50th doc plays the benchmark probe set

@@ -883,6 +883,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source quality calibration: the same [[qualityScore]] scalar,
+    * re-expressed as a percentile WITHIN each source (`percent_rank`
+    * partitioned on the source column) next to the corpus-global
+    * percentile. A fixed absolute threshold silently admits most of a
+    * high-scoring source and rejects most of a low-scoring one (boilerplate
+    * conventions, language mix and markup density differ per crawl feed);
+    * gating on the source-relative percentile applies equal selection
+    * pressure everywhere — the standard per-source calibration step before
+    * corpus mixing. `keep_calibrated` marks the `1 - quantile` upper tail
+    * of each source.
+    *
+    * Determinism: `percent_rank` is `(rank-1)/(n-1)` on BOTH engines, tied
+    * scores share a value (no arbitrary tiebreak enters the math), and the
+    * score itself is already on the 4-decimal grid; rounds to 6.
+    *
+    * Scale shape: one scored scan plus two rank windows — the per-source
+    * window shuffles on the source key (add a salt-and-merge pass if one
+    * source dominates the corpus; at typical crawl mixes sources are
+    * plentiful and the skew is mild), the global window reuses the
+    * single-partition percentile discipline of [[qualityFilter]]'s
+    * threshold agg with rows = corpus — for the 100 TB path swap the exact
+    * global rank for the KLL-sketch quantile transform, the per-source
+    * window is the part that matters.
+    */
+  def qualityCalibrated(docs: DataFrame, sourceCol: String = "source",
+      quantile: Double = 0.7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col(sourceCol).as("source"),
+      qualityScore.as("score"))
+    scored
+      .withColumn("pct_in_source", round(percent_rank().over(
+        w.partitionBy(col("source")).orderBy(col("score"))), 6))
+      .withColumn("pct_global", round(percent_rank().over(
+        w.partitionBy().orderBy(col("score"))), 6))
+      .withColumn("keep_calibrated", col("pct_in_source") >= quantile)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Vocabulary drift between two corpus snapshots (here: the doc_id-parity
+    * halves, the engine's deterministic stand-in for crawl T vs crawl T+1):
+    * per-token log-odds ratio with a Dirichlet prior (Monroe, Colaresi &
+    * Quinn 2008, "Fightin' Words") and its z-score,
+    * `δ_t = ln((y_a+α)/(n_a+αV−y_a−α)) − ln((y_b+α)/(n_b+αV−y_b−α))`,
+    * `σ² ≈ 1/(y_a+α) + 1/(y_b+α)`, reporting the `topK` tokens by |z| —
+    * the distribution-shift diagnostic that names WHICH tokens moved,
+    * where [[graft.ext.Similarity.embeddingDriftPsi]] only says THAT the
+    * corpus moved. α=1 keeps every intermediate an exact integer, so both
+    * engines feed `ln` bit-identical doubles.
+    *
+    * Scale shape: one token scan collapsing to a vocabulary-sized count
+    * table (map-side combinable), a single-row total broadcast, per-token
+    * arithmetic, and a topK window over the support-filtered vocabulary —
+    * no corpus-sized shuffle anywhere past the first aggregation.
+    */
+  def vocabDrift(docs: DataFrame, topK: Int = 30, minSupport: Long = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select((col("doc_id") % 2 === 0).as("grp_a"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("ya"),
+        sum(when(!col("grp_a"), 1L).otherwise(0L)).as("yb"))
+    val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
+      count(lit(1)).as("v"))
+    val da = log((col("ya") + 1).cast("double") /
+      (col("na") + col("v") - col("ya") - 1).cast("double"))
+    val db = log((col("yb") + 1).cast("double") /
+      (col("nb") + col("v") - col("yb") - 1).cast("double"))
+    val delta = da - db
+    val z = delta / sqrt(lit(1.0) / (col("ya") + 1) + lit(1.0) / (col("yb") + 1))
+    counts
+      .filter(col("ya") + col("yb") >= minSupport)
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("ya"), col("yb"),
+        round(delta, 4).as("delta"), round(z, 4).as("z"))
+      .withColumn("rank", row_number().over(
+        w.partitionBy().orderBy(abs(col("z")).desc, col("token"))))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("ya"), col("yb"), col("delta"), col("z"))
+      .orderBy(col("rank"))
+  }
+
   /** Bigram language-model perplexity — the CCNet-style quality proxy one
     * level up from [[unigramSurprisal]]: documents whose token TRANSITIONS
     * are improbable under the corpus LM (symbol soup, shuffled text,

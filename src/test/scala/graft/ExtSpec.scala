@@ -2191,4 +2191,50 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     // single-label domain; notexample.com must NOT match by substring
     assert(kept == Set(4L, 6L, 7L), s"kept: $kept")
   }
+
+  test("quality calibration: equal per-source selection pressure despite disjoint score ranges") {
+    import spark.implicits._
+    // source A: stopword-rich (positive scores, increasing with i);
+    // source B: punctuation noise (negative scores) — every A outscores every B
+    val docs = ((1 to 10).map(i => (i.toLong, ("the " * i) + "word", "A")) ++
+      (1 to 10).map(i => (10L + i, "zzz " + ("@" * (3 * i)), "B")))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ext.TextAnalysis.qualityCalibrated(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    val (a, b) = got.partition(_._2 == "A")
+    // per-source gate keeps the same COUNT from each source (equal pressure):
+    // percent_rank >= 0.7 over 10 distinct scores -> ranks 8,9,10
+    assert(a.count(_._5) == 3 && b.count(_._5) == 3)
+    // globally, every A doc outranks every B doc — the absolute-threshold
+    // framing would have kept only As
+    assert(a.map(_._4).min > b.map(_._4).max)
+    // percentiles are within [0,1] with the extremes present per source
+    Seq(a, b).foreach { side =>
+      assert(side.map(_._3).min == 0.0 && side.map(_._3).max == 1.0)
+    }
+  }
+
+  test("vocab drift: group-exclusive tokens rank first with symmetric z, balanced tokens score zero") {
+    import spark.implicits._
+    // alpha only in even docs (group A), beta only in odd docs, common in both
+    val docs = (0L to 9L).map { i =>
+      val t = if (i % 2 == 0) "alpha common common" else "beta common common"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.vocabDrift(docs, topK = 10, minSupport = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._2).toSeq == Seq("alpha", "beta", "common"))
+    val Seq(alpha, beta, common) = got.toSeq
+    assert(alpha._3 == 5L && alpha._4 == 0L && beta._3 == 0L && beta._4 == 5L)
+    // expected from the add-one log-odds closed form: na=nb=15, V=3
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dAlpha = math.log(6.0 / 12.0) - math.log(1.0 / 17.0)
+    val zAlpha = dAlpha / math.sqrt(1.0 / 6.0 + 1.0)
+    assert(alpha._5 == r4(dAlpha) && alpha._6 == r4(zAlpha))
+    // symmetry: beta is alpha's mirror; balanced token carries zero signal
+    assert(beta._5 == -alpha._5 && beta._6 == -alpha._6)
+    assert(common._5 == 0.0 && common._6 == 0.0)
+  }
 }
