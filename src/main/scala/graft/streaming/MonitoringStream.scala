@@ -199,4 +199,53 @@ object MonitoringStream {
     val schema = org.apache.spark.sql.Encoders.product[ReportRun].schema
     spark.readStream.schema(schema).parquet(dir)
   }
+
+  /** Streaming twin of [[graft.Queries.eventsAnomaly]]: each event
+    * micro-batch collapses to per-(type, day) PARTIAL counts landed
+    * batch-id-keyed with OVERWRITE (replay-idempotent across checkpoint
+    * restarts — a replayed batch rewrites the same partition, never
+    * double-counts), plus a one-row alert summary per batch
+    * (`n_anomalies`, `max_abs_z` over the landed zone so far) — the
+    * drift history an on-call pages from. Only day-level counts persist;
+    * raw events never land.
+    *
+    * Mid-stream the scores are the honest partial answer (each day
+    * scored against the baseline observed SO FAR); once a day's events
+    * have fully arrived the totals — and therefore [[anomalyView]] —
+    * equal the batch operator exactly.
+    *
+    * Scale shape: the per-batch aggregation is map-side combinable down
+    * to days × types rows, and the view re-aggregates partial counts
+    * (days × types × batches rows, kilobytes) — the raw event volume
+    * never accumulates anywhere.
+    */
+  def anomalyIngest(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("event_type"), to_date(col("ts")).as("day"))
+            .groupBy(col("event_type"), col("day"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
+          anomalyView(spark, outDir)
+            .agg(count(when(col("is_anomaly"), 1)).as("n_anomalies"),
+              coalesce(max(abs(col("z"))), lit(0.0)).as("max_abs_z"))
+            .write.mode("overwrite").parquet(s"$outDir/alert_history/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time anomaly scores over [[anomalyIngest]]'s landed zone: sum
+    * the partial daily counts, then run the batch scoring core — at full
+    * arrival this IS [[graft.Queries.eventsAnomaly]]'s output.
+    */
+  def anomalyView(spark: SparkSession, outDir: String): DataFrame =
+    graft.Queries.anomalyScores(
+      spark.read.parquet(s"$outDir/counts")
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n")))
 }

@@ -1402,4 +1402,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
+
+  test("streaming anomaly twin: view equals batch scoring across a restart; alert history fires on the spike") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same planted series as the batch spec: alternating 9/11 baseline,
+    // a 100-count spike on day 11, recovery day 12
+    val ns = Seq(9, 11, 9, 11, 9, 11, 9, 11, 9, 11, 100, 10)
+    def dayEvents(day: Int): Seq[(Timestamp, String)] =
+      (1 to ns(day - 1)).map(k =>
+        (Timestamp.valueOf(f"2024-01-$day%02d 08:${k % 60}%02d:00"), "click"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-anom-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-anom-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-anom-src").toString
+    def land(days: Range): Unit =
+      days.flatMap(dayEvents).toDF("ts", "event_type")
+        .write.mode("append").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    def start() = MonitoringStream.anomalyIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+
+    land(1 to 5)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(6 to 10) // arrives while the stream is down; restart picks it up
+    val q2 = start(); q2.processAllAvailable()
+    land(11 to 12); q2.processAllAvailable(); q2.stop()
+
+    // exactly-once counting across the restart
+    val landedTotal = spark.read.parquet(s"$outDir/counts")
+      .agg(org.apache.spark.sql.functions.sum(col("n"))).collect()(0).getLong(0)
+    assert(landedTotal == ns.sum.toLong, s"landed $landedTotal vs ${ns.sum}")
+
+    // view == batch scoring core over the complete daily series
+    val daily = (1 to 12).map(d =>
+        ("click", java.sql.Date.valueOf(f"2024-01-$d%02d"), ns(d - 1).toLong))
+      .toDF("event_type", "day", "n")
+    val expected = Queries.anomalyScores(daily).collect().map(_.toSeq).toSeq
+    val got = MonitoringStream.anomalyView(spark, outDir).collect().map(_.toSeq).toSeq
+    assert(got == expected, s"view diverged:\n got=$got\n exp=$expected")
+    assert(got.exists(r => r(6) == true), "spike day must be flagged")
+
+    // alert history: quiet until the spike batch, then exactly one anomaly
+    val hist = spark.read.parquet(s"$outDir/alert_history")
+      .orderBy(col("batch")).collect()
+      .map(r => (r.getAs[Long]("n_anomalies"), r.getAs[Double]("max_abs_z")))
+    assert(hist.last._1 == 1L && hist.dropRight(1).forall(_._1 == 0L),
+      s"history: ${hist.toSeq}")
+    assert(hist.last._2 > 3.0)
+  }
 }
