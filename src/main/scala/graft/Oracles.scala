@@ -3310,5 +3310,53 @@ object Oracles {
     "text_dsir_select" -> dsirSelectSql,
     "corpus_diff" -> corpusDiffSql,
     "corpus_profile" -> corpusProfileSql,
+
+    // chi-square independence over the dense source×lang grid — integer
+    // margins, identical double expressions per cell, total sums
+    // 6-decimal-rounded contributions before its own 4-decimal round
+    "corpus_chi2" ->
+      """WITH cells AS (
+        |  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), rows_ AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY 1),
+        |cols_ AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        |g AS (
+        |  SELECT rows_.r, cols_.c, coalesce(cells.n, 0) AS n,
+        |    CAST(nr AS DOUBLE) * nc / nn AS e,
+        |    (coalesce(cells.n, 0) - CAST(nr AS DOUBLE) * nc / nn)
+        |      / sqrt(CAST(nr AS DOUBLE) * nc / nn) AS resid
+        |  FROM rows_ CROSS JOIN cols_
+        |  LEFT JOIN cells ON rows_.r = cells.r AND cols_.c = cells.c
+        |  CROSS JOIN tot
+        |), cellr AS (
+        |  SELECT r, c, n, round(e, 4) AS expected, round(resid, 4) AS resid,
+        |    round(resid * resid, 6) AS chi2_cell
+        |  FROM g
+        |), s AS (
+        |  SELECT round(sum(chi2_cell), 4) AS chi2_total,
+        |    CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof
+        |  FROM cellr
+        |)
+        |SELECT cellr.r AS source, cellr.c AS lang, cellr.n, cellr.expected,
+        |  cellr.resid, cellr.chi2_cell, s.chi2_total, s.dof
+        |FROM cellr CROSS JOIN s ORDER BY source, lang""".stripMargin,
+
+    // Efraimidis-Spirakis without-replacement sample: ln(u)/w keys from
+    // the portable hash, quantized to 10 decimals before the global rank
+    "text_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, greatest(n_chars, 1) AS weight,
+        |    round(ln((('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0)
+        |      / greatest(n_chars, 1), 10) AS es_key
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rank,
+        |    doc_id, weight, es_key
+        |  FROM s
+        |)
+        |SELECT rank, doc_id, weight, es_key FROM ranked
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "text_dedup_segments" -> dedupSegmentsSql)
 }

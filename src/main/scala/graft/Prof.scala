@@ -241,7 +241,11 @@ object Prof {
           ("text_upsample_epochs", SparkEntry.queries("text_upsample_epochs")),
           ("text_split_leakage", SparkEntry.queries("text_split_leakage")),
           ("sim_pagerank", SparkEntry.queries("sim_pagerank")),
-          ("multimodal_image_dedup", SparkEntry.queries("multimodal_image_dedup")))) {
+          ("multimodal_image_dedup", SparkEntry.queries("multimodal_image_dedup")),
+          ("retrieval_hybrid_rrf", SparkEntry.queries("retrieval_hybrid_rrf")),
+          ("events_anomaly", SparkEntry.queries("events_anomaly")),
+          ("text_vocab_drift", SparkEntry.queries("text_vocab_drift")),
+          ("text_quality_calibrated", SparkEntry.queries("text_quality_calibrated")))) {
         val df = fn(spark, sf)
         // materialize through df's OWN QueryExecution (collect, small
         // sf0.001 results): a write would wrap the logical plan in a NEW

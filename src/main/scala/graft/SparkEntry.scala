@@ -117,6 +117,9 @@ object SparkEntry {
     "corpus_profile" -> ((s, dir) =>
       graft.operators.DataQuality.profile(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    // chi-square independence of the source × lang contingency grid
+    "corpus_chi2" -> ((s, dir) =>
+      graft.operators.DataQuality.chi2Independence(docs(s, dir))),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan
     "pipeline_training_set" -> ((s, dir) =>
@@ -277,6 +280,10 @@ object SparkEntry {
       TextAnalysis.temperatureSample(docs(s, dir))
         .select(col0("doc_id"), col0("lang"), col0("source"))
         .orderBy(col0("doc_id"))),
+    // Efraimidis-Spirakis weighted sample without replacement (weight =
+    // n_chars), TakeOrdered top-k on the salted-hash key
+    "text_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

@@ -496,6 +496,42 @@ object TextAnalysis {
     portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
     lit(10000L))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * IPL 97(5)): each doc draws a deterministic uniform `u` from the
+    * salted portable hash and competes on `ln(u)/w` (the log of the
+    * classic `u^(1/w)` key — same order, no underflow for huge weights);
+    * the global top-k by key IS an exact weight-proportional
+    * without-replacement sample. The one-shot, fully-parallel form of
+    * weighted reservoir sampling — inclusion probabilities track weights
+    * (here `n_chars`: longer docs proportionally likelier), yet no doc
+    * can be drawn twice, and the salt makes draws reproducible and
+    * composable with the split/mix/cap hash families.
+    *
+    * Keys quantize to the 10-decimal grid BEFORE ranking (tiebreak
+    * doc_id); `u` is `(h%1e6 + 0.5)/1e6` — exact rationals into `ln` on
+    * both engines, never 0 or 1.
+    *
+    * Scale shape: per-row key computation, then `orderBy().limit(k)` —
+    * Spark's TakeOrdered: per-partition top-k heaps merged on the
+    * driver, k-bounded, NO global sort or single-partition window; the
+    * rank column is a window over the k survivors only.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+      weightCol: String = "n_chars", salt: String = "wsample"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val u = (pmod(portableHash64(concat_ws(":", lit(salt),
+      col("doc_id").cast("string"))), lit(1000000L)).cast("double") + 0.5) /
+      lit(1000000.0)
+    val weight = greatest(col(weightCol), lit(1L))
+    val scored = docs.select(col("doc_id"), weight.as("weight"),
+      round(log(u) / weight.cast("double"), 10).as("es_key"))
+    scored.orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        w.partitionBy().orderBy(col("es_key").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("weight"), col("es_key"))
+      .orderBy(col("rank"))
+  }
+
   /** Domain mixture rebalancing — the "data recipe" operator: given
     * target mix proportions over a domain column (source, language, …),
     * build the LARGEST corpus that achieves exactly those proportions

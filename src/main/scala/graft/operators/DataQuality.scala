@@ -135,4 +135,48 @@ object DataQuality {
         col("m.min_value").as("min_value"), col("m.max_value").as("max_value"))
       .orderBy(col("col_name"))
   }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (is the language mix the same across sources? did the crawl
+    * feed shift its composition?): the dense R×C contingency grid —
+    * unobserved combinations included at n=0, as the statistic requires —
+    * with per-cell expected counts `e = nr·nc/N`, standardized residuals
+    * `(n−e)/√e` (the cells that DRIVE a significant statistic), the total
+    * `χ² = Σ(n−e)²/e` and `dof = (R−1)(C−1)` on every row. The
+    * categorical companion to [[profile]]'s per-column stats and
+    * [[graft.ext.Similarity.embeddingDriftPsi]]'s numeric drift.
+    *
+    * Determinism: every input to the arithmetic is an exact integer
+    * count; per-cell values round after identical double expressions,
+    * and the total sums 6-decimal-rounded contributions before its own
+    * 4-decimal round (the ulp-absorbing discipline).
+    *
+    * Scale shape: one map-side-combinable count aggregation down to R×C
+    * cells; margins, grid and totals are all cell-table-sized broadcasts
+    * — the corpus scan is the only data-sized step at 100 TB.
+    */
+  def chi2Independence(docs: DataFrame, rowCol: String = "source",
+      colCol: String = "lang"): DataFrame = {
+    val cells = docs.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy(col("r")).agg(sum(col("n")).as("nr"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("n")).as("nc"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val e = col("nr").cast("double") * col("nc") / col("nn")
+    val resid = (col("n") - e) / sqrt(e)
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(cells, Seq("r", "c"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("c"), col("n"), round(e, 4).as("expected"),
+        round(resid, 4).as("resid"), round(resid * resid, 6).as("chi2_cell"))
+    val summary = grid.agg(
+      round(sum(col("chi2_cell")), 4).as("chi2_total"),
+      ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1)).as("dof"))
+    grid.crossJoin(broadcast(summary))
+      .select(col("r").as(rowCol), col("c").as(colCol), col("n"),
+        col("expected"), col("resid"), col("chi2_cell"),
+        col("chi2_total"), col("dof"))
+      .orderBy(col(rowCol), col(colCol))
+  }
 }

@@ -2215,6 +2215,67 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chi2 independence: zero under independence, dense grid includes unobserved cells, known 2x2 value") {
+    import spark.implicits._
+    // perfectly independent 2x2: counts proportional to margins
+    val indep = (Seq.fill(40)(("a", "en")) ++ Seq.fill(10)(("a", "de")) ++
+      Seq.fill(8)(("b", "en")) ++ Seq.fill(2)(("b", "de")))
+      .zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val g1 = graft.operators.DataQuality.chi2Independence(indep).collect()
+    assert(g1.length == 4 && g1.forall(_.getAs[Double]("chi2_total") == 0.0))
+    assert(g1.forall(_.getAs[Long]("dof") == 1L))
+
+    // dependent 2x2 with a hand-computed statistic; lang "fr" only under
+    // source "a" -> the (b, fr) cell must appear with n = 0
+    val dep = (Seq.fill(30)(("a", "en")) ++ Seq.fill(10)(("a", "fr")) ++
+      Seq.fill(10)(("b", "en")))
+      .zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("doc_id", "source", "lang")
+    val g2 = graft.operators.DataQuality.chi2Independence(dep).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(g2.keySet == Set(("a", "en"), ("a", "fr"), ("b", "en"), ("b", "fr")))
+    assert(g2(("b", "fr")).getAs[Long]("n") == 0L)
+    // N=50, margins: a=40, b=10, en=40, fr=10
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = Map(("a", "en") -> (30.0, 32.0), ("a", "fr") -> (10.0, 8.0),
+      ("b", "en") -> (10.0, 8.0), ("b", "fr") -> (0.0, 2.0))
+    val chi2 = r4(exp.values.map { case (n, e) => r6(math.pow(n - e, 2) / e) }.sum)
+    assert(g2.values.forall(_.getAs[Double]("chi2_total") == chi2), s"want $chi2")
+    exp.foreach { case (k, (n, e)) =>
+      assert(g2(k).getAs[Double]("expected") == r4(e))
+      assert(g2(k).getAs[Double]("resid") == r4((n - e) / math.sqrt(e)))
+    }
+  }
+
+  test("weighted sample: exact vs driver replay of the E-S keys; heavier docs overrepresented") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, if (i < 200) 10L else 1000L)).toDF("doc_id", "n_chars")
+    val got = graft.ext.TextAnalysis.weightedSample(docs, k = 40)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // driver-side replay: same md5-prefix hash, same u, same key, same order
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def h64(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ref = (0L until 400L).map { i =>
+      val w = if (i < 200) 10L else 1000L
+      val u = (h64(s"wsample:$i") % 1000000L + 0.5) / 1000000.0
+      (i, w, r10(math.log(u) / w))
+    }.sortBy { case (id, _, k) => (-k, id) }.take(40)
+      .zipWithIndex.map { case ((id, w, k), r) => (r + 1, id, w, k) }
+    assert(got.toSeq == ref.toSeq,
+      s"first diff: ${got.toSeq.zip(ref.toSeq).find(p => p._1 != p._2)}")
+    // 100x weight at 1:1 population -> the sample should be dominated by
+    // the heavy class (expected heavy share ~99%)
+    assert(got.count(_._2 >= 200L) >= 35, s"heavy count: ${got.count(_._2 >= 200L)}")
+  }
+
   test("vocab drift: group-exclusive tokens rank first with symmetric z, balanced tokens score zero") {
     import spark.implicits._
     // alpha only in even docs (group A), beta only in odd docs, common in both
