@@ -2825,6 +2825,63 @@ object Oracles {
       |SELECT rank, token, ya, yb, delta, z FROM ranked
       |WHERE rank <= 30 ORDER BY rank""".stripMargin
 
+  /** sim_mmr_rerank: the unrolled greedy MMR replay (pool 10, k 5,
+    * λ 0.7) — built by a loop so every step carries the identical
+    * score/argmax form.
+    */
+  private val mmrRerankSql: String = {
+    val prelude =
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    round(list_cosine_similarity(
+        |      CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS rel
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |), pool AS (
+        |  SELECT query_id, vec_id, rel FROM (
+        |    SELECT query_id, vec_id, rel, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rk
+        |    FROM scored) WHERE rk <= 10
+        |), sims AS (
+        |  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+        |    round(list_cosine_similarity(
+        |      CAST(ex.embedding AS DOUBLE[]), CAST(ey.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM pool x
+        |  JOIN pool y ON x.query_id = y.query_id AND x.vec_id <> y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |), sel1 AS (
+        |  SELECT query_id, vec_id, 1 AS pick, score FROM (
+        |    SELECT query_id, vec_id, floor(0.7::DOUBLE * rel * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY floor(0.7::DOUBLE * rel * 1000000.0 + 0.5) / 1000000.0 DESC, vec_id) AS pk
+        |    FROM pool) WHERE pk = 1
+        |)""".stripMargin
+    val steps = (2 to 5).map { t =>
+      val prev = s"sel${t - 1}"
+      s""", s$t AS (
+        |  SELECT query_id, vec_id, $t AS pick, score FROM (
+        |    SELECT p.query_id, p.vec_id,
+        |      floor((0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE) * m.maxsim) * 1000000.0 + 0.5) / 1000000.0 AS score,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY floor((0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE) * m.maxsim) * 1000000.0 + 0.5) / 1000000.0 DESC, p.vec_id) AS pk
+        |    FROM pool p
+        |    JOIN (SELECT s.query_id, s.a AS vec_id, max(s.sim) AS maxsim
+        |          FROM sims s JOIN $prev ON s.query_id = $prev.query_id
+        |            AND s.b = $prev.vec_id
+        |          GROUP BY 1, 2) m
+        |      ON p.query_id = m.query_id AND p.vec_id = m.vec_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM $prev
+        |      WHERE $prev.query_id = p.query_id AND $prev.vec_id = p.vec_id)
+        |  ) WHERE pk = 1
+        |), sel$t AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString
+    prelude + steps +
+      "\nSELECT query_id, pick, vec_id, score FROM sel5 ORDER BY query_id, pick"
+  }
+
   /** Shared DSIR weights pipeline (text_dsir_weights /
     * text_dsir_select): add-1-smoothed bag-of-hashed-n-grams models
     * (64 buckets of the portable md5-prefix hash over word unigrams +
@@ -3300,6 +3357,13 @@ object Oracles {
     "text_top_ngrams" -> topNgramsSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_quality_filter" -> qualityFilterSql,
+    // MMR re-rank: the 5-step greedy unrolled as sel1..sel5 CTEs — each
+    // step scores the not-yet-selected pool rows against the max
+    // similarity to the selected set, quantizes, then argmaxes with the
+    // vec_id tiebreak; λ constants carry ::DOUBLE casts because DuckDB
+    // parses bare decimal literals as exact DECIMALs ((1.0 - 0.7) would
+    // be exactly 0.3, not Spark's IEEE 0.30000000000000004)
+    "sim_mmr_rerank" -> mmrRerankSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
     "text_select_budget" -> selectBudgetSql,

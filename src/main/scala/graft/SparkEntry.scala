@@ -142,6 +142,9 @@ object SparkEntry {
     // random near-orthogonal cosines actually live)
     "sim_contrastive_pairs" -> ((s, dir) =>
       Similarity.contrastivePairs(emb(s, dir), Seq(0L, 1L, 2L), 3, 10, 0.15, 0.30)),
+    // MMR diversity re-rank of each derived query's dense top-10 pool
+    // (unrolled 5-step greedy, quantize-before-argmax)
+    "sim_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(emb(s, dir))),
     // same exact result through the bounded TopKAggregator (map-side
     // partial top-k) instead of the window sort
     "sim_topk_agg" -> ((s, dir) => Similarity.bruteForceTopKAgg(emb(s, dir), Seq(0L, 1L, 2L), 10)),

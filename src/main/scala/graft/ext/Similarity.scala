@@ -467,6 +467,86 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results from each query's dense top-`poolK`
+    * pool, each pick maximizing `λ·rel − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * relevance/redundancy trade-off that stops a result list (or a
+    * few-shot example set, or a RAG context window) from spending all its
+    * slots on near-duplicates of the best hit. The query-time complement
+    * to the corpus-side [[clusterBalancedSample]].
+    *
+    * The greedy loop is inherently sequential in `k`, so it UNROLLS: k
+    * static stages over two tiny localCheckpointed frames — the pool
+    * (queries × poolK: query-relevance) and its within-pool pairwise
+    * similarity (queries × poolK²). Both quantize to 6 decimals before
+    * any argmax (tiebreak vec_id), so the pick sequence is
+    * engine-deterministic and the DuckDB oracle replays the full unroll.
+    * Pick 1 carries no redundancy term: `score₁ = λ·rel`.
+    *
+    * Scale shape: the only corpus-sized work is the pool construction
+    * (one broadcast-queries scan — swap in an index-served shortlist at
+    * serving scale); everything after operates on poolK-bounded frames
+    * per query, and the unrolled stages are joins between those bounded
+    * frames — never back to the corpus.
+    */
+  def mmrRerank(emb: DataFrame, queryEvery: Int = 100, poolK: Int = 10,
+      k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
+    VectorFunctions.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val pool = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("rel"))
+      .withColumn("rk", row_number().over(anchorRank.orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rk") <= poolK)
+      .select(col("query_id"), col("vec_id"), col("rel"))
+      .localCheckpoint()
+    val pemb = pool.join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"))
+    val sims = pemb.as("x").join(pemb.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"), col("x.vec_id").as("a"),
+        col("y.vec_id").as("b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+      .localCheckpoint()
+
+    // 6-decimal quantization via floor(x·1e6 + 0.5)/1e6 — pure IEEE double
+    // ops, so both engines quantize the EXACT binary value identically.
+    // Spark's round() detours through the double's shortest decimal string
+    // (BigDecimal.valueOf), which rounds 0.25512249999999997 UP to
+    // 0.255123 while DuckDB's round() on the exact value goes down — the
+    // composed λ-arithmetic here lands on that half-grid in practice.
+    def q6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val wq = Window.partitionBy(col("query_id"))
+    var selected = pool
+      .withColumn("score", q6(lit(lambda) * col("rel")))
+      .withColumn("pk", row_number().over(wq.orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("pk") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("pick"), col("score"))
+    for (t <- 2 to k) {
+      val pen = sims
+        .join(selected.select(col("query_id"), col("vec_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a"))
+        .agg(max(col("sim")).as("maxsim"))
+        .withColumnRenamed("a", "vec_id")
+      val next = pool
+        .join(selected.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, Seq("query_id", "vec_id"))
+        .withColumn("score",
+          q6(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim")))
+        .withColumn("pk", row_number().over(wq.orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("pk") === 1)
+        .select(col("query_id"), col("vec_id"), lit(t).as("pick"), col("score"))
+      selected = selected.union(next)
+    }
+    selected.orderBy(col("query_id"), col("pick"))
+  }
+
   // ----------------------------------------------------------- k-means IVF
 
   /** Assign every vector to its nearest centroid (squared-L2 argmin).

@@ -2215,6 +2215,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MMR re-rank skips the near-duplicate a plain top-k would take, then admits it once diversity is served") {
+    import spark.implicits._
+    // q = x-axis; v1 and v2 are the SAME direction (sim 1.0, rel 3/sqrt(10)
+    // each — tiebreak pick: lower vec_id); v3 is slightly less relevant but
+    // diverse; v4 is orthogonal filler
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.8f, 0.6f, 0.0f)),
+      (2L, Array(0.9f, 0.3f, 0.0f)),
+      (3L, Array(0.85f, 0.0f, 0.35f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.mmrRerank(emb, queryEvery = 100, poolK = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    assert(got.forall(_._1 == 0L))
+    // plain dense top-2 would be {1, 2} (the duplicate pair); MMR: 1, then
+    // the diverse 3, and only then the exhausted-novelty duplicate 2
+    assert(got.map(t => (t._2, t._3)).toSeq == Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"got picks: ${got.toSeq}")
+    // cross-check pick-2: diversity must beat the duplicate on the MMR score
+    val rel = Map(1L -> 3.0 / math.sqrt(10), 2L -> 3.0 / math.sqrt(10))
+    assert(0.7 * 0.9246 - 0.3 * 0.877 > 0.7 * rel(2L) - 0.3 * 1.0,
+      "fixture must actually favor the diverse pick at lambda=0.7")
+  }
+
   test("chi2 independence: zero under independence, dense grid includes unobserved cells, known 2x2 value") {
     import spark.implicits._
     // perfectly independent 2x2: counts proportional to margins
