@@ -670,6 +670,37 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // PMI co-occurrence over distinct user-day type sets — integer counts
+    // into identical ln-of-ratio expressions on both engines
+    "events_cooccurrence" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+        |  FROM events
+        |), na AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_single
+        |  FROM ud GROUP BY 1
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn
+        |  FROM (SELECT DISTINCT user_id, day FROM ud)
+        |), pairs AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ud x JOIN ud y ON x.user_id = y.user_id AND x.day = y.day
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT p.type_a, p.type_b, p.n_ab, a.n_single AS n_a, b.n_single AS n_b,
+        |  round(ln(CAST(p.n_ab AS DOUBLE) * nn.nn
+        |    / (CAST(a.n_single AS DOUBLE) * b.n_single)), 4) AS pmi,
+        |  round(ln(CAST(p.n_ab AS DOUBLE) * nn.nn
+        |      / (CAST(a.n_single AS DOUBLE) * b.n_single))
+        |    / -ln(CAST(p.n_ab AS DOUBLE) / nn.nn), 4) AS npmi
+        |FROM pairs p
+        |JOIN na a ON p.type_a = a.event_type
+        |JOIN na b ON p.type_b = b.event_type
+        |CROSS JOIN nn
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // cohort = each user's first-activity date; day offsets counted with
     // DISTINCT users (DATE - DATE is BIGINT in DuckDB, Spark datediff is
     // INT — cast to match)
@@ -3374,6 +3405,21 @@ object Oracles {
     "text_dsir_select" -> dsirSelectSql,
     "corpus_diff" -> corpusDiffSql,
     "corpus_profile" -> corpusProfileSql,
+
+    // equi-width histogram: floor of one double expression over exact
+    // integers — the (mx - mn + 1) denominator keeps max in the last bin
+    "corpus_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(n_chars) AS mn, max(n_chars) AS mx,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM documents
+        |), b AS (
+        |  SELECT CAST(floor(CAST(n_chars - mn AS DOUBLE) * 20
+        |    / (mx - mn + 1)) AS BIGINT) AS bin
+        |  FROM documents, mm
+        |), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
+        |SELECT g.bin, g.n, round(CAST(g.n AS DOUBLE) / mm.total, 4) AS share
+        |FROM g, mm ORDER BY bin""".stripMargin,
 
     // chi-square independence over the dense source×lang grid — integer
     // margins, identical double expressions per cell, total sums

@@ -429,6 +429,61 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Event-type co-occurrence with pointwise mutual information: which
+    * event types show up TOGETHER in the same user-day more (or less)
+    * often than their individual frequencies predict — association
+    * mining over the behavioral log (`pmi = ln(n_ab·N / (n_a·n_b))`,
+    * normalized `npmi = pmi / −ln(n_ab/N)` so +1 ≡ perfect co-occurrence
+    * and values compare across support levels). The pairwise companion
+    * to [[eventsFunnel]]'s fixed ordered chain: funnels confirm a
+    * hypothesized sequence, PMI surfaces the unhypothesized pairs.
+    *
+    * Determinism: every count is an exact integer and both engines
+    * evaluate the identical `ln`-of-integer-ratio expression; rounds to
+    * 4 decimals at the end.
+    *
+    * Scale shape: the raw scan collapses to distinct (user, day, type)
+    * first (map-side combinable; ≤ types rows per user-day), the pair
+    * join is an equi-join ON the (user, day) key — pairs explode only
+    * within a user-day's ≤|types| set, never across keys — and
+    * everything downstream is types²-bounded. Type totals and the
+    * user-day total are broadcast scalars.
+    */
+  def eventsCooccurrence(spark: SparkSession, dir: String,
+      minSupport: Long = 5): DataFrame =
+    cooccurrenceFromSets(events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct(), minSupport)
+
+  /** The scoring half of [[eventsCooccurrence]] over an already-distinct
+    * `(user_id, day, event_type)` membership frame — split out so specs
+    * can plant exact co-occurrence structure.
+    */
+  private[graft] def cooccurrenceFromSets(ud: DataFrame,
+      minSupport: Long): DataFrame = {
+    val na = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_single"))
+    val nn = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("nn"))
+    val pairs = ud.as("x").join(ud.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.day") === col("y.day") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    val pmi = log(col("n_ab").cast("double") * col("nn") /
+      (col("n_a").cast("double") * col("n_b")))
+    val npmi = pmi / -log(col("n_ab").cast("double") / col("nn"))
+    pairs
+      .join(broadcast(na.select(col("event_type").as("type_a"),
+        col("n_single").as("n_a"))), Seq("type_a"))
+      .join(broadcast(na.select(col("event_type").as("type_b"),
+        col("n_single").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nn))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(pmi, 4).as("pmi"), round(npmi, 4).as("npmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Z-order (Morton) clustering value — the layout operator for
     * multi-dimensional pruning ([[graft.operators.ScaleOps.zValue]]);
     * bounded slice so the oracle replays the bit interleave exactly.

@@ -58,6 +58,7 @@ object SparkEntry {
     "events_rolling" -> (Queries.eventsRolling _),
     "events_gapfill" -> (Queries.eventsGapfill _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
+    "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
@@ -120,6 +121,9 @@ object SparkEntry {
     // chi-square independence of the source × lang contingency grid
     "corpus_chi2" -> ((s, dir) =>
       graft.operators.DataQuality.chi2Independence(docs(s, dir))),
+    // equi-width 20-bin histogram of document lengths
+    "corpus_histogram" -> ((s, dir) =>
+      graft.operators.DataQuality.histogram(docs(s, dir), "n_chars")),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan
     "pipeline_training_set" -> ((s, dir) =>

@@ -974,7 +974,6 @@ object TextAnalysis {
     * no corpus-sized shuffle anywhere past the first aggregation.
     */
   def vocabDrift(docs: DataFrame, topK: Int = 30, minSupport: Long = 5): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     val toks = docs
       .select((col("doc_id") % 2 === 0).as("grp_a"),
         explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -982,6 +981,26 @@ object TextAnalysis {
     val counts = toks.groupBy(col("token"))
       .agg(sum(when(col("grp_a"), 1L).otherwise(0L)).as("ya"),
         sum(when(!col("grp_a"), 1L).otherwise(0L)).as("yb"))
+    vocabDriftFromCounts(counts, topK, minSupport)
+  }
+
+  /** Per-group token totals for one side of a drift comparison — the unit
+    * the STREAMING twin lands per batch and the reference-snapshot
+    * builder persists (token → n, vocabulary-sized).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** The scoring core of [[vocabDrift]] over an already-aggregated
+    * `(token, ya, yb)` count frame — shared verbatim by the batch
+    * operator and the streaming twin's read-time view, so the two cannot
+    * fork arithmetically.
+    */
+  private[graft] def vocabDriftFromCounts(counts: DataFrame, topK: Int,
+      minSupport: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
       count(lit(1)).as("v"))
     val da = log((col("ya") + 1).cast("double") /

@@ -136,6 +136,33 @@ object DataQuality {
       .orderBy(col("col_name"))
   }
 
+  /** Equi-width histogram of a numeric column: `bins` equal-width buckets
+    * over the observed [min, max] (the `+1` denominator keeps the max
+    * value inside the last bucket without a clamp), per-bucket count and
+    * corpus share — the distribution-shape companion to [[profile]]'s
+    * scalar min/max (which cannot see bimodality or a truncation spike).
+    *
+    * Determinism: bucket assignment is `floor` of one double expression
+    * over exact integers — identical IEEE on both engines, no percentile
+    * interpolation involved.
+    *
+    * Scale shape: one min/max/count aggregate broadcast back over the
+    * scan, then a map-side-combinable count by bucket — two scans, no
+    * sort, output is `bins`-bounded.
+    */
+  def histogram(df: DataFrame, column: String, bins: Int = 20): DataFrame = {
+    val mm = df.agg(min(col(column)).as("mn"), max(col(column)).as("mx"),
+      count(lit(1)).as("total"))
+    df.select(col(column).as("x")).crossJoin(broadcast(mm))
+      .withColumn("bin", floor((col("x") - col("mn")).cast("double") * bins /
+        (col("mx") - col("mn") + 1)).cast("long"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(mm.select(col("total"))))
+      .select(col("bin"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"))
+      .orderBy(col("bin"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns (is the language mix the same across sources? did the crawl
     * feed shift its composition?): the dense R×C contingency grid —

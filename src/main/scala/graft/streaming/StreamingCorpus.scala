@@ -908,4 +908,59 @@ object StreamingCorpus {
       .select(col("doc_id"), col("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Freeze a reference vocabulary snapshot (token → n) for the streaming
+    * drift monitor — the "crawl T" side the incoming "crawl T+1" stream
+    * is scored against.
+    */
+  def buildVocabRef(docs: DataFrame, refDir: String): Unit =
+    TextAnalysis.tokenCounts(docs).write.mode("overwrite").parquet(refDir)
+
+  /** Streaming twin of [[graft.ext.TextAnalysis.vocabDrift]]: each doc
+    * micro-batch collapses to vocabulary-sized partial token counts,
+    * landed batch-id-keyed with OVERWRITE (replay-idempotent — raw text
+    * never lands), plus a one-row drift summary per batch (`n_tokens`
+    * cumulative stream occurrences, `max_abs_z` vs the frozen reference)
+    * — the monitor that says WHEN the new crawl's vocabulary has moved,
+    * while [[vocabDriftView]] says WHICH tokens moved.
+    *
+    * Mid-stream the z-scores are the honest partial answer (stream-side
+    * counts still accumulating); once the new crawl is fully ingested
+    * the view equals the batch operator over ref ∪ stream exactly — the
+    * shared [[graft.ext.TextAnalysis.vocabDriftFromCounts]] core makes
+    * the equality structural, not coincidental.
+    */
+  def vocabDriftIngest(docs: DataFrame, refDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          TextAnalysis.tokenCounts(batch.toDF())
+            .write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
+          vocabDriftView(spark, refDir, outDir)
+            .agg(coalesce(sum(col("yb")), lit(0L)).as("n_tokens"),
+              coalesce(max(abs(col("z"))), lit(0.0)).as("max_abs_z"))
+            .write.mode("overwrite").parquet(s"$outDir/drift_history/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time drift report over [[vocabDriftIngest]]'s landed zone vs
+    * the frozen reference: full-outer-merge the two vocabularies (a
+    * token absent from one side counts 0 there) and run the batch
+    * scoring core.
+    */
+  def vocabDriftView(spark: SparkSession, refDir: String, outDir: String,
+      topK: Int = 30, minSupport: Long = 5): DataFrame = {
+    val ref = spark.read.parquet(refDir)
+      .select(col("token"), col("n").as("ya"))
+    val streamed = spark.read.parquet(s"$outDir/counts")
+      .groupBy(col("token")).agg(sum(col("n")).as("yb"))
+    val merged = ref.join(streamed, Seq("token"), "full_outer")
+      .na.fill(0L, Seq("ya", "yb"))
+    TextAnalysis.vocabDriftFromCounts(merged, topK, minSupport)
+  }
 }

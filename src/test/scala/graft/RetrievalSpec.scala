@@ -185,6 +185,34 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc2.exists(_._5 == 0) && doc2.exists(_._6 > 0))
   }
 
+  test("co-occurrence PMI: perfectly-coupled pair scores npmi=1, independent pair near 0") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-02-$i%02d")
+    // 20 user-days; "a" and "b" ALWAYS co-occur (10 user-days); "c" appears
+    // in 5 of those and 5 others — roughly independent of the a/b block
+    val rows =
+      (1 to 10).flatMap(i => Seq((i.toLong, d(1), "a"), (i.toLong, d(1), "b"))) ++
+      (1 to 5).map(i => (i.toLong, d(1), "c")) ++
+      (11 to 20).map(i => (i.toLong, d(1), "x")) ++
+      (11 to 15).map(i => (i.toLong, d(1), "c"))
+    val ud = rows.toDF("user_id", "day", "event_type")
+    val got = Queries.cooccurrenceFromSets(ud, minSupport = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // N = 20 user-days; n_a = n_b = 10, n_ab = 10 -> pmi = ln(20·10/100),
+    // npmi = pmi / -ln(10/20) = 1 exactly (perfect coupling)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ab = got(("a", "b"))
+    assert(ab._1 == 10L && ab._2 == 10L && ab._3 == 10L)
+    assert(ab._4 == r4(math.log(20.0 * 10 / (10.0 * 10))) && ab._5 == 1.0)
+    // a-c: n_ac = 5, n_a = 10, n_c = 10 -> pmi = ln(5·20/100) = 0 (independent)
+    val ac = got(("a", "c"))
+    assert(ac._1 == 5L && ac._4 == 0.0 && ac._5 == 0.0)
+    // pairs below support (none here with n_ab < 5 except none) and
+    // never-co-occurring pairs (a-x) are absent
+    assert(!got.contains(("a", "x")) && !got.contains(("b", "x")))
+  }
+
   test("anomaly scoring flags a planted spike against its trailing baseline") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")

@@ -1403,6 +1403,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
 
+  test("streaming vocab drift: view equals the batch operator once the new crawl fully lands") {
+    import spark.implicits._
+    val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val refDocs = all.filter(col("doc_id") % 2 === 0)     // frozen crawl T
+    val streamDocs = all.filter(col("doc_id") % 2 =!= 0)  // incoming crawl T+1
+    val refDir = java.nio.file.Files.createTempDirectory("graft-vd-ref").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-vd-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vd-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-vd-src").toString
+    graft.streaming.StreamingCorpus.buildVocabRef(refDocs, refDir)
+    val half = streamDocs.count() / 2
+    streamDocs.filter(col("doc_id") < half * 2).write.mode("append").parquet(srcDir)
+    val schema = streamDocs.schema
+    def start() = graft.streaming.StreamingCorpus.vocabDriftIngest(
+      spark.readStream.schema(schema).parquet(srcDir), refDir, outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // remainder arrives while the stream is down; the restart picks it up
+    streamDocs.filter(col("doc_id") >= half * 2).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // the view over ref + fully-landed stream IS the batch parity drift
+    val got = graft.streaming.StreamingCorpus.vocabDriftView(spark, refDir, outDir)
+      .collect().map(_.toSeq).toSeq
+    val expected = graft.ext.TextAnalysis.vocabDrift(all).collect().map(_.toSeq).toSeq
+    assert(got == expected, s"diverged:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+    assert(got.nonEmpty)
+    // drift history landed one summary per non-empty batch, monotone token totals
+    val hist = spark.read.parquet(s"$outDir/drift_history").orderBy(col("batch"))
+      .collect().map(r => (r.getAs[Long]("n_tokens"), r.getAs[Double]("max_abs_z")))
+    assert(hist.length >= 2 && hist.map(_._1).toSeq == hist.map(_._1).sorted.toSeq)
+    assert(hist.last._2 > 0.0)
+  }
+
   test("streaming anomaly twin: view equals batch scoring across a restart; alert history fires on the spike") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
