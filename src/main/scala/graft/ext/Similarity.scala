@@ -495,17 +495,20 @@ object Similarity {
     VectorFunctions.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val pool = emb.crossJoin(broadcast(q))
+    // the pool CARRIES its members' embeddings (poolK × queries vectors —
+    // tiny), so the pairwise-sim stage never re-joins the corpus: one
+    // corpus scan total
+    val poolE = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("rel"))
+        round(cosine(col("q_emb"), col("embedding")), 6).as("rel"),
+        col("embedding"))
       .withColumn("rk", row_number().over(anchorRank.orderBy(col("rel").desc, col("vec_id"))))
       .filter(col("rk") <= poolK)
-      .select(col("query_id"), col("vec_id"), col("rel"))
+      .select(col("query_id"), col("vec_id"), col("rel"), col("embedding"))
       .localCheckpoint()
-    val pemb = pool.join(emb, Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"), col("embedding"))
-    val sims = pemb.as("x").join(pemb.as("y"),
+    val pool = poolE.select(col("query_id"), col("vec_id"), col("rel"))
+    val sims = poolE.as("x").join(poolE.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.query_id").as("query_id"), col("x.vec_id").as("a"),
@@ -542,7 +545,13 @@ object Similarity {
         .withColumn("pk", row_number().over(wq.orderBy(col("score").desc, col("vec_id"))))
         .filter(col("pk") === 1)
         .select(col("query_id"), col("vec_id"), lit(t).as("pick"), col("score"))
-      selected = selected.union(next)
+      // checkpoint the accumulator: each step references `selected` twice
+      // (anti-join + penalty), so the lazy union tree grows ~3^k and
+      // CATALYST PLANNING TIME (not execution) came to dominate (6.6 s
+      // even at sf0.001). Materializing the ≤queries×t-row frame per
+      // step keeps every stage's plan constant-size; measured 5.9 s →
+      // 1.8 s at sf0.1.
+      selected = selected.union(next).localCheckpoint()
     }
     selected.orderBy(col("query_id"), col("pick"))
   }

@@ -248,4 +248,40 @@ object MonitoringStream {
       spark.read.parquet(s"$outDir/counts")
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("n")).as("n")))
+
+  /** Streaming twin of [[graft.Queries.eventsCooccurrence]]: each batch
+    * lands its DISTINCT (user, day, type) memberships batch-id-keyed
+    * (replay-idempotent; a membership is a fact, so re-observing it in a
+    * later batch is harmless — the view re-distincts). Day-level
+    * membership is all that persists: the event volume never lands.
+    *
+    * Mid-stream PMI is the honest partial answer over the user-days seen
+    * so far; at full arrival [[cooccurrenceView]] equals the batch
+    * operator exactly (same distinct-membership frame into the same
+    * scoring core).
+    */
+  def cooccurrenceIngest(events: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col("user_id"), to_date(col("ts")).as("day"),
+              col("event_type")).distinct()
+            .write.mode("overwrite").parquet(s"$outDir/members/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time PMI over [[cooccurrenceIngest]]'s landed memberships —
+    * re-distinct (a membership may arrive in several batches), then the
+    * batch scoring core.
+    */
+  def cooccurrenceView(spark: SparkSession, outDir: String,
+      minSupport: Long = 5): DataFrame =
+    graft.Queries.cooccurrenceFromSets(
+      spark.read.parquet(s"$outDir/members")
+        .select(col("user_id"), col("day"), col("event_type")).distinct(),
+      minSupport)
 }

@@ -1403,6 +1403,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
 
+  test("streaming co-occurrence: view equals batch PMI; duplicate memberships across batches are harmless") {
+    import spark.implicits._
+    // reuse the real events table, streamed in two chunks split mid-day so
+    // the SAME (user, day, type) membership can land in BOTH batches
+    val all = Queries.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val cut = all.agg(org.apache.spark.sql.functions.expr(
+      "percentile(event_id, 0.5)")).collect()(0).getDouble(0).toLong
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pmi-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pmi-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-pmi-src").toString
+    all.filter(col("event_id") <= cut).write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = MonitoringStream.cooccurrenceIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    all.filter(col("event_id") > cut).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = MonitoringStream.cooccurrenceView(spark, outDir)
+      .collect().map(_.toSeq).toSeq
+    val expected = Queries.eventsCooccurrence(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"diverged:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+  }
+
   test("streaming vocab drift: view equals the batch operator once the new crawl fully lands") {
     import spark.implicits._
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
