@@ -2913,6 +2913,72 @@ object Oracles {
       "\nSELECT query_id, pick, vec_id, score FROM sel5 ORDER BY query_id, pick"
   }
 
+  /** text_bpe_merges / text_bpe_segments: the 3-round BPE trainer
+    * unrolled — per round a pair-count + top-1 CTE and the
+    * gaps-and-islands resegmentation (even offsets within consecutive
+    * match runs merge; a position whose predecessor merged drops).
+    * Integer-and-string arithmetic only — no float parity concerns.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val prelude =
+      """WITH words AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wcount FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), seqs0 AS (
+        |  SELECT word, wcount, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq
+        |  FROM words
+        |)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s""", syms$r AS (
+        |  SELECT word, wcount, g.i - 1 AS i, s[g.i] AS sym
+        |  FROM (SELECT word, wcount, string_split(seq, ' ') AS s FROM seqs${r - 1}) t,
+        |    UNNEST(generate_series(1, len(s))) AS g(i)
+        |), top$r AS (
+        |  SELECT x, y, x || y AS merged, cnt FROM (
+        |    SELECT a.sym AS x, b.sym AS y, CAST(sum(a.wcount) AS BIGINT) AS cnt
+        |    FROM syms$r a JOIN syms$r b ON a.word = b.word AND a.i + 1 = b.i
+        |    GROUP BY 1, 2)
+        |  ORDER BY cnt DESC, x, y LIMIT 1
+        |), st$r AS (
+        |  SELECT s.word, s.wcount, s.i, s.sym, t.merged,
+        |    coalesce(s.sym = t.x AND lead(s.sym) OVER wd = t.y, false) AS mt
+        |  FROM syms$r s CROSS JOIN top$r t
+        |  WINDOW wd AS (PARTITION BY s.word ORDER BY s.i)
+        |), isl$r AS (
+        |  SELECT *, i - sum(CASE WHEN mt THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY word ORDER BY i
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM st$r
+        |), off$r AS (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY word, isl, mt ORDER BY i) AS BIGINT) - 1 AS off
+        |  FROM isl$r
+        |), dp$r AS (
+        |  SELECT *, coalesce(lag(taken) OVER
+        |      (PARTITION BY word ORDER BY i), false) AS prev_taken
+        |  FROM (SELECT *, (mt AND off % 2 = 0) AS taken FROM off$r)
+        |), seqs$r AS (
+        |  SELECT word, wcount,
+        |    string_agg(CASE WHEN taken THEN merged ELSE sym END, ' ' ORDER BY i) AS seq
+        |  FROM dp$r WHERE NOT prev_taken
+        |  GROUP BY word, wcount
+        |)""".stripMargin
+    }.mkString
+    prelude + blocks
+  }
+
+  private val bpeMergesSql: String =
+    bpeCtes(3) + "\n" +
+      (1 to 3).map(r =>
+        s"SELECT $r AS round, x, y, merged, cnt FROM top$r")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  private val bpeSegmentsSql: String =
+    bpeCtes(3) +
+      "\nSELECT word, wcount, seq FROM seqs3 ORDER BY length(word) DESC, word LIMIT 30"
+
   /** Shared DSIR weights pipeline (text_dsir_weights /
     * text_dsir_select): add-1-smoothed bag-of-hashed-n-grams models
     * (64 buckets of the portable md5-prefix hash over word unigrams +
@@ -3395,6 +3461,10 @@ object Oracles {
     // parses bare decimal literals as exact DECIMALs ((1.0 - 0.7) would
     // be exactly 0.3, not Spark's IEEE 0.30000000000000004)
     "sim_mmr_rerank" -> mmrRerankSql,
+    // distributed BPE trainer: merge choices + final segmentation, both
+    // replayed through the full 3-round unroll
+    "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_segments" -> bpeSegmentsSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
     "text_select_budget" -> selectBudgetSql,

@@ -291,6 +291,10 @@ object SparkEntry {
     // n_chars), TakeOrdered top-k on the salted-hash key
     "text_weighted_sample" -> ((s, dir) =>
       TextAnalysis.weightedSample(docs(s, dir))),
+    // distributed BPE trainer: the first 3 learned merges + the final
+    // segmentation of the 30 longest vocabulary words
+    "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
+    "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

@@ -496,6 +496,99 @@ object TextAnalysis {
     portableHash64(concat_ws(":", lit(salt), col("doc_id").cast("string"))),
     lit(10000L))
 
+  /** Distributed BPE merge training (Sennrich et al. 2016, ACL): learn the
+    * first `rounds` byte-pair merges over the corpus vocabulary — per
+    * round, count adjacent symbol pairs across every word's CURRENT
+    * segmentation weighted by word frequency (overlapping occurrences
+    * count, the classic convention), adopt the most frequent pair
+    * (tiebreak `(x, y)` lexicographic), and re-segment.
+    *
+    * Re-segmentation is the part that doesn't map 1:1 onto relational
+    * ops: merging is LEFT-TO-RIGHT NON-OVERLAPPING, which is a sequential
+    * recurrence when a merge pair is self-adjacent (`(e,e)` over
+    * "e e e e" must merge offsets 0-1 and 2-3, not 1-2). The recurrence
+    * resolves with gaps-and-islands: consecutive runs of matching
+    * positions form islands (`i − running match count`), and within an
+    * island exactly the EVEN offsets merge — position-parallel, no fold.
+    * A position whose predecessor merged is dropped; the word re-folds
+    * with an order-pinned `array_sort(collect_list(struct(i, out)))`.
+    *
+    * Each round's winning pair is collected to the driver (one row — the
+    * codebook-as-plan-literal discipline) and the vocabulary-sized
+    * segmentation frame is checkpointed per round, so plans stay
+    * constant-size (the [[graft.ext.Similarity.mmrRerank]] lesson).
+    *
+    * Scale shape: the corpus-sized scan collapses to the distinct-word
+    * vocabulary immediately (map-side combinable); every round then works
+    * vocabulary-scale — symbol explode, one keyed self-join on (word,
+    * i+1), one pair aggregation, three windows partitioned on the word
+    * key. At 100 TB the vocabulary is millions of rows against billions
+    * of documents — the rounds are noise next to the first scan.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (merges, _) = bpeTrain(docs, rounds)
+    import docs.sparkSession.implicits._
+    merges.toDF("round", "x", "y", "merged", "cnt").orderBy(col("round"))
+  }
+
+  /** The final segmentation [[bpeMerges]] leaves behind, for the 30
+    * longest vocabulary words (the ones whose segmentation shows merge
+    * composition) — pins the resegmentation itself, not just the merge
+    * choices.
+    */
+  def bpeSegments(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, rounds)
+    seqs.select(col("word"), col("wcount"), col("seq"))
+      .orderBy(length(col("word")).desc, col("word")).limit(30)
+      .orderBy(length(col("word")).desc, col("word"))
+  }
+
+  private def bpeTrain(docs: DataFrame,
+      rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    var seqs = words.select(col("word"), col("wcount"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = seqs.select(col("word"), col("wcount"),
+        posexplode(split(col("seq"), " ")).as(Seq("i", "sym")))
+      val top = syms.as("a").join(syms.as("b"),
+          col("a.word") === col("b.word") && col("a.i") + 1 === col("b.i"))
+        .groupBy(col("a.sym").as("x"), col("b.sym").as("y"))
+        .agg(sum(col("a.wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+        .collect()(0)
+      val (x, y, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = x + y
+      out += ((r, x, y, merged, cnt))
+      val ww = w.partitionBy(col("word")).orderBy(col("i"))
+      seqs = syms
+        .withColumn("mt", coalesce(
+          col("sym") === x && lead(col("sym"), 1).over(ww) === y, lit(false)))
+        .withColumn("isl", col("i") -
+          sum(when(col("mt"), 1L).otherwise(0L))
+            .over(ww.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("off", row_number().over(
+          w.partitionBy(col("word"), col("isl"), col("mt")).orderBy(col("i"))) - 1)
+        .withColumn("taken", col("mt") && col("off") % 2 === 0)
+        .withColumn("prev_taken",
+          coalesce(lag(col("taken"), 1).over(ww), lit(false)))
+        .filter(!col("prev_taken"))
+        .withColumn("o", when(col("taken"), lit(merged)).otherwise(col("sym")))
+        .groupBy(col("word"), col("wcount"))
+        .agg(array_join(expr("transform(array_sort(collect_list(struct(i, o))), s -> s.o)"),
+          " ").as("seq"))
+        .localCheckpoint()
+    }
+    (out.toSeq, seqs)
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * IPL 97(5)): each doc draws a deterministic uniform `u` from the
     * salted portable hash and competes on `ln(u)/w` (the log of the

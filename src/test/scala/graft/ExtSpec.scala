@@ -2215,6 +2215,28 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("BPE trainer: hand-computed merges incl. the self-pair run (aaaa -> 'aa aa', not 'aa a a')") {
+    import spark.implicits._
+    // word counts: aaaa:2, aa:1, bc:2, abc:1
+    val docs = Seq((0L, "aaaa aaaa aa bc bc abc")).toDF("doc_id", "text")
+    val merges = graft.ext.TextAnalysis.bpeMerges(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // r1: (a,a) = 3·2 + 1 = 7 beats (b,c) = 3; left-to-right on the
+    // 4-run merges offsets 0-1 and 2-3 -> "aa aa"
+    // r2: (b,c) = 3 beats (aa,aa) = 2; r3: (aa,aa) = 2
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", "aa", 7L),
+      (2, "b", "c", "bc", 3L),
+      (3, "aa", "aa", "aaaa", 2L)), s"merges: ${merges.toSeq}")
+    val segs = graft.ext.TextAnalysis.bpeSegments(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(segs.toSeq == Seq(
+      ("aaaa", 2L, "aaaa"),
+      ("abc", 1L, "a bc"),
+      ("aa", 1L, "aa"),
+      ("bc", 2L, "bc")), s"segments: ${segs.toSeq}")
+  }
+
   test("MMR re-rank skips the near-duplicate a plain top-k would take, then admits it once diversity is served") {
     import spark.implicits._
     // q = x-axis; v1 and v2 are the SAME direction (sim 1.0, rel 3/sqrt(10)
