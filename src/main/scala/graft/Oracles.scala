@@ -670,6 +670,43 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // CUSUM mean-shift: prefix statistic kept SCALED-INTEGER
+    // (CP = cnt·prefix − i·total) because cumulative DOUBLE window sums
+    // are not summation-order-robust across engines; one division at the
+    // end, σ₀ from the exact-integer moment sums
+    "events_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n) AS BIGINT) AS stot,
+        |    sum(CAST(n AS DOUBLE)) AS s1,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS s2
+        |  FROM daily GROUP BY 1
+        |), g AS (
+        |  SELECT d.event_type, d.day, d.n, s.cnt, s.stot, s.s1, s.s2,
+        |    CAST(sum(d.n) OVER wc AS BIGINT) AS pref,
+        |    CAST(row_number() OVER wo AS BIGINT) AS i
+        |  FROM daily d JOIN stats s USING (event_type)
+        |  WINDOW wc AS (PARTITION BY d.event_type ORDER BY d.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wo AS (PARTITION BY d.event_type ORDER BY d.day)
+        |), cpx AS (
+        |  SELECT *, cnt * pref - i * stot AS cp FROM g
+        |), f AS (
+        |  SELECT *, min(cp) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpmin
+        |  FROM cpx
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(CAST(cp - cpmin AS DOUBLE) / cnt, 4) AS cusum,
+        |  round(sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)), 4) AS sd0,
+        |  CAST(cp - cpmin AS DOUBLE) / cnt
+        |    > 4.0 * sqrt((s2 - s1 * s1 / cnt) / (cnt - 1)) AS is_shift
+        |FROM f WHERE cnt > 1
+        |ORDER BY event_type, day""".stripMargin,
+
     // PMI co-occurrence over distinct user-day type sets — integer counts
     // into identical ln-of-ratio expressions on both engines
     "events_cooccurrence" ->
@@ -3467,6 +3504,26 @@ object Oracles {
     "text_bpe_segments" -> bpeSegmentsSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
+
+    // character entropy via H = ln(n) − Σ c·ln(c)/n — every ln argument an
+    // exact integer; per-term round(8) before the sum, flags compare the
+    // ROUNDED entropy
+    "text_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, substring(text, g.i, 1) AS ch
+        |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+        |), counts AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    sum(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 8)) AS slc
+        |  FROM counts GROUP BY 1
+        |)
+        |SELECT doc_id, n AS n_chars,
+        |  round(ln(CAST(n AS DOUBLE)) - slc / n, 4) AS entropy,
+        |  round(ln(CAST(n AS DOUBLE)) - slc / n, 4) < 2.5 AS low_entropy,
+        |  round(ln(CAST(n AS DOUBLE)) - slc / n, 4) > 4.0 AS high_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_select_budget" -> selectBudgetSql,
     "text_dsir_weights" -> dsirWeightsSql,
     // the persisted-model serve path must reproduce the in-memory weights

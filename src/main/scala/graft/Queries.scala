@@ -429,6 +429,55 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM mean-shift detection over the per-type daily series — the
+    * level-change companion to [[eventsAnomaly]]'s spike detector: a
+    * sustained drift of +1σ/day never trips a 3σ z-score but accumulates
+    * linearly in `S⁺_i = max_{j≤i} Σ_{t=j..i}(n_t − μ₀)`, which has the
+    * prefix closed form `P_i − min_{j≤i} P_j` (Page 1954) — two plain
+    * cumulative windows, no sequential recurrence.
+    *
+    * Determinism: cumulative DOUBLE window sums are not order-robust
+    * across engines (segment-tree vs sequential accumulation), so the
+    * prefix statistic is computed SCALED-INTEGER:
+    * `CP_i = cnt·Σ_{t≤i}n_t − i·Σn` (exact int64 — `P_i = CP_i/cnt`),
+    * the min and difference stay integers, and the one division to the
+    * reported statistic happens at the end. Flags when `s > 4σ₀`, σ₀
+    * from the same exact-integer Σn/Σn² form as [[anomalyScores]].
+    *
+    * Scale shape: identical to [[eventsAnomaly]] — the event scan
+    * collapses to days × types rows before any window.
+    */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame =
+    cusumScores(events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The scoring half of [[eventsCusum]] over an already-aggregated
+    * `(event_type, day, n)` frame — split out so specs can plant a level
+    * shift.
+    */
+  private[graft] def cusumScores(daily: DataFrame): DataFrame = {
+    val nd = col("n").cast("double")
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("cnt"), sum(col("n")).as("stot"),
+      sum(nd).as("s1"), sum(nd * nd).as("s2"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wseq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val sd0 = sqrt((col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1))
+    val s = (col("cp") - col("cpmin")).cast("double") / col("cnt")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("pref", sum(col("n")).over(wcum))
+      .withColumn("i", row_number().over(wseq))
+      .withColumn("cp", col("cnt") * col("pref") - col("i") * col("stot"))
+      .withColumn("cpmin", min(col("cp")).over(wcum))
+      .filter(col("cnt") > 1)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(s, 4).as("cusum"), round(sd0, 4).as("sd0"),
+        (s > lit(4.0) * sd0).as("is_shift"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Event-type co-occurrence with pointwise mutual information: which
     * event types show up TOGETHER in the same user-day more (or less)
     * often than their individual frequencies predict — association

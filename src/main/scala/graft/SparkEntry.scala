@@ -59,6 +59,7 @@ object SparkEntry {
     "events_gapfill" -> (Queries.eventsGapfill _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
     "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),
+    "events_cusum" -> (Queries.eventsCusum _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
@@ -295,6 +296,8 @@ object SparkEntry {
     // segmentation of the 30 longest vocabulary words
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
+    // character-entropy quality signal (low = filler, high = blobs)
+    "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

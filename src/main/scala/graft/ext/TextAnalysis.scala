@@ -589,6 +589,40 @@ object TextAnalysis {
     (out.toSeq, seqs)
   }
 
+  /** Per-document character-entropy quality signal:
+    * `H = ln(n) − Σ c·ln(c) / n` over the document's character frequency
+    * table — the algebraic form of Shannon entropy that keeps every `ln`
+    * argument an exact integer. Low entropy flags repeated-character
+    * filler ("aaaa…", ASCII art); HIGH entropy flags base64/hex blobs
+    * and compressed junk — the symbol-soup detectors the ratio-based
+    * [[qualityScore]] cannot see. Entropy is capped at ln(alphabet) —
+    * ≈4.16 for base64, ≈4.7 for printable ASCII — so the high gate sits
+    * at 4.0, above any natural-language profile (~3.0 for English). Per-term products round to 8 decimals
+    * before the per-doc sum (the ulp-absorbing discipline), final H to 4.
+    *
+    * Scale shape: characters explode to (doc, char) counts on the
+    * doc_id partitioning (map-side combinable, ≤ alphabet rows per doc)
+    * and collapse straight back to one row per doc — a per-row map in
+    * aggregate clothing, no corpus-wide state.
+    */
+  def charEntropy(docs: DataFrame, lowBelow: Double = 2.5,
+      highAbove: Double = 4.0): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val h = log(col("n").cast("double")) - col("slc") / col("n")
+    counts
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 8)).as("slc"))
+      .select(col("doc_id"), col("n").as("n_chars"), round(h, 4).as("entropy"),
+        (round(h, 4) < lowBelow).as("low_entropy"),
+        (round(h, 4) > highAbove).as("high_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * IPL 97(5)): each doc draws a deterministic uniform `u` from the
     * salted portable hash and competes on `ln(u)/w` (the log of the

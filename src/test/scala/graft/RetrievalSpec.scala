@@ -213,6 +213,56 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(("a", "x")) && !got.contains(("b", "x")))
   }
 
+  test("CUSUM flags a sustained level shift the z-score spike detector misses") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-03-$i%02d")
+    // 15 days alternating 9/11 (mean 10, sd ~1), then 10 days at 13 — a
+    // +3/day drift: each day is only ~1.5σ of the mixed series, but the
+    // drift accumulates linearly in the CUSUM statistic
+    val ns = (1 to 15).map(i => if (i % 2 == 0) 11L else 9L) ++ Seq.fill(10)(13L)
+    val daily = ns.zipWithIndex.map { case (n, i) => ("click", d(i + 1), n) }
+      .toDF("event_type", "day", "n")
+    val cus = Queries.cusumScores(daily).collect()
+      .map(r => r.getString(1) -> ((r.getDouble(3), r.getBoolean(5)))).toMap
+    // shift must fire before the window ends, and never during baseline
+    assert((1 to 15).forall(i => !cus(f"2024-03-$i%02d")._2),
+      "baseline must not trip")
+    assert(cus("2024-03-25")._2, s"shift not flagged: ${cus("2024-03-25")}")
+    // the statistic grows monotonically through the shifted regime
+    val tail = (16 to 25).map(i => cus(f"2024-03-$i%02d")._1)
+    assert(tail == tail.sorted, s"cusum not accumulating: $tail")
+    // the SPIKE detector stays silent on the same series (each shifted day
+    // is within 3 z of its trailing window once the shift is underway)
+    val anom = Queries.anomalyScores(daily).collect()
+      .map(r => r.getString(1) -> r.getBoolean(6)).toMap
+    // (a day whose trailing window went zero-variance is absent — also silent)
+    assert((20 to 25).forall(i => !anom.getOrElse(f"2024-03-$i%02d", false)),
+      "steady shifted regime should not read as spikes")
+  }
+
+  test("character entropy: hand-computed value; filler low, blob high") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"),
+      // all 62 alnum symbols once: H = ln 62 ≈ 4.127 — the flat-alphabet
+      // profile of an encoded blob, above the 4.0 gate
+      (3L, "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3),
+        r.getBoolean(4)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // H("aabb") = ln 4 − (2·ln2 + 2·ln2)/4 = ln 2
+    assert(got(1L)._1 == 4L && got(1L)._2 ==
+      r4(math.log(4.0) - r4plus(2 * math.log(2.0)) * 2 / 4))
+    assert(got(2L)._2 == 0.0 && got(2L)._3, "constant run is zero-entropy filler")
+    assert(got(3L)._4, s"high-mix blob should flag high_entropy: ${got(3L)}")
+  }
+
+  private def r4plus(x: Double) =
+    BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("anomaly scoring flags a planted spike against its trailing baseline") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(f"2024-01-$i%02d")
