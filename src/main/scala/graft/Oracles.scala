@@ -670,6 +670,36 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // interval-union coverage: gaps-and-islands sweep on exact µs ints —
+    // a block opens where start > running max end of all PRIOR intervals
+    "events_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        |  FROM events
+        |), mk AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv
+        |), op AS (
+        |  SELECT *, coalesce(s > maxe, true) AS opens FROM mk
+        |), blk AS (
+        |  SELECT *, sum(CASE WHEN opens THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY s, e
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS block
+        |  FROM op
+        |), blocks AS (
+        |  SELECT user_id, block, min(s) AS bs, max(e) AS be,
+        |    CAST(count(*) AS BIGINT) AS nint
+        |  FROM blk GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(be - bs) AS BIGINT) AS covered_us,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(nint) AS BIGINT) AS n_events,
+        |  round(CAST(sum(nint) * 300000000 AS DOUBLE) / sum(be - bs), 4)
+        |    AS inflation
+        |FROM blocks GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     // CUSUM mean-shift: prefix statistic kept SCALED-INTEGER
     // (CP = cnt·prefix − i·total) because cumulative DOUBLE window sums
     // are not summation-order-robust across engines; one division at the

@@ -429,6 +429,51 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Interval-union coverage: treat each event as a 5-minute activity
+    * interval `[ts, ts+300s)` and report, per user, the total UNION
+    * length (overlaps counted once), the number of merged activity
+    * blocks, and the raw-sum inflation ratio — the sweep-line operator
+    * behind "active minutes" metrics, ad-break coverage, or SLA uptime
+    * stitching, where summing raw durations double-counts bursts.
+    *
+    * The merge is gaps-and-islands on the µs timeline: an interval opens
+    * a new block iff its start exceeds the running max end of everything
+    * before it (`start > cummax(end) over (user, preceding rows)`), and
+    * block bounds are (min start, max end) per island — all exact int64
+    * microseconds, no float anywhere until the final ratio.
+    *
+    * Scale shape: one shuffle on the user key; both windows and the
+    * island aggregation reuse that partitioning. State per partition is
+    * one frame — never the history.
+    */
+  def eventsCoverage(spark: SparkSession, dir: String,
+      lengthUs: Long = 300L * 1000000L): DataFrame =
+    coverageFromStarts(events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("s")), lengthUs)
+
+  /** The sweep half of [[eventsCoverage]] over a `(user_id, s)` start
+    * frame — split out so specs can plant exact overlap structure.
+    */
+  private[graft] def coverageFromStarts(starts: DataFrame,
+      lengthUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val iv = starts.withColumn("e", col("s") + lengthUs)
+    val blocks = iv
+      .withColumn("maxe", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens", coalesce(col("s") > col("maxe"), lit(true)))
+      .withColumn("block", sum(when(col("opens"), 1L).otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("block"))
+      .agg(min(col("s")).as("bs"), max(col("e")).as("be"), count(lit(1)).as("nint"))
+    blocks.groupBy(col("user_id"))
+      .agg(sum(col("be") - col("bs")).as("covered_us"),
+        count(lit(1)).as("n_blocks"), sum(col("nint")).as("n_events"))
+      .withColumn("inflation", round(
+        (col("n_events") * lengthUs).cast("double") / col("covered_us"), 4))
+      .orderBy(col("user_id"))
+  }
+
   /** CUSUM mean-shift detection over the per-type daily series — the
     * level-change companion to [[eventsAnomaly]]'s spike detector: a
     * sustained drift of +1σ/day never trips a 3σ z-score but accumulates

@@ -213,6 +213,19 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(("a", "x")) && !got.contains(("b", "x")))
   }
 
+  test("interval-union coverage merges overlaps and exact touches, splits on gaps") {
+    import spark.implicits._
+    // unit interval length 300: user 1 -> [0,300)+[100,400)+[400,700)
+    // (overlap + exact touch = ONE block) then [2000,2300); user 2 single
+    val starts = Seq((1L, 0L), (1L, 100L), (1L, 400L), (1L, 2000L), (2L, 50L))
+      .toDF("user_id", "s")
+    val got = Queries.coverageFromStarts(starts, lengthUs = 300L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got(1L) == ((1000L, 2L, 4L, 1.2)), s"user1: ${got(1L)}")
+    assert(got(2L) == ((300L, 1L, 1L, 1.0)), s"user2: ${got(2L)}")
+  }
+
   test("CUSUM flags a sustained level shift the z-score spike detector misses") {
     import spark.implicits._
     def d(i: Int) = java.sql.Date.valueOf(f"2024-03-$i%02d")
