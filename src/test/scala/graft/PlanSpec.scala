@@ -282,4 +282,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       plan.take(2000))
   }
+
+  test("anomaly/cusum/coverage: events scan reads only the needed columns; no cartesians") {
+    Seq(
+      ("anomaly", Queries.eventsAnomaly(spark, sf)),
+      ("cusum", Queries.eventsCusum(spark, sf)),
+      ("coverage", Queries.eventsCoverage(spark, sf))).foreach { case (n, df) =>
+      val plan = planOf(df)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      // the raw event volume collapses before any window; value/props must
+      // not be read at all
+      assert(!readSchema.contains("value") && !readSchema.contains("props"),
+        s"$n: $readSchema")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$n\n${plan.take(2000)}")
+    }
+  }
+
+  test("hybrid RRF: derived query sets broadcast into both tiers; fusion never cartesian") {
+    val plan = planOf(SparkEntry.queries("retrieval_hybrid_rrf")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // exactly two intended broadcast nested loops — the bm25 tier's 1-row
+    // stats cross and the dense tier's corpus × broadcast-queries product
+    // (count details headings: formatted mode prints each node twice)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"$bnlj BNLJ nodes\n${plan.take(3000)}")
+  }
+
+  test("weighted sample: global top-k via TakeOrdered, never a full corpus sort") {
+    val plan = planOf(graft.ext.TextAnalysis.weightedSample(
+      Queries.table(spark, sf, "documents")))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // at most one range exchange — the k-row output sort AFTER the limit;
+    // a corpus-wide sort would add a second
+    val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
+    assert(ranges <= 1, s"$ranges range exchanges\n${plan.take(3000)}")
+  }
 }
