@@ -670,6 +670,29 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // MAD robust outliers: exact interpolated medians (quantile_cont ≡
+    // Spark percentile), modified-z gate compares identical doubles
+    "events_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, min(med) AS med, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, round(min(m.med), 4) AS med,
+        |  round(min(m.mad), 4) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d.ad * 0.6745 > 3.5 * m.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN d.ad * 0.6745 > 3.5 * m.mad THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS outlier_frac
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     // interval-union coverage: gaps-and-islands sweep on exact µs ints —
     // a block opens where start > running max end of all PRIOR intervals
     "events_coverage" ->

@@ -429,6 +429,51 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** MAD robust outlier report per event type: median absolute deviation
+    * is the outlier gate that mean/stddev z-scores cannot provide — a
+    * fat-tailed value column drags the mean toward its own outliers
+    * (masking), while the median and MAD have a 50% breakdown point.
+    * Flags the modified z-score `0.6745·|v − med|/mad > 3.5` (Iglewicz &
+    * Hoaglin 1993), reported as per-type counts. When mad = 0 (majority
+    * value repeated) any deviation flags — the standard caveat, correct
+    * for discrete-valued feeds.
+    *
+    * Determinism: both medians are exact interpolated percentiles (the
+    * [[aggPercentiles]] parity), the gate compares products of
+    * identically-derived doubles — no rounding enters the comparison.
+    *
+    * Scale shape: three passes over the value column, each collapsing to
+    * ≤types rows with the scalar frames broadcast back — exact medians
+    * need a sort-based percentile per type; at true 100 TB swap
+    * `percentile` for `approx_percentile` (same plan shape, sketch
+    * merge) and keep the gate.
+    */
+  def eventsMad(spark: SparkSession, dir: String): DataFrame =
+    madFromValues(events(spark, dir).select(col("event_type"), col("value")))
+
+  /** The scoring half of [[eventsMad]] over a `(event_type, value)`
+    * frame — split out so specs can plant a masking outlier.
+    */
+  private[graft] def madFromValues(ev: DataFrame): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, CAST(0.5 AS DOUBLE))").as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(ad, CAST(0.5 AS DOUBLE))").as("mad"))
+    dev.drop("med").join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("m"), min(col("mad")).as("d"),
+        count(lit(1)).as("n"),
+        sum(when(col("ad") * 0.6745 > lit(3.5) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), round(col("m"), 4).as("med"),
+        round(col("d"), 4).as("mad"), col("n"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 4).as("outlier_frac"))
+      .orderBy(col("event_type"))
+  }
+
   /** Interval-union coverage: treat each event as a 5-minute activity
     * interval `[ts, ts+300s)` and report, per user, the total UNION
     * length (overlaps counted once), the number of merged activity

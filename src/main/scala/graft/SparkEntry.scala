@@ -61,6 +61,7 @@ object SparkEntry {
     "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),
     "events_cusum" -> (Queries.eventsCusum _),
     "events_coverage" -> ((s, dir) => Queries.eventsCoverage(s, dir)),
+    "events_mad" -> (Queries.eventsMad _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

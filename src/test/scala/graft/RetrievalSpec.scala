@@ -213,6 +213,23 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(("a", "x")) && !got.contains(("b", "x")))
   }
 
+  test("MAD outliers: robust gate catches the value a mean/stddev z-score would mask") {
+    import spark.implicits._
+    // med 3, ad = (2,1,0,1,97) -> mad 1; modified-z gate ad > 3.5/0.6745
+    // ≈ 5.19 flags only the 100. The plain z-score masks it: mean 22,
+    // sd ≈ 43.6, z(100) ≈ 1.8 < 3.
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0))
+      .toDF("event_type", "value")
+    val got = Queries.madFromValues(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("a", 3.0, 1.0, 5L, 1L, 0.2)), s"got: ${got.toSeq}")
+    val mean = Seq(1.0, 2.0, 3.0, 4.0, 100.0).sum / 5
+    val sd = math.sqrt(Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+      .map(v => (v - mean) * (v - mean)).sum / 4)
+    assert((100.0 - mean) / sd < 3.0, "fixture must actually mask under plain z")
+  }
+
   test("interval-union coverage merges overlaps and exact touches, splits on gaps") {
     import spark.implicits._
     // unit interval length 300: user 1 -> [0,300)+[100,400)+[400,700)
