@@ -245,7 +245,17 @@ object Prof {
           ("retrieval_hybrid_rrf", SparkEntry.queries("retrieval_hybrid_rrf")),
           ("events_anomaly", SparkEntry.queries("events_anomaly")),
           ("text_vocab_drift", SparkEntry.queries("text_vocab_drift")),
-          ("text_quality_calibrated", SparkEntry.queries("text_quality_calibrated")))) {
+          ("text_quality_calibrated", SparkEntry.queries("text_quality_calibrated")),
+          ("sim_mmr_rerank", SparkEntry.queries("sim_mmr_rerank")),
+          ("text_bpe_merges", SparkEntry.queries("text_bpe_merges")),
+          ("events_cusum", SparkEntry.queries("events_cusum")),
+          ("events_coverage", SparkEntry.queries("events_coverage")),
+          ("events_cooccurrence", SparkEntry.queries("events_cooccurrence")),
+          ("events_mad", SparkEntry.queries("events_mad")),
+          ("text_entropy", SparkEntry.queries("text_entropy")),
+          ("corpus_chi2", SparkEntry.queries("corpus_chi2")),
+          ("corpus_histogram", SparkEntry.queries("corpus_histogram")),
+          ("text_weighted_sample", SparkEntry.queries("text_weighted_sample")))) {
         val df = fn(spark, sf)
         // materialize through df's OWN QueryExecution (collect, small
         // sf0.001 results): a write would wrap the logical plan in a NEW
