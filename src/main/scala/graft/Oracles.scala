@@ -670,6 +670,37 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // key-skew diagnostic: shares/cumulative shares from exact integer
+    // prefix sums, Gini via the all-integer closed form
+    "events_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_keys FROM counts
+        |), g AS (
+        |  SELECT CAST(sum((2 * i - n_keys - 1) * n) AS BIGINT) AS gnum,
+        |    min(total) AS total, min(n_keys) AS n_keys
+        |  FROM (SELECT n, CAST(row_number() OVER (ORDER BY n, key) AS BIGINT) AS i
+        |        FROM counts)
+        |  CROSS JOIN tot
+        |), r AS (
+        |  SELECT key, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn
+        |  FROM counts
+        |)
+        |SELECT r.rank, r.key, r.n,
+        |  round(CAST(r.n AS DOUBLE) / g.total, 4) AS share,
+        |  round(CAST(r.cumn AS DOUBLE) / g.total, 4) AS cum_share,
+        |  round(CAST(g.gnum AS DOUBLE) / (g.n_keys * g.total), 4) AS gini,
+        |  (r.rank = 1 AND CAST(r.n AS DOUBLE) / g.total
+        |    > greatest(0.05, 2.0 / g.n_keys)) AS salt_recommended
+        |FROM r CROSS JOIN g
+        |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin,
+
     // MAD robust outliers: exact interpolated medians (quantile_cont ≡
     // Spark percentile), modified-z gate compares identical doubles
     "events_mad" ->

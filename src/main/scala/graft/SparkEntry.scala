@@ -62,6 +62,9 @@ object SparkEntry {
     "events_cusum" -> (Queries.eventsCusum _),
     "events_coverage" -> ((s, dir) => Queries.eventsCoverage(s, dir)),
     "events_mad" -> (Queries.eventsMad _),
+    // join-key skew diagnostic on the user key (decides saltedJoin)
+    "events_skew" -> ((s, dir) => graft.operators.ScaleOps.keySkewReport(
+      Queries.events(s, dir), "user_id")),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

@@ -140,6 +140,54 @@ object ScaleOps {
     * and exactly reproducible in any engine — the oracle replays it
     * bit-for-bit in DuckDB.
     */
+  /** Join-key skew diagnostic — the measurement that decides when
+    * [[saltedJoin]] (or AQE skew handling) is actually needed: per-key
+    * counts ranked heaviest-first with share and cumulative share, plus
+    * the key distribution's Gini coefficient and a salt recommendation
+    * stamped on every row — the top key flags when its share exceeds
+    * BOTH `saltShare` (absolute straggler floor) and 2× the fair share
+    * `1/n_keys` (so a uniform low-cardinality key set never flags). Run it
+    * on tomorrow's join key BEFORE the 100 TB job, not after the one
+    * straggler task has been running for six hours.
+    *
+    * Determinism: shares and cumulative shares derive from exact integer
+    * prefix sums (never a cumulative double window — not
+    * summation-order-robust across engines); the Gini uses the closed
+    * form `Σ(2i−k−1)·n_i / (k·N)` over keys sorted ascending with id
+    * tiebreak — all-integer numerator.
+    *
+    * Scale shape: one map-side-combinable count by key, then windows
+    * over the key-cardinality frame (keys, not rows); output is topK.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, topK: Int = 10,
+      saltShare: Double = 0.05): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    val asc = w.orderBy(col("n"), col("key"))
+    val desc = w.orderBy(col("n").desc, col("key"))
+    val gfrac = col("gnum").cast("double") / (col("n_keys") * col("total"))
+    val stats = counts
+      .withColumn("i", row_number().over(asc))
+      .crossJoin(broadcast(tot))
+      .agg(sum((lit(2) * col("i") - col("n_keys") - 1) * col("n")).as("gnum"),
+        min(col("total")).as("total"), min(col("n_keys")).as("n_keys"))
+    counts
+      .withColumn("rank", row_number().over(desc))
+      .withColumn("cumn", sum(col("n")).over(
+        desc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"),
+        round(col("cumn").cast("double") / col("total"), 4).as("cum_share"),
+        round(gfrac, 4).as("gini"),
+        (col("rank") === 1 && col("n").cast("double") / col("total") >
+          greatest(lit(saltShare), lit(2.0) / col("n_keys")))
+          .as("salt_recommended"))
+      .orderBy(col("rank"))
+  }
+
   def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")

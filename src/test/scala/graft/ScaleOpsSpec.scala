@@ -200,4 +200,23 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"partition of $size rows spans x=$xSpan y=$ySpan — not clustered")
     }
   }
+
+  test("key skew report: exact shares, Gini closed form, salt recommendation on the hot key") {
+    import spark.implicits._
+    // A:80 B:10 C:10 -> asc order (B,C,A): gnum = -20 + 0 + 160 = 140,
+    // gini = 140/(3·100) ≈ 0.4667; A's 80% share trips the salt flag
+    val df = (Seq.fill(80)("A") ++ Seq.fill(10)("B") ++ Seq.fill(10)("C"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "user_id")
+    val got = ScaleOps.keySkewReport(df, "user_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1, "A", 80L, 0.8, 0.8, 0.4667, true),
+      (2, "B", 10L, 0.1, 0.9, 0.4667, false),
+      (3, "C", 10L, 0.1, 1.0, 0.4667, false)), s"got: ${got.toSeq}")
+    // uniform distribution: gini 0, no recommendation
+    val uni = (1 to 30).map(i => (i.toLong, s"k${i % 3}")).toDF("id", "user_id")
+    val g2 = ScaleOps.keySkewReport(uni, "user_id").collect()
+    assert(g2.forall(r => r.getDouble(5) == 0.0 && !r.getBoolean(6)))
+  }
 }
