@@ -2977,6 +2977,54 @@ object Oracles {
       |SELECT rank, token, ya, yb, delta, z FROM ranked
       |WHERE rank <= 30 ORDER BY rank""".stripMargin
 
+  /** text_otsu: discretized Otsu over the quality-score histogram —
+    * integer class weights/moments per cut, floor-quantized variance and
+    * threshold (the mmr discipline, since sigma_b drives the argmax).
+    */
+  private val otsuSql: String = {
+    val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    $occ AS n_stopwords,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS non_alpha,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents
+      |), scored AS (
+      |  SELECT round(round(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 4)
+      |      - round(CAST(non_alpha AS DOUBLE) / greatest(n_chars, 1), 4), 4) AS s
+      |  FROM base
+      |), mm AS (SELECT min(s) AS mn, max(s) AS mx FROM scored),
+      |hist AS (
+      |  SELECT CAST(least(floor((s - mn) * 20 / (mx - mn)), 19) AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM scored, mm GROUP BY 1
+      |), cuts AS (
+      |  SELECT h.b, h.c, CAST(g.cut AS INT) AS cut
+      |  FROM hist h, UNNEST(generate_series(1, 19)) AS g(cut)
+      |), agg AS (
+      |  SELECT cut,
+      |    CAST(sum(CASE WHEN b < cut THEN c ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(sum(CASE WHEN b < cut THEN b * c ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(sum(CASE WHEN b >= cut THEN c ELSE 0 END) AS BIGINT) AS w1,
+      |    CAST(sum(CASE WHEN b >= cut THEN b * c ELSE 0 END) AS BIGINT) AS s1
+      |  FROM cuts GROUP BY 1
+      |), sc AS (
+      |  SELECT cut, w0, w1,
+      |    floor(CAST(w0 AS DOUBLE) * w1
+      |      * (CAST(s0 AS DOUBLE) / w0 - CAST(s1 AS DOUBLE) / w1)
+      |      * (CAST(s0 AS DOUBLE) / w0 - CAST(s1 AS DOUBLE) / w1)
+      |      * 10000.0 + 0.5) / 10000.0 AS sigma_b,
+      |    floor((mm.mn + cut * (mm.mx - mm.mn) / 20) * 10000.0 + 0.5) / 10000.0 AS thr
+      |  FROM agg CROSS JOIN mm
+      |  WHERE w0 > 0 AND w1 > 0
+      |), rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY sigma_b DESC, cut) AS br FROM sc
+      |)
+      |SELECT cut, thr, w0, w1, sigma_b, br = 1 AS is_best
+      |FROM rk ORDER BY cut""".stripMargin
+  }
+
   /** sim_mmr_rerank: the unrolled greedy MMR replay (pool 10, k 5,
     * λ 0.7) — built by a loop so every step carries the identical
     * score/argmax form.
@@ -3586,6 +3634,7 @@ object Oracles {
     // replayed through the full 3-round unroll
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_segments" -> bpeSegmentsSql,
+    "text_otsu" -> otsuSql,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
 

@@ -303,6 +303,8 @@ object SparkEntry {
     "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
     // character-entropy quality signal (low = filler, high = blobs)
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(docs(s, dir))),
+    // Otsu auto-threshold over the quality-score histogram
+    "text_otsu" -> ((s, dir) => TextAnalysis.otsuThreshold(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

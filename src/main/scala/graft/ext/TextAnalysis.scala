@@ -589,6 +589,63 @@ object TextAnalysis {
     (out.toSeq, seqs)
   }
 
+  /** Otsu auto-thresholding of the corpus quality-score distribution
+    * (Otsu 1979, IEEE TSMC): pick the quality cutoff that MAXIMIZES
+    * between-class variance `w₀·w₁·(μ₀−μ₁)²` over a 20-bin score
+    * histogram — the data-derived alternative to [[qualityFilter]]'s
+    * fixed quantile when the score distribution is bimodal (clean prose
+    * vs boilerplate/noise form two modes; the valley between them is the
+    * right gate, and it is NOT at any fixed percentile). Emits every
+    * candidate cut with its class moments and flags the argmax, so the
+    * decision is auditable, not just a scalar.
+    *
+    * Determinism: bin assignment is floor of one double expression over
+    * the round-4 score grid (max clamps into the last bin); per-cut
+    * class weights and moment sums are exact integers (bin INDEX is the
+    * value proxy — standard discretized Otsu), so the variance
+    * expression sees identical doubles on both engines; argmax ties
+    * break on the lower cut.
+    *
+    * Scale shape: one scored scan collapses to ≤bins rows; the cut
+    * sweep is a bins×cuts (≤400-row) explode — nothing downstream of
+    * the scan depends on corpus size.
+    */
+  def otsuThreshold(docs: DataFrame, bins: Int = 20): DataFrame = {
+    val scored = docs.select(qualityScore.as("s"))
+    val mm = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val hist = scored.crossJoin(broadcast(mm))
+      .withColumn("b", least(
+        floor((col("s") - col("mn")) * bins / (col("mx") - col("mn"))),
+        lit(bins - 1)).cast("long"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val mu0 = col("s0").cast("double") / col("w0")
+    val mu1 = col("s1").cast("double") / col("w1")
+    val sb = col("w0").cast("double") * col("w1") * (mu0 - mu1) * (mu0 - mu1)
+    val w = org.apache.spark.sql.expressions.Window
+    hist
+      .crossJoin(broadcast(mm))
+      .withColumn("cut", explode(sequence(lit(1), lit(bins - 1))))
+      .groupBy(col("cut"))
+      .agg(sum(when(col("b") < col("cut"), col("c")).otherwise(0L)).as("w0"),
+        sum(when(col("b") < col("cut"), col("b") * col("c")).otherwise(0L)).as("s0"),
+        sum(when(col("b") >= col("cut"), col("c")).otherwise(0L)).as("w1"),
+        sum(when(col("b") >= col("cut"), col("b") * col("c")).otherwise(0L)).as("s1"),
+        min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+      .filter(col("w0") > 0 && col("w1") > 0)
+      // floor-quantize (the mmrRerank discipline): sigma_b drives the
+      // argmax, so Spark round()'s shortest-decimal detour cannot be
+      // allowed to diverge from the oracle's exact-value rounding
+      .withColumn("sigma_b", floor(sb * lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .withColumn("thr", floor(
+        (col("mn") + col("cut") * (col("mx") - col("mn")) / bins) *
+          lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .withColumn("best_rank", row_number().over(
+        w.partitionBy().orderBy(col("sigma_b").desc, col("cut"))))
+      .select(col("cut"), col("thr"), col("w0"), col("w1"), col("sigma_b"),
+        (col("best_rank") === 1).as("is_best"))
+      .orderBy(col("cut"))
+  }
+
   /** Per-document character-entropy quality signal:
     * `H = ln(n) − Σ c·ln(c) / n` over the document's character frequency
     * table — the algebraic form of Shannon entropy that keeps every `ln`

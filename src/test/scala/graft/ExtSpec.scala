@@ -2215,6 +2215,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Otsu threshold separates a bimodal quality distribution at the valley") {
+    import spark.implicits._
+    // two spikes: stopword-pure docs (score ~1, top bin) vs punctuation
+    // noise (score ~-1, bottom bin); every cut between them separates
+    // perfectly with equal variance -> tiebreak picks the lowest cut
+    val docs = ((1 to 10).map(i => (i.toLong, "the the the the")) ++
+      (1 to 10).map(i => (10L + i, "zz " + ("@" * 20)))).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.otsuThreshold(docs).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.count(_._6) == 1, s"exactly one best cut: ${got.toSeq}")
+    val best = got.find(_._6).get
+    // the chosen cut puts the full noise cluster below, prose above
+    assert(best._3 == 10L && best._4 == 10L, s"best: $best")
+    // with both spikes at the extreme bins, every interior cut ties ->
+    // the deterministic tiebreak lands on cut 1
+    assert(best._1 == 1, s"best: $best")
+    // threshold lies strictly between the two observed score clusters
+    assert(best._2 > -1.0 && best._2 < 0.8, s"thr: ${best._2}")
+  }
+
   test("BPE trainer: hand-computed merges incl. the self-pair run (aaaa -> 'aa aa', not 'aa a a')") {
     import spark.implicits._
     // word counts: aaaa:2, aa:1, bc:2, abc:1
