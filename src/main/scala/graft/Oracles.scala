@@ -3635,6 +3635,36 @@ object Oracles {
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_segments" -> bpeSegmentsSql,
     "text_otsu" -> otsuSql,
+    // length bucketing: literal CASE ladder (no float log2), exact-integer
+    // capacity/waste until the final rounded fractions
+    "text_length_buckets" ->
+      """WITH lens AS (
+        |  SELECT greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1)
+        |    AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT n_tokens, CASE
+        |    WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |    WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |    WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |    WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+        |    ELSE 4096 END AS bucket
+        |  FROM lens
+        |), g AS (
+        |  SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY 1
+        |), cap AS (
+        |  SELECT *, n_docs * bucket AS capacity FROM g
+        |), tot AS (
+        |  SELECT CAST(sum(real_tokens) AS BIGINT) AS treal,
+        |    CAST(sum(capacity) AS BIGINT) AS tcap FROM cap
+        |)
+        |SELECT bucket, n_docs, real_tokens, capacity,
+        |  round(CAST(capacity - real_tokens AS DOUBLE) / capacity, 4) AS waste_frac,
+        |  round(CAST(tcap - treal AS DOUBLE) / tcap, 4) AS corpus_waste_frac
+        |FROM cap CROSS JOIN tot ORDER BY bucket""".stripMargin,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
 

@@ -305,6 +305,8 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(docs(s, dir))),
     // Otsu auto-threshold over the quality-score histogram
     "text_otsu" -> ((s, dir) => TextAnalysis.otsuThreshold(docs(s, dir))),
+    // power-of-two length bucketing + padding-waste report
+    "text_length_buckets" -> ((s, dir) => TextAnalysis.lengthBuckets(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

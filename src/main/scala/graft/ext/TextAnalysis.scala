@@ -589,6 +589,44 @@ object TextAnalysis {
     (out.toSeq, seqs)
   }
 
+  /** Sequence-length bucketing with padding-waste accounting — the
+    * bucketed-batching alternative to [[packSequences]]: assign each doc
+    * to the smallest power-of-two length bucket that holds its token
+    * count (the ladder every dynamic-batching trainer uses), and report
+    * per bucket the doc count, real tokens, padded capacity
+    * (`n_docs·bucket`) and waste fraction, plus the corpus-wide waste on
+    * every row — the number that decides whether bucketed batching is
+    * good enough or packing is worth the shuffle.
+    *
+    * Determinism: the ladder is a literal CASE chain (no float log2
+    * whose boundary cells could round differently), everything else is
+    * exact integer arithmetic until the final rounded fractions.
+    *
+    * Scale shape: per-row map → ≤ladder-sized aggregation, map-side
+    * combinable; the corpus-wide totals are a broadcast scalar.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val len = greatest(tokenCount(col("text")), lit(1L))
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val bucket = ladder.init.foldRight(lit(ladder.last)) { (edge, rest) =>
+      when(len <= edge, edge).otherwise(rest)
+    }
+    val perBucket = docs
+      .select(bucket.as("bucket"), len.as("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("real_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket"))
+    val tot = perBucket.agg(sum(col("real_tokens")).as("treal"),
+      sum(col("capacity")).as("tcap"))
+    perBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("real_tokens"), col("capacity"),
+        round((col("capacity") - col("real_tokens")).cast("double") /
+          col("capacity"), 4).as("waste_frac"),
+        round((col("tcap") - col("treal")).cast("double") / col("tcap"), 4)
+          .as("corpus_waste_frac"))
+      .orderBy(col("bucket"))
+  }
+
   /** Otsu auto-thresholding of the corpus quality-score distribution
     * (Otsu 1979, IEEE TSMC): pick the quality cutoff that MAXIMIZES
     * between-class variance `w₀·w₁·(μ₀−μ₁)²` over a 20-bin score
