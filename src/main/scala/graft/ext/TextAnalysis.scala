@@ -648,8 +648,14 @@ object TextAnalysis {
     * sweep is a bins×cuts (≤400-row) explode — nothing downstream of
     * the scan depends on corpus size.
     */
-  def otsuThreshold(docs: DataFrame, bins: Int = 20): DataFrame = {
-    val scored = docs.select(qualityScore.as("s"))
+  def otsuThreshold(docs: DataFrame, bins: Int = 20): DataFrame =
+    otsuFromScores(docs.select(qualityScore.as("s")), bins)
+
+  /** The histogram + cut sweep of [[otsuThreshold]] over an already-scored
+    * single-column frame `(s)` — shared verbatim with the streaming gate's
+    * per-batch threshold refresh, so the two cannot fork.
+    */
+  private[graft] def otsuFromScores(scored: DataFrame, bins: Int = 20): DataFrame = {
     val mm = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
     val hist = scored.crossJoin(broadcast(mm))
       .withColumn("b", least(

@@ -909,6 +909,52 @@ object StreamingCorpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming Otsu-gated quality filter — the auto-threshold twin of
+    * [[qualityGateIngest]]: each doc micro-batch lands its quality scores
+    * batch-id-keyed (~16 B/doc, replay-idempotent), then the Otsu
+    * threshold is RE-DERIVED over the entire landed score distribution
+    * and its winning row appended to a drift history. The gate is
+    * late-bound ([[qualityGateView]] discipline): verdicts come from the
+    * NEWEST threshold at read time, so early batches are re-judged as the
+    * score distribution fills in — mid-stream the honest partial answer,
+    * at full coverage exactly the batch
+    * [[graft.ext.TextAnalysis.otsuThreshold]] gate (the shared
+    * `otsuFromScores` core makes the equality structural).
+    */
+  def otsuGateIngest(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.select(col("doc_id"), TextAnalysis.qualityScore.as("score"))
+            .write.mode("overwrite").parquet(s"$outDir/scores/batch=$batchId")
+          TextAnalysis.otsuFromScores(
+              spark.read.parquet(s"$outDir/scores").select(col("score").as("s")))
+            .filter(col("is_best"))
+            .select(col("cut"), col("thr"), col("sigma_b"))
+            .write.mode("overwrite").parquet(s"$outDir/threshold/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time Otsu gate over [[otsuGateIngest]]'s landed zone: all
+    * scored docs, gated by the NEWEST threshold row (docs at or above
+    * the valley survive).
+    */
+  def otsuGateView(spark: SparkSession, outDir: String): DataFrame = {
+    val scores = spark.read.parquet(s"$outDir/scores")
+      .select(col("doc_id"), col("score"))
+    val latest = spark.read.parquet(s"$outDir/threshold")
+      .orderBy(col("batch").desc).limit(1).select(col("thr"))
+    scores.crossJoin(broadcast(latest))
+      .filter(col("score") >= col("thr"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Freeze a reference vocabulary snapshot (token → n) for the streaming
     * drift monitor — the "crawl T" side the incoming "crawl T+1" stream
     * is scored against.

@@ -1430,6 +1430,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"diverged:\n got=${got.take(3)}\n exp=${expected.take(3)}")
   }
 
+  test("streaming Otsu gate: threshold refreshes over the landed distribution; view equals the batch gate") {
+    import spark.implicits._
+    // bimodal: stopword-dense prose (positive scores, spread) vs
+    // punctuation noise (negative scores, spread)
+    val prose = (1 to 10).map(i => (i.toLong, ("the " * (i + 2)) + "word"))
+    val noise = (1 to 10).map(i => (100L + i, "zz " + ("@" * (2 * i + 5))))
+    val all = (prose ++ noise).toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-otsu-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-otsu-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-otsu-src").toString
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.otsuGateIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    land(prose.take(5) ++ noise.take(5))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(prose.drop(5) ++ noise.drop(5)) // lands across the restart
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // view == the batch Otsu gate over the full corpus
+    val thrBatch = graft.ext.TextAnalysis.otsuThreshold(all)
+      .filter(col("is_best")).select("thr").collect()(0).getDouble(0)
+    val expected = all
+      .select(col("doc_id"), graft.ext.TextAnalysis.qualityScore.as("score"))
+      .filter(col("score") >= thrBatch)
+      .select("doc_id").as[Long].collect().toSet
+    val got = graft.streaming.StreamingCorpus.otsuGateView(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
+    // the valley separates the modes: all prose kept, all noise dropped
+    assert(expected == prose.map(_._1).toSet, s"gate kept: $expected")
+    // one threshold row per batch — the drift history
+    val hist = spark.read.parquet(s"$outDir/threshold")
+    assert(hist.count() == 2)
+  }
+
   test("streaming vocab drift: view equals the batch operator once the new crawl fully lands") {
     import spark.implicits._
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
