@@ -670,6 +670,25 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // Markov transitions: lag pairs within the user timeline (event_id
+    // tiebreak on timestamp ties), integer counts into one rounded ratio
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT prev, CAST(sum(n) AS BIGINT) AS n_prev FROM pairs GROUP BY 1
+        |)
+        |SELECT p.prev, p.next, p.n, t.n_prev,
+        |  round(CAST(p.n AS DOUBLE) / t.n_prev, 4) AS p
+        |FROM pairs p JOIN totals t USING (prev)
+        |ORDER BY prev, next""".stripMargin,
+
     // key-skew diagnostic: shares/cumulative shares from exact integer
     // prefix sums, Gini via the all-integer closed form
     "events_skew" ->

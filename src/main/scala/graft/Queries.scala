@@ -429,6 +429,40 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: `P(next | prev)` from lag pairs within the user timeline —
+    * the behavioral model behind "what do users do after X", next-event
+    * prediction baselines, and anomalous-session scoring; the
+    * probabilistic generalization of [[eventsFunnel]]'s fixed chain and
+    * the SEQUENTIAL counterpart of [[eventsCooccurrence]]'s unordered
+    * pairs. Ties on the timestamp break on event_id, so the sequence —
+    * and therefore every count — is engine-deterministic.
+    *
+    * Scale shape: one user-keyed shuffle for the lag window, then the
+    * stream collapses to the types² transition table (map-side
+    * combinable); row totals are a ≤types broadcast.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsFromEvents(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** The counting half of [[eventsTransitions]] over a
+    * `(user_id, ts, event_id, event_type)` frame — split out for specs.
+    */
+  private[graft] def transitionsFromEvents(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("n")).as("n_prev"))
+    pairs.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("n"), col("n_prev"),
+        round(col("n").cast("double") / col("n_prev"), 4).as("p"))
+      .orderBy(col("prev"), col("next"))
+  }
+
   /** MAD robust outlier report per event type: median absolute deviation
     * is the outlier gate that mean/stddev z-scores cannot provide — a
     * fat-tailed value column drags the mean toward its own outliers

@@ -65,6 +65,7 @@ object SparkEntry {
     // join-key skew diagnostic on the user key (decides saltedJoin)
     "events_skew" -> ((s, dir) => graft.operators.ScaleOps.keySkewReport(
       Queries.events(s, dir), "user_id")),
+    "events_transitions" -> ((s, dir) => Queries.eventsTransitions(s, dir)),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

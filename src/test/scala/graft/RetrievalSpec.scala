@@ -213,6 +213,25 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains(("a", "x")) && !got.contains(("b", "x")))
   }
 
+  test("Markov transitions: per-user lag pairs, row-normalized probabilities") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: a b a b  -> (a,b)x2 (b,a)x1 ; user 2: a a -> (a,a)x1
+    val ev = Seq(
+      (1L, t(1), 10L, "a"), (1L, t(2), 11L, "b"),
+      (1L, t(3), 12L, "a"), (1L, t(4), 13L, "b"),
+      (2L, t(1), 20L, "a"), (2L, t(2), 21L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Queries.transitionsFromEvents(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L, 0.6667)),
+      ("a", "a") -> ((1L, 3L, 0.3333)),
+      ("b", "a") -> ((1L, 1L, 1.0))), s"got: $got")
+    // no transition crosses users: (b, a) count is 1 (within user 1), not 2
+  }
+
   test("MAD outliers: robust gate catches the value a mean/stddev z-score would mask") {
     import spark.implicits._
     // med 3, ad = (2,1,0,1,97) -> mad 1; modified-z gate ad > 3.5/0.6745
