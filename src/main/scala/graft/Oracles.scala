@@ -670,6 +670,43 @@ object Oracles {
         |FROM g WHERE variance > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    // EWMA forecast residual: unrolled lag-1..8 dot product, decay powers
+    // written as repeated *0.7 products (exact IEEE parity with the
+    // engine's fold), weighted variance via the same E[x2]-E[x]2 form
+    "events_ewma" -> {
+      val lags = 8
+      def w(k: Int) = "1.0" + "*0.7" * (k - 1)
+      def terms(f: Int => String) = (1 to lags)
+        .map(k => s"(CASE WHEN l$k IS NULL THEN 0.0 ELSE ${f(k)} END)")
+        .mkString(" + ")
+      val lagDefs = (1 to lags).map(k => s"lag(n, $k) OVER w AS l$k").mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), lagged AS (
+         |  SELECT event_type, day, n, $lagDefs
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |), s AS (
+         |  SELECT event_type, day, n,
+         |    CAST(${terms(_ => "1.0")} AS INT) AS cnt_w,
+         |    ${terms(k => w(k))} AS den,
+         |    ${terms(k => s"${w(k)} * CAST(l$k AS DOUBLE)")} AS num,
+         |    ${terms(k => s"${w(k)} * CAST(l$k AS DOUBLE) * CAST(l$k AS DOUBLE)")} AS numsq
+         |  FROM lagged
+         |), g AS (
+         |  SELECT event_type, day, n, num / den AS f,
+         |    numsq / den - (num / den) * (num / den) AS variance
+         |  FROM s WHERE cnt_w >= 4
+         |)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+         |  round(f, 4) AS ewma,
+         |  round(sqrt(variance), 4) AS sd,
+         |  round((n - f) / sqrt(variance), 4) AS score,
+         |  abs((n - f) / sqrt(variance)) >= 3.0 AS is_anomaly
+         |FROM g WHERE variance > 0
+         |ORDER BY event_type, day""".stripMargin
+    },
+
     // Markov transitions: lag pairs within the user timeline (event_id
     // tiebreak on timestamp ties), integer counts into one rounded ratio
     "events_transitions" ->

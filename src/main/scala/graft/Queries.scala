@@ -429,6 +429,69 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** EWMA forecast-residual anomaly detection over the per-type daily
+    * event series — the adaptive-baseline companion to [[eventsAnomaly]]:
+    * the rolling z-score weights its 7 trailing days equally and forgets
+    * the 8th abruptly, so a steady trend keeps tripping it; the
+    * exponentially-weighted baseline (decay 0.7/day over the trailing 8
+    * observed days) tracks trend and flags only departures FROM the
+    * trend. Today's count is compared to the exponentially-weighted
+    * forecast, scored by the exponentially-weighted standard deviation of
+    * the same window, flagged at `|score| >= 3`.
+    *
+    * Determinism discipline: the truncated-window EWMA is an explicit
+    * unrolled dot product over `lag 1..8` — fixed association order, the
+    * decay powers built by repeated `*0.7` multiplication (exact IEEE,
+    * never `pow`) — so both engines evaluate bit-identical arithmetic;
+    * the weighted variance uses the same `E[x²]−E[x]²` form as
+    * [[anomalyScores]]. Truncation at 8 lags drops ≤5.8% of the weight
+    * mass (0.7⁸) and is what makes the operator a pure window expression.
+    *
+    * Scale shape: identical to [[eventsAnomaly]] — the raw scan collapses
+    * to days × types rows before the window; the unrolled lags are ONE
+    * window pass (all eight share the same frame sort).
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    ewmaScores(daily)
+  }
+
+  /** The scoring half of [[eventsEwma]] on an aggregated
+    * `(event_type, day, n)` frame — split out so specs can plant a trend
+    * and a departure and assert only the departure fires.
+    */
+  private[graft] def ewmaScores(daily: DataFrame, minPrior: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lags = 8
+    val lagCols = (1 to lags).map(k => lag(col("n"), k).over(w).as(s"l$k"))
+    // decay^k as k explicit left-assoc multiplications — exact IEEE parity
+    def wt(k: Int): Column = (2 to k).foldLeft(lit(1.0): Column)((a, _) => a * lit(0.7))
+    val lagged = daily.select(
+      (Seq(col("event_type"), col("day"), col("n")) ++ lagCols): _*)
+    def sumTerms(f: (Column, Int) => Column): Column =
+      (1 to lags).map { k =>
+        val l = col(s"l$k").cast("double")
+        when(col(s"l$k").isNotNull, f(l, k)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+    val score = (col("n") - col("f")) / col("sd")
+    lagged
+      .withColumn("cnt_w", sumTerms((_, _) => lit(1.0)).cast("int"))
+      .withColumn("den", sumTerms((_, k) => wt(k)))
+      .withColumn("num", sumTerms((l, k) => wt(k) * l))
+      .withColumn("numsq", sumTerms((l, k) => wt(k) * l * l))
+      .filter(col("cnt_w") >= minPrior)
+      .withColumn("f", col("num") / col("den"))
+      .withColumn("variance", col("numsq") / col("den") - col("f") * col("f"))
+      .filter(col("variance") > 0)
+      .withColumn("sd", sqrt(col("variance")))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("f"), 4).as("ewma"), round(col("sd"), 4).as("sd"),
+        round(score, 4).as("score"), (abs(score) >= 3.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** First-order Markov transition matrix over each user's event
     * sequence: `P(next | prev)` from lag pairs within the user timeline —
     * the behavioral model behind "what do users do after X", next-event

@@ -66,6 +66,7 @@ object SparkEntry {
     "events_skew" -> ((s, dir) => graft.operators.ScaleOps.keySkewReport(
       Queries.events(s, dir), "user_id")),
     "events_transitions" -> ((s, dir) => Queries.eventsTransitions(s, dir)),
+    "events_ewma" -> (Queries.eventsEwma _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

@@ -232,6 +232,25 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no transition crosses users: (b, a) count is 1 (within user 1), not 2
   }
 
+  test("EWMA anomaly: spike over an alternating baseline fires, baseline days don't") {
+    import spark.implicits._
+    // days 1-9 alternate 10/12 (nonzero variance), day 10 spikes to 60
+    val ns = Seq(10, 12, 10, 12, 10, 12, 10, 12, 10, 60)
+    val daily = ns.zipWithIndex.map { case (n, i) =>
+      ("a", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), n.toLong)
+    }.toDF("event_type", "day", "n")
+    val rows = Queries.ewmaScores(daily).collect()
+    // scoreable from day 5 (needs >= 4 observed lags)
+    assert(rows.map(_.getString(1)).toSeq ==
+      (5 to 10).map(i => f"2024-01-$i%02d"), rows.mkString(";"))
+    val flagged = rows.filter(_.getBoolean(6)).map(_.getString(1)).toSeq
+    assert(flagged == Seq("2024-01-10"), rows.mkString(";"))
+    val spike = rows.last
+    val f = spike.getDouble(3)
+    assert(f > 10.0 && f < 12.0, s"forecast $f should sit inside the 10..12 band")
+    assert(spike.getDouble(5) > 3.0)
+  }
+
   test("MAD outliers: robust gate catches the value a mean/stddev z-score would mask") {
     import spark.implicits._
     // med 3, ad = (2,1,0,1,97) -> mad 1; modified-z gate ad > 3.5/0.6745
