@@ -2525,6 +2525,30 @@ object Oracles {
         |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         |ORDER BY d.doc_id""".stripMargin,
 
+    // logistic regression by 3 unrolled full-batch GD rounds (eta=1,
+    // w0=0) over the DSIR hashed unigram+bigram space, L1-normalized per
+    // doc; the pagerank rounding discipline keeps both engines on
+    // bit-identical iteration state (margins/sigmoid 1e-7, gradient/
+    // weights 1e-6)
+    "text_lr_model" ->
+      (lrGdCtes + "\nSELECT b, w FROM w3 ORDER BY b"),
+
+    // scoring under the final w3: same quantized margin/sigmoid as the
+    // training rounds, 0.5 threshold on the GRID value, round-4 emission
+    "text_lr_predict" ->
+      (lrGdCtes + """,
+        |mf AS (
+        |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
+        |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
+        |), pf AS (
+        |  SELECT m.doc_id,
+        |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM w3 WHERE b = -1)))), 7) AS p
+        |  FROM mf m
+        |)
+        |SELECT p.doc_id, round(p.p, 4) AS p, p.p >= 0.5 AS pred_en,
+        |  dl.y = 1 AS is_en, (p.p >= 0.5) = (dl.y = 1) AS correct
+        |FROM pf p JOIN dl USING (doc_id) ORDER BY p.doc_id""".stripMargin),
+
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE
     // pairing, overlap normalized by the SMALLER side's post-cap count
@@ -3213,6 +3237,67 @@ object Oracles {
     * both engines; the 4-decimal round absorbs partial-aggregation ulp
     * noise in the per-doc sum.
     */
+  /** Shared CTE chain for the logistic-GD family: hashed unigram+bigram
+    * features L1-normalized per doc, labels y=(lang='en'), then 3
+    * generated GD iterations (w0 = 0, eta = 1) each rounding margins and
+    * sigmoid to 1e-7 and gradient/weights to 1e-6 — the exact grids the
+    * engine's lrFitWeights uses, so both engines iterate identical state.
+    */
+  private def lrGdCtes: String = {
+    val iters = (1 to 3).map { t =>
+      val pw = if (t == 1) "w0" else s"w${t - 1}"
+      s"""m$t AS (
+         |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
+         |  FROM xf x JOIN $pw w ON x.b = w.b GROUP BY 1
+         |), p$t AS (
+         |  SELECT m.doc_id,
+         |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM $pw WHERE b = -1)))), 7)
+         |      - dl.y AS r
+         |  FROM m$t m JOIN dl USING (doc_id)
+         |), g$t AS (
+         |  SELECT x.b, round(sum(p.r * x.x) / (SELECT n_docs FROM nn), 6) AS g
+         |  FROM xf x JOIN p$t p USING (doc_id) GROUP BY 1
+         |  UNION ALL
+         |  SELECT CAST(-1 AS BIGINT) AS b,
+         |    round(sum(r) / (SELECT n_docs FROM nn), 6) AS g
+         |  FROM p$t
+         |), w$t AS (
+         |  SELECT w.b, round(w.w - COALESCE(g.g, 0.0), 6) AS w
+         |  FROM $pw w LEFT JOIN g$t g USING (b)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, t[i] AS f
+       |  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+       |  WHERE len(t) >= 1
+       |  UNION ALL
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+       |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+       |  WHERE len(t) >= 2
+       |), docb AS (
+       |  SELECT doc_id, ('0x' || substring(md5(f), 1, 15))::BIGINT % 64 AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM feats GROUP BY 1, 2
+       |), docn AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM docb GROUP BY 1
+       |), xf AS (
+       |  SELECT x.doc_id, x.b, CAST(x.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS x
+       |  FROM docb x JOIN docn n USING (doc_id)
+       |), dl AS (
+       |  SELECT n.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM docn n JOIN documents d USING (doc_id)
+       |), nn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl
+       |), w0 AS (
+       |  SELECT CAST(unnest(generate_series(-1, 63)) AS BIGINT) AS b, 0.0 AS w
+       |),
+       |$iters""".stripMargin
+  }
+
   private val dsirWtsCte: String =
     """WITH toks AS (
       |  SELECT doc_id,

@@ -220,6 +220,8 @@ object SparkEntry {
     // the model table and scores held-out text with the same plan
     "text_nb_model" -> ((s, dir) => TextAnalysis.nbModel(docs(s, dir))),
     "text_nb_predict" -> ((s, dir) => TextAnalysis.nbPredict(docs(s, dir))),
+    "text_lr_model" -> ((s, dir) => TextAnalysis.lrModel(docs(s, dir))),
+    "text_lr_predict" -> ((s, dir) => TextAnalysis.lrPredict(docs(s, dir))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     // Lee et al. 2022 exact-substring dedup, window-hash formulation:
     // maximal >=10-token runs duplicated anywhere in the corpus

@@ -1989,6 +1989,140 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared feature/label frames for the logistic-regression family:
+    * `xf = (doc_id, b, x)` with `x = c/n` (per-doc bucket count over the
+    * doc's total feature count — L1-normalized hashed unigram+bigram bag,
+    * the [[hashedNgramFeatures]] space), and `dl = (doc_id, y)` with
+    * `y = 1` iff `lang = 'en'`. Docs with zero tokens have no features
+    * and drop out of both frames (and therefore out of fit and predict).
+    */
+  private def lrFrames(docs: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
+    val docB = hashedNgramFeatures(docs, buckets)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val docN = docB.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val xf = docB.join(docN, Seq("doc_id"))
+      .select(col("doc_id"), col("b"),
+        (col("c").cast("double") / col("n").cast("double")).as("x"))
+    val dl = docN.join(
+      docs.select(col("doc_id"), (col("lang") === lit("en")).cast("int").as("y")),
+      Seq("doc_id")).select(col("doc_id"), col("y"))
+    (xf, dl)
+  }
+
+  /** The exact BigDecimal HALF_UP that `functions.round` lowers to — the
+    * [[graft.ext.Similarity]] pcaFit discipline, so driver-side weight
+    * updates land on the same grid an in-plan `round(_, 6)` would.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Binary logistic regression FIT by `iters` rounds of distributed
+    * full-batch gradient descent (η = 1, w₀ = 0) over the L1-normalized
+    * hashed-n-gram bag, labels `y = (lang = 'en')` — the TRAINED
+    * counterpart to [[nbModel]]'s counting classifier and the learned
+    * form of the fastText-style linear gates real pipelines distill
+    * quality/language rules into. Returns the weight vector keyed by
+    * bucket, bias at key −1.
+    *
+    * Determinism contract (the pagerank/pcaFit discipline — this is
+    * "`iters`-step GD", not "GD to convergence"): every cross-partition
+    * aggregate rounds before the next step consumes it — per-doc margins
+    * to 1e-7, quantized sigmoid to 1e-7, gradient components to 1e-6,
+    * weights to 1e-6 — so engine and oracle iterate from bit-identical
+    * state and both converge equally partially by construction. (MLlib's
+    * LogisticRegression is not an option here for the same reason its
+    * k-means wasn't for the IVF family: non-replayable internal
+    * iteration order.)
+    *
+    * Scale shape: each iteration is two doc_id-keyed exchanges over the
+    * sparse feature frame (margins, then residual×feature products
+    * collapsing map-side to ≤`buckets` gradient rows) — the feature frame
+    * is persisted once and re-scanned per round, the textbook distributed
+    * batch-GD layout. Driver traffic is `iters` collects of ≤`buckets`+1
+    * doubles (the PCA bounded-collect class); weights re-enter the plan
+    * as a broadcast. At 100 TB: same plan, more executors; the model
+    * never grows past `buckets` rows.
+    */
+  private[graft] def lrFitWeights(xf: DataFrame, dl: DataFrame,
+      buckets: Int, iters: Int): Map[Long, Double] = {
+    var w = (-1L until buckets.toLong).map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val pr = lrResiduals(xf, dl, w)
+      val gB = xf.join(pr, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gs"))
+        .collect() // bounded: <= buckets rows
+      val bias = pr.agg(sum(col("r")).as("gs"), count(lit(1)).as("cnt"))
+        .collect()(0)
+      val nDocs = bias.getLong(1)
+      val g = gB.map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
+        .withDefaultValue(0.0)
+      w = w.map { case (b, wb) =>
+        val gb = if (b == -1L) round6(bias.getDouble(0) / nDocs) else g(b)
+        b -> round6(wb - gb)
+      }
+    }
+    w
+  }
+
+  /** One GD round's per-doc residual frame `(doc_id, r)` with
+    * `r = p − y`, `p` the 1e-7-quantized sigmoid of the 1e-7-quantized
+    * margin under weights `w` — shared verbatim by fit and predict so
+    * scoring arithmetic can never fork from training arithmetic.
+    */
+  private def lrResiduals(xf: DataFrame, dl: DataFrame,
+      w: Map[Long, Double]): DataFrame = {
+    val p = lrProbabilities(xf, w)
+    p.join(dl, Seq("doc_id"))
+      .select(col("doc_id"), (col("p") - col("y")).as("r"))
+  }
+
+  /** Per-doc quantized sigmoid scores `(doc_id, p)` under weights `w`
+    * (bias at key −1): margin = round₇(Σ x·w_b) + w_bias.
+    */
+  private def lrProbabilities(xf: DataFrame, w: Map[Long, Double]): DataFrame = {
+    val spark = xf.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.filter(_._1 >= 0L).toDF("b", "w")
+    xf.join(broadcast(wDf), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("x") * col("w")), 7).as("ms"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("ms") + lit(w(-1L))))), 7).as("p"))
+  }
+
+  /** The fitted weight vector as a frame `(b, w)` (bias at b = −1),
+    * self-trained on the corpus — the registered-query form of
+    * [[lrFitWeights]]; production persists this 65-row table and scores
+    * held-out crawls against it.
+    */
+  def lrModel(docs: DataFrame, buckets: Int = 64, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (xf, dl) = lrFrames(docs, buckets)
+    xf.persist(); dl.persist()
+    val w = try lrFitWeights(xf, dl, buckets, iters)
+    finally { xf.unpersist(); dl.unpersist() }
+    w.toSeq.sortBy(_._1).toDF("b", "w")
+  }
+
+  /** Score every document under the [[lrModel]] trained on the SAME
+    * corpus (self-train, the [[nbPredict]] form): emits the quantized
+    * probability, the 0.5-threshold prediction, and correctness against
+    * the training label. Predict reuses [[lrProbabilities]] — the same
+    * margin/sigmoid arithmetic the final GD round would have used.
+    */
+  def lrPredict(docs: DataFrame, buckets: Int = 64, iters: Int = 3): DataFrame = {
+    val (xf, dl) = lrFrames(docs, buckets)
+    xf.persist(); dl.persist()
+    val w = lrFitWeights(xf, dl, buckets, iters)
+    lrProbabilities(xf, w)
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), round(col("p"), 4).as("p"),
+        (col("p") >= 0.5).as("pred_en"), (col("y") === 1).as("is_en"))
+      .withColumn("correct", col("pred_en") === col("is_en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 sparse retrieval: top-k documents per query via an
     * inverted-index equi-join — the lexical half of a RAG serving stack,
     * complementing the dense ANN tier in [[Similarity]]. Okapi weighting:

@@ -25,6 +25,28 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs = Queries.table(spark, sf, "documents")
   private def emb = Queries.table(spark, sf, "embeddings")
 
+  test("logistic GD separates disjoint-vocab classes in 3 rounds") {
+    import spark.implicits._
+    // 4 English docs and 4 German docs with disjoint token sets: after
+    // the first GD round the en-only buckets carry positive weight, so
+    // every later margin has the right sign
+    val d = (0L until 4L).map(i => (i, "good clean text here", "en")) ++
+      (4L until 8L).map(i => (i, "schnell braun fuchs springt", "de"))
+    val df = d.toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.lrModel(df)
+    assert(model.count() == 65) // 64 buckets + bias
+    val preds = TextAnalysis.lrPredict(df).collect()
+    assert(preds.length == 8)
+    assert(preds.forall(_.getBoolean(4)), // correct
+      preds.mkString(";"))
+    val (en, de) = preds.partition(_.getBoolean(3))
+    assert(en.forall(_.getDouble(1) > 0.5) && de.forall(_.getDouble(1) < 0.5))
+    // balanced classes, zero-overlap features: bias stays at exactly 0
+    val bias = model.filter(org.apache.spark.sql.functions.col("b") === -1L)
+      .collect()(0).getDouble(1)
+    assert(bias == 0.0, s"bias $bias")
+  }
+
   test("minhash candidates recover every true near-dup pair (recall=1 at J>=0.8)") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
