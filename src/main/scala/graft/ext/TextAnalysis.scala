@@ -2110,6 +2110,16 @@ object TextAnalysis {
     * probability, the 0.5-threshold prediction, and correctness against
     * the training label. Predict reuses [[lrProbabilities]] — the same
     * margin/sigmoid arithmetic the final GD round would have used.
+    *
+    * Honesty note on the registered form: the synthetic corpus draws
+    * every language's text from one shared vocabulary, so its `lang`
+    * label carries no token signal and NO classifier can beat the
+    * majority class on it (a DuckDB sweep over iters ∈ [3,16], η ∈
+    * [0.5,32], buckets ∈ [64,1024] tops out at 0.68 noise-fit accuracy).
+    * The oracle row therefore gates the GD/scoring ARITHMETIC; that the
+    * operator actually learns is asserted in ExtSpec on a
+    * separable-vocabulary corpus, where 3 rounds reach 100% with
+    * correctly-signed weights.
     */
   def lrPredict(docs: DataFrame, buckets: Int = 64, iters: Int = 3): DataFrame = {
     val (xf, dl) = lrFrames(docs, buckets)
