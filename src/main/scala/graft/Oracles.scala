@@ -3806,6 +3806,34 @@ object Oracles {
         |  round(CAST(capacity - real_tokens AS DOUBLE) / capacity, 4) AS waste_frac,
         |  round(CAST(tcap - treal AS DOUBLE) / tcap, 4) AS corpus_waste_frac
         |FROM cap CROSS JOIN tot ORDER BY bucket""".stripMargin,
+    // token-balanced shards: serpentine assignment over the length-
+    // descending global rank (engine computes the same rank stratified);
+    // exact-integer totals into one rounded balance ratio
+    "text_shards" ->
+      """WITH dt AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT)
+        |      AS rank
+        |  FROM dt
+        |), a AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+        |         ELSE 15 - (rank - 1) % 16 END AS shard
+        |  FROM r
+        |), per AS (
+        |  SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM a GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS t FROM per
+        |)
+        |SELECT shard, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) * 8 / CAST(t AS DOUBLE), 4) AS balance
+        |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin,
     "text_quality_calibrated" -> qualityCalibratedSql,
     "text_vocab_drift" -> vocabDriftSql,
 

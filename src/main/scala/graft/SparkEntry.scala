@@ -311,6 +311,7 @@ object SparkEntry {
     "text_otsu" -> ((s, dir) => TextAnalysis.otsuThreshold(docs(s, dir))),
     // power-of-two length bucketing + padding-waste report
     "text_length_buckets" -> ((s, dir) => TextAnalysis.lengthBuckets(docs(s, dir))),
+    "text_shards" -> ((s, dir) => TextAnalysis.shardBalanced(docs(s, dir))),
     // data recipe: the largest corpus achieving an exact 4-language mix
     // (binary-fraction weights, so normalization is float-exact)
     "text_mix_domains" -> ((s, dir) =>

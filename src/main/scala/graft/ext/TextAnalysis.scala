@@ -627,6 +627,60 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Token-balanced shard assignment — the export step that writes a
+    * training corpus as `shards` files of near-equal TOKEN budget (equal
+    * doc counts waste trainer wall-clock when lengths are skewed; a
+    * hash assignment balances only in expectation). Serpentine
+    * (boustrophedon) round-robin over the length-descending global rank:
+    * rank r lands at `pos = (r−1) mod 2S`, shard `pos` if `pos < S` else
+    * `2S−1−pos`, so every consecutive 2S-block contributes one long+one
+    * short doc to each shard — the classic LPT-flavored balance without
+    * any driver state.
+    *
+    * Scale shape: the global rank is computed STRATIFIED — row_number
+    * partitioned by n_tokens (thousands of parallel partitions) plus a
+    * prefix-sum of per-stratum counts over the ≤distinct-lengths stratum
+    * table (the [[graft.operators.ScaleOps.keySkewReport]] bounded
+    * single-partition-window class), then `rank = offset + local_rank`.
+    * No corpus-wide single-partition sort anywhere; the ranked frame
+    * joins a broadcast offset table. The registered form emits the
+    * S-row balance report; [[shardAssign]] is the per-doc assignment a
+    * writer would partition by.
+    */
+  def shardBalanced(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val a = shardAssign(
+      docs.select(col("doc_id"), tokenCount(col("text")).as("n_tokens")), shards)
+    val per = a.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") * shards / col("t").cast("double"), 4)
+          .as("balance"))
+      .orderBy(col("shard"))
+  }
+
+  /** Per-doc serpentine assignment over `(doc_id, n_tokens)` — split out
+    * for specs (exact-rank equivalence, balance bound) and for writers.
+    */
+  private[graft] def shardAssign(dt: DataFrame, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLen = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    // bounded prefix-sum window: <= distinct-token-count rows
+    val offW = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dt.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+    val ranked = dt.withColumn("rk", row_number().over(byLen))
+      .join(broadcast(offsets.select(col("n_tokens"), col("off"))), Seq("n_tokens"))
+      .withColumn("rank", col("off") + col("rk"))
+    val pos = (col("rank") - 1) % (2L * shards)
+    ranked
+      .withColumn("shard",
+        when(pos < shards, pos).otherwise(lit(2L * shards - 1) - pos).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("rank"), col("shard"))
+  }
+
   /** Otsu auto-thresholding of the corpus quality-score distribution
     * (Otsu 1979, IEEE TSMC): pick the quality cutoff that MAXIMIZES
     * between-class variance `w₀·w₁·(μ₀−μ₁)²` over a 20-bin score

@@ -47,6 +47,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("shard assignment: stratified rank equals the naive global rank; shards balance") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val dt = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val a = TextAnalysis.shardAssign(dt, 8)
+    val naive = dt.withColumn("nrank", row_number().over(
+      Window.orderBy(col("n_tokens").desc, col("doc_id"))))
+    val mismatches = a.join(naive, Seq("doc_id"))
+      .filter(col("rank") =!= col("nrank")).count()
+    assert(mismatches == 0)
+    // serpentine balance: every shard within one max-doc of the ideal
+    val per = a.groupBy("shard").sum("n_tokens")
+      .collect().map(_.getLong(1))
+    assert(per.length == 8)
+    val maxDoc = dt.agg(org.apache.spark.sql.functions.max("n_tokens"))
+      .collect()(0).getLong(0)
+    assert(per.max - per.min <= maxDoc,
+      s"spread ${per.max - per.min} vs max doc $maxDoc")
+  }
+
   test("minhash candidates recover every true near-dup pair (recall=1 at J>=0.8)") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
