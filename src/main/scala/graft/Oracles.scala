@@ -3763,6 +3763,42 @@ object Oracles {
     "multimodal_audio_energy" -> multimodalAudioEnergySql,
     "text_top_ngrams" -> topNgramsSql,
     "text_heavy_hitters" -> heavyHittersSql,
+    // count-min sketch, FULLY replayed: deterministic row-salted hashes
+    // mean every one of the d*w counters rebuilds identically, so the
+    // estimates hash-compare exactly; over_ok is the one-sided theorem
+    "agg_countmin" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+        |  WHERE len(t) >= 3
+        |), cms_rows AS (
+        |  SELECT g.i AS i,
+        |    ('0x' || substring(md5('cm' || g.i || ':' || ngram), 1, 15))::BIGINT
+        |      % 1024 AS cell
+        |  FROM sh, UNNEST(generate_series(0, 3)) AS g(i)
+        |), sketch AS (
+        |  SELECT i, cell, CAST(count(*) AS BIGINT) AS c
+        |  FROM cms_rows GROUP BY 1, 2
+        |), top AS (
+        |  SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM sh GROUP BY 1
+        |  ORDER BY n_occurrences DESC, ngram LIMIT 20
+        |), q AS (
+        |  SELECT t.ngram, t.n_occurrences, g.i AS i,
+        |    ('0x' || substring(md5('cm' || g.i || ':' || t.ngram), 1, 15))::BIGINT
+        |      % 1024 AS cell
+        |  FROM top t, UNNEST(generate_series(0, 3)) AS g(i)
+        |)
+        |SELECT q.ngram, q.n_occurrences, min(s.c) AS est,
+        |  min(s.c) - q.n_occurrences AS excess,
+        |  min(s.c) >= q.n_occurrences AS over_ok
+        |FROM q JOIN sketch s USING (i, cell)
+        |GROUP BY q.ngram, q.n_occurrences
+        |ORDER BY q.n_occurrences DESC, q.ngram""".stripMargin,
     "text_quality_filter" -> qualityFilterSql,
     // MMR re-rank: the 5-step greedy unrolled as sel1..sel5 CTEs — each
     // step scores the not-yet-selected pool rows against the max

@@ -39,6 +39,7 @@ object SparkEntry {
     "events_sessions" -> (Queries.eventsSessions _),
     "agg_distinct" -> (Queries.aggDistinct _),
     "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
+    "agg_countmin" -> ((s, dir) => TextAnalysis.countMinNgrams(docs(s, dir))),
     "agg_rollup" -> (Queries.aggRollup _),
     "agg_cube" -> (Queries.aggCube _),
     "corpus_expectations" -> (Queries.corpusExpectations _),

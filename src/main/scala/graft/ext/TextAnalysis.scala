@@ -1692,6 +1692,49 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("ngram"))
   }
 
+  /** Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) over corpus trigrams — the fixed-memory companion to
+    * [[heavyHitters]]: Misra-Gries keeps the top-k and UNDERcounts;
+    * count-min answers point queries for ANY item from d·w counters and
+    * only OVERcounts (est ≥ true always — each of the d cells holds the
+    * item's count plus its colliders'; the min can't dip below true).
+    * Emits the exact top-`topM` trigrams with their sketch estimate,
+    * excess, and the pinned one-sided bound.
+    *
+    * Because the d row-hashes are the deterministic [[portableHash64]]
+    * with row-index salts, the WHOLE sketch is replayable: the oracle
+    * rebuilds every counter and hash-compares estimates exactly — no
+    * probabilistic escape hatch (the ε = e/w expectation bound is not a
+    * per-instance theorem, so it is reported as `excess`, not flagged).
+    *
+    * Scale shape: the sketch build is one map-side-combined aggregation
+    * of the ×d-exploded shingle stream into ≤ d·w rows (the shuffle
+    * carries ≤ d·w·partitions partial counters, never the corpus); the
+    * sketch then broadcasts into the query join. This is the standard
+    * distributed CMS layout — counters merge by addition, so partial
+    * aggregation IS the sketch merge.
+    */
+  def countMinNgrams(docs: DataFrame, n: Int = 3, d: Int = 4, w: Int = 1024,
+      topM: Int = 20): DataFrame = {
+    def cell(item: Column, row: Column): Column =
+      pmod(portableHash64(concat_ws(":", concat(lit("cm"), row), item)),
+        lit(w.toLong))
+    val rows = graft.ext.Dedup.shinglesMultiset(docs, n)
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .select(col("i"), cell(col("sh"), col("i")).as("cell"))
+    val sketch = rows.groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+    topNgrams(docs, n, topM)
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("cell", cell(col("ngram"), col("i")))
+      .join(broadcast(sketch), Seq("i", "cell"))
+      .groupBy(col("ngram"), col("n_occurrences"))
+      .agg(min(col("c")).as("est"))
+      .select(col("ngram"), col("n_occurrences"), col("est"),
+        (col("est") - col("n_occurrences")).as("excess"),
+        (col("est") >= col("n_occurrences")).as("over_ok"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+  }
+
   /** Exact duplicated-substring SPAN detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): find every maximal run of tokens that appears

@@ -47,6 +47,15 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("count-min sketch: estimates never undercount; narrow sketch shows collisions") {
+    val wide = TextAnalysis.countMinNgrams(docs).collect()
+    assert(wide.nonEmpty && wide.forall(_.getBoolean(4)), "one-sided bound broke")
+    // w=8 forces collisions: still never undercounts, but excess appears
+    val narrow = TextAnalysis.countMinNgrams(docs, w = 8).collect()
+    assert(narrow.forall(_.getBoolean(4)))
+    assert(narrow.exists(_.getLong(3) > 0), "w=8 should collide somewhere")
+  }
+
   test("shard assignment: stratified rank equals the naive global rank; shards balance") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number}
