@@ -1716,24 +1716,42 @@ object TextAnalysis {
     */
   def countMinNgrams(docs: DataFrame, n: Int = 3, d: Int = 4, w: Int = 1024,
       topM: Int = 20): DataFrame = {
-    def cell(item: Column, row: Column): Column =
-      pmod(portableHash64(concat_ws(":", concat(lit("cm"), row), item)),
-        lit(w.toLong))
-    val rows = graft.ext.Dedup.shinglesMultiset(docs, n)
-      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
-      .select(col("i"), cell(col("sh"), col("i")).as("cell"))
-    val sketch = rows.groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
-    topNgrams(docs, n, topM)
-      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("cell", cell(col("ngram"), col("i")))
-      .join(broadcast(sketch), Seq("i", "cell"))
-      .groupBy(col("ngram"), col("n_occurrences"))
-      .agg(min(col("c")).as("est"))
+    val sketch = cmsPartialSketch(docs, n, d, w)
+    val top = topNgrams(docs, n, topM)
+    top.join(cmsEstimates(sketch, top.select(col("ngram")), d, w), Seq("ngram"))
       .select(col("ngram"), col("n_occurrences"), col("est"),
         (col("est") - col("n_occurrences")).as("excess"),
         (col("est") >= col("n_occurrences")).as("over_ok"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
   }
+
+  /** One CMS cell index: row-salted portable hash mod `w`. */
+  private def cmsCell(item: Column, row: Column, w: Int): Column =
+    pmod(portableHash64(concat_ws(":", concat(lit("cm"), row), item)),
+      lit(w.toLong))
+
+  /** The `(i, cell, c)` counter build over a doc frame — counters merge
+    * by ADDITION, so this one definition is the batch sketch, the
+    * map-side partial, and the streaming twin's per-batch landing unit.
+    */
+  private[graft] def cmsPartialSketch(docs: DataFrame, n: Int, d: Int,
+      w: Int): DataFrame =
+    graft.ext.Dedup.shinglesMultiset(docs, n)
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .select(col("i"), cmsCell(col("sh"), col("i"), w).as("cell"))
+      .groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+
+  /** Point-query estimates `(ngram, est)` for an `items("ngram")` frame
+    * against a counter table — shared verbatim by the batch operator and
+    * the streaming view, so their arithmetic cannot fork.
+    */
+  private[graft] def cmsEstimates(sketch: DataFrame, items: DataFrame,
+      d: Int, w: Int): DataFrame =
+    items.withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("cell", cmsCell(col("ngram"), col("i"), w))
+      .join(broadcast(sketch), Seq("i", "cell"))
+      .groupBy(col("ngram"))
+      .agg(min(col("c")).as("est"))
 
   /** Exact duplicated-substring SPAN detection (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",

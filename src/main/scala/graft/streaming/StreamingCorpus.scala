@@ -1009,4 +1009,37 @@ object StreamingCorpus {
       .na.fill(0L, Seq("ya", "yb"))
     TextAnalysis.vocabDriftFromCounts(merged, topK, minSupport)
   }
+
+  /** Streaming twin of [[graft.ext.TextAnalysis.countMinNgrams]]'s
+    * sketch build: each micro-batch collapses to its OWN ≤ d·w counter
+    * table (raw text never lands), written batch-id-keyed with OVERWRITE
+    * — replay-idempotent. Because count-min counters merge by addition,
+    * the sum over landed batches IS the batch sketch over the union,
+    * exactly — the one sketch family where streaming convergence is an
+    * identity, not an approximation (contrast the watermark caveats of
+    * the dedup ingests above).
+    */
+  def cmsIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      n: Int = 3, d: Int = 4, w: Int = 1024): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          TextAnalysis.cmsPartialSketch(batch.toDF(), n, d, w)
+            .write.mode("overwrite").parquet(s"$outDir/sketch/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Point-query estimates against [[cmsIngest]]'s landed counters:
+    * merge by addition, then the SAME
+    * [[graft.ext.TextAnalysis.cmsEstimates]] core the batch operator
+    * uses. `queries` is any frame with an `ngram` column.
+    */
+  def cmsView(spark: SparkSession, outDir: String, queries: DataFrame,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val sketch = spark.read.parquet(s"$outDir/sketch")
+      .groupBy(col("i"), col("cell")).agg(sum(col("c")).as("c"))
+    TextAnalysis.cmsEstimates(sketch, queries, d, w)
+  }
 }

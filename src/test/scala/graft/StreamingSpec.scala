@@ -1468,6 +1468,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.count() == 2)
   }
 
+  test("streaming count-min: summed landed counters equal the batch sketch exactly across a restart") {
+    val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cms-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cms-src").toString
+    all.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.cmsIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    all.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // counters merge by addition, so the view is the batch sketch EXACTLY
+    val batchOp = graft.ext.TextAnalysis.countMinNgrams(all)
+    val exp = batchOp.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val got = graft.streaming.StreamingCorpus
+      .cmsView(spark, outDir, batchOp.select(col("ngram")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"diverged: ${got.toSeq.diff(exp.toSeq).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming vocab drift: view equals the batch operator once the new crawl fully lands") {
     import spark.implicits._
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
