@@ -1750,6 +1750,30 @@ object Oracles {
     "dedup_clusters" -> dupClustersSql,
     "dedup_clusters_dist" -> dupClustersSql,
 
+    // quality-aware survivors: the recursive cluster ground truth plus
+    // the corpus quality score; argmax per cluster on the round-4 grid,
+    // ties to the larger doc_id (the engine's struct-max semantics)
+    "dedup_best_survivors" ->
+      (dupClustersCtes + ",\n" +
+      """clusters AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster FROM reach GROUP BY node
+        |), qscored AS (
+        |  SELECT doc_id,
+        |    round(round(CAST(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS DOUBLE)
+        |        / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1), 4)
+        |      - round(CAST(length(regexp_replace(text, '[a-zA-Z\s]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1), 4), 4) AS score
+        |  FROM documents
+        |), members AS (
+        |  SELECT c.cluster, c.doc_id, s.score,
+        |    CAST(count(*) OVER (PARTITION BY c.cluster) AS BIGINT) AS n_members,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY s.score DESC, c.doc_id DESC) AS rn
+        |  FROM clusters c JOIN qscored s USING (doc_id)
+        |)
+        |SELECT cluster, n_members, doc_id AS keep_doc, score AS keep_score
+        |FROM members WHERE rn = 1 ORDER BY cluster""".stripMargin),
+
     "corpus_clean" ->
       """WITH scored AS (
         |  SELECT doc_id,

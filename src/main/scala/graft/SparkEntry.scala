@@ -100,6 +100,7 @@ object SparkEntry {
     // connected component (min-label propagation to a fixpoint)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.nearDupPipeline(docs(s, dir), 0.8))),
+    "dedup_best_survivors" -> ((s, dir) => Dedup.bestSurvivors(docs(s, dir))),
     // the >1M-edge production branch, forced, so BOTH clustering paths
     // stay inside the recursive-ground-truth oracle gate
     "dedup_clusters_dist" -> ((s, dir) =>

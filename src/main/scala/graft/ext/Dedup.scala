@@ -45,6 +45,35 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Quality-aware survivor selection over the NEAR-dup clusters: where
+    * [[exactSurvivors]] keeps the first copy of byte-identical text,
+    * this keeps each near-dup cluster's HIGHEST-quality member (the
+    * corpus quality score, ties to the larger doc_id via struct-max) —
+    * the production stance when near-dups differ in boilerplate or
+    * truncation: keep-first keeps whichever crawl landed first;
+    * keep-best keeps the cleanest. Emits one row per cluster with the
+    * kept doc and its score; the kept corpus is these survivors plus
+    * every unclustered doc.
+    *
+    * Scale shape: the cluster map is the LSH-pruned [[dupClusters]]
+    * output (edge-sized, not corpus-sized), the score is a per-row map
+    * joined doc_id-keyed, and the argmax is one cluster-keyed struct-max
+    * aggregation — nothing here rescans text beyond the one scoring
+    * pass.
+    */
+  def bestSurvivors(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val clusters = dupClusters(nearDupPipeline(docs, threshold))
+    val scored = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.qualityScore.as("score"))
+    clusters.join(scored, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), col("doc_id"))).as("best"))
+      .select(col("cluster"), col("n_members"),
+        col("best.doc_id").as("keep_doc"), col("best.score").as("keep_score"))
+      .orderBy(col("cluster"))
+  }
+
   /** Distinct word n-gram shingles per document: (doc_id, sh).
     * Lowercased, whitespace-tokenized, consecutive n-token windows.
     */

@@ -47,6 +47,22 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("best-survivor dedup keeps the cleanest cluster member, not the first") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"word$i").mkString("the cat sat on ", " ", " end")
+    val d = Seq(
+      (1L, base + " @@@@ %%%% #### $$$$"), // noisy near-dup, LOWER doc_id
+      (2L, base),                          // clean copy
+      (3L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bestSurvivors(d).collect()
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows(0)
+    assert(r.getLong(0) == 1L)     // cluster label = min member id
+    assert(r.getLong(1) == 2L)     // both members
+    assert(r.getLong(2) == 2L, s"kept ${r.getLong(2)} — keep-best must beat keep-first")
+  }
+
   test("count-min sketch: estimates never undercount; narrow sketch shows collisions") {
     val wide = TextAnalysis.countMinNgrams(docs).collect()
     assert(wide.nonEmpty && wide.forall(_.getBoolean(4)), "one-sided bound broke")
