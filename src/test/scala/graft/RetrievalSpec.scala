@@ -232,6 +232,16 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no transition crosses users: (b, a) count is 1 (within user 1), not 2
   }
 
+  test("retrieval eval: unique-vocab corpus self-retrieves at rank 1, MRR 1.0") {
+    import spark.implicits._
+    val d = (0L until 6L).map(i =>
+      (i, (1 to 8).map(t => s"tok${i}_$t").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.retrievalEval(d, queryEvery = 2).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L))
+    assert(rows.forall(_.getInt(1) == 1), rows.mkString(";"))
+    assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
+  }
+
   test("EWMA anomaly: spike over an alternating baseline fires, baseline days don't") {
     import spark.implicits._
     // days 1-9 alternate 10/12 (nonzero variance), day 10 spikes to 60
