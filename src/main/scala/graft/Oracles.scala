@@ -2612,19 +2612,10 @@ object Oracles {
 
     // scoring under the final w3: same quantized margin/sigmoid as the
     // training rounds, 0.5 threshold on the GRID value, round-4 emission
-    "text_lr_predict" ->
-      (lrGdCtes + """,
-        |mf AS (
-        |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
-        |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
-        |), pf AS (
-        |  SELECT m.doc_id,
-        |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM w3 WHERE b = -1)))), 7) AS p
-        |  FROM mf m
-        |)
-        |SELECT p.doc_id, round(p.p, 4) AS p, p.p >= 0.5 AS pred_en,
-        |  dl.y = 1 AS is_en, (p.p >= 0.5) = (dl.y = 1) AS correct
-        |FROM pf p JOIN dl USING (doc_id) ORDER BY p.doc_id""".stripMargin),
+    "text_lr_predict" -> lrPredictSql,
+    // the persisted-model serving path shares lrProbabilities verbatim,
+    // and 1e-6-grid weights round-trip parquet exactly — same oracle
+    "text_lr_persisted" -> lrPredictSql,
 
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE
@@ -3374,6 +3365,23 @@ object Oracles {
        |),
        |$iters""".stripMargin
   }
+
+  /** LR scoring under the final GD weights (w3) — shared by the
+    * self-train and persisted-model rows.
+    */
+  private def lrPredictSql: String =
+    lrGdCtes + """,
+      |mf AS (
+      |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
+      |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
+      |), pf AS (
+      |  SELECT m.doc_id,
+      |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM w3 WHERE b = -1)))), 7) AS p
+      |  FROM mf m
+      |)
+      |SELECT p.doc_id, round(p.p, 4) AS p, p.p >= 0.5 AS pred_en,
+      |  dl.y = 1 AS is_en, (p.p >= 0.5) = (dl.y = 1) AS correct
+      |FROM pf p JOIN dl USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
   private val dsirWtsCte: String =
     """WITH toks AS (

@@ -224,6 +224,16 @@ object SparkEntry {
     "text_nb_predict" -> ((s, dir) => TextAnalysis.nbPredict(docs(s, dir))),
     "text_lr_model" -> ((s, dir) => TextAnalysis.lrModel(docs(s, dir))),
     "text_lr_predict" -> ((s, dir) => TextAnalysis.lrPredict(docs(s, dir))),
+    // scoring against the PERSISTED weights reproduces the self-train
+    // predict bit-for-bit (shared lrProbabilities core), so this serving
+    // path reuses the text_lr_predict oracle verbatim
+    "text_lr_persisted" -> ((s, dir) => {
+      val model = graft.ext.IndexCache.ensure(s, dir, "lr_model",
+          table = "documents") { d =>
+        TextAnalysis.buildLrModel(docs(s, dir), d)
+      }
+      TextAnalysis.lrPredictFromModel(s, model, docs(s, dir))
+    }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     // Lee et al. 2022 exact-substring dedup, window-hash formulation:
     // maximal >=10-token runs duplicated anywhere in the corpus

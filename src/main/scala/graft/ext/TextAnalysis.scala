@@ -2248,6 +2248,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist the fitted LR weight vector (fit-once-score-many, the
+    * [[buildDsirModel]] lifecycle): versioned `v_<n>` root with an
+    * atomic CURRENT flip holding the ≤`buckets`+1-row `weights` table
+    * and a 1-row `meta`. The GD rounds happen HERE, at build time; every
+    * scoring job pays one feature scan plus a 65-row weight read.
+    */
+  def buildLrModel(docs: DataFrame, dir: String, buckets: Int = 64,
+      iters: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = graft.ext.Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    lrModel(docs, buckets, iters)
+      .write.mode("overwrite").parquet(s"$newRoot/weights")
+    spark.range(1).select(lit(buckets).cast("int").as("buckets"),
+      lit(iters).cast("int").as("iters"))
+      .write.mode("overwrite").parquet(s"$newRoot/meta")
+    graft.ext.Similarity.publishIndexVersion(fs, dir, n, Seq("weights", "meta"))
+  }
+
+  /** Score documents against a PERSISTED LR model: the weights collect
+    * to a ≤`buckets`+1 driver map (bounded by construction) and re-enter
+    * [[lrProbabilities]] — the same scoring core the in-memory fit used
+    * — so scoring a corpus against its own model reproduces
+    * [[lrPredict]] bit-for-bit and the registered twin reuses that
+    * oracle verbatim (the [[dsirWeightsFromModel]] discipline; weights
+    * on the 1e-6 grid round-trip parquet exactly).
+    */
+  def lrPredictFromModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame): DataFrame = {
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    val w = spark.read.parquet(s"$root/weights").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bounded driver action: meta is one row by construction
+    val buckets = spark.read.parquet(s"$root/meta").first().getInt(0)
+    val (xf, dl) = lrFrames(docs, buckets)
+    lrProbabilities(xf, w)
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), round(col("p"), 4).as("p"),
+        (col("p") >= 0.5).as("pred_en"), (col("y") === 1).as("is_en"))
+      .withColumn("correct", col("pred_en") === col("is_en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 sparse retrieval: top-k documents per query via an
     * inverted-index equi-join — the lexical half of a RAG serving stack,
     * complementing the dense ANN tier in [[Similarity]]. Okapi weighting:

@@ -47,6 +47,15 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("persisted LR model reproduces the self-train predict bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lr-model").toString
+    TextAnalysis.buildLrModel(docs, dir)
+    val got = TextAnalysis.lrPredictFromModel(spark, dir, docs)
+      .collect().map(_.toSeq).toSeq
+    val exp = TextAnalysis.lrPredict(docs).collect().map(_.toSeq).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
   test("best-survivor dedup keeps the cleanest cluster member, not the first") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"word$i").mkString("the cat sat on ", " ", " end")
