@@ -3896,6 +3896,22 @@ object Oracles {
     // replayed through the full 3-round unroll
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_segments" -> bpeSegmentsSql,
+    // BPE compression report: exact-integer totals over the full
+    // post-merge vocabulary (the same 3-round unroll), one rounded ratio
+    "text_bpe_coverage" ->
+      (bpeCtes(3) + """,
+        |bstats AS (
+        |  SELECT wcount, CAST(length(word) AS BIGINT) AS chars,
+        |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS segs
+        |  FROM seqs3
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+        |  CAST(sum(wcount) AS BIGINT) AS word_occurrences,
+        |  CAST(sum(wcount * chars) AS BIGINT) AS char_tokens,
+        |  CAST(sum(wcount * segs) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(sum(wcount * chars) AS DOUBLE) / sum(wcount * segs), 4)
+        |    AS compression
+        |FROM bstats""".stripMargin),
     "text_otsu" -> otsuSql,
     // length bucketing: literal CASE ladder (no float log2), exact-integer
     // capacity/waste until the final rounded fractions

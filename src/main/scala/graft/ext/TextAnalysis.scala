@@ -543,6 +543,31 @@ object TextAnalysis {
       .orderBy(length(col("word")).desc, col("word"))
   }
 
+  /** Corpus-level compression report for the trained BPE merges — the
+    * measurement that closes the tokenizer lifecycle (train → segment →
+    * MEASURE): exact-integer char-token vs post-merge token totals over
+    * the whole vocabulary, weighted by word frequency, into one
+    * compression ratio. More merge rounds monotonically shrink
+    * `bpe_tokens`; this row is what you watch while growing a merge
+    * table. All work happens on the vocabulary frame (the corpus
+    * collapsed to distinct words before round 1), so the report costs
+    * nothing beyond the training pass.
+    */
+  def bpeCompression(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, rounds)
+    seqs.select(col("wcount"),
+        length(col("word")).cast("long").as("chars"),
+        size(split(col("seq"), " ")).cast("long").as("segs"))
+      .agg(count(lit(1)).as("vocab_words"),
+        sum(col("wcount")).as("word_occurrences"),
+        sum(col("wcount") * col("chars")).as("char_tokens"),
+        sum(col("wcount") * col("segs")).as("bpe_tokens"))
+      .select(col("vocab_words"), col("word_occurrences"),
+        col("char_tokens"), col("bpe_tokens"),
+        round(col("char_tokens").cast("double") / col("bpe_tokens"), 4)
+          .as("compression"))
+  }
+
   private def bpeTrain(docs: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window

@@ -47,6 +47,15 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("BPE compression report: ratio > 1 and more merge rounds strictly help") {
+    val r3 = TextAnalysis.bpeCompression(docs, rounds = 3).collect()(0)
+    val r1 = TextAnalysis.bpeCompression(docs, rounds = 1).collect()(0)
+    assert(r3.getLong(2) == r1.getLong(2)) // char_tokens independent of rounds
+    assert(r3.getDouble(4) > 1.0)
+    assert(r3.getLong(3) < r1.getLong(3),
+      s"3 rounds should segment tighter: ${r3.getLong(3)} vs ${r1.getLong(3)}")
+  }
+
   test("persisted LR model reproduces the self-train predict bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lr-model").toString
     TextAnalysis.buildLrModel(docs, dir)
