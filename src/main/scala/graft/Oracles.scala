@@ -726,6 +726,36 @@ object Oracles {
         |FROM pairs p JOIN totals t USING (prev)
         |ORDER BY prev, next""".stripMargin,
 
+    // RFM segmentation: quartile-boundary compares (ties share a score),
+    // monetary on the round-4 grid BEFORE the quantile, recency exact µs
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, epoch_us(max(ts)) AS rec,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    round(sum(value), 4) AS monetary
+        |  FROM events GROUP BY 1
+        |), q AS (
+        |  SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
+        |    quantile_cont(rec, 0.75) AS r3,
+        |    quantile_cont(n_events, 0.25) AS f1, quantile_cont(n_events, 0.5) AS f2,
+        |    quantile_cont(n_events, 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+        |    quantile_cont(monetary, 0.75) AS m3
+        |  FROM per
+        |), scored AS (
+        |  SELECT p.user_id, p.n_events, p.monetary,
+        |    CAST(1 + CAST(p.rec > q.r1 AS INT) + CAST(p.rec > q.r2 AS INT)
+        |      + CAST(p.rec > q.r3 AS INT) AS INT) AS r,
+        |    CAST(1 + CAST(p.n_events > q.f1 AS INT) + CAST(p.n_events > q.f2 AS INT)
+        |      + CAST(p.n_events > q.f3 AS INT) AS INT) AS f,
+        |    CAST(1 + CAST(p.monetary > q.m1 AS INT) + CAST(p.monetary > q.m2 AS INT)
+        |      + CAST(p.monetary > q.m3 AS INT) AS INT) AS m
+        |  FROM per p CROSS JOIN q
+        |)
+        |SELECT user_id, n_events, monetary, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+        |FROM scored ORDER BY user_id""".stripMargin,
+
     // key-skew diagnostic: shares/cumulative shares from exact integer
     // prefix sums, Gini via the all-integer closed form
     "events_skew" ->

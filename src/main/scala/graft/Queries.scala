@@ -526,6 +526,53 @@ object Queries {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation — the
+    * classic behavioral-value grid: each user scored 1–4 on how recently
+    * they acted, how often, and how much value they moved, concatenated
+    * into the 64-cell segment code ("444" = champions, "111" = lost).
+    *
+    * Scores are QUARTILE-BOUNDARY compares, not `ntile`: a corpus-wide
+    * ntile is one single-partition window over every user (a scale
+    * killer at billions of users), while three exact quartile boundaries
+    * are a 1-row aggregate broadcast onto a per-row compare — same
+    * segmentation semantics (ties share a score, which ntile would split
+    * arbitrarily), no user-count window anywhere. Monetary rounds to the
+    * 4-grid BEFORE the quantile so boundary compares see identical
+    * doubles on both engines; recency is exact µs integers.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame =
+    rfmFromEvents(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")))
+
+  /** The scoring half of [[eventsRfm]] over `(user_id, ts, value)` —
+    * split out for specs.
+    */
+  private[graft] def rfmFromEvents(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("user_id")).agg(
+      unix_micros(max(col("ts"))).as("rec"),
+      count(lit(1)).as("n_events"),
+      round(sum(col("value")), 4).as("monetary"))
+    val q = per.agg(
+      expr("percentile(rec, 0.25)").as("r1"),
+      expr("percentile(rec, 0.5)").as("r2"),
+      expr("percentile(rec, 0.75)").as("r3"),
+      expr("percentile(n_events, 0.25)").as("f1"),
+      expr("percentile(n_events, 0.5)").as("f2"),
+      expr("percentile(n_events, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    def score(v: Column, q1: Column, q2: Column, q3: Column): Column =
+      lit(1) + (v > q1).cast("int") + (v > q2).cast("int") + (v > q3).cast("int")
+    per.crossJoin(broadcast(q))
+      .select(col("user_id"), col("n_events"), col("monetary"),
+        score(col("rec"), col("r1"), col("r2"), col("r3")).as("r"),
+        score(col("n_events"), col("f1"), col("f2"), col("f3")).as("f"),
+        score(col("monetary"), col("m1"), col("m2"), col("m3")).as("m"))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .orderBy(col("user_id"))
+  }
+
   /** MAD robust outlier report per event type: median absolute deviation
     * is the outlier gate that mean/stddev z-scores cannot provide — a
     * fat-tailed value column drags the mean toward its own outliers

@@ -68,6 +68,7 @@ object SparkEntry {
       Queries.events(s, dir), "user_id")),
     "events_transitions" -> ((s, dir) => Queries.eventsTransitions(s, dir)),
     "events_ewma" -> (Queries.eventsEwma _),
+    "events_rfm" -> (Queries.eventsRfm _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

@@ -242,6 +242,18 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("RFM: monotone users land on the diagonal segments 111..444") {
+    import spark.implicits._
+    def t(day: Int, i: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 08:$i%02d:00")
+    // user k: k events on day k, value k each -> every metric orders 1<2<3<4
+    val ev = (1 to 4).flatMap(k => (1 to k).map(i => (k.toLong, t(k, i), k.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val got = Queries.rfmFromEvents(ev).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(got == Map(1L -> "111", 2L -> "222", 3L -> "333", 4L -> "444"), got)
+  }
+
   test("EWMA anomaly: spike over an alternating baseline fires, baseline days don't") {
     import spark.implicits._
     // days 1-9 alternate 10/12 (nonzero variance), day 10 spikes to 60
