@@ -249,6 +249,18 @@ object MonitoringStream {
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("n")).as("n")))
 
+  /** EWMA scores over the SAME landed zone [[anomalyIngest]] maintains —
+    * daily partial counts are scorer-agnostic, so the trend-adaptive
+    * detector ([[graft.Queries.eventsEwma]]) rides the existing ingest
+    * for free: one landing, two monitors. At full arrival this IS the
+    * batch operator's output.
+    */
+  def ewmaView(spark: SparkSession, outDir: String): DataFrame =
+    graft.Queries.ewmaScores(
+      spark.read.parquet(s"$outDir/counts")
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n")))
+
   /** Streaming twin of [[graft.Queries.eventsCooccurrence]]: each batch
     * lands its DISTINCT (user, day, type) memberships batch-id-keyed
     * (replay-idempotent; a membership is a fact, so re-observing it in a

@@ -637,6 +637,32 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming LR scoring against the frozen persisted classifier
+    * ([[graft.ext.TextAnalysis.buildLrModel]]) — the [[lmScoreIngest]]/
+    * [[dsirScoreIngest]] serving shape for the third model family:
+    * version root pinned at stream start (a concurrent rebuild cannot
+    * flip predictions mid-stream), per-doc verdicts final at arrival
+    * (model is frozen, scoring is per-doc), landed batch-id-keyed with
+    * OVERWRITE. Shares [[graft.ext.TextAnalysis.lrPredictFromModel]]
+    * verbatim, so a streamed corpus scores row-for-row identically to
+    * the batch path.
+    */
+  def lrScoreIngest(docs: DataFrame, modelDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val root = graft.ext.Similarity.resolveIndexRoot(docs.sparkSession, modelDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.lrPredictFromModel(batch.sparkSession, root,
+              batch.drop("event_time"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming token-budget best-first selection — the streaming twin of
     * [[graft.ext.TextAnalysis.selectByTokenBudget]]. A document's
     * membership in "the best `maxTokens` tokens seen so far" is a GLOBAL

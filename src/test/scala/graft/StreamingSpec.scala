@@ -818,6 +818,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming LR scoring equals the batch serve path against the same frozen model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val modelDir = java.nio.file.Files.createTempDirectory("graft-lr-stream").toString
+    graft.ext.TextAnalysis.buildLrModel(docs, modelDir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = docs.select("doc_id", "text", "lang", "source").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))) :+
+      ((900003L, "unseen words entirely fresh tokens", "xx", "heldout"))
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lrscore-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lrscore-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.lrScoreIngest(mem.toDF(), modelDir, outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "p", "pred_en", "is_en", "correct").collect().map(key).toSet
+    val expected = graft.ext.TextAnalysis.lrPredictFromModel(spark, modelDir,
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(key).toSet
+    assert(expected.exists(_._1 == 900003L), "held-out doc must score")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming snapshot diff converges to the batch diff at full coverage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1575,6 +1607,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("n_anomalies"), r.getAs[Double]("max_abs_z")))
     assert(hist.last._1 == 1L && hist.dropRight(1).forall(_._1 == 0L),
       s"history: ${hist.toSeq}")
+
+    // the EWMA scorer rides the SAME landed zone: view == batch core
+    val ewmaExp = Queries.ewmaScores(daily).collect().map(_.toSeq).toSeq
+    val ewmaGot = MonitoringStream.ewmaView(spark, outDir).collect().map(_.toSeq).toSeq
+    assert(ewmaGot == ewmaExp, s"ewma view diverged:\n got=$ewmaGot\n exp=$ewmaExp")
+    assert(ewmaGot.exists(r => r(6) == true), "EWMA must flag the spike too")
     assert(hist.last._2 > 3.0)
   }
 }
