@@ -3825,6 +3825,27 @@ object Oracles {
         |  max(CASE WHEN component = 1 THEN pc END) AS pc2
         |FROM pcs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // whitened projection: the PCA-project replay with each coordinate
+    // scaled by 1/sqrt(lambda + 1e-6); lambda is the model's 1e-6-grid
+    // eigenvalue so both engines divide by identical doubles
+    "sim_whiten" ->
+      s"""WITH ${pcaCtes(2, 5)}, model AS MATERIALIZED (
+        |${pcaModelSelect(2, 5)}
+        |), px AS MATERIALIZED (
+        |  SELECT t.vec_id, g.i - 1 AS dim, t.e[g.i] AS x
+        |  FROM e t, UNNEST(generate_series(1, len(t.e))) AS g(i)
+        |), pcs AS (
+        |  SELECT px.vec_id, m.component,
+        |    round(round(sum((px.x - mu.mu) * m.w), 6)
+        |      / sqrt(m.eigenvalue + 1e-6), 6) AS z
+        |  FROM px JOIN mu ON mu.dim = px.dim JOIN model m ON m.dim = px.dim
+        |  GROUP BY px.vec_id, m.component, m.eigenvalue
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN component = 0 THEN z END) AS z1,
+        |  max(CASE WHEN component = 1 THEN z END) AS z2
+        |FROM pcs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     // int8 serving replay: per-vector symmetric quantization (the exact
     // quantizeInt8 scale formula), cosine on the whole-number code
     // arrays (scale cancels), shortlist nomination, exact re-rank —

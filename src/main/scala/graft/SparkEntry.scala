@@ -563,6 +563,7 @@ object SparkEntry {
     "sim_pca_model" -> ((s, dir) => Similarity.embeddingPcaModel(emb(s, dir))),
     // corpus projected onto the fitted axes — the 2-D embedding map
     "sim_pca_project" -> ((s, dir) => Similarity.embeddingPcaProject(emb(s, dir))),
+    "sim_whiten" -> ((s, dir) => Similarity.embeddingWhiten(emb(s, dir))),
     // PageRank representativeness over the LSH-bucketed kNN graph: 3
     // damped power steps, dangling mass redistributed, per-step round-9
     "sim_pagerank" -> ((s, dir) => Similarity.embeddingPagerank(emb(s, dir))),

@@ -403,6 +403,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** ZCA-style WHITENED projection: each principal coordinate scaled by
+    * `1/√(λ+ε)` so every retained direction carries unit variance — the
+    * standard embedding-preprocessing step before cosine/k-means/LSH
+    * when a few dominant directions would otherwise swamp every distance
+    * (Su et al. 2021, "Whitening Sentence Representations"). Same one
+    * corpus pass as [[embeddingPcaProject]] plus a per-component scalar;
+    * the λ used is the model's 1e-6-grid eigenvalue, so both engines
+    * divide by identical doubles.
+    */
+  def embeddingWhiten(emb: DataFrame, k: Int = 2, iters: Int = 5,
+      eps: Double = 1e-6): DataFrame = {
+    val (mu, model) = pcaFit(emb, k, iters)
+    val x = emb.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val pcs = x
+      .join(broadcast(mu), Seq("dim"))
+      .join(broadcast(model.select(col("component"), col("dim"), col("w"),
+        col("eigenvalue"))), Seq("dim"))
+      .groupBy(col("vec_id"), col("component"), col("eigenvalue"))
+      .agg(round(sum((col("x") - col("mu")) * col("w")), 6).as("pc"))
+      .select(col("vec_id"), col("component"),
+        round(col("pc") / sqrt(col("eigenvalue") + lit(eps)), 6).as("z"))
+    val pivots = (0 until k).map(c =>
+      max(when(col("component") === c, col("z"))).as(s"z${c + 1}"))
+    pcs.groupBy(col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
     * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,
     * and participates in map-side partial aggregation. At scale this beats

@@ -47,6 +47,27 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("whitened projection = PC / sqrt(lambda + eps) exactly; unit variance on the dominant axis") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val model = Similarity.embeddingPcaModel(emb).collect()
+    val lam = model.groupBy(_.getInt(0)).map { case (c, rows) =>
+      c -> rows.head.getDouble(3) }
+    val proj = Similarity.embeddingPcaProject(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val wz = Similarity.embeddingWhiten(emb).collect()
+    assert(wz.nonEmpty)
+    wz.foreach { r =>
+      val (pc1, pc2) = proj(r.getLong(0))
+      assert(r.getDouble(1) == r6(pc1 / math.sqrt(lam(0) + 1e-6)), s"z1 @ ${r.getLong(0)}")
+      assert(r.getDouble(2) == r6(pc2 / math.sqrt(lam(1) + 1e-6)), s"z2 @ ${r.getLong(0)}")
+    }
+    val z1 = wz.map(_.getDouble(1))
+    val mean = z1.sum / z1.length
+    val sd = math.sqrt(z1.map(v => (v - mean) * (v - mean)).sum / z1.length)
+    assert(math.abs(sd - 1.0) < 0.25, s"dominant-axis sd $sd should be ~1")
+  }
+
   test("BPE compression report: ratio > 1 and more merge rounds strictly help") {
     val r3 = TextAnalysis.bpeCompression(docs, rounds = 3).collect()(0)
     val r1 = TextAnalysis.bpeCompression(docs, rounds = 1).collect()(0)
