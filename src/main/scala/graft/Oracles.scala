@@ -1368,53 +1368,8 @@ object Oracles {
     // The full training-set pipeline: gopher gate -> near-dup drop (keep
     // the smaller doc_id of each verified pair) -> en downsample -> train
     // split -> pack. Every stage replays its already-green oracle form.
-    "pipeline_training_set" -> {
-      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
-      s"""WITH q AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-        |    round(CAST($occ AS DOUBLE) /
-        |      greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1), 4)
-        |      AS stopword_ratio
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-        |  FROM documents
-        |), shm AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
-        |  WHERE len(t) >= 3
-        |), r AS (
-        |  SELECT doc_id,
-        |    round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 4) AS rep_ratio
-        |  FROM shm GROUP BY doc_id
-        |), gopher AS (
-        |  SELECT q.doc_id FROM q JOIN r USING (doc_id)
-        |  WHERE q.n_tokens >= 30 AND q.stopword_ratio >= 0.01 AND r.rep_ratio <= 0.6
-        |), shc AS (
-        |  SELECT DISTINCT s.doc_id, s.sh FROM shm s JOIN gopher g ON s.doc_id = g.doc_id
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), dropped AS (
-        |  SELECT DISTINCT p.b AS doc_id
-        |  FROM pairs p JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
-        |  WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
-        |), surv AS (
-        |  SELECT g.doc_id FROM gopher g LEFT JOIN dropped d ON g.doc_id = d.doc_id
-        |  WHERE d.doc_id IS NULL
-        |), samp AS (
-        |  SELECT s.doc_id FROM surv s JOIN documents dd ON s.doc_id = dd.doc_id
-        |  WHERE ('0x' || substring(md5('sample:' || CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
-        |    < (CASE WHEN dd.lang = 'en' THEN 5000 ELSE 10000 END)
-        |), tr AS (
-        |  SELECT doc_id FROM samp
-        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
-        |), sized AS (
+    "pipeline_training_set" ->
+      s"""WITH $pipelineStageCtes, sized AS (
         |  SELECT d.doc_id,
         |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens
         |  FROM documents d JOIN tr ON d.doc_id = tr.doc_id
@@ -1427,8 +1382,41 @@ object Oracles {
         |SELECT doc_id, n_tokens,
         |  CAST(off // 512 AS BIGINT) AS seq_id,
         |  CAST(off % 512 AS BIGINT) AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin
-    },
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // curation-funnel observability: per-stage doc/token totals over the
+    // SAME stage chain the training-set oracle replays
+    "pipeline_stage_report" ->
+      s"""WITH $pipelineStageCtes, tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+        |  FROM documents
+        |), inp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_input FROM documents
+        |), stages AS (
+        |  SELECT 0 AS stage_order, 'input' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens FROM tok
+        |  UNION ALL
+        |  SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+        |  FROM gopher JOIN tok USING (doc_id)
+        |  UNION ALL
+        |  SELECT 2, 'near_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+        |  FROM surv JOIN tok USING (doc_id)
+        |  UNION ALL
+        |  SELECT 3, 'rebalance', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+        |  FROM samp JOIN tok USING (doc_id)
+        |  UNION ALL
+        |  SELECT 4, 'train_split', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT)
+        |  FROM tr JOIN tok USING (doc_id)
+        |)
+        |SELECT CAST(stage_order AS INT) AS stage_order, stage, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / i.n_input, 4) AS retained
+        |FROM stages CROSS JOIN inp i ORDER BY stage_order""".stripMargin,
 
     // Gopher-rule composition: quality scores + repetition scores joined,
     // three-way filter; column set = (doc_id, n_tokens, stopword_ratio,
@@ -3394,6 +3382,60 @@ object Oracles {
        |  SELECT CAST(unnest(generate_series(-1, 63)) AS BIGINT) AS b, 0.0 AS w
        |),
        |$iters""".stripMargin
+  }
+
+  /** Shared stage chain of the training pipeline (gopher gate → near-dup
+    * survivors → language rebalance → train split), used by the
+    * training-set replay and the stage-retention report so the two can
+    * never disagree on stage membership.
+    */
+  private def pipelineStageCtes: String = {
+    val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+    s"""q AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+      |    round(CAST($occ AS DOUBLE) /
+      |      greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1), 4)
+      |      AS stopword_ratio
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), shm AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE len(t) >= 3
+      |), r AS (
+      |  SELECT doc_id,
+      |    round(1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*), 4) AS rep_ratio
+      |  FROM shm GROUP BY doc_id
+      |), gopher AS (
+      |  SELECT q.doc_id FROM q JOIN r USING (doc_id)
+      |  WHERE q.n_tokens >= 30 AND q.stopword_ratio >= 0.01 AND r.rep_ratio <= 0.6
+      |), shc AS (
+      |  SELECT DISTINCT s.doc_id, s.sh FROM shm s JOIN gopher g ON s.doc_id = g.doc_id
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+      |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), dropped AS (
+      |  SELECT DISTINCT p.b AS doc_id
+      |  FROM pairs p JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+      |  WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+      |), surv AS (
+      |  SELECT g.doc_id FROM gopher g LEFT JOIN dropped d ON g.doc_id = d.doc_id
+      |  WHERE d.doc_id IS NULL
+      |), samp AS (
+      |  SELECT s.doc_id FROM surv s JOIN documents dd ON s.doc_id = dd.doc_id
+      |  WHERE ('0x' || substring(md5('sample:' || CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |    < (CASE WHEN dd.lang = 'en' THEN 5000 ELSE 10000 END)
+      |), tr AS (
+      |  SELECT doc_id FROM samp
+      |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+      |)""".stripMargin
   }
 
   /** LR scoring under the final GD weights (w3) — shared by the

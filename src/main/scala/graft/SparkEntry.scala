@@ -139,6 +139,8 @@ object SparkEntry {
     // rebalance -> train split -> sequence packing, one lazy plan
     "pipeline_training_set" -> ((s, dir) =>
       graft.ext.TrainingPipeline.trainingSet(docs(s, dir))),
+    "pipeline_stage_report" -> ((s, dir) =>
+      graft.ext.TrainingPipeline.stageReport(docs(s, dir))),
     // maxHamming=3 = the 4x16-bit banding's exactness radius (see Dedup)
     "dedup_simhash" -> ((s, dir) => Dedup.simhashCandidatePairs(docs(s, dir), 3)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),

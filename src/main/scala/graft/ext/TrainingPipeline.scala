@@ -82,6 +82,12 @@ object TrainingPipeline {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** The pipeline's intermediate frames, exposed for [[stageReport]]
+    * (doc-count/token observability) without forking the stage wiring.
+    */
+  private[graft] case class PipelineStages(clean: DataFrame,
+      surviving: DataFrame, sampled: DataFrame, train: DataFrame)
+
   def trainingSet(docs: DataFrame,
       minTokens: Long = 30, minStopwordRatio: Double = 0.01,
       maxRepRatio: Double = 0.6, dupThreshold: Double = 0.8,
@@ -90,6 +96,49 @@ object TrainingPipeline {
       maxTokens: Long = 512, warmFirst: Boolean = false): DataFrame = {
     if (warmFirst) preWarm(docs, minTokens, minStopwordRatio, maxRepRatio,
       dupThreshold, sampleFractions, trainPct, valPct, maxTokens)
+    val st = buildStages(docs, minTokens, minStopwordRatio, maxRepRatio,
+      dupThreshold, sampleFractions, trainPct, valPct)
+    TextAnalysis.packSequences(st.train, maxTokens)
+  }
+
+  /** Per-stage retention report — the curation-funnel observability a
+    * pipeline run ships alongside its output (how many docs/tokens each
+    * stage cut is the first question every data-recipe review asks).
+    * Five 1-row aggregates over the SAME cached stage frames
+    * [[trainingSet]] builds (shared [[buildStages]] wiring — the report
+    * can never disagree with the pipeline), unioned with a broadcast
+    * input total into `retained` fractions.
+    */
+  def stageReport(docs: DataFrame,
+      minTokens: Long = 30, minStopwordRatio: Double = 0.01,
+      maxRepRatio: Double = 0.6, dupThreshold: Double = 0.8,
+      sampleFractions: Map[String, Double] = Map("en" -> 0.5),
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val st = buildStages(docs, minTokens, minStopwordRatio, maxRepRatio,
+      dupThreshold, sampleFractions, trainPct, valPct)
+    def stat(order: Int, name: String, df: DataFrame): DataFrame =
+      df.select(TextAnalysis.tokenCount(col("text")).as("nt"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("nt")), lit(0L)).as("n_tokens"))
+        .select(lit(order).as("stage_order"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val stages = stat(0, "input", docs)
+      .unionAll(stat(1, "quality_gate", st.clean))
+      .unionAll(stat(2, "near_dedup", st.surviving))
+      .unionAll(stat(3, "rebalance", st.sampled))
+      .unionAll(stat(4, "train_split", st.train))
+    val inCnt = docs.agg(count(lit(1)).as("n_input"))
+    stages.crossJoin(broadcast(inCnt))
+      .select(col("stage_order"), col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("n_input"), 4).as("retained"))
+      .orderBy(col("stage_order"))
+  }
+
+  private def buildStages(docs: DataFrame,
+      minTokens: Long, minStopwordRatio: Double,
+      maxRepRatio: Double, dupThreshold: Double,
+      sampleFractions: Map[String, Double],
+      trainPct: Int, valPct: Int): PipelineStages = {
     // ONE hashed tokenize+shingle scan feeds BOTH the quality gate's
     // repetition metric and the dedup stage's signatures/verifier — the
     // two heaviest stages no longer scan the corpus independently
@@ -122,6 +171,6 @@ object TrainingPipeline {
       .filter(col("split") === "train")
       .drop("split")
       .cache()
-    TextAnalysis.packSequences(train, maxTokens)
+    PipelineStages(clean, surviving, sampled, train)
   }
 }

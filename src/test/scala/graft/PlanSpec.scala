@@ -146,6 +146,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("stage report: monotone funnel that agrees with the pipeline output") {
+    val docs = Queries.table(spark, sf, "documents")
+    val rows = graft.ext.TrainingPipeline.stageReport(docs).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("input", "quality_gate", "near_dedup", "rebalance", "train_split"))
+    val nd = rows.map(_.getLong(2))
+    assert(nd.zip(nd.tail).forall { case (a, b) => b <= a },
+      s"funnel must be non-increasing: ${nd.toSeq}")
+    assert(rows.head.getLong(2) == docs.count())
+    assert(rows.head.getDouble(4) == 1.0)
+    // the report's final stage counts EXACTLY the docs the pipeline emits
+    val pipeDocs = graft.ext.TrainingPipeline.trainingSet(docs)
+      .select("doc_id").distinct().count()
+    assert(rows.last.getLong(2) == pipeDocs)
+    spark.catalog.clearCache()
+  }
+
   test("warmFirst pre-warm is a semantic no-op (and leaves no cached residue)") {
     val docs = Queries.table(spark, sf, "documents")
     val plain = graft.ext.TrainingPipeline.trainingSet(docs).collect().toSeq
