@@ -163,6 +163,39 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("shard assignment: only the bounded stratum-offset window is single-partition") {
+    import org.apache.spark.sql.functions.col
+    val dt = Queries.table(spark, sf, "documents").select(col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val plan = planOf(graft.ext.TextAnalysis.shardAssign(dt, 8))
+    // the per-length rank window partitions by n_tokens (parallel); the
+    // ONE single-partition exchange is the <= distinct-lengths offsets
+    // frame — a corpus-wide single-partition sort would show a second
+    val single = "Exchange SinglePartition".r.findAllIn(plan).toSeq
+    assert(single.size <= 1, s"stratified rank must not globally sort\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("count-min: counter build is a map-side partial aggregate; sketch broadcasts into the query join") {
+    val docs = Queries.table(spark, sf, "documents")
+    val plan = planOf(graft.ext.TextAnalysis.countMinNgrams(docs))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // partial_count before the exchange = the sketch merge IS partial agg
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan.take(2000))
+  }
+
+  test("LR scoring: weights enter as a broadcast join, never a shuffle on the 65-row side") {
+    val docs = Queries.table(spark, sf, "documents")
+    val plan = planOf(graft.ext.TextAnalysis.lrPredict(docs))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("warmFirst pre-warm is a semantic no-op (and leaves no cached residue)") {
     val docs = Queries.table(spark, sf, "documents")
     val plain = graft.ext.TrainingPipeline.trainingSet(docs).collect().toSeq
