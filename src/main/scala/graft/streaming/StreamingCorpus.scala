@@ -637,6 +637,37 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming twin of [[graft.ext.TextAnalysis.shardBalanced]]: shard
+    * membership is a GLOBAL-rank property (every arriving batch shifts
+    * the serpentine), so verdicts are LATE-BOUND — batches land only the
+    * ~16 B/doc `(doc_id, n_tokens)` length record (replay-idempotent
+    * overwrite; text never lands), and [[shardView]] runs the batch
+    * assignment over everything landed. At full coverage the view IS the
+    * batch operator, by construction: the export step runs once, at
+    * close, against final ranks.
+    */
+  def shardIngest(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+            .write.mode("overwrite").parquet(s"$outDir/lens/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The batch serpentine assignment over [[shardIngest]]'s landed
+    * length zone (shared [[graft.ext.TextAnalysis.shardAssign]] core).
+    */
+  def shardView(spark: SparkSession, outDir: String,
+      shards: Int = 8): DataFrame =
+    TextAnalysis.shardAssign(
+      spark.read.parquet(s"$outDir/lens").select(col("doc_id"), col("n_tokens")),
+      shards)
+
   /** Streaming LR scoring against the frozen persisted classifier
     * ([[graft.ext.TextAnalysis.buildLrModel]]) — the [[lmScoreIngest]]/
     * [[dsirScoreIngest]] serving shape for the third model family:

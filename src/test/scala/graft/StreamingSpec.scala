@@ -1500,6 +1500,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hist.count() == 2)
   }
 
+  test("streaming shard assignment: view equals the batch serpentine at full coverage, across a restart") {
+    val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shard-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shard-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-shard-src").toString
+    all.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    def start() = graft.streaming.StreamingCorpus.shardIngest(
+      spark.readStream.schema(all.schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    all.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val dt = all.select(col("doc_id"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val exp = graft.ext.TextAnalysis.shardAssign(dt, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    val got = graft.streaming.StreamingCorpus.shardView(spark, outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got == exp, s"diverged on ${got.toSeq.diff(exp.toSeq).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming count-min: summed landed counters equal the batch sketch exactly across a restart") {
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
