@@ -1227,7 +1227,9 @@ object Oracles {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // retrieval eval: the BM25 replay scored against its own query
-    // sources (self-retrieval ground truth); self_rank 0 = top-k miss
+    // sources (self-retrieval ground truth); self_rank 0 = top-k miss;
+    // the panel caps at 200 queries (doc_id < 100*200) — fixed-size
+    // eval set, the engine's maxQueries discipline
     "retrieval_eval" ->
       """WITH tokens AS (
         |  SELECT doc_id, t[g.i] AS token, g.i AS pos
@@ -1244,7 +1246,8 @@ object Oracles {
         |    SELECT query_id, token, row_number() OVER
         |      (PARTITION BY query_id ORDER BY first_pos) AS rk
         |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
-        |          FROM tokens WHERE doc_id % 100 = 0 GROUP BY 1, 2))
+        |          FROM tokens WHERE doc_id % 100 = 0 AND doc_id < 20000
+        |          GROUP BY 1, 2))
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,

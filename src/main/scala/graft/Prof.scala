@@ -37,6 +37,19 @@ object Prof {
       time("a8_datefmt_only")(noop(ev.select(
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))))
     }
+    if (mode == "new8") {
+      // r8-session heavy queries: warm rep (JIT/codegen) then a timed rep,
+      // at whatever SPARK_GRAFT_SF_DIR points to — run at sf0.1 and
+      // sf1_cache to read off the 10x scaling ratio per query
+      for (n <- Seq("text_lr_predict", "retrieval_eval", "dedup_best_survivors",
+          "agg_countmin", "text_shards", "pipeline_stage_report")) {
+        val f = SparkEntry.queries(n)
+        time(s"${n}_warm")(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+        time(n)(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+      }
+    }
     if (mode == "kmeans" || mode == "all") {
       val emb = Queries.table(spark, sfDir, "embeddings")
       time("emb_count")(emb.count())

@@ -2347,7 +2347,8 @@ object TextAnalysis {
       queryTerms: Int = 4,
       topK: Int = 5,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxQueries: Int = Int.MaxValue): DataFrame = {
     val tokens = docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "token")))
@@ -2358,8 +2359,14 @@ object TextAnalysis {
     // N counts docs with at least one token — the indexed population
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
+    // maxQueries caps the derived set at a FIXED size: with the plain
+    // modulus the query count grows WITH the corpus while every query's
+    // postings also grow, so the scored join compounds super-linearly —
+    // a measured 8x at 10x data for the 16-term eval form. An eval set
+    // is a fixed panel, not a corpus-proportional one.
     val qtokens = tokens
-      .filter(col("doc_id") % queryEvery === 0)
+      .filter(col("doc_id") % queryEvery === 0 &&
+        col("doc_id") < queryEvery.toLong * maxQueries)
       .groupBy(col("doc_id").as("query_id"), col("token"))
       .agg(min(col("pos")).as("first_pos"))
       .withColumn("rk", row_number().over(
@@ -2408,12 +2415,18 @@ object TextAnalysis {
     * plus the corpus-wide MRR / recall@1 / recall@k broadcast onto every
     * row (the [[lengthBuckets]] reporting convention).
     *
-    * Scale shape: everything downstream of [[bm25TopK]] is
-    * queries×topK-sized; the summary is a broadcast scalar row.
+    * Scale shape: the eval panel is CAPPED at `maxQueries` (a fixed
+    * panel, not a corpus-proportional one — uncapped, query count grows
+    * with the corpus while each query's postings also grow, and the
+    * scored join compounds super-linearly: measured 8× at 10× data);
+    * everything downstream of [[bm25TopK]] is queries×topK-sized and the
+    * summary is a broadcast scalar row.
     */
   def retrievalEval(docs: DataFrame, queryEvery: Int = 100,
-      queryTerms: Int = 16, topK: Int = 10): DataFrame = {
-    val hits = bm25TopK(docs, queryEvery, queryTerms, topK)
+      queryTerms: Int = 16, topK: Int = 10,
+      maxQueries: Int = 200): DataFrame = {
+    val hits = bm25TopK(docs, queryEvery, queryTerms, topK,
+      maxQueries = maxQueries)
     val queries = hits.select(col("query_id")).distinct()
     val self = hits.filter(col("query_id") === col("doc_id"))
       .select(col("query_id"), col("rank").as("sr"))
