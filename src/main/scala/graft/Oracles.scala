@@ -1848,6 +1848,31 @@ object Oracles {
         |SELECT cluster, n_members, doc_id AS keep_doc, score AS keep_score
         |FROM members WHERE rn = 1 ORDER BY cluster""".stripMargin),
 
+    // one-row data card: every field from one per-doc frame; the quality
+    // mean is over the same round-4 score grid as text_quality_filter
+    "corpus_card" -> {
+      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+      s"""WITH per AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+        |    round(round(CAST($occ AS DOUBLE) /
+        |        greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1), 4)
+        |      - round(CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1), 4), 4) AS q,
+        |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 4) AS exact_dup_rate,
+        |  round(avg(q), 4) AS mean_quality,
+        |  round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+        |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_share
+        |FROM per""".stripMargin
+    },
+
     "corpus_clean" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -129,6 +129,7 @@ object SparkEntry {
     "corpus_profile" -> ((s, dir) =>
       graft.operators.DataQuality.profile(docs(s, dir),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "corpus_card" -> ((s, dir) => TextAnalysis.corpusCard(docs(s, dir))),
     // chi-square independence of the source × lang contingency grid
     "corpus_chi2" -> ((s, dir) =>
       graft.operators.DataQuality.chi2Independence(docs(s, dir))),

@@ -1485,6 +1485,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One-row corpus data card — the summary table a corpus release ships
+    * (HuggingFace dataset-card / Datasheets-for-Datasets practice): size,
+    * language/source spread, exact-duplicate burden, quality and length
+    * centers. Everything derives from ONE scan's per-doc frame plus a
+    * fingerprint distinct; emits a single wide row, so downstream diffing
+    * of two cards is a trivial join.
+    *
+    * Scale shape: one per-row map into two aggregates (the global
+    * summary and the countDistinct pair) — no joins, no windows; at
+    * 100 TB the scan dominates and parallelizes freely.
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      tokenCount(col("text")).as("nt"),
+      qualityScore.as("q"),
+      fingerprintCol(col("text")).as("fp"))
+    perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)), 4)
+        .as("exact_dup_rate"),
+      round(avg(col("q")), 4).as("mean_quality"),
+      round(expr("percentile(nt, 0.5)"), 4).as("p50_tokens"),
+      round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 4).as("en_share"))
+  }
+
+  /** The normalized-md5 fingerprint as a reusable Column (the
+    * [[fingerprint]] arithmetic without the frame wrapper).
+    */
+  private def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
+
   /** Hashed word-n-gram feature buckets (doc_id, b), one row per feature
     * occurrence: unigrams + bigrams through [[portableHash64]] mod
     * `buckets` — the DSIR feature space (Xie et al. 2022,

@@ -47,6 +47,23 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("corpus card: counts, dup rate, shares on a hand-built corpus") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world foo", "en", "s1"),
+      (2L, "hello world foo", "en", "s1"), // exact dup of 1
+      (3L, "aaa bbb", "de", "s2"),
+      (4L, "ccc ddd eee fff", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusCard(d).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 0.25)       // 1 - 3 distinct fps / 4 docs
+    assert(r.getDouble(6) == 3.0)        // median of [2,3,3,4]
+    assert(r.getDouble(7) == 0.5)        // en share
+    assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+  }
+
   test("whitened projection = PC / sqrt(lambda + eps) exactly; unit variance on the dominant axis") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
