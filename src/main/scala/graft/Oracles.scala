@@ -4017,6 +4017,22 @@ object Oracles {
     // replayed through the full 3-round unroll
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_segments" -> bpeSegmentsSql,
+    // per-doc token counts under the TRAINED merges: each doc's words
+    // join the vocabulary's post-merge segment counts
+    "text_encode_bpe" ->
+      (bpeCtes(3) + """,
+        |wsegs AS (
+        |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS segs
+        |  FROM seqs3
+        |), dwords AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(w.segs) AS BIGINT) AS n_bpe_tokens
+        |FROM dwords d JOIN wsegs w USING (word)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
     // BPE compression report: exact-integer totals over the full
     // post-merge vocabulary (the same 3-round unroll), one rounded ratio
     "text_bpe_coverage" ->

@@ -322,6 +322,7 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
     "text_bpe_coverage" -> ((s, dir) => TextAnalysis.bpeCompression(docs(s, dir))),
+    "text_encode_bpe" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir))),
     // character-entropy quality signal (low = filler, high = blobs)
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(docs(s, dir))),
     // Otsu auto-threshold over the quality-score histogram

@@ -568,6 +568,28 @@ object TextAnalysis {
           .as("compression"))
   }
 
+  /** Apply the trained merges to the CORPUS: per-doc token counts under
+    * the trained tokenizer — the number every token-budget, packing, and
+    * shard decision actually wants (the `\\S+`/regex counts are
+    * tokenizer-agnostic approximations; this is the real bill). The
+    * corpus collapses to the vocabulary for training, then each doc's
+    * words join the ≤vocab-row `(word, segs)` table — one word-keyed
+    * equi-join, no per-doc resegmentation. Docs with no `[a-z]+` word
+    * drop (they have no BPE tokens under this alphabet, by definition).
+    */
+  def bpeEncodeCounts(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, rounds)
+    val wordSegs = seqs.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("segs"))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(broadcast(wordSegs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("segs")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   private def bpeTrain(docs: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window

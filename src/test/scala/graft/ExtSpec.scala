@@ -85,6 +85,17 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(sd - 1.0) < 0.25, s"dominant-axis sd $sd should be ~1")
   }
 
+  test("doc-level BPE encode counts: corpus totals reconcile with the compression report") {
+    val enc = TextAnalysis.bpeEncodeCounts(docs)
+    val rep = TextAnalysis.bpeCompression(docs).collect()(0)
+    val tot = enc.agg(org.apache.spark.sql.functions.sum("n_words"),
+      org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0)
+    // per-doc counts summed over the corpus == the vocabulary-weighted
+    // totals: same trained merges, two routes to the same bill
+    assert(tot.getLong(0) == rep.getLong(1), "word occurrences must reconcile")
+    assert(tot.getLong(1) == rep.getLong(3), "BPE token totals must reconcile")
+  }
+
   test("BPE compression report: ratio > 1 and more merge rounds strictly help") {
     val r3 = TextAnalysis.bpeCompression(docs, rounds = 3).collect()(0)
     val r1 = TextAnalysis.bpeCompression(docs, rounds = 1).collect()(0)
