@@ -726,6 +726,26 @@ object Oracles {
         |FROM pairs p JOIN totals t USING (prev)
         |ORDER BY prev, next""".stripMargin,
 
+    // hour-of-week heatmap: dow/hour from INTEGER epoch-us arithmetic
+    // ((days+4) mod 7, 0=Sunday) — never the engines' calendar functions
+    "events_heatmap" ->
+      """WITH c AS (
+        |  SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS INT) AS dow,
+        |    CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour
+        |  FROM events
+        |), g AS (
+        |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total FROM g
+        |), d AS (
+        |  SELECT dow, CAST(sum(n) AS BIGINT) AS dn FROM g GROUP BY 1
+        |)
+        |SELECT g.dow, g.hour, g.n,
+        |  round(CAST(g.n AS DOUBLE) / t.total, 4) AS share,
+        |  round(CAST(g.n AS DOUBLE) / d.dn, 4) AS dow_share
+        |FROM g CROSS JOIN t JOIN d USING (dow)
+        |ORDER BY g.dow, g.hour""".stripMargin,
+
     // RFM segmentation: quartile-boundary compares (ties share a score),
     // monetary on the round-4 grid BEFORE the quantile, recency exact µs
     "events_rfm" ->

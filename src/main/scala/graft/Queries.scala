@@ -526,6 +526,44 @@ object Queries {
       .orderBy(col("prev"), col("next"))
   }
 
+  /** Hour-of-week activity heatmap: event volume per (day-of-week, hour)
+    * cell with corpus and within-day shares — the seasonality profile
+    * behind staffing dashboards, anomaly-baseline stratification, and
+    * batch-window placement.
+    *
+    * Determinism discipline: day-of-week and hour come from INTEGER
+    * epoch-microsecond arithmetic (`(days+4) mod 7`, 1970-01-01 being a
+    * Thursday; `dow` 0 = Sunday) — never the engines' calendar
+    * functions, whose week-start and zone conventions differ (Spark
+    * `dayofweek` is 1-based Sunday, DuckDB `dayofweek` 0-based; both
+    * engines see identical longs here).
+    *
+    * Scale shape: the scan collapses map-side to ≤168 cells; totals are
+    * a 1-row and a ≤7-row broadcast.
+    */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame =
+    heatmapFromEvents(events(spark, dir).select(col("ts")))
+
+  /** The cell math of [[eventsHeatmap]] over a `(ts)` frame — split out
+    * so specs can pin the epoch-arithmetic calendar on planted instants.
+    */
+  private[graft] def heatmapFromEvents(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(unix_micros(col("ts")).as("us"))
+      .select(
+        pmod(expr("us div 86400000000") + 4, lit(7)).cast("int").as("dow"),
+        pmod(expr("us div 3600000000"), lit(24)).cast("int").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("total"))
+    val byDow = cells.groupBy(col("dow")).agg(sum(col("n")).as("dn"))
+    cells.crossJoin(broadcast(tot))
+      .join(broadcast(byDow), Seq("dow"))
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"),
+        round(col("n").cast("double") / col("dn"), 4).as("dow_share"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   /** RFM (recency / frequency / monetary) user segmentation — the
     * classic behavioral-value grid: each user scored 1–4 on how recently
     * they acted, how often, and how much value they moved, concatenated

@@ -69,6 +69,7 @@ object SparkEntry {
     "events_transitions" -> ((s, dir) => Queries.eventsTransitions(s, dir)),
     "events_ewma" -> (Queries.eventsEwma _),
     "events_rfm" -> (Queries.eventsRfm _),
+    "events_heatmap" -> (Queries.eventsHeatmap _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),

@@ -242,6 +242,22 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("heatmap: epoch arithmetic pins Monday/Sunday cells and both share columns") {
+    import spark.implicits._
+    // 2024-01-01 was a Monday (dow 1); 2024-01-07 a Sunday (dow 0)
+    val ev = Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:30:00"),
+      java.sql.Timestamp.valueOf("2024-01-07 23:10:00"),
+      java.sql.Timestamp.valueOf("2024-01-07 23:50:00"))
+      .toDF("ts")
+    val got = Queries.heatmapFromEvents(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      (1, 0) -> ((1L, 0.3333, 1.0)),
+      (0, 23) -> ((2L, 0.6667, 1.0))), got)
+  }
+
   test("RFM: monotone users land on the diagonal segments 111..444") {
     import spark.implicits._
     def t(day: Int, i: Int) =
