@@ -1775,28 +1775,11 @@ object Oracles {
 
     // list_filter drops empty tokens (leading/trailing whitespace) to match
     // Spark's `token != ''` filter before shingling
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
-        |  WHERE len(t) >= 3
-        |), cnt AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT p.a, p.b, p.common, ca.n_sh AS n_a, cb.n_sh AS n_b,
-        |  round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
-        |FROM pairs p
-        |JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
-        |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
-        |ORDER BY p.a, p.b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // prefix filtering provably returns the SAME pairs as the quadratic
+    // all-shared-shingle join (completeness lemma in Dedup.scaladoc) —
+    // identical oracle
+    "dedup_prefix_jaccard" -> ngramJaccardSql,
 
     "q5_local_supplier" ->
       """SELECT n.n_name,
@@ -2683,6 +2666,63 @@ object Oracles {
     // and 1e-6-grid weights round-trip parquet exactly — same oracle
     "text_lr_persisted" -> lrPredictSql,
 
+    // ROC AUC via the Mann-Whitney rank-sum on the score histogram with
+    // the ½-per-tied-pair correction; every product is integers + exact
+    // halves so summation order can't perturb the double
+    "ml_eval_auc" ->
+      (lrEvalCtes + """,
+        |cum AS (
+        |  SELECT s4, n_pos, n_neg,
+        |    COALESCE(sum(n_neg) OVER (ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM s4h)
+        |SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(count(*) AS BIGINT) AS n_scores,
+        |  round(sum(n_pos * (neg_below + n_neg / 2.0)) /
+        |    (sum(n_pos) * sum(n_neg)), 6) AS auc
+        |FROM cum""".stripMargin),
+
+    // confusion-matrix sweep: threshold membership decided on the
+    // INTEGER s4/thr4 grid; zero-denominator ratios pin to 0 via
+    // greatest(_, 1) — no NULL/NaN forks
+    "ml_eval_thresholds" ->
+      (lrEvalCtes + """,
+        |grid AS (SELECT CAST(i AS BIGINT) * 500 AS thr4
+        |  FROM UNNEST(generate_series(1, 19)) AS g(i)),
+        |ct AS (
+        |  SELECT thr4,
+        |    CAST(sum(CASE WHEN s4 >= thr4 THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s4 >= thr4 THEN n_neg ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN s4 < thr4 THEN n_pos ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN s4 < thr4 THEN n_neg ELSE 0 END) AS BIGINT) AS tn
+        |  FROM s4h, grid GROUP BY 1)
+        |SELECT round(thr4 / 10000.0, 4) AS thr, tp, fp, fn, tn,
+        |  round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 4) AS prec,
+        |  round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 4) AS rec,
+        |  round((tp * 2.0) / greatest(tp * 2 + fp + fn, 1), 4) AS f1,
+        |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 4) AS acc
+        |FROM ct ORDER BY thr""".stripMargin),
+
+    // reliability bins: bin membership in integer arithmetic on s4, the
+    // mean from the exact integer sum(s4), gap differencing the two
+    // ROUNDED 4-decimal values
+    "ml_eval_calibration" ->
+      (lrEvalCtes + """,
+        |b AS (
+        |  SELECT least(CAST(floor((CAST(round(s * 10000) AS BIGINT) * 10)
+        |      / 10000.0) AS BIGINT), 9) AS bin,
+        |    CAST(round(s * 10000) AS BIGINT) AS s4, y
+        |  FROM scored),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(s4) / (count(*) * 10000.0), 4) AS mean_s,
+        |    round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS frac_pos
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, mean_s, frac_pos,
+        |  round(abs(frac_pos - mean_s), 4) AS gap
+        |FROM g ORDER BY bin""".stripMargin),
+
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE
     // pairing, overlap normalized by the SMALLER side's post-cap count
@@ -3377,6 +3417,36 @@ object Oracles {
     * sigmoid to 1e-7 and gradient/weights to 1e-6 — the exact grids the
     * engine's lrFitWeights uses, so both engines iterate identical state.
     */
+  /** Exact n-gram Jaccard pairs over distinct trigram shingles —
+    * list_filter drops empty tokens to match Spark's `token != ''`
+    * filter before shingling. Shared by the quadratic verifier row
+    * (`dedup_ngram_jaccard`) and the prefix-filtered production row
+    * (`dedup_prefix_jaccard`), which returns the same pairs by the
+    * completeness lemma.
+    */
+  private def ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS g(i)
+      |  WHERE len(t) >= 3
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.a, p.b, p.common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+      |  round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) AS jaccard
+      |FROM pairs p
+      |JOIN cnt ca ON p.a = ca.doc_id JOIN cnt cb ON p.b = cb.doc_id
+      |WHERE round(CAST(p.common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.common), 4) >= 0.8
+      |ORDER BY p.a, p.b""".stripMargin
+
   private def lrGdCtes: String = {
     val iters = (1 to 3).map { t =>
       val pw = if (t == 1) "w0" else s"w${t - 1}"
@@ -3486,10 +3556,10 @@ object Oracles {
       |)""".stripMargin
   }
 
-  /** LR scoring under the final GD weights (w3) — shared by the
-    * self-train and persisted-model rows.
+  /** The lrGdCtes chain extended with final-weight scoring (`pf`) — the
+    * common prefix of the predict rows and the eval-metric rows.
     */
-  private def lrPredictSql: String =
+  private def lrScoreCtes: String =
     lrGdCtes + """,
       |mf AS (
       |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
@@ -3498,10 +3568,34 @@ object Oracles {
       |  SELECT m.doc_id,
       |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM w3 WHERE b = -1)))), 7) AS p
       |  FROM mf m
-      |)
+      |)""".stripMargin
+
+  /** LR scoring under the final GD weights (w3) — shared by the
+    * self-train and persisted-model rows.
+    */
+  private def lrPredictSql: String =
+    lrScoreCtes + """
       |SELECT p.doc_id, round(p.p, 4) AS p, p.p >= 0.5 AS pred_en,
       |  dl.y = 1 AS is_en, (p.p >= 0.5) = (dl.y = 1) AS correct
       |FROM pf p JOIN dl USING (doc_id) ORDER BY p.doc_id""".stripMargin
+
+  /** The ModelEval (s, y) frame plus its per-distinct-score histogram —
+    * replays SparkEntry.lrScored feeding graft.ext.ModelEval: the
+    * 4-decimal LR probability as the score, the training label as y,
+    * and the integer s4 = round(s·10⁴) key all bin/threshold decisions
+    * run on (never double-vs-double comparisons).
+    */
+  private def lrEvalCtes: String =
+    lrScoreCtes + """,
+      |scored AS (
+      |  SELECT round(p.p, 4) AS s, dl.y AS y
+      |  FROM pf p JOIN dl USING (doc_id)
+      |), s4h AS (
+      |  SELECT CAST(round(s * 10000) AS BIGINT) AS s4,
+      |    CAST(sum(y) AS BIGINT) AS n_pos,
+      |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      |  FROM scored GROUP BY 1
+      |)""".stripMargin
 
   private val dsirWtsCte: String =
     """WITH toks AS (

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ext.{Dedup, FuzzyJoin, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, FuzzyJoin, ModelEval, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,16 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) =
     Queries.table(s, dir, "documents")
+
+  /** The (s, y) eval frame for the ModelEval rows: self-trained LR
+    * probabilities (already on the 4-decimal grid) vs the training
+    * label.
+    */
+  private def lrScored(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions.col
+    TextAnalysis.lrPredict(docs(s, dir))
+      .select(col("p").as("s"), col("is_en").cast("int").as("y"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -85,6 +95,11 @@ object SparkEntry {
     "dedup_exact_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir)).orderBy(col0("doc_id"))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), 0.8)),
+    // exact-Jaccard PRODUCTION path: prefix filtering (All-Pairs/SSJoin)
+    // meets docs only on their rarest shingles — same output as the
+    // quadratic verifier above (completeness lemma; shared oracle SQL),
+    // candidate work prefix-df² instead of df²
+    "dedup_prefix_jaccard" -> ((s, dir) => Dedup.prefixJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
     // incremental dedup against a PERSISTED fingerprint index: the corpus
@@ -239,6 +254,15 @@ object SparkEntry {
       }
       TextAnalysis.lrPredictFromModel(s, model, docs(s, dir))
     }),
+    // model EVALUATION tier (closes fit → persist → serve → EVAL): ROC
+    // AUC, confusion-matrix threshold sweep, and calibration bins over
+    // the self-trained LR scores. The corpus labels are noise-grade by
+    // construction (see lrPredict's honesty note), so these rows gate
+    // the METRIC arithmetic; that the metrics discriminate is asserted
+    // in ExtSpec on a separable corpus (AUC = 1, gap → 0 when calibrated)
+    "ml_eval_auc" -> ((s, dir) => ModelEval.binaryAuc(lrScored(s, dir))),
+    "ml_eval_thresholds" -> ((s, dir) => ModelEval.thresholdSweep(lrScored(s, dir))),
+    "ml_eval_calibration" -> ((s, dir) => ModelEval.calibrationBins(lrScored(s, dir))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     // Lee et al. 2022 exact-substring dedup, window-hash formulation:
     // maximal >=10-token runs duplicated anywhere in the corpus

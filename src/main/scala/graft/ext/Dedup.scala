@@ -131,6 +131,86 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Candidate pairs under PREFIX FILTERING (the SSJoin / All-Pairs
+    * lineage: Chaudhuri et al. ICDE'06 §4, Bayardo et al. WWW'07 §3):
+    * instead of meeting on EVERY shared shingle (Σ df² candidate work,
+    * [[ngramJaccardPairs]]'s generation cost), each document exposes only
+    * its prefix — the `|S| − ⌈t·|S|⌉ + 1` globally-RAREST shingles under
+    * the fixed (df asc, hash asc) total order — and pairs meet only on
+    * shared prefix shingles. Completeness (prefix-filter lemma): J ≥ t
+    * forces `|A∩B| ≥ ⌈t·max(|A|,|B|)⌉`, and two sets overlapping in ≥ α
+    * elements must collide within their `|S| − α + 1` prefixes under any
+    * common total order — our per-doc prefixes are supersets of those, so
+    * no qualifying pair is missed. The length filter (`min/max ≥ t`,
+    * itself implied by J ≥ t) prunes mismatched-size survivors.
+    *
+    * Float hygiene, both conservative-by-construction: the required
+    * overlap uses `ceil(t·|S| − 1e-9)` so binary-representation noise in
+    * `t·|S|` can only LENGTHEN the prefix (extra candidates, never a
+    * miss), and the length filter compares `round(min/max, 4) ≥ t` — an
+    * upper bound on the final gate's `round(J, 4)` since rounding is
+    * monotone and `J ≤ min/max` pointwise.
+    */
+  private[graft] def prefixJaccardCandidates(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // global document frequency — the rarity order every doc ranks by
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("sh"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val pref = ranked.join(counts, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    pref.select(col("doc_id").as("a"), col("sh"), col("n_sh").as("n_a"))
+      .join(pref.select(col("doc_id").as("b"), col("sh"), col("n_sh").as("n_b")),
+        Seq("sh"))
+      .filter(col("a") < col("b"))
+      .filter(round(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")), 4) >= threshold)
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs via prefix filtering — SAME OUTPUT as
+    * [[ngramJaccardPairs]] by the completeness lemma (the oracle row
+    * reuses that query's SQL verbatim), different candidate economics:
+    * generation joins only prefix shingles (the rarest few per doc), so
+    * the quadratic blow-up concentrates where it is provably needed. The
+    * verify stage recomputes the exact intersection over candidates'
+    * FULL shingle sets and applies the identical round-4 gate.
+    *
+    * Scale shape: df is one shingle-keyed aggregation; the rarity rank
+    * is a per-doc window (doc-sized partitions); candidate generation is
+    * an equi-join on prefix shingles whose per-key fan-out is prefix-df²
+    * — at a crawl-scale corpus this is the difference between joining on
+    * "the" (df ~ every doc) and joining on each doc's rarest trigrams.
+    * Verification touches only candidate pairs (semi-join shaped, two
+    * doc_id-keyed joins). At 100 TB this is the EXACT-join complement to
+    * [[minhashCandidatePairs]]: same sparse-join discipline, zero recall
+    * loss, for thresholds high enough that prefixes stay short.
+    */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(docs, n)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val cand = prefixJaccardCandidates(sh, threshold)
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Prime modulus (2^31 − 1) for the portable min-wise family: operands
     * stay < 2^31, so every product fits in a 64-bit signed int in BOTH
     * engines (DuckDB raises on BIGINT overflow — no wraparound there).

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation metrics over a scored corpus — the EVAL
+  * leg that closes the model lifecycle ([[TextAnalysis.lrModel]] fit →
+  * [[TextAnalysis.buildLrModel]] persist → [[TextAnalysis.lrPredictFromModel]]
+  * serve → evaluate HERE). Production pipelines gate every quality/langid
+  * model refresh on exactly these numbers before the new version's
+  * CURRENT flip.
+  *
+  * Input contract (all three operators): a frame with `s` — the model
+  * score as a DOUBLE already on the 4-decimal grid (every scorer in this
+  * library emits rounded scores: [[TextAnalysis.lrPredict]]'s `p`,
+  * [[TextAnalysis.nbPredict]]'s posterior) — and `y`, the 0/1 integer
+  * label.
+  *
+  * Scale shape (the deliberate design): the ONLY corpus-sized work in any
+  * of the three metrics is one map-side-combinable groupBy — either onto
+  * the score histogram (≤10,001 rows by construction: scores live on the
+  * 1e-4 grid in [0,1]) or onto the ≤`bins` calibration rows. Everything
+  * downstream (the rank-sum window, the threshold grid join) runs on that
+  * bounded frame, so a 100 TB scored corpus pays exactly one exchange of
+  * ≤10,001 rows past the partial aggregation. The single-partition window
+  * inside [[binaryAuc]] is the [[TextAnalysis.packSequences]]
+  * bounded-window class, never corpus-wide.
+  *
+  * Determinism: every per-row product `n_pos · (neg_below + n_neg/2)` is
+  * a sum of integers and exact halves — exactly representable in IEEE
+  * doubles at any realistic corpus size — so aggregation order cannot
+  * perturb the sum and the final `round(_, 6)` lands both engines on the
+  * same value. Threshold and bin membership are decided in INTEGER
+  * arithmetic on `s4 = round(s·10⁴)` (never `double >= double` on
+  * accumulated floats).
+  */
+object ModelEval {
+
+  /** The integer score key: scores are on the 1e-4 grid by contract, so
+    * `round(s·10⁴)` recovers the exact integer both engines agree on.
+    */
+  private def s4Col: Column = round(col("s") * 10000, 0).cast("long")
+
+  /** Per-distinct-score label counts `(s4, n_pos, n_neg)` — the one
+    * corpus-sized aggregation all three metrics reduce through. Bounded
+    * output: ≤10,001 rows for scores in [0,1].
+    */
+  private def histogram(scored: DataFrame): DataFrame =
+    scored.groupBy(s4Col.as("s4"))
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
+
+  /** ROC AUC by the Mann-Whitney rank-sum over the score histogram, with
+    * the standard tie correction (a tied positive/negative pair counts
+    * ½): `AUC = Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2) / (P·N)`.
+    * One row: `n_pos`, `n_neg`, `n_scores` (distinct score values),
+    * `auc` (6 decimals). Requires both classes present — callers
+    * evaluate real labeled corpora where that holds by construction.
+    */
+  def binaryAuc(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bounded single-partition window: ≤10,001 histogram rows by
+    // construction (see scaladoc) — the packSequences class, not a
+    // corpus-wide sort
+    val w = Window.orderBy(col("s4"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    histogram(scored)
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        round(sum(col("n_pos") * (col("neg_below") + col("n_neg") / 2.0)) /
+          (sum(col("n_pos")) * sum(col("n_neg"))), 6).as("auc"))
+  }
+
+  /** Confusion-matrix sweep over an evenly spaced threshold grid
+    * (`steps` thresholds at 0.05, 0.10, …): one row per threshold with
+    * the raw counts and the derived `prec`/`rec`/`f1`/`acc` (4
+    * decimals; zero-denominator cases pin to 0 via `greatest(_, 1)` —
+    * deterministic, no NULL/NaN forks between engines). The grid
+    * broadcasts into the bounded histogram, so the sweep costs nothing
+    * beyond the histogram's one exchange no matter how many thresholds.
+    */
+  def thresholdSweep(scored: DataFrame, steps: Int = 19): DataFrame = {
+    val spark = scored.sparkSession
+    val grid = spark.range(1, steps + 1L).select((col("id") * 500L).as("thr4"))
+    val tot = histogram(scored)
+      .crossJoin(broadcast(grid))
+      .groupBy(col("thr4"))
+      .agg(sum(when(col("s4") >= col("thr4"), col("n_pos")).otherwise(0L)).as("tp"),
+        sum(when(col("s4") >= col("thr4"), col("n_neg")).otherwise(0L)).as("fp"),
+        sum(when(col("s4") < col("thr4"), col("n_pos")).otherwise(0L)).as("fn"),
+        sum(when(col("s4") < col("thr4"), col("n_neg")).otherwise(0L)).as("tn"))
+    tot.select(
+        round(col("thr4") / 10000.0, 4).as("thr"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L)), 4)
+          .as("prec"),
+        round(col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)), 4)
+          .as("rec"),
+        round((col("tp") * 2.0) /
+          greatest(col("tp") * 2 + col("fp") + col("fn"), lit(1L)), 4).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 4).as("acc"))
+      .orderBy(col("thr"))
+  }
+
+  /** Reliability-diagram bins (the calibration half of an eval report):
+    * equal-width score bins `[i/bins, (i+1)/bins)` (top edge closed), per
+    * bin the doc count, mean predicted score, observed positive rate,
+    * and their absolute gap — the per-bin terms of expected calibration
+    * error. Bin membership is integer arithmetic on `s4` (exact), the
+    * mean comes from the exact integer `sum(s4)`, and `gap` subtracts
+    * the two ROUNDED 4-decimal values so both engines difference
+    * identical grid points.
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10): DataFrame = {
+    val binCol = least(floor((s4Col * bins) / 10000.0).cast("long"),
+      lit(bins - 1L))
+    scored
+      .groupBy(binCol.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(s4Col) / (count(lit(1)) * 10000.0), 4).as("mean_s"),
+        round(sum(col("y")).cast("double") / count(lit(1)), 4).as("frac_pos"))
+      .withColumn("gap", round(abs(col("frac_pos") - col("mean_s")), 4))
+      .orderBy(col("bin"))
+  }
+}

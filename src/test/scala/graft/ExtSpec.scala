@@ -47,6 +47,50 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bias == 0.0, s"bias $bias")
   }
 
+  test("model eval: AUC/thresholds/calibration discriminate and match hand math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // hand-built scored frame with known metrics: 3 positives at high
+    // scores, 3 negatives at low, one tied pair at 0.5 (one pos, one neg)
+    val scored = Seq(
+      (0.9, 1), (0.8, 1), (0.7, 1), (0.5, 1),
+      (0.5, 0), (0.3, 0), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    val auc = graft.ext.ModelEval.binaryAuc(scored).collect()(0)
+    assert(auc.getLong(0) == 4 && auc.getLong(1) == 4)
+    assert(auc.getLong(2) == 7) // 0.5 shared → 7 distinct scores
+    // rank-sum by hand: pos at .9/.8/.7 beat all 4 negs (12 pairs), the
+    // .5 positive beats 3 negs and ties 1 (3.5) → 15.5/16
+    assert(auc.getDouble(3) == 0.96875)
+    // perfectly separated frame → AUC exactly 1
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(graft.ext.ModelEval.binaryAuc(sep).collect()(0).getDouble(3) == 1.0)
+    // threshold sweep at 0.5 on the tied frame: >= keeps both 0.5 rows
+    val sweep = graft.ext.ModelEval.thresholdSweep(scored).collect()
+    assert(sweep.length == 19)
+    val t5 = sweep.find(_.getDouble(0) == 0.5).get
+    assert(t5.getLong(1) == 4 && t5.getLong(2) == 1 &&
+      t5.getLong(3) == 0 && t5.getLong(4) == 3)
+    assert(t5.getDouble(5) == 0.8 && t5.getDouble(6) == 1.0) // prec, rec
+    assert(t5.getDouble(8) == 0.875) // acc
+    // calibration: a perfectly calibrated bin has gap 0
+    val cal = graft.ext.ModelEval.calibrationBins(
+      Seq((0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)).toDF("s", "y")).collect()
+    assert(cal.length == 1 && cal(0).getLong(0) == 7)
+    assert(cal(0).getDouble(2) == 0.75 && cal(0).getDouble(3) == 0.75 &&
+      cal(0).getDouble(4) == 0.0)
+    // top-edge closure: s = 1.0 lands in the last bin, not bin 10
+    val edge = graft.ext.ModelEval.calibrationBins(
+      Seq((1.0, 1)).toDF("s", "y")).collect()
+    assert(edge(0).getLong(0) == 9)
+    // end-to-end discrimination: LR scores on the separable corpus from
+    // the GD test reach AUC 1 and a 0-gap calibration read
+    val d = (0L until 4L).map(i => (i, "good clean text here", "en")) ++
+      (4L until 8L).map(i => (i, "schnell braun fuchs springt", "de"))
+    val lrScores = TextAnalysis.lrPredict(d.toDF("doc_id", "text", "lang"))
+      .select(col("p").as("s"), col("is_en").cast("int").as("y"))
+    assert(graft.ext.ModelEval.binaryAuc(lrScores).collect()(0).getDouble(3) == 1.0)
+  }
+
   test("corpus card: counts, dup rate, shares on a hand-built corpus") {
     import spark.implicits._
     val d = Seq(
@@ -168,6 +212,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.nonEmpty, "testdata should contain planted near-dups")
     assert(exact.subsetOf(approx),
       s"missed pairs: ${exact.diff(approx)}")
+  }
+
+  test("prefix-filter jaccard equals the quadratic join exactly, on fewer candidates") {
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8).collect().map(_.toSeq)
+    val pref = Dedup.prefixJaccardPairs(docs, 0.8).collect().map(_.toSeq)
+    assert(exact.nonEmpty && exact.toSeq == pref.toSeq)
+    // the prefix join's candidate set is a strict subset of the
+    // all-shared-shingle candidate set on a corpus with common shingles
+    val sh = Dedup.shingles(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+    val allShared = sh.select(col("doc_id").as("a"), col("sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    val prefCand = Dedup.prefixJaccardCandidates(sh, 0.8).count()
+    sh.unpersist()
+    assert(prefCand < allShared,
+      s"prefix filtering should prune: $prefCand vs $allShared")
+    // and candidates still cover every qualifying pair (the lemma, on data)
+    val exactPairs = exact.map(r => (r(0), r(1))).toSet
+    val candPairs = Dedup.prefixJaccardCandidates(
+      Dedup.shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("sh")), 0.8)
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+    assert(exactPairs.subsetOf(candPairs))
   }
 
   test("minhash estimated jaccard tracks true jaccard within 0.2") {
