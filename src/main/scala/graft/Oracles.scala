@@ -4251,6 +4251,29 @@ object Oracles {
     "text_dsir_model" -> dsirWeightsSql,
     "text_dsir_select" -> dsirSelectSql,
     "corpus_diff" -> corpusDiffSql,
+    // SCD2: consecutive-repeat collapse via lag, then version/lead over
+    // the collapsed runs; half-open intervals, 9999-12-31 open sentinel
+    "events_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR event_type <> prev
+        |), hist AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(row_number() OVER w AS INT) AS version,
+        |    lead(ts) OVER w AS to_ts
+        |  FROM runs
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, version, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  COALESCE(strftime(to_ts, '%Y-%m-%d %H:%M:%S.%f'),
+        |    '9999-12-31 00:00:00.000000') AS valid_to,
+        |  to_ts IS NULL AS is_current
+        |FROM hist ORDER BY user_id, version""".stripMargin,
     "corpus_profile" -> corpusProfileSql,
 
     // equi-width histogram: floor of one double expression over exact

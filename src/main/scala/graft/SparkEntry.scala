@@ -141,6 +141,12 @@ object SparkEntry {
           .otherwise(col0("text")))
       graft.operators.DataQuality.snapshotDiff(oldSnap, newSnap)
     }),
+    // SCD Type-2 dimension build: each user's event_type change stream
+    // collapsed to effective-dated runs with version/is_current — the
+    // point-in-time table snapshotDiff's "what changed" complements with
+    // "what was true when"
+    "events_scd2" -> ((s, dir) => graft.operators.DataQuality.scd2History(
+      Queries.events(s, dir), "user_id", "event_type", "ts", "event_id")),
     // one-pass column profiling of the corpus table
     "corpus_profile" -> ((s, dir) =>
       graft.operators.DataQuality.profile(docs(s, dir),

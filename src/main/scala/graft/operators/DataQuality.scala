@@ -105,6 +105,52 @@ object DataQuality {
       .select(col(keyCol), col("status"))
       .orderBy(col(keyCol))
 
+  /** Slowly-changing-dimension Type 2 history build: collapse a keyed
+    * change stream into effective-dated dimension rows — one row per
+    * (key, attribute run) with `[valid_from, valid_to)` validity,
+    * a per-key `version` counter, and `is_current` on the open row. The
+    * warehouse-standard dimension shape ([[snapshotDiff]] answers "what
+    * changed between two snapshots"; this answers "what was true WHEN",
+    * the table an as-of join then serves point-in-time lookups from).
+    *
+    * Semantics: observations order per key by `(tsCol, tieCol)` (the
+    * tiebreak makes same-instant observations deterministic); consecutive
+    * repeats of the same attribute value collapse into one validity run
+    * (A,A,B,A → three rows, the second A a NEW run); the open row's
+    * `valid_to` is the 9999-12-31 sentinel, the closed row's is the next
+    * run's `valid_from` (half-open intervals — an as-of probe at exactly
+    * the change instant reads the NEW value).
+    *
+    * Scale shape: everything is per-key window work over one exchange on
+    * the key — the change-detection lag, the version counter, and the
+    * interval lead share the same (key, ts, tie) sort, so the plan is one
+    * shuffle + one sort regardless of history depth. Keys are plentiful
+    * (users/documents), so partitions stay balanced; no corpus-wide
+    * window anywhere.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val runs = changes
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col(attrCol) =!= col("_prev"))
+    // same window spec on the collapsed runs: version + interval end ride
+    // one WindowExec
+    val wr = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    runs
+      .withColumn("version", row_number().over(wr))
+      .withColumn("_to", lead(col(tsCol), 1).over(wr))
+      .select(col(keyCol), col("version"), col(attrCol),
+        date_format(col(tsCol), fmt).as("valid_from"),
+        coalesce(date_format(col("_to"), fmt),
+          lit("9999-12-31 00:00:00.000000")).as("valid_to"),
+        col("_to").isNull.as("is_current"))
+      .orderBy(col(keyCol), col("version"))
+  }
+
   /** One-pass column profiling: per-column null count, exact distinct
     * count, min and max (stringified so heterogeneous column types share
     * one report schema) plus the table row count. All columns fold into

@@ -467,6 +467,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("doc_id_not_null", 0L, 0L, true), ("doc_id_unique", 0L, 0L, true)))
   }
 
+  test("scd2History: runs collapse, re-entries reopen, half-open intervals chain") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: A,A,B,A — the repeat collapses, the re-entry is a NEW run;
+    // user 2: one observation stays open
+    val changes = Seq(
+      (1L, "A", t(1), 10L), (1L, "A", t(2), 11L),
+      (1L, "B", t(3), 12L), (1L, "A", t(4), 13L),
+      (2L, "X", t(5), 14L)).toDF("user_id", "event_type", "ts", "event_id")
+    val h = graft.operators.DataQuality
+      .scd2History(changes, "user_id", "event_type", "ts", "event_id").collect()
+    assert(h.length == 4)
+    val u1 = h.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(u1.map(_.getString(2)).toSeq == Seq("A", "B", "A"))
+    // intervals chain: each closed row's valid_to is the next valid_from
+    assert(u1(0).getString(4) == u1(1).getString(3))
+    assert(u1(1).getString(4) == u1(2).getString(3))
+    // only the last run per key is current, with the open sentinel
+    assert(u1.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
+    assert(u1(2).getString(4) == "9999-12-31 00:00:00.000000")
+    val u2 = h.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getBoolean(5))
+    // same-instant observations order deterministically by the tiebreak
+    val tie = Seq((3L, "P", t(1), 21L), (3L, "Q", t(1), 20L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ht = graft.operators.DataQuality
+      .scd2History(tie, "user_id", "event_type", "ts", "event_id").collect()
+    assert(ht.map(_.getString(2)).toSeq == Seq("Q", "P"))
+  }
+
   test("snapshotDiff classifies added/removed/changed by content, drops unchanged") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
