@@ -76,6 +76,59 @@ object Oracles {
       |)""".stripMargin
   }
 
+  /** Semantic-decontamination replay: the same 4 literal-plane LSH
+    * tables (seeds 42..45) bucketing BOTH the corpus and the benchmark
+    * split, in-bucket cross-set candidates, cosine verify at the round-6
+    * grid, then per-corpus-vec hit count + struct-max best match
+    * (row_number ORDER BY cos DESC, bench_id DESC ≡ Spark's
+    * max(struct(cos, bench_id))).
+    */
+  private def semContamSql: String = {
+    def bucketExpr(seed: Long): String =
+      graft.ext.Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+    val tables = (0 until 4).map { t =>
+      val seed = 42L + t
+      s"""ct$t AS (
+         |  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket FROM corp
+         |), bt$t AS (
+         |  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket FROM bench
+         |)""".stripMargin
+    }.mkString(", ")
+    val per = (0 until 4).map(t =>
+      s"SELECT c.vec_id AS a, b.vec_id AS bench_id FROM ct$t c JOIN bt$t b ON c.bucket = b.bucket")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH corp AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 <> 0
+       |), bench AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 23 = 0
+       |), $tables, cand AS (
+       |  SELECT DISTINCT a, bench_id FROM (
+       |    $per
+       |  )
+       |), ver AS (
+       |  SELECT c.a, c.bench_id,
+       |    round(list_cosine_similarity(
+       |      CAST(ca.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand c
+       |  JOIN corp ca ON c.a = ca.vec_id
+       |  JOIN bench be ON c.bench_id = be.vec_id
+       |), hits AS (
+       |  SELECT * FROM ver WHERE cos >= 0.3
+       |), best AS (
+       |  SELECT a, bench_id, cos,
+       |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, bench_id DESC) AS rn
+       |  FROM hits
+       |)
+       |SELECT b.a AS vec_id, n.n_hits, b.bench_id AS best_bench, b.cos AS best_cos
+       |FROM best b JOIN (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS n_hits FROM hits GROUP BY a) n
+       |  ON b.a = n.a
+       |WHERE b.rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   private val dupClustersSql: String =
     dupClustersCtes + "\n" +
     """SELECT node AS doc_id, min(lab) AS cluster
@@ -3929,6 +3982,7 @@ object Oracles {
     // the Bloom path is prefilter + EXACT verify: same result set as the
     // plain semi-join decontamination, so the correct oracle is identical
     "dedup_contamination_bloom" -> base("dedup_contamination"),
+    "dedup_semantic_contamination" -> semContamSql,
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     // scoring a corpus against its own persisted LM = the in-memory fit

@@ -411,6 +411,16 @@ object SparkEntry {
         d.filter(col0("doc_id") % 50 =!= 0),
         d.filter(col0("doc_id") % 50 === 0), 3, 0.1)
     }),
+    // SEMANTIC decontamination: every 23rd embedding plays the held-out
+    // benchmark; corpus vecs within cos>=0.3 of any benchmark vec flag,
+    // via 4 broadcast LSH tables — paraphrase-grade leakage the lexical
+    // rows above can't see
+    "dedup_semantic_contamination" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.semanticContamination(
+        e.filter(col0("vec_id") % 23 =!= 0),
+        e.filter(col0("vec_id") % 23 === 0))
+    }),
     // same semantics through the zero-shuffle Bloom prefilter + exact verify
     "dedup_contamination_bloom" -> ((s, dir) => {
       val d = docs(s, dir)

@@ -452,6 +452,54 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** SEMANTIC decontamination: corpus embeddings too close (cosine ≥
+    * `threshold`) to any held-out benchmark embedding — the
+    * embedding-level complement to the lexical tier below
+    * ([[contamination]] / [[contaminationFraction]] / Bloom): paraphrased
+    * or translated benchmark leakage shares no n-grams but sits next to
+    * the benchmark in embedding space (the "semantic contamination"
+    * check in modern training-data audits). One row per contaminated
+    * corpus vector: hit count, closest benchmark id and its cosine
+    * (struct-max — deterministic under ties).
+    *
+    * Scale shape: both sides bucket under the SAME `numTables`
+    * sign-random-projection tables ([[graft.ext.Similarity.lshBuckets]],
+    * seeds 42+t — a per-row map in the scan stage); the benchmark side is
+    * eval-set-sized by nature, so its bucketed projection BROADCASTS and
+    * the per-table candidate join is a map-side hash probe of the corpus
+    * scan — the corpus is never shuffled, let alone paired with itself.
+    * Cosine verification touches only bucket collisions. Recall is the
+    * standard LSH trade (more tables → more recall); near-exact copies
+    * (cos ≈ 1) collide in every table by construction — the case
+    * decontamination exists for.
+    */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.3, numPlanes: Int = 4, dim: Int = 64,
+      numTables: Int = 4): DataFrame = {
+    val cand = (0 until numTables).map { t =>
+      val seed = 42L + t
+      val c = Similarity.lshBuckets(corpus, numPlanes, dim, seed)
+        .select(col("vec_id").as("a"), col("bucket"))
+      val b = Similarity.lshBuckets(benchmark, numPlanes, dim, seed)
+        .select(col("vec_id").as("bench_id"), col("bucket"))
+      c.join(broadcast(b), Seq("bucket")).select(col("a"), col("bench_id"))
+    }.reduce(_ union _).distinct()
+    val ver = cand
+      .join(corpus.select(col("vec_id").as("a"), col("embedding").as("emb_a")),
+        Seq("a"))
+      .join(broadcast(benchmark.select(col("vec_id").as("bench_id"),
+        col("embedding").as("emb_b"))), Seq("bench_id"))
+      .select(col("a"), col("bench_id"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+    ver.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(struct(col("cos"), col("bench_id"))).as("m"))
+      .select(col("a").as("vec_id"), col("n_hits"),
+        col("m.bench_id").as("best_bench"), col("m.cos").as("best_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Benchmark-contamination check: corpus documents sharing at least
     * `minShared` DISTINCT word n-gram shingles with a probe set (eval
     * benchmarks, held-out test data) — the decontamination step training

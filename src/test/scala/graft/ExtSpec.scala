@@ -413,6 +413,37 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(1200))
   }
 
+  test("semantic contamination: exact copies always flag; no false positives vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val e = emb
+    val bench = e.filter(col("vec_id") % 23 === 0)
+    val corpus = e.filter(col("vec_id") % 23 =!= 0)
+    val flagged = Dedup.semanticContamination(corpus, bench).collect()
+    // a planted exact copy of a benchmark vector collides in EVERY LSH
+    // table (identical signs), so it must flag with cos 1.0
+    val copy = bench.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val benchId = bench.limit(1).collect()(0).getLong(0)
+    val planted = Dedup.semanticContamination(
+      corpus.select(col("vec_id"), col("embedding")).unionByName(copy), bench)
+      .collect().filter(_.getLong(0) >= 1000000L)
+    assert(planted.length == 1)
+    assert(planted(0).getLong(2) == benchId && planted(0).getDouble(3) == 1.0)
+    // verification makes the op precise: every flagged (vec, best) pair
+    // really is >= threshold under the exact cross-set cosine
+    val truth = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(bench.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .select(col("a"), col("b"),
+        org.apache.spark.sql.functions.round(
+          graft.ext.Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(truth.get((r.getLong(0), r.getLong(2))).contains(r.getDouble(3)))
+    }
+  }
+
   test("bloom_might_contain has no false negatives and passes nulls through") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
