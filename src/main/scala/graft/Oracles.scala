@@ -4328,6 +4328,33 @@ object Oracles {
         |    '9999-12-31 00:00:00.000000') AS valid_to,
         |  to_ts IS NULL AS is_current
         |FROM hist ORDER BY user_id, version""".stripMargin,
+    // point-in-time serve of the SCD2 dimension: per purchase, the run
+    // with the greatest (start ts, version) at or before the fact
+    // instant — DuckDB replays the as-of via a ranked interval join
+    "events_scd2_lookup" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR event_type <> prev
+        |), hist AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+        |      AS version
+        |  FROM runs
+        |), purch AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), matched AS (
+        |  SELECT p.event_id, p.user_id, p.ts, h.version, h.event_type,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY h.ts DESC, h.version DESC) AS rn
+        |  FROM purch p JOIN hist h ON p.user_id = h.user_id AND h.ts <= p.ts
+        |)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, version, event_type
+        |FROM matched WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "corpus_profile" -> corpusProfileSql,
 
     // equi-width histogram: floor of one double expression over exact

@@ -147,6 +147,21 @@ object SparkEntry {
     // "what was true when"
     "events_scd2" -> ((s, dir) => graft.operators.DataQuality.scd2History(
       Queries.events(s, dir), "user_id", "event_type", "ts", "event_id")),
+    // ...and the dimension SERVED: each purchase reads the version valid
+    // at its own instant through the as-of operator (one sort-merge
+    // pass), never a per-fact interval scan
+    "events_scd2_lookup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.date_format
+      val ev = Queries.events(s, dir)
+      val facts = ev.filter(col0("event_type") === "purchase")
+        .select(col0("event_id"), col0("user_id"), col0("ts"))
+      graft.operators.DataQuality.scd2Lookup(
+          facts, ev, "user_id", "event_type", "ts", "ts", "event_id")
+        .select(col0("event_id"), col0("user_id"),
+          date_format(col0("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+          col0("version"), col0("event_type"))
+        .orderBy(col0("event_id"))
+    }),
     // one-pass column profiling of the corpus table
     "corpus_profile" -> ((s, dir) =>
       graft.operators.DataQuality.profile(docs(s, dir),

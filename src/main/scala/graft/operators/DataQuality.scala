@@ -130,25 +130,54 @@ object DataQuality {
     */
   def scd2History(changes: DataFrame, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val runs = changes
-      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
-      .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(col("_prev").isNull || col(attrCol) =!= col("_prev"))
-    // same window spec on the collapsed runs: version + interval end ride
-    // one WindowExec
-    val wr = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    runs
-      .withColumn("version", row_number().over(wr))
-      .withColumn("_to", lead(col(tsCol), 1).over(wr))
+    scd2Runs(changes, keyCol, attrCol, tsCol, tieCol)
       .select(col(keyCol), col("version"), col(attrCol),
         date_format(col(tsCol), fmt).as("valid_from"),
         coalesce(date_format(col("_to"), fmt),
           lit("9999-12-31 00:00:00.000000")).as("valid_to"),
         col("_to").isNull.as("is_current"))
       .orderBy(col(keyCol), col("version"))
+  }
+
+  /** [[scd2History]]'s typed core: the collapsed runs with TIMESTAMP
+    * bounds (`tsCol` = run start, `_to` = next run's start or null) —
+    * shared with [[scd2Lookup]] so the serving path can never disagree
+    * with the emitted history.
+    */
+  private[graft] def scd2Runs(changes: DataFrame, keyCol: String,
+      attrCol: String, tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col(attrCol) =!= col("_prev"))
+      // same window spec on the collapsed runs: version + interval end
+      // ride one WindowExec
+      .withColumn("version", row_number().over(w))
+      .withColumn("_to", lead(col(tsCol), 1).over(w))
+  }
+
+  /** Point-in-time dimension lookup — the table [[scd2History]] BUILDS,
+    * served: each fact row joins the dimension version valid at its own
+    * timestamp. This is exactly an as-of join (per key, the LAST run
+    * starting ≤ the fact instant; exact matches included — the half-open
+    * interval convention), so it runs through
+    * [[graft.operators.AsOfJoin.asOfJoin]]'s one sort-merge pass instead
+    * of a per-fact interval scan: at 100 TB the fact stream and the
+    * (much smaller) run stream co-shuffle on the key once, and no
+    * range-predicate nested loop ever materializes. Same-instant runs
+    * resolve by the `version` tiebreak (the later observation wins, the
+    * half-open read).
+    */
+  def scd2Lookup(facts: DataFrame, changes: DataFrame, keyCol: String,
+      attrCol: String, factTs: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val runs = scd2Runs(changes, keyCol, attrCol, tsCol, tieCol)
+      .select(col(keyCol), col(attrCol), col(tsCol), col("version"))
+    graft.operators.AsOfJoin.asOfJoin(
+      facts, runs, keyCol, factTs, tsCol, Seq("version", attrCol), "version")
   }
 
   /** One-pass column profiling: per-column null count, exact distinct

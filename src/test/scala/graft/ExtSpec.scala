@@ -528,6 +528,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ht = graft.operators.DataQuality
       .scd2History(tie, "user_id", "event_type", "ts", "event_id").collect()
     assert(ht.map(_.getString(2)).toSeq == Seq("Q", "P"))
+    // point-in-time lookup: probes at the change instant read the NEW
+    // value (half-open), between changes the standing value, and a
+    // same-instant pair resolves to the later observation
+    val facts = Seq((100L, 1L, t(3)), (101L, 1L, t(2)), (102L, 3L, t(1)))
+      .toDF("fact_id", "user_id", "fts")
+    val lk = graft.operators.DataQuality
+      .scd2Lookup(facts, changes.unionByName(tie), "user_id", "event_type",
+        "fts", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(lk(100L) == "B") // at the A->B change instant: B
+    assert(lk(101L) == "A") // standing value between changes
+    assert(lk(102L) == "P") // same-instant runs: the later observation
   }
 
   test("snapshotDiff classifies added/removed/changed by content, drops unchanged") {
