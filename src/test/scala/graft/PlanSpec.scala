@@ -369,4 +369,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ranges = "Exchange rangepartitioning".r.findAllIn(plan).length
     assert(ranges <= 1, s"$ranges range exchanges\n${plan.take(3000)}")
   }
+
+  test("model eval: corpus reduces through ONE map-side-combined histogram groupBy") {
+    // all three metrics must show a partial_count/partial_sum before the
+    // exchange — the histogram is the only corpus-sized aggregation
+    Seq("ml_eval_auc", "ml_eval_thresholds", "ml_eval_calibration").foreach { n =>
+      val plan = planOf(SparkEntry.queries(n)(spark, sf))
+      assert(plan.contains("partial_"), s"$n\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$n\n${plan.take(2000)}")
+    }
+  }
+
+  test("semantic contamination: benchmark side broadcasts; corpus never self-joins") {
+    val plan = planOf(SparkEntry.queries("dedup_semantic_contamination")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // every non-broadcast join keys on a real column (bucket/vec_id) —
+    // a sort-merge self-join of the corpus would show embeddings on both
+    // sides of a SortMergeJoin; the corpus side appears exactly once per
+    // LSH table + once for verification, all probe-shaped
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("scd2: history is one per-key exchange; lookup adds only the as-of co-shuffle") {
+    val hist = planOf(SparkEntry.queries("events_scd2")(spark, sf))
+    // change-lag, version, and interval-lead share one (key, ts, tie)
+    // sort: exactly one hash exchange on the key plus the output range
+    // sort — a third exchange would mean the windows forked
+    val nEx = "\\(\\d+\\) Exchange".r.findAllIn(hist).length
+    assert(nEx == 2, s"$nEx exchanges\n${hist.take(3000)}")
+    val lookup = planOf(SparkEntry.queries("events_scd2_lookup")(spark, sf))
+    assert(!lookup.contains("CartesianProduct") &&
+      !lookup.contains("BroadcastNestedLoopJoin"), lookup.take(3000))
+  }
+
+  test("prefix jaccard: equi-joins only; candidate side never cartesian") {
+    val plan = planOf(SparkEntry.queries("dedup_prefix_jaccard")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
