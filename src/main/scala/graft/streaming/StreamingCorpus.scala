@@ -668,6 +668,39 @@ object StreamingCorpus {
       spark.read.parquet(s"$outDir/lens").select(col("doc_id"), col("n_tokens")),
       shards)
 
+  /** Streaming twin of [[graft.operators.DataQuality.scd2History]]. An
+    * SCD2 dimension is NOT append-only under late data: one late
+    * observation can split an existing run, renumber every later
+    * version, and move both interval bounds — so the twin lands the RAW
+    * change log (the minimal 4-column record, batch-id-keyed OVERWRITE:
+    * replays idempotent) and the dimension is a LATE-BOUND view, the
+    * batch build over everything landed. Equality with the batch
+    * operator at full coverage is structural (same code, same rows).
+    * The 100 TB posture is exactly this split: the change log is the
+    * cheap append-only thing to store; the dimension is derived, and
+    * deriving it costs one per-key window pass over the log.
+    */
+  def scd2Ingest(changes: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+            .write.mode("overwrite").parquet(s"$outDir/changes/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The dimension over [[scd2Ingest]]'s landed change log — the batch
+    * operator verbatim.
+    */
+  def scd2View(spark: SparkSession, outDir: String): DataFrame =
+    graft.operators.DataQuality.scd2History(
+      spark.read.parquet(s"$outDir/changes"),
+      "user_id", "event_type", "ts", "event_id")
+
   /** Streaming LR scoring against the frozen persisted classifier
     * ([[graft.ext.TextAnalysis.buildLrModel]]) — the [[lmScoreIngest]]/
     * [[dsirScoreIngest]] serving shape for the third model family:

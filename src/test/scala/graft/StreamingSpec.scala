@@ -1523,6 +1523,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("streaming scd2: late data rewrites history; view equals the batch dimension across a restart") {
+    val all = Queries.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scd2-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-scd2-src").toString
+    // batch 1: only odd event_ids — batch 2's evens include events EARLIER
+    // in event time, the history-rewriting late-arrival case
+    all.filter(col("event_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.scd2Ingest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val partial = graft.streaming.StreamingCorpus.scd2View(spark, outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    all.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val exp = graft.operators.DataQuality
+      .scd2History(all, "user_id", "event_type", "ts", "event_id")
+      .collect().map(_.toSeq)
+    val got = graft.streaming.StreamingCorpus.scd2View(spark, outDir)
+      .collect().map(_.toSeq)
+    assert(exp.nonEmpty && got.toSeq == exp.toSeq)
+    // the late batch really rewrote something (not just appended): some
+    // (key, version) slot changed its attribute between the two reads
+    val after = got.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(partial.exists { case (k, v) => after.get(k).exists(_ != v) },
+      "late data should have rewritten at least one version slot")
+  }
+
   test("streaming count-min: summed landed counters equal the batch sketch exactly across a restart") {
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
