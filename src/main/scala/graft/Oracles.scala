@@ -4201,6 +4201,50 @@ object Oracles {
         |FROM dwords d JOIN wsegs w USING (word)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
+    // per-language fertility: the encode bill grouped by lang, exact
+    // integer totals with one rounded tokens-per-word ratio
+    "text_bpe_fertility" ->
+      (bpeCtes(3) + """,
+        |wsegs AS (
+        |  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS segs
+        |  FROM seqs3
+        |), dwords AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |), bill AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(w.segs) AS BIGINT) AS n_bpe_tokens
+        |  FROM dwords d JOIN wsegs w USING (word)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(b.n_bpe_tokens) AS DOUBLE) / sum(b.n_words), 4)
+        |    AS fertility
+        |FROM bill b JOIN documents dd USING (doc_id)
+        |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin),
+
+    // concentration curve: exact integer per-source token sums, rank +
+    // running total over the bounded group frame, shares rounded to 6
+    "corpus_concentration" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(sum(tokens) AS BIGINT) AS t FROM g),
+        |r AS (
+        |  SELECT source, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens DESC, source) AS INT) AS rank,
+        |    CAST(sum(tokens) OVER (ORDER BY tokens DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM g
+        |)
+        |SELECT r.rank, r.source, r.tokens,
+        |  round(CAST(r.tokens AS DOUBLE) / t.t, 6) AS share,
+        |  round(CAST(r.cum AS DOUBLE) / t.t, 6) AS cum_share
+        |FROM r, t ORDER BY r.rank""".stripMargin,
+
     // BPE compression report: exact-integer totals over the full
     // post-merge vocabulary (the same 3-round unroll), one rounded ratio
     "text_bpe_coverage" ->

@@ -50,6 +50,19 @@ object Prof {
         Bench.sweep(spark)
       }
     }
+    if (mode == "new8b") {
+      // this session's new families: warm rep then timed, at
+      // SPARK_GRAFT_SF_DIR — run at sf0.1 and sf1_cache for the 10x ratio
+      for (n <- Seq("dedup_prefix_jaccard", "dedup_semantic_contamination",
+          "events_scd2", "events_scd2_lookup", "ml_eval_auc",
+          "ml_eval_thresholds", "ml_eval_calibration")) {
+        val f = SparkEntry.queries(n)
+        time(s"${n}_warm")(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+        time(n)(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+      }
+    }
     if (mode == "kmeans" || mode == "all") {
       val emb = Queries.table(spark, sfDir, "embeddings")
       time("emb_count")(emb.count())

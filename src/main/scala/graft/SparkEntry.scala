@@ -369,6 +369,12 @@ object SparkEntry {
     "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
     "text_bpe_coverage" -> ((s, dir) => TextAnalysis.bpeCompression(docs(s, dir))),
     "text_encode_bpe" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir))),
+    // tokenizer fertility per language (BPE tokens per word): the
+    // multilingual-equity read off the encode bill
+    "text_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(docs(s, dir))),
+    // token-volume concentration curve over sources (n50/n90 governance)
+    "corpus_concentration" -> ((s, dir) =>
+      TextAnalysis.corpusConcentration(docs(s, dir))),
     // character-entropy quality signal (low = filler, high = blobs)
     "text_entropy" -> ((s, dir) => TextAnalysis.charEntropy(docs(s, dir))),
     // Otsu auto-threshold over the quality-score histogram

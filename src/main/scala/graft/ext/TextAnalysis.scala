@@ -590,6 +590,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language tokenizer FERTILITY under the trained merges — BPE
+    * tokens per word, the standard multilingual-tokenizer-equity metric
+    * (a language with fertility 2× the corpus mean pays twice the
+    * sequence length for the same text, so its effective context and
+    * per-token training signal halve). Exact integer word/token totals
+    * per language with ONE rounded ratio at the end; the per-doc bill
+    * ([[bpeEncodeCounts]]) collapses to ≤langs rows, so the report adds
+    * one broadcast-sized aggregation to the encode pass.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int = 3): DataFrame =
+    bpeEncodeCounts(docs, rounds)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy(col("lang"))
+
+  /** Corpus concentration curve: groups (sources/domains) ranked by
+    * token volume with per-group and CUMULATIVE shares — the
+    * release-audit view behind "how much of this corpus is the top k
+    * feeds" (data-mixture governance reads n50/n90 straight off
+    * `cum_share`; a near-vertical curve means a dedup bug or a crawl
+    * feed monopolizing the mix). Shares divide exact integer token sums
+    * by the exact total, rounded to 6.
+    *
+    * Scale shape: the corpus reduces through one map-side-combined
+    * groupBy to ≤|groups| rows; the rank/cumulative window runs on that
+    * bounded frame (the packSequences single-partition class — sources
+    * and domains number in the thousands, never corpus-sized), and the
+    * 1-row total rides a broadcast crossJoin.
+    */
+  def corpusConcentration(docs: DataFrame,
+      groupCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.groupBy(col(groupCol))
+      .agg(sum(tokenCount(col("text"))).as("tokens"))
+    val tot = g.agg(sum(col("tokens")).as("t"))
+    val w = Window.orderBy(col("tokens").desc, col(groupCol))
+    g.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("rank"), col(groupCol), col("tokens"),
+        round(col("tokens").cast("double") / col("t"), 6).as("share"),
+        round(col("cum_tokens").cast("double") / col("t"), 6).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
   private def bpeTrain(docs: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window

@@ -140,6 +140,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tot.getLong(1) == rep.getLong(3), "BPE token totals must reconcile")
   }
 
+  test("fertility reconciles with the encode bill; concentration curve closes at 1") {
+    import org.apache.spark.sql.functions.col
+    val fert = TextAnalysis.bpeFertility(docs).collect()
+    val bill = TextAnalysis.bpeEncodeCounts(docs)
+      .agg(org.apache.spark.sql.functions.sum(col("n_bpe_tokens")),
+        org.apache.spark.sql.functions.sum(col("n_words"))).collect()(0)
+    assert(fert.map(_.getLong(3)).sum == bill.getLong(0)) // tokens reconcile
+    assert(fert.map(_.getLong(2)).sum == bill.getLong(1)) // words reconcile
+    assert(fert.forall(r => r.getDouble(4) >= 1.0)) // segs >= 1 per word
+    val conc = TextAnalysis.corpusConcentration(docs).collect()
+    assert(conc.map(_.getInt(0)).toSeq == (1 to conc.length)) // dense ranks
+    // token volumes non-increasing in rank order; cumulative share closes
+    // at exactly 1
+    assert(conc.map(_.getLong(2)).toSeq.sliding(2).forall(s => s.head >= s.last))
+    assert(conc.last.getDouble(4) == 1.0)
+    assert(conc.map(_.getDouble(3)).toSeq.forall(s => s > 0 && s < 1))
+  }
+
   test("BPE compression report: ratio > 1 and more merge rounds strictly help") {
     val r3 = TextAnalysis.bpeCompression(docs, rounds = 3).collect()(0)
     val r1 = TextAnalysis.bpeCompression(docs, rounds = 1).collect()(0)
