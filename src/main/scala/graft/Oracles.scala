@@ -2176,6 +2176,34 @@ object Oracles {
     // hash per shingle, 32 affine views (a_i·h+b_i mod P), 8 bands × 4
     // rows expressed as 8 equi-joins — candidate generation and estimated
     // Jaccard replicated exactly
+    // source-level vocabulary MinHash: same portable min-wise family,
+    // word-set granularity, bounded |sources|² pair matrix
+    "dedup_source_similarity" -> {
+      val p = graft.ext.Dedup.MinhashP
+      val sigCols = graft.ext.Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"min(($a * h + $b) % $p) AS mh_$i" }
+        .mkString(",\n    ")
+      val matches = (0 until 32)
+        .map(i => s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH words AS (
+        |  SELECT source AS g,
+        |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> x <> '')) AS word
+        |  FROM documents
+        |), hashed AS (
+        |  SELECT g, ('0x' || substring(md5(word), 1, 15))::BIGINT % $p AS h
+        |  FROM words
+        |), sig AS (
+        |  SELECT g,
+        |    $sigCols
+        |  FROM hashed GROUP BY g
+        |)
+        |SELECT sa.g AS a, sb.g AS b,
+        |  round(($matches) / 32.0, 4) AS est_jaccard
+        |FROM sig sa JOIN sig sb ON sa.g < sb.g
+        |ORDER BY a, b""".stripMargin
+    },
+
     "dedup_minhash" -> {
       val p = graft.ext.Dedup.MinhashP
       val sigCols = graft.ext.Dedup.minhashCoeffs(32).zipWithIndex

@@ -63,6 +63,34 @@ object Prof {
         Bench.sweep(spark)
       }
     }
+    if (mode == "pj") {
+      // prefix-jaccard stage anatomy at SPARK_GRAFT_SF_DIR
+      import org.apache.spark.sql.functions.{col, count, lit, xxhash64, ceil, countDistinct}
+      val docs = Queries.table(spark, sfDir, "documents")
+      val sh = graft.ext.Dedup.shingles(docs)
+        .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
+      println(s"PROF pj shingle_rows=${sh.count()}")
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      println(s"PROF pj vocab=${dfreq.count()}")
+      val top = dfreq.orderBy(col("df").desc).limit(5).collect()
+        .map(r => r.getLong(1)).mkString(",")
+      println(s"PROF pj top_df=$top")
+      val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val pref = sh.join(dfreq, Seq("sh")).join(counts, Seq("doc_id"))
+        .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("sh"))))
+        .filter(col("pos") <= col("n_sh") - ceil(lit(0.8) * col("n_sh") - lit(1e-9)) + 1)
+      println(s"PROF pj prefix_rows=${pref.count()}")
+      val prefDf = pref.groupBy(col("sh")).agg(count(lit(1)).as("pdf"))
+      val work = prefDf.agg(org.apache.spark.sql.functions.sum(col("pdf") * col("pdf")))
+        .collect()(0).getLong(0)
+      println(s"PROF pj candidate_work=$work")
+      val cand = graft.ext.Dedup.prefixJaccardCandidates(sh, 0.8)
+      println(s"PROF pj candidates=${cand.count()}")
+      time("pj_full")(noop(graft.ext.Dedup.prefixJaccardPairs(docs, 0.8)))
+      sh.unpersist()
+    }
     if (mode == "kmeans" || mode == "all") {
       val emb = Queries.table(spark, sfDir, "embeddings")
       time("emb_count")(emb.count())

@@ -101,6 +101,9 @@ object SparkEntry {
     // candidate work prefix-df² instead of df²
     "dedup_prefix_jaccard" -> ((s, dir) => Dedup.prefixJaccardPairs(docs(s, dir), 0.8)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
+    // crawl-feed cartography: vocabulary MinHash per source, estimated
+    // Jaccard for every feed pair — "is src7 just src3 relabeled?"
+    "dedup_source_similarity" -> ((s, dir) => Dedup.sourceSimilarity(docs(s, dir))),
     "dedup_pipeline" -> ((s, dir) => Dedup.nearDupPipeline(docs(s, dir), 0.8)),
     // incremental dedup against a PERSISTED fingerprint index: the corpus
     // (doc_id%5!=0) is fingerprinted once into a versioned index; the

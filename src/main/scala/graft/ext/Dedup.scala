@@ -162,13 +162,30 @@ object Dedup {
     val pref = ranked.join(counts, Seq("doc_id"))
       .filter(col("pos") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("sh"), col("n_sh"))
-    pref.select(col("doc_id").as("a"), col("sh"), col("n_sh").as("n_a"))
-      .join(pref.select(col("doc_id").as("b"), col("sh"), col("n_sh").as("n_b")),
-        Seq("sh"))
+      .select(col("doc_id"), col("sh"), col("pos"), col("n_sh"))
+    pref.select(col("doc_id").as("a"), col("sh"),
+        col("pos").as("pos_a"), col("n_sh").as("n_a"))
+      .join(pref.select(col("doc_id").as("b"), col("sh"),
+        col("pos").as("pos_b"), col("n_sh").as("n_b")), Seq("sh"))
       .filter(col("a") < col("b"))
+      // length filter: J >= t forces min/max >= t
       .filter(round(least(col("n_a"), col("n_b")).cast("double") /
         greatest(col("n_a"), col("n_b")), 4) >= threshold)
+      // POSITIONAL filter (PPJoin, Xiao et al. WWW'08 §3.1): a shared
+      // element at ranks (pos_a, pos_b) bounds the whole intersection —
+      // every common element sorts at-or-after it in the shared global
+      // order, so |A∩B| ≤ 1 + min(n_a − pos_a, n_b − pos_b); J ≥ t needs
+      // |A∩B| ≥ t(n_a+n_b)/(1+t). Keeping a pair when ANY of its shared
+      // prefix entries passes is a relaxation of PPJoin's accumulated
+      // form, so completeness holds; for a qualifying pair the
+      // smallest-df common element is in both prefixes and passes by the
+      // bound above. This is the filter that tames TEMPLATED corpora —
+      // mutated near-copies sharing many sub-threshold shingles generate
+      // their candidates only through late-prefix collisions, exactly
+      // the entries this prunes.
+      .filter((lit(1) + least(col("n_a") - col("pos_a"),
+          col("n_b") - col("pos_b"))).cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9))
       .select(col("a"), col("b")).distinct()
   }
 
@@ -194,15 +211,25 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val sh = shingles(docs, n)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val cand = prefixJaccardCandidates(sh, threshold)
-    val common = cand
-      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("doc_id").as("a"), col("n_sh").as("n_a")), Seq("a"))
-      .join(counts.select(col("doc_id").as("b"), col("n_sh").as("n_b")), Seq("b"))
+    // verify on PACKED sets, not a pair×shingle join-aggregate: each doc's
+    // distinct shingle hashes collapse once into one sorted array, and
+    // every candidate pair costs ONE row carrying two ~n·8-byte arrays
+    // through `array_intersect` (codegen'd). The join-aggregate form
+    // shuffles |cand|·n̄ rows — measured 227 s vs this at sf1 on a
+    // templated corpus where candidates number in the millions; the
+    // array form moves ~1/n̄ the rows for the same exact answer
+    // (arrays hold DISTINCT hashes, so intersect size = |A∩B| exactly).
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("shs_a"),
+        col("n_sh").as("n_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("shs_b"),
+        col("n_sh").as("n_b")), Seq("b"))
+      .withColumn("common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")), 4))
@@ -244,6 +271,47 @@ object Dedup {
     val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"mh_$i") }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Crawl-feed cartography: estimated VOCABULARY Jaccard between every
+    * pair of sources, via source-level MinHash over word sets (the same
+    * portable min-wise family as [[minhashSignatures]], different
+    * granularity: the set is "words this feed uses", not "shingles this
+    * doc contains"). Two feeds with est_jaccard ≈ 1 are the same crawl
+    * arriving twice under different labels — the mixture-governance
+    * check run before weighting sources independently.
+    *
+    * Scale shape: the corpus reduces through ONE map-side-combined
+    * groupBy to a `|sources| × k` signature table (min over a multiset
+    * equals min over the set, so no distinct shuffle); the pair matrix
+    * is a broadcast self-cross of that bounded table — thousands of
+    * sources means ~10⁶ cheap integer-compare rows, nowhere near corpus
+    * cost. Past ~10⁴ sources, reuse [[minhashBands]] on these signatures
+    * to prune the matrix to near-duplicate feeds only.
+    */
+  def sourceSimilarity(docs: DataFrame, groupCol: String = "source",
+      numHashes: Int = 32): DataFrame = {
+    val hashed = docs
+      .select(col(groupCol).as("g"),
+        explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("g"),
+        (graft.ext.TextAnalysis.portableHash64(col("word")) % MinhashP).as("h"))
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"mh_$i") }
+    val sig = hashed.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+    val sigA = sig.select(col("g").as("a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val sigB = sig.select(col("g").as("b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    sigA.crossJoin(broadcast(sigB))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** LSH banding: split the signature into `bands` groups of `rowsPerBand`

@@ -222,6 +222,24 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"spread ${per.max - per.min} vs max doc $maxDoc")
   }
 
+  test("source similarity: identical feeds score exactly 1, disjoint feeds near 0") {
+    import spark.implicits._
+    // two sources with identical vocabularies, one disjoint
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "feedA"),
+      (2L, "zeta epsilon delta gamma beta alpha", "en", "feedB"),
+      (3L, "uno dos tres cuatro cinco seis", "es", "feedC"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sim = Dedup.sourceSimilarity(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(sim.size == 3)
+    assert(sim(("feedA", "feedB")) == 1.0) // same word SET -> same signature
+    assert(sim(("feedA", "feedC")) < 0.5 && sim(("feedB", "feedC")) < 0.5)
+    // real corpus: full C(n,2) matrix comes back
+    val n = docs.select("source").distinct().count()
+    assert(Dedup.sourceSimilarity(docs).count() == n * (n - 1) / 2)
+  }
+
   test("minhash candidates recover every true near-dup pair (recall=1 at J>=0.8)") {
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
