@@ -1971,6 +1971,25 @@ object Oracles {
         |JOIN embeddings eb ON c.b = eb.vec_id
         |ORDER BY cos DESC, a, b LIMIT 20""".stripMargin,
 
+    // bitext mining: the shared LSH candidate CTEs + cosine verify, then
+    // the language join and cross-language + cosine gates
+    "dedup_bitext_pairs" ->
+      s"""WITH $embLshCandCtes,
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |)
+        |SELECT s.a, s.b, da.lang AS lang_a, db.lang AS lang_b, s.cos
+        |FROM scored s
+        |JOIN documents da ON s.a = da.doc_id
+        |JOIN documents db ON s.b = db.doc_id
+        |WHERE s.cos >= 0.4 AND da.lang <> db.lang
+        |ORDER BY s.a, s.b""".stripMargin,
+
     // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
     // per-src top-4 by (rounded cos DESC, dst), then 3 damped power
     // steps with dangling redistribution — every per-step rank rounds

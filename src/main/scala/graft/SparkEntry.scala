@@ -191,6 +191,11 @@ object SparkEntry {
     // cosine verify (the cross-join form above is its quadratic verifier)
     "dedup_embedding_pipeline" -> ((s, dir) =>
       Dedup.embeddingTopPairsBucketed(emb(s, dir), 20)),
+    // bitext mining: cross-LANGUAGE near-identical embeddings are
+    // translation-pair candidates (vec_id aligns with doc_id in the
+    // testdata, so the language join is direct)
+    "dedup_bitext_pairs" -> ((s, dir) =>
+      Dedup.bitextPairs(emb(s, dir), docs(s, dir))),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     // MRL prefix-truncated scoring (16 of 64 dims): the serving-cost dial

@@ -926,6 +926,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .orderBy(col("a"), col("b"))
 
+  /** Cross-lingual BITEXT mining (the CCMatrix/LASER recipe, Schwenk et
+    * al. 2021, arXiv:1911.04944): documents whose embeddings sit nearly
+    * on top of each other but whose LANGUAGES differ are translation-pair
+    * candidates — the operator that turns a multilingual crawl into
+    * parallel training data for MT / cross-lingual alignment. Same
+    * bucketed LSH candidate machinery as [[embeddingNearDups]] (this is
+    * deliberate: mining IS near-dup search with the same-language pairs
+    * inverted away), then a doc_id-keyed language join and the
+    * cross-language + cosine gates. Production refinement: replace the
+    * absolute cosine gate with the margin score (cos normalized by each
+    * side's mean k-NN cos) — same plan shape with a per-id aggregate
+    * joined in.
+    *
+    * Scale shape: candidates come LSH-bucketed (never corpus²), the
+    * language frame joins on the candidate's own keys, and every gate is
+    * a per-row filter — the language join adds two doc_id-keyed hash
+    * joins over candidate-sized input.
+    */
+  def bitextPairs(emb: DataFrame, docs: DataFrame, threshold: Double = 0.4,
+      numPlanes: Int = 4, dim: Int = 64, numTables: Int = 2): DataFrame = {
+    val langs = docs.select(col("doc_id"), col("lang"))
+    embeddingCandidatePairs(emb, numPlanes, dim, numTables)
+      .filter(col("cos") >= threshold)
+      .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), Seq("a"))
+      .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), Seq("b"))
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(col("a"), col("b"), col("lang_a"), col("lang_b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Top-k most similar candidate pairs through the bucketed pipeline —
     * the registered bench/oracle form (testdata has no planted near-dups,
     * so a threshold query would be vacuous there).

@@ -449,6 +449,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       plan.take(1200))
   }
 
+  test("bitext mining: planted cross-lingual twin flags at cos 1; same-language twins never do") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two identical vectors across languages (the planted translation),
+    // two identical vectors within one language (must be inverted away),
+    // plus an unrelated vector
+    val v1 = Array.fill(64)(0.5f); val v2 = Array.tabulate(64)(i => if (i % 2 == 0) 0.9f else -0.4f)
+    val e = Seq((0L, v1), (1L, v1), (2L, v2), (3L, v2), (4L, Array.tabulate(64)(i => (i - 32) / 32.0f)))
+      .toDF("vec_id", "embedding")
+    val d = Seq((0L, "hello world", "en"), (1L, "hallo welt", "de"),
+      (2L, "same lang a", "en"), (3L, "same lang b", "en"),
+      (4L, "loner", "fr")).toDF("doc_id", "text", "lang")
+    val out = Dedup.bitextPairs(e, d, 0.9).collect()
+    assert(out.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+      r.getDouble(4) == 1.0 && r.getString(2) == "en" && r.getString(3) == "de"))
+    assert(!out.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L),
+      "same-language twins must be inverted away")
+    // real corpus: every emitted pair is cross-language at or above gate
+    val real = Dedup.bitextPairs(emb, docs).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getString(2) != r.getString(3) && r.getDouble(4) >= 0.4))
+  }
+
   test("semantic contamination: exact copies always flag; no false positives vs brute force") {
     import org.apache.spark.sql.functions.col
     val e = emb
