@@ -1990,6 +1990,39 @@ object Oracles {
         |WHERE s.cos >= 0.4 AND da.lang <> db.lang
         |ORDER BY s.a, s.b""".stripMargin,
 
+    // margin-normalized bitext: per-id mean of top-8 candidate cosines
+    // (rank window, neighbor-id tiebreak, round 6), margin = cos over
+    // the endpoint-mean, round 4
+    "dedup_bitext_margin" ->
+      s"""WITH $embLshCandCtes,
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |), sym AS (
+        |  SELECT a AS id, b AS nb, cos FROM scored
+        |  UNION ALL SELECT b, a, cos FROM scored
+        |), ranked AS (
+        |  SELECT id, cos,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rn
+        |  FROM sym
+        |), mu AS (
+        |  SELECT id, round(avg(cos), 6) AS mu FROM ranked WHERE rn <= 8 GROUP BY id
+        |), m AS (
+        |  SELECT s.a, s.b, s.cos,
+        |    round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) AS margin
+        |  FROM scored s JOIN mu ma ON s.a = ma.id JOIN mu mb ON s.b = mb.id
+        |)
+        |SELECT m.a, m.b, da.lang AS lang_a, db.lang AS lang_b, m.cos, m.margin
+        |FROM m
+        |JOIN documents da ON m.a = da.doc_id
+        |JOIN documents db ON m.b = db.doc_id
+        |WHERE da.lang <> db.lang AND m.margin >= 1.2 AND m.cos > 0
+        |ORDER BY m.a, m.b""".stripMargin,
+
     // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
     // per-src top-4 by (rounded cos DESC, dst), then 3 damped power
     // steps with dangling redistribution — every per-step rank rounds

@@ -196,6 +196,11 @@ object SparkEntry {
     // testdata, so the language join is direct)
     "dedup_bitext_pairs" -> ((s, dir) =>
       Dedup.bitextPairs(emb(s, dir), docs(s, dir))),
+    // the margin-normalized form: cos / mean of both endpoints' k-NN cos
+    // over the candidate graph — pairs that stand OUT of their own
+    // neighborhoods, not pairs that sit in dense ones
+    "dedup_bitext_margin" -> ((s, dir) =>
+      Dedup.bitextMargin(emb(s, dir), docs(s, dir))),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     // MRL prefix-truncated scoring (16 of 64 dims): the serving-cost dial

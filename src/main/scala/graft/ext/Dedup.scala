@@ -956,6 +956,52 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Margin-scored bitext mining — the production refinement
+    * [[bitextPairs]]' scaladoc promises (Artetxe & Schwenk 2019,
+    * arXiv:1811.01136 §3.2, ratio margin): an absolute cosine gate
+    * misfires because some regions of embedding space are globally
+    * denser than others, so each pair's cosine is normalized by the mean
+    * of BOTH endpoints' k-NN cosines over the same candidate graph —
+    * `margin = cos(a,b) / ((μ_k(a) + μ_k(b)) / 2)`. A pair is a mining
+    * hit when it stands OUT of its own neighborhoods (margin > 1), not
+    * when it merely sits in a dense one.
+    *
+    * Determinism: pair cosines are already round-6; each μ_k rounds to 6
+    * after averaging the top-k (rank window ordered cos DESC with the
+    * neighbor id as tiebreak); the margin divides the two rounded values
+    * and rounds to 4 — both engines difference identical grid points.
+    *
+    * Scale shape: everything beyond [[embeddingCandidatePairs]] is
+    * candidate-graph-sized — one symmetrize union, one per-id rank
+    * window (id-keyed partitions), one id-keyed aggregate, two id-keyed
+    * joins. The corpus is touched only by the bucketed candidate stage.
+    */
+  def bitextMargin(emb: DataFrame, docs: DataFrame, k: Int = 8,
+      marginGate: Double = 1.2, numPlanes: Int = 4, dim: Int = 64,
+      numTables: Int = 2): DataFrame = {
+    val scored = embeddingCandidatePairs(emb, numPlanes, dim, numTables)
+      .localCheckpoint(true)
+    val sym = scored.select(col("a").as("id"), col("b").as("nb"), col("cos"))
+      .union(scored.select(col("b").as("id"), col("a").as("nb"), col("cos")))
+    val ranked = sym.withColumn("rn", row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nb"))))
+    val mu = ranked.filter(col("rn") <= k)
+      .groupBy(col("id")).agg(round(avg(col("cos")), 6).as("mu"))
+    val langs = docs.select(col("doc_id"), col("lang"))
+    scored
+      .join(mu.select(col("id").as("a"), col("mu").as("mu_a")), Seq("a"))
+      .join(mu.select(col("id").as("b"), col("mu").as("mu_b")), Seq("b"))
+      .withColumn("margin",
+        round(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0), 4))
+      .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), Seq("a"))
+      .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), Seq("b"))
+      .filter(col("lang_a") =!= col("lang_b") && col("margin") >= marginGate &&
+        col("cos") > 0)
+      .select(col("a"), col("b"), col("lang_a"), col("lang_b"),
+        col("cos"), col("margin"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Top-k most similar candidate pairs through the bucketed pipeline —
     * the registered bench/oracle form (testdata has no planted near-dups,
     * so a threshold query would be vacuous there).
