@@ -1117,8 +1117,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     land(b0)
     val q1 = start(); q1.processAllAvailable(); q1.stop()
     land(b1) // lands while the stream is down; the restart picks it up
-    val q2 = start(); q2.processAllAvailable()
-    land(b2); q2.processAllAvailable(); q2.stop()
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // land b2 with the stream DOWN too: appending parquet under a LIVE
+    // file source can be picked up mid-write as two micro-batches (the
+    // threshold history then legitimately shows 4 tightening steps —
+    // seen flaking under load), and this test pins the per-landing count
+    land(b2)
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
     // exactly-once landing across the restart
     val landed = spark.read.parquet(s"$outDir/docs")
     assert(landed.count() == (b0 ++ b1 ++ b2).length &&
