@@ -4063,6 +4063,9 @@ object Oracles {
     // plain semi-join decontamination, so the correct oracle is identical
     "dedup_contamination_bloom" -> base("dedup_contamination"),
     "dedup_semantic_contamination" -> semContamSql,
+    // persisted-store probe ≡ in-memory probe (shared core, exact
+    // parquet round-trip) — identical oracle
+    "dedup_semantic_contamination_store" -> semContamSql,
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     // scoring a corpus against its own persisted LM = the in-memory fit

@@ -455,6 +455,17 @@ object SparkEntry {
         e.filter(col0("vec_id") % 23 =!= 0),
         e.filter(col0("vec_id") % 23 === 0))
     }),
+    // the PERSISTED-store probe reproduces the in-memory result exactly
+    // (shared semContamProbe core; buckets/vectors round-trip parquet) —
+    // same oracle verbatim
+    "dedup_semantic_contamination_store" -> ((s, dir) => {
+      val store = graft.ext.IndexCache.ensure(s, dir, "semcontam_store") { d =>
+        Dedup.buildSemContamStore(
+          emb(s, dir).filter(col0("vec_id") % 23 === 0), d)
+      }
+      Dedup.semanticContaminationFromStore(s, store,
+        emb(s, dir).filter(col0("vec_id") % 23 =!= 0))
+    }),
     // same semantics through the zero-shuffle Bloom prefilter + exact verify
     "dedup_contamination_bloom" -> ((s, dir) => {
       val d = docs(s, dir)

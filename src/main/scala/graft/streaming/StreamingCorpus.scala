@@ -701,6 +701,41 @@ object StreamingCorpus {
       spark.read.parquet(s"$outDir/changes"),
       "user_id", "event_type", "ts", "event_id")
 
+  /** Streaming SEMANTIC decontamination against the frozen persisted
+    * benchmark store ([[graft.ext.Dedup.buildSemContamStore]]) — the
+    * embedding-space twin of [[decontaminateIngest]]: version root
+    * pinned at stream start (a benchmark refresh cannot flip verdicts
+    * mid-stream), per-vec verdicts final at arrival (the store is
+    * frozen and the probe is per-row), landed batch-id-keyed with
+    * OVERWRITE. Shares
+    * [[graft.ext.Dedup.semanticContaminationFromStore]] verbatim, so a
+    * streamed crawl flags row-for-row identically to the batch probe.
+    */
+  def semanticDecontaminateIngest(emb: DataFrame, storeDir: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 0.3): StreamingQuery = {
+    val root = graft.ext.Similarity.resolveIndexRoot(emb.sparkSession, storeDir)
+    emb.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.semanticContaminationFromStore(batch.sparkSession,
+              root, batch.toDF(), threshold)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Everything [[semanticDecontaminateIngest]] has flagged so far
+    * (the `batch=` landing partition is an ingest detail, not part of
+    * the verdict schema).
+    */
+  def semanticDecontaminateView(spark: SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch").orderBy(col("vec_id"))
+
   /** Streaming LR scoring against the frozen persisted classifier
     * ([[graft.ext.TextAnalysis.buildLrModel]]) — the [[lmScoreIngest]]/
     * [[dsirScoreIngest]] serving shape for the third model family:

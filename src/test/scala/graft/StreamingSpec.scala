@@ -1528,6 +1528,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("streaming semantic decontamination: verdicts vs the frozen store equal the batch probe across a restart") {
+    val e = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bench = e.filter(col("vec_id") % 23 === 0)
+    val corpus = e.filter(col("vec_id") % 23 =!= 0)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-semstore").toString
+    graft.ext.Dedup.buildSemContamStore(bench, storeDir)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sem-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sem-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sem-src").toString
+    corpus.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    val schema = corpus.schema
+    def start() = graft.streaming.StreamingCorpus.semanticDecontaminateIngest(
+      spark.readStream.schema(schema).parquet(srcDir), storeDir, outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    corpus.filter(col("vec_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val exp = graft.ext.Dedup.semanticContamination(corpus, bench)
+      .collect().map(_.toSeq)
+    val got = graft.streaming.StreamingCorpus
+      .semanticDecontaminateView(spark, outDir).collect().map(_.toSeq)
+    assert(exp.nonEmpty && got.toSeq == exp.toSeq)
+  }
+
   test("streaming scd2: late data rewrites history; view equals the batch dimension across a restart") {
     val all = Queries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
