@@ -675,6 +675,22 @@ object Oracles {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    // trailing-window distinct: exact side replayed (day-frame range
+    // join over distinct (day, user) pairs), sketch flag pinned true —
+    // the agg_approx_distinct hash-gating discipline
+    "events_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        |), days AS (SELECT DISTINCT d FROM du),
+        |win AS (
+        |  SELECT a.d AS day, count(DISTINCT b.user_id) AS exact_users
+        |  FROM days a JOIN du b ON b.d BETWEEN a.d - 6 AND a.d
+        |  GROUP BY a.d
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
+        |FROM win ORDER BY day""".stripMargin,
+
     // dense per-user day calendar with forward fill; generate_series over
     // each user's span mirrors the engine's sequence+explode
     "events_gapfill" ->

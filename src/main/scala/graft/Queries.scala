@@ -326,6 +326,51 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling N-day DISTINCT users per day — the metric plain windowed
+    * aggregation cannot deliver at scale, because distinct doesn't
+    * decompose over windows: an exact trailing-7-day DAU/WAU recount
+    * touches every (day, user) pair seven times. The scale path is the
+    * MERGEABLE Datasketches HLL built into Spark: ONE corpus pass builds
+    * a per-day sketch (`hll_sketch_agg`, map-side combinable), and each
+    * trailing window is a union of ≤N bounded sketches over the
+    * day-sized frame (`hll_union_agg` → `hll_sketch_estimate`) — the
+    * corpus is touched once no matter how many windows.
+    *
+    * Registered output is the bounded-error GATE (the
+    * [[aggApproxDistinct]] discipline): the exact trailing distinct
+    * (its own day-frame range join over the corpus-reduced distinct
+    * (day, user) pairs — the verifier, quadratic in days not corpus)
+    * plus `approx_ok = |est − exact| ≤ max(10% · exact, 5)` pinned true;
+    * the DuckDB oracle emits the same exact side and literal flags, so
+    * the sketch row is hash-gated instead of `no_oracle`. Default
+    * lgConfigK=12 gives ~1.6 % relative standard error — 10 % is ≥6σ.
+    *
+    * Both range joins are day-frame × day-frame or (day, user) ×
+    * broadcast-days — bounded by the retention span, never corpus².
+    */
+  def eventsRollingDistinct(spark: SparkSession, dir: String,
+      window: Int = 7): DataFrame = {
+    val du = events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val perDay = du.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val anchors = perDay.select(col("d").as("anchor"))
+    val est = anchors.join(broadcast(perDay),
+        datediff(col("anchor"), col("d")).between(0, window - 1))
+      .groupBy(col("anchor"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    val exact = du.join(broadcast(anchors),
+        datediff(col("anchor"), col("d")).between(0, window - 1))
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, Seq("anchor"))
+      .select(date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+        col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.10, lit(5.0))).as("approx_ok"))
+      .orderBy(col("day"))
+  }
+
   /** Calendar gap-fill with forward fill: one row per (user, day) over each
     * user's active span, carrying the last observed daily total across the
     * missing days (`filled` marks carried rows) — the standard time-series

@@ -67,6 +67,9 @@ object SparkEntry {
     "events_funnel_times" -> (Queries.eventsFunnelTimes _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),
+    // trailing-7-day distinct users via mergeable HLL sketches, gated by
+    // its own exact verifier (the aggApproxDistinct discipline)
+    "events_rolling_distinct" -> ((s, dir) => Queries.eventsRollingDistinct(s, dir)),
     "events_gapfill" -> (Queries.eventsGapfill _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
     "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),

@@ -242,6 +242,30 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("rolling distinct: window dedups repeat users; sketch gate holds on real data") {
+    import org.apache.spark.sql.functions.col
+    // real corpus: every day's sketch estimate inside the gate, and the
+    // trailing window can only grow vs the single day's distinct count
+    val out = Queries.eventsRollingDistinct(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(2)), "sketch outside gate")
+    val daily = Queries.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("d"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) >= daily(r.getString(0)),
+        s"window smaller than its own day at ${r.getString(0)}")
+    }
+    // a user active on several window days counts ONCE: total over the
+    // window is <= sum of dailies, with equality only if no user repeats
+    val d7 = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val someDay = daily.keys.toSeq.sorted.last // last day has a full trailing span
+    val span = daily.keys.toSeq.sorted.takeRight(7)
+    assert(d7(someDay) <= span.map(daily).sum)
+    assert(d7(someDay) < span.map(daily).sum,
+      "expected at least one repeat user across the window on real data")
+  }
+
   test("heatmap: epoch arithmetic pins Monday/Sunday cells and both share columns") {
     import spark.implicits._
     // 2024-01-01 was a Monday (dow 1); 2024-01-07 a Sunday (dow 0)
