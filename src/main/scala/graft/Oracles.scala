@@ -691,6 +691,40 @@ object Oracles {
         |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
         |FROM win ORDER BY day""".stripMargin,
 
+    // KMV overlap: the min-k sketches replay as ORDER BY h LIMIT k over
+    // the portable hash; estimate algebra on identical doubles
+    "events_user_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |), hb AS (
+        |  SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+        |), ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |u AS (
+        |  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        |  ORDER BY h LIMIT 64
+        |), s AS (
+        |  SELECT CAST((SELECT count(*) FROM u) AS BIGINT) AS n_sk_union,
+        |    (SELECT max(h) FROM u) AS kth,
+        |    CAST((SELECT count(*) FROM u
+        |      WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS BIGINT)
+        |      AS common
+        |), s2 AS (
+        |  SELECT *, CASE WHEN n_sk_union < 64 THEN CAST(n_sk_union AS DOUBLE)
+        |    ELSE round(63 * 1152921504606846976.0 / kth, 4) END AS est_union
+        |  FROM s
+        |)
+        |SELECT s2.n_sk_union, s2.kth, s2.common, s2.est_union,
+        |  CASE WHEN s2.n_sk_union < 64 THEN CAST(s2.common AS DOUBLE)
+        |    ELSE round(s2.common * s2.est_union / 64, 4) END AS est_inter,
+        |  CAST((SELECT count(*) FROM ha) AS BIGINT) AS exact_a,
+        |  CAST((SELECT count(*) FROM hb) AS BIGINT) AS exact_b,
+        |  CAST((SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS BIGINT)
+        |    AS exact_overlap
+        |FROM s2""".stripMargin,
+
     // dense per-user day calendar with forward fill; generate_series over
     // each user's span mirrors the engine's sequence+explode
     "events_gapfill" ->

@@ -70,6 +70,12 @@ object SparkEntry {
     // trailing-7-day distinct users via mergeable HLL sketches, gated by
     // its own exact verifier (the aggApproxDistinct discipline)
     "events_rolling_distinct" -> ((s, dir) => Queries.eventsRollingDistinct(s, dir)),
+    // week-over-week distinct-user OVERLAP via KMV (theta) sketches —
+    // the set-intersection sketch HLL can't provide; fully deterministic,
+    // so the sketch itself is oracle-replayed (countMin discipline)
+    "events_user_overlap" -> ((s, dir) => graft.ext.SetSketch.userOverlap(
+      Queries.events(s, dir), "2024-01-01", "2024-01-08",
+      "2024-01-08", "2024-01-15")),
     "events_gapfill" -> (Queries.eventsGapfill _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
     "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),

@@ -503,6 +503,32 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV overlap: min-k dedups and bounds; disjoint windows estimate 0; small sets exact") {
+    import spark.implicits._
+    // aggregator semantics: duplicates collapse, buffer stays sorted <= k
+    val agg = new graft.ext.SetSketch.MinKAggregator(4)
+    val r = Seq(9L, 3L, 9L, 1L, 7L, 5L, 3L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(r == Seq(1L, 2L, 3L, 5L))
+    assert(agg.merge(Seq(1L, 4L, 8L), Seq(1L, 2L, 9L)) == Seq(1L, 2L, 4L, 8L))
+    // disjoint user populations in disjoint windows -> zero overlap, and
+    // under-k sets come back EXACT
+    def ts(day: Int, u: Long) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"))
+    val ev = ((1L to 10L).map(u => ts(2, u)) ++ (11L to 25L).map(u => ts(9, u)))
+      .toDF("user_id", "ts")
+    val row = graft.ext.SetSketch.userOverlap(ev,
+      "2024-01-01", "2024-01-08", "2024-01-08", "2024-01-15").collect()(0)
+    assert(row.getLong(5) == 10 && row.getLong(6) == 15) // exact_a, exact_b
+    assert(row.getLong(7) == 0 && row.getDouble(4) == 0.0) // overlap, est
+    assert(row.getLong(0) == 25 && row.getDouble(3) == 25.0) // union exact under k
+    // overlapping populations: est_inter tracks the true overlap
+    val ev2 = ((1L to 40L).map(u => ts(2, u)) ++ (21L to 60L).map(u => ts(9, u)))
+      .toDF("user_id", "ts")
+    val row2 = graft.ext.SetSketch.userOverlap(ev2,
+      "2024-01-01", "2024-01-08", "2024-01-08", "2024-01-15").collect()(0)
+    assert(row2.getLong(7) == 20 && row2.getDouble(4) == 20.0) // 60 distinct < k=64: exact
+  }
+
   test("bloom_might_contain has no false negatives and passes nulls through") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
