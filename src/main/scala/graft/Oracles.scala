@@ -691,6 +691,47 @@ object Oracles {
         |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
         |FROM win ORDER BY day""".stripMargin,
 
+    // multi-touch attribution: dyadic decay from a literal list (never
+    // pow), exact-integer day deltas, per-purchase dyadic weight sums,
+    // credits quantized to 6 before the (model, channel) aggregation
+    "events_attribution" -> {
+      val decays = (0 until 7).map(d => math.pow(0.5, d)).mkString("[", ", ", "]")
+      s"""WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us,
+        |    event_id AS t_id
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), j AS (
+        |  SELECT p.p_id, p.value, t.channel, t.t_us, t.t_id, p.p_us,
+        |    ($decays)[CAST((p.p_us - t.t_us - 1) // 86400000000 + 1 AS INT)] AS decay
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 7 * 86400000000
+        |), s AS (
+        |  SELECT *,
+        |    count(*) OVER (PARTITION BY p_id) AS n,
+        |    sum(decay) OVER (PARTITION BY p_id) AS decay_sum,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) AS rn_last
+        |  FROM j
+        |), m AS (
+        |  SELECT 'first_touch' AS model, channel, value,
+        |    round(CASE WHEN rn_first = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) AS wt FROM s
+        |  UNION ALL
+        |  SELECT 'last_touch', channel, value,
+        |    round(CASE WHEN rn_last = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END, 6) FROM s
+        |  UNION ALL
+        |  SELECT 'linear', channel, value, round(CAST(1 AS DOUBLE) / n, 6) FROM s
+        |  UNION ALL
+        |  SELECT 'time_decay', channel, value, round(decay / decay_sum, 6) FROM s
+        |)
+        |SELECT model, channel, round(sum(wt), 4) AS conversions,
+        |  round(sum(round(wt * value, 6)), 4) AS revenue
+        |FROM m GROUP BY model, channel
+        |ORDER BY model, channel""".stripMargin
+    },
+
     // KMV overlap: the min-k sketches replay as ORDER BY h LIMIT k over
     // the portable hash; estimate algebra on identical doubles
     "events_user_overlap" ->

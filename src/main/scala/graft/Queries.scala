@@ -371,6 +371,77 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Multi-touch conversion attribution — the marketing-warehouse
+    * staple: each purchase distributes one unit of conversion credit
+    * (and its revenue) over the user's preceding touch events
+    * (click/view) inside a `lookbackDays` window, under four standard
+    * models at once: `last_touch`, `first_touch`, `linear`, and
+    * `time_decay` (half-life 1 day). One row per (model, channel) with
+    * credited conversions and revenue.
+    *
+    * Determinism across engines: decay weights are DYADIC — `0.5^Δdays`
+    * with an integer day delta from exact µs arithmetic, looked up from
+    * a literal array (no `pow` in either engine) — so per-purchase
+    * weight sums are exact binary and the normalizing division is
+    * correctly rounded identically in both engines; normalized credits
+    * quantize to 6 decimals before the final aggregation (the BM25
+    * discipline), aggregates round to 4.
+    *
+    * Scale shape: ONE user-keyed equi-join (purchases × touches
+    * co-shuffle on user_id) with the time window as a post-join filter
+    * — per-user fan-out is bounded by activity within the lookback, the
+    * standard attribution-join shape; per-purchase stats are one window
+    * over the purchase's own touch list; the four models ride one
+    * explode (×4 of the joined rows) into one (model, channel)
+    * aggregation. No self-join of the full event stream, no cartesian.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        unix_micros(col("ts")).as("t_us"), col("event_id").as("t_id"))
+    val dayUs = 86400000000L
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lookbackDays * dayUs)
+    // exact integer day delta (floor of a nonnegative integer division)
+    // -> dyadic decay weight from a literal table, never pow()
+    val decayLits = array((0 until lookbackDays).map(d =>
+      lit(math.pow(0.5, d))): _*)
+    val w = Window.partitionBy(col("p_id"))
+    val wAsc = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us"), col("t_id"))
+    val wDesc = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_us").desc, col("t_id").desc)
+    val scored = joined
+      .withColumn("delta_days", expr(s"(p_us - t_us - 1) div $dayUs"))
+      .withColumn("decay", element_at(decayLits, (col("delta_days") + 1).cast("int")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("decay_sum", sum(col("decay")).over(w))
+      .withColumn("rn_first", row_number().over(wAsc))
+      .withColumn("rn_last", row_number().over(wDesc))
+    val models = scored.select(col("channel"), col("value"),
+      explode(array(
+        struct(lit("first_touch").as("model"),
+          when(col("rn_first") === 1, 1.0).otherwise(0.0).as("wt")),
+        struct(lit("last_touch").as("model"),
+          when(col("rn_last") === 1, 1.0).otherwise(0.0).as("wt")),
+        struct(lit("linear").as("model"),
+          (lit(1.0) / col("n")).as("wt")),
+        struct(lit("time_decay").as("model"),
+          (col("decay") / col("decay_sum")).as("wt")))).as("m"))
+      .select(col("m.model").as("model"), col("channel"),
+        round(col("m.wt"), 6).as("wt"), col("value"))
+    models.groupBy(col("model"), col("channel"))
+      .agg(round(sum(col("wt")), 4).as("conversions"),
+        round(sum(round(col("wt") * col("value"), 6)), 4).as("revenue"))
+      .orderBy(col("model"), col("channel"))
+  }
+
   /** Calendar gap-fill with forward fill: one row per (user, day) over each
     * user's active span, carrying the last observed daily total across the
     * missing days (`filled` marks carried rows) — the standard time-series

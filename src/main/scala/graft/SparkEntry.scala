@@ -67,6 +67,9 @@ object SparkEntry {
     "events_funnel_times" -> (Queries.eventsFunnelTimes _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_rolling" -> (Queries.eventsRolling _),
+    // multi-touch attribution: four credit models in one pass off one
+    // user-keyed purchases x touches join
+    "events_attribution" -> ((s, dir) => Queries.eventsAttribution(s, dir)),
     // trailing-7-day distinct users via mergeable HLL sketches, gated by
     // its own exact verifier (the aggApproxDistinct discipline)
     "events_rolling_distinct" -> ((s, dir) => Queries.eventsRollingDistinct(s, dir)),

@@ -242,6 +242,34 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("attribution: four models match hand math; out-of-window touches drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user 1: click d1, view d2, purchase d3 (100.0); user 2: click d1,
+    // purchase d20 (outside the 7-day lookback -> unattributed)
+    val ev = Seq(
+      (1L, t(1), 1L, "click", 0.0, "{}"),
+      (2L, t(2), 1L, "view", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 100.0, "{}"),
+      (4L, t(1), 2L, "click", 0.0, "{}"),
+      (5L, t(20), 2L, "purchase", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    ev.write.mode("overwrite").parquet(s"$srcDir/events.parquet")
+    val out = Queries.eventsAttribution(spark, srcDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(("first_touch", "click")) == ((1.0, 100.0)))
+    assert(out(("last_touch", "view")) == ((1.0, 100.0)))
+    assert(out(("linear", "click")) == ((0.5, 50.0)))
+    assert(out(("linear", "view")) == ((0.5, 50.0)))
+    // decay: click is 2 days out (w=0.5), view 1 day (w=1.0) -> 1/3 vs 2/3
+    assert(out(("time_decay", "click")) == ((0.3333, 33.3333)))
+    assert(out(("time_decay", "view")) == ((0.6667, 66.6667)))
+    // user 2's purchase had no in-window touch: no model credits it
+    assert(out.values.map(_._2).sum == 4 * 100.0)
+  }
+
   test("rolling distinct: window dedups repeat users; sketch gate holds on real data") {
     import org.apache.spark.sql.functions.col
     // real corpus: every day's sketch estimate inside the gate, and the
