@@ -63,6 +63,21 @@ object Prof {
         Bench.sweep(spark)
       }
     }
+    if (mode == "new8c") {
+      // third-session additions, second wave: warm + timed at
+      // SPARK_GRAFT_SF_DIR — run at sf0.1 and sf1_cache for the 10x ratio
+      for (n <- Seq("dedup_bitext_pairs", "dedup_bitext_margin",
+          "dedup_source_similarity", "text_bpe_fertility",
+          "corpus_concentration", "events_rolling_distinct",
+          "events_user_overlap", "events_attribution",
+          "dedup_semantic_contamination_store")) {
+        val f = SparkEntry.queries(n)
+        time(s"${n}_warm")(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+        time(n)(noop(f(spark, sfDir)))
+        Bench.sweep(spark)
+      }
+    }
     if (mode == "pj") {
       // prefix-jaccard stage anatomy at SPARK_GRAFT_SF_DIR
       import org.apache.spark.sql.functions.{col, count, lit, xxhash64, ceil, countDistinct}
