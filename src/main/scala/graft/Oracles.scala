@@ -691,6 +691,57 @@ object Oracles {
         |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
         |FROM win ORDER BY day""".stripMargin,
 
+    // debounce: chain semantics via lag gap, burst = running flag sum,
+    // struct-min keeps the first (us, event_id) of each burst
+    "events_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN COALESCE(us - lag(us) OVER w, 300000001) > 300000000
+        |    THEN 1 ELSE 0 END AS new_burst
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)
+        |), bursts AS (
+        |  SELECT *, CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS burst
+        |  FROM flagged
+        |)
+        |SELECT CAST(min(CASE WHEN new_burst = 1 THEN event_id END) AS BIGINT)
+        |    AS event_id,
+        |  user_id, event_type, CAST(count(*) AS BIGINT) AS burst_size
+        |FROM bursts GROUP BY user_id, event_type, burst
+        |ORDER BY event_id""".stripMargin,
+
+    // seasonal anomaly: integer epoch hour-of-week cells, LEAVE-ONE-OUT
+    // baseline from exact class Σn/Σn² minus the cell's own terms
+    // (population σ self-masks a lone spike at z = sqrt(k-1)), z round 4
+    "events_seasonal_anomaly" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    (epoch_us(ts) - (epoch_us(ts) // 86400000000) * 86400000000)
+        |      // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), b AS (
+        |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1, 2
+        |), z AS (
+        |  SELECT c.day, c.dow, c.hour, c.n,
+        |    CASE WHEN b.k < 2 THEN CAST(0 AS DOUBLE) ELSE
+        |      round((c.n - CAST(b.s1 - c.n AS DOUBLE) / (b.k - 1)) /
+        |        greatest(sqrt(greatest(
+        |          CAST(b.s2 - c.n * c.n AS DOUBLE) / (b.k - 1) -
+        |          (CAST(b.s1 - c.n AS DOUBLE) / (b.k - 1)) *
+        |          (CAST(b.s1 - c.n AS DOUBLE) / (b.k - 1)),
+        |          CAST(0 AS DOUBLE))), 1e-9), 4) END AS z
+        |  FROM c JOIN b USING (dow, hour)
+        |)
+        |SELECT day, dow, hour, n, z, abs(z) > 3.0 AS anomaly
+        |FROM z ORDER BY day, hour""".stripMargin,
+
     // multi-touch attribution: dyadic decay from a literal list (never
     // pow), exact-integer day deltas, per-purchase dyadic weight sums,
     // credits quantized to 6 before the (model, channel) aggregation

@@ -371,6 +371,82 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Event debounce: collapse bursts of the same (user, type) into one
+    * surviving event — keep the FIRST of every burst, where a burst is a
+    * maximal chain of repeats each within `gapSeconds` of the previous
+    * occurrence (the classic double-fire / retry-storm cleaner, and the
+    * FILTER complement of sessionization's grouping). Chain semantics
+    * (gap from the PREVIOUS event, not the burst head) is deliberate: a
+    * retry storm that drizzles for minutes still collapses to one row.
+    *
+    * One (user, type)-keyed window; exact integer µs gaps; emits the
+    * survivors with their burst size so downstream can audit what was
+    * collapsed.
+    */
+  def eventsDebounce(spark: SparkSession, dir: String,
+      gapSeconds: Long = 300): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = gapSeconds * 1000000L
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_burst",
+        when(coalesce(col("us") - lag(col("us"), 1).over(w), lit(gapUs + 1)) >
+          gapUs, 1L).otherwise(0L))
+      .withColumn("burst", sum(col("new_burst")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("event_type"), col("burst"))
+      .agg(min(struct(col("us"), col("event_id"))).as("first"),
+        count(lit(1)).as("burst_size"))
+      .select(col("first.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("burst_size"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Seasonal (hour-of-week) anomaly detection: each (day, hour) cell's
+    * event count scored against the SAME hour-of-week's mean/σ across
+    * the corpus — the seasonality-aware companion to [[eventsAnomaly]]'s
+    * flat trailing window (a quiet Sunday 3 am is normal; the same count
+    * on a Tuesday noon is an outage). Hour-of-week from the
+    * [[eventsHeatmap]] integer epoch arithmetic (never engine calendar
+    * functions); the baseline is LEAVE-ONE-OUT per cell — a population σ
+    * that includes the anomaly caps any lone spike at z = √(k−1)
+    * (self-masking), while the LOO σ of a clean-elsewhere class goes to
+    * 0 and the spike's z explodes, which is the behavior an alert needs.
+    * Each cell's mean/σ derive from the exact integer class Σn/Σn² minus
+    * the cell's own n/n² (the [[eventsAnomaly]] no-Welford discipline);
+    * z rounds to 4, flagged at |z| > 3; classes with a single observed
+    * cell score 0 (no baseline to deviate from).
+    *
+    * Scale shape: the corpus collapses map-side to ≤(days×24) count
+    * cells; the 168-row class totals join back broadcast and the LOO
+    * algebra is per-row arithmetic.
+    */
+  def eventsSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("hour", expr("(us - (us div 86400000000) * 86400000000) div 3600000000"))
+      .withColumn("dow", pmod(col("day") + 4, lit(7)))
+      .groupBy(col("day"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mu = (col("s1") - col("n")).cast("double") / (col("k") - 1)
+    val variance = greatest(
+      (col("s2") - col("n") * col("n")).cast("double") / (col("k") - 1) -
+        mu * mu, lit(0.0))
+    cells.join(broadcast(base), Seq("dow", "hour"))
+      .select(col("day"), col("dow"), col("hour"), col("n"),
+        when(col("k") < 2, lit(0.0))
+          .otherwise(round((col("n") - mu) /
+            greatest(sqrt(variance), lit(1e-9)), 4)).as("z"))
+      .withColumn("anomaly", abs(col("z")) > 3.0)
+      .orderBy(col("day"), col("hour"))
+  }
+
   /** Multi-touch conversion attribution — the marketing-warehouse
     * staple: each purchase distributes one unit of conversion credit
     * (and its revenue) over the user's preceding touch events

@@ -70,6 +70,11 @@ object SparkEntry {
     // multi-touch attribution: four credit models in one pass off one
     // user-keyed purchases x touches join
     "events_attribution" -> ((s, dir) => Queries.eventsAttribution(s, dir)),
+    // burst collapse: keep the first of every same-(user,type) retry chain
+    "events_debounce" -> ((s, dir) => Queries.eventsDebounce(s, dir)),
+    // hour-of-week seasonal z-scores: the seasonality-aware companion to
+    // the flat trailing-window anomaly row
+    "events_seasonal_anomaly" -> ((s, dir) => Queries.eventsSeasonalAnomaly(s, dir)),
     // trailing-7-day distinct users via mergeable HLL sketches, gated by
     // its own exact verifier (the aggApproxDistinct discipline)
     "events_rolling_distinct" -> ((s, dir) => Queries.eventsRollingDistinct(s, dir)),

@@ -242,6 +242,39 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("debounce collapses drizzling chains; seasonal anomaly flags the planted spike") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    // user 1 clicks: a chain at 0s/200s/400s (each gap <= 300s -> ONE
+    // burst even though 0->400 exceeds the gap), then a fresh one at
+    // 800s; a view at 10s stays its own burst (separate type)
+    val ev = (Seq((1L, ts(0)), (2L, ts(200)), (3L, ts(400)), (4L, ts(800)))
+      .map { case (id, t) => (id, t, 1L, "click", 0.0, "{}") } :+
+      (5L, ts(10), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-deb").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.eventsDebounce(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+    // seasonal: four MONDAYS (the same hour-of-week class), flat 10
+    // events/hour-cell except one 100-event spike — the leave-one-out
+    // baseline flags it (a population sigma would self-mask: z <= sqrt(3))
+    val spike = Seq(1, 8, 15, 22).flatMap(d => (0 until 2).flatMap(h =>
+      (1 to (if (d == 22 && h == 0) 100 else 10)).map(i =>
+        (d.toLong * 10000 + h * 100 + i,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 0$h%d:00:01"),
+          1L, "click", 0.0, "{}"))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-seas").toString
+    spike.write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val sa = Queries.eventsSeasonalAnomaly(spark, dir2).collect()
+    val flagged = sa.filter(_.getBoolean(5))
+    assert(flagged.length == 1 && flagged(0).getLong(3) == 100)
+    assert(sa.count(!_.getBoolean(5)) == sa.length - 1)
+  }
+
   test("attribution: four models match hand math; out-of-window touches drop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
