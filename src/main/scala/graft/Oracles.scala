@@ -691,6 +691,25 @@ object Oracles {
         |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
         |FROM win ORDER BY day""".stripMargin,
 
+    // per-user trend: milli-scaled integer daily values, 64-bit normal
+    // equations, one rounded double division
+    "events_user_trend" ->
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(round(sum(value), 3) * 1000) AS BIGINT) AS v3
+        |  FROM events GROUP BY 1, 2
+        |), terms AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d * d) AS BIGINT) AS sdd,
+        |    CAST(sum(v3) AS BIGINT) AS sv, CAST(sum(d * v3) AS BIGINT) AS sdv
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT user_id, n_days,
+        |  round(sv / (n_days * 1000.0), 4) AS mean_daily,
+        |  round(CAST(n_days * sdv - sd * sv AS DOUBLE) /
+        |    ((n_days * sdd - sd * sd) * 1000.0), 6) AS slope
+        |FROM terms WHERE n_days >= 2 ORDER BY user_id""".stripMargin,
+
     // debounce: chain semantics via lag gap, burst = running flag sum,
     // struct-min keeps the first (us, event_id) of each burst
     "events_debounce" ->

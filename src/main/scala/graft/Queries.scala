@@ -371,6 +371,44 @@ object Queries {
       .orderBy(col("day"))
   }
 
+  /** Per-user activity TREND: closed-form least-squares slope of daily
+    * spend over the epoch-day index — the "is this user ramping up or
+    * churning" score segmentation feeds on (the regression companion to
+    * [[eventsRfm]]'s point-in-time snapshot). Positive slope = growing
+    * daily value, negative = declining; users observed on fewer than 2
+    * days carry no trend and are excluded.
+    *
+    * Determinism: daily values scale to exact integer thousandths
+    * (`round(v·1000)` as BIGINT) and the normal-equation terms
+    * `k·Σdv − Σd·Σv` / `k·Σd² − (Σd)²` are pure 64-bit integer algebra
+    * (bounded: 30-day spans at epoch-day ~2·10⁴ and milli-values ~10⁶
+    * keep every product under 2⁵³) — one double division at the end,
+    * rounded to 6. No float accumulates across rows in either engine.
+    *
+    * Scale shape: two user-keyed aggregations (per-day collapse, then
+    * per-user Σ terms) — both map-side combinable, no windows, no
+    * driver math.
+    */
+  def eventsUserTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("d", expr("us div 86400000000"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(round(sum(col("value")), 3).as("v"))
+      .withColumn("v3", round(col("v") * 1000, 0).cast("long"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("v3")).as("sv"), sum(col("d") * col("v3")).as("sdv"))
+      .filter(col("n_days") >= 2)
+      .select(col("user_id"), col("n_days"),
+        round(col("sv") / (col("n_days") * 1000.0), 4).as("mean_daily"),
+        round((col("n_days") * col("sdv") - col("sd") * col("sv")).cast("double") /
+          ((col("n_days") * col("sdd") - col("sd") * col("sd")) * 1000.0), 6)
+          .as("slope"))
+      .orderBy(col("user_id"))
+  }
+
   /** Event debounce: collapse bursts of the same (user, type) into one
     * surviving event — keep the FIRST of every burst, where a burst is a
     * maximal chain of repeats each within `gapSeconds` of the previous

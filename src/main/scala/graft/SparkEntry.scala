@@ -72,6 +72,9 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) => Queries.eventsAttribution(s, dir)),
     // burst collapse: keep the first of every same-(user,type) retry chain
     "events_debounce" -> ((s, dir) => Queries.eventsDebounce(s, dir)),
+    // per-user least-squares daily-spend trend (exact-integer normal
+    // equations, one double division at the end)
+    "events_user_trend" -> ((s, dir) => Queries.eventsUserTrend(s, dir)),
     // hour-of-week seasonal z-scores: the seasonality-aware companion to
     // the flat trailing-window anomaly row
     "events_seasonal_anomaly" -> ((s, dir) => Queries.eventsSeasonalAnomaly(s, dir)),

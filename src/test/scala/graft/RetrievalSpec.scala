@@ -242,6 +242,28 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("user trend: hand-fit slope on a planted ramp; flat user slopes 0") {
+    import spark.implicits._
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // user 1 ramps 10, 20, 30 over 3 days -> slope exactly 10/day;
+    // user 2 flat 5, 5 -> slope 0; user 3 seen once -> excluded
+    val ev = Seq(
+      (1L, t(1), 1L, "purchase", 10.0, "{}"),
+      (2L, t(2), 1L, "purchase", 20.0, "{}"),
+      (3L, t(3), 1L, "purchase", 30.0, "{}"),
+      (4L, t(1), 2L, "purchase", 5.0, "{}"),
+      (5L, t(2), 2L, "purchase", 5.0, "{}"),
+      (6L, t(1), 3L, "purchase", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.eventsUserTrend(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 20.0, 10.0)))
+    assert(out(2L) == ((2L, 5.0, 0.0)))
+  }
+
   test("debounce collapses drizzling chains; seasonal anomaly flags the planted spike") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
