@@ -691,6 +691,30 @@ object Oracles {
         |  CAST(exact_users AS BIGINT) AS exact_users, true AS approx_ok
         |FROM win ORDER BY day""".stripMargin,
 
+    // basket rules: order-keyed pair join, exact integer supports, two
+    // rounded divisions
+    "basket_rules" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM i),
+        |supp AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS s FROM i GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS sp
+        |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), directed AS (
+        |  SELECT pa AS ante, pb AS cons, sp FROM pairs
+        |  UNION ALL SELECT pb, pa, sp FROM pairs
+        |)
+        |SELECT d.ante, d.cons, d.sp AS support,
+        |  round(CAST(d.sp AS DOUBLE) / sa.s, 6) AS confidence,
+        |  round(CAST(d.sp AS DOUBLE) * n.n_orders / (sa.s * sc.s), 4) AS lift
+        |FROM directed d
+        |JOIN supp sa ON d.ante = sa.p
+        |JOIN supp sc ON d.cons = sc.p, n
+        |ORDER BY d.ante, d.cons""".stripMargin,
+
     // per-user trend: milli-scaled integer daily values, 64-bit normal
     // equations, one rounded double division
     "events_user_trend" ->

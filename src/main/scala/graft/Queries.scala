@@ -1526,6 +1526,44 @@ object Queries {
   /** TPC-H Q1-shaped pricing summary: the canonical full-scan aggregation.
     * Stays entirely in whole-stage codegen; one shuffle over a 6-value key.
     */
+  /** Market-basket association rules over order line items (the
+    * apriori-2 tier: pairwise rules `ante → cons` with support,
+    * confidence, and lift) — the retail-analytics staple for
+    * cross-sell / co-purchase mining. Both directions of every pair with
+    * co-occurrence ≥ `minSupport` emit; `confidence = supp(pair) /
+    * supp(ante)`, `lift = supp(pair)·N / (supp(ante)·supp(cons))` — all
+    * from exact integer counts, two rounded divisions.
+    *
+    * Scale shape: the pair join is keyed on the ORDER (per-order fan-out
+    * = basket², bounded by basket size — the canonical frequent-itemset
+    * join), item supports are one part-keyed aggregation, and the basket
+    * count N rides a 1-row broadcast crossJoin. Nothing is ever
+    * parts² outside observed co-occurrence.
+    */
+  def basketRules(spark: SparkSession, dir: String,
+      minSupport: Long = 3): DataFrame = {
+    val items = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = items.agg(countDistinct(col("o")).as("n_orders"))
+    val supp = items.groupBy(col("p")).agg(count(lit(1)).as("s"))
+    val pairs = items.select(col("o"), col("p").as("pa"))
+      .join(items.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sp"))
+      .filter(col("sp") >= minSupport)
+    val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("sp"))
+      .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("sp")))
+    directed
+      .join(supp.select(col("p").as("ante"), col("s").as("sa")), Seq("ante"))
+      .join(supp.select(col("p").as("cons"), col("s").as("sc")), Seq("cons"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("sp").as("support"),
+        round(col("sp").cast("double") / col("sa"), 6).as("confidence"),
+        round(col("sp").cast("double") * col("n_orders") /
+          (col("sa") * col("sc")), 4).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))

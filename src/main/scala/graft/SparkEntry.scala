@@ -75,6 +75,8 @@ object SparkEntry {
     // per-user least-squares daily-spend trend (exact-integer normal
     // equations, one double division at the end)
     "events_user_trend" -> ((s, dir) => Queries.eventsUserTrend(s, dir)),
+    // market-basket pairwise association rules over order line items
+    "basket_rules" -> ((s, dir) => Queries.basketRules(s, dir)),
     // hour-of-week seasonal z-scores: the seasonality-aware companion to
     // the flat trailing-window anomaly row
     "events_seasonal_anomaly" -> ((s, dir) => Queries.eventsSeasonalAnomaly(s, dir)),

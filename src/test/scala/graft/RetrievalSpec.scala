@@ -242,6 +242,26 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0))
   }
 
+  test("basket rules: hand-computed support/confidence/lift; sub-support pairs drop") {
+    import spark.implicits._
+    // 5 baskets: {1,2} x3, {1}, {5,6} -> pair (1,2) support 3;
+    // supp(1)=4, supp(2)=3, N=5. conf(1->2)=3/4, conf(2->1)=1,
+    // lift both ways = 3*5/(4*3) = 1.25. The once-seen pair (5,6) drops.
+    val li = (Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (14L, 5L), (14L, 6L))
+      ).map { case (o, p) => (o, p, 1.0, 1.0, 0.0, "N") }
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("graft-basket").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Queries.basketRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.size == 2) // only (1,2) clears minSupport, both directions
+    assert(out((1L, 2L)) == ((3L, 0.75, 1.25)))
+    assert(out((2L, 1L)) == ((3L, 1.0, 1.25)))
+  }
+
   test("user trend: hand-fit slope on a planted ramp; flat user slopes 0") {
     import spark.implicits._
     def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
