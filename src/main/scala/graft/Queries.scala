@@ -510,8 +510,17 @@ object Queries {
     * aggregation. No self-join of the full event stream, no cartesian.
     */
   def eventsAttribution(spark: SparkSession, dir: String,
+      lookbackDays: Int = 7): DataFrame =
+    attributionFromEvents(events(spark, dir), lookbackDays)
+
+  /** [[eventsAttribution]]'s core over an explicit event frame — shared
+    * with the streaming twin's late-bound view so batch and stream
+    * cannot fork (a LATE touch legitimately rewrites linear/time-decay
+    * splits of already-seen purchases, which is why the streaming form
+    * recomputes over the landed log instead of appending credits).
+    */
+  private[graft] def attributionFromEvents(ev: DataFrame,
       lookbackDays: Int = 7): DataFrame = {
-    val ev = events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         unix_micros(col("ts")).as("p_us"), col("value"))

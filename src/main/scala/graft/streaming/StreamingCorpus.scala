@@ -701,6 +701,37 @@ object StreamingCorpus {
       spark.read.parquet(s"$outDir/changes"),
       "user_id", "event_type", "ts", "event_id")
 
+  /** Streaming twin of [[graft.Queries.eventsAttribution]]. Attribution
+    * credit is NOT final at arrival: a late-landing touch inside a
+    * purchase's lookback rewrites that purchase's linear and time-decay
+    * splits (and can steal first/last touch), so the twin lands the raw
+    * 5-column event log (batch-id OVERWRITE, replay-idempotent) and the
+    * credit report is a LATE-BOUND view over everything landed — the
+    * [[scd2Ingest]] class: the log is the cheap stored thing, the
+    * report is derived, sharing the batch operator verbatim.
+    */
+  def attributionIngest(events: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"), col("value"))
+            .write.mode("overwrite").parquet(s"$outDir/events/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The credit report over [[attributionIngest]]'s landed log — the
+    * batch operator verbatim.
+    */
+  def attributionView(spark: SparkSession, outDir: String,
+      lookbackDays: Int = 7): DataFrame =
+    graft.Queries.attributionFromEvents(
+      spark.read.parquet(s"$outDir/events"), lookbackDays)
+
   /** Streaming SEMANTIC decontamination against the frozen persisted
     * benchmark store ([[graft.ext.Dedup.buildSemContamStore]]) — the
     * embedding-space twin of [[decontaminateIngest]]: version root

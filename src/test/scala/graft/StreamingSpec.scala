@@ -1553,6 +1553,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exp.nonEmpty && got.toSeq == exp.toSeq)
   }
 
+  test("streaming attribution: a late touch rewrites credit; view equals batch across a restart") {
+    val all = Queries.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-attr-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-attr-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-attr-src").toString
+    // batch 1 lands purchases + half the touches; batch 2 lands the rest
+    // of the touches (late relative to purchases already credited)
+    all.filter(col("event_type") === "purchase" || col("event_id") % 2 === 0)
+      .write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.attributionIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val partial = graft.streaming.StreamingCorpus.attributionView(spark, outDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    all.filter(col("event_type") =!= "purchase" && col("event_id") % 2 === 1)
+      .write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val exp = Queries.attributionFromEvents(all).collect().map(_.toSeq)
+    val got = graft.streaming.StreamingCorpus.attributionView(spark, outDir)
+      .collect().map(_.toSeq)
+    assert(exp.nonEmpty && got.toSeq == exp.toSeq)
+    // the late touches really moved credit for some (model, channel)
+    val after = got.map(r => (r(0), r(1)) -> r(2)).toMap
+    assert(partial.exists { case (k, v) => after.get(k).exists(_ != v) },
+      "late touches should have rewritten some credit cell")
+  }
+
   test("streaming scd2: late data rewrites history; view equals the batch dimension across a restart") {
     val all = Queries.events(spark, "/root/testdata/sf0.001")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
