@@ -2208,6 +2208,49 @@ object Oracles {
         |WHERE da.lang <> db.lang AND m.margin >= 1.2 AND m.cos > 0
         |ORDER BY m.a, m.b""".stripMargin,
 
+    // triangles: the pagerank edge construction, canonical undirected
+    // edges, wedge self-join on the pivot + closing semi-join — exact
+    // integer counting after the round-6 cosine edges
+    "sim_triangles" ->
+      s"""WITH $embLshCandCtes,
+        |edges0 AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst, cos FROM edges0
+        |  UNION ALL SELECT b, a, cos FROM edges0
+        |), topk AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 4
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM topk
+        |), adj AS (
+        |  SELECT u AS p, v AS q FROM e UNION ALL SELECT v, u FROM e
+        |), wedges AS (
+        |  SELECT a1.p, a1.q AS x, a2.q AS y
+        |  FROM adj a1 JOIN adj a2 ON a1.p = a2.p AND a1.q < a2.q
+        |), tri AS (
+        |  SELECT w.p, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM wedges w JOIN e ON w.x = e.u AND w.y = e.v
+        |  GROUP BY w.p
+        |), deg AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY p
+        |)
+        |SELECT d.p AS vec_id, d.degree,
+        |  COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN CAST(0 AS DOUBLE)
+        |    ELSE round(COALESCE(t.triangles, CAST(0 AS BIGINT)) * 2.0 /
+        |      (d.degree * (d.degree - 1)), 6) END AS coeff
+        |FROM deg d LEFT JOIN tri t ON d.p = t.p
+        |ORDER BY vec_id""".stripMargin,
+
     // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
     // per-src top-4 by (rounded cos DESC, dst), then 3 damped power
     // steps with dangling redistribution — every per-step rank rounds

@@ -679,6 +679,9 @@ object SparkEntry {
     // PageRank representativeness over the LSH-bucketed kNN graph: 3
     // damped power steps, dangling mass redistributed, per-step round-9
     "sim_pagerank" -> ((s, dir) => Similarity.embeddingPagerank(emb(s, dir))),
+    // triangle count + clustering coefficient over the same kNN graph:
+    // the community-density read next to pagerank's centrality read
+    "sim_triangles" -> ((s, dir) => Similarity.embeddingTriangles(emb(s, dir))),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

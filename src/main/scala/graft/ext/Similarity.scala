@@ -755,6 +755,63 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Triangle count + local clustering coefficient over the same
+    * LSH-pruned kNN graph [[embeddingPagerank]] ranks — the
+    * community-density read next to PageRank's centrality read: a node
+    * whose neighbors also neighbor EACH OTHER (coefficient → 1) sits
+    * inside a tight semantic cluster; a high-degree node with
+    * coefficient → 0 is a hub bridging unrelated regions (and a prime
+    * dedup/diversity-audit target). `coeff = 2·T / (deg·(deg−1))`.
+    *
+    * Algorithm (the standard distributed triangle join, node-iterator
+    * form): UNDIRECTED edges from the top-k lists (canonical u<v,
+    * distinct); wedges join the edge list with itself on the pivot node
+    * (v<w orders each wedge once); a semi-join against the edge list
+    * closes triangles. Every step is edge-list-sized (≈N·k rows) — the
+    * corpus appears only through the candidate stage, and no step is
+    * ever N². Degree counts come from the same canonical edge list.
+    *
+    * Determinism: edges derive from round-6 cosines with the dst
+    * tiebreak (the pagerank discipline), and everything after is exact
+    * integer counting; the coefficient is one rounded division.
+    */
+  def embeddingTriangles(emb: DataFrame, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
+      .unionByName(
+        pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
+    val topk = sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= k)
+    val edges = topk
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    // both endpoints see the edge for degree and for wedge pivoting
+    val adj = edges.select(col("u").as("p"), col("v").as("q"))
+      .union(edges.select(col("v").as("p"), col("u").as("q")))
+    val wedges = adj.select(col("p"), col("q").as("x"))
+      .join(adj.select(col("p"), col("q").as("y")), Seq("p"))
+      .filter(col("x") < col("y"))
+    val triangles = wedges
+      .join(edges.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+    // each closed wedge credits its PIVOT; summed over the three pivot
+    // roles every triangle lands once per corner
+    val triPerNode = triangles.groupBy(col("p")).agg(count(lit(1)).as("triangles"))
+    val deg = adj.groupBy(col("p")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("p"), "left")
+      .select(col("p").as("vec_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("coeff",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(round(col("triangles") * 2.0 /
+            (col("degree") * (col("degree") - 1)), 6)))
+      .orderBy(col("vec_id"))
+  }
+
   /** Persist a k-means IVF index: the corpus PARTITIONED BY cell (so a
     * probe reads only its cells' directories — partition pruning makes
     * "touch nProbe/cells of the data" literal at the file-system level)

@@ -472,6 +472,30 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(real.forall(r => r.getString(2) != r.getString(3) && r.getDouble(4) >= 0.4))
   }
 
+  test("triangles: planted clique closes; handshake invariant; coeff bounded") {
+    import spark.implicits._
+    // 4 identical vectors form a mutual-kNN clique; 20 spread-out others
+    val rnd = new java.util.Random(7)
+    val clique = (0L until 4L).map(i => (i, Array.fill(64)(0.7f)))
+    val rest = (10L until 30L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = (clique ++ rest).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.embeddingTriangles(e).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each clique member pairs with the other 3 at cos 1 -> the 3 wedges
+    // among them all close
+    (0L until 4L).foreach { i =>
+      assert(byId(i)._2 >= 3, s"clique member $i: ${byId(i)}")
+      assert(byId(i)._3 >= 0.5)
+    }
+    // handshake: per-node triangle credits sum to 3x the distinct count,
+    // which the per-pivot counting guarantees structurally iff every
+    // triangle landed exactly once per corner; coeff always in [0, 1]
+    assert(out.map(_.getLong(2)).sum % 3 == 0)
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("semantic contamination: exact copies always flag; no false positives vs brute force") {
     import org.apache.spark.sql.functions.col
     val e = emb
