@@ -3084,6 +3084,50 @@ object Oracles {
         |  round(abs(frac_pos - mean_s), 4) AS gap
         |FROM g ORDER BY bin""".stripMargin),
 
+    // isotonic calibration: PAV via the minimax closed form
+    // iso(p) = max_{i<=p} min_{j>=p} posrate(i..j) over 20 bins — exact
+    // integer range sums from prefix sums, identical double compares
+    "ml_eval_isotonic" -> {
+      val occ = """CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT)"""
+      s"""WITH scored AS (
+        |  SELECT round((round(
+        |      round(CAST($occ AS DOUBLE) /
+        |        greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT), 1), 4)
+        |      - round(CAST(length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1), 4), 4) + 1) / 2, 4) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |)""".stripMargin + """,
+        |bn AS MATERIALIZED (
+        |  SELECT least(CAST(floor((CAST(round(s * 10000) AS BIGINT) * 20)
+        |      / 10000.0) AS BIGINT), 19) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM scored GROUP BY 1
+        |), pre AS (
+        |  SELECT bin, n, pos,
+        |    CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cpos,
+        |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cn
+        |  FROM bn
+        |), lagd AS (
+        |  SELECT bin AS i, COALESCE(lag(cpos) OVER (ORDER BY bin), 0) AS cp0,
+        |    COALESCE(lag(cn) OVER (ORDER BY bin), 0) AS cn0
+        |  FROM pre
+        |), ranges AS (
+        |  SELECT a.bin AS i, b2.bin AS j,
+        |    CAST(b2.cpos - l.cp0 AS DOUBLE) / (b2.cn - l.cn0) AS avg
+        |  FROM pre a JOIN pre b2 ON a.bin <= b2.bin JOIN lagd l ON a.bin = l.i
+        |), mins AS (
+        |  SELECT pp.bin AS p, r.i, min(r.avg) AS m
+        |  FROM ranges r JOIN pre pp ON r.i <= pp.bin AND r.j >= pp.bin
+        |  GROUP BY 1, 2
+        |), iso AS (SELECT p, round(max(m), 6) AS iso FROM mins GROUP BY 1)
+        |SELECT b.bin, b.n, round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+        |  i.iso
+        |FROM bn b JOIN iso i ON b.bin = i.p ORDER BY b.bin""".stripMargin
+    },
+
     // containment: winnowing fingerprints at k=12/w=8 (19-char shared-
     // substring guarantee), document-frequency cap df<=32 applied BEFORE
     // pairing, overlap normalized by the SMALLER side's post-cap count

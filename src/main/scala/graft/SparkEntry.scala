@@ -319,6 +319,17 @@ object SparkEntry {
     "ml_eval_auc" -> ((s, dir) => ModelEval.binaryAuc(lrScored(s, dir))),
     "ml_eval_thresholds" -> ((s, dir) => ModelEval.thresholdSweep(lrScored(s, dir))),
     "ml_eval_calibration" -> ((s, dir) => ModelEval.calibrationBins(lrScored(s, dir))),
+    // ...and the calibration REPAIR: isotonic (PAV via the loop-free
+    // minimax closed form over bounded bins, replayed exactly). Scored
+    // by the [0,1]-mapped QUALITY signal rather than the LR posterior:
+    // the self-train posteriors cluster in one bin (no curve to
+    // calibrate), while quality spreads the full bin range
+    "ml_eval_isotonic" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, round}
+      ModelEval.isotonicCalibration(docs(s, dir).select(
+        round((TextAnalysis.qualityScore + 1) / 2, 4).as("s"),
+        (col("lang") === "en").cast("int").as("y")))
+    }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     // Lee et al. 2022 exact-substring dedup, window-hash formulation:
     // maximal >=10-token runs duplicated anywhere in the corpus

@@ -105,6 +105,61 @@ object ModelEval {
       .orderBy(col("thr"))
   }
 
+  /** ISOTONIC calibration map (the repair step after [[calibrationBins]]
+    * measures miscalibration): the monotone-non-decreasing fit of
+    * observed positive rate to score bins, via the minimax
+    * characterization of pool-adjacent-violators —
+    * `iso(p) = max_{i≤p} min_{j≥p} posrate(i..j)` — which needs no
+    * sequential pooling loop, so BOTH engines evaluate the identical
+    * closed form over exact integer range sums (prefix sums of the
+    * ≤`bins`-row frame; B³ ≈ 8000 combinations at B = 20 — nothing).
+    * Serving replaces a raw score in bin b with `iso_b`: the
+    * least-squares monotone recalibration, the standard post-hoc fix
+    * when a classifier's probabilities drift but its RANKING is sound.
+    *
+    * Scale shape: the one corpus-sized step is the same histogram
+    * groupBy as every other metric here; the minimax runs on broadcast
+    * bin frames. Output per bin: raw rate, calibrated `iso` (round 6,
+    * provably monotone — the spec asserts it), and the bin mass.
+    */
+  def isotonicCalibration(scored: DataFrame, bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binCol = least(floor((s4Col * bins) / 10000.0).cast("long"),
+      lit(bins - 1L))
+    val b = scored.groupBy(binCol.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+    // bounded single-partition window: ≤bins rows by construction
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = b
+      .withColumn("cpos", sum(col("pos")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .localCheckpoint(true)
+    val grid = pre.select(col("bin"), col("cpos"), col("cn"))
+    // range averages for every i<=j from prefix sums (exact integers)
+    val ranges = grid.select(col("bin").as("i"), col("cpos").as("cpi"), col("cn").as("cni"))
+      .crossJoin(broadcast(grid.select(col("bin").as("j"),
+        col("cpos").as("cpj"), col("cn").as("cnj"))))
+      .filter(col("i") <= col("j"))
+      .join(broadcast(grid.select(col("bin").as("i"),
+        lag(col("cpos"), 1).over(Window.orderBy(col("bin"))).as("cp0"),
+        lag(col("cn"), 1).over(Window.orderBy(col("bin"))).as("cn0"))), Seq("i"))
+      .select(col("i"), col("j"),
+        ((col("cpj") - coalesce(col("cp0"), lit(0L))).cast("double") /
+          (col("cnj") - coalesce(col("cn0"), lit(0L)))).as("avg"))
+    // iso_p = max over i<=p of (min over j>=p of avg(i, j))
+    val p = grid.select(col("bin").as("p"))
+    val iso = ranges.crossJoin(broadcast(p))
+      .filter(col("i") <= col("p") && col("j") >= col("p"))
+      .groupBy(col("p"), col("i")).agg(min(col("avg")).as("m"))
+      .groupBy(col("p")).agg(round(max(col("m")), 6).as("iso"))
+    b.join(iso, b("bin") === iso("p"))
+      .select(col("bin"), col("n"),
+        round(col("pos").cast("double") / col("n"), 6).as("raw_rate"),
+        col("iso"))
+      .orderBy(col("bin"))
+  }
+
   /** Reliability-diagram bins (the calibration half of an eval report):
     * equal-width score bins `[i/bins, (i+1)/bins)` (top edge closed), per
     * bin the doc count, mean predicted score, observed positive rate,

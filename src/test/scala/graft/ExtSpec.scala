@@ -91,6 +91,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ext.ModelEval.binaryAuc(lrScores).collect()(0).getDouble(3) == 1.0)
   }
 
+  test("isotonic calibration pools violators to the PAV fit and stays monotone") {
+    import spark.implicits._
+    // bin rates 0, 1, 0 (equal mass): PAV pools the violating (1, 0)
+    // pair to 0.5 -> fitted curve [0, 0.5, 0.5]
+    val scored = Seq(
+      (0.01, 0), (0.01, 0), (0.30, 1), (0.30, 1), (0.51, 0), (0.51, 0))
+      .toDF("s", "y")
+    val out = graft.ext.ModelEval.isotonicCalibration(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 6L, 10L))
+    assert(out(0L) == ((0.0, 0.0)))
+    assert(out(6L) == ((1.0, 0.5)))
+    assert(out(10L) == ((0.0, 0.5)))
+    // a monotone input is a fixed point
+    val mono = Seq((0.05, 0), (0.05, 0), (0.45, 1), (0.45, 0), (0.95, 1))
+      .toDF("s", "y")
+    val fixed = graft.ext.ModelEval.isotonicCalibration(mono).collect()
+    fixed.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
+    // fitted values are always non-decreasing in the bin order
+    val isoSeq = fixed.sortBy(_.getLong(0)).map(_.getDouble(3)).toSeq
+    assert(isoSeq == isoSeq.sorted)
+  }
+
   test("corpus card: counts, dup rate, shares on a hand-built corpus") {
     import spark.implicits._
     val d = Seq(
