@@ -2251,6 +2251,53 @@ object Oracles {
         |FROM deg d LEFT JOIN tri t ON d.p = t.p
         |ORDER BY vec_id""".stripMargin,
 
+    // k-core: the triangles edge construction, then 3 unrolled peel
+    // rounds — every round's edge set MATERIALIZED so DuckDB never
+    // re-inlines the LSH chain (2^rounds-fold otherwise)
+    "sim_kcore" -> {
+      val peels = (1 to 3).map { r =>
+        val prev = s"e${r - 1}"
+        s"""d$r AS (
+          |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+          |    SELECT u AS p FROM $prev UNION ALL SELECT v FROM $prev)
+          |  GROUP BY 1
+          |), e$r AS MATERIALIZED (
+          |  SELECT e.u, e.v FROM $prev e
+          |  JOIN d$r a ON e.u = a.p JOIN d$r b ON e.v = b.p
+          |  WHERE a.deg >= 5 AND b.deg >= 5
+          |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $embLshCandCtes,
+        |edges0 AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst, cos FROM edges0
+        |  UNION ALL SELECT b, a, cos FROM edges0
+        |), topk AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 4
+        |), e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM topk
+        |), $peels,
+        |fd AS (
+        |  SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS p FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY 1
+        |)
+        |SELECT em.vec_id, COALESCE(fd.deg, CAST(0 AS BIGINT)) AS core_degree,
+        |  COALESCE(fd.deg, CAST(0 AS BIGINT)) >= 5 AS in_core
+        |FROM embeddings em LEFT JOIN fd ON em.vec_id = fd.p
+        |ORDER BY em.vec_id""".stripMargin
+    },
+
     // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
     // per-src top-4 by (rounded cos DESC, dst), then 3 damped power
     // steps with dangling redistribution — every per-step rank rounds

@@ -693,6 +693,14 @@ object SparkEntry {
     // triangle count + clustering coefficient over the same kNN graph:
     // the community-density read next to pagerank's centrality read
     "sim_triangles" -> ((s, dir) => Similarity.embeddingTriangles(emb(s, dir))),
+    // 3-round peel toward the 5-core. Honesty note (the lrPredict
+    // precedent): this corpus's random embeddings make the kNN graph
+    // degree-regular, so ANY threshold is all-or-nothing — coreK=5
+    // exercises three real cascade rounds (everything peels) and the
+    // oracle gates that arithmetic; that the operator SPLITS a
+    // structured graph is asserted in ExtSpec (clique survives, pendant
+    // chain dies)
+    "sim_kcore" -> ((s, dir) => Similarity.embeddingKCore(emb(s, dir), coreK = 5)),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

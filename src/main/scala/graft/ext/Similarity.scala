@@ -775,20 +775,28 @@ object Similarity {
     * tiebreak (the pagerank discipline), and everything after is exact
     * integer counting; the coefficient is one rounded division.
     */
-  def embeddingTriangles(emb: DataFrame, k: Int = 4): DataFrame = {
+  /** The canonical UNDIRECTED kNN edge set (u<v, distinct) from the
+    * LSH-pruned candidate graph — shared by [[embeddingTriangles]] and
+    * [[embeddingKCore]] so every graph operator ranks/peels the same
+    * graph [[embeddingPagerank]] walks.
+    */
+  private[graft] def knnUndirectedEdges(emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb)
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
       .unionByName(
         pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
-    val topk = sym
+    sym
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
       .filter(col("rn") <= k)
-    val edges = topk
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint(true)
+  }
+
+  def embeddingTriangles(emb: DataFrame, k: Int = 4): DataFrame = {
+    val edges = knnUndirectedEdges(emb, k)
     // both endpoints see the edge for degree and for wedge pivoting
     val adj = edges.select(col("u").as("p"), col("v").as("q"))
       .union(edges.select(col("v").as("p"), col("u").as("q")))
@@ -809,6 +817,46 @@ object Similarity {
         when(col("degree") < 2, lit(0.0))
           .otherwise(round(col("triangles") * 2.0 /
             (col("degree") * (col("degree") - 1)), 6)))
+      .orderBy(col("vec_id"))
+  }
+
+  /** k-CORE peel over the kNN graph (fixed unrolled rounds — the
+    * pagerank/Lloyd determinism discipline: this is "`rounds`-round
+    * peel toward the `coreK`-core", both engines peel identically): each
+    * round drops every node whose CURRENT degree is below `coreK` and
+    * every edge touching one, which is how the k-core is computed
+    * everywhere degeneracy ordering doesn't fit — nodes surviving all
+    * rounds sit in (a superset of) the coreK-core. The core/periphery
+    * split is the graph-native density audit next to
+    * [[embeddingTriangles]]' local coefficient: periphery nodes (thin
+    * attachment to the semantic graph) are isolation outliers; a huge
+    * dense core at high k flags near-duplicate saturation.
+    *
+    * Scale shape: each round is two edge-list-sized aggregations
+    * (degree) + two semi-joins; `localCheckpoint` truncates lineage per
+    * round. Emits every node with its post-peel degree and the
+    * `in_core` verdict.
+    */
+  def embeddingKCore(emb: DataFrame, k: Int = 4, coreK: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    var edges = knnUndirectedEdges(emb, k)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("p")).union(e.select(col("v").as("p")))
+        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("deg") >= coreK)
+        .select(col("p"))
+      edges = edges
+        .join(keep.withColumnRenamed("p", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("p", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val finalDeg = degrees(edges)
+    emb.select(col("vec_id"))
+      .join(finalDeg.withColumnRenamed("p", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("core_degree"),
+        (coalesce(col("deg"), lit(0L)) >= coreK).as("in_core"))
       .orderBy(col("vec_id"))
   }
 

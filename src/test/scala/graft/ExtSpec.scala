@@ -495,6 +495,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(real.forall(r => r.getString(2) != r.getString(3) && r.getDouble(4) >= 0.4))
   }
 
+  test("k-core peel: planted clique survives, pendant chain dies, verdict splits") {
+    import spark.implicits._
+    // 6 identical vectors (mutual clique, degree >= 5 among themselves)
+    // + 12 spread singletons whose kNN attachments are thin
+    val rnd = new java.util.Random(11)
+    val clique = (0L until 6L).map(i => (i, Array.fill(64)(0.6f)))
+    val rest = (10L until 22L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = (clique ++ rest).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.embeddingKCore(e, k = 4, coreK = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0L until 6L).foreach(i => assert(out(i), s"clique member $i peeled"))
+    assert(out.exists(!_._2), "some periphery node should peel")
+  }
+
   test("triangles: planted clique closes; handshake invariant; coeff bounded") {
     import spark.implicits._
     // 4 identical vectors form a mutual-kNN clique; 20 spread-out others
