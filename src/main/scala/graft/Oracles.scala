@@ -786,8 +786,9 @@ object Oracles {
         |FROM z ORDER BY day, hour""".stripMargin,
 
     // multi-touch attribution: dyadic decay from a literal list (never
-    // pow), exact-integer day deltas, per-purchase dyadic weight sums,
-    // credits quantized to 6 before the (model, channel) aggregation
+    // pow), exact-integer day deltas, per-purchase dyadic decay sums;
+    // credits quantized to 6 then SUMMED AS SCALED LONGS (order-free)
+    // before the (model, channel) aggregation — 1/n is not dyadic
     "events_attribution" -> {
       val decays = (0 until 7).map(d => math.pow(0.5, d)).mkString("[", ", ", "]")
       s"""WITH p AS (
@@ -820,8 +821,9 @@ object Oracles {
         |  UNION ALL
         |  SELECT 'time_decay', channel, value, round(decay / decay_sum, 6) FROM s
         |)
-        |SELECT model, channel, round(sum(wt), 4) AS conversions,
-        |  round(sum(round(wt * value, 6)), 4) AS revenue
+        |SELECT model, channel,
+        |  round(sum(CAST(round(wt * 1e6) AS BIGINT)) / 1e6, 4) AS conversions,
+        |  round(sum(CAST(round(round(wt * value, 6) * 1e6) AS BIGINT)) / 1e6, 4) AS revenue
         |FROM m GROUP BY model, channel
         |ORDER BY model, channel""".stripMargin
     },

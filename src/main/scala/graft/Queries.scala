@@ -496,10 +496,13 @@ object Queries {
     * Determinism across engines: decay weights are DYADIC — `0.5^Δdays`
     * with an integer day delta from exact µs arithmetic, looked up from
     * a literal array (no `pow` in either engine) — so per-purchase
-    * weight sums are exact binary and the normalizing division is
-    * correctly rounded identically in both engines; normalized credits
-    * quantize to 6 decimals before the final aggregation (the BM25
-    * discipline), aggregates round to 4.
+    * decay sums are exact binary and the normalizing division is
+    * correctly rounded identically in both engines. The normalized
+    * credits themselves (linear `1/n`, decay quotients) are NOT dyadic,
+    * so after the 6-decimal quantization the final aggregation runs in
+    * the exact scaled-long domain (sum `round(wt·1e6)` as longs — the
+    * [[graft.ext.ModelEval]] integer discipline) rather than as an
+    * order-dependent double sum; aggregates round to 4.
     *
     * Scale shape: ONE user-keyed equi-join (purchases × touches
     * co-shuffle on user_id) with the time window as a post-join filter
@@ -559,9 +562,19 @@ object Queries {
           (col("decay") / col("decay_sum")).as("wt")))).as("m"))
       .select(col("m.model").as("model"), col("channel"),
         round(col("m.wt"), 6).as("wt"), col("value"))
+    // The 6-decimal-quantized credits (1/n, decay quotients) are NOT
+    // exactly representable in binary, so a double sum is aggregation-
+    // order-dependent at ±1 ulp and round(_, 4) can flip at a decimal
+    // boundary between engines. Sum in the exact scaled-long domain
+    // (the ModelEval integer discipline): round(wt·1e6) recovers the
+    // exact integer both engines agree on, long sums are order-free,
+    // and the single final division is correctly rounded identically.
     models.groupBy(col("model"), col("channel"))
-      .agg(round(sum(col("wt")), 4).as("conversions"),
-        round(sum(round(col("wt") * col("value"), 6)), 4).as("revenue"))
+      .agg(
+        round(sum(round(col("wt") * 1e6, 0).cast("long")) / 1e6, 4)
+          .as("conversions"),
+        round(sum(round(round(col("wt") * col("value"), 6) * 1e6, 0)
+          .cast("long")) / 1e6, 4).as("revenue"))
       .orderBy(col("model"), col("channel"))
   }
 
