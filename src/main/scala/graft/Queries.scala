@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Exact
 
 /** Query registry backing [[SparkEntry.queries]].
   *
@@ -170,7 +171,7 @@ object Queries {
       .agg(
         count(lit(1)).as("total_events"),
         sum(when(col("value") >= 50.0, 1).otherwise(0)).as("n_high_value"),
-        round(sum(col("value")), 3).as("total_value"))
+        round(Exact.sumQ(col("value"), 2), 3).as("total_value"))
       .orderBy(col("event_type"))
 
   /** B3: error details — filter + project + newest-first sort. */
@@ -187,7 +188,7 @@ object Queries {
     events(spark, dir)
       .filter(col("event_type") =!= "error")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_date"), col("event_type"))
-      .agg(round(sum(col("value")), 3).as("total_value"),
+      .agg(round(Exact.sumQ(col("value"), 2), 3).as("total_value"),
         count(lit(1)).as("n_events"))
       .orderBy(col("run_date").desc, col("event_type").asc)
 
@@ -321,7 +322,7 @@ object Queries {
       .select(col("event_id"), col("user_id"), col("value"),
         unix_micros(col("ts")).as("us"))
       .select(col("event_id"), col("user_id"),
-        round(sum(col("value")).over(w), 3).as("roll_value"),
+        round(Exact.sumQOver(col("value"), 2, w), 3).as("roll_value"),
         count(lit(1)).over(w).as("n_window"))
       .orderBy(col("event_id"))
   }
@@ -394,7 +395,7 @@ object Queries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .withColumn("d", expr("us div 86400000000"))
       .groupBy(col("user_id"), col("d"))
-      .agg(round(sum(col("value")), 3).as("v"))
+      .agg(round(Exact.sumQ(col("value"), 2), 3).as("v"))
       .withColumn("v3", round(col("v") * 1000, 0).cast("long"))
     daily.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
@@ -594,7 +595,7 @@ object Queries {
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value")), 3).as("v"))
+      .agg(round(Exact.sumQ(col("value"), 2), 3).as("v"))
     val calendar = daily
       .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),
@@ -841,7 +842,7 @@ object Queries {
     val per = ev.groupBy(col("user_id")).agg(
       unix_micros(max(col("ts"))).as("rec"),
       count(lit(1)).as("n_events"),
-      round(sum(col("value")), 4).as("monetary"))
+      round(Exact.sumQ(col("value"), 2), 4).as("monetary"))
     val q = per.agg(
       expr("percentile(rec, 0.25)").as("r1"),
       expr("percentile(rec, 0.5)").as("r2"),
@@ -1146,7 +1147,7 @@ object Queries {
         Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
       .groupBy(col("event_type"), col("quartile"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("avg_value"),
+        round(Exact.avgQ(col("value"), 2), 4).as("avg_value"),
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"), col("quartile"))
@@ -1592,12 +1593,12 @@ object Queries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(Exact.sumQ(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("sum_disc_price"),
+        round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(Exact.avgQ(col("l_extendedprice"), 2), 4).as("avg_price"),
+        round(Exact.avgQ(col("l_discount"), 2), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -1627,7 +1628,7 @@ object Queries {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -1648,7 +1649,7 @@ object Queries {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

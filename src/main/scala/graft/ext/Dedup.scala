@@ -212,6 +212,7 @@ object Dedup {
     val sh = shingles(docs, n)
       .select(col("doc_id"), xxhash64(col("sh")).as("sh")).cache()
     val cand = prefixJaccardCandidates(sh, threshold)
+    try {
     // verify on PACKED sets, not a pair×shingle join-aggregate: each doc's
     // distinct shingle hashes collapse once into one sorted array, and
     // every candidate pair costs ONE row carrying two ~n·8-byte arrays
@@ -236,6 +237,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("common"), col("n_a"), col("n_b"), col("jaccard"))
       .orderBy(col("a"), col("b"))
+      // materialize, then release the cached shingle frame — the lrModel
+      // try/finally discipline; long-lived drivers must not accumulate it
+      .localCheckpoint()
+    } finally sh.unpersist()
   }
 
   /** Prime modulus (2^31 − 1) for the portable min-wise family: operands

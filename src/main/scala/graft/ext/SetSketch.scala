@@ -101,7 +101,10 @@ object SetSketch {
     ska.crossJoin(broadcast(skb))
       .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("n_sk_union", size(col("u")).cast("long"))
-      .withColumn("kth", element_at(col("u"), size(col("u"))))
+      // guarded: both windows empty → empty union sketch, and
+      // element_at(_, 0) raises ARRAY_INDEX_0 instead of returning a row
+      .withColumn("kth", when(size(col("u")) > 0,
+        element_at(col("u"), size(col("u")))).otherwise(lit(null)))
       .withColumn("common", size(
         array_intersect(array_intersect(col("u"), col("ska")), col("skb"))).cast("long"))
       .withColumn("est_union",

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Exact
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language ID, document fingerprinting. All are built
@@ -652,15 +653,23 @@ object TextAnalysis {
       trim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
       val syms = seqs.select(col("word"), col("wcount"),
         posexplode(split(col("seq"), " ")).as(Seq("i", "sym")))
-      val top = syms.as("a").join(syms.as("b"),
+      // headOption, not (0): an empty corpus (or every word fully merged
+      // to one symbol before `rounds` runs out) has NO adjacent pair —
+      // stop with the merges learned so far instead of throwing
+      val topOpt = syms.as("a").join(syms.as("b"),
           col("a.word") === col("b.word") && col("a.i") + 1 === col("b.i"))
         .groupBy(col("a.sym").as("x"), col("b.sym").as("y"))
         .agg(sum(col("a.wcount")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
-        .collect()(0)
+        .collect().headOption
+      if (topOpt.isEmpty) { exhausted = true } else {
+      val top = topOpt.get
       val (x, y, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
       val merged = x + y
       out += ((r, x, y, merged, cnt))
@@ -683,6 +692,7 @@ object TextAnalysis {
         .agg(array_join(expr("transform(array_sort(collect_list(struct(i, o))), s -> s.o)"),
           " ").as("seq"))
         .localCheckpoint()
+      }
     }
     (out.toSeq, seqs)
   }
@@ -861,6 +871,10 @@ object TextAnalysis {
   def charEntropy(docs: DataFrame, lowBelow: Double = 2.5,
       highAbove: Double = 4.0): DataFrame = {
     val chars = docs
+      // length >= 1 first: Spark's sequence(1, 0) defaults to step -1 and
+      // yields [1, 0] (two phantom empty-string chars), while the oracle's
+      // generate_series(1, 0) is empty — empty docs must drop on BOTH
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
@@ -1673,7 +1687,7 @@ object TextAnalysis {
     docB.join(broadcast(lmodel), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
-        round(sum(col("c") * col("lr")), 4).as("logw"))
+        round(Exact.sumQ(col("c") * col("lr"), 9), 4).as("logw"))
       .orderBy(col("doc_id"))
 
   /** Persist the DSIR log-ratio model (fit-once-score-many, the
@@ -2297,9 +2311,9 @@ object TextAnalysis {
     for (_ <- 1 to iters) {
       val pr = lrResiduals(xf, dl, w)
       val gB = xf.join(pr, Seq("doc_id"))
-        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gs"))
+        .groupBy(col("b")).agg(Exact.sumQ(col("r") * col("x"), 10).as("gs"))
         .collect() // bounded: <= buckets rows
-      val bias = pr.agg(sum(col("r")).as("gs"), count(lit(1)).as("cnt"))
+      val bias = pr.agg(Exact.sumQ(col("r"), 7).as("gs"), count(lit(1)).as("cnt"))
         .collect()(0)
       val nDocs = bias.getLong(1)
       val g = gB.map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
@@ -2333,7 +2347,7 @@ object TextAnalysis {
     val wDf = w.toSeq.filter(_._1 >= 0L).toDF("b", "w")
     xf.join(broadcast(wDf), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("x") * col("w")), 7).as("ms"))
+      .agg(round(Exact.sumQ(col("x") * col("w"), 10), 7).as("ms"))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-(col("ms") + lit(w(-1L))))), 7).as("p"))
   }
@@ -2372,7 +2386,14 @@ object TextAnalysis {
   def lrPredict(docs: DataFrame, buckets: Int = 64, iters: Int = 3): DataFrame = {
     val (xf, dl) = lrFrames(docs, buckets)
     xf.persist(); dl.persist()
-    val w = lrFitWeights(xf, dl, buckets, iters)
+    // the cache pays off inside the ITERATIVE fit; release it before
+    // returning (the lrModel try/finally discipline — long-lived drivers
+    // must not keep corpus-sized cached blocks past the call). The
+    // returned frame is one linear pass that simply recomputes xf/dl
+    // from the source, keeping the plan inspectable (no checkpoint
+    // truncation) and the session leak-free.
+    val w = try lrFitWeights(xf, dl, buckets, iters)
+    finally { xf.unpersist(); dl.unpersist() }
     lrProbabilities(xf, w)
       .join(dl, Seq("doc_id"))
       .select(col("doc_id"), round(col("p"), 4).as("p"),
@@ -2496,7 +2517,7 @@ object TextAnalysis {
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(termW), 4).as("score"))
+      .agg(round(Exact.sumQ(termW, 6), 4).as("score"))
 
     scored
       .withColumn("rank", row_number().over(

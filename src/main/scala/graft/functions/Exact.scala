@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-free aggregation over decimal-quantized doubles.
+  *
+  * A double sum is aggregation-order-dependent at ±1 ulp per combine, and
+  * Spark's partial-aggregation merge order is nondeterministic (task
+  * completion order) and differs from DuckDB's — so `round(sum(x), s)`
+  * over non-dyadic summands (money values like 6.55, `1/n` credits,
+  * quotients) can flip at a decimal rounding boundary between engines or
+  * even between runs. The `events_attribution` r8 hash-fail was exactly
+  * this class.
+  *
+  * The fix: snap each summand to its decimal grid (it is already within
+  * 1 ulp of it, so the snap is unambiguous under either engine's tie
+  * rule), sum in EXACT decimal arithmetic (`DecimalType(38, s)` — Spark
+  * and DuckDB both use 128-bit integer decimals, associative and
+  * overflow-safe to 10^(38−s), which at s=6 is 10³² — comfortably above
+  * any 100 TB aggregate), and convert to double once at the end. The
+  * whole pipeline stays in whole-stage codegen; decimal sum is a hash
+  * aggregate exactly like the double sum it replaces, map-side partials
+  * included.
+  *
+  * Scale `s` must be ≥ the true decimal granularity of the summand
+  * (events.value and TPC-H money columns are 2 dp; `price·(1−disc)` is
+  * exact at 4 dp; `price·(1−disc)·(1+tax)` at 6 dp) so the snap loses
+  * nothing. For summands that are NOT decimal-quantized (raw float
+  * embeddings, log terms), the snap at `s` ≥ target-round + 3 perturbs
+  * each summand by ≤ 5·10^(−s−1) — far inside the final rounding grid —
+  * and both engines apply the identical quantization, so parity holds by
+  * construction rather than by luck.
+  */
+object Exact {
+
+  /** `Σ x` with `x` snapped to the 10^−s grid, summed exactly. */
+  def sumQ(c: Column, s: Int): Column =
+    sum(round(c, s).cast(DecimalType(38, s))).cast("double")
+
+  /** Windowed form of [[sumQ]] (e.g. rolling range-frame sums, where
+    * DuckDB's segment-tree evaluation associates differently than
+    * Spark's running frame).
+    */
+  def sumQOver(c: Column, s: Int, w: WindowSpec): Column =
+    sum(round(c, s).cast(DecimalType(38, s))).over(w).cast("double")
+
+  /** Order-free mean: exact decimal sum, one double division. */
+  def avgQ(c: Column, s: Int): Column =
+    sumQ(c, s) / count(lit(1))
+
+  /** The DuckDB replay of [[sumQ]] for oracle SQL builders. */
+  def sqlSumQ(x: String, s: Int): String =
+    s"CAST(sum(CAST(round($x, $s) AS DECIMAL(38,$s))) AS DOUBLE)"
+
+  /** The DuckDB replay of [[avgQ]]. */
+  def sqlAvgQ(x: String, s: Int): String =
+    s"(${sqlSumQ(x, s)} / count(*))"
+}

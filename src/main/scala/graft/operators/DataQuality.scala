@@ -218,8 +218,10 @@ object DataQuality {
     * scalar min/max (which cannot see bimodality or a truncation spike).
     *
     * Determinism: bucket assignment is `floor` of one double expression
-    * over exact integers — identical IEEE on both engines, no percentile
-    * interpolation involved.
+    * computed identically (same IEEE ops) on both engines, with the max
+    * value clamped into the last bin; no percentile interpolation
+    * involved. Works for any numeric column — width is `(mx − mn)`, not
+    * the integer-only `(mx − mn + 1)` form.
     *
     * Scale shape: one min/max/count aggregate broadcast back over the
     * scan, then a map-side-combinable count by bucket — two scans, no
@@ -229,8 +231,16 @@ object DataQuality {
     val mm = df.agg(min(col(column)).as("mn"), max(col(column)).as("mx"),
       count(lit(1)).as("total"))
     df.select(col(column).as("x")).crossJoin(broadcast(mm))
-      .withColumn("bin", floor((col("x") - col("mn")).cast("double") * bins /
-        (col("mx") - col("mn") + 1)).cast("long"))
+      // true equi-width over [mn, mx]: width (mx - mn) with the max
+      // clamped into the last bin — the (mx - mn + 1) form was only
+      // equi-width for integer columns and collapsed small-range double
+      // columns (e.g. scores in [0,1]) into bin 0
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("x") - col("mn")).cast("double") * bins /
+              (col("mx") - col("mn")).cast("double")),
+            lit(bins - 1L))).cast("long"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(mm.select(col("total"))))
       .select(col("bin"), col("n"),

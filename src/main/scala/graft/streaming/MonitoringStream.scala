@@ -152,7 +152,8 @@ object MonitoringStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 3).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.functions.Exact.sumQ(col("value"), 2), 3).as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
