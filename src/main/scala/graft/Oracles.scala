@@ -229,11 +229,11 @@ object Oracles {
       |), dd AS MATERIALIZED (
       |  SELECT CAST(max(len(e)) AS INT) AS d FROM e
       |), mu AS MATERIALIZED (
-      |  SELECT g.i - 1 AS dim, round(sum(e[g.i]) / nn.n, 7) AS mu
+      |  SELECT g.i - 1 AS dim, round(CAST(sum(CAST(round(e[g.i], 9) AS DECIMAL(38,9))) AS DOUBLE) / nn.n, 7) AS mu
       |  FROM e, UNNEST(generate_series(1, len(e))) AS g(i), nn
       |  GROUP BY g.i - 1, nn.n
       |), cp AS MATERIALIZED (
-      |  SELECT g1.i - 1 AS i, g2.i - 1 AS j, sum(e[g1.i] * e[g2.i]) AS sp
+      |  SELECT g1.i - 1 AS i, g2.i - 1 AS j, CAST(sum(CAST(round(e[g1.i] * e[g2.i], 9) AS DECIMAL(38,9))) AS DOUBLE) AS sp
       |  FROM e, UNNEST(generate_series(1, len(e))) AS g1(i),
       |    UNNEST(generate_series(1, len(e))) AS g2(i)
       |  GROUP BY 1, 2
@@ -279,6 +279,31 @@ object Oracles {
       |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
       |      '^www\.', ''), ':[0-9]+$', '') AS domain
       |  FROM u
+      |)""".stripMargin
+
+  /** The planted-boilerplate replay shared by the text_boilerplate rows:
+    * nav/footer/promo lines appended to each doc (mirrors SparkEntry's
+    * withBoiler verbatim), exploded to ordinal lines, with the
+    * per-(domain, line) distinct-document frequency and its >= 4 head.
+    */
+  private val boilerCtes: String =
+    """ b AS (
+      |  SELECT d.doc_id, d.domain,
+      |    'home | about | products | contact - ' || doc.source || chr(10)
+      |    || d.text || chr(10)
+      |    || (CASE WHEN d.doc_id % 77 = 0
+      |        THEN 'limited offer today only' || chr(10) ELSE '' END)
+      |    || 'this site uses cookies. accept to continue.' AS text
+      |  FROM dom d JOIN documents doc ON d.doc_id = doc.doc_id
+      |), ln AS (
+      |  SELECT doc_id, domain, g.i - 1 AS i, sp[g.i] AS line
+      |  FROM (SELECT doc_id, domain, string_split(text, chr(10)) AS sp FROM b),
+      |    UNNEST(generate_series(1, len(sp))) AS g(i)
+      |), dfreq AS (
+      |  SELECT domain, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM ln GROUP BY domain, line
+      |), dropset AS (
+      |  SELECT domain, line FROM dfreq WHERE df >= 4
       |)""".stripMargin
 
   private val base: Map[String, String] = Map(
@@ -339,7 +364,7 @@ object Oracles {
     "b2_per_type_status" ->
       """SELECT event_type, count(*) AS total_events,
         |  CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
-        |  round(sum(value), 3) AS total_value
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE), 3) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "b3_error_details" ->
@@ -351,7 +376,7 @@ object Oracles {
 
     "b4_daily_value" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS run_date, event_type,
-        |  round(sum(value), 3) AS total_value, count(*) AS n_events
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE), 3) AS total_value, count(*) AS n_events
         |FROM events WHERE event_type <> 'error'
         |GROUP BY 1, 2 ORDER BY run_date DESC, event_type ASC""".stripMargin,
 
@@ -485,7 +510,7 @@ object Oracles {
         |  FROM events
         |)
         |SELECT event_type, quartile, count(*) AS n_events,
-        |  round(avg(value), 4) AS avg_value,
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_value,
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM q GROUP BY event_type, quartile
@@ -668,7 +693,7 @@ object Oracles {
     // (intra-frame float accumulation order differs between engines)
     "events_rolling" ->
       """SELECT event_id, user_id,
-        |  round(sum(value) OVER w, 3) AS roll_value,
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) OVER w AS DOUBLE), 3) AS roll_value,
         |  count(*) OVER w AS n_window
         |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
@@ -720,7 +745,7 @@ object Oracles {
     "events_user_trend" ->
       """WITH daily AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
-        |    CAST(round(round(sum(value), 3) * 1000) AS BIGINT) AS v3
+        |    CAST(round(round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE), 3) * 1000) AS BIGINT) AS v3
         |  FROM events GROUP BY 1, 2
         |), terms AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
@@ -866,7 +891,7 @@ object Oracles {
     // each user's span mirrors the engine's sequence+explode
     "events_gapfill" ->
       """WITH daily AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 3) AS v
+        |  SELECT user_id, CAST(ts AS DATE) AS day, round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE), 3) AS v
         |  FROM events GROUP BY 1, 2
         |), cal AS (
         |  SELECT user_id, CAST(g.d AS DATE) AS day
@@ -992,7 +1017,7 @@ object Oracles {
       """WITH per AS (
         |  SELECT user_id, epoch_us(max(ts)) AS rec,
         |    CAST(count(*) AS BIGINT) AS n_events,
-        |    round(sum(value), 4) AS monetary
+        |    round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE), 4) AS monetary
         |  FROM events GROUP BY 1
         |), q AS (
         |  SELECT quantile_cont(rec, 0.25) AS r1, quantile_cont(rec, 0.5) AS r2,
@@ -1264,12 +1289,12 @@ object Oracles {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
@@ -1278,7 +1303,7 @@ object Oracles {
     "q3_top_orders" ->
       """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_odate,
         |  o.o_orderpriority,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1469,9 +1494,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    round(CAST(sum(CAST(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1511,9 +1536,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    round(CAST(sum(CAST(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1567,9 +1592,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), sscored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    round(CAST(sum(CAST(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1892,6 +1917,33 @@ object Oracles {
         |FROM dom, t GROUP BY domain, t.n_total
         |ORDER BY domain""".stripMargin),
 
+    // line-level boilerplate: planted nav/footer/promo replayed verbatim,
+    // per-(domain, line) distinct-doc frequency, threshold 4, anti-join
+    // removal, ordinal re-assembly (engine joins on the portable 60-bit
+    // line hash — collision-free at these scales, Dedup 2^60 argument)
+    "text_boilerplate" -> ("WITH " + urlCtes + "," + boilerCtes +
+      """, tot AS (
+        |  SELECT doc_id, domain, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM ln GROUP BY 1, 2
+        |), kept AS (
+        |  SELECT l.doc_id, l.domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(l.line, chr(10) ORDER BY l.i) AS clean_text
+        |  FROM ln l LEFT JOIN dropset dr
+        |    ON l.domain = dr.domain AND l.line = dr.line
+        |  WHERE dr.line IS NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.doc_id, t.domain, t.n_lines,
+        |  t.n_lines - COALESCE(k.n_kept, 0) AS n_dropped,
+        |  COALESCE(k.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id AND t.domain = k.domain
+        |ORDER BY t.doc_id""".stripMargin),
+
+    "text_boilerplate_report" -> ("WITH " + urlCtes + "," + boilerCtes +
+      """
+        |SELECT domain, line, df FROM dfreq WHERE df >= 4
+        |ORDER BY domain, line""".stripMargin),
+
     // stratified sampling: same salted hash buckets, same per-stratum
     // thresholds (en 5000/10000, de 2500/10000, others kept whole)
     "text_sample_stratified" ->
@@ -2023,7 +2075,7 @@ object Oracles {
 
     "q5_local_supplier" ->
       """SELECT n.n_name,
-        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3905,7 +3957,7 @@ object Oracles {
     val iters = (1 to 3).map { t =>
       val pw = if (t == 1) "w0" else s"w${t - 1}"
       s"""m$t AS (
-         |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
+         |  SELECT x.doc_id, round(CAST(sum(CAST(round(x.x * w.w, 10) AS DECIMAL(38,10))) AS DOUBLE), 7) AS ms
          |  FROM xf x JOIN $pw w ON x.b = w.b GROUP BY 1
          |), p$t AS (
          |  SELECT m.doc_id,
@@ -3913,11 +3965,11 @@ object Oracles {
          |      - dl.y AS r
          |  FROM m$t m JOIN dl USING (doc_id)
          |), g$t AS (
-         |  SELECT x.b, round(sum(p.r * x.x) / (SELECT n_docs FROM nn), 6) AS g
+         |  SELECT x.b, round(CAST(sum(CAST(round(p.r * x.x, 10) AS DECIMAL(38,10))) AS DOUBLE) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM xf x JOIN p$t p USING (doc_id) GROUP BY 1
          |  UNION ALL
          |  SELECT CAST(-1 AS BIGINT) AS b,
-         |    round(sum(r) / (SELECT n_docs FROM nn), 6) AS g
+         |    round(CAST(sum(CAST(round(r, 7) AS DECIMAL(38,7))) AS DOUBLE) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM p$t
          |), w$t AS (
          |  SELECT w.b, round(w.w - COALESCE(g.g, 0.0), 6) AS w
@@ -4016,7 +4068,7 @@ object Oracles {
   private def lrScoreCtes: String =
     lrGdCtes + """,
       |mf AS (
-      |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
+      |  SELECT x.doc_id, round(CAST(sum(CAST(round(x.x * w.w, 10) AS DECIMAL(38,10))) AS DOUBLE), 7) AS ms
       |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
       |), pf AS (
       |  SELECT m.doc_id,
@@ -4088,7 +4140,7 @@ object Oracles {
       |  FROM model, tot
       |), wts AS (
       |  SELECT x.doc_id, CAST(sum(x.c) AS BIGINT) AS n_feats,
-      |    round(sum(x.c * lr), 4) AS logw
+      |    round(CAST(sum(CAST(round(x.c * lr, 9) AS DECIMAL(38,9))) AS DOUBLE), 4) AS logw
       |  FROM docb x JOIN lmodel USING (b) GROUP BY x.doc_id
       |)""".stripMargin
 
@@ -4805,16 +4857,17 @@ object Oracles {
         |FROM matched WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "corpus_profile" -> corpusProfileSql,
 
-    // equi-width histogram: floor of one double expression over exact
-    // integers — the (mx - mn + 1) denominator keeps max in the last bin
+    // equi-width histogram: floor of one identical double expression,
+    // width (mx - mn), max clamped into the last bin
     "corpus_histogram" ->
       """WITH mm AS (
         |  SELECT min(n_chars) AS mn, max(n_chars) AS mx,
         |    CAST(count(*) AS BIGINT) AS total
         |  FROM documents
         |), b AS (
-        |  SELECT CAST(floor(CAST(n_chars - mn AS DOUBLE) * 20
-        |    / (mx - mn + 1)) AS BIGINT) AS bin
+        |  SELECT CAST(CASE WHEN mx = mn THEN 0
+        |    ELSE least(floor(CAST(n_chars - mn AS DOUBLE) * 20
+        |      / CAST(mx - mn AS DOUBLE)), 19) END AS BIGINT) AS bin
         |  FROM documents, mm
         |), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
         |SELECT g.bin, g.n, round(CAST(g.n AS DOUBLE) / mm.total, 4) AS share

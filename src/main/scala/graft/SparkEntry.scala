@@ -380,6 +380,22 @@ object SparkEntry {
     "domain_mix" -> ((s, dir) => graft.ext.UrlCuration.domainMix(
       withUrl(docs(s, dir)).withColumn("domain",
         graft.ext.UrlCuration.domainOf(col0("url"))))),
+    // line-level boilerplate removal (CCNet/RefinedWeb curation tier):
+    // the corpus has single-line docs, so the harness plants the chrome a
+    // real crawl carries — a per-source nav bar and a universal cookie
+    // footer (both repeat across a domain's docs → dropped) plus a rare
+    // promo line in doc_id % 77 docs (df 1 per domain → kept); the
+    // oracle replays the same derivation verbatim
+    "text_boilerplate" -> ((s, dir) =>
+      graft.ext.Boilerplate.boilerplateClean(
+        withBoiler(withUrl(docs(s, dir)).withColumn("domain",
+          graft.ext.UrlCuration.domainOf(col0("url"))))
+          .select(col0("doc_id"), col0("domain"), col0("text")))),
+    "text_boilerplate_report" -> ((s, dir) =>
+      graft.ext.Boilerplate.boilerplateReport(
+        withBoiler(withUrl(docs(s, dir)).withColumn("domain",
+          graft.ext.UrlCuration.domainOf(col0("url"))))
+          .select(col0("doc_id"), col0("domain"), col0("text")))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
     "text_tokens_bpe" -> ((s, dir) => docs(s, dir).select(
       col0("doc_id"),
@@ -757,6 +773,21 @@ object SparkEntry {
     Queries.table(s, dir, "embeddings")
 
   private val col0 = org.apache.spark.sql.functions.col _
+
+  /** Plant the line-level chrome a real crawl page carries (the
+    * [[withUrl]] pattern): nav bar keyed on source, universal cookie
+    * footer, and a rare promo line — so [[graft.ext.Boilerplate]] has
+    * genuine per-domain repetition to find in the single-line corpus.
+    */
+  private def withBoiler(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    d.withColumn("text", concat(
+      lit("home | about | products | contact - "), col("source"), lit("\n"),
+      col("text"), lit("\n"),
+      when(col("doc_id") % 77 === 0, lit("limited offer today only\n"))
+        .otherwise(lit("")),
+      lit("this site uses cookies. accept to continue.")))
+  }
 
   /** Deterministic messy-URL derivation for the url/domain family (the
     * corpus carries no URL column): scheme case, host case/prefix, a

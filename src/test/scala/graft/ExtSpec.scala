@@ -25,6 +25,44 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs = Queries.table(spark, sf, "documents")
   private def emb = Queries.table(spark, sf, "embeddings")
 
+  test("boilerplate: planted nav/footer drop per domain, unique body and rare lines survive") {
+    import spark.implicits._
+    val nav = "home | about | contact"
+    val cookie = "accept cookies to continue"
+    // siteA: 5 docs sharing nav+cookie chrome around unique bodies (one
+    // with a rare promo line); siteB: 2 docs with the SAME nav text —
+    // below the threshold in its own domain, so it survives there
+    val d = (0L until 5L).map { i =>
+      val promo = if (i == 2L) "special offer\n" else ""
+      (i, "a.com", s"$nav\nbody text $i\n$promo$cookie")
+    } ++ Seq(
+      (10L, "b.org", s"$nav\nother body ten"),
+      (11L, "b.org", s"$nav\nother body eleven"))
+    val df = d.toDF("doc_id", "domain", "text")
+    val report = graft.ext.Boilerplate.boilerplateReport(df, dfMin = 4).collect()
+    // only a.com's nav and cookie lines reach df >= 4
+    assert(report.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("a.com", nav, 5L), ("a.com", cookie, 5L)))
+    val byId = graft.ext.Boilerplate.boilerplateClean(df, dfMin = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // a.com docs lose exactly nav+cookie, keep body (and doc 2's promo)
+    assert(byId(0L) == ((3L, 2L, "body text 0")))
+    assert(byId(2L) == ((4L, 2L, "body text 2\nspecial offer")))
+    // b.org's nav repeats only twice there -> kept intact
+    assert(byId(10L) == ((2L, 0L, s"$nav\nother body ten")))
+  }
+
+  test("boilerplate: all-chrome doc stays with empty clean_text") {
+    import spark.implicits._
+    val d = (0L until 4L).map(i => (i, "a.com", s"nav line\nbody $i")) :+
+      (9L, "a.com", "nav line")
+    val byId = graft.ext.Boilerplate.boilerplateClean(
+        d.toDF("doc_id", "domain", "text"), dfMin = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(byId(9L) == ((1L, 1L, "")))
+    assert(byId(1L) == ((2L, 1L, "body 1")))
+  }
+
   test("logistic GD separates disjoint-vocab classes in 3 rounds") {
     import spark.implicits._
     // 4 English docs and 4 German docs with disjoint token sets: after
