@@ -70,6 +70,39 @@ object Bench {
     "pipeline_training_set"                                     // flagship composition
   )
 
+  /** r9 probe additions (r8 ask #4): the r8 heavy families had no pinned
+    * probe row, so cross-round regression tracking was blind to exactly
+    * the queries most likely to regress. Kept SEPARATE from
+    * [[probeSubset]] so `probe_normalized` (computed over the legacy
+    * subset only) stays directly comparable to r8's recorded 26.7; the
+    * expanded total ships as `probe_normalized_full`.
+    */
+  val probeAdditions: Seq[String] = Seq(
+    "ml_eval_auc",           // histogram-reduction class
+    "pipeline_stage_report", // composed-pipeline class
+    "retrieval_eval"         // postings class
+  )
+
+  /** The 10 heaviest registered queries of the r8 full run (r8 ask #5):
+    * exactly the ones NOT in the probe, so the sf1 scale-up smoke now
+    * measures their exponents in-artifact instead of in a commit
+    * message. Base sf times for the exponent come from a fresh-session
+    * single-rep pass (`scale_base` in the detail file), not the
+    * population-biased full-run mins.
+    */
+  val heavySubset: Seq[String] = Seq(
+    "pipeline_stage_report", "ml_eval_thresholds", "ml_eval_auc",
+    "agg_approx_distinct", "text_lr_predict", "ml_eval_calibration",
+    "text_lr_model", "retrieval_eval", "sim_pca_project", "sim_whiten")
+
+  /** r8's recorded `probe_normalized` (BENCH_r08) — the in-artifact
+    * regression gate (r8 ask #8, stretch): when this round's legacy-probe
+    * normalized number moves more than 25% against it, the artifact
+    * carries `probe_regression` so drift-vs-regression adjudication is
+    * automatic rather than judge-session archaeology. Update each round.
+    */
+  val priorProbeNormalized: Double = 26.7
+
   /** Machine-drift calibration anchor (r7 ask #1): a FIXED,
     * data-independent workload timed in every bench session, so
     * cross-round probe comparison can separate code regressions from
@@ -270,7 +303,8 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_REPS", "1").trim.toInt).getOrElse(1))
     var sf1Gen = -1.0
     var sf1Err = ""
-    val (probeResults, sf1Results, calibProbe): (Seq[QRes], Seq[QRes], Double) = if (doProbe) {
+    val (probeResults, scaleBaseResults, sf1Results, calibProbe):
+        (Seq[QRes], Seq[QRes], Seq[QRes], Double) = if (doProbe) {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -278,15 +312,23 @@ object Bench {
       val ps = newSession(cpus)
       val calibP = calibrate(ps)
       val byName = entries.toMap
-      val prs = probeSubset.flatMap { n =>
+      val prs = (probeSubset ++ probeAdditions).distinct.flatMap { n =>
         byName.get(n).map(f => runOne(ps, sfDir, reps, warmup)(n, f))
+      }
+      // single-rep fresh-session base times for the heavy queries not in
+      // the probe — the sf-exponent denominator must come from the same
+      // low-population session as the sf1 numerator, never the biased
+      // full-run mins
+      val probeNames = prs.map(_.name).toSet
+      val base = heavySubset.filterNot(probeNames).flatMap { n =>
+        byName.get(n).map(f => runOne(ps, sfDir, sf1Reps, warmup = true)(n, f))
       }
       val s1 = if (doSf1) {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
         try {
           sf1Gen = ScaleUp.ensure(ps, sfDir, sf1Dir, factor = 10)
           sweep(ps)
-          probeSubset.flatMap { n =>
+          (probeSubset ++ probeAdditions ++ heavySubset).distinct.flatMap { n =>
             byName.get(n).map(f => runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f))
           }
         } catch { case e: Throwable =>
@@ -296,8 +338,8 @@ object Bench {
         }
       } else Seq.empty
       ps.stop()
-      (prs, s1, calibP)
-    } else { spark.stop(); (Seq.empty, Seq.empty, -1.0) }
+      (prs, base, s1, calibP)
+    } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0) }
 
     val mins = results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
@@ -332,17 +374,33 @@ object Bench {
     val probeMap = probeResults.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
     val probeTotal = probeResults.collect { case r if r.err.isEmpty => r.min }.sum
+    // continuity: the number compared against r8's 26.7 is computed over
+    // the LEGACY pinned subset only; the expanded set ships separately
+    val legacySet = probeSubset.toSet
+    val probeLegacyTotal = probeResults
+      .collect { case r if r.err.isEmpty && legacySet(r.name) => r.min }.sum
     val skipped = SparkEntry.verifierOnly.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     // the number to compare across rounds: probe seconds per calibration
     // second — machine drift moves numerator and denominator together
-    val probeNorm = if (calibProbe > 0) probeTotal / calibProbe else -1.0
+    val probeNorm = if (calibProbe > 0) probeLegacyTotal / calibProbe else -1.0
+    val probeNormFull = if (calibProbe > 0) probeTotal / calibProbe else -1.0
+    // in-artifact regression gate (r8 ask #8): >25% movement of the
+    // legacy normalized probe against the recorded prior round
+    val probeRegression =
+      if (probeNorm > 0 && priorProbeNormalized > 0 &&
+          math.abs(probeNorm / priorProbeNormalized - 1) > 0.25)
+        fmt("%+.0f", (probeNorm / priorProbeNormalized - 1) * 100) + "% vs prior"
+      else ""
     val sf1Map = sf1Results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
     val sf1Total = sf1Results.collect { case r if r.err.isEmpty => r.min }.sum
     // measured scaling exponent per probe query: log10(t_sf1 / t_sf0.1)
     // for a 10× scale-up — 1.00 is perfectly linear, >1.11 is worse than
-    // 1.3× linear (the audit threshold: 10^1.11 ≈ 13 ≈ 1.3 × 10)
-    val probeMin = probeResults.map(r => r.name -> r.min).toMap
+    // 1.3× linear (the audit threshold: 10^1.11 ≈ 13 ≈ 1.3 × 10).
+    // heavy-set base times come from the fresh-session scale_base pass.
+    val probeMin = (probeResults ++ scaleBaseResults).map(r => r.name -> r.min).toMap
+    val scaleBaseMap = scaleBaseResults.map(r => jstr(r.name) + ":" + jnum(r.min))
+      .mkString("{", ",", "}")
     val sf1Exp = sf1Results.flatMap { r =>
       probeMin.get(r.name).collect {
         case t0 if t0 > 0 && r.min > 0 =>
@@ -351,7 +409,8 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val core =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"calib_full":${jnum(calibFull)},"calib_probe":${jnum(calibProbe)},"probe_normalized":${jnum(probeNorm)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":${jnum(calibFull)},"calib_probe":${jnum(calibProbe)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(priorProbeNormalized)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+      (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
@@ -384,7 +443,7 @@ object Bench {
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
       rs.map(r => jstr(r.name) + ":" + f(r)).mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},"sf1_exponents":$sf1Exp,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"scale_base":$scaleBaseMap,"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},"sf1_exponents":$sf1Exp,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
     println(stdoutLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

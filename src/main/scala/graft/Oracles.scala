@@ -76,6 +76,64 @@ object Oracles {
       |)""".stripMargin
   }
 
+  /** Cross-modal pair-mining replay: union of caption embeddings and
+    * the derived image vectors (ids shifted by 2^40), the shared 2-table
+    * literal-hyperplane LSH over the union, cosine verify, ratio-margin
+    * normalization over the full candidate graph, cross-modal gate.
+    */
+  private val crossModalSql: String = {
+    val off = 1L << 40
+    def bucketExpr(seed: Long): String =
+      graft.ext.Similarity.hyperplanes(4, 64, seed).zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+    val tables = Seq(42L, 43L).zipWithIndex.map { case (seed, t) =>
+      s"t$t AS (\n  SELECT vec_id, CAST(${bucketExpr(seed)} AS BIGINT) AS bucket\n  FROM uni\n)"
+    }.mkString(", ")
+    val perTable = (0 until 2).map { t =>
+      s"SELECT x.vec_id AS a, y.vec_id AS b FROM t$t x JOIN t$t y\n      ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""WITH img AS (
+      |  SELECT vec_id + $off AS vec_id,
+      |    CASE WHEN vec_id % 3 = 0 THEN embedding
+      |      ELSE CAST(list_transform(generate_series(1, 64), j ->
+      |        (('0x' || substring(md5('img:' || CAST(vec_id AS VARCHAR)
+      |           || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2001
+      |         - 1000) / 1000.0) AS FLOAT[]) END AS embedding
+      |  FROM embeddings
+      |), uni AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM img
+      |), $tables, cand AS (
+      |  SELECT DISTINCT a, b FROM (
+      |    $perTable
+      |  )
+      |), scored AS (
+      |  SELECT c.a, c.b,
+      |    round(list_cosine_similarity(
+      |      CAST(ua.embedding AS DOUBLE[]), CAST(ub.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM cand c
+      |  JOIN uni ua ON c.a = ua.vec_id
+      |  JOIN uni ub ON c.b = ub.vec_id
+      |), sym AS (
+      |  SELECT a AS id, b AS nb, cos FROM scored
+      |  UNION ALL SELECT b, a, cos FROM scored
+      |), ranked AS (
+      |  SELECT id, cos,
+      |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rn
+      |  FROM sym
+      |), mu AS (
+      |  SELECT id, round(avg(cos), 6) AS mu FROM ranked WHERE rn <= 8 GROUP BY id
+      |)
+      |SELECT s.a AS caption_id, s.b - $off AS image_id, s.cos,
+      |  round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) AS margin
+      |FROM scored s JOIN mu ma ON s.a = ma.id JOIN mu mb ON s.b = mb.id
+      |WHERE s.a < $off AND s.b >= $off
+      |  AND round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) >= 1.2 AND s.cos > 0
+      |ORDER BY caption_id, image_id""".stripMargin
+  }
+
   /** Semantic-decontamination replay: the same 4 literal-plane LSH
     * tables (seeds 42..45) bucketing BOTH the corpus and the benchmark
     * split, in-bucket cross-set candidates, cosine verify at the round-6
@@ -2261,6 +2319,12 @@ object Oracles {
         |JOIN documents db ON m.b = db.doc_id
         |WHERE da.lang <> db.lang AND m.margin >= 1.2 AND m.cos > 0
         |ORDER BY m.a, m.b""".stripMargin,
+
+    // cross-modal caption↔image mining: the image side replays the
+    // harness derivation (aligned every 3rd id, md5-seeded noise else),
+    // both sides bucket through ONE shared-hyperplane LSH on the
+    // offset-shifted id space, then the bitext ratio-margin machinery
+    "multimodal_pairs" -> crossModalSql,
 
     // triangles: the pagerank edge construction, canonical undirected
     // edges, wedge self-join on the pivot + closing semi-join — exact

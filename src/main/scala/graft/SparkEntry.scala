@@ -223,6 +223,14 @@ object SparkEntry {
     // neighborhoods, not pairs that sit in dense ones
     "dedup_bitext_margin" -> ((s, dir) =>
       Dedup.bitextMargin(emb(s, dir), docs(s, dir))),
+    // cross-modal caption↔image pair mining: embeddings stand in for
+    // caption vectors; the harness derives the image side (every 3rd id
+    // keeps the joint-encoder-aligned vector, the rest get md5-seeded
+    // noise — the md5-fallback replay pattern), so the miner has genuine
+    // planted alignments to recover; the oracle replays the derivation
+    "multimodal_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.crossModalMarginPairs(
+        emb(s, dir), withImageEmb(emb(s, dir)))),
     // extensions: similarity search
     "sim_topk_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     // MRL prefix-truncated scoring (16 of 64 dims): the serving-cost dial
@@ -773,6 +781,23 @@ object SparkEntry {
     Queries.table(s, dir, "embeddings")
 
   private val col0 = org.apache.spark.sql.functions.col _
+
+  /** Synthetic image-side feature vectors for the cross-modal miner:
+    * every 3rd vec_id keeps its caption embedding verbatim (a perfectly
+    * aligned joint encoder), the rest get deterministic md5-seeded noise
+    * on the ±1 grid/1000 — replayed verbatim by the DuckDB oracle.
+    */
+  private def withImageEmb(embFrame: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    embFrame.select(col("vec_id"),
+      when(col("vec_id") % 3 === 0, col("embedding"))
+        .otherwise(expr(
+          "transform(sequence(1, 64), j -> cast((pmod(cast(conv(" +
+          "substring(md5(concat('img:', cast(vec_id as string), ':', " +
+          "cast(j as string))), 1, 15), 16, 10) as bigint), 2001) - 1000)" +
+          " / 1000.0 as float))"))
+        .as("embedding"))
+  }
 
   /** Plant the line-level chrome a real crawl page carries (the
     * [[withUrl]] pattern): nav bar keyed on source, universal cookie

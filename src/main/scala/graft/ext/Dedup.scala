@@ -1070,6 +1070,58 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Cross-modal pair mining (caption ↔ image, the CLIP-style
+    * training-pair construction): mine candidate pairs BETWEEN two
+    * embedding spaces that share a joint encoder geometry — captions on
+    * one side, image feature vectors on the other — with the
+    * [[bitextMargin]] ratio-margin score (Artetxe & Schwenk 2019)
+    * normalizing each pair's cosine by its endpoints' mean k-NN cosine
+    * over the same candidate graph. This closes the multimodal story
+    * from per-modality dedup to training-pair construction: the output
+    * IS the (caption_id, image_id) alignment table a contrastive
+    * trainer consumes.
+    *
+    * Mechanics: both sides enter ONE LSH bucketing (image ids shifted by
+    * `offset` — caller guarantees both id spaces are < offset), so a
+    * caption and an image land in the same candidate bucket exactly when
+    * their vectors agree on the hyperplane signs; margins are computed
+    * over the FULL candidate graph (intra- and cross-modal edges — the
+    * density normalization needs the whole neighborhood), then only
+    * cross-modal pairs pass the gate. Since candidates are emitted
+    * `a < b` on the combined id space, cross pairs always read
+    * (caption, image).
+    *
+    * Scale shape: identical to [[bitextMargin]] — the corpus is touched
+    * only by the bucketed candidate stage; everything after is
+    * candidate-graph-sized (one symmetrize union, one id-keyed rank
+    * window, one id-keyed aggregate, two id-keyed joins).
+    */
+  def crossModalMarginPairs(capEmb: DataFrame, imgEmb: DataFrame,
+      offset: Long = 1L << 40, k: Int = 8, marginGate: Double = 1.2,
+      numPlanes: Int = 4, dim: Int = 64, numTables: Int = 2): DataFrame = {
+    val u = capEmb.select(col("vec_id"), col("embedding"))
+      .unionByName(imgEmb.select((col("vec_id") + offset).as("vec_id"),
+        col("embedding")))
+    val scored = embeddingCandidatePairs(u, numPlanes, dim, numTables)
+      .localCheckpoint(true)
+    val sym = scored.select(col("a").as("id"), col("b").as("nb"), col("cos"))
+      .union(scored.select(col("b").as("id"), col("a").as("nb"), col("cos")))
+    val ranked = sym.withColumn("rn", row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nb"))))
+    val mu = ranked.filter(col("rn") <= k)
+      .groupBy(col("id")).agg(round(avg(col("cos")), 6).as("mu"))
+    scored
+      .join(mu.select(col("id").as("a"), col("mu").as("mu_a")), Seq("a"))
+      .join(mu.select(col("id").as("b"), col("mu").as("mu_b")), Seq("b"))
+      .withColumn("margin",
+        round(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0), 4))
+      .filter(col("a") < offset && col("b") >= offset &&
+        col("margin") >= marginGate && col("cos") > 0)
+      .select(col("a").as("caption_id"), (col("b") - offset).as("image_id"),
+        col("cos"), col("margin"))
+      .orderBy(col("caption_id"), col("image_id"))
+  }
+
   /** Top-k most similar candidate pairs through the bucketed pipeline —
     * the registered bench/oracle form (testdata has no planted near-dups,
     * so a threshold query would be vacuous there).

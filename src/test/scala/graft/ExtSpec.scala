@@ -1926,6 +1926,34 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucketed embedding dedup planned a quadratic join")
   }
 
+  test("cross-modal mining recovers planted caption-image alignments above the margin gate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val caps = (0L until 100L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    // 4 images aligned to captions 3/17/42/77 (near-identical vectors),
+    // plus 60 pure-noise images that must NOT be mined
+    val alignedTo = Seq(3L, 17L, 42L, 77L)
+    val imgs = alignedTo.zipWithIndex.map { case (c, j) =>
+      (j.toLong, caps(c.toInt)._2.map(x => x + 1e-6f))
+    } ++ (4L until 64L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val capDf = caps.toDF("vec_id", "embedding")
+    val imgDf = imgs.toDF("vec_id", "embedding")
+    val mined = Dedup.crossModalMarginPairs(capDf, imgDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val expected = alignedTo.zipWithIndex.map { case (c, j) => (c, j.toLong) }.toSet
+    // every planted alignment is found (identical vectors share every LSH
+    // bucket and carry margin >> gate) ...
+    val found = mined.map(p => (p._1, p._2)).toSet
+    assert(expected.subsetOf(found), s"missed=${expected.diff(found)}")
+    // ... and planted pairs out-margin everything that isn't planted
+    val plantedMargins = mined.filter(p => expected((p._1, p._2))).map(_._3)
+    val noiseMargins = mined.filterNot(p => expected((p._1, p._2))).map(_._3)
+    assert(plantedMargins.forall(m => noiseMargins.forall(_ <= m + 1e-9)),
+      s"a noise pair out-margined a planted alignment")
+    // output orientation: caption ids on the left, image ids on the right
+    assert(mined.forall(p => p._1 < 100L && p._2 < 64L))
+  }
+
   test("DSIR: weights separate target-like docs, Gumbel resample is enriched and deterministic") {
     import org.apache.spark.sql.functions._
     val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
