@@ -1962,6 +1962,14 @@ object Oracles {
         |WHERE ('0x' || substring(md5('domcap:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < thr
         |ORDER BY d.doc_id""".stripMargin),
 
+    // first-K-per-domain cap: rank window in ascending doc_id, keep <= 5
+    "domain_caps_firstk" -> ("WITH " + urlCtes + """
+        |SELECT doc_id, domain, lang FROM (
+        |  SELECT doc_id, domain, lang,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM dom)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin),
+
     // mixture report: exact-integer counts; avg/share are single IEEE
     // divisions of exact integers so round(.,2)/round(.,4) replay exactly
     "domain_mix" -> ("WITH " + urlCtes + "," +

@@ -372,6 +372,16 @@ object SparkEntry {
         .select(col0("doc_id"), col0("domain"), col0("bucket"))
         .orderBy(col0("doc_id"))
     }),
+    // first-K-per-domain cap: the stream-aligned sibling of domain_caps
+    // (accept while under cap, ascending doc_id) — the semantics the
+    // streaming count-store gate converges to
+    "domain_caps_firstk" -> ((s, dir) => {
+      val d = withUrl(docs(s, dir)).withColumn("domain",
+        graft.ext.UrlCuration.domainOf(col0("url")))
+      graft.ext.UrlCuration.domainCapsFirstK(
+          d.select(col0("doc_id"), col0("domain"), col0("lang")), cap = 5)
+        .orderBy(col0("doc_id"))
+    }),
     // crawl-hygiene blocklist: apex entries block subdomains (suffix
     // chain equi-join, never an endswith nested loop); host entries
     // block only that host

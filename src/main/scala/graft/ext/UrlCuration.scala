@@ -95,6 +95,32 @@ object UrlCuration {
       .filter(col("bucket") < col("thr"))
   }
 
+  /** First-K-per-domain cap — the STREAM-ALIGNED sibling of the
+    * hash-bucket sampler above: keep each domain's first `cap` documents
+    * in ascending `doc_id` order. This is exactly the semantics a crawl
+    * loop enforces online ("accept while the domain is under cap"), so
+    * the streaming twin
+    * ([[graft.streaming.StreamingCorpus.domainCapsIngest]]) converges to
+    * THIS operator when batches land in id order — the sampler's keep
+    * set depends on the FINAL domain count and can retract earlier
+    * accepts, which an append-only stream cannot replay.
+    *
+    * Scale shape: one domain-keyed rank window. Unlike a global sort,
+    * the window partitions on the (high-cardinality) domain key; for the
+    * pathological mega-domain a production run first drops rows beyond
+    * the cap-feasible head per partition via the persisted count store
+    * (the streaming form), keeping window state bounded.
+    */
+  def domainCapsFirstK(docs: DataFrame, cap: Long,
+      domainCol: String = "domain"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("rn", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(col("doc_id"))))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
   /** The suffix chain of a domain down to two labels:
     * `ads.tracker.example.com` → `[ads.tracker.example.com,
     * tracker.example.com, example.com]` — never the bare TLD (a

@@ -732,6 +732,66 @@ object StreamingCorpus {
     graft.Queries.attributionFromEvents(
       spark.read.parquet(s"$outDir/events"), lookbackDays)
 
+  /** Streaming domain-cap gate — the crawl-loop form of
+    * [[graft.ext.UrlCuration.domainCapsFirstK]]: a persisted per-domain
+    * ACCEPTED-count store decides how much headroom each landing batch's
+    * domains still have, so a document is kept only while its domain is
+    * under `cap`. Within a batch, headroom is assigned in ascending
+    * `doc_id` order (deterministic rank); across batches the store
+    * carries the accepted totals forward. Survivors land batch-id-keyed
+    * with OVERWRITE and the batch's per-domain accepted counts land in
+    * the store under the same batch id (also OVERWRITE) with the
+    * store probe excluding this batch id — the MinHash-store
+    * idempotence discipline, so an at-least-once replay recomputes
+    * against exactly the pre-batch state and rewrites its own outputs.
+    * When batches arrive in id order the union of survivors equals the
+    * batch operator ([[graft.ext.UrlCuration.domainCapsFirstK]]) over
+    * the full feed — StreamingSpec asserts convergence across a
+    * restart. Expects columns `(doc_id, domain, ...)`.
+    */
+  def domainCapsIngest(docs: DataFrame, outDir: String, storeDir: String,
+      checkpointDir: String, cap: Long = 5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          val fs = new org.apache.hadoop.fs.Path(storeDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val prior =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/counts")))
+              None
+            else Some(spark.read.parquet(s"$storeDir/counts")
+              .filter(col("batch") =!= batchId)
+              .groupBy(col("domain"))
+              .agg(sum(col("n_accepted")).as("prior_n")))
+          val ranked = b.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("domain")).orderBy(col("doc_id"))))
+          val withPrior = prior.fold(ranked.withColumn("prior_n", lit(0L)))(p =>
+            ranked.join(p, Seq("domain"), "left")
+              .withColumn("prior_n", coalesce(col("prior_n"), lit(0L))))
+          val survivors = withPrior
+            .filter(col("prior_n") + col("rn") <= cap)
+            .drop("rn", "prior_n")
+          survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          survivors.groupBy(col("domain"))
+            .agg(count(lit(1)).as("n_accepted"))
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/counts/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Everything the domain-cap gate has accepted so far — the landed
+    * union a convergence check compares against
+    * [[graft.ext.UrlCuration.domainCapsFirstK]] over the same feed.
+    */
+  def domainCapsView(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+
   /** Streaming SEMANTIC decontamination against the frozen persisted
     * benchmark store ([[graft.ext.Dedup.buildSemContamStore]]) — the
     * embedding-space twin of [[decontaminateIngest]]: version root

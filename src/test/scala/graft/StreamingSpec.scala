@@ -1615,6 +1615,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "late data should have rewritten at least one version slot")
   }
 
+  test("streaming domain caps: count-store gate converges to the batch first-K across a restart") {
+    val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source").as("domain"), col("lang"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-domcap-out").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-domcap-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-domcap-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-domcap-src").toString
+    // batches land in id order (the convergence precondition): low ids
+    // first, the rest after a restart
+    all.filter(col("doc_id") < 25).write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.domainCapsIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, storeDir, ckpt, cap = 2)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val partialN = graft.streaming.StreamingCorpus.domainCapsView(spark, outDir).count()
+    all.filter(col("doc_id") >= 25).write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val exp = graft.ext.UrlCuration.domainCapsFirstK(all, cap = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = graft.streaming.StreamingCorpus.domainCapsView(spark, outDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exp.nonEmpty && got == exp,
+      s"missed=${exp.diff(got)} extra=${got.diff(exp)}")
+    // the persisted count store really gated the second batch: domains
+    // filled to cap in batch 1 rejected their batch-2 docs
+    assert(got.size.toLong > partialN && got.size < all.count(),
+      s"expected cross-batch store rejections (partial=$partialN, final=${got.size})")
+  }
+
   test("streaming count-min: summed landed counters equal the batch sketch exactly across a restart") {
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
