@@ -38,16 +38,25 @@ object Boilerplate {
     docs.select(col("doc_id"), col("domain"),
       posexplode(split(col("text"), "\n")).as(Seq("i", "line")))
 
+  /** Per-(domain, line) distinct-document frequency `(domain, line, df)`
+    * — the one corpus-sized aggregation of this family. Exposed because
+    * its per-batch form is COUNT-MERGEABLE: with each document landing
+    * in exactly one micro-batch, summing per-batch dfs reproduces the
+    * global df (the streaming store exploits this).
+    */
+  def lineDocFrequency(docs: DataFrame): DataFrame =
+    lines(docs)
+      .select(col("domain"), col("line"), col("doc_id")).distinct()
+      .groupBy(col("domain"), col("line"))
+      .agg(count(lit(1)).as("df"))
+
   /** The boilerplate report: lines appearing in ≥ `dfMin` distinct
     * documents of one domain, with their document frequency —
     * `(domain, line, df)`. This is what a curation run eyeballs before
     * committing to a threshold.
     */
   def boilerplateReport(docs: DataFrame, dfMin: Long = 4): DataFrame =
-    lines(docs)
-      .select(col("domain"), col("line"), col("doc_id")).distinct()
-      .groupBy(col("domain"), col("line"))
-      .agg(count(lit(1)).as("df"))
+    lineDocFrequency(docs)
       .filter(col("df") >= dfMin)
       .orderBy(col("domain"), col("line"))
 

@@ -2316,11 +2316,15 @@ object TextAnalysis {
       val bias = pr.agg(Exact.sumQ(col("r"), 7).as("gs"), count(lit(1)).as("cnt"))
         .collect()(0)
       val nDocs = bias.getLong(1)
-      val g = gB.map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
-        .withDefaultValue(0.0)
-      w = w.map { case (b, wb) =>
-        val gb = if (b == -1L) round6(bias.getDouble(0) / nDocs) else g(b)
-        b -> round6(wb - gb)
+      // empty feature frame (all docs zero-token): no gradient signal —
+      // weights stay at their current values instead of dividing by zero
+      if (nDocs > 0L) {
+        val g = gB.map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
+          .withDefaultValue(0.0)
+        w = w.map { case (b, wb) =>
+          val gb = if (b == -1L) round6(bias.getDouble(0) / nDocs) else g(b)
+          b -> round6(wb - gb)
+        }
       }
     }
     w

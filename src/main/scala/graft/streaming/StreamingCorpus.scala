@@ -792,6 +792,57 @@ object StreamingCorpus {
   def domainCapsView(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
 
+  /** Streaming line-level boilerplate twin
+    * ([[graft.ext.Boilerplate]]): a line's boilerplate verdict is NOT
+    * final at arrival — the nav bar of a domain crawled across many
+    * batches only crosses the df threshold once enough of its pages have
+    * landed, and that verdict retroactively cleans EARLIER documents. So
+    * the twin is the [[attributionIngest]] class: the raw doc log lands
+    * batch-id-keyed (OVERWRITE, replay-idempotent) and cleaning is a
+    * late-bound view sharing the batch operator verbatim. Alongside the
+    * log, each batch appends its per-(domain, line) distinct-doc counts
+    * to a count store — each document lands in exactly ONE batch, so
+    * per-batch dfs are count-mergeable ([[graft.ext.Boilerplate
+    * .lineDocFrequency]]) and the REPORT view sums the store without
+    * ever rescanning text: the cheap monitoring read a crawl loop polls
+    * to watch thresholds fill.
+    */
+  def boilerplateIngest(docs: DataFrame, outDir: String, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().select(col("doc_id"), col("domain"), col("text"))
+          b.write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
+          graft.ext.Boilerplate.lineDocFrequency(b)
+            .write.mode("overwrite")
+            .parquet(s"$storeDir/linedf/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** The boilerplate report from the COUNT STORE only (no text rescan):
+    * per-batch dfs sum to the global df because each doc lands once.
+    */
+  def boilerplateReportView(spark: SparkSession, storeDir: String,
+      dfMin: Long = 4): DataFrame =
+    spark.read.parquet(s"$storeDir/linedf")
+      .groupBy(col("domain"), col("line"))
+      .agg(sum(col("df")).as("df"))
+      .filter(col("df") >= dfMin)
+      .orderBy(col("domain"), col("line"))
+
+  /** Late-bound cleaning over everything landed — the batch operator
+    * verbatim, so a line crossing the threshold in a later batch
+    * retroactively cleans earlier documents.
+    */
+  def boilerplateCleanView(spark: SparkSession, outDir: String,
+      dfMin: Long = 4): DataFrame =
+    graft.ext.Boilerplate.boilerplateClean(
+      spark.read.parquet(s"$outDir/docs"), dfMin)
+
   /** Streaming SEMANTIC decontamination against the frozen persisted
     * benchmark store ([[graft.ext.Dedup.buildSemContamStore]]) — the
     * embedding-space twin of [[decontaminateIngest]]: version root

@@ -1615,6 +1615,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "late data should have rewritten at least one version slot")
   }
 
+  test("streaming boilerplate: late batches retroactively clean earlier docs; views equal batch across a restart") {
+    import spark.implicits._
+    val nav = "home | about | contact"
+    // batch 1: two a.com docs with the nav line (below the df-4 gate);
+    // batch 2: two more -> the nav crosses the gate and must clean the
+    // batch-1 docs retroactively
+    val b1 = (0L until 2L).map(i => (i, "a.com", s"$nav\nbody $i"))
+    val b2 = (2L until 4L).map(i => (i, "a.com", s"$nav\nbody $i"))
+    val all = (b1 ++ b2).toDF("doc_id", "domain", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-boiler-out").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-boiler-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-boiler-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-boiler-src").toString
+    b1.toDF("doc_id", "domain", "text").write.mode("append").parquet(srcDir)
+    val schema = all.schema
+    def start() = graft.streaming.StreamingCorpus.boilerplateIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, storeDir, ckpt)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // after batch 1 the nav is under threshold: nothing cleaned yet
+    val partial = graft.streaming.StreamingCorpus
+      .boilerplateCleanView(spark, outDir, dfMin = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(partial.values.forall(_ == 0L), s"premature cleaning: $partial")
+    b2.toDF("doc_id", "domain", "text").write.mode("append").parquet(srcDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // clean view == batch operator over the full feed (doc 0 cleaned
+    // retroactively by batch 2's arrivals)
+    val exp = graft.ext.Boilerplate.boilerplateClean(all, dfMin = 4)
+      .collect().map(_.toSeq).toSeq
+    val got = graft.streaming.StreamingCorpus
+      .boilerplateCleanView(spark, outDir, dfMin = 4)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(exp.nonEmpty && got == exp)
+    assert(got.forall(r => r(3) == 1L), s"nav line should now drop everywhere: $got")
+    // report view from the COUNT STORE alone equals the batch report
+    val expRep = graft.ext.Boilerplate.boilerplateReport(all, dfMin = 4)
+      .collect().map(_.toSeq).toSeq
+    val gotRep = graft.streaming.StreamingCorpus
+      .boilerplateReportView(spark, storeDir, dfMin = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(gotRep == expRep, s"store report $gotRep != batch $expRep")
+  }
+
   test("streaming domain caps: count-store gate converges to the batch first-K across a restart") {
     val all = Queries.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("source").as("domain"), col("lang"))
