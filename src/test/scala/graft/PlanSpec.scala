@@ -409,4 +409,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
+
+  test("boilerplate: removal is a hashed left-anti join; no cartesian, no corpus window") {
+    val plan = planOf(SparkEntry.queries("text_boilerplate")(spark, sf))
+    // the drop set removes lines via LeftAnti on (domain, line-hash) —
+    // 8-byte keys through a hash join, never a per-line nested loop
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // re-assembly and df-counting are doc/line-keyed aggregations — the
+    // only window-free plan shape that survives a corpus-scale explode
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("cross-modal mining: margin stage is id-keyed joins only, never cartesian") {
+    val plan = planOf(SparkEntry.queries("multimodal_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
 }
