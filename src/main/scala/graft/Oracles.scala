@@ -1183,6 +1183,39 @@ object Oracles {
         |FROM blocks GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    // Holt forecast replay: the recurrence is scaled-long with explicit
+    // floors (l' = ⌊(x·1e6 + l + b)/2⌋, b' = ⌊(l' − l + 3b)/4⌋), so a
+    // WITH RECURSIVE walk over the day index reproduces the engine's
+    // integer states bit-for-bit; /2.0 divisions exact below 2^52
+    "events_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS span
+        |  FROM daily
+        |), rec AS (
+        |  SELECT event_type, i, span, day,
+        |    CAST(n * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+        |  FROM ord WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.i, o.span, o.day,
+        |    CAST(floor((o.n * 1000000 + r.l + r.b) / 2.0) AS BIGINT),
+        |    CAST(floor((CAST(floor((o.n * 1000000 + r.l + r.b) / 2.0) AS BIGINT)
+        |      - r.l + 3 * r.b) / 4.0) AS BIGINT)
+        |  FROM ord o JOIN rec r
+        |    ON o.event_type = r.event_type AND o.i = r.i + 1
+        |), fin AS (
+        |  SELECT event_type, day, l, b FROM rec WHERE i = span
+        |)
+        |SELECT f.event_type, CAST(h.h AS INTEGER) AS h,
+        |  strftime(f.day + CAST(h.h AS INTEGER), '%Y-%m-%d') AS forecast_day,
+        |  f.l + h.h * f.b AS forecast_u
+        |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+        |ORDER BY event_type, h""".stripMargin,
+
     // CUSUM mean-shift: prefix statistic kept SCALED-INTEGER
     // (CP = cnt·prefix − i·total) because cumulative DOUBLE window sums
     // are not summation-order-robust across engines; one division at the
@@ -1277,6 +1310,25 @@ object Oracles {
          |FROM lineitem WHERE l_orderkey < 400
          |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
     },
+
+    // manifest audit replay: the store partitions by day with exactly one
+    // file per day, so partition-grain stats ARE a GROUP BY day over the
+    // source, and n_files asserts the layout invariant as a literal
+    "layout_manifest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS p_date,
+        |  CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+        |  min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+        |  epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us
+        |FROM events GROUP BY 1 ORDER BY p_date""".stripMargin,
+
+    // pruned-scan replay: the manifest-driven read must equal the plain
+    // WHERE over the source table — file skipping is an access-path
+    // optimization, never a semantics change
+    "layout_pruned_scan" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events WHERE event_id BETWEEN 100 AND 299
+        |ORDER BY event_id""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT l_returnflag,

@@ -93,6 +93,9 @@ object SparkEntry {
     "events_anomaly" -> (Queries.eventsAnomaly _),
     "events_cooccurrence" -> ((s, dir) => Queries.eventsCooccurrence(s, dir)),
     "events_cusum" -> (Queries.eventsCusum _),
+    // forecast leg of the anomaly tier: integer-exact Holt smoothing over
+    // per-type daily counts, 7 days ahead
+    "events_forecast" -> (Queries.eventsForecast _),
     "events_coverage" -> ((s, dir) => Queries.eventsCoverage(s, dir)),
     "events_mad" -> (Queries.eventsMad _),
     // join-key skew diagnostic on the user key (decides saltedJoin)
@@ -103,6 +106,10 @@ object SparkEntry {
     "events_rfm" -> (Queries.eventsRfm _),
     "events_heatmap" -> (Queries.eventsHeatmap _),
     "layout_zorder" -> (Queries.layoutZorder _),
+    // min-max file-statistics manifest over the date-partitioned events
+    // store (data skipping without Delta), and a read it prunes
+    "layout_manifest" -> (Queries.layoutManifest _),
+    "layout_pruned_scan" -> (Queries.layoutPrunedScan _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),

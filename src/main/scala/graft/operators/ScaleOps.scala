@@ -188,6 +188,105 @@ object ScaleOps {
       .orderBy(col("rank"))
   }
 
+  /** Columns whose per-file min/max land in the manifest. Fixed order —
+    * the manifest schema is part of the store format.
+    */
+  private val ManifestStatCols = Seq("event_id", "user_id", "ts_us")
+
+  /** Write `df` date-partitioned (one file per day) WITH a min-max file
+    * manifest at `dir/_manifest` — Delta/Iceberg-style data skipping
+    * re-expressed over plain parquet (the container has no Delta jars;
+    * this is the capability its transaction log would carry).
+    *
+    * The manifest rows are computed from the WRITTEN files read back
+    * (grouped by `_metadata.file_path`), never from the input frame — the
+    * stats describe what is actually on disk, so a reshuffling write or a
+    * reader with different session confs can't drift from them. Each row:
+    * relative file path, partition value, row count, and min/max of
+    * [[ManifestStatCols]]. The `_`-prefixed directory name means plain
+    * `spark.read.parquet(store)` ignores the manifest (Hadoop hides `_`
+    * paths from input listings, the same convention as `_SUCCESS`), while
+    * pointing a reader AT `dir/_manifest` reads it — exactly how Delta's
+    * `_delta_log` coexists with its data files.
+    *
+    * Scale shape: the store write is one hash-partition-by-day shuffle
+    * (each day lands wholly in one task → exactly one file per partition
+    * dir); the manifest pass is one map-side-combinable groupBy whose
+    * output is file-count-sized (at 100 TB / 128 MB ≈ 800k rows — a
+    * MANIFEST TABLE, never driver state).
+    */
+  def writeDateStoreWithManifest(df: DataFrame, dir: String,
+      tsCol: String = "ts"): Unit = {
+    val spark = df.sparkSession
+    df.withColumn("p_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("p_date"))
+      .write.mode("overwrite").partitionBy("p_date").parquet(dir)
+    val rb = spark.read.parquet(dir)
+      .withColumn("ts_us", unix_micros(col(tsCol)))
+    val stats = count(lit(1)).as("n_rows") +: ManifestStatCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    rb.groupBy(
+        regexp_extract(col("_metadata.file_path"),
+          "(p_date=[^/]+/[^/]+)$", 1).as("path"),
+        col("p_date").cast("string").as("p_date"))
+      .agg(stats.head, stats.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
+
+  /** The manifest rolled up to partition grain — the shape a human (or an
+    * oracle) audits: per day, how many files, how many rows, and the
+    * min/max envelope of every stats column. `n_files` doubles as the
+    * layout invariant: [[writeDateStoreWithManifest]] guarantees exactly
+    * one file per day, and this report proves it from disk truth.
+    */
+  def manifestSummary(spark: SparkSession, store: String): DataFrame = {
+    val aggs = count(lit(1)).as("n_files") +: sum(col("n_rows")).as("n_rows") +:
+      ManifestStatCols.flatMap(c =>
+        Seq(min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c")))
+    spark.read.parquet(s"$store/_manifest")
+      .groupBy(col("p_date"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("p_date"))
+  }
+
+  /** Manifest-driven pruned read: open ONLY the files whose
+    * `[min_$statCol, max_$statCol]` envelope intersects `[lo, hi]`, then
+    * apply the exact residual filter. This prunes on columns partition
+    * layout can't express — here `event_id`, which correlates with the
+    * date partitions without being the partition key (the zorder +
+    * min-max-stats recipe): a `WHERE event_id BETWEEN ...` over a 100 TB
+    * store touches the handful of files whose envelope matches instead of
+    * scanning everything, with zero reliance on the predicate mentioning
+    * `p_date`.
+    *
+    * The collect is of FILE PATHS filtered by the predicate — bounded by
+    * the manifest, not the data, and guarded by `maxFiles`: a predicate
+    * surviving more files than that means skipping isn't selective enough
+    * and the caller should scan normally (fail loud, never silently
+    * drag a 100k-path listing through the driver).
+    */
+  def manifestPrunedRead(spark: SparkSession, store: String,
+      statCol: String, lo: Long, hi: Long, maxFiles: Int = 10000): DataFrame = {
+    require(ManifestStatCols.contains(statCol),
+      s"no manifest stats for $statCol (have $ManifestStatCols)")
+    val surviving = spark.read.parquet(s"$store/_manifest")
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(col("path")).collect().map(r => s"$store/${r.getString(0)}")
+    require(surviving.length <= maxFiles,
+      s"$statCol in [$lo, $hi] survives ${surviving.length} files (> $maxFiles): " +
+        "skipping is not selective here - scan the store directly")
+    val full = spark.read.option("basePath", store).parquet(store)
+    val pruned =
+      if (surviving.isEmpty) full.filter(lit(false)) // schema-stable empty
+      else spark.read.option("basePath", store).parquet(surviving: _*)
+    val residual =
+      if (statCol == "ts_us") unix_micros(col("ts")).between(lo, hi)
+      else col(statCol).between(lo, hi)
+    pruned.filter(residual)
+  }
+
   def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")

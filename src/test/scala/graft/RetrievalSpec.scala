@@ -473,6 +473,37 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "steady shifted regime should not read as spikes")
   }
 
+  test("Holt forecast: matches the integer reference recurrence; constant series is a fixpoint") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-03-$i%02d")
+    // reference recurrence — the scaladoc'd floor arithmetic, verbatim
+    def ref(ns: Seq[Long]): (Long, Long) =
+      ns.tail.foldLeft((ns.head * 1000000L, 0L)) { case ((l, b), x) =>
+        val l2 = Math.floorDiv(x * 1000000L + l + b, 2L)
+        (l2, Math.floorDiv(l2 - l + 3 * b, 4L))
+      }
+    val grow = Seq(10L, 12L, 14L, 16L, 18L)
+    val daily = (grow.zipWithIndex.map { case (n, i) => ("up", d(i + 1), n) } ++
+      (1 to 5).map(i => ("flat", d(i), 7L)) ++
+      Seq(("one", d(1), 42L))).toDF("event_type", "day", "n")
+    val got = Queries.holtForecast(daily).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    val (lu, bu) = ref(grow)
+    (1 to 7).foreach { h =>
+      assert(got(("up", h))._2 == lu + h * bu, s"up h=$h")
+      // a constant series is a fixpoint: zero trend, level == x exactly
+      assert(got(("flat", h))._2 == 7000000L, s"flat h=$h")
+      // single observation: init state only (empty recurrence), zero trend
+      assert(got(("one", h))._2 == 42000000L, s"one h=$h")
+    }
+    // forecast dates extend from each type's LAST day
+    assert(got(("up", 1))._1 == "2024-03-06" && got(("up", 7))._1 == "2024-03-12")
+    assert(got(("one", 1))._1 == "2024-03-02")
+    // an upward-trending series must forecast above its last level
+    assert(lu + bu > grow.last * 1000000L)
+  }
+
   test("character entropy: hand-computed value; filler low, blob high") {
     import spark.implicits._
     val docs = Seq(

@@ -201,6 +201,67 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private lazy val manifestStore: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstore").toString + "/ev"
+    ScaleOps.writeDateStoreWithManifest(Queries.events(spark, sf), dir)
+    dir
+  }
+
+  test("manifest: one file per day, stats agree with a direct aggregate") {
+    val ev = Queries.events(spark, sf)
+    val got = ScaleOps.manifestSummary(spark, manifestStore).collect()
+    assert(got.forall(_.getAs[Long]("n_files") == 1L),
+      "layout invariant: exactly one file per day partition")
+    val want = ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("p_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("event_id").as("min_event_id"), max("event_id").as("max_event_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, lo, hi) = want(r.getAs[String]("p_date"))
+      assert(r.getAs[Long]("n_rows") == n &&
+        r.getAs[Long]("min_event_id") == lo && r.getAs[Long]("max_event_id") == hi)
+    }
+  }
+
+  test("manifest store: plain read ignores _manifest (underscore convention)") {
+    assert(spark.read.parquet(manifestStore).count() ==
+      Queries.events(spark, sf).count())
+  }
+
+  test("pruned read equals the full filter AND opens only matching files") {
+    val ev = Queries.events(spark, sf)
+    val pruned = ScaleOps.manifestPrunedRead(spark, manifestStore, "event_id", 100L, 299L)
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).sorted
+    val want = ev.filter(col("event_id").between(100, 299))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+    // the skip is real: files actually opened < the ~30 day files, and
+    // exactly the days whose manifest envelope intersects [100, 299]
+    val opened = pruned.select(col("_metadata.file_path")).distinct().count()
+    val surviving = spark.read.parquet(s"$manifestStore/_manifest")
+      .filter(col("max_event_id") >= 100 && col("min_event_id") <= 299).count()
+    val total = spark.read.parquet(s"$manifestStore/_manifest").count()
+    assert(opened == surviving && surviving < total,
+      s"opened=$opened surviving=$surviving total=$total")
+  }
+
+  test("pruned read with an empty survivor set: empty result, schema intact") {
+    val out = ScaleOps.manifestPrunedRead(
+      spark, manifestStore, "event_id", -500L, -1L)
+    assert(out.count() == 0)
+    assert(out.columns.contains("event_id") && out.columns.contains("p_date"))
+  }
+
+  test("pruned read fails loud when skipping is not selective (maxFiles guard)") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleOps.manifestPrunedRead(
+        spark, manifestStore, "event_id", 0L, Long.MaxValue, maxFiles = 3)
+    }
+    assert(e.getMessage.contains("not selective"))
+  }
+
   test("key skew report: exact shares, Gini closed form, salt recommendation on the hot key") {
     import spark.implicits._
     // A:80 B:10 C:10 -> asc order (B,C,A): gnum = -20 + 0 + 160 = 140,
