@@ -1309,4 +1309,76 @@ object StreamingCorpus {
       .groupBy(col("i"), col("cell")).agg(sum(col("c")).as("c"))
     TextAnalysis.cmsEstimates(sketch, queries, d, w)
   }
+
+  /** Streaming maintenance of the min-max file-statistics manifest
+    * ([[graft.operators.ScaleOps.writeDateStoreWithManifest]] is the
+    * batch layout job): every arriving micro-batch lands date-partitioned
+    * under `outDir/data/batch=<id>` WITH its own per-file stats rows —
+    * the whole write is the batch operator verbatim, so landing is
+    * overwrite-idempotent per batch (a replay rewrites its own directory)
+    * and no historical file is ever re-opened to keep the manifest
+    * current: per-file min/max/count are MERGEABLE, the live manifest is
+    * a pure rollup over landed stats rows. This is exactly how a
+    * transaction log keeps statistics fresh under continuous appends —
+    * stats travel WITH the files that carry the data.
+    */
+  def manifestIngest(events: DataFrame, outDir: String,
+      checkpointDir: String, tsCol: String = "ts"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.ScaleOps.writeDateStoreWithManifest(
+            batch.toDF(), s"$outDir/data/batch=$batchId", tsCol)
+        ()
+      }
+      .start()
+
+  /** The live partition-grain manifest over everything landed so far —
+    * the same rollup [[graft.operators.ScaleOps.manifestSummary]] serves
+    * on a batch-built store, merged across batch stores (counts add,
+    * mins min, maxes max). `n_files` counts REAL files: a day spread
+    * over k micro-batches reports k files where the one-shot batch store
+    * reports 1 — the signal the periodic
+    * [[graft.operators.ScaleOps.compact]] pass reads; every other stat
+    * converges to the batch operator exactly at full coverage.
+    */
+  def manifestView(spark: SparkSession, outDir: String): DataFrame = {
+    val stats = Seq("event_id", "user_id", "ts_us")
+    val aggs = count(lit(1)).as("n_files") +: sum(col("n_rows")).as("n_rows") +:
+      stats.flatMap(c => Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c")))
+    spark.read.parquet(s"$outDir/data/batch=*/_manifest")
+      .groupBy(col("p_date"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("p_date"))
+  }
+
+  /** Manifest-pruned read over the STREAMED store: survivors are found in
+    * the landed stats rows (each resolves to its absolute file via the
+    * manifest row's own `_metadata` — relative `path` + the batch store
+    * root it landed in), so the prune never lists the data tree. Same
+    * fail-loud `maxFiles` selectivity guard as the batch read.
+    */
+  def manifestPrunedView(spark: SparkSession, outDir: String,
+      statCol: String, lo: Long, hi: Long, maxFiles: Int = 10000): DataFrame = {
+    val surviving = spark.read.parquet(s"$outDir/data/batch=*/_manifest")
+      .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select(concat(
+        regexp_replace(col("_metadata.file_path"), "/_manifest/[^/]+$", ""),
+        lit("/"), col("path")).as("abs"))
+      .collect().map(_.getString(0))
+    require(surviving.length <= maxFiles,
+      s"$statCol in [$lo, $hi] survives ${surviving.length} files (> $maxFiles): " +
+        "skipping is not selective here - scan the store directly")
+    val base = s"$outDir/data"
+    val full = spark.read.option("basePath", base).parquet(base)
+    val pruned =
+      if (surviving.isEmpty) full.filter(lit(false))
+      else spark.read.option("basePath", base).parquet(surviving: _*)
+    val residual =
+      if (statCol == "ts_us") unix_micros(col("ts")).between(lo, hi)
+      else col(statCol).between(lo, hi)
+    pruned.filter(residual).drop("batch")
+  }
 }

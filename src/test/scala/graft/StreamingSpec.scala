@@ -1804,4 +1804,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ewmaGot.exists(r => r(6) == true), "EWMA must flag the spike too")
     assert(hist.last._2 > 3.0)
   }
+
+  test("streaming manifest: stats converge to the batch store, n_files counts real files, pruned view opens only survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    def ev(id: Long, day: Int, user: Long) =
+      (id, java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:$id%02d"), user)
+    // day 2 spans BOTH landings — its live manifest must report 2 files
+    val b0 = Seq(ev(1, 1, 10), ev(2, 1, 11), ev(3, 2, 12))
+    val b1 = Seq(ev(4, 2, 13), ev(5, 3, 14), ev(6, 3, 15))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mani-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mani-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mani-ckpt").toString
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    def start() = graft.streaming.StreamingCorpus.manifestIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    def land(c: Seq[(Long, java.sql.Timestamp, Long)]): Unit =
+      c.toDF("event_id", "ts", "user_id").write.mode("append").parquet(srcDir)
+    land(b0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(b1) // restart picks it up — checkpoint-crash discipline
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // exactly-once landing across the restart
+    val landed = spark.read.parquet(s"$outDir/data")
+    assert(landed.count() == 6 &&
+      landed.select("event_id").distinct().count() == 6)
+    // live rollup ≡ the one-shot batch store on every stat but n_files
+    val batchStore =
+      java.nio.file.Files.createTempDirectory("graft-mani-batch").toString + "/ev"
+    graft.operators.ScaleOps.writeDateStoreWithManifest(
+      (b0 ++ b1).toDF("event_id", "ts", "user_id"), batchStore)
+    def key(df: org.apache.spark.sql.DataFrame) = df.drop("n_files").collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val view = graft.streaming.StreamingCorpus.manifestView(spark, outDir)
+    assert(key(view) == key(
+      graft.operators.ScaleOps.manifestSummary(spark, batchStore)))
+    // n_files is disk truth: day 2 landed via two micro-batches
+    val nf = view.collect().map(r => r.getString(0) -> r.getAs[Long]("n_files")).toMap
+    assert(nf == Map("2024-03-01" -> 1L, "2024-03-02" -> 2L, "2024-03-03" -> 1L), nf)
+    // pruned view: correct rows, and only the surviving files opened
+    val pruned = graft.streaming.StreamingCorpus.manifestPrunedView(
+      spark, outDir, "event_id", 4L, 6L)
+    assert(pruned.select("event_id").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    val opened = pruned.select(col("_metadata.file_path")).distinct().count()
+    assert(opened == 2, s"expected batch-1's two day files only, opened $opened")
+    // empty survivor range stays schema-stable
+    assert(graft.streaming.StreamingCorpus.manifestPrunedView(
+      spark, outDir, "event_id", 100L, 200L).count() == 0)
+  }
 }
