@@ -1400,8 +1400,8 @@ object Oracles {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_charge,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_price,
         |  round(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -1413,7 +1413,7 @@ object Oracles {
     "q3_top_orders" ->
       """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_odate,
         |  o.o_orderpriority,
-        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2191,9 +2191,46 @@ object Oracles {
     // identical oracle
     "dedup_prefix_jaccard" -> ngramJaccardSql,
 
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+        |  AND n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // supply cost proxy 0.6·retail with NO intermediate round: the
+    // summand's true value is exactly 4-dp decimal, so the single
+    // round(_, 4) snap is unambiguous in both engines (an inner
+    // round(·, 2) on the double product is not — Spark's BigDecimal
+    // rounding vs DuckDB's double-scaled rounding split at 1-ulp
+    // boundaries; caught at sf0.1)
+    "q9_product_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    - p.p_retailprice * 0.6 * l.l_quantity, 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
     "q5_local_supplier" ->
       """SELECT n.n_name,
-        |  round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))) AS DOUBLE), 2) AS revenue
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey

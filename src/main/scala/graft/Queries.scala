@@ -1682,8 +1682,8 @@ object Queries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(Exact.sumQ(col("l_extendedprice"), 2), 2).as("sum_base_price"),
-        round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("sum_disc_price"),
-        round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6), 2).as("sum_charge"),
+        Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("sum_disc_price"),
+        Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(Exact.avgQ(col("l_extendedprice"), 2), 4).as("avg_price"),
         round(Exact.avgQ(col("l_discount"), 2), 4).as("avg_disc"),
@@ -1716,8 +1716,79 @@ object Queries {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: bidirectional nation-pair trade by
+    * ship year. The fact side is ONE lineitem⋈orders shuffle; supplier,
+    * customer, and both nation legs broadcast (two aliased copies of the
+    * 25-row nation dim), and the pair predicate evaluates AFTER the
+    * broadcasts — so adding the second trade direction costs zero extra
+    * exchanges. Revenue in exact decimal ([[graft.functions.Exact]]).
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supplier = table(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val customer = table(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val orders = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val lineitem = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3") &&
+        col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3") &&
+        col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q9-shaped product-line profit by supplier nation and order
+    * year (no partsupp table ships in this testdata, so supply cost is
+    * the deterministic proxy `0.6·p_retailprice`). Join order is the
+    * scale story: the selective part filter broadcasts FIRST, pruning the
+    * fact to one type's lines BEFORE the only real shuffle
+    * (lineitem⋈orders); supplier and nation broadcast.
+    *
+    * Numerics: the profit summand's true value is exactly 4-dp decimal
+    * (2dp·2dp − 2dp·0.6·int = 4dp ∪ 3dp), so ONE `sumQ` snap at 4 dp is
+    * unambiguous in both engines; an intermediate `round(retail·0.6, 2)`
+    * would NOT be (Spark rounds the exact binary double via BigDecimal,
+    * DuckDB scales in double arithmetic — they disagree at 1-ulp
+    * boundaries, which is exactly the r8 attribution bug class).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), (col("p_retailprice") * 0.6).as("supplycost"))
+    val nation = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val supplier = table(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val orders = table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(Exact.sumQR(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("supplycost") * col("l_quantity"), 4, 2).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
   }
 
   /** TPC-H Q3-shaped top-revenue orders: selective dim filter → broadcast →
@@ -1737,7 +1808,7 @@ object Queries {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"), col("o_orderpriority"))
-      .agg(round(Exact.sumQ(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

@@ -118,6 +118,10 @@ object SparkEntry {
     // headline scale queries
     "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     "q3_top_orders" -> (Queries.q3TopOrders _),
+    // deeper join trees: bidirectional nation-pair trade (Q7-shaped) and
+    // part-filtered profit by nation/year (Q9-shaped)
+    "q7_nation_volume" -> (Queries.q7NationVolume _),
+    "q9_product_profit" -> (Queries.q9ProductProfit _),
     "q5_local_supplier" -> (Queries.q5LocalSupplier _),
     // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),

@@ -51,9 +51,25 @@ object Exact {
   def avgQ(c: Column, s: Int): Column =
     sumQ(c, s) / count(lit(1))
 
+  /** `round(Σ x, r)` with BOTH the sum and the final rounding in the
+    * decimal domain. `round(sumQ(c, s).cast(double), r)` with `r < s` is
+    * still boundary-unsafe: a 4-dp exact sum ending in `...50` (expected
+    * once per ~100 cells for money data!) casts to a double 1 ulp off
+    * the tie, and Spark's BigDecimal HALF_UP and DuckDB's double-scaled
+    * rounding then disagree — the q9 sf0.1 cell 20896039.9550 split
+    * exactly this way. Rounding the DECIMAL first is exact half-up in
+    * both engines; only the final ≤r-dp value crosses to double.
+    */
+  def sumQR(c: Column, s: Int, r: Int): Column =
+    round(sum(round(c, s).cast(DecimalType(38, s))), r).cast("double")
+
   /** The DuckDB replay of [[sumQ]] for oracle SQL builders. */
   def sqlSumQ(x: String, s: Int): String =
     s"CAST(sum(CAST(round($x, $s) AS DECIMAL(38,$s))) AS DOUBLE)"
+
+  /** The DuckDB replay of [[sumQR]]. */
+  def sqlSumQR(x: String, s: Int, r: Int): String =
+    s"CAST(round(sum(CAST(round($x, $s) AS DECIMAL(38,$s))), $r) AS DOUBLE)"
 
   /** The DuckDB replay of [[avgQ]]. */
   def sqlAvgQ(x: String, s: Int): String =

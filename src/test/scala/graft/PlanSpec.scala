@@ -410,6 +410,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q7: one fact shuffle join; all four dim legs broadcast; ship-date filter pushed") {
+    val plan = planOf(Queries.q7NationVolume(spark, sf))
+    // supplier, customer, and both nation copies ride broadcasts — the
+    // only SortMergeJoin allowed is lineitem⋈orders
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"fact join only, got $smj SMJs\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(l_shipdate)"), plan.take(3000))
+  }
+
+  test("q9: part/supplier/nation broadcast; the selective p_type filter reaches the scan") {
+    val plan = planOf(Queries.q9ProductProfit(spark, sf))
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"fact join only, got $smj SMJs\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("EqualTo(p_type,PROMO)"), plan.take(3000))
+  }
+
   test("boilerplate: removal is a hashed left-anti join; no cartesian, no corpus window") {
     val plan = planOf(SparkEntry.queries("text_boilerplate")(spark, sf))
     // the drop set removes lines via LeftAnti on (domain, line-hash) —
