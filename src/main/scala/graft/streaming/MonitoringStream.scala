@@ -262,6 +262,20 @@ object MonitoringStream {
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("n")).as("n")))
 
+  /** Holt forecast over the SAME landed zone — the third scorer riding
+    * [[anomalyIngest]]'s daily partial counts (landing is scorer-
+    * agnostic): detectors look back, this projects the next 7 days.
+    * Counts are integers, so partial-count summation is exact and the
+    * integer smoothing recurrence ([[graft.Queries.holtForecast]]) sees
+    * bit-identical inputs at full arrival — the view then IS the batch
+    * operator's output.
+    */
+  def forecastView(spark: SparkSession, outDir: String): DataFrame =
+    graft.Queries.holtForecast(
+      spark.read.parquet(s"$outDir/counts")
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n")))
+
   /** Streaming twin of [[graft.Queries.eventsCooccurrence]]: each batch
     * lands its DISTINCT (user, day, type) memberships batch-id-keyed
     * (replay-idempotent; a membership is a fact, so re-observing it in a

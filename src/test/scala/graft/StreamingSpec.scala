@@ -1802,6 +1802,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ewmaGot = MonitoringStream.ewmaView(spark, outDir).collect().map(_.toSeq).toSeq
     assert(ewmaGot == ewmaExp, s"ewma view diverged:\n got=$ewmaGot\n exp=$ewmaExp")
     assert(ewmaGot.exists(r => r(6) == true), "EWMA must flag the spike too")
+    // third scorer on the same landing: the Holt forecast view equals the
+    // batch operator over the same daily series (integer counts merge
+    // exactly, so the smoothing recurrence sees identical inputs)
+    val fcExp = Queries.holtForecast(daily).collect().map(_.toSeq).toSeq
+    val fcGot = MonitoringStream.forecastView(spark, outDir).collect().map(_.toSeq).toSeq
+    assert(fcGot == fcExp, s"forecast view diverged:\n got=$fcGot\n exp=$fcExp")
+    assert(fcGot.nonEmpty)
     assert(hist.last._2 > 3.0)
   }
 
