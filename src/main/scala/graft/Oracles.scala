@@ -2228,6 +2228,34 @@ object Oracles {
         |GROUP BY 1, 2
         |ORDER BY nation, o_year DESC""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+        |    CAST(round(sum(CAST(round(CASE WHEN p.p_type = 'PROMO'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END, 4)
+        |      AS DECIMAL(38,4))), 2) AS DOUBLE) AS promo_revenue,
+        |    CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |      AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue,
+        |    count(*) AS n_lines
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= DATE '1996-01-01'
+        |    AND l.l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT ship_month, promo_revenue, total_revenue, n_lines,
+        |  round(promo_revenue * 100.0 / total_revenue, 4) AS promo_share
+        |FROM m ORDER BY ship_month""".stripMargin,
+
     "q5_local_supplier" ->
       """SELECT n.n_name,
         |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue

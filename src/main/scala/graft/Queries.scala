@@ -1791,6 +1791,58 @@ object Queries {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q4-shaped order-priority check: count orders (by priority)
+    * having at least one line shipped AFTER the order date. The EXISTS
+    * is a LEFT SEMI join — each order emits at most once no matter how
+    * many lines qualify, and Spark's semi-join stops probing a key on
+    * first match instead of materializing the multiplicity a plain join
+    * + distinct would shuffle. The extra non-equi conjunct
+    * (`l_shipdate > o_orderdate`) rides the equi-join as a post-probe
+    * filter — still a hash/merge join, never a nested loop.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val lateLines = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders
+      .join(lateLines, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q14-shaped promotion revenue share by ship month: conditional
+    * aggregation off ONE part-joined scan — numerator and denominator in
+    * the same map-side-combinable pass (never two scans diffed). Sums in
+    * exact decimal; the share is one double division of two identical-
+    * in-both-engines doubles, rounded at 4 (quotient class, NUMERICS.md
+    * Class D non-convert rationale).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        Exact.sumQR(when(col("is_promo"), rev).otherwise(lit(0.0)), 4, 2)
+          .as("promo_revenue"),
+        Exact.sumQR(rev, 4, 2).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
+      .orderBy(col("ship_month"))
+  }
+
   /** TPC-H Q3-shaped top-revenue orders: selective dim filter → broadcast →
     * fact join → agg → top-k. Revenue rounded before ordering, unique
     * tiebreak, so top-10 is deterministic across engines.

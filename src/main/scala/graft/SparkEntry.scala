@@ -122,6 +122,10 @@ object SparkEntry {
     // part-filtered profit by nation/year (Q9-shaped)
     "q7_nation_volume" -> (Queries.q7NationVolume _),
     "q9_product_profit" -> (Queries.q9ProductProfit _),
+    // EXISTS-as-semi-join (Q4-shaped) and conditional-aggregation ratio
+    // off one scan (Q14-shaped)
+    "q4_order_priority" -> (Queries.q4OrderPriority _),
+    "q14_promo_share" -> (Queries.q14PromoShare _),
     "q5_local_supplier" -> (Queries.q5LocalSupplier _),
     // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),

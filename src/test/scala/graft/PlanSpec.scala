@@ -429,6 +429,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("EqualTo(p_type,PROMO)"), plan.take(3000))
   }
 
+  test("q4: EXISTS plans as a LeftSemi hash/merge join, never a nested loop") {
+    val plan = planOf(Queries.q4OrderPriority(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q14: numerator and denominator ride ONE scan (single agg, part broadcast)") {
+    val plan = planOf(Queries.q14PromoShare(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // exactly two scans in the whole plan — lineitem once (numerator and
+    // denominator fold into its single pass) + part once
+    val treeScans = plan.linesIterator.count(_.contains("Scan parquet  ("))
+    assert(treeScans == 2, s"two scans total, got $treeScans\n${plan.take(3000)}")
+  }
+
   test("boilerplate: removal is a hashed left-anti join; no cartesian, no corpus window") {
     val plan = planOf(SparkEntry.queries("text_boilerplate")(spark, sf))
     // the drop set removes lines via LeftAnti on (domain, line-hash) —
