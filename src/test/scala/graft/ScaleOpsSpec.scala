@@ -262,6 +262,37 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not selective"))
   }
 
+  test("sumQR: planted ..50-tie sums round exactly as BigDecimal HALF_UP (the q9 boundary class)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cent = java.math.BigDecimal.valueOf(100, 4) // 0.0100
+    // 40 groups of 4-dp money values, each adjusted so the EXACT sum ends
+    // in ...50 — the tie the double-cast round used to flip on
+    val rows = (1 to 40).flatMap { g =>
+      val vals = Seq.fill(6)(java.math.BigDecimal.valueOf(rnd.nextInt(20000000).toLong, 4))
+      val tail = vals.reduce(_.add(_)).remainder(cent)
+      val target = java.math.BigDecimal.valueOf(50, 4) // 0.0050
+      val adjust = target.subtract(tail).add(cent).remainder(cent)
+      (vals :+ adjust).map(v => (g, v.doubleValue))
+    }
+    val exactSums = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(v => java.math.BigDecimal.valueOf(v._2)).reduce(_.add(_))
+    }
+    // every group really sits on the 2-dp tie by construction
+    exactSums.values.foreach(s =>
+      assert(s.remainder(cent).compareTo(java.math.BigDecimal.valueOf(50, 4)) == 0,
+        s"fixture bug: $s not on the ..50 tie"))
+    val expected = exactSums.map { case (g, s) =>
+      g -> s.setScale(2, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val got = rows.toDF("g", "v").groupBy(col("g"))
+      .agg(graft.functions.Exact.sumQR(col("v"), 4, 2).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    expected.foreach { case (g, e) =>
+      assert(got(g) == e, s"group $g: got ${got(g)} want $e")
+    }
+  }
+
   test("key skew report: exact shares, Gini closed form, salt recommendation on the hot key") {
     import spark.implicits._
     // A:80 B:10 C:10 -> asc order (B,C,A): gnum = -20 + 0 + 160 = 140,
