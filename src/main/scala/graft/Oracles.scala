@@ -1330,6 +1330,13 @@ object Oracles {
         |FROM events WHERE event_id BETWEEN 100 AND 299
         |ORDER BY event_id""".stripMargin,
 
+    // z-order pruned read: same access-path-only guarantee over the
+    // two-dimensionally clustered store
+    "layout_zorder_pruned" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events WHERE user_id BETWEEN 10 AND 19
+        |ORDER BY event_id""".stripMargin,
+
     "agg_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -1150,6 +1150,26 @@ object Queries {
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Multi-dimensional pruning, closed loop: the events store Z-order-
+    * clustered on (user_id, event_id) with per-file min/max stats on
+    * BOTH columns, served through the same manifest-pruned read — a
+    * `user_id` range opens only the files whose rectangle intersects it,
+    * with `user_id` neither the partition key nor the sort key alone.
+    * The result provably equals the plain filter (oracle).
+    */
+  def layoutZorderPruned(spark: SparkSession, dir: String): DataFrame = {
+    val store = graft.ext.IndexCache.ensure(spark, dir, "zstore",
+      table = "events", params = "v1,x=user_id,y=event_id,bits=20") { d =>
+      graft.operators.ScaleOps.writeZorderStoreWithManifest(
+        events(spark, dir), d, "user_id", "event_id", bits = 20)
+    }
+    graft.operators.ScaleOps
+      .manifestPrunedRead(spark, store, "user_id", 10L, 19L)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   def layoutZorder(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .filter(col("l_orderkey") < 400)

@@ -110,6 +110,9 @@ object SparkEntry {
     // store (data skipping without Delta), and a read it prunes
     "layout_manifest" -> (Queries.layoutManifest _),
     "layout_pruned_scan" -> (Queries.layoutPrunedScan _),
+    // z-ordered store + manifest: a range on a non-partition, non-sole-
+    // sort column opens only the files whose (x,y) rectangle intersects
+    "layout_zorder_pruned" -> (Queries.layoutZorderPruned _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),

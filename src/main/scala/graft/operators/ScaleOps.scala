@@ -223,15 +223,52 @@ object ScaleOps {
       .write.mode("overwrite").partitionBy("p_date").parquet(dir)
     val rb = spark.read.parquet(dir)
       .withColumn("ts_us", unix_micros(col(tsCol)))
-    val stats = count(lit(1)).as("n_rows") +: ManifestStatCols.flatMap(c =>
+    writeManifest(rb, dir, ManifestStatCols,
+      Seq(col("p_date").cast("string").as("p_date")))
+  }
+
+  /** Shared manifest writer: per-file stats over a read-back `rb` of the
+    * store at `dir`, path stored RELATIVE to the store root (derived by
+    * stripping each file's own `_metadata` prefix — no layout-specific
+    * regex), plus any extra file-constant key columns (e.g. the hive
+    * partition value).
+    */
+  private[graft] def writeManifest(rb: DataFrame, dir: String,
+      statsCols: Seq[String], extraKeys: Seq[org.apache.spark.sql.Column]): Unit = {
+    // _metadata.file_path is a URI whose scheme rendering varies
+    // ("file:///x" vs the qualified Path's "file:/x"), so strip the
+    // scheme from BOTH sides and subtract plain paths
+    val rootPath = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      rb.sparkSession.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
+    val plainFp = regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z0-9.+-]+:/+", "/")
+    val stats = count(lit(1)).as("n_rows") +: statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     rb.groupBy(
-        regexp_extract(col("_metadata.file_path"),
-          "(p_date=[^/]+/[^/]+)$", 1).as("path"),
-        col("p_date").cast("string").as("p_date"))
+        (substring(plainFp, rootPath.length + 2, 100000)
+          .as("path") +: extraKeys): _*)
       .agg(stats.head, stats.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_manifest")
+  }
+
+  /** Z-order-clustered store WITH per-file min/max stats on BOTH
+    * clustering columns — the read-side payoff [[zValue]]'s scaladoc
+    * promises: each file covers a tight (x, y) rectangle, so a range
+    * predicate on EITHER column (or both) prunes files through
+    * [[manifestPrunedRead]]. A single-column sort can only ever prune
+    * its own column; this is the multi-dimensional skip that makes
+    * "WHERE user_id BETWEEN ..." AND "WHERE event_id BETWEEN ..."
+    * both selective over one 100 TB layout.
+    */
+  def writeZorderStoreWithManifest(df: DataFrame, dir: String,
+      xCol: String, yCol: String, bits: Int = 16,
+      numPartitions: Int = 0): Unit = {
+    zorderRepartition(df, xCol, yCol, bits, numPartitions)
+      .write.mode("overwrite").parquet(dir)
+    writeManifest(df.sparkSession.read.parquet(dir), dir,
+      Seq(xCol, yCol), Seq.empty)
   }
 
   /** The manifest rolled up to partition grain — the shape a human (or an
@@ -269,9 +306,11 @@ object ScaleOps {
     */
   def manifestPrunedRead(spark: SparkSession, store: String,
       statCol: String, lo: Long, hi: Long, maxFiles: Int = 10000): DataFrame = {
-    require(ManifestStatCols.contains(statCol),
-      s"no manifest stats for $statCol (have $ManifestStatCols)")
-    val surviving = spark.read.parquet(s"$store/_manifest")
+    val mf = spark.read.parquet(s"$store/_manifest")
+    require(mf.columns.contains(s"min_$statCol"),
+      s"no manifest stats for $statCol in $store/_manifest " +
+        s"(have ${mf.columns.filter(_.startsWith("min_")).map(_.drop(4)).mkString(", ")})")
+    val surviving = mf
       .filter(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
       .select(col("path")).collect().map(r => s"$store/${r.getString(0)}")
     require(surviving.length <= maxFiles,

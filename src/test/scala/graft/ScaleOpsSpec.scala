@@ -262,6 +262,36 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not selective"))
   }
 
+  test("zorder store: BOTH dimensions prune files; a single-column sort prunes only its own") {
+    import spark.implicits._
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val root = java.nio.file.Files.createTempDirectory("graft-zstore").toString
+    val zDir = s"$root/z"
+    ScaleOps.writeZorderStoreWithManifest(grid, zDir, "x", "y",
+      bits = 6, numPartitions = 16)
+    def opened(dir: String, c: String, lo: Long, hi: Long) =
+      ScaleOps.manifestPrunedRead(spark, dir, c, lo, hi)
+        .select(col("_metadata.file_path")).distinct().count()
+    val zTotal = spark.read.parquet(s"$zDir/_manifest").count()
+    // correctness on both dimensions
+    assert(ScaleOps.manifestPrunedRead(spark, zDir, "x", 0, 7).count() == 8L * n)
+    assert(ScaleOps.manifestPrunedRead(spark, zDir, "y", 0, 7).count() == 8L * n)
+    // the z layout prunes on EITHER column
+    val zx = opened(zDir, "x", 0, 7); val zy = opened(zDir, "y", 0, 7)
+    assert(zx < zTotal && zy < zTotal, s"z-store: x opens $zx, y opens $zy of $zTotal")
+    // contrast: an x-sorted store prunes x but must open EVERY file for y
+    val sDir = s"$root/s"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(sDir)
+    ScaleOps.writeManifest(spark.read.parquet(sDir), sDir, Seq("x", "y"), Seq.empty)
+    val sTotal = spark.read.parquet(s"$sDir/_manifest").count()
+    assert(opened(sDir, "x", 0, 7) < sTotal)
+    assert(opened(sDir, "y", 0, 7) == sTotal,
+      "single-column sort cannot skip on the other dimension")
+  }
+
   test("sumQR: planted ..50-tie sums round exactly as BigDecimal HALF_UP (the q9 boundary class)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
