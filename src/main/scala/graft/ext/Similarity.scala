@@ -910,7 +910,7 @@ object Similarity {
     }
   }
 
-  private[ext] def nextIndexVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+  private[graft] def nextIndexVersion(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(path)) 0L
     else fs.listStatus(path).iterator.map(_.getPath.getName)
@@ -925,7 +925,7 @@ object Similarity {
     * then best-effort delete superseded versions and the legacy in-place
     * layout. Single-writer path, like [[appendToIvfIndex]].
     */
-  private[ext] def publishIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def publishIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, n: Long,
       legacyDirs: Seq[String] = Seq("vectors", "centroids")): Unit = {
     val cur = new org.apache.hadoop.fs.Path(s"$dir/CURRENT")

@@ -1354,6 +1354,43 @@ object StreamingCorpus {
       .orderBy(col("p_date"))
   }
 
+  /** Periodic compaction of [[manifestIngest]]'s landing zone — the
+    * maintenance pass the live view's `n_files` counts are the signal
+    * for: fold EVERY landed batch into one canonical date store (one
+    * file per day, fresh manifest) under a versioned root with an atomic
+    * `CURRENT` flip — the same `v_<n>`/CURRENT lifecycle every persisted
+    * ANN index in this engine uses, so a reader mid-compaction serves
+    * either the complete old version or the complete new one, never a
+    * mix. The landing zone itself is untouched (it remains the replay
+    * authority); batches landing AFTER a compaction are visible in the
+    * live [[manifestView]] and get folded by the next compaction pass.
+    */
+  def manifestCompact(spark: SparkSession, outDir: String): String = {
+    val croot = s"$outDir/compact"
+    val fs = new org.apache.hadoop.fs.Path(croot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = Similarity.nextIndexVersion(fs, croot)
+    val newRoot = s"$croot/v_$n"
+    graft.operators.ScaleOps.writeDateStoreWithManifest(
+      spark.read.option("basePath", s"$outDir/data")
+        .parquet(s"$outDir/data").drop("batch", "p_date"), newRoot)
+    Similarity.publishIndexVersion(fs, croot, n, legacyDirs = Seq.empty)
+    newRoot
+  }
+
+  /** The published compacted store, if any — a plain date store a reader
+    * serves through the batch operators directly
+    * ([[graft.operators.ScaleOps.manifestSummary]] /
+    * [[graft.operators.ScaleOps.manifestPrunedRead]]).
+    */
+  def manifestCompacted(spark: SparkSession, outDir: String): Option[String] = {
+    val croot = s"$outDir/compact"
+    val fs = new org.apache.hadoop.fs.Path(croot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$croot/CURRENT"))) None
+    else Some(Similarity.resolveIndexRoot(spark, croot))
+  }
+
   /** Manifest-pruned read over the STREAMED store: survivors are found in
     * the landed stats rows (each resolves to its absolute file via the
     * manifest row's own `_metadata` — relative `path` + the batch store

@@ -1859,5 +1859,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty survivor range stays schema-stable
     assert(graft.streaming.StreamingCorpus.manifestPrunedView(
       spark, outDir, "event_id", 100L, 200L).count() == 0)
+    // compaction folds the landing zone into a canonical one-file-per-day
+    // store under the versioned CURRENT lifecycle
+    assert(graft.streaming.StreamingCorpus.manifestCompacted(spark, outDir).isEmpty)
+    val c1 = graft.streaming.StreamingCorpus.manifestCompact(spark, outDir)
+    assert(graft.streaming.StreamingCorpus.manifestCompacted(spark, outDir)
+      .contains(c1) && c1.endsWith("v_0"))
+    val cs = graft.operators.ScaleOps.manifestSummary(spark, c1).collect()
+    assert(cs.forall(_.getAs[Long]("n_files") == 1L),
+      "compaction must restore one file per day")
+    assert(key(graft.operators.ScaleOps.manifestSummary(spark, c1)) == key(view),
+      "compacted stats must equal the live rollup")
+    val cPruned = graft.operators.ScaleOps
+      .manifestPrunedRead(spark, c1, "event_id", 4L, 6L)
+    assert(cPruned.select("event_id").as[Long].collect().sorted.toSeq ==
+      Seq(4L, 5L, 6L))
+    assert(cPruned.select(col("_metadata.file_path")).distinct().count() == 2,
+      "day-2 and day-3 canonical files only")
+    // a second compaction publishes v_1 and sweeps v_0
+    val c2 = graft.streaming.StreamingCorpus.manifestCompact(spark, outDir)
+    assert(c2.endsWith("v_1") &&
+      !new java.io.File(c1).exists(), "stale version must be swept")
   }
 }
