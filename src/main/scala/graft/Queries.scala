@@ -1123,7 +1123,7 @@ object Queries {
     */
   private def eventsDateStore(spark: SparkSession, dir: String): String =
     graft.ext.IndexCache.ensure(spark, dir, "datestore", table = "events",
-      params = "v1,part=day,stats=event_id,user_id,ts_us") { d =>
+      params = "v2,part=day,stats=event_id,user_id,ts_us,bytes") { d =>
       graft.operators.ScaleOps.writeDateStoreWithManifest(events(spark, dir), d)
     }
 
@@ -1159,7 +1159,7 @@ object Queries {
     */
   def layoutZorderPruned(spark: SparkSession, dir: String): DataFrame = {
     val store = graft.ext.IndexCache.ensure(spark, dir, "zstore",
-      table = "events", params = "v1,x=user_id,y=event_id,bits=20") { d =>
+      table = "events", params = "v2,x=user_id,y=event_id,bits=20,bytes") { d =>
       graft.operators.ScaleOps.writeZorderStoreWithManifest(
         events(spark, dir), d, "user_id", "event_id", bits = 20)
     }

@@ -243,8 +243,9 @@ object ScaleOps {
       .makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.getPath
     val plainFp = regexp_replace(col("_metadata.file_path"),
       "^[a-zA-Z0-9.+-]+:/+", "/")
-    val stats = count(lit(1)).as("n_rows") +: statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val stats = count(lit(1)).as("n_rows") +:
+      min(col("_metadata.file_size")).as("n_bytes") +: statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     rb.groupBy(
         (substring(plainFp, rootPath.length + 2, 100000)
           .as("path") +: extraKeys): _*)
@@ -304,6 +305,32 @@ object ScaleOps {
     * and the caller should scan normally (fail loud, never silently
     * drag a 100k-path listing through the driver).
     */
+  /** Store-health report off the manifest alone (no data file is ever
+    * opened): per partition — or one `ALL` row for unpartitioned (e.g.
+    * Z-ordered) stores — file/row/byte counts, small-file count against
+    * `targetBytes/4`, and a compaction recommendation when a partition
+    * has fragmented into multiple files or mostly-small ones. This is
+    * the DECISION input for [[compact]] /
+    * [[graft.streaming.StreamingCorpus.manifestCompact]]: at 100 TB you
+    * schedule compaction from kilobytes of manifest rows, not from a
+    * listing storm over the data tree.
+    */
+  def manifestHealth(mf: DataFrame,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val grouped =
+      if (mf.columns.contains("p_date")) mf.groupBy(col("p_date"))
+      else mf.groupBy(lit("ALL").as("p_date"))
+    grouped
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("n_bytes") < targetBytes / 4, 1L).otherwise(0L))
+          .as("n_small_files"))
+      // merging needs ≥2 files in the merge scope; the small-file count
+      // is the severity diagnostic, fragmentation the trigger
+      .withColumn("needs_compaction", col("n_files") > 1)
+      .orderBy(col("p_date"))
+  }
+
   def manifestPrunedRead(spark: SparkSession, store: String,
       statCol: String, lo: Long, hi: Long, maxFiles: Int = 10000): DataFrame = {
     val mf = spark.read.parquet(s"$store/_manifest")

@@ -1880,5 +1880,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c2 = graft.streaming.StreamingCorpus.manifestCompact(spark, outDir)
     assert(c2.endsWith("v_1") &&
       !new java.io.File(c1).exists(), "stale version must be swept")
+    // health report reads manifests only: the live landing flags day 2
+    // (fragmented across two batches); the compacted store is clean
+    def health(mfPath: String) = graft.operators.ScaleOps
+      .manifestHealth(spark.read.parquet(mfPath))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("needs_compaction")).toMap
+    val live = health(s"$outDir/data/batch=*/_manifest")
+    assert(live == Map("2024-03-01" -> false, "2024-03-02" -> true,
+      "2024-03-03" -> false), live)
+    assert(health(s"$c2/_manifest").values.forall(_ == false),
+      "compacted store must report clean")
   }
 }
