@@ -1216,6 +1216,40 @@ object Oracles {
         |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
         |ORDER BY event_type, h""".stripMargin,
 
+    // seasonal Holt-Winters replay: the extended state (l, b, 7 seasonal
+    // slots) walks the same explicit-floor recurrence; the slot list is
+    // rebuilt per step with a comprehension, l' inlined where referenced
+    "events_forecast_seasonal" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ord AS (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS span
+        |  FROM daily
+        |), rec AS (
+        |  SELECT event_type, 1 AS rn, span, day,
+        |    CAST(n * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+        |    [CAST(0 AS BIGINT),0,0,0,0,0,0] AS s
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.rn, o.span, o.day,
+        |    CAST(floor((o.n*1000000 - r.s[(o.rn-1)%7 + 1] + r.l + r.b)/2.0) AS BIGINT),
+        |    CAST(floor((CAST(floor((o.n*1000000 - r.s[(o.rn-1)%7 + 1] + r.l + r.b)/2.0) AS BIGINT) - r.l + 3*r.b)/4.0) AS BIGINT),
+        |    [CASE WHEN g = (o.rn-1)%7 + 1
+        |       THEN CAST(floor((o.n*1000000 - CAST(floor((o.n*1000000 - r.s[(o.rn-1)%7 + 1] + r.l + r.b)/2.0) AS BIGINT) + 3*r.s[g])/4.0) AS BIGINT)
+        |       ELSE r.s[g] END FOR g IN range(1, 8)]
+        |  FROM ord o JOIN rec r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+        |), fin AS (
+        |  SELECT event_type, day, l, b, s, rn FROM rec WHERE rn = span
+        |)
+        |SELECT f.event_type, CAST(h.h AS INTEGER) AS h,
+        |  strftime(f.day + CAST(h.h AS INTEGER), '%Y-%m-%d') AS forecast_day,
+        |  f.l + h.h*f.b + f.s[CAST((f.rn - 1 + h.h) % 7 + 1 AS INTEGER)] AS forecast_u
+        |FROM fin f CROSS JOIN (SELECT unnest(range(1,8)) AS h) h
+        |ORDER BY event_type, h""".stripMargin,
+
     // CUSUM mean-shift: prefix statistic kept SCALED-INTEGER
     // (CP = cnt·prefix − i·total) because cumulative DOUBLE window sums
     // are not summation-order-robust across engines; one division at the

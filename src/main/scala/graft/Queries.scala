@@ -1740,6 +1740,62 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Seasonal sibling of [[eventsForecast]]: Holt-Winters additive with a
+    * weekly cycle (s = 7) — the hour-of-week anomaly tier already showed
+    * the data's weekly rhythm; this lets the forecast carry it instead
+    * of smearing weekday/weekend into the trend. Same integer-floor
+    * discipline, extended state (level, trend, 7 seasonal offsets):
+    * `l' = ⌊(x − s_j + l + b)/2⌋`, `b' = ⌊(l' − l + 3b)/4⌋`,
+    * `s'_j = ⌊(x − l' + 3·s_j)/4⌋` with `j = i mod 7` over the POSITION
+    * index of each type's dense daily series (documented assumption: no
+    * missing days — true of this feed; a gapped series should gap-fill
+    * first, [[eventsGapfill]]). Forecast h: `l + h·b + s_{(T+h) mod 7}`.
+    */
+  def eventsForecastSeasonal(spark: SparkSession, dir: String): DataFrame =
+    holtWintersForecast(events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  private[graft] def holtWintersForecast(daily: DataFrame,
+      horizon: Int = 7): DataFrame = {
+    val scale = 1000000L
+    val series = daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ser"))
+    def f(acc: Column) = (name: String) => acc.getField(name)
+    val step = (acc: Column, x: Column) => {
+      val a = f(acc)
+      val i = a("i") + 1
+      val j = pmod(i, lit(7))
+      val xv = x.getField("n") * scale
+      val sj = element_at(a("s"), (j + 1).cast("int"))
+      val lN = floor((xv - sj + a("l") + a("b")).cast("double") / 2.0).cast("long")
+      val bN = floor((lN - a("l") + lit(3L) * a("b")).cast("double") / 4.0).cast("long")
+      val sN = transform(a("s"), (v, k) =>
+        when(k === j,
+          floor((xv - lN + lit(3L) * v).cast("double") / 4.0).cast("long"))
+          .otherwise(v))
+      struct(lN.as("l"), bN.as("b"), sN.as("s"), i.as("i"))
+    }
+    series
+      .withColumn("state", aggregate(
+        expr("slice(ser, 2, size(ser) - 1)"),
+        struct((element_at(col("ser"), 1).getField("n") * scale).as("l"),
+          lit(0L).as("b"), array_repeat(lit(0L), 7).as("s"), lit(0).as("i")),
+        step))
+      .withColumn("last_day", element_at(col("ser"), -1).getField("day"))
+      .withColumn("last_i", (size(col("ser")) - 1).cast("int"))
+      .withColumn("h", explode(sequence(lit(1), lit(horizon))))
+      .select(col("event_type"), col("h"),
+        date_format(date_add(col("last_day"), col("h")), "yyyy-MM-dd")
+          .as("forecast_day"),
+        (col("state.l") + col("h") * col("state.b") +
+          element_at(col("state.s"),
+            (pmod(col("last_i") + col("h"), lit(7)) + 1).cast("int")))
+          .as("forecast_u"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** TPC-H Q7-shaped volume shipping: bidirectional nation-pair trade by
     * ship year. The fact side is ONE lineitem⋈orders shuffle; supplier,
     * customer, and both nation legs broadcast (two aliased copies of the

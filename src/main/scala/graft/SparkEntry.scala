@@ -96,6 +96,8 @@ object SparkEntry {
     // forecast leg of the anomaly tier: integer-exact Holt smoothing over
     // per-type daily counts, 7 days ahead
     "events_forecast" -> (Queries.eventsForecast _),
+    // weekly-seasonal sibling: level + trend + 7 seasonal slots
+    "events_forecast_seasonal" -> (Queries.eventsForecastSeasonal _),
     "events_coverage" -> ((s, dir) => Queries.eventsCoverage(s, dir)),
     "events_mad" -> (Queries.eventsMad _),
     // join-key skew diagnostic on the user key (decides saltedJoin)

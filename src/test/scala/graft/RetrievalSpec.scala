@@ -504,6 +504,37 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lu + bu > grow.last * 1000000L)
   }
 
+  test("Holt-Winters seasonal: matches the integer reference; weekly pattern surfaces in the forecast") {
+    import spark.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-03-$i%02d")
+    def ref(ns: Seq[Long]): (Long, Long, Vector[Long]) =
+      ns.tail.zipWithIndex.foldLeft((ns.head * 1000000L, 0L, Vector.fill(7)(0L))) {
+        case ((l, b, s), (x, idx)) =>
+          val j = (idx + 1) % 7
+          val xv = x * 1000000L
+          val l2 = Math.floorDiv(xv - s(j) + l + b, 2L)
+          val b2 = Math.floorDiv(l2 - l + 3 * b, 4L)
+          (l2, b2, s.updated(j, Math.floorDiv(xv - l2 + 3 * s(j), 4L)))
+      }
+    // 28 days: every 7th day spikes to 50, the rest sit at 10
+    val weekly = (0 until 28).map(i => if (i % 7 == 0) 50L else 10L)
+    val daily = (weekly.zipWithIndex.map { case (n, i) => ("wk", d(i + 1), n) } ++
+      (1 to 9).map(i => ("flat", d(i), 7L))).toDF("event_type", "day", "n")
+    val got = Queries.holtWintersForecast(daily).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val (l, b, s) = ref(weekly)
+    (1 to 7).foreach { h =>
+      assert(got(("wk", h)) == l + h * b + s((27 + h) % 7), s"wk h=$h")
+      assert(got(("flat", h)) == 7000000L, s"flat h=$h") // seasonal fixpoint too
+    }
+    // the learned seasonality must put the spike slot far above the rest:
+    // day 28 has index 27 (slot 6), so h=1 lands on slot 0 — the spike
+    val spike = got(("wk", 1))
+    val others = (2 to 7).map(h => got(("wk", h)))
+    assert(others.forall(v => spike > v + 10000000L),
+      s"spike slot not learned: $spike vs $others")
+  }
+
   test("character entropy: hand-computed value; filler low, blob high") {
     import spark.implicits._
     val docs = Seq(
