@@ -4128,6 +4128,96 @@ object Oracles {
     prelude + blocks
   }
 
+  /** Shared CTE chain for the unigram tokenizer: word vocabulary (the
+    * BPE extraction verbatim, ≤30-char words), substring candidates of
+    * length 1..4, the selected piece vocabulary (all chars + top-300
+    * multis by weight desc/piece), and 9-dp-rounded log-probs. The DP
+    * replay carries the best-score and backpointer LISTS per word
+    * through a recursive walk (one iteration per character position);
+    * infeasible candidates use the -1e18 sentinel and ties break toward
+    * the LONGER piece via the greatest/CASE cascade — mirroring the
+    * engine's fold exactly. Segments reconstruct in a second recursive
+    * walk prepending `substr(word, pos−L+1, L)`.
+    */
+  private val unigramVocabCtes: String =
+    """words AS (
+      |  SELECT word, count(*) AS wcount FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+      |  ) WHERE length(word) <= 30 GROUP BY 1
+      |), cands AS (
+      |  SELECT w.word, w.wcount, i.i AS start, L.L AS plen,
+      |         substr(w.word, CAST(i.i AS INTEGER), CAST(L.L AS INTEGER)) AS piece
+      |  FROM words w, LATERAL (SELECT unnest(range(1, length(w.word)+1)) AS i) i,
+      |       LATERAL (SELECT unnest(range(1, 5)) AS L) L
+      |  WHERE i.i + L.L - 1 <= length(w.word)
+      |), weights AS (
+      |  SELECT piece, sum(wcount) AS weight FROM cands GROUP BY 1
+      |), sel AS (
+      |  SELECT piece, weight FROM (
+      |    SELECT piece, weight, row_number() OVER (
+      |      PARTITION BY (length(piece) = 1) ORDER BY weight DESC, piece) AS rank
+      |    FROM weights)
+      |  WHERE length(piece) = 1 OR rank <= 300
+      |), tot AS (SELECT sum(weight) AS total FROM sel),
+      |vocab AS (
+      |  SELECT piece, weight, round(ln(CAST(weight AS DOUBLE) / total), 9) AS logp
+      |  FROM sel, tot
+      |)""".stripMargin
+
+  private val unigramDpScores: String = {
+    def s(l: Int) = {
+      val prev = l match {
+        case 1 => "d.best[d.i + 1]"; case 2 => "d.best[d.i]"
+        case 3 => "d.best[d.i - 1]"; case 4 => "d.best[d.i - 2]"
+      }
+      s"CASE WHEN d.i + 1 >= $l THEN $prev + coalesce(w4.lps[$l], -1e18) ELSE -1e18 END"
+    }
+    val top = s"greatest(${s(1)}, ${s(2)}, ${s(3)}, ${s(4)})"
+    s"""list_append(d.best, $top),
+       |    list_append(d.bp, CASE
+       |      WHEN d.i + 1 >= 4 AND ${s(4)} = $top THEN 4
+       |      WHEN d.i + 1 >= 3 AND ${s(3)} = $top THEN 3
+       |      WHEN d.i + 1 >= 2 AND ${s(2)} = $top THEN 2
+       |      ELSE 1 END)""".stripMargin
+  }
+
+  private val unigramSegmentsSql: String =
+    s"""WITH RECURSIVE $unigramVocabCtes,
+      |wm4 AS (
+      |  SELECT c.word, c.start + c.plen - 1 AS p,
+      |    [max(CASE WHEN c.plen = 1 THEN v.logp END),
+      |     max(CASE WHEN c.plen = 2 THEN v.logp END),
+      |     max(CASE WHEN c.plen = 3 THEN v.logp END),
+      |     max(CASE WHEN c.plen = 4 THEN v.logp END)] AS lps
+      |  FROM cands c JOIN vocab v ON c.piece = v.piece
+      |  GROUP BY 1, 2
+      |),
+      |dp AS (
+      |  SELECT word, wcount, 0 AS i, [CAST(0.0 AS DOUBLE)] AS best,
+      |         CAST([] AS INTEGER[]) AS bp
+      |  FROM words
+      |  UNION ALL
+      |  SELECT d.word, d.wcount, d.i + 1,
+      |    $unigramDpScores
+      |  FROM dp d JOIN wm4 w4 ON w4.word = d.word AND w4.p = d.i + 1
+      |  WHERE d.i < length(d.word)
+      |),
+      |seg AS (
+      |  SELECT word, wcount, length(word) AS pos, CAST([] AS VARCHAR[]) AS pieces,
+      |         best[length(word) + 1] AS score, bp
+      |  FROM dp WHERE i = length(word)
+      |  UNION ALL
+      |  SELECT word, wcount, pos - bp[pos],
+      |    list_prepend(substr(word, CAST(pos - bp[pos] + 1 AS INTEGER),
+      |      CAST(bp[pos] AS INTEGER)), pieces),
+      |    score, bp
+      |  FROM seg WHERE pos > 0
+      |)
+      |SELECT word, wcount, array_to_string(pieces, ' ') AS seg,
+      |  CAST(len(pieces) AS INTEGER) AS n_pieces, round(score, 6) AS score
+      |FROM seg WHERE pos = 0
+      |ORDER BY length(word) DESC, word LIMIT 30""".stripMargin
+
   private val bpeMergesSql: String =
     bpeCtes(3) + "\n" +
       (1 to 3).map(r =>
@@ -4871,6 +4961,14 @@ object Oracles {
     // replayed through the full 3-round unroll
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_segments" -> bpeSegmentsSql,
+
+    "text_unigram_vocab" ->
+      s"""WITH $unigramVocabCtes
+        |SELECT piece, CAST(length(piece) AS INTEGER) AS plen,
+        |  CAST(weight AS BIGINT) AS weight, logp
+        |FROM vocab ORDER BY weight DESC, piece LIMIT 40""".stripMargin,
+
+    "text_unigram_segments" -> unigramSegmentsSql,
     // per-doc token counts under the TRAINED merges: each doc's words
     // join the vocabulary's post-merge segment counts
     "text_encode_bpe" ->

@@ -467,6 +467,18 @@ object SparkEntry {
     // segmentation of the 30 longest vocabulary words
     "text_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     "text_bpe_segments" -> ((s, dir) => TextAnalysis.bpeSegments(docs(s, dir))),
+    // SentencePiece's other half: unigram-LM piece vocabulary
+    // (frequency-initialized) + per-word max-likelihood Viterbi splits
+    "text_unigram_vocab" -> ((s, dir) => {
+      TextAnalysis.unigramVocab(docs(s, dir))
+        .orderBy(col0("weight").desc, col0("piece")).limit(40)
+    }),
+    "text_unigram_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.length
+      TextAnalysis.unigramSegments(docs(s, dir))
+        .orderBy(length(col0("word")).desc, col0("word")).limit(30)
+        .orderBy(length(col0("word")).desc, col0("word"))
+    }),
     "text_bpe_coverage" -> ((s, dir) => TextAnalysis.bpeCompression(docs(s, dir))),
     "text_encode_bpe" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(docs(s, dir))),
     // tokenizer fertility per language (BPE tokens per word): the

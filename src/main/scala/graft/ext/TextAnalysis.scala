@@ -2638,4 +2638,128 @@ object TextAnalysis {
         coalesce(col("rank_dense"), lit(0)).as("rank_dense"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece's other half, Kudo 2018): a
+  // piece VOCABULARY with frequency-initialized log-probabilities and a
+  // Viterbi segmenter under it. Complements the BPE tier: BPE composes
+  // greedily from merges, unigram picks the globally max-likelihood
+  // segmentation per word.
+  //
+  // Determinism across engines: log-probs are rounded to 9 decimals
+  // (the pagerank/perplexity discipline); the DP combines them with ONE
+  // addition per candidate in a fixed order, so both engines accumulate
+  // bit-identical doubles; infeasible candidates use the -1e18 sentinel
+  // (never NULL semantics); exact ties break toward the LONGER piece via
+  // a fixed greatest/when cascade mirrored in the oracle SQL.
+  //
+  // Scale shape: everything runs on the word VOCABULARY (the corpus
+  // collapses to distinct words in the first scan, exactly like BPE);
+  // candidate pieces explode ≤ 4·len per word; the piece vocabulary
+  // broadcasts; the sequential Viterbi confines itself to each word's
+  // own ≤ maxWordLen positions inside one `aggregate` HOF — no
+  // cross-row dependence, no window over the corpus.
+  // ------------------------------------------------------------------
+
+  private val UniMaxLen = 30  // vocab words longer than this are skipped
+  private val UniMaxPiece = 4
+
+  /** Word vocabulary shared by the unigram tier (the BPE extraction
+    * verbatim: lowercase [a-z]+ runs, frequency-weighted).
+    */
+  private def uniWords(docs: DataFrame): DataFrame = docs
+    .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+      .as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+    .filter(length(col("word")) <= UniMaxLen)
+
+  /** All (word, start, piece) substring candidates of length 1..4. */
+  private def uniCandidates(words: DataFrame): DataFrame = words
+    .withColumn("start", explode(sequence(lit(1), length(col("word")))))
+    .withColumn("plen", explode(sequence(lit(1), lit(UniMaxPiece))))
+    .filter(col("start") + col("plen") - 1 <= length(col("word")))
+    .withColumn("piece", expr("substring(word, start, plen)"))
+
+  /** The selected piece vocabulary with rounded log-probabilities:
+    * every single character (coverage — Viterbi always feasible) plus
+    * the `multiK` heaviest multi-character substrings, probabilities
+    * ∝ frequency-weighted occurrence counts over the word vocabulary
+    * (SentencePiece's seed initialization before EM).
+    */
+  def unigramVocab(docs: DataFrame, multiK: Int = 300): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val weights = uniCandidates(uniWords(docs))
+      .groupBy(col("piece"))
+      .agg(sum(col("wcount")).as("weight"))
+    val selected = weights
+      .withColumn("rank", row_number().over(
+        w.partitionBy(length(col("piece")) === 1)
+          .orderBy(col("weight").desc, col("piece"))))
+      .filter(length(col("piece")) === 1 || col("rank") <= multiK)
+      .drop("rank")
+    val total = selected.agg(sum(col("weight")).as("total"))
+    selected.crossJoin(broadcast(total))
+      .select(col("piece"), length(col("piece")).as("plen"), col("weight"),
+        round(log(col("weight").cast("double") / col("total")), 9).as("logp"))
+  }
+
+  /** Viterbi segmentation of the word vocabulary under [[unigramVocab]]:
+    * per word, the max-log-likelihood split into vocabulary pieces
+    * (ties → longer last piece), with the piece count and rounded
+    * score. `best[i] = max_L (best[i−L] + logp(word[i−L+1..i]))` over
+    * the word's own positions — state is two ≤ len+1 arrays inside the
+    * fold, reconstruction a second backward fold.
+    */
+  def unigramSegments(docs: DataFrame, multiK: Int = 300): DataFrame = {
+    val vocab = unigramVocab(docs, multiK)
+      .select(col("piece"), col("logp"))
+    val words = uniWords(docs)
+    val neg = lit(-1e18)
+    // per-word candidate map: (start*10 + len) -> logp, vocab pieces only
+    val cands = uniCandidates(words)
+      .join(broadcast(vocab), Seq("piece"))
+      .groupBy(col("word"), col("wcount"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("start") * 10 + col("plen")).as("k"), col("logp")))).as("m"))
+    def lpAt(m: Column, i: Column, l: Int) =
+      coalesce(element_at(m, (i - l + 1) * 10 + l), neg)
+    val step = (m: Column) => (acc: Column, i: Column) => {
+      val best = acc.getField("best")
+      val bp = acc.getField("bp")
+      def cand(l: Int): Column =
+        when(i >= l, element_at(best, (i - l + 1).cast("int")) + lpAt(m, i, l))
+          .otherwise(neg)
+      val s = (1 to UniMaxPiece).map(cand)
+      val top = greatest(s: _*)
+      // tie-break: LARGER L wins — check candidates longest-first
+      val chosen = when(s(3) === top, 4).when(s(2) === top, 3)
+        .when(s(1) === top, 2).otherwise(1)
+      struct(concat(best, array(top)).as("best"),
+        concat(bp, array(chosen)).as("bp"))
+    }
+    val dp = cands
+      .withColumn("n", length(col("word")).cast("int"))
+      .withColumn("state", aggregate(
+        sequence(lit(1), col("n")),
+        struct(array(lit(0.0)).as("best"), array_repeat(lit(0), 0).as("bp")),
+        step(col("m"))))
+      .withColumn("score", element_at(col("state.best"), col("n") + 1))
+    // backward reconstruction: walk pos n -> 0 prepending each chosen
+    // piece (n iterations bound the walk; once pos hits 0 it's a no-op)
+    dp.withColumn("seg_state", aggregate(
+        sequence(lit(1), col("n")),
+        struct(col("n").as("pos"), array_repeat(lit(""), 0).as("pieces")),
+        (acc, _) => {
+          val pos = acc.getField("pos")
+          val l = element_at(col("state.bp"), pos.cast("int"))
+          when(pos > 0, struct((pos - l).as("pos"),
+            concat(array(col("word").substr(pos - l + 1, l)),
+              acc.getField("pieces")).as("pieces")))
+            .otherwise(acc)
+        }))
+      .select(col("word"), col("wcount"),
+        array_join(col("seg_state.pieces"), " ").as("seg"),
+        size(col("seg_state.pieces")).as("n_pieces"),
+        round(col("score"), 6).as("score"))
+  }
 }

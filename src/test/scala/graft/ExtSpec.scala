@@ -2856,4 +2856,34 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(beta._5 == -alpha._5 && beta._6 == -alpha._6)
     assert(common._5 == 0.0 && common._6 == 0.0)
   }
+
+  test("unigram tokenizer: valid splits, telescoped scores, and GLOBAL optimality beating greedy") {
+    import spark.implicits._
+    // 'xaby'/'xcdy' repeats make ab and cd heavy; 'abcd' appears once, so
+    // its best split is [ab, cd] — a greedy longest-prefix would eat a
+    // 3-char piece first and be stuck with a rare tail
+    val docs = (Seq.fill(50)("xaby xcdy") ++ Seq("abcd the the the the"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = graft.ext.TextAnalysis.unigramVocab(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // coverage: every single char of the corpus is in the vocab
+    assert("xabycdthe".forall(c => vocab.contains(c.toString)))
+    val segs = graft.ext.TextAnalysis.unigramSegments(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(2), r.getInt(3), r.getDouble(4)))).toMap
+    segs.foreach { case (word, (seg, nPieces, score)) =>
+      val pieces = seg.split(" ").toSeq
+      assert(pieces.mkString("") == word, s"$word: invalid split '$seg'")
+      assert(pieces.size == nPieces)
+      assert(pieces.forall(vocab.contains), s"$word: piece outside vocab in '$seg'")
+      // DP telescopes to the left-to-right sum of piece log-probs
+      val expect = BigDecimal(pieces.foldLeft(0.0)((a, p) => a + vocab(p)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == expect, s"$word: score $score != $expect")
+    }
+    // the global optimum: heavy bigram pieces beat any greedy 3-char start
+    assert(segs("abcd")._1 == "ab cd", s"got '${segs("abcd")._1}'")
+    // a frequent short word segments as itself
+    assert(segs("the")._1 == "the")
+  }
 }

@@ -445,6 +445,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(treeScans == 2, s"two scans total, got $treeScans\n${plan.take(3000)}")
   }
 
+  test("unigram segmenter: piece vocab broadcasts into the candidate join; never cartesian") {
+    val plan = planOf(SparkEntry.queries("text_unigram_segments")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // (windows exist but only over the PIECE frame — vocab rank
+    // selection; the per-word DP itself is an aggregate HOF, and the
+    // 1-row total join is the broadcast nested loop, never a true
+    // cartesian)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("boilerplate: removal is a hashed left-anti join; no cartesian, no corpus window") {
     val plan = planOf(SparkEntry.queries("text_boilerplate")(spark, sf))
     // the drop set removes lines via LeftAnti on (domain, line-hash) —
