@@ -4181,7 +4181,7 @@ object Oracles {
        |      ELSE 1 END)""".stripMargin
   }
 
-  private val unigramSegmentsSql: String =
+  private val unigramSegChain: String =
     s"""WITH RECURSIVE $unigramVocabCtes,
       |wm4 AS (
       |  SELECT c.word, c.start + c.plen - 1 AS p,
@@ -4212,11 +4212,24 @@ object Oracles {
       |      CAST(bp[pos] AS INTEGER)), pieces),
       |    score, bp
       |  FROM seg WHERE pos > 0
-      |)
+      |)""".stripMargin
+
+  private val unigramSegmentsSql: String =
+    s"""$unigramSegChain
       |SELECT word, wcount, array_to_string(pieces, ' ') AS seg,
       |  CAST(len(pieces) AS INTEGER) AS n_pieces, round(score, 6) AS score
       |FROM seg WHERE pos = 0
       |ORDER BY length(word) DESC, word LIMIT 30""".stripMargin
+
+  private val unigramCompressionSql: String =
+    s"""$unigramSegChain
+      |SELECT count(*) AS vocab_words,
+      |  CAST(sum(wcount) AS BIGINT) AS word_occurrences,
+      |  CAST(sum(wcount * length(word)) AS BIGINT) AS char_tokens,
+      |  CAST(sum(wcount * len(pieces)) AS BIGINT) AS unigram_tokens,
+      |  round(CAST(sum(wcount * length(word)) AS DOUBLE)
+      |    / sum(wcount * len(pieces)), 4) AS compression
+      |FROM seg WHERE pos = 0""".stripMargin
 
   private val bpeMergesSql: String =
     bpeCtes(3) + "\n" +
@@ -4969,6 +4982,7 @@ object Oracles {
         |FROM vocab ORDER BY weight DESC, piece LIMIT 40""".stripMargin,
 
     "text_unigram_segments" -> unigramSegmentsSql,
+    "text_unigram_compression" -> unigramCompressionSql,
     // per-doc token counts under the TRAINED merges: each doc's words
     // join the vocabulary's post-merge segment counts
     "text_encode_bpe" ->

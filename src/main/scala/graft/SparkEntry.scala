@@ -473,6 +473,8 @@ object SparkEntry {
       TextAnalysis.unigramVocab(docs(s, dir))
         .orderBy(col0("weight").desc, col0("piece")).limit(40)
     }),
+    "text_unigram_compression" -> ((s, dir) =>
+      TextAnalysis.unigramCompression(docs(s, dir))),
     "text_unigram_segments" -> ((s, dir) => {
       import org.apache.spark.sql.functions.length
       TextAnalysis.unigramSegments(docs(s, dir))

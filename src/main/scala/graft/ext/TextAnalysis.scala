@@ -2762,4 +2762,21 @@ object TextAnalysis {
         size(col("seg_state.pieces")).as("n_pieces"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Corpus-level compression under the unigram segmentation — the
+    * unigram twin of [[bpeCompression]] (train → segment → MEASURE):
+    * exact-integer char vs unigram-token totals over the whole
+    * vocabulary, frequency-weighted. The number to compare against the
+    * BPE row when choosing a tokenizer family.
+    */
+  def unigramCompression(docs: DataFrame, multiK: Int = 300): DataFrame =
+    unigramSegments(docs, multiK)
+      .agg(count(lit(1)).as("vocab_words"),
+        sum(col("wcount")).as("word_occurrences"),
+        sum(col("wcount") * length(col("word"))).as("char_tokens"),
+        sum(col("wcount") * col("n_pieces")).as("unigram_tokens"))
+      .select(col("vocab_words"), col("word_occurrences"),
+        col("char_tokens"), col("unigram_tokens"),
+        round(col("char_tokens").cast("double") / col("unigram_tokens"), 4)
+          .as("compression"))
 }
