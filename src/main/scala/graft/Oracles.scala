@@ -4181,38 +4181,44 @@ object Oracles {
        |      ELSE 1 END)""".stripMargin
   }
 
-  private val unigramSegChain: String =
-    s"""WITH RECURSIVE $unigramVocabCtes,
-      |wm4 AS (
+  /** The wm4/dp/seg CTE block under a given vocab CTE, with a suffix so
+    * the EM replay can run the identical DP twice in one query.
+    */
+  private def unigramDpChain(x: String, vocabCte: String): String =
+    s"""wm4$x AS (
       |  SELECT c.word, c.start + c.plen - 1 AS p,
       |    [max(CASE WHEN c.plen = 1 THEN v.logp END),
       |     max(CASE WHEN c.plen = 2 THEN v.logp END),
       |     max(CASE WHEN c.plen = 3 THEN v.logp END),
       |     max(CASE WHEN c.plen = 4 THEN v.logp END)] AS lps
-      |  FROM cands c JOIN vocab v ON c.piece = v.piece
+      |  FROM cands c JOIN $vocabCte v ON c.piece = v.piece
       |  GROUP BY 1, 2
       |),
-      |dp AS (
+      |dp$x AS (
       |  SELECT word, wcount, 0 AS i, [CAST(0.0 AS DOUBLE)] AS best,
       |         CAST([] AS INTEGER[]) AS bp
       |  FROM words
       |  UNION ALL
       |  SELECT d.word, d.wcount, d.i + 1,
       |    $unigramDpScores
-      |  FROM dp d JOIN wm4 w4 ON w4.word = d.word AND w4.p = d.i + 1
+      |  FROM dp$x d JOIN wm4$x w4 ON w4.word = d.word AND w4.p = d.i + 1
       |  WHERE d.i < length(d.word)
       |),
-      |seg AS (
+      |seg$x AS (
       |  SELECT word, wcount, length(word) AS pos, CAST([] AS VARCHAR[]) AS pieces,
       |         best[length(word) + 1] AS score, bp
-      |  FROM dp WHERE i = length(word)
+      |  FROM dp$x WHERE i = length(word)
       |  UNION ALL
       |  SELECT word, wcount, pos - bp[pos],
       |    list_prepend(substr(word, CAST(pos - bp[pos] + 1 AS INTEGER),
       |      CAST(bp[pos] AS INTEGER)), pieces),
       |    score, bp
-      |  FROM seg WHERE pos > 0
+      |  FROM seg$x WHERE pos > 0
       |)""".stripMargin
+
+  private val unigramSegChain: String =
+    s"""WITH RECURSIVE $unigramVocabCtes,
+      |${unigramDpChain("", "vocab")}""".stripMargin
 
   private val unigramSegmentsSql: String =
     s"""$unigramSegChain
@@ -4220,6 +4226,28 @@ object Oracles {
       |  CAST(len(pieces) AS INTEGER) AS n_pieces, round(score, 6) AS score
       |FROM seg WHERE pos = 0
       |ORDER BY length(word) DESC, word LIMIT 30""".stripMargin
+
+  private val unigramEmSql: String =
+    s"""$unigramSegChain,
+      |used AS (
+      |  SELECT piece, sum(wcount) AS used FROM (
+      |    SELECT wcount, unnest(pieces) AS piece FROM seg WHERE pos = 0
+      |  ) GROUP BY 1
+      |), counts2 AS (
+      |  SELECT v.piece, coalesce(u.used, 0) + 1 AS weight
+      |  FROM vocab v LEFT JOIN used u ON v.piece = u.piece
+      |), tot2 AS (SELECT sum(weight) AS total FROM counts2),
+      |vocab2 AS (
+      |  SELECT piece, round(ln(CAST(weight AS DOUBLE) / total), 9) AS logp
+      |  FROM counts2, tot2
+      |),
+      |${unigramDpChain("2", "vocab2")}
+      |SELECT s2.word, s2.wcount, array_to_string(s2.pieces, ' ') AS seg,
+      |  CAST(len(s2.pieces) AS INTEGER) AS n_pieces, round(s2.score, 6) AS score,
+      |  (array_to_string(s2.pieces, ' ') <> array_to_string(s1.pieces, ' ')) AS changed
+      |FROM seg2 s2 JOIN seg s1 ON s1.word = s2.word AND s1.pos = 0
+      |WHERE s2.pos = 0
+      |ORDER BY length(s2.word) DESC, s2.word LIMIT 30""".stripMargin
 
   private val unigramCompressionSql: String =
     s"""$unigramSegChain
@@ -4983,6 +5011,7 @@ object Oracles {
 
     "text_unigram_segments" -> unigramSegmentsSql,
     "text_unigram_compression" -> unigramCompressionSql,
+    "text_unigram_em" -> unigramEmSql,
     // per-doc token counts under the TRAINED merges: each doc's words
     // join the vocabulary's post-merge segment counts
     "text_encode_bpe" ->

@@ -475,6 +475,14 @@ object SparkEntry {
     }),
     "text_unigram_compression" -> ((s, dir) =>
       TextAnalysis.unigramCompression(docs(s, dir))),
+    // one hard-EM re-estimation turn: recount pieces from the Viterbi
+    // paths (add-one), renormalize, re-segment; `changed` flags drift
+    "text_unigram_em" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.length
+      TextAnalysis.unigramEmRound(docs(s, dir))
+        .orderBy(length(col0("word")).desc, col0("word")).limit(30)
+        .orderBy(length(col0("word")).desc, col0("word"))
+    }),
     "text_unigram_segments" -> ((s, dir) => {
       import org.apache.spark.sql.functions.length
       TextAnalysis.unigramSegments(docs(s, dir))

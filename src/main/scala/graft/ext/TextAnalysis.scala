@@ -2710,10 +2710,43 @@ object TextAnalysis {
     * the word's own positions — state is two ≤ len+1 arrays inside the
     * fold, reconstruction a second backward fold.
     */
-  def unigramSegments(docs: DataFrame, multiK: Int = 300): DataFrame = {
-    val vocab = unigramVocab(docs, multiK)
-      .select(col("piece"), col("logp"))
+  def unigramSegments(docs: DataFrame, multiK: Int = 300): DataFrame =
+    viterbiSegments(uniWords(docs),
+      unigramVocab(docs, multiK).select(col("piece"), col("logp")))
+
+  /** One hard-EM (Viterbi) re-estimation round (SentencePiece's training
+    * loop, one turn of the crank): segment under the seed vocabulary,
+    * recount pieces from the chosen segmentations (add-one smoothing so
+    * unused pieces — single chars included — keep a floor instead of
+    * ln(0)), renormalize, re-segment. Emits the round-2 segmentation of
+    * the 30 longest words with a `changed` flag against round 1 — the
+    * observable EM step: mass concentrates on pieces the Viterbi paths
+    * actually use.
+    */
+  def unigramEmRound(docs: DataFrame, multiK: Int = 300): DataFrame = {
     val words = uniWords(docs)
+    val vocab1 = unigramVocab(docs, multiK).select(col("piece"), col("logp"))
+    val seg1 = viterbiSegments(words, vocab1)
+    val used = seg1
+      .select(col("wcount"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcount")).as("used"))
+    val counts2 = vocab1.select(col("piece"))
+      .join(used, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("used"), lit(0L)) + 1L).as("weight"))
+    val total2 = counts2.agg(sum(col("weight")).as("total"))
+    val vocab2 = counts2.crossJoin(broadcast(total2))
+      .select(col("piece"),
+        round(log(col("weight").cast("double") / col("total")), 9).as("logp"))
+    viterbiSegments(words, vocab2)
+      .join(seg1.select(col("word"), col("seg").as("seg1")), Seq("word"))
+      .withColumn("changed", col("seg") =!= col("seg1"))
+      .drop("seg1")
+  }
+
+  /** The Viterbi core of [[unigramSegments]] over an explicit piece
+    * vocabulary — reused by the EM round with re-estimated probabilities.
+    */
+  private def viterbiSegments(words: DataFrame, vocab: DataFrame): DataFrame = {
     val neg = lit(-1e18)
     // per-word candidate map: (start*10 + len) -> logp, vocab pieces only
     val cands = uniCandidates(words)

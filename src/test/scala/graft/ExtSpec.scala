@@ -2885,5 +2885,16 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(segs("abcd")._1 == "ab cd", s"got '${segs("abcd")._1}'")
     // a frequent short word segments as itself
     assert(segs("the")._1 == "the")
+    // one hard-EM turn: still valid splits, and OBSERVABLE drift — round
+    // 1 segments the repeated words as whole pieces, so the recount
+    // concentrates mass there; 'ab'/'cd' keep only their add-one floor
+    // and 'abcd' flips to its own single (rare) piece: ln(1/T) beats two
+    // floor-weight log-probs. 'the' (used whole in round 1) is stable.
+    val em = graft.ext.TextAnalysis.unigramEmRound(docs).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getBoolean(5)))).toMap
+    em.foreach { case (word, (seg, _)) =>
+      assert(seg.split(" ").mkString("") == word, s"EM $word: '$seg'") }
+    assert(em("abcd") == (("abcd", true)), s"EM drift: ${em("abcd")}")
+    assert(em("the") == (("the", false)))
   }
 }
