@@ -5012,6 +5012,17 @@ object Oracles {
     "text_unigram_segments" -> unigramSegmentsSql,
     "text_unigram_compression" -> unigramCompressionSql,
     "text_unigram_em" -> unigramEmSql,
+    "text_tokens_unigram" ->
+      s"""$unigramSegChain,
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(s.pieces)) AS BIGINT) AS n_unigram_tokens
+        |FROM docw d JOIN (SELECT word, pieces FROM seg WHERE pos = 0) s
+        |  ON d.word = s.word
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // per-doc token counts under the TRAINED merges: each doc's words
     // join the vocabulary's post-merge segment counts
     "text_encode_bpe" ->

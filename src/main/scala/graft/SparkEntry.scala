@@ -475,6 +475,8 @@ object SparkEntry {
     }),
     "text_unigram_compression" -> ((s, dir) =>
       TextAnalysis.unigramCompression(docs(s, dir))),
+    "text_tokens_unigram" -> ((s, dir) =>
+      TextAnalysis.unigramEncodeCounts(docs(s, dir))),
     // one hard-EM re-estimation turn: recount pieces from the Viterbi
     // paths (add-one), renormalize, re-segment; `changed` flags drift
     "text_unigram_em" -> ((s, dir) => {

@@ -2743,6 +2743,25 @@ object TextAnalysis {
       .drop("seg1")
   }
 
+  /** Per-document token bill under the unigram segmenter — the unigram
+    * twin of [[bpeEncodeCounts]]: each doc's [a-z]+ words join the
+    * broadcast word→piece-count table from the vocabulary Viterbi pass.
+    * Words above [[UniMaxLen]] chars are outside the segmenter's domain
+    * and excluded (they don't occur in this feed; a production corpus
+    * would route them to the char fallback).
+    */
+  def unigramEncodeCounts(docs: DataFrame, multiK: Int = 300): DataFrame = {
+    val wordSegs = unigramSegments(docs, multiK)
+      .select(col("word"), col("n_pieces").cast("long").as("segs"))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(broadcast(wordSegs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("segs")).as("n_unigram_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The Viterbi core of [[unigramSegments]] over an explicit piece
     * vocabulary — reused by the EM round with re-estimated probabilities.
     */
