@@ -4139,19 +4139,26 @@ object Oracles {
     * engine's fold exactly. Segments reconstruct in a second recursive
     * walk prepending `substr(word, pos−L+1, L)`.
     */
-  private val unigramVocabCtes: String =
-    """words AS (
+  private def uniWordsCte(name: String, where: String): String =
+    s"""$name AS (
       |  SELECT word, count(*) AS wcount FROM (
-      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |    FROM documents $where
       |  ) WHERE length(word) <= 30 GROUP BY 1
-      |), cands AS (
+      |)""".stripMargin
+
+  private def uniCandsCte(name: String, wordsName: String): String =
+    s"""$name AS (
       |  SELECT w.word, w.wcount, i.i AS start, L.L AS plen,
       |         substr(w.word, CAST(i.i AS INTEGER), CAST(L.L AS INTEGER)) AS piece
-      |  FROM words w, LATERAL (SELECT unnest(range(1, length(w.word)+1)) AS i) i,
+      |  FROM $wordsName w, LATERAL (SELECT unnest(range(1, length(w.word)+1)) AS i) i,
       |       LATERAL (SELECT unnest(range(1, 5)) AS L) L
       |  WHERE i.i + L.L - 1 <= length(w.word)
-      |), weights AS (
-      |  SELECT piece, sum(wcount) AS weight FROM cands GROUP BY 1
+      |)""".stripMargin
+
+  private def uniVocabFromCands(candsName: String): String =
+    s"""weights AS (
+      |  SELECT piece, sum(wcount) AS weight FROM $candsName GROUP BY 1
       |), sel AS (
       |  SELECT piece, weight FROM (
       |    SELECT piece, weight, row_number() OVER (
@@ -4163,6 +4170,11 @@ object Oracles {
       |  SELECT piece, weight, round(ln(CAST(weight AS DOUBLE) / total), 9) AS logp
       |  FROM sel, tot
       |)""".stripMargin
+
+  private val unigramVocabCtes: String =
+    s"""${uniWordsCte("words", "")},
+      |${uniCandsCte("cands", "words")},
+      |${uniVocabFromCands("cands")}""".stripMargin
 
   private val unigramDpScores: String = {
     def s(l: Int) = {
@@ -4184,20 +4196,21 @@ object Oracles {
   /** The wm4/dp/seg CTE block under a given vocab CTE, with a suffix so
     * the EM replay can run the identical DP twice in one query.
     */
-  private def unigramDpChain(x: String, vocabCte: String): String =
+  private def unigramDpChain(x: String, vocabCte: String,
+      candsName: String = "cands", wordsName: String = "words"): String =
     s"""wm4$x AS (
       |  SELECT c.word, c.start + c.plen - 1 AS p,
       |    [max(CASE WHEN c.plen = 1 THEN v.logp END),
       |     max(CASE WHEN c.plen = 2 THEN v.logp END),
       |     max(CASE WHEN c.plen = 3 THEN v.logp END),
       |     max(CASE WHEN c.plen = 4 THEN v.logp END)] AS lps
-      |  FROM cands c JOIN $vocabCte v ON c.piece = v.piece
+      |  FROM $candsName c JOIN $vocabCte v ON c.piece = v.piece
       |  GROUP BY 1, 2
       |),
       |dp$x AS (
       |  SELECT word, wcount, 0 AS i, [CAST(0.0 AS DOUBLE)] AS best,
       |         CAST([] AS INTEGER[]) AS bp
-      |  FROM words
+      |  FROM $wordsName
       |  UNION ALL
       |  SELECT d.word, d.wcount, d.i + 1,
       |    $unigramDpScores
@@ -5012,6 +5025,26 @@ object Oracles {
     "text_unigram_segments" -> unigramSegmentsSql,
     "text_unigram_compression" -> unigramCompressionSql,
     "text_unigram_em" -> unigramEmSql,
+    // persisted-vocab serve replay: vocab from the train split, serve
+    // words' DP under it (words with any uncovered char drop on both
+    // engines — the oracle's wm4 inner join simply never completes them)
+    "text_unigram_persisted" ->
+      s"""WITH RECURSIVE ${uniWordsCte("words_tr", "WHERE doc_id % 5 <> 0")},
+        |${uniCandsCte("cands_tr", "words_tr")},
+        |${uniVocabFromCands("cands_tr")},
+        |${uniWordsCte("words", "WHERE doc_id % 5 = 0")},
+        |${uniCandsCte("cands", "words")},
+        |${unigramDpChain("", "vocab")},
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT d.doc_id, count(*) AS n_words,
+        |  CAST(sum(len(s.pieces)) AS BIGINT) AS n_unigram_tokens
+        |FROM docw d JOIN (SELECT word, pieces FROM seg WHERE pos = 0) s
+        |  ON d.word = s.word
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "text_tokens_unigram" ->
       s"""$unigramSegChain,
         |docw AS (

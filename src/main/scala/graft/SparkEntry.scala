@@ -477,6 +477,17 @@ object SparkEntry {
       TextAnalysis.unigramCompression(docs(s, dir))),
     "text_tokens_unigram" -> ((s, dir) =>
       TextAnalysis.unigramEncodeCounts(docs(s, dir))),
+    // fit once on the accepted corpus (doc_id%5!=0), serve the incoming
+    // split against the persisted frozen vocabulary
+    "text_unigram_persisted" -> ((s, dir) => {
+      val store = graft.ext.IndexCache.ensure(s, dir, "unigram_vocab",
+        table = "documents", params = "v1,k=300,split=mod5") { d =>
+        TextAnalysis.buildUnigramVocab(
+          docs(s, dir).filter(col0("doc_id") % 5 =!= 0), d)
+      }
+      TextAnalysis.unigramEncodeFromVocab(s, store,
+        docs(s, dir).filter(col0("doc_id") % 5 === 0))
+    }),
     // one hard-EM re-estimation turn: recount pieces from the Viterbi
     // paths (add-one), renormalize, re-segment; `changed` flags drift
     "text_unigram_em" -> ((s, dir) => {

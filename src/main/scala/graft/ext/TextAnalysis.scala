@@ -2762,6 +2762,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist the trained piece vocabulary — the fit half of the
+    * tokenizer's fit→persist→serve lifecycle (the LR/LM/index store
+    * discipline): a ≤(chars + multiK)-row table, one file.
+    */
+  def buildUnigramVocab(docs: DataFrame, dir: String, multiK: Int = 300): Unit =
+    unigramVocab(docs, multiK).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Serve: per-doc token bill for an INCOMING corpus under the FROZEN
+    * persisted vocabulary — never a re-fit. Serve-side words containing
+    * a character outside the frozen alphabet are outside the segmenter's
+    * domain and excluded deterministically (checked with one codegen'd
+    * `translate` against the driver-collected ≤alphabet-sized char set —
+    * a production feed routes them to a byte fallback).
+    */
+  def unigramEncodeFromVocab(spark: org.apache.spark.sql.SparkSession,
+      vocabDir: String, docs: DataFrame): DataFrame = {
+    val vocab = spark.read.parquet(vocabDir).select(col("piece"), col("logp"))
+    val charsStr = vocab.filter(length(col("piece")) === 1)
+      .select(col("piece")).collect().map(_.getString(0)).sorted.mkString
+    val covered = length(translate(col("word"), charsStr, "")) === 0
+    val wordSegs = viterbiSegments(uniWords(docs).filter(covered), vocab)
+      .select(col("word"), col("n_pieces").cast("long").as("segs"))
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(broadcast(wordSegs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("segs")).as("n_unigram_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The Viterbi core of [[unigramSegments]] over an explicit piece
     * vocabulary — reused by the EM round with re-estimated probabilities.
     */

@@ -904,6 +904,29 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming tokenizer serving — the fourth frozen-model family next
+    * to the LM/LR/DSIR ingests: every arriving batch's per-doc token
+    * bill is computed against the PERSISTED unigram vocabulary
+    * (never a re-fit; the vocab path is pinned at stream start), final
+    * at arrival (the bill is per-doc under a frozen model), landed
+    * batch-id-keyed with OVERWRITE. Shares
+    * [[graft.ext.TextAnalysis.unigramEncodeFromVocab]] verbatim, so a
+    * streamed corpus bills row-for-row identically to the batch serve.
+    */
+  def unigramEncodeIngest(docs: DataFrame, vocabDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.unigramEncodeFromVocab(batch.sparkSession, vocabDir,
+              batch.drop("event_time"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Streaming token-budget best-first selection — the streaming twin of
     * [[graft.ext.TextAnalysis.selectByTokenBudget]]. A document's
     * membership in "the best `maxTokens` tokens seen so far" is a GLOBAL

@@ -850,6 +850,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming unigram encoding equals the batch serve path against the same frozen vocab") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val vocabDir = java.nio.file.Files.createTempDirectory("graft-uni-vocab").toString + "/v"
+    graft.ext.TextAnalysis.buildUnigramVocab(docs, vocabDir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // held-out doc: known words (billable) + a word with a character
+    // outside the frozen [a-z] alphabet-in-corpus (must drop identically)
+    val rows = docs.select("doc_id", "text", "lang", "source").limit(40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))) :+
+      ((900004L, "data pipeline fresh tokens", "xx", "heldout"))
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t, l, s), i) => CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-uniscore-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-uniscore-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.unigramEncodeIngest(
+      mem.toDF(), vocabDir, outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_words", "n_unigram_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.ext.TextAnalysis.unigramEncodeFromVocab(spark, vocabDir,
+        rows.toSeq.toDF("doc_id", "text", "lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.exists(_._1 == 900004L), "held-out doc must be billed")
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming snapshot diff converges to the batch diff at full coverage") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
