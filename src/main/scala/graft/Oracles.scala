@@ -5056,6 +5056,26 @@ object Oracles {
         |FROM docw d JOIN (SELECT word, pieces FROM seg WHERE pos = 0) s
         |  ON d.word = s.word
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_fertility" ->
+      s"""$unigramSegChain,
+        |docw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |), bill AS (
+        |  SELECT d.doc_id, count(*) AS n_words,
+        |    CAST(sum(len(s.pieces)) AS BIGINT) AS n_unigram_tokens
+        |  FROM docw d JOIN (SELECT word, pieces FROM seg WHERE pos = 0) s
+        |    ON d.word = s.word
+        |  GROUP BY 1
+        |)
+        |SELECT dd.lang, count(*) AS n_docs,
+        |  CAST(sum(b.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(b.n_unigram_tokens) AS BIGINT) AS n_unigram_tokens,
+        |  round(CAST(sum(b.n_unigram_tokens) AS DOUBLE) / sum(b.n_words), 4)
+        |    AS fertility
+        |FROM bill b JOIN documents dd ON b.doc_id = dd.doc_id
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
     // per-doc token counts under the TRAINED merges: each doc's words
     // join the vocabulary's post-merge segment counts
     "text_encode_bpe" ->

@@ -479,6 +479,8 @@ object SparkEntry {
       TextAnalysis.unigramEncodeCounts(docs(s, dir))),
     // fit once on the accepted corpus (doc_id%5!=0), serve the incoming
     // split against the persisted frozen vocabulary
+    "text_unigram_fertility" -> ((s, dir) =>
+      TextAnalysis.unigramFertility(docs(s, dir))),
     "text_unigram_persisted" -> ((s, dir) => {
       val store = graft.ext.IndexCache.ensure(s, dir, "unigram_vocab",
         table = "documents", params = "v1,k=300,split=mod5") { d =>

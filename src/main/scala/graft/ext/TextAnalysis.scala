@@ -2762,6 +2762,22 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language unigram FERTILITY (pieces per word) — the unigram twin
+    * of [[bpeFertility]], the multilingual-tokenizer-equity metric under
+    * the other tokenizer family: a language with outsized fertility pays
+    * more sequence length for the same content.
+    */
+  def unigramFertility(docs: DataFrame, multiK: Int = 300): DataFrame =
+    unigramEncodeCounts(docs, multiK)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_unigram_tokens")).as("n_unigram_tokens"))
+      .withColumn("fertility",
+        round(col("n_unigram_tokens").cast("double") / col("n_words"), 4))
+      .orderBy(col("lang"))
+
   /** Persist the trained piece vocabulary — the fit half of the
     * tokenizer's fit→persist→serve lifecycle (the LR/LM/index store
     * discipline): a ≤(chars + multiK)-row table, one file.
