@@ -2297,6 +2297,159 @@ object Oracles {
         |  round(promo_revenue * 100.0 / total_revenue, 4) AS promo_share
         |FROM m ORDER BY ship_month""".stripMargin,
 
+    "q6_revenue_delta" ->
+      """SELECT
+        |  CAST(round(sum(CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(round(sum(CAST(round(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END, 4)
+        |      AS DECIMAL(38,4))), 2) AS DOUBLE) AS nation_revenue,
+        |    CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+        |      AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue,
+        |    count(*) AS n_lines
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |  JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  WHERE o.o_orderdate >= DATE '1996-01-01'
+        |    AND o.o_orderdate < DATE '1998-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT o_year, nation_revenue, total_revenue, n_lines,
+        |  round(nation_revenue / total_revenue, 4) AS mkt_share
+        |FROM m ORDER BY o_year""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1996-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey
+        |) GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // AS MATERIALIZED: DuckDB would otherwise re-inline the revenue CTE
+    // into both the max scalar and the equality probe (r8 verify note)
+    "q15_top_supplier" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH j AS (
+        |  SELECT l.l_quantity, l.l_extendedprice,
+        |    avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+        |)
+        |SELECT round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM j WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_odate, o.o_totalprice,
+        |  b.sum_qty
+        |FROM (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        |) b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |    AND l.l_quantity BETWEEN 1 AND 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |    AND l.l_quantity BETWEEN 10 AND 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH late AS MATERIALIZED (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+        |)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM late l1
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "q5_local_supplier" ->
       """SELECT n.n_name,
         |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
@@ -2580,6 +2733,58 @@ object Oracles {
         |  COALESCE(fd.deg, CAST(0 AS BIGINT)) >= 5 AS in_core
         |FROM embeddings em LEFT JOIN fd ON em.vec_id = fd.p
         |ORDER BY em.vec_id""".stripMargin
+    },
+
+    // label-propagation communities: the triangles edge construction,
+    // then 3 unrolled synchronous vote rounds (mode of neighbor labels,
+    // ties -> smallest label, isolated nodes keep their own); adj
+    // MATERIALIZED so the LSH chain runs once, not once per round
+    "sim_communities" -> {
+      val lpaRounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""v$i AS (
+          |  SELECT a.p, l.label, CAST(count(*) AS BIGINT) AS n
+          |  FROM adj a JOIN $prev l ON a.q = l.vec_id
+          |  GROUP BY 1, 2
+          |), b$i AS (
+          |  SELECT p, label FROM (
+          |    SELECT p, label,
+          |      row_number() OVER (PARTITION BY p ORDER BY n DESC, label) AS rn
+          |    FROM v$i)
+          |  WHERE rn = 1
+          |), l$i AS MATERIALIZED (
+          |  SELECT l.vec_id, COALESCE(b.label, l.label) AS label
+          |  FROM $prev l LEFT JOIN b$i b ON l.vec_id = b.p
+          |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $embLshCandCtes,
+        |edges0 AS (
+        |  SELECT c.a, c.b,
+        |    round(list_cosine_similarity(
+        |      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.a = ea.vec_id
+        |  JOIN embeddings eb ON c.b = eb.vec_id
+        |), sym AS (
+        |  SELECT a AS src, b AS dst, cos FROM edges0
+        |  UNION ALL SELECT b, a, cos FROM edges0
+        |), topk AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |    FROM sym)
+        |  WHERE rn <= 4
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM topk
+        |), adj AS MATERIALIZED (
+        |  SELECT u AS p, v AS q FROM e UNION ALL SELECT v, u FROM e
+        |), l0 AS (
+        |  SELECT vec_id, vec_id AS label FROM embeddings
+        |), $lpaRounds
+        |SELECT vec_id, label AS community,
+        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+        |FROM l3
+        |ORDER BY vec_id""".stripMargin
     },
 
     // PageRank over the LSH-bucketed kNN graph: shared candidate CTEs,
@@ -3395,6 +3600,53 @@ object Oracles {
         |  round((tp * 2.0) / greatest(tp * 2 + fp + fn, 1), 4) AS f1,
         |  round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 4) AS acc
         |FROM ct ORDER BY thr""".stripMargin),
+
+    // PR-AUC: descending-threshold step AP with ties grouped; per-score
+    // rational terms snap to the 1e-10 grid and sum in exact decimal
+    // (the sumQR discipline — term SUMS are order-dependent even though
+    // each term is engine-identical)
+    "ml_eval_pr_auc" ->
+      (lrEvalCtes + """,
+        |cum AS (
+        |  SELECT s4, n_pos, n_neg,
+        |    CAST(sum(n_pos) OVER (ORDER BY s4 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |    CAST(sum(n_neg) OVER (ORDER BY s4 DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_neg,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+        |    CAST(sum(n_neg) OVER () AS BIGINT) AS tot_neg
+        |  FROM s4h)
+        |SELECT max(tot_pos) AS n_pos, max(tot_neg) AS n_neg,
+        |  CAST(count(*) AS BIGINT) AS n_scores,
+        |  CAST(round(sum(CAST(round(
+        |      CAST(n_pos AS DOUBLE) / tot_pos *
+        |        (CAST(cum_pos AS DOUBLE) / (cum_pos + cum_neg)), 10)
+        |    AS DECIMAL(38,10))), 6) AS DOUBLE) AS pr_auc,
+        |  round(CAST(max(tot_pos) AS DOUBLE) / (max(tot_pos) + max(tot_neg)), 6) AS baseline
+        |FROM cum""".stripMargin),
+
+    // KS separation: CDF quotients of exact integer cumulatives (no
+    // accumulation -> engine-identical doubles), max + smallest-threshold
+    // argmax via the same (diff DESC, s4) total order
+    "ml_eval_ks" ->
+      (lrEvalCtes + """,
+        |cum AS (
+        |  SELECT s4,
+        |    CAST(sum(n_pos) OVER (ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cpos,
+        |    CAST(sum(n_neg) OVER (ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cneg,
+        |    CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos,
+        |    CAST(sum(n_neg) OVER () AS BIGINT) AS tot_neg
+        |  FROM s4h),
+        |d AS (
+        |  SELECT s4, tot_pos, tot_neg,
+        |    round(abs(CAST(cpos AS DOUBLE) / tot_pos -
+        |      CAST(cneg AS DOUBLE) / tot_neg), 9) AS diff
+        |  FROM cum)
+        |SELECT round(diff, 6) AS ks, round(s4 / 10000.0, 4) AS at_thr,
+        |  tot_pos AS n_pos, tot_neg AS n_neg
+        |FROM d ORDER BY diff DESC, s4 LIMIT 1""".stripMargin),
 
     // reliability bins: bin membership in integer arithmetic on s4, the
     // mean from the exact integer sum(s4), gap differencing the two
@@ -4966,6 +5218,71 @@ object Oracles {
     "multimodal_audio_windows" -> multimodalAudioWindowsSql,
     "multimodal_audio_energy" -> multimodalAudioEnergySql,
     "text_top_ngrams" -> topNgramsSql,
+
+    // Zipf fit: ln of exact integer rank/freq per point (identical
+    // doubles), regression sums snapped to the 1e-8 decimal grid
+    // (order-free), slope/intercept as Class D quotients at round 6
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents
+        |), freq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1
+        |), top AS (
+        |  SELECT token, freq FROM freq ORDER BY freq DESC, token LIMIT 200
+        |), r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM top
+        |), xy AS (
+        |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(round(y, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(round(x * x, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(round(x * y, 8) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+        |  FROM xy
+        |), sl AS (
+        |  SELECT n, sx, sy,
+        |    round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope
+        |  FROM s
+        |)
+        |SELECT n AS n_tokens, slope,
+        |  round((sy - slope * sx) / n, 6) AS intercept
+        |FROM sl""".stripMargin,
+
+    // PMI collocations: every probability is a quotient of exact integer
+    // counts (identical doubles, no accumulation); adjacency skips empty
+    // tokens exactly like the engine's shared shingle core
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |  GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT u.tok AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks, unnest(t) AS u(tok) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST((SELECT sum(c_ab) FROM bg) AS BIGINT) AS b,
+        |    CAST((SELECT sum(c) FROM uni) AS BIGINT) AS t
+        |)
+        |SELECT g.w1, g.w2, g.c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  round(ln((CAST(g.c_ab AS DOUBLE) / tot.b) /
+        |    ((CAST(ca.c AS DOUBLE) / tot.t) * (CAST(cb.c AS DOUBLE) / tot.t))), 6) AS pmi
+        |FROM bg g
+        |JOIN uni ca ON g.w1 = ca.w
+        |JOIN uni cb ON g.w2 = cb.w
+        |CROSS JOIN tot
+        |WHERE g.c_ab >= 5
+        |ORDER BY pmi DESC, g.w1, g.w2
+        |LIMIT 50""".stripMargin,
     "text_heavy_hitters" -> heavyHittersSql,
     // count-min sketch, FULLY replayed: deterministic row-salted hashes
     // mean every one of the d*w counters rebuilds identically, so the
@@ -5307,6 +5624,18 @@ object Oracles {
         |), g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1)
         |SELECT g.bin, g.n, round(CAST(g.n AS DOUBLE) / mm.total, 4) AS share
         |FROM g, mm ORDER BY bin""".stripMargin,
+
+    // k-anonymity audit: exact integer class counts over the bounded
+    // quasi-identifier space; risk is one division of identical doubles
+    "corpus_kanon" ->
+      """SELECT lang, source,
+        |  CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  count(*) < 5 AS at_risk,
+        |  round(1.0 / count(*), 6) AS risk
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     // chi-square independence over the dense source×lang grid — integer
     // margins, identical double expressions per cell, total sums

@@ -265,6 +265,18 @@ object Prof {
       val rows = b.collect().toSeq
       println(s"PROF asofexec composed=${a.size} exec=${rows.size} equal=${a == rows}")
     }
+    if (mode == "plans9") {
+      val sf = "/root/testdata/sf0.001"
+      for (name <- Seq("q6_revenue_delta", "q8_market_share", "q10_returned_items",
+          "q13_order_distribution", "q15_top_supplier", "q16_supplier_count",
+          "q17_small_quantity", "q18_large_orders", "q19_disjunctive_revenue",
+          "q21_waiting_supplier", "q22_dormant_customers")) {
+        val df = SparkEntry.queries(name)(spark, sf)
+        println(s"===== $name")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+    }
     if (mode == "planaudit") {
       val sf = "/root/testdata/sf0.001"
       for ((name, fn) <- Seq(

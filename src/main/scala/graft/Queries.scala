@@ -1940,4 +1940,308 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
+
+  // ------------------------------------------------ headline suite, wave 2
+  // The remaining canonical TPC-H plan shapes, adapted to this testdata's
+  // schema (no partsupp/shipmode/comment columns). Each exercises a distinct
+  // physical pattern the engine must keep healthy at 100 TB: pure pushdown
+  // (Q6), two-fact-shuffle share (Q8), outer-join histogram (Q13),
+  // argmax-on-aggregate (Q15), anti-join + distinct (Q16), per-key scalar
+  // subquery as a window (Q17), having→detail semi (Q18), disjunctive
+  // pushdown (Q19), semi+anti on the same fact (Q21), scalar subquery +
+  // anti-join (Q22). Money sums ride Exact.sumQR (order-free decimal).
+
+  /** TPC-H Q6-shaped forecast-revenue-change: no join at all — the entire
+    * query is three pushable predicates and one map-side-combinable
+    * aggregate. The 100 TB shape to protect: ALL THREE predicates reach the
+    * parquet scan (PlanSpec gate) so row groups outside the date/discount/
+    * quantity box never decompress.
+    */
+  def q6RevenueDelta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(Exact.sumQR(col("l_extendedprice") * col("l_discount"), 4, 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8-shaped national market share: of all STANDARD-part revenue
+    * sold to EUROPE customers, the share supplied from NATION_3, per order
+    * year. Two scale-bearing joins (lineitem⋈orders, ⋈customer) shuffle on
+    * their keys — customer GROWS with SF so it is deliberately NOT
+    * broadcast; part/supplier/nation/region are bounded dims and ride
+    * broadcasts. Share legs aggregate in exact decimal off ONE pass
+    * (numerator = `when(supp_nation=target)`), quotient rounded at 4
+    * (Class D, NUMERICS.md).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = table(spark, dir, "nation")
+    val region = table(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val custEu = table(spark, dir, "customer")
+      .join(broadcast(nation.join(broadcast(region),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = table(spark, dir, "supplier")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val part = table(spark, dir, "part").filter(col("p_type") === "STANDARD")
+      .select(col("p_partkey"))
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custEu, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Exact.sumQR(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0.0)), 4, 2).as("nation_revenue"),
+        Exact.sumQR(rev, 4, 2).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 4))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10-shaped returned-item ranking: customers who returned the
+    * most revenue in 1996Q1. Both scale-bearing joins shuffle (lineitem⋈
+    * orders, ⋈customer); nation broadcasts; top-20 is a TakeOrdered, never
+    * a global sort. Returnflag + the order-date window prune the fact
+    * before any exchange.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nation = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val customer = table(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-shaped order-count distribution: how many customers placed
+    * exactly k (priority-filtered) orders. The LEFT OUTER join keeps
+    * zero-order customers (they land in the k=0 bucket); two successive
+    * aggregations, the second over at most a few hundred distinct counts —
+    * the classic "histogram of a grouped count" shape. At 100 TB both the
+    * join and the first groupBy shuffle on c_custkey, so with the join
+    * output already hash-partitioned by key the count reuses the
+    * partitioning (no extra exchange; PlanSpec gate).
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_orderkey"), col("o_custkey"))
+    table(spark, dir, "customer").select(col("c_custkey"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose 1996Q1 revenue
+    * equals the maximum. Argmax-on-aggregate with the corpus scanned ONCE:
+    * the max rides a single-partition window over the ALREADY-AGGREGATED
+    * ≤|suppliers|-row frame (a separate `agg(max)` + equality re-join would
+    * recompute the whole per-supplier aggregation from a second fact scan —
+    * the textbook Q15 trap). Equality on a 2-dp `sumQR` value is exact
+    * (decimal-rounded before the double cast, identical in both engines).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+        .as("total_revenue"))
+      .withColumn("max_revenue", max(col("total_revenue")).over(wAll))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16-shaped supplier-count report: distinct suppliers able to
+    * supply each (brand, size) combination, excluding one brand, PROMO
+    * parts, and "complaint" suppliers (negative balance — the NOT IN leg).
+    * The exclusion list is bounded → broadcast LEFT ANTI; part broadcasts;
+    * the only corpus shuffle is the distinct-count aggregation.
+    */
+  def q16SupplierCount(spark: SparkSession, dir: String): DataFrame = {
+    val excl = table(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val part = table(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    table(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue lost
+    * if small-quantity orders (below half the part's mean quantity) were
+    * not taken. The per-part mean rides a WINDOW over the part-pruned
+    * lines — ONE scan and ONE shuffle, instead of the textbook
+    * aggregate-and-rejoin's two scans. Quantities are integer-valued, so
+    * the windowed mean is exact in both engines; the /7 quotient rounds at
+    * 4 (Class D).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val pk = table(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(Exact.sumQ(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total quantity
+    * exceeds 250 (≈99th pct), with customer detail. The HAVING side is a
+    * per-order aggregate (map-side partials over exact integer-valued
+    * quantities) that re-joins orders/customer on their keys; top-100 by
+    * totalprice is a TakeOrdered.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"),
+        col("o_totalprice"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_odate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-shaped disjunctive revenue: an OR of three (brand, size
+    * range, quantity range) conjunction boxes. The disjunction stays a
+    * post-join filter on ONE broadcast equi-join — never three scans
+    * unioned, never a nested loop — and the common `p_size <= 15` hull
+    * plus brand IN-list still push into the part scan.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val box =
+      (col("p_brand") === "Brand#1" && col("p_size") <= 5 &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+      (col("p_brand") === "Brand#2" && col("p_size") <= 10 &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+      (col("p_brand") === "Brand#3" && col("p_size") <= 15 &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30)
+    table(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(box)
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier report: suppliers who were the SOLE
+    * late shipper (>60 days after the order date) on a finished
+    * multi-supplier order. Three legs over the same fact: the late set,
+    * a LEFT SEMI against other suppliers' lines (multi-supplier order),
+    * and a LEFT ANTI against other suppliers' LATE lines (sole offender) —
+    * all equi-joins on l_orderkey with the supplier inequality as a
+    * post-probe conjunct, so the fact shuffles on one key and the three
+    * legs co-partition under AQE; supplier broadcasts at the end.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(table(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 60))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("z_orderkey"), col("l_suppkey").as("z_suppkey"))
+    late
+      .join(others, col("l_orderkey") === col("y_orderkey") &&
+        col("l_suppkey") =!= col("y_suppkey"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("z_orderkey") &&
+        col("l_suppkey") =!= col("z_suppkey"), "left_anti")
+      .join(broadcast(table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-shaped dormant high-balance customers: per market segment,
+    * customers above the positive-balance mean with NO order since
+    * 2000-01-01. The mean is a 1-row exact-decimal aggregate crossed back
+    * by broadcast (scalar subquery); dormancy is a LEFT ANTI against the
+    * date-pruned orders (the pruning happens BEFORE the anti-join's
+    * exchange). Output sums ride exact decimal.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg((Exact.sumQ(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+    val recent = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select(col("o_custkey"))
+    customer.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        Exact.sumQ(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

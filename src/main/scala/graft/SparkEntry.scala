@@ -132,6 +132,21 @@ object SparkEntry {
     "q4_order_priority" -> (Queries.q4OrderPriority _),
     "q14_promo_share" -> (Queries.q14PromoShare _),
     "q5_local_supplier" -> (Queries.q5LocalSupplier _),
+    // headline wave 2: the remaining canonical TPC-H plan shapes (pure
+    // pushdown, two-fact share, outer-join histogram, argmax-on-aggregate,
+    // anti+distinct, windowed per-key scalar, having→detail, disjunctive
+    // pushdown, semi+anti same-fact, scalar-subquery anti)
+    "q6_revenue_delta" -> (Queries.q6RevenueDelta _),
+    "q8_market_share" -> (Queries.q8MarketShare _),
+    "q10_returned_items" -> (Queries.q10ReturnedItems _),
+    "q13_order_distribution" -> (Queries.q13OrderDistribution _),
+    "q15_top_supplier" -> (Queries.q15TopSupplier _),
+    "q16_supplier_count" -> (Queries.q16SupplierCount _),
+    "q17_small_quantity" -> (Queries.q17SmallQuantity _),
+    "q18_large_orders" -> (Queries.q18LargeOrders _),
+    "q19_disjunctive_revenue" -> (Queries.q19DisjunctiveRevenue _),
+    "q21_waiting_supplier" -> (Queries.q21WaitingSupplier _),
+    "q22_dormant_customers" -> (Queries.q22DormantCustomers _),
     // extensions: dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_exact_survivors" -> ((s, dir) =>
@@ -218,6 +233,11 @@ object SparkEntry {
     // equi-width 20-bin histogram of document lengths
     "corpus_histogram" -> ((s, dir) =>
       graft.operators.DataQuality.histogram(docs(s, dir), "n_chars")),
+    // k-anonymity release audit over the (lang, source, length-bucket)
+    // quasi-identifier classes — the metadata-linkage privacy gate next
+    // to text_pii's content scan
+    "corpus_kanon" -> ((s, dir) =>
+      graft.operators.DataQuality.kAnonymityAudit(docs(s, dir))),
     // the flagship composition: quality gate -> near-dup removal ->
     // rebalance -> train split -> sequence packing, one lazy plan
     "pipeline_training_set" -> ((s, dir) =>
@@ -347,6 +367,10 @@ object SparkEntry {
     "ml_eval_auc" -> ((s, dir) => ModelEval.binaryAuc(lrScored(s, dir))),
     "ml_eval_thresholds" -> ((s, dir) => ModelEval.thresholdSweep(lrScored(s, dir))),
     "ml_eval_calibration" -> ((s, dir) => ModelEval.calibrationBins(lrScored(s, dir))),
+    // PR-AUC (average precision — the imbalanced-gate metric) and KS
+    // separation (max CDF gap + the best single cutoff), same histogram
+    "ml_eval_pr_auc" -> ((s, dir) => ModelEval.prAuc(lrScored(s, dir))),
+    "ml_eval_ks" -> ((s, dir) => ModelEval.ksStatistic(lrScored(s, dir))),
     // ...and the calibration REPAIR: isotonic (PAV via the loop-free
     // minimax closed form over bounded bins, replayed exactly). Scored
     // by the [0,1]-mapped QUALITY signal rather than the LR posterior:
@@ -359,6 +383,11 @@ object SparkEntry {
         (col("lang") === "en").cast("int").as("y")))
     }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
+    // Zipf rank-frequency fit (corpus-health slope) and PMI collocation
+    // mining (phrase discovery) — the corpus-statistics pair
+    "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir))),
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir))),
     // Lee et al. 2022 exact-substring dedup, window-hash formulation:
     // maximal >=10-token runs duplicated anywhere in the corpus
     "text_dup_spans" -> ((s, dir) => TextAnalysis.dupSpans(docs(s, dir))),
@@ -792,6 +821,8 @@ object SparkEntry {
     // structured graph is asserted in ExtSpec (clique survives, pendant
     // chain dies)
     "sim_kcore" -> ((s, dir) => Similarity.embeddingKCore(emb(s, dir), coreK = 5)),
+    // deterministic synchronous label propagation over the same kNN graph
+    "sim_communities" -> ((s, dir) => Similarity.embeddingCommunities(emb(s, dir))),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

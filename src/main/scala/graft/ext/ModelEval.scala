@@ -180,4 +180,79 @@ object ModelEval {
       .withColumn("gap", round(abs(col("frac_pos") - col("mean_s")), 4))
       .orderBy(col("bin"))
   }
+
+  /** Precision-recall AUC (average precision, the sklearn step form with
+    * ties grouped per distinct score): `AP = Σ_s ΔR(s)·P(s)` walking
+    * thresholds DOWN the score grid, where `ΔR(s) = n_pos(s)/P` and
+    * `P(s) = cum_pos(s)/(cum_pos(s)+cum_neg(s))` from the
+    * descending-cumulative counts. The metric of record for imbalanced
+    * gates (contamination flags, PII hits) where ROC AUC's
+    * true-negative credit washes out the minority class; `baseline` is
+    * the prevalence `P/(P+N)` a random scorer would land.
+    *
+    * Numerics: per-score terms are rational (quotients of exact
+    * integers) — identical doubles in both engines, but their SUM is
+    * order-dependent, so terms snap to the 1e-10 grid and sum in exact
+    * decimal ([[graft.functions.Exact.sumQR]]; snap scale 10 ≥ target
+    * 6 + 3 keeps the perturbation inside the final grid).
+    *
+    * Scale shape: the corpus reduces through the one histogram groupBy
+    * shared by every metric here; both windows are the bounded
+    * ≤10,001-row single-partition class.
+    */
+  def prAuc(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact
+    val wDesc = Window.orderBy(col("s4").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    histogram(scored)
+      .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+      .withColumn("cum_neg", sum(col("n_neg")).over(wDesc))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("tot_neg", sum(col("n_neg")).over(wAll))
+      .withColumn("term",
+        col("n_pos").cast("double") / col("tot_pos") *
+          (col("cum_pos").cast("double") / (col("cum_pos") + col("cum_neg"))))
+      .agg(max(col("tot_pos")).as("n_pos"),
+        max(col("tot_neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        Exact.sumQR(col("term"), 10, 6).as("pr_auc"))
+      .withColumn("baseline",
+        round(col("n_pos").cast("double") / (col("n_pos") + col("n_neg")), 6))
+  }
+
+  /** Kolmogorov-Smirnov separation: `KS = max_s |CDF_pos(s) − CDF_neg(s)|`
+    * over the score grid, with the argmax threshold — the classic
+    * score-separation read (credit-risk heritage) that names the single
+    * best cutoff and how much separation it buys. One row: `ks`,
+    * `at_thr` (smallest threshold attaining the max — total tiebreak),
+    * `n_pos`, `n_neg`.
+    *
+    * Determinism: both CDFs are quotients of exact integer cumulative
+    * counts by exact totals — identical doubles in both engines (no
+    * accumulation), so max and argmax are order-free; `diff` pre-rounds
+    * to 9 decimals so the ordering key is grid-pinned.
+    */
+  def ksStatistic(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAsc = Window.orderBy(col("s4"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    histogram(scored)
+      .withColumn("cpos", sum(col("n_pos")).over(wAsc))
+      .withColumn("cneg", sum(col("n_neg")).over(wAsc))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("tot_neg", sum(col("n_neg")).over(wAll))
+      .withColumn("diff", round(abs(
+        col("cpos").cast("double") / col("tot_pos") -
+        col("cneg").cast("double") / col("tot_neg")), 9))
+      .orderBy(col("diff").desc, col("s4"))
+      .limit(1)
+      .select(round(col("diff"), 6).as("ks"),
+        round(col("s4") / 10000.0, 4).as("at_thr"),
+        col("tot_pos").as("n_pos"), col("tot_neg").as("n_neg"))
+  }
 }

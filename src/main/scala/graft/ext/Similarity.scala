@@ -861,6 +861,58 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Community detection over the kNN graph by synchronous label
+    * propagation (Raghavan et al. 2007, deterministic form) — the
+    * partition-into-themes read that completes the graph tier: components
+    * ([[graft.ext.Dedup.dupClusters]]) answer "transitively connected",
+    * PageRank "central", triangles "locally dense", k-core "structurally
+    * embedded"; LPA answers "which cluster". Curation uses: per-community
+    * sampling quotas, mixture audits, semantic-theme cards.
+    *
+    * Every node starts as its own label; each round every node adopts the
+    * MOST FREQUENT label among its neighbors (ties → smallest label;
+    * isolated nodes keep their own), all nodes updating simultaneously
+    * from the previous round's labels — deterministic in both engines
+    * because the vote is exact integer counting and the tiebreak is
+    * total. Fixed `rounds` unrolled (the pagerank/Lloyd discipline):
+    * this is "`rounds`-round LPA", identical everywhere, not
+    * run-to-convergence.
+    *
+    * Scale shape: the graph is the SAME LSH-pruned O(N·k) edge list the
+    * other graph operators walk (checkpointed once inside
+    * [[knnUndirectedEdges]]); each round is one edge-sized join + one
+    * (node, label)-keyed count + one per-node window over ≤deg(v) label
+    * rows — nothing ever N². Output adds the community size via one
+    * window over the final N-row label frame.
+    */
+  def embeddingCommunities(emb: DataFrame, k: Int = 4,
+      rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = knnUndirectedEdges(emb, k)
+    val adj = edges.select(col("u").as("p"), col("v").as("q"))
+      .union(edges.select(col("v").as("p"), col("u").as("q")))
+    var labels = emb.select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.select(col("vec_id").as("q"), col("label")), Seq("q"))
+        .groupBy(col("p"), col("label")).agg(count(lit(1)).as("n"))
+      val best = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("p")).orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("p").as("vec_id"), col("label").as("new_label"))
+      labels = labels.join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))).cast("long"))
+      .select(col("vec_id"), col("label").as("community"), col("community_size"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Persist a k-means IVF index: the corpus PARTITIONED BY cell (so a
     * probe reads only its cells' directories — partition pruning makes
     * "touch nProbe/cells of the data" literal at the file-system level)

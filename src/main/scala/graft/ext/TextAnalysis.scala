@@ -642,6 +642,89 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** Zipf rank-frequency fit: the least-squares slope of `ln(freq)` on
+    * `ln(rank)` over the top-`topN` tokens — the corpus-health statistic
+    * next to [[corpusCard]]: natural language sits near slope −1
+    * (Zipf's law); a much flatter slope flags template/boilerplate
+    * floods, much steeper flags a degenerate vocabulary (OCR noise,
+    * mojibake). One row: `n_tokens` (points fitted), `slope`,
+    * `intercept`.
+    *
+    * Numerics: `ln` of exact integer counts/ranks → identical doubles
+    * per point in both engines; the four regression sums snap to the
+    * 1e-8 grid and sum in exact decimal (order-free, the
+    * [[graft.functions.Exact]] discipline); slope/intercept are then
+    * arithmetic on identical doubles (Class D quotients, round 6).
+    *
+    * Scale shape: the corpus reduces through one token-keyed groupBy to
+    * vocabulary size; the top-N is a TakeOrdered (never a global sort);
+    * the rank window and regression run on the ≤`topN`-row frame.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact
+    val freq = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topN)
+    val ranked = freq.withColumn("rank", row_number().over(
+      Window.orderBy(col("freq").desc, col("token"))))
+    val s = ranked
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        Exact.sumQ(col("x"), 8).as("sx"), Exact.sumQ(col("y"), 8).as("sy"),
+        Exact.sumQ(col("x") * col("x"), 8).as("sxx"),
+        Exact.sumQ(col("x") * col("y"), 8).as("sxy"))
+    s.withColumn("slope",
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6))
+      .select(col("n").as("n_tokens"), col("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  /** PMI collocation mining: the top-`topK` adjacent word pairs by
+    * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` with a
+    * minimum pair count — the phrase-discovery read ("new york",
+    * "machine learning") that feeds tokenizer vocab seeding and
+    * boilerplate phrase audits. Bigram adjacency skips empty tokens
+    * exactly like the dedup shingle pass (shared
+    * [[graft.ext.Dedup.shinglesMultiset]] core).
+    *
+    * Determinism: every probability is a quotient of exact integer
+    * counts — identical doubles in both engines (no accumulation), so
+    * `ln` and the round-6 emission agree; ordering ties break on the
+    * pair text. Scale shape: two map-side-combined token/bigram
+    * groupBys, 1-row totals broadcast back, TakeOrdered top-k.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val bg = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("c_ab"))
+    val uni = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val totB = bg.agg(sum(col("c_ab")).cast("long").as("b"))
+    val totT = uni.agg(sum(col("c")).cast("long").as("t"))
+    bg.filter(col("c_ab") >= minCount)
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+      .join(uni.select(col("token").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totT))
+      .withColumn("pmi", round(log(
+        (col("c_ab").cast("double") / col("b")) /
+          ((col("c_a").cast("double") / col("t")) *
+           (col("c_b").cast("double") / col("t")))), 6))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   private def bpeTrain(docs: DataFrame,
       rounds: Int): (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window

@@ -291,4 +291,29 @@ object DataQuality {
         col("chi2_total"), col("dof"))
       .orderBy(col(rowCol), col(colCol))
   }
+
+  /** k-anonymity release audit: group the corpus by its quasi-identifier
+    * tuple (the attribute combination an adversary could link on — here
+    * `(lang, source, length bucket)`; the sensitive payload is the text
+    * itself) and flag every equivalence class smaller than `k`. A record
+    * in a singleton class is re-identifiable by its metadata alone even
+    * after the PII pass scrubs the text body — the privacy audit that
+    * complements [[graft.ext.TextAnalysis]]'s `text_pii` content scan
+    * when releasing corpus slices or data cards. `risk = 1/n` is the
+    * linkage probability within a class; classes with `at_risk` need
+    * suppression or generalization (coarser buckets) before release.
+    *
+    * Scale shape: ONE map-side-combinable groupBy onto the bounded
+    * quasi-identifier space (|langs|·|sources|·|buckets|); nothing else
+    * touches the corpus. Bucket membership is integer arithmetic.
+    */
+  def kAnonymityAudit(docs: DataFrame, k: Int = 5,
+      bucketWidth: Int = 200): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"),
+        floor(col("n_chars") / bucketWidth).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+      .withColumn("risk", round(lit(1.0) / col("n_docs"), 6))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
 }

@@ -1084,6 +1084,58 @@ object StreamingCorpus {
     graft.ext.UrlCuration.domainCaps(spark.read.parquet(s"$outDir/docs"),
       cap, domainCol, salt)
 
+  /** Streaming twin of [[graft.operators.DataQuality.kAnonymityAudit]].
+    * A class's k-anonymity verdict depends on its TOTAL member count, so
+    * the verdict is late-bound (a class at risk after batch 1 may clear
+    * once more members land — membership only GROWS, so `at_risk` flips
+    * monotonically toward safe, never back):
+    *
+    *   1. each micro-batch lands its per-class PARTIAL counts — count-
+    *      mergeable, the CMS/manifest-store discipline; `batch=<id>` +
+    *      OVERWRITE keeps replays idempotent, and only (quasi-identifier,
+    *      count) rows are stored, never text;
+    *   2. the CURRENT at-risk summary over everything landed goes to
+    *      `outDir/audit/batch=<id>` — the observable clearing history;
+    *   3. [[kanonView]] merges the partials by exact integer sum —
+    *      equality with the batch audit at full coverage is an identity
+    *      (sums of per-batch class counts ARE the global class counts).
+    */
+  def kanonIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      bucketWidth: Int = 200, k: Int = 5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          batch.groupBy(col("lang"), col("source"),
+              floor(col("n_chars") / bucketWidth).cast("long").as("len_bucket"))
+            .agg(count(lit(1)).as("n_docs"))
+            .write.mode("overwrite").parquet(s"$outDir/counts/batch=$batchId")
+          kanonView(spark, outDir, k)
+            .agg(count(lit(1)).as("n_classes"),
+              sum(when(col("at_risk"), 1L).otherwise(0L)).as("n_at_risk"),
+              sum(when(col("at_risk"), col("n_docs")).otherwise(0L))
+                .as("docs_at_risk"))
+            .write.mode("overwrite").parquet(s"$outDir/audit/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Read-time k-anonymity audit over [[kanonIngest]]'s landed partial
+    * counts — column-identical to the batch operator and exactly equal
+    * at full coverage (integer-sum identity). Mid-stream it is the
+    * honest conservative answer: every class's count is a lower bound,
+    * so `at_risk` over-flags, never under-flags.
+    */
+  def kanonView(spark: SparkSession, outDir: String, k: Int = 5): DataFrame =
+    spark.read.parquet(s"$outDir/counts")
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+      .withColumn("risk", round(lit(1.0) / col("n_docs"), 6))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+
   /** Streaming snapshot diff (the CDC shape of
     * [[graft.operators.DataQuality.snapshotDiff]]): the NEW corpus
     * version arrives as a stream; each batch lands its content

@@ -2897,4 +2897,71 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(em("abcd") == (("abcd", true)), s"EM drift: ${em("abcd")}")
     assert(em("the") == (("the", false)))
   }
+
+  test("communities: planted cliques converge to their min-id label; sizes consistent") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    // two mutually-orthogonal cliques of identical vectors + spread noise
+    val cliqueA = (0L until 5L).map(i => (i, Array.fill(64)(0.7f)))
+    val cliqueB = (10L until 15L).map(i =>
+      (i, Array.tabulate(64)(j => if (j % 2 == 0) 0.5f else -0.5f)))
+    val rest = (20L until 30L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = (cliqueA ++ cliqueB ++ rest).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.embeddingCommunities(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // synchronous min-tiebreak LPA on a clique of self-labels converges
+    // to the minimum member id within 2 rounds (hand-traced)
+    (0L until 5L).foreach(i => assert(out(i)._1 == 0L, s"A member $i: ${out(i)}"))
+    (10L until 15L).foreach(i => assert(out(i)._1 == 10L, s"B member $i: ${out(i)}"))
+    // community_size agrees with the label multiset
+    val sizes = out.values.groupBy(_._1).map { case (l, v) => l -> v.size }
+    out.values.foreach { case (l, sz) => assert(sz == sizes(l)) }
+    assert(out(0L)._2 >= 5 && out(10L)._2 >= 5)
+  }
+
+  test("PR-AUC: hand math on the tied frame; separable corpus reaches 1") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.9, 1), (0.8, 1), (0.7, 1), (0.5, 1),
+      (0.5, 0), (0.3, 0), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    val r = graft.ext.ModelEval.prAuc(scored).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4 && r.getLong(2) == 7)
+    // descending steps: 0.9/0.8/0.7 each add (1/4)*1 = 0.25; the tied
+    // 0.5 block adds (1/4)*(4/5) = 0.2; pure-negative scores add 0
+    assert(r.getDouble(3) == 0.95, s"AP ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.5)
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(graft.ext.ModelEval.prAuc(sep).collect()(0).getDouble(3) == 1.0)
+  }
+
+  test("KS: max CDF gap and smallest attaining threshold by hand") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.9, 1), (0.8, 1), (0.7, 1), (0.5, 1),
+      (0.5, 0), (0.3, 0), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    val r = graft.ext.ModelEval.ksStatistic(scored).collect()(0)
+    // CDF gaps ascending: .25 .5 .75 | .75 at 0.5 | .5 .25 0 — max 0.75
+    // first attained at 0.3 (the smallest-threshold tiebreak)
+    assert(r.getDouble(0) == 0.75, s"ks ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 0.3, s"at_thr ${r.getDouble(1)}")
+    assert(r.getLong(2) == 4 && r.getLong(3) == 4)
+    // separable frame: KS exactly 1 at the top negative score
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    val s = graft.ext.ModelEval.ksStatistic(sep).collect()(0)
+    assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
+  }
+
+  test("k-anonymity audit: singleton class flags, full class passes, risk exact") {
+    import spark.implicits._
+    val docs = (
+      (1L to 5L).map(i => (i, "txt", "en", "s1", 100 + i.toInt)) :+
+      ((9L, "txt", "de", "s2", 250))
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.DataQuality.kAnonymityAudit(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(4), r.getDouble(5)))).toMap
+    assert(out(("en", "s1", 0L)) == ((5L, false, 0.2)))
+    assert(out(("de", "s2", 1L)) == ((1L, true, 1.0)))
+  }
 }

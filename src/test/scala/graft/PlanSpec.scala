@@ -445,6 +445,119 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(treeScans == 2, s"two scans total, got $treeScans\n${plan.take(3000)}")
   }
 
+  test("communities: a vote round is an equi-join + keyed count with partials; never cartesian") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val emb = Queries.table(spark, sf, "embeddings")
+    // the per-round localCheckpoint truncates lineage in the composed
+    // operator's final plan, so gate the ROUND shape directly: one
+    // edge-sized equi-join into a (p, label)-keyed count
+    val edges = graft.ext.Similarity.knnUndirectedEdges(emb, 4)
+    val adj = edges.select(col("u").as("p"), col("v").as("q"))
+      .union(edges.select(col("v").as("p"), col("u").as("q")))
+    val labels = emb.select(col("vec_id"), col("vec_id").as("label"))
+    val votes = adj
+      .join(labels.select(col("vec_id").as("q"), col("label")), Seq("q"))
+      .groupBy(col("p"), col("label")).agg(count(lit(1)).as("n"))
+    val plan = planOf(votes)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"), plan.take(3000))
+    // the composed operator's output frame stays cartesian-free too
+    val full = planOf(graft.ext.Similarity.embeddingCommunities(emb))
+    assert(!full.contains("CartesianProduct") &&
+      !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
+  }
+
+  test("q6: all three predicate families push into the lineitem scan; no join") {
+    val plan = planOf(Queries.q6RevenueDelta(spark, sf))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.05)"), plan.take(2000))
+    assert(plan.contains("LessThan(l_quantity,24.0)"), plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q8: share numerator and denominator ride ONE aggregation; dims broadcast") {
+    val plan = planOf(Queries.q8MarketShare(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // one hash-aggregate pair (partial+final) — the when() numerator folds
+    // into the same pass as the denominator, never a second scan tree
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"one lineitem scan, got $lineitemScans")
+    assert(plan.contains("EqualTo(p_type,STANDARD)"), plan.take(3000))
+  }
+
+  test("q10: returnflag + date window prune before any exchange; top-20 is TakeOrdered") {
+    val plan = planOf(Queries.q10ReturnedItems(spark, sf))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q13: outer join keeps zero-order customers; count reuses the join partitioning") {
+    val df = Queries.q13OrderDistribution(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("LeftOuter"), plan.take(3000))
+    // the per-customer count must NOT re-exchange after the join when the
+    // join output is already hash-partitioned on c_custkey: at most the
+    // join's own exchanges + one for the c_count histogram + the sort
+    val nExchange = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchange <= 3, s"count should reuse join partitioning, got $nExchange hash exchanges\n${plan.take(3000)}")
+  }
+
+  test("q15: ONE lineitem scan (argmax via window on the aggregated frame, not a re-join)") {
+    val plan = planOf(Queries.q15TopSupplier(spark, sf))
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"one lineitem scan, got $lineitemScans\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q16: complaint-supplier exclusion is a broadcast LEFT ANTI, never a shuffle") {
+    val plan = planOf(Queries.q16SupplierCount(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q17: per-part mean is a WINDOW over one scan, not an aggregate-and-rejoin") {
+    val plan = planOf(Queries.q17SmallQuantity(spark, sf))
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"one lineitem scan, got $lineitemScans\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q18: having-side aggregate has map-side partials; top-100 is TakeOrdered") {
+    val plan = planOf(Queries.q18LargeOrders(spark, sf))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("q19: disjunction stays a post-join filter on ONE equi-join; brand IN-list pushed") {
+    val plan = planOf(Queries.q19DisjunctiveRevenue(spark, sf))
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"one lineitem scan (no union-of-scans), got $lineitemScans")
+    assert(plan.contains("In(p_brand"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q21: semi and anti legs are hash/merge equi-joins on l_orderkey, never nested loops") {
+    val plan = planOf(Queries.q21WaitingSupplier(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q22: scalar mean is a 1-row broadcast; dormancy is an anti-join on the date-pruned orders") {
+    val plan = planOf(Queries.q22DormantCustomers(spark, sf))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
+
   test("unigram segmenter: piece vocab broadcasts into the candidate join; never cartesian") {
     val plan = planOf(SparkEntry.queries("text_unigram_segments")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))

@@ -1185,6 +1185,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).take(5)} extra=${streamed.diff(expected).take(5)}")
   }
 
+  test("streaming k-anonymity audit converges to the batch audit; at-risk clears monotonically") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // class (en, s1, bucket 0): 2 members in b0 (at risk), 4 more in b1
+    // (clears at k=5); class (de, s2, bucket 1): permanent singleton
+    val b0 = Seq((1L, "t", "en", "s1", 50), (2L, "t", "en", "s1", 60),
+      (9L, "t", "de", "s2", 250))
+    val b1 = (3L to 6L).map(i => (i, "t", "en", "s1", 70 + i.toInt))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-kanon-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-kanon-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kanon-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", IntegerType)))
+    def start() = graft.streaming.StreamingCorpus.kanonIngest(
+      spark.readStream.schema(schema).parquet(srcDir), outDir, ckpt)
+    def land(c: Seq[(Long, String, String, String, Int)]): Unit =
+      c.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("append").parquet(srcDir)
+    land(b0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(b1) // lands while the stream is down; restart picks it up
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // the audit history shows monotone clearing: 2 at-risk classes after
+    // b0, 1 after b1 (the en class crossed k)
+    val hist = spark.read.parquet(s"$outDir/audit").orderBy(col("batch"))
+      .select("n_at_risk").collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(2L, 1L), s"at-risk history: $hist")
+    // the view equals the batch audit over the full corpus
+    val streamed = graft.streaming.StreamingCorpus.kanonView(spark, outDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getDouble(5))).toSet
+    val expected = graft.operators.DataQuality.kAnonymityAudit(
+        (b0 ++ b1).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getDouble(5))).toSet
+    assert(expected.nonEmpty && streamed == expected,
+      s"missed=${expected.diff(streamed)} extra=${streamed.diff(expected)}")
+  }
+
   test("streaming substring dedup converges to batch cutDupSpans under in-order arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
