@@ -2988,6 +2988,63 @@ object Oracles {
         |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // langid confusion: the langScores chain grouped onto the bounded
+    // (labeled, predicted) grid; recall = quotient of exact integers
+    "text_langid_confusion" -> {
+      val markers = Map(
+        "de" -> Seq("der", "und", "die"),
+        "en" -> Seq("the", "and", "of"),
+        "es" -> Seq("el", "los", "y"),
+        "fr" -> Seq("le", "la", "et"),
+        "zh" -> Seq("之", "的", "了"))
+      val langs = markers.keys.toSeq.sorted
+      val scoreExprs = langs.map { l =>
+        val terms = markers(l).map { w =>
+          val tok = s" $w "
+          s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$tok', ''))) / ${tok.length} AS BIGINT)"
+        }.mkString(" + ")
+        s"$terms AS score_$l"
+      }.mkString(",\n    ")
+      val m = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString("CASE ", " ", " END")
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    $scoreExprs
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang AS labeled_lang, $pred AS pred_lang FROM scored
+        |), g AS (
+        |  SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY 1, 2
+        |)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |  labeled_lang = pred_lang AS correct,
+        |  round(CAST(n_docs AS DOUBLE) /
+        |    CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT), 4) AS share
+        |FROM g ORDER BY labeled_lang, pred_lang""".stripMargin
+    },
+
+    // JL sign projection: the ±1 matrix replays from the portable
+    // md5-prefix hash of 'jl:<j>:<d>'; term sums snap to 1e-8 decimal
+    // (order-free); /4 is the exact dyadic 1/sqrt(16)
+    "sim_jl_project" ->
+      """WITH pts AS (
+        |  SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+        |), axes AS (
+        |  SELECT unnest(generate_series(0, 15)) AS j
+        |), proj AS (
+        |  SELECT p.vec_id, a.j,
+        |    CAST(sum(CAST(round(p.x * (CASE WHEN
+        |      ('0x' || substring(md5('jl:' || CAST(a.j AS VARCHAR) || ':' ||
+        |        CAST(p.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END), 8) AS DECIMAL(38,8))) AS DOUBLE) AS s
+        |  FROM pts p CROSS JOIN axes a
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_id, j, round(s / 4.0, 6) AS y
+        |FROM proj ORDER BY vec_id, j""".stripMargin,
+
     // MinHash + LSH banding over the portable md5-prefix hash: one base
     // hash per shingle, 32 affine views (a_i·h+b_i mod P), 8 bands × 4
     // rows expressed as 8 equi-joins — candidate generation and estimated

@@ -627,6 +627,9 @@ object SparkEntry {
         d.filter(col0("doc_id") % 50 === 0), 3, 5)
     }),
     "text_langid" -> ((s, dir) => TextAnalysis.langScores(docs(s, dir))),
+    // the langid EVAL leg: confusion matrix + per-class recall
+    "text_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langidConfusion(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "text_chunk" -> ((s, dir) => TextAnalysis.chunkDocuments(docs(s, dir), 32)),
     // best-first data selection under a token budget (two-phase prefix
@@ -823,6 +826,8 @@ object SparkEntry {
     "sim_kcore" -> ((s, dir) => Similarity.embeddingKCore(emb(s, dir), coreK = 5)),
     // deterministic synchronous label propagation over the same kNN graph
     "sim_communities" -> ((s, dir) => Similarity.embeddingCommunities(emb(s, dir))),
+    // fit-free JL sign projection (the dimension cut BEFORE PCA/PQ)
+    "sim_jl_project" -> ((s, dir) => Similarity.jlProject(emb(s, dir))),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

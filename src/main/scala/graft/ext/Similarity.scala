@@ -861,6 +861,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Johnson-Lindenstrauss random projection: embed the corpus into
+    * `k` dimensions with a deterministic ±1 sign matrix (Achlioptas
+    * 2003 — database-friendly projections), `y_j = Σ_d sign(j,d)·x_d /
+    * √k`. The cheap-and-data-independent dimension cut BEFORE the
+    * data-dependent ones ([[embeddingPcaProject]] learns directions,
+    * PQ learns codebooks): JL needs no fit, no stats, no model table —
+    * the right first move when a 100 TB corpus's raw dimension makes
+    * even covariance estimation expensive. Pairwise distances distort
+    * by at most ε with k = O(ln n / ε²) regardless of input dimension.
+    *
+    * Determinism: signs derive from the portable md5-prefix hash of
+    * `"jl:<j>:<d>"` (the oracle replays the matrix bit-for-bit); `k` is
+    * fixed at 16 so the final `/√k = /4` is EXACT dyadic; per-term
+    * sign-flips are exact; term sums snap to the 1e-8 grid and sum in
+    * exact decimal (order-free).
+    *
+    * Scale shape: explode to (vec, dim) pairs, cross the bounded
+    * `k`-row axis (broadcast), one (vec_id, j)-keyed map-side-combined
+    * aggregation — O(N·d·k) work with no shuffle bigger than the
+    * projected output, and no driver state at all.
+    */
+  def jlProject(emb: DataFrame, k: Int = 16): DataFrame = {
+    require(k == 16, "k is pinned to 16 (exact dyadic 1/sqrt(k) = 1/4)")
+    val spark = emb.sparkSession
+    val axes = spark.range(0, k).select(col("id").as("j"))
+    val pts = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("d"),
+        col("x").cast("double").as("x"))
+    val sgn = when(
+      graft.ext.TextAnalysis.portableHash64(
+        concat(lit("jl:"), col("j").cast("string"), lit(":"),
+          col("d").cast("string"))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    pts.crossJoin(broadcast(axes))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(graft.functions.Exact.sumQ(col("x") * sgn, 8).as("s"))
+      .select(col("vec_id"), col("j"), round(col("s") / 4.0, 6).as("y"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   /** Community detection over the kNN graph by synchronous label
     * propagation (Raghavan et al. 2007, deterministic form) — the
     * partition-into-themes read that completes the graph tier: components

@@ -106,6 +106,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID confusion matrix: the EVAL leg of [[langScores]] — per
+    * (labeled, predicted) pair the doc count, plus recall within the
+    * labeled language (the per-class score a langid gate is tuned on;
+    * off-diagonal mass names exactly WHICH languages the n-gram heuristic
+    * confuses). Counts are exact integers; recall is one quotient of
+    * identical integers.
+    *
+    * Scale shape: [[langScores]] is a pure per-row map, then ONE
+    * map-side-combined groupBy onto the ≤|langs|²-row grid; class totals
+    * ride a window over that bounded frame.
+    */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langScores(docs)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_labeled",
+        sum(col("n_docs")).over(Window.partitionBy(col("labeled_lang"))))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        (col("labeled_lang") === col("pred_lang")).as("correct"),
+        round(col("n_docs").cast("double") / col("n_labeled"), 4).as("share"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
   /** End-to-end corpus cleaning — the composition a training-data pipeline
     * actually runs: quality-filter (token count + stopword ratio bounds) →
     * normalized-fingerprint dedup (keep min doc_id per fingerprint) →

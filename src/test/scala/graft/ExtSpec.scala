@@ -2952,6 +2952,38 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
   }
 
+  test("JL projection: linear invariants (identical in, identical out; negation flips)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(5)
+    val v = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val e = Seq((1L, v), (2L, v), (3L, v.map(x => -x))).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.jlProject(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 48)
+    (0L until 16L).foreach { j =>
+      // projection is a deterministic function of the vector alone
+      assert(out((1L, j)) == out((2L, j)))
+      // and linear: -x projects to -y (round-6 of an exact negation)
+      assert(out((3L, j)) == -out((1L, j)) ||
+        (out((1L, j)) == 0.0 && out((3L, j)) == 0.0), s"j=$j")
+    }
+  }
+
+  test("langid confusion: planted corpus lands on the diagonal with recall 1") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of it", "en", "s1", 10),
+      (2L, "the thing and more of it", "en", "s1", 10),
+      (3L, "der hund und die katze", "de", "s1", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.langidConfusion(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(out(("en", "en")) == ((2L, true, 1.0)))
+    assert(out(("de", "de")) == ((1L, true, 1.0)))
+    assert(out.size == 2)
+  }
+
   test("k-anonymity audit: singleton class flags, full class passes, risk exact") {
     import spark.implicits._
     val docs = (
