@@ -4013,6 +4013,32 @@ object Oracles {
     // takes the fake-frame-sampler shape (1 + bytes%30 frames, stride 2)
     // with md5-prefix⊕(k·FNV) per-frame hashes; planted exact copies
     // (doc_id % 60 == 0, +3e6) share every frame hash → overlap 1.0
+    // shot boundaries: the fallback frame derivation (opaque testdata
+    // payloads), one doc-keyed window for lag + running cut count
+    "multimodal_video_shots" ->
+      """WITH fh AS (
+        |  SELECT doc_id, CAST(g.k AS BIGINT) AS frame_idx,
+        |    xor(('0x' || substring(md5(text), 1, 15))::BIGINT,
+        |        g.k * 1099511628211) AS fhash
+        |  FROM documents, UNNEST(generate_series(0,
+        |    CAST(1 + strlen(text) % 30 AS BIGINT) - 1, 2)) AS g(k)
+        |), lagged AS (
+        |  SELECT doc_id, frame_idx, fhash,
+        |    lag(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM fh
+        |), c AS (
+        |  SELECT doc_id, frame_idx,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |      ELSE CAST(bit_count(xor(fhash, prev)) AS BIGINT) END AS hamming
+        |  FROM lagged
+        |)
+        |SELECT doc_id, frame_idx, hamming,
+        |  COALESCE(hamming >= 20, false) AS is_cut,
+        |  CAST(sum(CASE WHEN COALESCE(hamming >= 20, false) THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS shot_id
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin,
+
     "multimodal_video_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

@@ -775,6 +775,9 @@ object SparkEntry {
     // overlap pipeline end-to-end while real multi-frame GIF pairing is
     // pinned by ExtSpec animated-GIF fixtures. Planting %60+3e6, disjoint
     // from the image (%50) and audio (%40) families
+    // per-video shot segmentation off the same one-pass frame hashes
+    "multimodal_video_shots" -> ((s, dir) =>
+      Multimodal.videoShotBoundaries(s, Multimodal.mediaTable(docs(s, dir)))),
     "multimodal_video_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val planted = d.filter(col0("doc_id") % 60 === 0)

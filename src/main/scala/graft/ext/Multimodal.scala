@@ -901,6 +901,37 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(videoFrameHashBatch _)
   }
 
+  /** Shot-boundary detection: per video, the frame-to-frame aHash
+    * Hamming distance, cut verdicts (`hamming ≥ hammingCut`; a real
+    * aHash moves a few bits within a shot and tens of bits across a hard
+    * cut), and a running `shot_id` — the segmentation a video training
+    * pipeline samples from (one keyframe per SHOT beats every-Nth-frame
+    * sampling, which oversamples static scenes and misses fast ones).
+    * Rides the same one-decode-pass frame hashes as [[videoNearDups]];
+    * opaque payloads fall back to the deterministic arithmetic frames,
+    * which keeps the operator inside the DuckDB-oracle gate.
+    *
+    * Scale shape: one decode pass, then ONE doc-keyed window (lag +
+    * running cut count share the sort); per-video frame counts are
+    * bounded, nothing is ever corpus-wide.
+    */
+  def videoShotBoundaries(spark: SparkSession, media: DataFrame,
+      hammingCut: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoFrameHashes(spark, media).toDF()
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .withColumn("hamming", when(col("prev").isNotNull,
+        expr("bit_count(fhash ^ prev)").cast("long")))
+      .withColumn("is_cut",
+        coalesce(col("hamming") >= hammingCut, lit(false)))
+      .withColumn("shot_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("hamming"), col("is_cut"), col("shot_id"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Video near-dup pairs by frame-hash set overlap — the containment
     * discipline (winnowing fingerprints) lifted to frames: two videos
     * pair when they SHARE at least `minOverlap` of the smaller one's

@@ -2952,6 +2952,50 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
   }
 
+  test("video shot boundaries: a real GIF hard cut flags; static frames don't") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    // patterned frames (solid colors are aHash-degenerate): shot A is
+    // white-left/black-right, shot B the inversion — the aHash bits flip
+    // wholesale across the cut and not at all within a shot
+    def halves(leftWhite: Boolean): BufferedImage = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(if (leftWhite) java.awt.Color.WHITE else java.awt.Color.BLACK)
+        g.fillRect(0, 0, 8, 16)
+        g.setColor(if (leftWhite) java.awt.Color.BLACK else java.awt.Color.WHITE)
+        g.fillRect(8, 0, 8, 16)
+      } finally g.dispose()
+      img
+    }
+    val frames = Seq(halves(true), halves(true), halves(false), halves(false))
+    val gifBytes = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val media = Seq((7L, gifBytes, "image/gif")).toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.videoShotBoundaries(spark, media).collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ((None, false, 0L)))            // first frame: no prior
+    assert(out(1L)._1.contains(0L) && !out(1L)._2)    // within-shot: 0 bits
+    assert(out(2L)._1.exists(_ >= 20L) && out(2L)._2) // the hard cut
+    assert(out(2L)._3 == 1L && out(3L)._3 == 1L)      // shot ids advance once
+    assert(!out(3L)._2)
+  }
+
   test("JL projection: linear invariants (identical in, identical out; negation flips)") {
     import spark.implicits._
     val rnd = new java.util.Random(5)
