@@ -5107,7 +5107,13 @@ object Oracles {
     * doc 3 = 44.1 kHz mono 16-bit, doc 5 = float32 sine (peak 0.5),
     * doc 6 = 24-bit PCM sine. The opaque doc 4 contributes NO rows.
     */
-  private val multimodalAudioEnergySql: String = {
+  /** The per-window feature rows of the deterministic WAV fixtures —
+    * pinned constants verified against the engine's real sample decode
+    * (and the spec's independent arithmetic); both audio rows derive
+    * from this one table, so the SEGMENTATION logic downstream of it is
+    * genuinely recomputed in DuckDB.
+    */
+  private val audioEnergyValues: String = {
     val rows = Seq(
       (1, 0, 16L, 0.026866, 0.045776, 0.0),
       (1, 1, 16L, 0.073083, 0.094604, 0.0),
@@ -5128,11 +5134,32 @@ object Oracles {
         s"  (CAST($d AS BIGINT), CAST($w AS INTEGER), CAST($n AS BIGINT), " +
           s"CAST($rms AS DOUBLE), CAST($peak AS DOUBLE), CAST($zcr AS DOUBLE))"
       }.mkString(",\n")
-    s"""SELECT * FROM (VALUES
+    s"""(VALUES
        |$rows
-       |) AS t(doc_id, window_idx, n_samples, rms, peak, zcr)
-       |ORDER BY doc_id, window_idx""".stripMargin
+       |) AS t(doc_id, window_idx, n_samples, rms, peak, zcr)""".stripMargin
   }
+
+  private val multimodalAudioEnergySql: String =
+    s"""SELECT * FROM $audioEnergyValues
+       |ORDER BY doc_id, window_idx""".stripMargin
+
+  /** Silence/active segmentation over the same fixture windows: the
+    * threshold verdicts, boundary detection, and running segment ids are
+    * computed IN DuckDB (lag + running sum), only the rms inputs pin.
+    */
+  private val multimodalAudioSegmentsSql: String =
+    s"""WITH w AS (SELECT * FROM $audioEnergyValues),
+       |a AS (
+       |  SELECT doc_id, window_idx, rms, rms >= 0.05 AS active,
+       |    lag(rms >= 0.05) OVER (PARTITION BY doc_id ORDER BY window_idx) AS prev
+       |  FROM w
+       |)
+       |SELECT doc_id, window_idx, rms, active,
+       |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> active
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY window_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+       |FROM a ORDER BY doc_id, window_idx""".stripMargin
 
   /** The serve-only index twins reuse the fit+serve replays VERBATIM: the
     * persisted index is produced by the same deterministic fit over the
@@ -5300,6 +5327,7 @@ object Oracles {
     "multimodal_audio" -> multimodalAudioSql,
     "multimodal_audio_windows" -> multimodalAudioWindowsSql,
     "multimodal_audio_energy" -> multimodalAudioEnergySql,
+    "multimodal_audio_segments" -> multimodalAudioSegmentsSql,
     "text_top_ngrams" -> topNgramsSql,
 
     // Zipf fit: ln of exact integer rank/freq per point (identical

@@ -1522,6 +1522,14 @@ object Queries {
         col("rms"), col("peak"), col("zcr"))
       .orderBy(col("doc_id"), col("window_idx"))
 
+  /** Silence/active segmentation over the same fixture windows — the
+    * audio sibling of video shot detection (verdicts + running segment
+    * ids computed in both engines; only the rms inputs pin).
+    */
+  def multimodalAudioSegments(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.audioSegments(
+      spark, multimodalAudioFixtures(spark), windowMs = 2)
+
   /** Exact percentiles (linear interpolation — same definition as the
     * oracle's quantile_cont).
     */

@@ -862,6 +862,9 @@ object SparkEntry {
     "multimodal_audio" -> (Queries.multimodalAudio _),
     "multimodal_audio_windows" -> (Queries.multimodalAudioWindows _),
     "multimodal_audio_energy" -> (Queries.multimodalAudioEnergy _),
+    // silence/active segmentation over the same fixture windows (the
+    // audio sibling of video shot detection)
+    "multimodal_audio_segments" -> (Queries.multimodalAudioSegments _),
     // DataSource V2 report source (deterministic fake wire client; no oracle
     // table exists for it — rows-only check)
     "report_source_scan" -> ((s, _) =>

@@ -901,6 +901,33 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(videoFrameHashBatch _)
   }
 
+  /** Silence/active segmentation over the per-window energy features —
+    * the audio sibling of [[videoShotBoundaries]] and the step between
+    * raw windows and a speech corpus: `active = rms ≥ silenceRms`
+    * verdicts, boundary detection where the verdict flips, and a running
+    * `segment_id` per recording (trim = drop inactive segments; split =
+    * group by segment). Threshold compares the ROUND-6 rms both engines
+    * already agree on — never an accumulated double.
+    *
+    * Scale shape: the decode pass is per-row mapPartitions work; the
+    * segmentation is ONE doc-keyed window (lag + running flip count
+    * share the sort). Per-recording window counts are bounded.
+    */
+  def audioSegments(spark: SparkSession, media: DataFrame,
+      windowMs: Int = 25, silenceRms: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    audioWindowFeatures(spark, media, windowMs).toDF()
+      .withColumn("active", col("rms") >= silenceRms)
+      .withColumn("prev", lag(col("active"), 1).over(w))
+      .withColumn("segment_id",
+        sum(when(col("prev").isNotNull && col("prev") =!= col("active"), 1L)
+          .otherwise(0L)).over(w))
+      .select(col("doc_id"), col("window_idx"), col("rms"), col("active"),
+        col("segment_id"))
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
   /** Shot-boundary detection: per video, the frame-to-frame aHash
     * Hamming distance, cut verdicts (`hamming ≥ hammingCut`; a real
     * aHash moves a few bits within a shot and tens of bits across a hard
