@@ -3024,26 +3024,27 @@ object Oracles {
         |FROM g ORDER BY labeled_lang, pred_lang""".stripMargin
     },
 
-    // JL sign projection: the ±1 matrix replays from the portable
-    // md5-prefix hash of 'jl:<j>:<d>'; term sums snap to 1e-8 decimal
-    // (order-free); /4 is the exact dyadic 1/sqrt(16)
-    "sim_jl_project" ->
-      """WITH pts AS (
-        |  SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
-        |), axes AS (
-        |  SELECT unnest(generate_series(0, 15)) AS j
-        |), proj AS (
-        |  SELECT p.vec_id, a.j,
-        |    CAST(sum(CAST(round(p.x * (CASE WHEN
-        |      ('0x' || substring(md5('jl:' || CAST(a.j AS VARCHAR) || ':' ||
-        |        CAST(p.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
-        |      THEN 1.0 ELSE -1.0 END), 8) AS DECIMAL(38,8))) AS DOUBLE) AS s
-        |  FROM pts p CROSS JOIN axes a
-        |  GROUP BY 1, 2
+    // JL sign projection: the ±1 matrix is data-independent, so both
+    // engines carry it as LITERALS (the engine derives them from the
+    // portable md5-prefix hash of 'jl:<j>:<d>' — same builder here);
+    // each axis is one sequential dot product (the VecDot /
+    // list_inner_product parity the cosine oracles pin), /4 exact dyadic
+    "sim_jl_project" -> {
+      val signs = graft.ext.Similarity.jlSigns(16, 64)
+      val axisRows = signs.zipWithIndex.map { case (row, j) =>
+        val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"  (CAST($j AS BIGINT), $arr::DOUBLE[])"
+      }.mkString(",\n")
+      s"""WITH axes AS (
+        |  SELECT * FROM (VALUES
+        |$axisRows
+        |  ) AS t(j, signs)
         |)
-        |SELECT vec_id, j, round(s / 4.0, 6) AS y
-        |FROM proj ORDER BY vec_id, j""".stripMargin,
+        |SELECT e.vec_id, a.j,
+        |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), a.signs) / 4.0, 6) AS y
+        |FROM embeddings e CROSS JOIN axes a
+        |ORDER BY e.vec_id, a.j""".stripMargin
+    },
 
     // MinHash + LSH banding over the portable md5-prefix hash: one base
     // hash per shingle, 32 affine views (a_i·h+b_i mod P), 8 bands × 4

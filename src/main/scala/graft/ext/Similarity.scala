@@ -872,32 +872,48 @@ object Similarity {
     * by at most ε with k = O(ln n / ε²) regardless of input dimension.
     *
     * Determinism: signs derive from the portable md5-prefix hash of
-    * `"jl:<j>:<d>"` (the oracle replays the matrix bit-for-bit); `k` is
-    * fixed at 16 so the final `/√k = /4` is EXACT dyadic; per-term
-    * sign-flips are exact; term sums snap to the 1e-8 grid and sum in
-    * exact decimal (order-free).
+    * `"jl:<j>:<d>"` — data-independent, so they ship as PLAN LITERALS
+    * (the oracle embeds the identical literal rows); `k` is fixed at 16
+    * so the final `/√k = /4` is EXACT dyadic; each dot product is one
+    * sequential codegen loop whose element order is the array order in
+    * both engines (the [[graft.functions.VecDot]]/`list_inner_product`
+    * parity the cosine oracles already pin), rounded at 6.
     *
-    * Scale shape: explode to (vec, dim) pairs, cross the bounded
-    * `k`-row axis (broadcast), one (vec_id, j)-keyed map-side-combined
-    * aggregation — O(N·d·k) work with no shuffle bigger than the
-    * projected output, and no driver state at all.
+    * Scale shape: `k` codegen'd dot products per row — pure map work on
+    * the scan, no explode, no shuffle bigger than the 16-rows-per-vector
+    * output, and no fit state at all.
     */
+  /** The ±1 sign rows, one per output axis, from the portable md5-prefix
+    * hash of `"jl:<j>:<d>"` (d is 1-based) — computed ONCE driver-side
+    * and shipped as plan literals, because the matrix is data-independent.
+    * Rows are `maxDim` long; [[graft.functions.VecDot]] stops at the
+    * shorter input, so one matrix serves any embedding dimension ≤ maxDim.
+    */
+  private[graft] def jlSigns(k: Int, maxDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { j =>
+      Array.tabulate(maxDim) { i =>
+        val hex = md.digest(s"jl:$j:${i + 1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
   def jlProject(emb: DataFrame, k: Int = 16): DataFrame = {
     require(k == 16, "k is pinned to 16 (exact dyadic 1/sqrt(k) = 1/4)")
-    val spark = emb.sparkSession
-    val axes = spark.range(0, k).select(col("id").as("j"))
-    val pts = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("d"),
-        col("x").cast("double").as("x"))
-    val sgn = when(
-      graft.ext.TextAnalysis.portableHash64(
-        concat(lit("jl:"), col("j").cast("string"), lit(":"),
-          col("d").cast("string"))) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-    pts.crossJoin(broadcast(axes))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(graft.functions.Exact.sumQ(col("x") * sgn, 8).as("s"))
-      .select(col("vec_id"), col("j"), round(col("s") / 4.0, 6).as("y"))
+    VectorFunctions.register(emb.sparkSession)
+    // k codegen'd VecDot loops per row against literal sign rows — pure
+    // map work, no explode, no shuffle before the 16-rows-per-vector
+    // output (the r9 rewrite: the explode + (vec, axis)-keyed aggregate
+    // formulation cost 4.5 s at sf0.1; this one is scan-bound)
+    val signs = jlSigns(k, maxDim = 512)
+    val ys = (0 until k).map { j =>
+      round(VectorFunctions.vecDot(col("embedding"),
+        typedLit(signs(j).toSeq)) / 4.0, 6)
+    }
+    emb.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("y"))
       .orderBy(col("vec_id"), col("j"))
   }
 
