@@ -93,7 +93,10 @@ object Bench {
   val heavySubset: Seq[String] = Seq(
     "pipeline_stage_report", "ml_eval_thresholds", "ml_eval_auc",
     "agg_approx_distinct", "text_lr_predict", "ml_eval_calibration",
-    "text_lr_model", "retrieval_eval", "sim_pca_project", "sim_whiten")
+    "text_lr_model", "retrieval_eval", "sim_pca_project", "sim_whiten",
+    // r9 additions in the same cost tier (each self-trains the LR
+    // scorer) plus the round's new graph family
+    "ml_eval_pr_auc", "ml_eval_ks", "sim_communities")
 
   /** r8's recorded `probe_normalized` (BENCH_r08) — the in-artifact
     * regression gate (r8 ask #8, stretch): when this round's legacy-probe

@@ -5331,6 +5331,23 @@ object Oracles {
     "multimodal_audio_segments" -> multimodalAudioSegmentsSql,
     "text_top_ngrams" -> topNgramsSql,
 
+    // sentence segmentation: RE2 has no lookbehind, so both engines mark
+    // the split with a chr(1) sentinel via one capture-group replace;
+    // indices count ALL parts (pre-filter), lengths in CHARACTERS
+    "text_sentences" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+        |      chr(1)) AS parts
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS sent_idx,
+        |  trim(parts[g.i]) AS sentence,
+        |  CAST(length(trim(parts[g.i])) AS BIGINT) AS n_chars
+        |FROM p, UNNEST(generate_series(1, len(parts))) AS g(i)
+        |WHERE trim(parts[g.i]) <> ''
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+
     // Zipf fit: ln of exact integer rank/freq per point (identical
     // doubles), regression sums snapped to the 1e-8 decimal grid
     // (order-free), slope/intercept as Class D quotients at round 6

@@ -383,6 +383,8 @@ object SparkEntry {
         (col("lang") === "en").cast("int").as("y")))
     }),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
+    // sentence segmentation (the RAG/bitext grain between chars and chunks)
+    "text_sentences" -> ((s, dir) => TextAnalysis.sentences(docs(s, dir))),
     // Zipf rank-frequency fit (corpus-health slope) and PMI collocation
     // mining (phrase discovery) — the corpus-statistics pair
     "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir))),

@@ -709,6 +709,28 @@ object TextAnalysis {
           .as("intercept"))
   }
 
+  /** Sentence segmentation: split each document at sentence-final
+    * punctuation (`.`/`!`/`?` followed by whitespace), emitting indexed,
+    * trimmed sentences with their lengths — the grain RAG chunkers,
+    * bitext aligners, and sentence-level dedup operate on (the
+    * complement to [[chunkDocuments]]' token-budget grain). RE2 (the
+    * oracle's regex engine) has no lookbehind, so the split point is
+    * marked with a \\u0001 sentinel via one capture-group replace and
+    * split on the sentinel — identical semantics in both engines.
+    *
+    * Scale shape: pure per-row map + explode; no shuffle at all before
+    * the output sort.
+    */
+  def sentences(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(regexp_replace(col("text"),
+        "([.!?])\\s+", "$1\u0001"), "\u0001")).as(Seq("sent_idx", "sentence")))
+      .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+        trim(col("sentence")).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+      .orderBy(col("doc_id"), col("sent_idx"))
+
   /** PMI collocation mining: the top-`topK` adjacent word pairs by
     * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` with a
     * minimum pair count — the phrase-discovery read ("new york",

@@ -2952,6 +2952,25 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
   }
 
+  test("sentences: splits at terminal punctuation, keeps indices, drops empties") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "First one. Second!  Third?\nFourth has no end", "en", "s1", 10),
+      (2L, "no punctuation at all", "en", "s1", 10),
+      (3L, "Trailing dot. ", "en", "s1", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.sentences(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out((1L, 0L)) == "First one.")
+    assert(out((1L, 1L)) == "Second!")
+    assert(out((1L, 2L)) == "Third?")
+    assert(out((1L, 3L)) == "Fourth has no end")
+    assert(out((2L, 0L)) == "no punctuation at all")
+    // mid-sentence '.' without following whitespace does NOT split, and
+    // the trailing empty part after a final '. ' is dropped
+    assert(out.keys.count(_._1 == 3L) == 1 && out((3L, 0L)) == "Trailing dot.")
+  }
+
   test("video shot boundaries: a real GIF hard cut flags; static frames don't") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
