@@ -1366,6 +1366,17 @@ object Oracles {
 
     // z-order pruned read: same access-path-only guarantee over the
     // two-dimensionally clustered store
+    // bucketed-join layout demo: result must equal the plain join+agg
+    // (bucketing changes the PLAN, never the answer)
+    "layout_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
     "layout_zorder_pruned" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE user_id BETWEEN 10 AND 19

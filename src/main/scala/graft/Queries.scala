@@ -1150,6 +1150,35 @@ object Queries {
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** Shuffle-free co-located join off bucketed tables — THE bucketing
+    * payoff made a registered, oracle-gated query: lineitem and orders
+    * are written `bucketBy(8, key).sortBy(key)` once per session (the
+    * write pays the one shuffle), and every subsequent join meets
+    * bucket-to-bucket with NO Exchange on either join key (PlanSpec
+    * gate; ScaleOpsSpec pins the raw join plan). At 100 TB this is the
+    * difference between re-shuffling two fact tables per query and
+    * never shuffling them again.
+    */
+  def layoutBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.catalog.tableExists("graft_li_bucketed"))
+      graft.operators.ScaleOps.writeBucketed(
+        table(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_li_bucketed", "l_orderkey", 8)
+    if (!spark.catalog.tableExists("graft_o_bucketed"))
+      graft.operators.ScaleOps.writeBucketed(
+        table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_o_bucketed", "o_orderkey", 8)
+    graft.operators.ScaleOps
+      .bucketedJoin(spark, "graft_li_bucketed", "graft_o_bucketed",
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Multi-dimensional pruning, closed loop: the events store Z-order-
     * clustered on (user_id, event_id) with per-file min/max stats on
     * BOTH columns, served through the same manifest-pruned read — a

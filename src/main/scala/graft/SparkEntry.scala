@@ -115,6 +115,8 @@ object SparkEntry {
     // z-ordered store + manifest: a range on a non-partition, non-sole-
     // sort column opens only the files whose (x,y) rectangle intersects
     "layout_zorder_pruned" -> (Queries.layoutZorderPruned _),
+    // shuffle-free co-located join off session-bucketed tables
+    "layout_bucketed_join" -> (Queries.layoutBucketedJoin _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
     "interval_join" -> (Queries.intervalJoin _),

@@ -39,12 +39,23 @@ object ScaleOps {
     * shuffle is paid once at write time and amortized over every
     * subsequent join.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a prior session's managed-table directory can outlive the in-memory
+    // catalog entry; saveAsTable then fails LOCATION_ALREADY_EXISTS on a
+    // table the catalog has never heard of — clear the orphan first
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       leftKey: String, rightKey: String): DataFrame =

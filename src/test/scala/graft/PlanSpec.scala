@@ -468,6 +468,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !full.contains("BroadcastNestedLoopJoin"), full.take(3000))
   }
 
+  test("bucketed join query: NO exchange on either join key (bucket-to-bucket meet)") {
+    // disable broadcast so the tiny test tables take the big-data path —
+    // at scale both sides exceed any threshold and SMJ is what runs
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val plan = planOf(Queries.layoutBucketedJoin(spark, sf))
+      assert(plan.contains("SortMergeJoin"), plan.take(3000))
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join keys must never re-shuffle off bucketed tables\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q6: all three predicate families push into the lineitem scan; no join") {
     val plan = planOf(Queries.q6RevenueDelta(spark, sf))
     assert(plan.contains("PushedFilters"), plan.take(2000))
