@@ -364,6 +364,16 @@ object Oracles {
       |  SELECT domain, line FROM dfreq WHERE df >= 4
       |)""".stripMargin
 
+  /** The JL ±1 sign rows as DuckDB VALUES literals — the identical matrix
+    * the engine derives driver-side ([[graft.ext.Similarity.jlSigns]]);
+    * shared by the projection row and the two-stage serving row.
+    */
+  private val jlAxisRows: String =
+    graft.ext.Similarity.jlSigns(16, 64).zipWithIndex.map { case (row, j) =>
+      val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"  (CAST($j AS BIGINT), $arr::DOUBLE[])"
+    }.mkString(",\n")
+
   private val base: Map[String, String] = Map(
 
     "a1_filter_scan" ->
@@ -1381,6 +1391,23 @@ object Oracles {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |ORDER BY event_id""".stripMargin,
+
+    // winsorization: interpolated fences (the agg_percentiles definition),
+    // clip comparisons on engine-identical doubles, decimal-grid sums
+    "events_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |    quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_type, f.n_rows, round(f.lo, 4) AS lo, round(f.hi, 4) AS hi,
+        |  CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  round(CAST(sum(CAST(round(least(greatest(e.value, f.lo), f.hi), 6)
+        |    AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS winsorized_mean
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY e.event_type""".stripMargin,
 
     "agg_percentiles" ->
       """SELECT l_returnflag,
@@ -3040,22 +3067,58 @@ object Oracles {
     // portable md5-prefix hash of 'jl:<j>:<d>' — same builder here);
     // each axis is one sequential dot product (the VecDot /
     // list_inner_product parity the cosine oracles pin), /4 exact dyadic
-    "sim_jl_project" -> {
-      val signs = graft.ext.Similarity.jlSigns(16, 64)
-      val axisRows = signs.zipWithIndex.map { case (row, j) =>
-        val arr = row.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-        s"  (CAST($j AS BIGINT), $arr::DOUBLE[])"
-      }.mkString(",\n")
+    "sim_jl_project" ->
       s"""WITH axes AS (
         |  SELECT * FROM (VALUES
-        |$axisRows
+        |$jlAxisRows
         |  ) AS t(j, signs)
         |)
         |SELECT e.vec_id, a.j,
         |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), a.signs) / 4.0, 6) AS y
         |FROM embeddings e CROSS JOIN axes a
-        |ORDER BY e.vec_id, a.j""".stripMargin
-    },
+        |ORDER BY e.vec_id, a.j""".stripMargin,
+
+    // two-stage JL serving: reduced vectors rebuilt as ordered round-6
+    // lists, cosine shortlist (same rank/tiebreak as the engine), exact
+    // full-dimension re-rank of the shortlist only
+    "sim_topk_jl" ->
+      s"""WITH axes AS (
+        |  SELECT * FROM (VALUES
+        |$jlAxisRows
+        |  ) AS t(j, signs)
+        |), red AS (
+        |  SELECT e.vec_id,
+        |    list(round(list_inner_product(CAST(e.embedding AS DOUBLE[]), a.signs)
+        |      / 4.0, 6) ORDER BY a.j) AS r
+        |  FROM embeddings e CROSS JOIN axes a
+        |  GROUP BY e.vec_id
+        |), qs AS (
+        |  SELECT vec_id AS query_id, r AS qr FROM red WHERE vec_id IN (0, 1, 2)
+        |), scored AS (
+        |  SELECT q.query_id, r.vec_id,
+        |    round(list_cosine_similarity(r.r, q.qr), 6) AS rcos
+        |  FROM red r CROSS JOIN qs q
+        |  WHERE r.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY rcos DESC, vec_id) AS rn
+        |    FROM scored)
+        |  WHERE rn <= 50
+        |), rer AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
+        |      CAST(eq.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ev ON c.vec_id = ev.vec_id
+        |  JOIN embeddings eq ON c.query_id = eq.vec_id
+        |)
+        |SELECT query_id, vec_id, cos, rn AS rank FROM (
+        |  SELECT query_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM rer)
+        |WHERE rn <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // MinHash + LSH banding over the portable md5-prefix hash: one base
     // hash per shingle, 32 affine views (a_i·h+b_i mod P), 8 bands × 4

@@ -1580,6 +1580,36 @@ object Queries {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Winsorization report: per event type, the p1/p99 fences, how many
+    * values each fence clips, and the winsorized mean — the robust
+    * preprocessing step before any mean-based feature (a handful of
+    * fat-finger values otherwise own the average; MAD flags them,
+    * winsorize FIXES them). Fences are exact interpolated percentiles
+    * (the agg_percentiles definition both engines share); clipped values
+    * are identical doubles in both engines, summed on the order-free
+    * decimal grid.
+    *
+    * Scale shape: one percentile aggregation per type (bounded output)
+    * broadcast back over one corpus pass — two scans total, no window.
+    */
+  def eventsWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("event_type"), col("value"))
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.01D, 0.99D))").as("ps"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("n_rows"),
+        element_at(col("ps"), 1).as("lo"), element_at(col("ps"), 2).as("hi"))
+    val clipped = least(greatest(col("value"), col("lo")), col("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_rows"),
+        round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+      .agg(
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        round(Exact.sumQ(clipped, 6) / count(lit(1)), 4).as("winsorized_mean"))
+      .orderBy(col("event_type"))
+  }
+
   /** Interval (range) join, bucketed: purchase↔error pairs for the same
     * user within one hour. The scale-sound formulation: bin timestamps to
     * hour buckets, explode the left side into its bucket±1, equi-join on

@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_cube" -> (Queries.aggCube _),
     "corpus_expectations" -> (Queries.corpusExpectations _),
     "text_top_per_lang" -> ((s, dir) => Queries.textTopPerLang(s, dir)),
+    // p1/p99 winsorization report (the robust-mean preprocessing step)
+    "events_winsorize" -> (Queries.eventsWinsorize _),
     "events_value_quartiles" -> (Queries.eventsValueQuartiles _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
@@ -835,6 +837,10 @@ object SparkEntry {
     "sim_communities" -> ((s, dir) => Similarity.embeddingCommunities(emb(s, dir))),
     // fit-free JL sign projection (the dimension cut BEFORE PCA/PQ)
     "sim_jl_project" -> ((s, dir) => Similarity.jlProject(emb(s, dir))),
+    // two-stage serving through the JL space: reduced shortlist → exact
+    // full-dimension re-rank (the matryoshka twin for non-MRL encoders)
+    "sim_topk_jl" -> ((s, dir) =>
+      Similarity.jlShortlistTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

@@ -917,6 +917,51 @@ object Similarity {
       .orderBy(col("vec_id"), col("j"))
   }
 
+  /** The corpus in JL-reduced form: `(vec_id, embedding)` with the
+    * 16-component sign projection as the vector (components round-6, so
+    * both engines score the identical reduced space).
+    */
+  private def jlReduced(emb: DataFrame): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val signs = jlSigns(16, maxDim = 512)
+    val ys = (0 until 16).map { j =>
+      round(VectorFunctions.vecDot(col("embedding"),
+        typedLit(signs(j).toSeq)) / 4.0, 6)
+    }
+    emb.select(col("vec_id"), array(ys: _*).as("embedding"))
+  }
+
+  /** Two-stage exact-k serving through the JL space: shortlist by cosine
+    * in the 16-d reduced projection (4× fewer scan FLOPs per candidate
+    * at d=64, and the reduced vectors are what you'd PERSIST — 128 B vs
+    * the full payload), then re-rank ONLY the shortlist with the exact
+    * full-dimension cosine. The JL twin of [[matryoshkaTopK]] for models
+    * NOT trained with matryoshka losses — JL needs no cooperation from
+    * the encoder. Shortlist ≫ k absorbs the distortion (recall loss only
+    * when a true top-k neighbor falls outside the top-`shortlist` of the
+    * reduced space, exponentially unlikely as the ratio grows).
+    *
+    * Scale shape: stage 1 is the broadcast-queries reduced scan + the
+    * anchor window; stage 2 touches `|queries|·shortlist` full vectors
+    * through one broadcast semi-pattern join — the corpus is never
+    * scanned at full dimension.
+    */
+  def jlShortlistTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val cand = bruteForceTopK(jlReduced(emb), queryIds, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(anchorRank))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Community detection over the kNN graph by synchronous label
     * propagation (Raghavan et al. 2007, deterministic form) — the
     * partition-into-themes read that completes the graph tier: components

@@ -3032,6 +3032,26 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("JL shortlist top-k: planted clones surface at cos 1; high overlap with brute force") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val q = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val clones = Seq(100L, 101L, 102L).map(i => (i, q.clone()))
+    val rest = (10L until 60L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val e = ((0L, q) +: clones ++: rest).toDF("vec_id", "embedding")
+    val jl = graft.ext.Similarity.jlShortlistTopK(e, Seq(0L), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // identical vectors survive ANY projection: the three clones hold
+    // ranks 1-3 at exact cosine 1.0
+    assert(jl.take(3).map(_._1).toSet == Set(100L, 101L, 102L), jl.take(5).toSeq)
+    assert(jl.take(3).forall(_._2 == 1.0))
+    val bf = graft.ext.Similarity.bruteForceTopK(e, Seq(0L), 10)
+      .collect().map(_.getLong(1)).toSet
+    val overlap = jl.map(_._1).count(bf)
+    assert(overlap >= 6, s"JL recall@10 too low: $overlap/10 (fixed seed — deterministic)")
+  }
+
   test("langid confusion: planted corpus lands on the diagonal with recall 1") {
     import spark.implicits._
     val d = Seq(
