@@ -1392,6 +1392,30 @@ object Oracles {
         |FROM events WHERE user_id BETWEEN 10 AND 19
         |ORDER BY event_id""".stripMargin,
 
+    // TWAP: exact integer µs intervals from the per-(type, day) lead,
+    // value·w exactly 2-dp decimal (2-dp value × integer weight), both
+    // quotients Class D at round 4
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |    strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS us
+        |  FROM events
+        |), iv AS (
+        |  SELECT event_type, day, value,
+        |    lead(us) OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) - us AS w_us
+        |  FROM e
+        |)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(w_us) AS BIGINT) AS total_us,
+        |  round(CAST(sum(CAST(round(value * w_us, 2) AS DECIMAL(38,2))) AS DOUBLE)
+        |    / CAST(sum(w_us) AS BIGINT), 4) AS twap,
+        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE)
+        |    / count(*), 4) AS plain_mean
+        |FROM iv WHERE w_us IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
+
     // winsorization: interpolated fences (the agg_percentiles definition),
     // clip comparisons on engine-identical doubles, decimal-grid sums
     "events_winsorize" ->

@@ -1580,6 +1580,39 @@ object Queries {
         col("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Time-weighted average value (TWAP) per type and day: each
+    * observation holds until the next one of its type that day, so its
+    * value is weighted by the µs interval it was live — the correct
+    * "average level" read for irregular event streams, where the plain
+    * mean over-weights bursts (a quiet hour at value 100 must count 60×
+    * a busy minute at 5). The day's last observation carries no interval
+    * and drops, the standard open-interval convention.
+    *
+    * Numerics: value is 2-dp and the interval an exact integer µs count,
+    * so `value·w` is exactly 2-dp decimal — summed on the exact grid;
+    * the final quotient of two engine-identical numbers rounds at 4.
+    * Scale shape: ONE (type, day)-keyed window (lead) feeding the
+    * groupBy that reuses its partitioning; bounded per-day series.
+    */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("w_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("w_us").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("w_us")).as("total_us"),
+        round(Exact.sumQ(col("value") * col("w_us"), 2) / sum(col("w_us")), 4)
+          .as("twap"),
+        round(Exact.sumQ(col("value"), 2) / count(lit(1)), 4).as("plain_mean"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Winsorization report: per event type, the p1/p99 fences, how many
     * values each fence clips, and the winsorized mean — the robust
     * preprocessing step before any mean-based feature (a handful of

@@ -56,6 +56,8 @@ object SparkEntry {
     "text_top_per_lang" -> ((s, dir) => Queries.textTopPerLang(s, dir)),
     // p1/p99 winsorization report (the robust-mean preprocessing step)
     "events_winsorize" -> (Queries.eventsWinsorize _),
+    // time-weighted average level per type/day (irregular-stream mean)
+    "events_twap" -> (Queries.eventsTwap _),
     "events_value_quartiles" -> (Queries.eventsValueQuartiles _),
     "set_ops" -> (Queries.setOps _),
     "asof_join" -> (Queries.asofJoinQuery _),
