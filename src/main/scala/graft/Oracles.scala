@@ -5429,6 +5429,28 @@ object Oracles {
     "multimodal_audio_segments" -> multimodalAudioSegmentsSql,
     "text_top_ngrams" -> topNgramsSql,
 
+    // Flesch reading ease: every ratio a quotient of exact integer
+    // counts (identical doubles), vowel-group syllables with the
+    // one-per-word floor via the no-vowel-word correction
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(list_filter(string_split_regex(text, '[.!?]'),
+        |      s -> trim(s) <> '')), 1) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      + len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        w -> w <> '' AND NOT regexp_matches(w, '[aeiouy]'))) AS BIGINT)
+        |      AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+        |FROM c WHERE n_words > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // sentence segmentation: RE2 has no lookbehind, so both engines mark
     // the split with a chr(1) sentinel via one capture-group replace;
     // indices count ALL parts (pre-filter), lengths in CHARACTERS

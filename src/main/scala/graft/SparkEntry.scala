@@ -391,6 +391,8 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir))),
     // sentence segmentation (the RAG/bitext grain between chars and chunks)
     "text_sentences" -> ((s, dir) => TextAnalysis.sentences(docs(s, dir))),
+    // Flesch reading ease (vowel-group syllable heuristic)
+    "text_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
     // Zipf rank-frequency fit (corpus-health slope) and PMI collocation
     // mining (phrase discovery) — the corpus-statistics pair
     "text_zipf" -> ((s, dir) => TextAnalysis.zipfFit(docs(s, dir))),

@@ -731,6 +731,38 @@ object TextAnalysis {
       .withColumn("n_chars", length(col("sentence")).cast("long"))
       .orderBy(col("doc_id"), col("sent_idx"))
 
+  /** Flesch reading-ease score per document — the classic readability
+    * signal quality gates stack next to stopword/length heuristics
+    * (very low = legalese/OCR junk, implausibly high = word-salad):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`, with
+    * sentences counted at terminal punctuation (min 1) and syllables by
+    * the standard vowel-group heuristic (`[aeiouy]+` runs per word,
+    * min 1 per word). Every ratio is a quotient of exact integers —
+    * identical doubles in both engines, rounded at 4. Pure per-row map.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(filter(split(lower(col("text")), "\\s+"),
+      w => w =!= ""))
+    val sents = greatest(
+      size(filter(split(col("text"), "[.!?]"), s => trim(s) =!= "")), lit(1))
+    // syllables: one vowel-group run per word minimum — count runs over
+    // the whole lowered text, then floor each word at 1 via the word
+    // count minus words-with-vowels correction
+    val vowelRuns = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0)))
+    val wordsNoVowel = size(filter(split(lower(col("text")), "\\s+"),
+      w => w =!= "" && !w.rlike("[aeiouy]")))
+    docs.select(col("doc_id"),
+        words.cast("long").as("n_words"),
+        sents.cast("long").as("n_sentences"),
+        (vowelRuns + wordsNoVowel).cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** PMI collocation mining: the top-`topK` adjacent word pairs by
     * pointwise mutual information `ln(p(ab) / (p(a)·p(b)))` with a
     * minimum pair count — the phrase-discovery read ("new york",
