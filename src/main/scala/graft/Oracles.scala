@@ -287,11 +287,11 @@ object Oracles {
       |), dd AS MATERIALIZED (
       |  SELECT CAST(max(len(e)) AS INT) AS d FROM e
       |), mu AS MATERIALIZED (
-      |  SELECT g.i - 1 AS dim, round(CAST(sum(CAST(round(e[g.i], 9) AS DECIMAL(38,9))) AS DOUBLE) / nn.n, 7) AS mu
+      |  SELECT g.i - 1 AS dim, round(sum(e[g.i]) / nn.n, 7) AS mu
       |  FROM e, UNNEST(generate_series(1, len(e))) AS g(i), nn
       |  GROUP BY g.i - 1, nn.n
       |), cp AS MATERIALIZED (
-      |  SELECT g1.i - 1 AS i, g2.i - 1 AS j, CAST(sum(CAST(round(e[g1.i] * e[g2.i], 9) AS DECIMAL(38,9))) AS DOUBLE) AS sp
+      |  SELECT g1.i - 1 AS i, g2.i - 1 AS j, sum(e[g1.i] * e[g2.i]) AS sp
       |  FROM e, UNNEST(generate_series(1, len(e))) AS g1(i),
       |    UNNEST(generate_series(1, len(e))) AS g2(i)
       |  GROUP BY 1, 2
@@ -1707,9 +1707,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(CAST(sum(CAST(round(
+        |    round(sum(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1749,9 +1749,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(CAST(sum(CAST(round(
+        |    round(sum(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1805,9 +1805,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), sscored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(CAST(sum(CAST(round(
+        |    round(sum(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -3781,6 +3781,65 @@ object Oracles {
         |  round(CAST(max(tot_pos) AS DOUBLE) / (max(tot_pos) + max(tot_neg)), 6) AS baseline
         |FROM cum""".stripMargin),
 
+    // bootstrap CI on AUC: the Poisson(1) multiplicities replay from the
+    // portable hash (identical resamples in both engines); per-replica
+    // AUCs are the usual exact rank-sums; CI bounds are order statistics
+    "ml_eval_auc_ci" -> {
+      val caseExpr = graft.ext.ModelEval.poissonCdf.zipWithIndex
+        .map { case (c, k) => f"WHEN u < $c%.17g THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      lrScoreCtes + s""",
+        |sc AS MATERIALIZED (
+        |  SELECT p.doc_id AS id, round(p.p, 4) AS s, dl.y AS y
+        |  FROM pf p JOIN dl USING (doc_id)
+        |), s4p AS (
+        |  SELECT CAST(round(s * 10000) AS BIGINT) AS s4,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        |  FROM sc GROUP BY 1
+        |), cump AS (
+        |  SELECT s4, n_pos, n_neg,
+        |    COALESCE(sum(n_neg) OVER (ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM s4p
+        |), point AS (
+        |  SELECT round(sum(n_pos * (neg_below + n_neg / 2.0)) /
+        |    (sum(n_pos) * sum(n_neg)), 6) AS auc
+        |  FROM cump
+        |), reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+        |dr AS (
+        |  SELECT r.b, sc.s, sc.y,
+        |    (('0x' || substring(md5('boot:' || CAST(r.b AS VARCHAR) || ':' ||
+        |      CAST(sc.id AS VARCHAR)), 1, 15))::BIGINT % 1000000) / 1000000.0 AS u
+        |  FROM sc CROSS JOIN reps r
+        |), dm AS (
+        |  SELECT b, s, y, $caseExpr AS m FROM dr
+        |), h AS (
+        |  SELECT b, CAST(round(s * 10000) AS BIGINT) AS s4,
+        |    CAST(sum(y * m) AS BIGINT) AS n_pos,
+        |    CAST(sum((1 - y) * m) AS BIGINT) AS n_neg
+        |  FROM dm GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT b, s4, n_pos, n_neg,
+        |    COALESCE(sum(n_neg) OVER (PARTITION BY b ORDER BY s4
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |  FROM h
+        |), a AS MATERIALIZED (
+        |  SELECT b, round(sum(n_pos * (neg_below + n_neg / 2.0)) /
+        |    (sum(n_pos) * sum(n_neg)), 6) AS auc
+        |  FROM cum GROUP BY b
+        |), rk AS MATERIALIZED (
+        |  SELECT auc, row_number() OVER (ORDER BY auc, b) AS r FROM a
+        |)
+        |SELECT point.auc AS auc,
+        |  (SELECT round(CAST(sum(CAST(round(auc, 10) AS DECIMAL(38,10)))
+        |    AS DOUBLE) / 32, 6) FROM a) AS boot_mean,
+        |  (SELECT auc FROM rk WHERE r = 2) AS ci_lo,
+        |  (SELECT auc FROM rk WHERE r = 31) AS ci_hi,
+        |  CAST(32 AS BIGINT) AS n_replicas
+        |FROM point""".stripMargin
+    },
+
     // KS separation: CDF quotients of exact integer cumulatives (no
     // accumulation -> engine-identical doubles), max + smallest-threshold
     // argmax via the same (diff DESC, s4) total order
@@ -4765,7 +4824,7 @@ object Oracles {
     val iters = (1 to 3).map { t =>
       val pw = if (t == 1) "w0" else s"w${t - 1}"
       s"""m$t AS (
-         |  SELECT x.doc_id, round(CAST(sum(CAST(round(x.x * w.w, 10) AS DECIMAL(38,10))) AS DOUBLE), 7) AS ms
+         |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
          |  FROM xf x JOIN $pw w ON x.b = w.b GROUP BY 1
          |), p$t AS (
          |  SELECT m.doc_id,
@@ -4773,11 +4832,11 @@ object Oracles {
          |      - dl.y AS r
          |  FROM m$t m JOIN dl USING (doc_id)
          |), g$t AS (
-         |  SELECT x.b, round(CAST(sum(CAST(round(p.r * x.x, 10) AS DECIMAL(38,10))) AS DOUBLE) / (SELECT n_docs FROM nn), 6) AS g
+         |  SELECT x.b, round(sum(p.r * x.x) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM xf x JOIN p$t p USING (doc_id) GROUP BY 1
          |  UNION ALL
          |  SELECT CAST(-1 AS BIGINT) AS b,
-         |    round(CAST(sum(CAST(round(r, 7) AS DECIMAL(38,7))) AS DOUBLE) / (SELECT n_docs FROM nn), 6) AS g
+         |    round((CAST(sum(CAST(round(r * 1e7) AS BIGINT)) AS DOUBLE) / 1e7) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM p$t
          |), w$t AS (
          |  SELECT w.b, round(w.w - COALESCE(g.g, 0.0), 6) AS w
@@ -4876,7 +4935,7 @@ object Oracles {
   private def lrScoreCtes: String =
     lrGdCtes + """,
       |mf AS (
-      |  SELECT x.doc_id, round(CAST(sum(CAST(round(x.x * w.w, 10) AS DECIMAL(38,10))) AS DOUBLE), 7) AS ms
+      |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
       |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
       |), pf AS (
       |  SELECT m.doc_id,
@@ -4948,7 +5007,7 @@ object Oracles {
       |  FROM model, tot
       |), wts AS (
       |  SELECT x.doc_id, CAST(sum(x.c) AS BIGINT) AS n_feats,
-      |    round(CAST(sum(CAST(round(x.c * lr, 9) AS DECIMAL(38,9))) AS DOUBLE), 4) AS logw
+      |    round(sum(x.c * lr), 4) AS logw
       |  FROM docb x JOIN lmodel USING (b) GROUP BY x.doc_id
       |)""".stripMargin
 

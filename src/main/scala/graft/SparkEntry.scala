@@ -377,6 +377,12 @@ object SparkEntry {
     // separation (max CDF gap + the best single cutoff), same histogram
     "ml_eval_pr_auc" -> ((s, dir) => ModelEval.prAuc(lrScored(s, dir))),
     "ml_eval_ks" -> ((s, dir) => ModelEval.ksStatistic(lrScored(s, dir))),
+    // deterministic Poisson-bootstrap CI on AUC (hash-drawn resamples —
+    // both engines draw identical replicas, so the interval is oracled)
+    "ml_eval_auc_ci" -> ((s, dir) => ModelEval.aucBootstrapCi(
+      TextAnalysis.lrPredict(docs(s, dir)).select(
+        col0("doc_id").as("id"), col0("p").as("s"),
+        col0("is_en").cast("int").as("y")))),
     // ...and the calibration REPAIR: isotonic (PAV via the loop-free
     // minimax closed form over bounded bins, replayed exactly). Scored
     // by the [0,1]-mapped QUALITY signal rather than the LR posterior:

@@ -223,6 +223,80 @@ object ModelEval {
         round(col("n_pos").cast("double") / (col("n_pos") + col("n_neg")), 6))
   }
 
+  /** Cumulative Poisson(1) probabilities `P(X ≤ k)` for k = 0..7 — the
+    * inverse-CDF breakpoints of the deterministic bootstrap (tail mass
+    * beyond 7 maps to 8). Data-independent constants: both engines carry
+    * them as literals (17 significant digits round-trips a double
+    * exactly).
+    */
+  private[graft] val poissonCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    Seq.iterate((e, 1.0, 0), 8) { case (cum, fact, k) =>
+      val f = fact * (k + 1)
+      (cum + e / f, f, k + 1)
+    }.map(_._1)
+  }
+
+  /** Bootstrap confidence interval on ROC AUC via the DETERMINISTIC
+    * Poisson bootstrap (Chamandy et al. 2012 — the resampling scheme
+    * built for partitioned data: each row enters replica `b` with
+    * multiplicity `Poisson(1)`, drawn here by inverse CDF on the
+    * portable hash of `(replica, row id)`, so both engines draw the
+    * IDENTICAL resamples and the whole interval sits inside the oracle
+    * gate). Point estimate, bootstrap mean, and the 2.5/97.5 percentile
+    * interval as exact order statistics of the 32 replica AUCs. The
+    * metric every gate comparison actually needs: "AUC 0.71 vs 0.69" is
+    * noise or signal depending on exactly this interval.
+    *
+    * Input adds `id` (a stable row key) to the (s, y) contract. Scale
+    * shape: ONE corpus×replicas map-side-combined groupBy onto the
+    * ≤replicas·10,001-row striped histogram; every window downstream is
+    * replica-keyed and bounded. Replica count is pinned at 32 so the
+    * bootstrap-mean division is exact dyadic.
+    */
+  def aucBootstrapCi(scored: DataFrame, replicas: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(replicas == 32, "replicas pinned to 32 (exact dyadic mean, fixed CI ranks)")
+    val spark = scored.sparkSession
+    val reps = spark.range(0, replicas.toLong).select(col("id").as("b"))
+    val u = (graft.ext.TextAnalysis.portableHash64(
+      concat(lit("boot:"), col("b").cast("string"), lit(":"),
+        col("id").cast("string"))) % 1000000L).cast("double") / 1e6
+    val m = poissonCdf.zipWithIndex.foldRight(lit(8L)) { case ((c, k), acc) =>
+      when(col("u") < c, lit(k.toLong)).otherwise(acc)
+    }
+    val hist = scored.crossJoin(broadcast(reps))
+      .withColumn("u", u)
+      .withColumn("m", m)
+      .groupBy(col("b"), s4Col.as("s4"))
+      .agg(sum(col("y") * col("m")).cast("long").as("n_pos"),
+        sum((lit(1) - col("y")) * col("m")).cast("long").as("n_neg"))
+    val w = Window.partitionBy(col("b")).orderBy(col("s4"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aucs = hist
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .groupBy(col("b"))
+      .agg(round(sum(col("n_pos") * (col("neg_below") + col("n_neg") / 2.0)) /
+        (sum(col("n_pos")) * sum(col("n_neg"))), 6).as("auc"))
+      .localCheckpoint(true)
+    val ranked = aucs.withColumn("r",
+      row_number().over(Window.orderBy(col("auc"), col("b"))))
+    val boot = aucs.agg(
+      round(graft.functions.Exact.sumQ(col("auc"), 10) / replicas, 6)
+        .as("boot_mean"),
+      count(lit(1)).as("n_replicas"))
+    val lo = ranked.filter(col("r") === 2).select(col("auc").as("ci_lo"))
+    val hi = ranked.filter(col("r") === replicas - 1)
+      .select(col("auc").as("ci_hi"))
+    binaryAuc(scored.select(col("s"), col("y")))
+      .select(col("auc"))
+      .crossJoin(broadcast(boot))
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("auc"), col("boot_mean"), col("ci_lo"), col("ci_hi"),
+        col("n_replicas"))
+  }
+
   /** Kolmogorov-Smirnov separation: `KS = max_s |CDF_pos(s) − CDF_neg(s)|`
     * over the score grid, with the argmax threshold — the classic
     * score-separation read (credit-risk heritage) that names the single

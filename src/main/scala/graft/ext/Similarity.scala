@@ -356,7 +356,7 @@ object Similarity {
   private[graft] def pcaMeans(emb: DataFrame, n: Double): DataFrame =
     emb.select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(round(Exact.sumQ(col("x"), 9) / lit(n), 7).as("mu"))
+      .groupBy(col("dim")).agg(round(sum(col("x")) / lit(n), 7).as("mu"))
 
   /** The one-pass covariance frame (lazy): d² cross-products generated
     * in-task by nested transform + explode, feeding a map-side partial
@@ -373,7 +373,7 @@ object Similarity {
             (xi * xj).as("p")))))).as("s"))
       .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
     prods.groupBy(col("i"), col("j"))
-      .agg(Exact.sumQ(col("p"), 9).as("sp"))
+      .agg(sum(col("p")).as("sp"))
       .join(mu.select(col("dim").as("i"), col("mu").as("mu_i")), Seq("i"))
       .join(mu.select(col("dim").as("j"), col("mu").as("mu_j")), Seq("j"))
       .select(col("i"), col("j"),

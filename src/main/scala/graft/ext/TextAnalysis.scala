@@ -1848,7 +1848,7 @@ object TextAnalysis {
     docB.join(broadcast(lmodel), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"),
-        round(Exact.sumQ(col("c") * col("lr"), 9), 4).as("logw"))
+        round(sum(col("c") * col("lr")), 4).as("logw"))
       .orderBy(col("doc_id"))
 
   /** Persist the DSIR log-ratio model (fit-once-score-many, the
@@ -2472,9 +2472,9 @@ object TextAnalysis {
     for (_ <- 1 to iters) {
       val pr = lrResiduals(xf, dl, w)
       val gB = xf.join(pr, Seq("doc_id"))
-        .groupBy(col("b")).agg(Exact.sumQ(col("r") * col("x"), 10).as("gs"))
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gs"))
         .collect() // bounded: <= buckets rows
-      val bias = pr.agg(Exact.sumQ(col("r"), 7).as("gs"), count(lit(1)).as("cnt"))
+      val bias = pr.agg(Exact.sumQL(col("r"), 7).as("gs"), count(lit(1)).as("cnt"))
         .collect()(0)
       val nDocs = bias.getLong(1)
       // empty feature frame (all docs zero-token): no gradient signal —
@@ -2512,7 +2512,7 @@ object TextAnalysis {
     val wDf = w.toSeq.filter(_._1 >= 0L).toDF("b", "w")
     xf.join(broadcast(wDf), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(round(Exact.sumQ(col("x") * col("w"), 10), 7).as("ms"))
+      .agg(round(sum(col("x") * col("w")), 7).as("ms"))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-(col("ms") + lit(w(-1L))))), 7).as("p"))
   }
@@ -2551,20 +2551,21 @@ object TextAnalysis {
   def lrPredict(docs: DataFrame, buckets: Int = 64, iters: Int = 3): DataFrame = {
     val (xf, dl) = lrFrames(docs, buckets)
     xf.persist(); dl.persist()
-    // the cache pays off inside the ITERATIVE fit; release it before
-    // returning (the lrModel try/finally discipline — long-lived drivers
-    // must not keep corpus-sized cached blocks past the call). The
-    // returned frame is one linear pass that simply recomputes xf/dl
-    // from the source, keeping the plan inspectable (no checkpoint
-    // truncation) and the session leak-free.
-    val w = try lrFitWeights(xf, dl, buckets, iters)
-    finally { xf.unpersist(); dl.unpersist() }
-    lrProbabilities(xf, w)
-      .join(dl, Seq("doc_id"))
-      .select(col("doc_id"), round(col("p"), 4).as("p"),
-        (col("p") >= 0.5).as("pred_en"), (col("y") === 1).as("is_en"))
-      .withColumn("correct", col("pred_en") === col("is_en"))
-      .orderBy(col("doc_id"))
+    // score while the fit's caches are still hot, materialize EAGERLY,
+    // then release — the session stays leak-free (the lrModel try/finally
+    // discipline) without the r9 recompute tax (scoring off uncached
+    // xf/dl re-ran the whole feature pipeline: +2 s per eval row at
+    // sf0.1, ×6 registered eval queries)
+    try {
+      val w = lrFitWeights(xf, dl, buckets, iters)
+      lrProbabilities(xf, w)
+        .join(dl, Seq("doc_id"))
+        .select(col("doc_id"), round(col("p"), 4).as("p"),
+          (col("p") >= 0.5).as("pred_en"), (col("y") === 1).as("is_en"))
+        .withColumn("correct", col("pred_en") === col("is_en"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally { xf.unpersist(); dl.unpersist() }
   }
 
   /** Persist the fitted LR weight vector (fit-once-score-many, the
@@ -2682,7 +2683,7 @@ object TextAnalysis {
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(Exact.sumQ(termW, 6), 4).as("score"))
+      .agg(round(sum(termW), 4).as("score"))
 
     scored
       .withColumn("rank", row_number().over(

@@ -63,6 +63,27 @@ object Exact {
   def sumQR(c: Column, s: Int, r: Int): Column =
     round(sum(round(c, s).cast(DecimalType(38, s))), r).cast("double")
 
+  /** Scaled-LONG exact sum for summands ALREADY on the 10^−s grid
+    * (quantized residuals, pre-rounded scores): `Σ x` via
+    * `sum(round(x·10^s) as long) / 10^s` — order-free integer addition at
+    * native long speed, ~4× cheaper than the [[sumQ]] decimal path
+    * (measured on the r9 PCA/LR regressions). ONLY for grid-resident
+    * summands: the long scaling of an off-grid value would truncate real
+    * mass. Overflow envelope: |Σ x·10^s| must stay under 2^63 ≈ 9.2e18 —
+    * at s=7 and |x| ≤ 1 that is ~9e11 rows per aggregation group; use
+    * [[sumQ]] where groups can exceed it.
+    */
+  def sumQL(c: Column, s: Int): Column = {
+    val scale = math.pow(10, s)
+    sum(round(c * scale, 0).cast("long")).cast("double") / scale
+  }
+
+  /** The DuckDB replay of [[sumQL]]. */
+  def sqlSumQL(x: String, s: Int): String = {
+    val scale = s"1e$s"
+    s"(CAST(sum(CAST(round($x * $scale) AS BIGINT)) AS DOUBLE) / $scale)"
+  }
+
   /** The DuckDB replay of [[sumQ]] for oracle SQL builders. */
   def sqlSumQ(x: String, s: Int): String =
     s"CAST(sum(CAST(round($x, $s) AS DECIMAL(38,$s))) AS DOUBLE)"

@@ -2935,6 +2935,31 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ext.ModelEval.prAuc(sep).collect()(0).getDouble(3) == 1.0)
   }
 
+  test("AUC bootstrap CI: point matches binaryAuc; interval brackets the mean; separable pins to 1") {
+    import spark.implicits._
+    val rnd = new java.util.Random(31)
+    // 20 noisy positives / 20 noisy negatives on the 1e-4 grid: enough
+    // mass that every Poisson replica keeps both classes (P(miss) ~ e^-20)
+    val rows = (0L until 20L).map(i =>
+      (i, math.rint((0.55 + rnd.nextDouble() * 0.4) * 1e4) / 1e4, 1)) ++
+      (20L until 40L).map(i =>
+        (i, math.rint((0.05 + rnd.nextDouble() * 0.5) * 1e4) / 1e4, 0))
+    val scored = rows.toDF("id", "s", "y")
+    val r = graft.ext.ModelEval.aucBootstrapCi(scored).collect()(0)
+    val point = graft.ext.ModelEval.binaryAuc(
+      scored.select(org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("y"))).collect()(0).getDouble(3)
+    assert(r.getDouble(0) == point)
+    assert(r.getDouble(2) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(3),
+      s"ci [${r.getDouble(2)}, ${r.getDouble(3)}] must bracket mean ${r.getDouble(1)}")
+    assert(r.getLong(4) == 32)
+    // a separable corpus has AUC 1 under EVERY resample -> degenerate CI
+    val sep = ((0L until 20L).map(i => (i, 0.9, 1)) ++
+      (20L until 40L).map(i => (i, 0.1, 0))).toDF("id", "s", "y")
+    val s2 = graft.ext.ModelEval.aucBootstrapCi(sep).collect()(0)
+    assert(s2.getDouble(0) == 1.0 && s2.getDouble(2) == 1.0 && s2.getDouble(3) == 1.0)
+  }
+
   test("KS: max CDF gap and smallest attaining threshold by hand") {
     import spark.implicits._
     val scored = Seq(

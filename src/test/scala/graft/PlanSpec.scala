@@ -188,8 +188,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("LR scoring: weights enter as a broadcast join, never a shuffle on the 65-row side") {
+    // lrPredict eagerly checkpoints its result (leak-free caches without
+    // the recompute tax), truncating its plan — gate the SAME scoring
+    // shape through the persisted-serve path, which shares
+    // lrProbabilities verbatim and keeps the plan inspectable
     val docs = Queries.table(spark, sf, "documents")
-    val plan = planOf(graft.ext.TextAnalysis.lrPredict(docs))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lrgate").toString
+    graft.ext.TextAnalysis.buildLrModel(docs, dir)
+    val plan = planOf(graft.ext.TextAnalysis.lrPredictFromModel(spark, dir, docs))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
