@@ -1780,6 +1780,61 @@ object Oracles {
         |  s.recall_at_1, s.recall_at_k
         |FROM per p CROSS JOIN summ s ORDER BY p.query_id""".stripMargin,
 
+    // nDCG on the same panel: single-relevant-doc form 1/log2(1+rank)
+    // (integer rank -> identical doubles), panel mean over the round-4
+    // grid in exact decimal
+    "retrieval_ndcg" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, t[g.i] AS token, g.i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qsel AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY first_pos) AS rk
+        |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
+        |          FROM tokens WHERE doc_id % 100 = 0 AND doc_id < 20000
+        |          GROUP BY 1, 2))
+        |  WHERE rk <= 16
+        |), scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(round(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |  FROM qsel q
+        |  JOIN tf ON q.token = tf.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq d ON tf.token = d.token
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored
+        |), hits AS (
+        |  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+        |), q AS (SELECT DISTINCT query_id FROM hits),
+        |per AS (
+        |  SELECT q.query_id, CAST(coalesce(h.rank, 0) AS INT) AS self_rank,
+        |    round(CASE WHEN h.rank IS NOT NULL
+        |      THEN ln(2.0) / ln(1.0 + h.rank) ELSE 0.0 END, 4) AS ndcg
+        |  FROM q LEFT JOIN hits h
+        |    ON h.query_id = q.query_id AND h.doc_id = q.query_id
+        |), summ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    round(CAST(sum(CAST(round(ndcg, 4) AS DECIMAL(38,4))) AS DOUBLE)
+        |      / count(*), 4) AS mean_ndcg
+        |  FROM per
+        |)
+        |SELECT p.query_id, p.self_rank, p.ndcg, s.n_queries, s.mean_ndcg
+        |FROM per p CROSS JOIN summ s ORDER BY p.query_id""".stripMargin,
+
     // hybrid RRF: the BM25 replay (pool depth 20) full-outer-joined with a
     // dense cosine pool over the aligned embeddings table, fused with
     // 1/(60+rank) per tier (absent rank contributes 0, reported as 0);

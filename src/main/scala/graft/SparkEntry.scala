@@ -690,6 +690,8 @@ object SparkEntry {
     // self-retrieval ground truth: MRR / recall of each query finding
     // its own source document
     "retrieval_eval" -> ((s, dir) => TextAnalysis.retrievalEval(docs(s, dir))),
+    // nDCG@k on the same panel (the position-discounted read MRR flattens)
+    "retrieval_ndcg" -> ((s, dir) => TextAnalysis.retrievalNdcg(docs(s, dir))),
     // edit-distance record linkage over the part-name dictionary
     "fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.editDistanceSelfJoin(Queries.table(s, dir, "part"), "p_name")),

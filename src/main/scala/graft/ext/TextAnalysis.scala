@@ -2739,6 +2739,34 @@ object TextAnalysis {
     per.crossJoin(broadcast(summary)).orderBy(col("query_id"))
   }
 
+  /** nDCG@k for the same self-retrieval panel as [[retrievalEval]] — the
+    * position-discounted quality read MRR compresses: with one relevant
+    * document per query (the source doc), `nDCG = 1/log₂(1+rank)` (ideal
+    * DCG is 1), so rank 1 scores 1, rank 10 scores ~0.29, a miss 0 —
+    * rank-2 results cost far less than MRR's halving, which is why
+    * retrieval papers report both. Same fixed-`maxQueries` panel (the r8
+    * scale lesson), same postings-sized joins; the summary mean sums the
+    * round-4 grid values in exact decimal (quantized class).
+    */
+  def retrievalNdcg(docs: DataFrame, queryEvery: Int = 100,
+      queryTerms: Int = 16, topK: Int = 10,
+      maxQueries: Int = 200): DataFrame = {
+    val hits = bm25TopK(docs, queryEvery, queryTerms, topK,
+      maxQueries = maxQueries)
+    val queries = hits.select(col("query_id")).distinct()
+    val self = hits.filter(col("query_id") === col("doc_id"))
+      .select(col("query_id"), col("rank").as("sr"))
+    val per = queries.join(self, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("sr"), lit(0)).as("self_rank"),
+        round(when(col("sr").isNotNull,
+          log(lit(2.0)) / log(lit(1.0) + col("sr")))
+          .otherwise(lit(0.0)), 4).as("ndcg"))
+    val summary = per.agg(count(lit(1)).as("n_queries"),
+      round(Exact.sumQ(col("ndcg"), 4) / count(lit(1)), 4).as("mean_ndcg"))
+    per.crossJoin(broadcast(summary)).orderBy(col("query_id"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
     * 2009): fuse the lexical [[bm25TopK]] candidate list with a dense
     * cosine top-k over the document embeddings —

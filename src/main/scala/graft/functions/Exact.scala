@@ -36,16 +36,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Exact {
 
-  /** `Σ x` with `x` snapped to the 10^−s grid, summed exactly. */
+  /** `Σ x` with `x` snapped to the 10^−s grid, summed exactly.
+    * The double→decimal cast itself rounds HALF_UP at the target scale
+    * (`Decimal.changePrecision`), identical to `round(c, s)` followed by
+    * an exact cast — one BigDecimal conversion per row instead of two
+    * (the r9 q1 A/B: two-op form 1.74 s vs r8's plain-double 0.31 s; the
+    * fused cast claws back roughly half the exactness tax).
+    */
   def sumQ(c: Column, s: Int): Column =
-    sum(round(c, s).cast(DecimalType(38, s))).cast("double")
+    sum(c.cast(DecimalType(38, s))).cast("double")
 
   /** Windowed form of [[sumQ]] (e.g. rolling range-frame sums, where
     * DuckDB's segment-tree evaluation associates differently than
     * Spark's running frame).
     */
   def sumQOver(c: Column, s: Int, w: WindowSpec): Column =
-    sum(round(c, s).cast(DecimalType(38, s))).over(w).cast("double")
+    sum(c.cast(DecimalType(38, s))).over(w).cast("double")
 
   /** Order-free mean: exact decimal sum, one double division. */
   def avgQ(c: Column, s: Int): Column =
@@ -61,7 +67,7 @@ object Exact {
     * both engines; only the final ≤r-dp value crosses to double.
     */
   def sumQR(c: Column, s: Int, r: Int): Column =
-    round(sum(round(c, s).cast(DecimalType(38, s))), r).cast("double")
+    round(sum(c.cast(DecimalType(38, s))), r).cast("double")
 
   /** Scaled-LONG exact sum for summands ALREADY on the 10^−s grid
     * (quantized residuals, pre-rounded scores): `Σ x` via
