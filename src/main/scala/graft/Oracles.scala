@@ -2536,6 +2536,29 @@ object Oracles {
         |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         |    AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    "q20_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l.l_partkey, l.l_suppkey, CAST(sum(l.l_quantity) AS BIGINT) AS sq
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |  WHERE l.l_shipdate >= DATE '1996-01-01'
+        |    AND l.l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_parts_dominated
+        |  FROM (
+        |    SELECT l_partkey, l_suppkey, sq,
+        |      CAST(sum(sq) OVER (PARTITION BY l_partkey) AS BIGINT) AS tq
+        |    FROM ps)
+        |  WHERE sq * 2 > tq
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, d.n_parts_dominated
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN d ON s.s_suppkey = d.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+
     "q21_waiting_supplier" ->
       """WITH late AS MATERIALIZED (
         |  SELECT l.l_orderkey, l.l_suppkey

@@ -2284,6 +2284,41 @@ object Queries {
         .as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q20-shaped dominant-supplier report: suppliers who shipped
+    * MORE THAN HALF of some ECONOMY part's 1996 volume — the
+    * concentration/sourcing-risk read (the original Q20 finds excess
+    * stock via partsupp; this testdata's analog derives supply shares
+    * from shipments). Per-(part, supplier) quantities aggregate once;
+    * the part total rides a window over that aggregated frame (never a
+    * second corpus scan); the dominance filter feeds a semi-join into
+    * the supplier dimension. Quantities are integer-valued → the share
+    * comparison `2·sq > tq` is exact integer arithmetic, no division.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val ps = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sq"))
+    val withTot = ps.withColumn("tq",
+      sum(col("sq")).over(Window.partitionBy(col("l_partkey"))).cast("long"))
+    val dominant = withTot.filter(col("sq") * 2 > col("tq"))
+    val nation = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    table(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(dominant.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_parts_dominated")),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q21-shaped waiting-supplier report: suppliers who were the SOLE
     * late shipper (>60 days after the order date) on a finished
     * multi-supplier order. Three legs over the same fact: the late set,

@@ -151,6 +151,7 @@ object SparkEntry {
     "q17_small_quantity" -> (Queries.q17SmallQuantity _),
     "q18_large_orders" -> (Queries.q18LargeOrders _),
     "q19_disjunctive_revenue" -> (Queries.q19DisjunctiveRevenue _),
+    "q20_dominant_supplier" -> (Queries.q20DominantSupplier _),
     "q21_waiting_supplier" -> (Queries.q21WaitingSupplier _),
     "q22_dormant_customers" -> (Queries.q22DormantCustomers _),
     // extensions: dedup
