@@ -569,6 +569,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q20: ONE lineitem scan; the part total is a window over the aggregated frame") {
+    val plan = planOf(Queries.q20DominantSupplier(spark, sf))
+    val lineitemScans = plan.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"one lineitem scan, got $lineitemScans\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("twap: lead window and the (type, day) groupBy share one partitioning") {
+    val plan = planOf(Queries.eventsTwap(spark, sf))
+    // the groupBy keys equal the window partition keys — no exchange may
+    // appear between Window and HashAggregate beyond the window's own
+    val afterWindow = plan.substring(plan.indexOf("Window"))
+    assert(!afterWindow.substring(0, math.min(600, afterWindow.length))
+      .contains("Exchange hashpartitioning(event_type"),
+      s"groupBy must reuse the window partitioning\n${plan.take(3000)}")
+  }
+
+  test("jl projection: pure map on the scan — no exchange before the output sort") {
+    val plan = planOf(graft.ext.Similarity.jlProject(
+      Queries.table(spark, sf, "embeddings")))
+    val nExchange = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(nExchange == 1,
+      s"expected only the ORDER BY range exchange, got $nExchange\n${plan.take(2500)}")
+  }
+
   test("q21: semi and anti legs are hash/merge equi-joins on l_orderkey, never nested loops") {
     val plan = planOf(Queries.q21WaitingSupplier(spark, sf))
     assert(plan.contains("LeftSemi"), plan.take(4000))
