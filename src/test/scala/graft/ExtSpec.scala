@@ -2977,6 +2977,36 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
   }
 
+  test("collocations: a planted sticky phrase tops the PMI ranking") {
+    import spark.implicits._
+    val rnd = new java.util.Random(17)
+    val fillers = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    def noise(n: Int) = Seq.fill(n)(fillers(rnd.nextInt(fillers.length))).mkString(" ")
+    // "new york" always adjacent and exclusive; fillers pair randomly
+    val docs = (1L to 10L).map(i =>
+      (i, s"${noise(8)} new york ${noise(8)}", "en", "s1", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.collocations(docs, minCount = 5, topK = 5)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getDouble(5)))
+    // (w2, w1, pmi) — the planted pair ranks first
+    assert(out.head._2 == "new" && out.head._1 == "york", out.take(3).toSeq)
+    // PMI of an exclusive always-adjacent pair exceeds any filler pair
+    assert(out.tail.forall(_._3 <= out.head._3))
+  }
+
+  test("zipf fit: an exact power-law corpus lands near slope -1") {
+    import spark.implicits._
+    // token w_r appears floor(600/r) times, r = 1..30 — a textbook
+    // Zipf rank-frequency table
+    val text = (1 to 30).flatMap(r => Seq.fill(600 / r)(s"w$r")).mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.zipfFit(docs, topN = 30).collect()(0)
+    assert(out.getLong(0) == 30)
+    val slope = out.getDouble(1)
+    assert(slope > -1.15 && slope < -0.85, s"slope $slope")
+  }
+
   test("sentences: splits at terminal punctuation, keeps indices, drops empties") {
     import spark.implicits._
     val d = Seq(

@@ -284,6 +284,50 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((2L, 5.0, 0.0)))
   }
 
+  test("TWAP: hand math on planted intervals; last observation drops") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    // value 10 live for 30 s, value 40 live for 10 s, value 99 is the
+    // day's last observation (no interval, drops):
+    // twap = (10*30 + 40*10) / 40 = 17.5; plain mean = (10+40)/2 = 25
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 10.0, "{}"),
+      (2L, ts(30), 1L, "click", 40.0, "{}"),
+      (3L, ts(40), 1L, "click", 99.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-twap").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.eventsTwap(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 40000000L)
+    assert(r.getDouble(4) == 17.5, s"twap ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 25.0, s"plain ${r.getDouble(5)}")
+  }
+
+  test("winsorize: planted outlier clips to the fence; clean types untouched") {
+    import spark.implicits._
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:${s / 60}%02d:${s % 60}%02d")
+    // 99 values of 10.0 and one fat-finger 10000.0: p99 sits between
+    // them, exactly one value clips high; the winsorized mean stays
+    // near 10 while the plain mean would be ~110
+    val ev = ((1 to 99).map(i => (i.toLong, ts(i), 1L, "click", 10.0, "{}")) :+
+      (100L, ts(100), 1L, "click", 10000.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wins").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.eventsWinsorize(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getLong(4) == 0L, s"low clips ${r.getLong(4)}")
+    assert(r.getLong(5) == 1L, s"high clips ${r.getLong(5)}")
+    // fence = p99 (between 10 and 10000) -> winsorized mean well under
+    // the raw ~110 and at/above 10
+    assert(r.getDouble(6) >= 10.0 && r.getDouble(6) < 110.0,
+      s"winsorized mean ${r.getDouble(6)}")
+  }
+
   test("debounce collapses drizzling chains; seasonal anomaly flags the planted spike") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
