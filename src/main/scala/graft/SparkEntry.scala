@@ -18,13 +18,25 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) =
     Queries.table(s, dir, "documents")
 
-  /** The (s, y) eval frame for the ModelEval rows: self-trained LR
-    * probabilities (already on the 4-decimal grid) vs the training
-    * label.
+  /** The (doc_id, s, y) eval frame for the ModelEval rows: LR
+    * probabilities (on the 4-decimal grid) vs the training label, scored
+    * from the SESSION-PERSISTED model (the production shape — fit once,
+    * eval many; `lrPredictFromModel` reproduces the self-train scores
+    * bit-for-bit per the text_lr_persisted contract, so every eval
+    * oracle's self-train replay stays valid while the GD rounds run once
+    * per session instead of once per metric — ~5 s × 7 rows at sf0.1).
     */
+  private def lrScoredFull(s: SparkSession, dir: String) = {
+    val model = graft.ext.IndexCache.ensure(s, dir, "lr_model",
+      table = "documents") { d =>
+      TextAnalysis.buildLrModel(docs(s, dir), d)
+    }
+    TextAnalysis.lrPredictFromModel(s, model, docs(s, dir))
+  }
+
   private def lrScored(s: SparkSession, dir: String) = {
     import org.apache.spark.sql.functions.col
-    TextAnalysis.lrPredict(docs(s, dir))
+    lrScoredFull(s, dir)
       .select(col("p").as("s"), col("is_en").cast("int").as("y"))
   }
 
@@ -381,7 +393,7 @@ object SparkEntry {
     // deterministic Poisson-bootstrap CI on AUC (hash-drawn resamples —
     // both engines draw identical replicas, so the interval is oracled)
     "ml_eval_auc_ci" -> ((s, dir) => ModelEval.aucBootstrapCi(
-      TextAnalysis.lrPredict(docs(s, dir)).select(
+      lrScoredFull(s, dir).select(
         col0("doc_id").as("id"), col0("p").as("s"),
         col0("is_en").cast("int").as("y")))),
     // ...and the calibration REPAIR: isotonic (PAV via the loop-free

@@ -254,9 +254,15 @@ object ModelEval {
     * replica-keyed and bounded. Replica count is pinned at 32 so the
     * bootstrap-mean division is exact dyadic.
     */
-  def aucBootstrapCi(scored: DataFrame, replicas: Int = 32): DataFrame = {
+  def aucBootstrapCi(scoredIn: DataFrame, replicas: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(replicas == 32, "replicas pinned to 32 (exact dyadic mean, fixed CI ranks)")
+    // the (id, s, y) frame feeds the replica histogram AND the point
+    // estimate — cache for the duration of the call (released in the
+    // finally; the lrPredict discipline) so the upstream scoring chain
+    // runs once, not once per consumer
+    val scored = scoredIn.persist()
+    try {
     val spark = scored.sparkSession
     val reps = spark.range(0, replicas.toLong).select(col("id").as("b"))
     val u = (graft.ext.TextAnalysis.portableHash64(
@@ -295,6 +301,8 @@ object ModelEval {
       .crossJoin(broadcast(hi))
       .select(col("auc"), col("boot_mean"), col("ci_lo"), col("ci_hi"),
         col("n_replicas"))
+      .localCheckpoint(true)
+    } finally { scored.unpersist(); () }
   }
 
   /** Kolmogorov-Smirnov separation: `KS = max_s |CDF_pos(s) − CDF_neg(s)|`
