@@ -822,7 +822,7 @@ object Oracles {
         |  FROM daily GROUP BY 1
         |)
         |SELECT user_id, n_days,
-        |  round(sv / (n_days * 1000.0), 4) AS mean_daily,
+        |  (CAST(((sv * 2 * 10000 + n_days * 1000) // (2 * (n_days * 1000))) AS DOUBLE) / 10000) AS mean_daily,
         |  round(CAST(n_days * sdv - sd * sv AS DOUBLE) /
         |    ((n_days * sdd - sd * sd) * 1000.0), 6) AS slope
         |FROM terms WHERE n_days >= 2 ORDER BY user_id""".stripMargin,
@@ -1074,8 +1074,8 @@ object Oracles {
         |  SELECT dow, CAST(sum(n) AS BIGINT) AS dn FROM g GROUP BY 1
         |)
         |SELECT g.dow, g.hour, g.n,
-        |  round(CAST(g.n AS DOUBLE) / t.total, 4) AS share,
-        |  round(CAST(g.n AS DOUBLE) / d.dn, 4) AS dow_share
+        |  (CAST(((g.n * 2 * 10000 + t.total) // (2 * t.total)) AS DOUBLE) / 10000) AS share,
+        |  (CAST(((g.n * 2 * 10000 + d.dn) // (2 * d.dn)) AS DOUBLE) / 10000) AS dow_share
         |FROM g CROSS JOIN t JOIN d USING (dow)
         |ORDER BY g.dow, g.hour""".stripMargin,
 
@@ -1132,9 +1132,9 @@ object Oracles {
         |  FROM counts
         |)
         |SELECT r.rank, r.key, r.n,
-        |  round(CAST(r.n AS DOUBLE) / g.total, 4) AS share,
-        |  round(CAST(r.cumn AS DOUBLE) / g.total, 4) AS cum_share,
-        |  round(CAST(g.gnum AS DOUBLE) / (g.n_keys * g.total), 4) AS gini,
+        |  (CAST(((r.n * 2 * 10000 + g.total) // (2 * g.total)) AS DOUBLE) / 10000) AS share,
+        |  (CAST(((r.cumn * 2 * 10000 + g.total) // (2 * g.total)) AS DOUBLE) / 10000) AS cum_share,
+        |  (CAST(((g.gnum * 2 * 10000 + g.n_keys * g.total) // (2 * (g.n_keys * g.total))) AS DOUBLE) / 10000) AS gini,
         |  (r.rank = 1 AND CAST(r.n AS DOUBLE) / g.total
         |    > greatest(0.05, 2.0 / g.n_keys)) AS salt_recommended
         |FROM r CROSS JOIN g

@@ -403,7 +403,9 @@ object Queries {
         sum(col("v3")).as("sv"), sum(col("d") * col("v3")).as("sdv"))
       .filter(col("n_days") >= 2)
       .select(col("user_id"), col("n_days"),
-        round(col("sv") / (col("n_days") * 1000.0), 4).as("mean_daily"),
+        // exact integer ratio: sv over the round n_days·1000 denominator
+        // lands on the .xxxx5 tie (the r9 sf0.1 catch)
+        Exact.ratioR(col("sv"), col("n_days") * 1000, 4).as("mean_daily"),
         round((col("n_days") * col("sdv") - col("sd") * col("sv")).cast("double") /
           ((col("n_days") * col("sdd") - col("sd") * col("sd")) * 1000.0), 6)
           .as("slope"))
@@ -811,9 +813,11 @@ object Queries {
     val byDow = cells.groupBy(col("dow")).agg(sum(col("n")).as("dn"))
     cells.crossJoin(broadcast(tot))
       .join(broadcast(byDow), Seq("dow"))
+      // exact integer-ratio rounding: counts over power-of-10 totals land
+      // on the .xxxx5 tie once per ~10 cells (caught live at sf0.1)
       .select(col("dow"), col("hour"), col("n"),
-        round(col("n").cast("double") / col("total"), 4).as("share"),
-        round(col("n").cast("double") / col("dn"), 4).as("dow_share"))
+        Exact.ratioR(col("n"), col("total"), 4).as("share"),
+        Exact.ratioR(col("n"), col("dn"), 4).as("dow_share"))
       .orderBy(col("dow"), col("hour"))
   }
 

@@ -84,6 +84,31 @@ object Exact {
     sum(round(c * scale, 0).cast("long")).cast("double") / scale
   }
 
+  /** `round(n/d, r)` for NON-NEGATIVE exact integer columns, computed
+    * entirely in integer arithmetic: `⌊(n·2·10^r + d) / (2d)⌋ / 10^r` —
+    * exact HALF_UP with no double division before the final exact scale.
+    * Closes the quotient-tie class the r9 sf0.1 sweep caught live
+    * (`events_heatmap` share 565/100000 = .00565 EXACTLY — a count over
+    * a power-of-10 total lands on the rounding tie once per ~10 cells,
+    * and Spark's BigDecimal HALF_UP vs DuckDB's double-scaled rounding
+    * split). Plain `round(n/d, r)` stays fine when the quotient can't
+    * terminate near the r+1 grid; counts over round totals can.
+    * Envelope: `n·2·10^r` must stay under 2^53 (exact doubles through
+    * the pmod path) — n ≤ 4.5e11 at r=4.
+    */
+  def ratioR(n: Column, d: Column, r: Int): Column = {
+    val s = math.pow(10, r).toLong
+    val num = n.cast("long") * (2 * s) + d.cast("long")
+    val den = d.cast("long") * 2
+    ((num - pmod(num, den)) / den).cast("long").cast("double") / s
+  }
+
+  /** The DuckDB replay of [[ratioR]] (`//` is BIGINT floor division). */
+  def sqlRatioR(n: String, d: String, r: Int): String = {
+    val s = "1" + ("0" * r)
+    s"(CAST((($n * 2 * $s + $d) // (2 * ($d))) AS DOUBLE) / $s)"
+  }
+
   /** The DuckDB replay of [[sumQL]]. */
   def sqlSumQL(x: String, s: Int): String = {
     val scale = s"1e$s"

@@ -177,7 +177,6 @@ object ScaleOps {
     val tot = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
     val asc = w.orderBy(col("n"), col("key"))
     val desc = w.orderBy(col("n").desc, col("key"))
-    val gfrac = col("gnum").cast("double") / (col("n_keys") * col("total"))
     val stats = counts
       .withColumn("i", row_number().over(asc))
       .crossJoin(broadcast(tot))
@@ -189,10 +188,13 @@ object ScaleOps {
         desc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .filter(col("rank") <= topK)
       .crossJoin(broadcast(stats))
+      // exact integer-ratio rounding: counts over a power-of-10 total sit
+      // on the .xxxx5 tie once per ~10 cells (the r9 sf0.1 catch)
       .select(col("rank"), col("key"), col("n"),
-        round(col("n").cast("double") / col("total"), 4).as("share"),
-        round(col("cumn").cast("double") / col("total"), 4).as("cum_share"),
-        round(gfrac, 4).as("gini"),
+        graft.functions.Exact.ratioR(col("n"), col("total"), 4).as("share"),
+        graft.functions.Exact.ratioR(col("cumn"), col("total"), 4).as("cum_share"),
+        graft.functions.Exact.ratioR(col("gnum"),
+          col("n_keys") * col("total"), 4).as("gini"),
         (col("rank") === 1 && col("n").cast("double") / col("total") >
           greatest(lit(saltShare), lit(2.0) / col("n_keys")))
           .as("salt_recommended"))
