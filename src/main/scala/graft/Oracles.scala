@@ -578,7 +578,7 @@ object Oracles {
         |  FROM events
         |)
         |SELECT event_type, quartile, count(*) AS n_events,
-        |  round(CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  (CAST(((CAST(sum(CAST(round(value, 2) AS DECIMAL(38,2))) * 100 AS BIGINT) * 2 * 10000 + (count(*) * 100)) // (2 * ((count(*) * 100)))) AS DOUBLE) / 10000) AS avg_value,
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM q GROUP BY event_type, quartile
@@ -1506,8 +1506,8 @@ object Oracles {
         |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(38,4))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_price,
-        |  round(CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(38,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  (CAST(((CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(38,2))) * 100 AS BIGINT) * 2 * 10000 + (count(*) * 100)) // (2 * ((count(*) * 100)))) AS DOUBLE) / 10000) AS avg_price,
+        |  (CAST(((CAST(sum(CAST(round(l_discount, 2) AS DECIMAL(38,2))) * 100 AS BIGINT) * 2 * 10000 + (count(*) * 100)) // (2 * ((count(*) * 100)))) AS DOUBLE) / 10000) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

@@ -1288,7 +1288,7 @@ object Queries {
         Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
       .groupBy(col("event_type"), col("quartile"))
       .agg(count(lit(1)).as("n_events"),
-        round(Exact.avgQ(col("value"), 2), 4).as("avg_value"),
+        Exact.avgQR(col("value"), 2, 4).as("avg_value"),
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"), col("quartile"))
@@ -1809,8 +1809,8 @@ object Queries {
         Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("sum_disc_price"),
         Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(Exact.avgQ(col("l_extendedprice"), 2), 4).as("avg_price"),
-        round(Exact.avgQ(col("l_discount"), 2), 4).as("avg_disc"),
+        Exact.avgQR(col("l_extendedprice"), 2, 4).as("avg_price"),
+        Exact.avgQR(col("l_discount"), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

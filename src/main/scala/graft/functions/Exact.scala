@@ -100,7 +100,30 @@ object Exact {
     val s = math.pow(10, r).toLong
     val num = n.cast("long") * (2 * s) + d.cast("long")
     val den = d.cast("long") * 2
-    ((num - pmod(num, den)) / den).cast("long").cast("double") / s
+    // native 64-bit integer division (LongDiv expression): exact at any
+    // long magnitude — the Column `/` on longs would round through a
+    // 53-bit double mantissa
+    VectorFunctions.longDiv(num, den).cast("double") / s
+  }
+
+  /** `round(mean(x), r)` with the mean's quotient computed as an EXACT
+    * integer ratio: the 10^s-scaled decimal sum is integral, so
+    * `round(Σx / n, r)` = [[ratioR]](Σx·10^s, n·10^s, r) — closing the
+    * Class F tie for means over ROUND group sizes (a per-type mean over
+    * exactly 20,000 events sits on the .xxxx5 tie once per ~10 cells;
+    * plain `round(sumQ/count, r)` splits HALF_UP vs double-scaled there).
+    */
+  def avgQR(c: Column, s: Int, r: Int): Column = {
+    val ss = math.pow(10, s).toLong
+    val n = (sum(c.cast(DecimalType(38, s))) * ss).cast("long")
+    ratioR(n, count(lit(1)) * ss, r)
+  }
+
+  /** The DuckDB replay of [[avgQR]]. */
+  def sqlAvgQR(x: String, s: Int, r: Int): String = {
+    val ss = "1" + ("0" * s)
+    val n = s"CAST(sum(CAST(round($x, $s) AS DECIMAL(38,$s))) * $ss AS BIGINT)"
+    sqlRatioR(n, s"(count(*) * $ss)", r)
   }
 
   /** The DuckDB replay of [[ratioR]] (`//` is BIGINT floor division). */

@@ -169,6 +169,34 @@ object PortableHash64 {
   }
 }
 
+/** Exact 64-bit integer division (truncated toward zero, Java `/`) — the
+  * primitive Spark's Column API lacks (`/` on longs promotes to double,
+  * whose 53-bit mantissa silently corrupts quotients past 2^53; the SQL
+  * `div` operator exists but has no Column-API form). Powers the exact
+  * integer-ratio rounding in [[graft.functions.Exact.ratioR]] at any long
+  * magnitude. Inputs non-null by contract (plan-constructed arithmetic);
+  * the divisor is never zero on those paths.
+  */
+case class LongDiv(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"expects (bigint, bigint), got ${left.dataType} / ${right.dataType}")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    l.asInstanceOf[Long] / r.asInstanceOf[Long]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$a / $b")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration + Column helpers (via `call_function`, which works
   * across the Spark 4 Column API without touching internal constructors).
   */
@@ -188,7 +216,14 @@ object VectorFunctions {
         exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
       reg.createOrReplaceTempFunction("portable_hash64",
         exprs => PortableHash64(exprs(0)), "scala_udf")
+      reg.createOrReplaceTempFunction("long_div",
+        exprs => LongDiv(exprs(0), exprs(1)), "scala_udf")
     }
+  }
+
+  def longDiv(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("long_div", a, b)
   }
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
