@@ -2977,6 +2977,34 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getDouble(0) == 1.0 && s.getDouble(1) == 0.2)
   }
 
+  test("ratioR/avgQR: exact HALF_UP on planted ties; long_div exact past 2^53") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // the live sf0.1 tie: 565/100000 = .00565 exactly -> HALF_UP .0057
+    // (a double-rounded quotient split the engines here)
+    val t = Seq((565L, 100000L), (5L, 1000L), (1L, 3L))
+      .toDF("n", "d")
+      .select(graft.functions.Exact.ratioR(col("n"), col("d"), 4).as("r4"),
+        graft.functions.Exact.ratioR(col("n"), col("d"), 2).as("r2"))
+      .collect()
+    assert(t(0).getDouble(0) == 0.0057 && t(1).getDouble(0) == 0.005)
+    assert(t(1).getDouble(1) == 0.01) // .005 at r=2 rounds HALF_UP to .01
+    assert(t(2).getDouble(0) == 0.3333)
+    // integer division stays exact past the double mantissa (the Column
+    // `/` on longs would round 9e15+3 through 53 bits and miss)
+    val big = Seq((9000000000000003L, 3L)).toDF("a", "b")
+      .select(graft.functions.VectorFunctions
+        .longDiv(col("a"), col("b")).as("q")).collect()(0).getLong(0)
+    assert(big == 3000000000000001L, s"got $big")
+    // avgQR: four 4-dp values whose exact mean .50495 sits ON the 4-dp
+    // tie — exact HALF_UP gives .5050 (a double-rounded mean could give
+    // .5049 depending on the 1-ulp side it lands)
+    val m = Seq(0.5, 0.5, 0.51, 0.5098).toDF("v")
+      .agg(graft.functions.Exact.avgQR(col("v"), 4, 4).as("m"))
+      .collect()(0).getDouble(0)
+    assert(m == 0.505, s"mean $m")
+  }
+
   test("collocations: a planted sticky phrase tops the PMI ranking") {
     import spark.implicits._
     val rnd = new java.util.Random(17)
