@@ -717,7 +717,10 @@ object Similarity {
   def embeddingPagerank(emb: DataFrame, k: Int = 4, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb)
+    // adaptive plane count (see adaptivePlanes): identical 4-plane graph
+    // at the verify scales, candidate budget held constant past them
+    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb,
+      numPlanes = adaptivePlanes(emb.count()))
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
       .unionByName(
         pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
@@ -776,6 +779,21 @@ object Similarity {
     * tiebreak (the pagerank discipline), and everything after is exact
     * integer counting; the coefficient is one rounded division.
     */
+  /** LSH plane count holding a TARGET bucket occupancy: with FIXED planes
+    * the per-bucket population grows linearly in N, so in-bucket candidate
+    * pairs grow QUADRATICALLY — the r9 sf1 sweep measured the graph
+    * family at exponent 1.39 (≈24× at 10× data) exactly because of it.
+    * `max(4, ⌊log₂(n/target)⌋)` adds a plane per corpus doubling past
+    * `16·target`, pinning expected bucket size (and so candidates/node)
+    * roughly constant. The floor of 4 keeps the verify scales
+    * (n ≤ 5,000 at sf0.1) on the oracle-replayed 4-plane matrix — the
+    * adaptation engages where only the scale smoke looks.
+    */
+  private[graft] def adaptivePlanes(n: Long, target: Long = 250): Int = {
+    val ratio = math.max(1L, n / math.max(1L, target))
+    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(ratio))
+  }
+
   /** The canonical UNDIRECTED kNN edge set (u<v, distinct) from the
     * LSH-pruned candidate graph — shared by [[embeddingTriangles]] and
     * [[embeddingKCore]] so every graph operator ranks/peels the same
@@ -783,7 +801,10 @@ object Similarity {
     */
   private[graft] def knnUndirectedEdges(emb: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb)
+    // bounded driver action (the pagerank node-count class): the plane
+    // count must see N to hold the candidate budget
+    val pairs = graft.ext.Dedup.embeddingCandidatePairs(emb,
+      numPlanes = adaptivePlanes(emb.count()))
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("cos"))
       .unionByName(
         pairs.select(col("b").as("src"), col("a").as("dst"), col("cos")))
