@@ -5412,6 +5412,9 @@ object Oracles {
     // parquet round-trip) — identical oracle
     "dedup_semantic_contamination_store" -> semContamSql,
     "sim_topk_ivf_index" -> base("sim_topk_ivf_kmeans"),
+    // persisted JL serve ≡ in-memory two-stage path (round-6 reduced
+    // vectors round-trip parquet exactly; shared rank/tiebreak)
+    "sim_topk_jl_index" -> base("sim_topk_jl"),
     "sim_topk_pq_index" -> base("sim_topk_pq"),
     // scoring a corpus against its own persisted LM = the in-memory fit
     // (identical add-0.5 arithmetic; left-join coalescing only matters

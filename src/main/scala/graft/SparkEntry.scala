@@ -866,6 +866,14 @@ object SparkEntry {
     // full-dimension re-rank (the matryoshka twin for non-MRL encoders)
     "sim_topk_jl" -> ((s, dir) =>
       Similarity.jlShortlistTopK(emb(s, dir), Seq(0L, 1L, 2L), 10)),
+    // ...and SERVED off the persisted index: the corpus scan reads the
+    // 128 B/vector reduced parquet only (row-identical, shared oracle)
+    "sim_topk_jl_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "jl") { d =>
+        Similarity.buildJlIndex(emb(s, dir), d)
+      }
+      Similarity.jlTopKFromIndex(s, idx, Seq(0L, 1L, 2L), 10)
+    }),
     // PSI drift between two synthetic snapshots (vec_id parity split) —
     // d rows out, histograms bounded at dims×bins rows
     "sim_drift_psi" -> ((s, dir) => {

@@ -952,6 +952,63 @@ object Similarity {
     emb.select(col("vec_id"), array(ys: _*).as("embedding"))
   }
 
+  /** Persist the JL-reduced corpus as a versioned serving index (the
+    * `v_<n>`/CURRENT lifecycle every index here shares): the 16-component
+    * round-6 reduced vectors (128 B/vector — the thing a store actually
+    * keeps) plus the full vectors for query lookup and shortlist re-rank.
+    * Like int8 (and unlike IVF/PQ) there is NO frozen fit — the sign
+    * matrix is data-independent plan literals — so appends can never
+    * drift from a stale model.
+    */
+  def buildJlIndex(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$n"
+    jlReduced(emb).write.mode("overwrite").parquet(s"$root/reduced/batch=-1")
+    emb.write.mode("overwrite").parquet(s"$root/vectors/batch=-1")
+    publishIndexVersion(fs, dir, n, Seq("reduced", "vectors"))
+  }
+
+  /** Append vectors to a persisted JL index — batch=<id> + OVERWRITE
+    * (replay-idempotent, the [[appendToInt8Index]] protocol).
+    */
+  def appendToJlIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newEmb: DataFrame, batchId: Option[Long] = None): Unit = {
+    val root = resolveIndexRoot(spark, dir)
+    val id = batchId.getOrElse(nextBatchId(spark, s"$root/reduced"))
+    jlReduced(newEmb).write.mode("overwrite").parquet(s"$root/reduced/batch=$id")
+    newEmb.write.mode("overwrite").parquet(s"$root/vectors/batch=$id")
+  }
+
+  /** [[jlShortlistTopK]] SERVED from the persisted index: the corpus-wide
+    * shortlist scan reads the 128 B/vector REDUCED parquet only; full
+    * vectors are read for the bounded query set and the
+    * `|queries|·shortlist` re-rank rows. Row-identical to the in-memory
+    * path (round-6 doubles round-trip parquet exactly), so the
+    * `sim_topk_jl` oracle serves both.
+    */
+  def jlTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int = 10, shortlist: Int = 50): DataFrame = {
+    VectorFunctions.register(spark)
+    val root = resolveIndexRoot(spark, dir)
+    val reduced = spark.read.parquet(s"$root/reduced")
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val cand = bruteForceTopK(
+        reduced.select(col("vec_id"), col("embedding")), queryIds, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val queries = vectors.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    vectors.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(anchorRank))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Two-stage exact-k serving through the JL space: shortlist by cosine
     * in the 16-d reduced projection (4× fewer scan FLOPs per candidate
     * at d=64, and the reduced vectors are what you'd PERSIST — 128 B vs

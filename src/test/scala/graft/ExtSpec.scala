@@ -3135,6 +3135,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(overlap >= 6, s"JL recall@10 too low: $overlap/10 (fixed seed — deterministic)")
   }
 
+  test("JL index: persisted serve row-identical to the in-memory two-stage path") {
+    import spark.implicits._
+    val rnd = new java.util.Random(41)
+    val e = (0L until 40L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jlidx").toString
+    graft.ext.Similarity.buildJlIndex(e, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val mem = rows(graft.ext.Similarity.jlShortlistTopK(e, Seq(0L, 1L), 5))
+    val idx = rows(graft.ext.Similarity.jlTopKFromIndex(spark, dir, Seq(0L, 1L), 5))
+    assert(mem == idx, s"persisted serve drifted:\nmem=$mem\nidx=$idx")
+    // append path: a new vector lands and becomes servable
+    graft.ext.Similarity.appendToJlIndex(spark, dir,
+      Seq((100L, e.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+          .head.getSeq[Float](1).toArray))
+        .toDF("vec_id", "embedding"))
+    val after = rows(graft.ext.Similarity.jlTopKFromIndex(spark, dir, Seq(0L), 5))
+    assert(after.exists(r => r._2 == 100L && r._3 == 1.0),
+      s"appended clone must serve at cosine 1: $after")
+  }
+
   test("langid confusion: planted corpus lands on the diagonal with recall 1") {
     import spark.implicits._
     val d = Seq(
