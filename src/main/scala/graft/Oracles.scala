@@ -915,8 +915,8 @@ object Oracles {
         |  SELECT 'time_decay', channel, value, round(decay / decay_sum, 6) FROM s
         |)
         |SELECT model, channel,
-        |  round(sum(CAST(round(wt * 1e6) AS BIGINT)) / 1e6, 4) AS conversions,
-        |  round(sum(CAST(round(round(wt * value, 6) * 1e6) AS BIGINT)) / 1e6, 4) AS revenue
+        |  (CAST((sum(CAST(round(wt * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS conversions,
+        |  (CAST((sum(CAST(round(round(wt * value, 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS revenue
         |FROM m GROUP BY model, channel
         |ORDER BY model, channel""".stripMargin
     },
@@ -1707,9 +1707,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    (CAST((sum(CAST(round(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1749,9 +1749,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    (CAST((sum(CAST(round(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1771,9 +1771,10 @@ object Oracles {
         |  FROM q LEFT JOIN hits h
         |    ON h.query_id = q.query_id AND h.doc_id = q.query_id
         |), summ AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(rr), 4) AS mrr,
-        |    round(avg(CASE WHEN self_rank = 1 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_1,
-        |    round(avg(CASE WHEN self_rank > 0 THEN 1.0 ELSE 0.0 END), 4) AS recall_at_k
+        |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    (CAST(((sum(CAST(round((rr) * 1e4) AS BIGINT)) * 2 * 10000 + (count(*) * 10000)) // (2 * ((count(*) * 10000)))) AS DOUBLE) / 10000) AS mrr,
+        |    (CAST(((sum(CASE WHEN self_rank = 1 THEN 1 ELSE 0 END) * 2 * 10000 + count(*)) // (2 * (count(*)))) AS DOUBLE) / 10000) AS recall_at_1,
+        |    (CAST(((sum(CASE WHEN self_rank > 0 THEN 1 ELSE 0 END) * 2 * 10000 + count(*)) // (2 * (count(*)))) AS DOUBLE) / 10000) AS recall_at_k
         |  FROM per
         |)
         |SELECT p.query_id, p.self_rank, p.rr, s.n_queries, s.mrr,
@@ -1804,9 +1805,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    (CAST((sum(CAST(round(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1828,8 +1829,7 @@ object Oracles {
         |    ON h.query_id = q.query_id AND h.doc_id = q.query_id
         |), summ AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
-        |    round(CAST(sum(CAST(round(ndcg, 4) AS DECIMAL(38,4))) AS DOUBLE)
-        |      / count(*), 4) AS mean_ndcg
+        |    (CAST(((sum(CAST(round((ndcg) * 1e4) AS BIGINT)) * 2 * 10000 + (count(*) * 10000)) // (2 * ((count(*) * 10000)))) AS DOUBLE) / 10000) AS mean_ndcg
         |  FROM per
         |)
         |SELECT p.query_id, p.self_rank, p.ndcg, s.n_queries, s.mean_ndcg
@@ -1860,9 +1860,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), sscored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    round(sum(round(
+        |    (CAST((sum(CAST(round(round(
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6)), 4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id

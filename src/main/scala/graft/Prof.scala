@@ -372,6 +372,52 @@ object Prof {
         scans.foreach(s => println(s"  scan: $s"))
       }
     }
+    if (mode == "exactab") {
+      // r10 q1 exactness-tax A/B: the same q1-shaped aggregation under
+      // each sum discipline, interleaved 3 rounds in ONE session so
+      // machine drift can't masquerade as a variant difference.
+      import org.apache.spark.sql.types.DecimalType
+      import graft.functions.Exact
+      val li = Queries.table(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      def q1With(sums: Seq[org.apache.spark.sql.Column]) =
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sums.head, sums.tail: _*)
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = disc * (lit(1) + col("l_tax"))
+      val variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "plain_double" -> (() => q1With(Seq(
+          round(sum(col("l_extendedprice")), 2).as("a"),
+          round(sum(disc), 2).as("b"), round(sum(charge), 2).as("c"),
+          round(avg(col("l_extendedprice")), 4).as("d"),
+          round(avg(col("l_discount")), 4).as("e")))),
+        "sumQ38" -> (() => q1With(Seq(
+          round(Exact.sumQ(col("l_extendedprice"), 2), 2).as("a"),
+          Exact.sumQR(disc, 4, 2).as("b"), Exact.sumQR(charge, 6, 2).as("c"),
+          Exact.avgQR(col("l_extendedprice"), 2, 4).as("d"),
+          Exact.avgQR(col("l_discount"), 2, 4).as("e")))),
+        "cast18" -> (() => q1With(Seq(
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2).as("a"),
+          round(sum(disc.cast(DecimalType(18, 4))), 2).cast("double").as("b"),
+          round(sum(charge.cast(DecimalType(18, 6))), 2).cast("double").as("c"),
+          round(avg(col("l_extendedprice")), 4).as("d"),
+          round(avg(col("l_discount")), 4).as("e")))),
+        "compact" -> (() => q1With(Seq(
+          round(Exact.sumQC(col("l_extendedprice"), 2), 2).as("a"),
+          Exact.sumQRC(disc, 4, 2).as("b"), Exact.sumQRC(charge, 6, 2).as("c"),
+          Exact.avgQL(col("l_extendedprice"), 2, 4).as("d"),
+          Exact.avgQL(col("l_discount"), 2, 4).as("e")))))
+      // value parity gate before timing: compact must equal sumQ38 exactly
+      val ref = variants(1)._2().collect().map(_.toSeq)
+      val cmp = variants(3)._2().collect().map(_.toSeq)
+      println(s"PROF exactab values_equal=${ref.sameElements(cmp) || ref.toSeq == cmp.toSeq}")
+      variants.foreach { case (n, f) => noop(f()); Bench.sweep(spark) } // warm all
+      for (round <- 1 to 3; (n, f) <- variants) {
+        time(f"${n}_r$round")(noop(f()))
+        Bench.sweep(spark)
+      }
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

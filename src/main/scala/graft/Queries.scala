@@ -171,7 +171,7 @@ object Queries {
       .agg(
         count(lit(1)).as("total_events"),
         sum(when(col("value") >= 50.0, 1).otherwise(0)).as("n_high_value"),
-        round(Exact.sumQ(col("value"), 2), 3).as("total_value"))
+        round(Exact.sumQC(col("value"), 2), 3).as("total_value"))
       .orderBy(col("event_type"))
 
   /** B3: error details — filter + project + newest-first sort. */
@@ -188,7 +188,7 @@ object Queries {
     events(spark, dir)
       .filter(col("event_type") =!= "error")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("run_date"), col("event_type"))
-      .agg(round(Exact.sumQ(col("value"), 2), 3).as("total_value"),
+      .agg(round(Exact.sumQC(col("value"), 2), 3).as("total_value"),
         count(lit(1)).as("n_events"))
       .orderBy(col("run_date").desc, col("event_type").asc)
 
@@ -395,7 +395,7 @@ object Queries {
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
       .withColumn("d", expr("us div 86400000000"))
       .groupBy(col("user_id"), col("d"))
-      .agg(round(Exact.sumQ(col("value"), 2), 3).as("v"))
+      .agg(round(Exact.sumQC(col("value"), 2), 3).as("v"))
       .withColumn("v3", round(col("v") * 1000, 0).cast("long"))
     daily.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_days"),
@@ -572,12 +572,13 @@ object Queries {
     // (the ModelEval integer discipline): round(wt·1e6) recovers the
     // exact integer both engines agree on, long sums are order-free,
     // and the single final division is correctly rounded identically.
+    // r10 hardening: the final round(S/1e6, 4) of an exact scaled-long
+    // sum can land on the 4-dp `.xxxx50` tie (the BM25 advisory class) —
+    // re-round in exact integer arithmetic instead (Exact.sumQLR).
     models.groupBy(col("model"), col("channel"))
       .agg(
-        round(sum(round(col("wt") * 1e6, 0).cast("long")) / 1e6, 4)
-          .as("conversions"),
-        round(sum(round(round(col("wt") * col("value"), 6) * 1e6, 0)
-          .cast("long")) / 1e6, 4).as("revenue"))
+        Exact.sumQLR(col("wt"), 6, 4).as("conversions"),
+        Exact.sumQLR(round(col("wt") * col("value"), 6), 6, 4).as("revenue"))
       .orderBy(col("model"), col("channel"))
   }
 
@@ -597,7 +598,7 @@ object Queries {
   def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
     val daily = events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(round(Exact.sumQ(col("value"), 2), 3).as("v"))
+      .agg(round(Exact.sumQC(col("value"), 2), 3).as("v"))
     val calendar = daily
       .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("user_id"),
@@ -846,7 +847,7 @@ object Queries {
     val per = ev.groupBy(col("user_id")).agg(
       unix_micros(max(col("ts"))).as("rec"),
       count(lit(1)).as("n_events"),
-      round(Exact.sumQ(col("value"), 2), 4).as("monetary"))
+      round(Exact.sumQC(col("value"), 2), 4).as("monetary"))
     val q = per.agg(
       expr("percentile(rec, 0.25)").as("r1"),
       expr("percentile(rec, 0.5)").as("r2"),
@@ -1164,21 +1165,28 @@ object Queries {
     * never shuffling them again.
     */
   def layoutBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.catalog.tableExists("graft_li_bucketed"))
+    // session-cache key carries the SOURCE DIR fingerprint (r9 advisor
+    // catch): a bare name would serve the first dir's data to a later
+    // query against a different dir — the IndexCache keying discipline
+    val fp = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val liTable = s"graft_li_bucketed_$fp"
+    val oTable = s"graft_o_bucketed_$fp"
+    if (!spark.catalog.tableExists(liTable))
       graft.operators.ScaleOps.writeBucketed(
         table(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        "graft_li_bucketed", "l_orderkey", 8)
-    if (!spark.catalog.tableExists("graft_o_bucketed"))
+        liTable, "l_orderkey", 8)
+    if (!spark.catalog.tableExists(oTable))
       graft.operators.ScaleOps.writeBucketed(
         table(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_o_bucketed", "o_orderkey", 8)
+        oTable, "o_orderkey", 8)
     graft.operators.ScaleOps
-      .bucketedJoin(spark, "graft_li_bucketed", "graft_o_bucketed",
+      .bucketedJoin(spark, liTable, oTable,
         "l_orderkey", "o_orderkey")
       .groupBy(col("o_orderpriority"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1288,7 +1296,7 @@ object Queries {
         Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
       .groupBy(col("event_type"), col("quartile"))
       .agg(count(lit(1)).as("n_events"),
-        Exact.avgQR(col("value"), 2, 4).as("avg_value"),
+        Exact.avgQL(col("value"), 2, 4).as("avg_value"),
         round(min(col("value")), 4).as("min_value"),
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("event_type"), col("quartile"))
@@ -1611,9 +1619,9 @@ object Queries {
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("w_us")).as("total_us"),
-        round(Exact.sumQ(col("value") * col("w_us"), 2) / sum(col("w_us")), 4)
+        round(Exact.sumQC(col("value") * col("w_us"), 2) / sum(col("w_us")), 4)
           .as("twap"),
-        round(Exact.sumQ(col("value"), 2) / count(lit(1)), 4).as("plain_mean"))
+        round(Exact.sumQC(col("value"), 2) / count(lit(1)), 4).as("plain_mean"))
       .orderBy(col("event_type"), col("day"))
   }
 
@@ -1805,12 +1813,16 @@ object Queries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(Exact.sumQ(col("l_extendedprice"), 2), 2).as("sum_base_price"),
-        Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("sum_disc_price"),
-        Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
+        // money sums ride the COMPACT exact path (r10): grid-resident
+        // summands, so the pure-double qLong snap + compact-decimal
+        // accumulate is value-identical to the Decimal(38,s) cast at
+        // ~half the cost (A/B in NUMERICS.md §q1)
+        round(Exact.sumQC(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+        Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("sum_disc_price"),
+        Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        Exact.avgQR(col("l_extendedprice"), 2, 4).as("avg_price"),
-        Exact.avgQR(col("l_discount"), 2, 4).as("avg_disc"),
+        Exact.avgQL(col("l_extendedprice"), 2, 4).as("avg_price"),
+        Exact.avgQL(col("l_discount"), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -1840,7 +1852,7 @@ object Queries {
       .filter(col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -1930,7 +1942,7 @@ object Queries {
         col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
@@ -1964,7 +1976,7 @@ object Queries {
       .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(Exact.sumQR(
+      .agg(Exact.sumQRC(
           col("l_extendedprice") * (lit(1) - col("l_discount")) -
             col("supplycost") * col("l_quantity"), 4, 2).as("profit"),
         count(lit(1)).as("n_lines"))
@@ -2014,9 +2026,9 @@ object Queries {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
-        Exact.sumQR(when(col("is_promo"), rev).otherwise(lit(0.0)), 4, 2)
+        Exact.sumQRC(when(col("is_promo"), rev).otherwise(lit(0.0)), 4, 2)
           .as("promo_revenue"),
-        Exact.sumQR(rev, 4, 2).as("total_revenue"),
+        Exact.sumQRC(rev, 4, 2).as("total_revenue"),
         count(lit(1)).as("n_lines"))
       .withColumn("promo_share",
         round(col("promo_revenue") * 100.0 / col("total_revenue"), 4))
@@ -2040,7 +2052,7 @@ object Queries {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"), col("o_orderpriority"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -2067,7 +2079,7 @@ object Queries {
         col("l_shipdate") < lit("1997-01-01").cast("date") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(Exact.sumQR(col("l_extendedprice") * col("l_discount"), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * col("l_discount"), 4, 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
 
   /** TPC-H Q8-shaped national market share: of all STANDARD-part revenue
@@ -2108,9 +2120,9 @@ object Queries {
       .join(custEu, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        Exact.sumQR(when(col("supp_nation") === "NATION_3", rev)
+        Exact.sumQRC(when(col("supp_nation") === "NATION_3", rev)
           .otherwise(lit(0.0)), 4, 2).as("nation_revenue"),
-        Exact.sumQR(rev, 4, 2).as("total_revenue"),
+        Exact.sumQRC(rev, 4, 2).as("total_revenue"),
         count(lit(1)).as("n_lines"))
       .withColumn("mkt_share",
         round(col("nation_revenue") / col("total_revenue"), 4))
@@ -2139,7 +2151,7 @@ object Queries {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -2182,7 +2194,7 @@ object Queries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
         col("l_shipdate") < lit("1996-04-01").cast("date"))
       .groupBy(col("l_suppkey"))
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
         .as("total_revenue"))
       .withColumn("max_revenue", max(col("total_revenue")).over(wAll))
       .filter(col("total_revenue") === col("max_revenue"))
@@ -2232,7 +2244,7 @@ object Queries {
       .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
       .withColumn("avg_qty", sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-      .agg(round(Exact.sumQ(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"),
+      .agg(round(Exact.sumQC(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -2284,7 +2296,7 @@ object Queries {
         col("l_extendedprice"), col("l_discount"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .filter(box)
-      .agg(Exact.sumQR(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
+      .agg(Exact.sumQRC(col("l_extendedprice") * (lit(1) - col("l_discount")), 4, 2)
         .as("revenue"), count(lit(1)).as("n_lines"))
   }
 
@@ -2371,7 +2383,7 @@ object Queries {
     val customer = table(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val avgBal = customer.filter(col("c_acctbal") > 0)
-      .agg((Exact.sumQ(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+      .agg((Exact.sumQC(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
     val recent = table(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
       .select(col("o_custkey"))
@@ -2380,7 +2392,7 @@ object Queries {
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("numcust"),
-        Exact.sumQ(col("c_acctbal"), 2).as("totacctbal"))
+        Exact.sumQC(col("c_acctbal"), 2).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
 }

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // mark the session oracle-gated: operators whose oracles replay
+    // fixed-parameter ground truth (the graph family's 4-plane LSH
+    // matrix) fail LOUD here instead of silently diverging when an
+    // adaptive parameter engages (Similarity.adaptivePlanes)
+    sys.props("graft.oracle.gated") = "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

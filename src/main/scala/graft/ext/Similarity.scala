@@ -791,7 +791,19 @@ object Similarity {
     */
   private[graft] def adaptivePlanes(n: Long, target: Long = 250): Int = {
     val ratio = math.max(1L, n / math.max(1L, target))
-    math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(ratio))
+    val planes = math.max(4, 63 - java.lang.Long.numberOfLeadingZeros(ratio))
+    // fail-LOUD guard (r9 advisor catch): the graph-family oracles
+    // (sim_pagerank/triangles/kcore/communities) replay a FIXED 4-plane
+    // matrix, so an oracle-gated session (graft.Verify sets the property)
+    // whose corpus grows past 16·target would silently diverge from its
+    // own ground truth — refuse instead, naming the fix
+    if (planes > 4 && sys.props.get("graft.oracle.gated").contains("1"))
+      throw new IllegalStateException(
+        s"adaptivePlanes($n) = $planes > 4 in an oracle-gated session: " +
+        "the graph-family oracle CTEs replay the fixed 4-plane matrix — " +
+        "re-derive the oracle candidate CTEs for the new plane count " +
+        "before verifying at this corpus size")
+    planes
   }
 
   /** The canonical UNDIRECTED kNN edge set (u<v, distinct) from the

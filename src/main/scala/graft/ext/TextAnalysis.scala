@@ -2683,7 +2683,13 @@ object TextAnalysis {
       .join(broadcast(qdf), Seq("token"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(termW), 4).as("score"))
+      // r10 (advisor catch): the round-6 term weights are GRID data, so a
+      // plain double sum lands on the exact 4-dp `.xxxx50` tie ~1% of
+      // cells and `round(double, 4)` then depends on partial-aggregation
+      // order AND splits Spark's HALF_UP against DuckDB's double-scaled
+      // rounding. Scaled-long sum + integer HALF_UP re-round is order-free
+      // and engine-exact (Exact.sumQLR; sqlSumQLR in the 4 oracle twins).
+      .agg(Exact.sumQLR(termW, 6, 4).as("score"))
 
     scored
       .withColumn("rank", row_number().over(
@@ -2730,12 +2736,17 @@ object TextAnalysis {
         coalesce(col("sr"), lit(0)).as("self_rank"),
         round(when(col("sr").isNotNull, lit(1.0) / col("sr"))
           .otherwise(lit(0.0)), 4).as("rr"))
+    // panel means ride exact integer ratios (r10, the Class F shape): the
+    // panel size is a ROUND denominator (exactly 200 at verify scale), so
+    // `round(avg(_), 4)` terminates on the `.xxxx5` tie and splits HALF_UP
+    // vs double-scaled rounding between engines. rr is 1e-4-grid → avgQL;
+    // the recall indicators are exact counts → ratioR.
     val summary = per.agg(count(lit(1)).as("n_queries"),
-      round(avg(col("rr")), 4).as("mrr"),
-      round(avg(when(col("self_rank") === 1, lit(1.0)).otherwise(lit(0.0))), 4)
-        .as("recall_at_1"),
-      round(avg(when(col("self_rank") > 0, lit(1.0)).otherwise(lit(0.0))), 4)
-        .as("recall_at_k"))
+      Exact.avgQL(col("rr"), 4, 4).as("mrr"),
+      Exact.ratioR(sum(when(col("self_rank") === 1, 1L).otherwise(0L)),
+        count(lit(1)), 4).as("recall_at_1"),
+      Exact.ratioR(sum(when(col("self_rank") > 0, 1L).otherwise(0L)),
+        count(lit(1)), 4).as("recall_at_k"))
     per.crossJoin(broadcast(summary)).orderBy(col("query_id"))
   }
 
@@ -2762,8 +2773,11 @@ object TextAnalysis {
         round(when(col("sr").isNotNull,
           log(lit(2.0)) / log(lit(1.0) + col("sr")))
           .otherwise(lit(0.0)), 4).as("ndcg"))
+    // advisor catch (r9): the exact 1e-4-grid sum divided by the ROUND
+    // panel size (200) can terminate on the `.xxxx5` tie — the Class F
+    // mean-over-round-group-sizes shape. Exact integer ratio instead.
     val summary = per.agg(count(lit(1)).as("n_queries"),
-      round(Exact.sumQ(col("ndcg"), 4) / count(lit(1)), 4).as("mean_ndcg"))
+      Exact.avgQL(col("ndcg"), 4, 4).as("mean_ndcg"))
     per.crossJoin(broadcast(summary)).orderBy(col("query_id"))
   }
 

@@ -42,9 +42,54 @@ object Exact {
     * an exact cast — one BigDecimal conversion per row instead of two
     * (the r9 q1 A/B: two-op form 1.74 s vs r8's plain-double 0.31 s; the
     * fused cast claws back roughly half the exactness tax).
+    *
+    * This is the GENERAL form (correct for any double summand, including
+    * off-grid values, at one per-row BigDecimal). For GRID-RESIDENT
+    * summands — money columns, pre-rounded scores — prefer [[sumQC]] /
+    * [[sumQRC]], which quantize in pure double arithmetic and accumulate
+    * compact-long decimals: same exact values, no per-row BigDecimal
+    * (the r10 q1 A/B: sumQ 0.79 s → sumQC ~0.4 s vs plain-double 0.31 s).
     */
   def sumQ(c: Column, s: Int): Column =
     sum(c.cast(DecimalType(38, s))).cast("double")
+
+  /** Per-row grid snap in PURE DOUBLE arithmetic: `⌊x·10^s + 0.5⌋` as a
+    * long — no BigDecimal anywhere (Spark's `round(double, s)` and the
+    * double→decimal cast both construct a BigDecimal per row; this is a
+    * multiply, an add, and a floor, all inside whole-stage codegen).
+    *
+    * Contract: `x` must be GRID-RESIDENT at scale s — within ≪ 0.5·10^−s
+    * of a grid point (true by construction for money columns, quantized
+    * residuals, and anything already `round(_, s)`-ed). There the snap
+    * equals HALF_UP/round/`⌊·+0.5⌋` alike for EITHER sign (the scaled
+    * value sits within ~ulps of an integer, never near a .5 boundary).
+    * For off-grid summands the three tie rules differ — use the
+    * BigDecimal-backed [[sumQ]] family instead.
+    */
+  private[graft] def qLong(c: Column, s: Int): Column =
+    floor(c * math.pow(10, s) + lit(0.5)).cast("long")
+
+  /** 10^−s as an exact decimal literal (scale-shift multiplier). */
+  private def unscale(s: Int): Column =
+    lit(java.math.BigDecimal.valueOf(1L, s))
+
+  /** Compact-path [[sumQ]] for GRID-RESIDENT summands: [[qLong]] snap,
+    * scaled integers accumulated as `DECIMAL(18,0)` (compact-long
+    * representation — every partial add is a native long add, with
+    * automatic widening to the 10^28 envelope at the merge tier, ~10^22
+    * above any 100 TB money aggregate), one exact decimal rescale at the
+    * END. Value-identical to [[sumQ]] on its contract domain — the final
+    * `cast("double")` converts the same exact rational either way — at
+    * roughly the cost of a plain double sum (r10 A/B in NUMERICS.md).
+    */
+  def sumQC(c: Column, s: Int): Column =
+    (sum(qLong(c, s).cast(DecimalType(18, 0))) * unscale(s)).cast("double")
+
+  /** Compact-path [[sumQR]]: exact decimal HALF_UP round at `r` before
+    * the one double conversion (same boundary-safety argument as sumQR).
+    */
+  def sumQRC(c: Column, s: Int, r: Int): Column =
+    round(sum(qLong(c, s).cast(DecimalType(18, 0))) * unscale(s), r).cast("double")
 
   /** Windowed form of [[sumQ]] (e.g. rolling range-frame sums, where
     * DuckDB's segment-tree evaluation associates differently than
@@ -80,21 +125,62 @@ object Exact {
     * [[sumQ]] where groups can exceed it.
     */
   def sumQL(c: Column, s: Int): Column = {
-    val scale = math.pow(10, s)
-    sum(round(c * scale, 0).cast("long")).cast("double") / scale
+    // r10: quantize via [[qLong]] (pure double floor) instead of
+    // `round(c·10^s, 0)` — Spark's round-on-double builds a BigDecimal
+    // per row; identical integers on the grid-resident contract domain
+    sum(qLong(c, s)).cast("double") / math.pow(10, s)
   }
 
-  /** `round(n/d, r)` for NON-NEGATIVE exact integer columns, computed
-    * entirely in integer arithmetic: `⌊(n·2·10^r + d) / (2d)⌋ / 10^r` —
-    * exact HALF_UP with no double division before the final exact scale.
-    * Closes the quotient-tie class the r9 sf0.1 sweep caught live
-    * (`events_heatmap` share 565/100000 = .00565 EXACTLY — a count over
-    * a power-of-10 total lands on the rounding tie once per ~10 cells,
-    * and Spark's BigDecimal HALF_UP vs DuckDB's double-scaled rounding
-    * split). Plain `round(n/d, r)` stays fine when the quotient can't
-    * terminate near the r+1 grid; counts over round totals can.
-    * Envelope: `n·2·10^r` must stay under 2^53 (exact doubles through
-    * the pmod path) — n ≤ 4.5e11 at r=4.
+  /** [[sumQL]] with the final `round(Σ, r)` done in EXACT integer
+    * arithmetic (`r < s`): `⌊(S + 10^(s−r)/2) / 10^(s−r)⌋ / 10^r` over
+    * the scaled-long sum S — HALF_UP with no double anywhere before the
+    * final ≤r-dp value. Closes the class the r9 BM25 advisory caught:
+    * an exact 6-dp sum of grid terms lands on the 4-dp `.xxxx50` tie
+    * about 1% of the time (grid data!), and `round(double, 4)` then
+    * splits Spark's BigDecimal HALF_UP against DuckDB's double-scaled
+    * rounding even on IDENTICAL input doubles. NON-NEGATIVE sums only
+    * (the floor-division form; grid-resident per the [[qLong]]
+    * contract); envelope: |S| < 2^63.
+    */
+  def sumQLR(c: Column, s: Int, r: Int): Column = {
+    require(s > r, s"sumQLR needs s > r (got s=$s, r=$r)")
+    val down = math.pow(10, s - r).toLong
+    VectorFunctions.longDiv(sum(qLong(c, s)) + lit(down / 2), lit(down))
+      .cast("double") / math.pow(10, r)
+  }
+
+  /** `round(mean(x), r)` for GRID-RESIDENT `x` at scale `s`: scaled-long
+    * sum + exact integer ratio ([[ratioR]]) — the compact twin of
+    * [[avgQR]] (same values on the contract domain, no per-row
+    * BigDecimal). NON-NEGATIVE summands (ratioR contract); envelope:
+    * `Σx·10^s · 2·10^r < 2^63`.
+    */
+  def avgQL(c: Column, s: Int, r: Int): Column = {
+    val ss = math.pow(10, s).toLong
+    ratioR(sum(qLong(c, s)), count(lit(1)) * ss, r)
+  }
+
+  /** `round(n/d, r)` — CONTRACT: `n` and `d` are exact integer columns,
+    * `n ≥ 0`, `d > 0` — computed entirely in integer arithmetic:
+    * `⌊(n·2·10^r + d) / (2d)⌋ / 10^r` — exact HALF_UP with no double
+    * division before the final exact scale. Closes the quotient-tie
+    * class the r9 sf0.1 sweep caught live (`events_heatmap` share
+    * 565/100000 = .00565 EXACTLY — a count over a power-of-10 total
+    * lands on the rounding tie once per ~10 cells, and Spark's
+    * BigDecimal HALF_UP vs DuckDB's double-scaled rounding split).
+    * Plain `round(n/d, r)` stays fine when the quotient can't terminate
+    * near the r+1 grid; counts over round totals can.
+    *
+    * The non-negativity requirement is LOAD-BEARING, not hygiene: for
+    * n < 0 the `⌊(2n·10^r + d)/(2d)⌋` form is half-DOWN, Java's
+    * truncating `/` (the [[VectorFunctions.longDiv]] semantics) differs
+    * from DuckDB's flooring `//` on negative quotients, and the two
+    * engines would silently split. Every current call site feeds counts
+    * or non-negative grid sums; a future signed numerator must use the
+    * decimal [[sumQR]]/[[avgQR]] path instead.
+    * Envelope: `n·2·10^r < 2^63` (native 64-bit [[VectorFunctions.longDiv]],
+    * exact at any long magnitude — NOT the 2^53 double envelope) —
+    * n ≤ 4.6e14 at r=4.
     */
   def ratioR(n: Column, d: Column, r: Int): Column = {
     val s = math.pow(10, r).toLong
@@ -138,11 +224,34 @@ object Exact {
     s"(CAST(sum(CAST(round($x * $scale) AS BIGINT)) AS DOUBLE) / $scale)"
   }
 
-  /** The DuckDB replay of [[sumQ]] for oracle SQL builders. */
+  /** The DuckDB replay of [[sumQLR]] (`//` is exact HUGEINT floor
+    * division; the sum of BIGINTs is a 128-bit HUGEINT in DuckDB, so no
+    * overflow on the oracle side either).
+    */
+  def sqlSumQLR(x: String, s: Int, r: Int): String = {
+    val down = math.pow(10, s - r).toLong
+    s"(CAST((sum(CAST(round(($x) * 1e$s) AS BIGINT)) + ${down / 2}) // $down AS DOUBLE) / 1e$r)"
+  }
+
+  /** The DuckDB replay of [[avgQL]]. */
+  def sqlAvgQL(x: String, s: Int, r: Int): String = {
+    val ss = "1" + ("0" * s)
+    sqlRatioR(s"sum(CAST(round(($x) * 1e$s) AS BIGINT))", s"(count(*) * $ss)", r)
+  }
+
+  /** The DuckDB replay of [[sumQ]] for oracle SQL builders — and of
+    * [[sumQC]]: both engine forms reduce the same exact decimal rational
+    * to its nearest double once, so the decimal-sum replay is the
+    * correct twin for the compact path too (sqlSumQL's
+    * `CAST(hugeint AS DOUBLE)/10^s` form would round TWICE and can land
+    * 1 ulp away on >2^53 sums).
+    */
   def sqlSumQ(x: String, s: Int): String =
     s"CAST(sum(CAST(round($x, $s) AS DECIMAL(38,$s))) AS DOUBLE)"
 
-  /** The DuckDB replay of [[sumQR]]. */
+  /** The DuckDB replay of [[sumQR]] and [[sumQRC]] (same argument as
+    * [[sqlSumQ]]: exact decimal round at r, one double conversion).
+    */
   def sqlSumQR(x: String, s: Int, r: Int): String =
     s"CAST(round(sum(CAST(round($x, $s) AS DECIMAL(38,$s))), $r) AS DOUBLE)"
 

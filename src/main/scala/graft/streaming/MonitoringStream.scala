@@ -153,7 +153,7 @@ object MonitoringStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"),
-        round(graft.functions.Exact.sumQ(col("value"), 2), 3).as("total_value"))
+        round(graft.functions.Exact.sumQC(col("value"), 2), 3).as("total_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
