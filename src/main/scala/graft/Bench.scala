@@ -98,13 +98,28 @@ object Bench {
     // scorer) plus the round's new graph family
     "ml_eval_pr_auc", "ml_eval_ks", "sim_communities")
 
-  /** r8's recorded `probe_normalized` (BENCH_r08) — the in-artifact
+  /** r9's recorded `probe_normalized` (BENCH_r09) — the in-artifact
     * regression gate (r8 ask #8, stretch): when this round's legacy-probe
-    * normalized number moves more than 25% against it, the artifact
-    * carries `probe_regression` so drift-vs-regression adjudication is
-    * automatic rather than judge-session archaeology. Update each round.
+    * normalized number moves more than the DRIFT ENVELOPE against it, the
+    * artifact carries `probe_regression` so drift-vs-regression
+    * adjudication is automatic rather than judge-session archaeology.
+    * Update each round.
     */
-  val priorProbeNormalized: Double = 26.7
+  val priorProbeNormalized: Double = 33.4
+
+  /** r9's per-query probe mins (BENCH_r09) — when the regression flag
+    * fires, the artifact names the offending per-query deltas instead of
+    * leaving the localization to judge archaeology (r9 ask #8 follow-up).
+    */
+  val priorProbe: Map[String, Double] = Map(
+    "q1_pricing_summary" -> 0.794, "q3_top_orders" -> 0.517,
+    "q5_local_supplier" -> 0.497, "events_funnel" -> 0.279,
+    "agg_percentiles" -> 1.24, "dedup_minhash" -> 0.665,
+    "dedup_pipeline" -> 1.25, "dedup_containment" -> 1.58,
+    "dedup_clusters" -> 2.41, "sim_topk_bruteforce" -> 0.191,
+    "sim_topk_pq" -> 1.48, "sim_topk_agg" -> 0.218, "text_pack" -> 0.299,
+    "text_perplexity" -> 1.16, "text_surprisal" -> 0.380,
+    "pipeline_training_set" -> 4.75)
 
   /** Machine-drift calibration anchor (r7 ask #1): a FIXED,
     * data-independent workload timed in every bench session, so
@@ -268,8 +283,13 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val spark = newSession(cpus)
-    // calibration anchor for THIS session's numbers (see [[calibrate]])
-    val calibFull = calibrate(spark)
+    // TWO calibration anchors per timed window (r9 ask #2): one anchor
+    // cannot separate machine drift from engine regression — r9 measured
+    // 28% drift WITHIN one session (calib_full 0.675 vs calib_probe
+    // 0.529) and the regression flag became unadjudicable. Start+end
+    // anchors give every window its own drift error bar, and the flag
+    // compares against that envelope instead of a bare 25%.
+    val calibFullStart = calibrate(spark)
     val results = entries.map { case (n, f) => runOne(spark, sfDir, reps, warmup)(n, f) }
 
     // anomaly auto-recheck: the median>1.5×min detector cannot tell real
@@ -291,6 +311,8 @@ object Bench {
       flagged.flatMap(n => byName.get(n).map(f =>
         n -> runOne(spark, sfDir, reps, warmup)(n, f))).toMap
     }
+    // full-window closing anchor (drift bracket for the full run)
+    val calibFullEnd = calibrate(spark)
 
     // probe phase: pinned subset, fresh session, same protocol — the
     // low-population number that makes cross-round comparison honest
@@ -306,14 +328,14 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_REPS", "1").trim.toInt).getOrElse(1))
     var sf1Gen = -1.0
     var sf1Err = ""
-    val (probeResults, scaleBaseResults, sf1Results, calibProbe):
-        (Seq[QRes], Seq[QRes], Seq[QRes], Double) = if (doProbe) {
+    val (probeResults, scaleBaseResults, sf1Results, calibProbeStart, calibProbeEnd):
+        (Seq[QRes], Seq[QRes], Seq[QRes], Double, Double) = if (doProbe) {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       System.gc()
       val ps = newSession(cpus)
-      val calibP = calibrate(ps)
+      val calibPStart = calibrate(ps)
       val byName = entries.toMap
       val prs = (probeSubset ++ probeAdditions).distinct.flatMap { n =>
         byName.get(n).map(f => runOne(ps, sfDir, reps, warmup)(n, f))
@@ -326,6 +348,9 @@ object Bench {
       val base = heavySubset.filterNot(probeNames).flatMap { n =>
         byName.get(n).map(f => runOne(ps, sfDir, sf1Reps, warmup = true)(n, f))
       }
+      // probe-window closing anchor: brackets every sf-probe timing
+      // (before the sf1 generation perturbs the page cache)
+      val calibPEnd = calibrate(ps)
       val s1 = if (doSf1) {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
         try {
@@ -341,8 +366,8 @@ object Bench {
         }
       } else Seq.empty
       ps.stop()
-      (prs, base, s1, calibP)
-    } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0) }
+      (prs, base, s1, calibPStart, calibPEnd)
+    } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0, -1.0) }
 
     val mins = results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
@@ -384,16 +409,48 @@ object Bench {
       .collect { case r if r.err.isEmpty && legacySet(r.name) => r.min }.sum
     val skipped = SparkEntry.verifierOnly.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     // the number to compare across rounds: probe seconds per calibration
-    // second — machine drift moves numerator and denominator together
+    // second — machine drift moves numerator and denominator together.
+    // The denominator is the MEAN of the window's start/end anchors; the
+    // anchors' spread is the window's measured drift error bar.
+    val calibProbe =
+      if (calibProbeStart > 0 && calibProbeEnd > 0)
+        (calibProbeStart + calibProbeEnd) / 2
+      else calibProbeStart
+    def anchorSpread(a: Double, b: Double): Double =
+      if (a > 0 && b > 0) math.abs(a - b) / math.min(a, b) else 0.0
+    val driftSpread = math.max(anchorSpread(calibFullStart, calibFullEnd),
+      anchorSpread(calibProbeStart, calibProbeEnd))
     val probeNorm = if (calibProbe > 0) probeLegacyTotal / calibProbe else -1.0
     val probeNormFull = if (calibProbe > 0) probeTotal / calibProbe else -1.0
-    // in-artifact regression gate (r8 ask #8): >25% movement of the
-    // legacy normalized probe against the recorded prior round
+    // in-artifact regression gate (r8 ask #8; r9 ask #2): >25% movement
+    // of the legacy normalized probe raises the flag, but the VERDICT is
+    // rendered against the measured drift envelope (25% + the session's
+    // own anchor spread) — a flag inside the envelope reads as drift,
+    // outside it as a real regression (and exits nonzero, r9 ask #8)
+    val probeMove =
+      if (probeNorm > 0 && priorProbeNormalized > 0)
+        probeNorm / priorProbeNormalized - 1
+      else 0.0
+    val driftEnvelope = 0.25 + driftSpread
+    val outsideEnvelope = math.abs(probeMove) > driftEnvelope
     val probeRegression =
-      if (probeNorm > 0 && priorProbeNormalized > 0 &&
-          math.abs(probeNorm / priorProbeNormalized - 1) > 0.25)
-        fmt("%+.0f", (probeNorm / priorProbeNormalized - 1) * 100) + "% vs prior"
+      if (math.abs(probeMove) > 0.25)
+        fmt("%+.0f", probeMove * 100) + "% vs prior; anchor spread " +
+          fmt("%.0f", driftSpread * 100) + "%; outside drift envelope: " +
+          (if (outsideEnvelope) "yes" else "no")
       else ""
+    // when the flag fires, localize it: top-5 per-query NORMALIZED ratios
+    // vs the recorded prior round (prior round's probe calib was 0.529)
+    val priorCalibProbe = 0.529
+    val probeDeltas = if (probeRegression.nonEmpty && calibProbe > 0) {
+      val cur = probeResults.map(r => r.name -> r.min).toMap
+      priorProbe.toSeq.flatMap { case (n, prior) =>
+        cur.get(n).collect { case t if t > 0 && prior > 0 =>
+          (n, (t / calibProbe) / (prior / priorCalibProbe)) }
+      }.sortBy { case (_, ratio) => -math.abs(math.log(ratio)) }.take(5)
+        .map { case (n, ratio) => jstr(n) + ":" + fmt("%.2f", ratio) }
+        .mkString("{", ",", "}")
+    } else "{}"
     val sf1Map = sf1Results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
     val sf1Total = sf1Results.collect { case r if r.err.isEmpty => r.min }.sum
@@ -412,35 +469,38 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val core =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":${jnum(calibFull)},"calib_probe":${jnum(calibProbe)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(priorProbeNormalized)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
-      (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(priorProbeNormalized)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+      (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)},"probe_deltas":$probeDeltas""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
     // session JVM state), so cross-round comparison must use `probe`
     val biasNote = "full-run query mins are population-biased; compare probe_normalized across rounds"
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
-        withSf1Exp: Boolean = true): String =
+        withSf1Probe: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
-        (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote",""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json; $biasNote",""") +
-        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap,"sf1_probe":$sf1Map""" +
-        (if (withSf1Exp) s""","sf1_exponents":$sf1Exp""" else "") +
+        (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote",""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json",""") +
+        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap""" +
+        (if (withSf1Probe) s""","sf1_probe":$sf1Map""" else s""","sf1_probe":{}""") +
+        s""","sf1_exponents":$sf1Exp""" +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
         s""","sf":"$sfDir"}"""
     // the wrapper's tail window is ~2000 chars and this line is the LAST
     // thing on stdout (showSuccess off), so anything under ~1950 keeps the
     // line start inside the window. Degrade ladder sheds detail only:
     // full → drop `skipped` → drop per-query mins/errors → compact
-    // anomalies → drop sf1_exponents (recomputable from probe + sf1_probe,
-    // both of which every rung keeps). EVERY rung keeps rep_anomalies,
-    // n_errors, probe, sf1_probe, calib/probe_normalized — the r5 artifact
+    // anomalies → drop raw sf1_probe seconds (they live in bench_out.json
+    // and the EXPONENTS are what cross-round adjudication needs — r9's
+    // ladder shed the exponents instead and left 10 sf1 rows unpaired in
+    // the artifact). EVERY rung keeps rep_anomalies, n_errors, probe,
+    // sf1_exponents, calib anchors/probe_normalized — the r5 artifact
     // emptied rep_anomalies on overflow and hid 4 anomalies.
     val candidates = Seq(
       line(withQueries = true,  withSkipped = true,  anomalies),
       line(withQueries = true,  withSkipped = false, anomalies),
       line(withQueries = false, withSkipped = false, anomalies),
       line(withQueries = false, withSkipped = false, anomaliesCompact),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, withSf1Exp = false))
+      line(withQueries = false, withSkipped = false, anomaliesCompact, withSf1Probe = false))
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(candidates.last)
     // full-detail twin (exact seconds, raw runs, medians, warm-ups) → out file
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
@@ -452,5 +512,14 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"bench_out write failed: $e") }
+    // r9 ask #8 (stretch): a regression OUTSIDE the measured drift
+    // envelope is a build verdict, not a judgement call — exit nonzero so
+    // the wrapper records it (rc=3; the per-query normalized deltas are
+    // already in-artifact under "probe_deltas"). In-envelope flags stay
+    // rc=0: they read as machine drift, adjudicated by the anchors.
+    if (outsideEnvelope && probeRegression.nonEmpty) {
+      System.err.println(s"probe regression outside drift envelope: $probeRegression")
+      System.exit(3)
+    }
   }
 }
