@@ -5822,6 +5822,33 @@ object Oracles {
         |FROM bill b JOIN documents dd USING (doc_id)
         |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin),
 
+    // tokenizer round trip: per-word decode (piece concatenation) must
+    // reproduce the word exactly; fidelity/coverage ratios ride the
+    // exact integer-ratio form (round per-language denominators)
+    "text_roundtrip_bpe" ->
+      (bpeCtes(3) + s""",
+        |wsegs AS (
+        |  SELECT word, replace(seq, ' ', '') AS decoded FROM seqs3
+        |), dwords AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |), per AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN w.decoded = d.word THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |    CAST(sum(length(d.word)) AS BIGINT) AS word_chars
+        |  FROM dwords d JOIN wsegs w USING (word)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(p.n_ok) AS BIGINT) AS n_words_roundtrip,
+        |  ${graft.functions.Exact.sqlRatioR("sum(p.n_ok)", "sum(p.n_words)", 6)} AS word_fidelity,
+        |  CAST(sum(CASE WHEN p.n_ok = p.n_words THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_exact,
+        |  ${graft.functions.Exact.sqlRatioR("sum(CASE WHEN p.n_ok = p.n_words THEN 1 ELSE 0 END)", "count(*)", 6)} AS doc_fidelity,
+        |  ${graft.functions.Exact.sqlRatioR("sum(p.word_chars)", "sum(length(dd.text))", 6)} AS norm_coverage
+        |FROM per p JOIN documents dd USING (doc_id)
+        |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin),
+
     // concentration curve: exact integer per-source token sums, rank +
     // running total over the bounded group frame, shares rounded to 6
     "corpus_concentration" ->

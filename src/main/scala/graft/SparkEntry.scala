@@ -567,6 +567,9 @@ object SparkEntry {
     // tokenizer fertility per language (BPE tokens per word): the
     // multilingual-equity read off the encode bill
     "text_bpe_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(docs(s, dir))),
+    // tokenizer-QA round trip: decode∘encode ≡ id per language, plus the
+    // normalization coverage the decode can never recover (r9 ask #5)
+    "text_roundtrip_bpe" -> ((s, dir) => TextAnalysis.bpeRoundTrip(docs(s, dir))),
     // token-volume concentration curve over sources (n50/n90 governance)
     "corpus_concentration" -> ((s, dir) =>
       TextAnalysis.corpusConcentration(docs(s, dir))),

@@ -635,6 +635,58 @@ object TextAnalysis {
         round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
       .orderBy(col("lang"))
 
+  /** DETOKENIZE: invert a space-joined segmentation back to its word —
+    * the decode leg both tokenizer families share (BPE merges and
+    * unigram Viterbi both segment a word into contiguous pieces, so
+    * decoding is piece concatenation). One codegen'd `translate`.
+    */
+  def detokenize(segCol: Column): Column = translate(segCol, " ", "")
+
+  /** Tokenizer-QA round-trip report (the standard decode∘encode ≡ id
+    * gate a tokenizer ships with): per language, how many corpus words
+    * survive encode→decode EXACTLY under the trained BPE merges, how
+    * many documents round-trip wholly, and how much of the raw text the
+    * `[a-z]+` normalization alphabet can ever recover (`norm_coverage` —
+    * the loss detokenization CANNOT undo, quantified rather than
+    * hidden). Word fidelity is 1.0 by construction for a
+    * segmentation-based tokenizer — this row is the regression gate that
+    * keeps it so (a piece-table corruption, a vocabulary/serving split
+    * drift, or a normalization change all surface here first).
+    *
+    * Scale shape: the corpus collapses to the trained vocabulary for the
+    * decode check (word-keyed broadcast join, same as the encode bill);
+    * fidelity ratios are exact integer ratios over per-language totals
+    * ([[graft.functions.Exact.ratioR]] — panel sizes are round numbers).
+    */
+  def bpeRoundTrip(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val (_, seqs) = bpeTrain(docs, rounds)
+    val wordSegs = seqs.select(col("word"), detokenize(col("seq")).as("decoded"))
+    val perDoc = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(broadcast(wordSegs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("decoded") === col("word"), 1L).otherwise(0L)).as("n_ok"),
+        sum(length(col("word")).cast("long")).as("word_chars"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("doc_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_ok")).as("n_words_roundtrip"),
+        Exact.ratioR(sum(col("n_ok")), sum(col("n_words")), 6)
+          .as("word_fidelity"),
+        sum(when(col("n_ok") === col("n_words"), 1L).otherwise(0L))
+          .as("n_docs_exact"),
+        Exact.ratioR(sum(when(col("n_ok") === col("n_words"), 1L)
+          .otherwise(0L)), count(lit(1)), 6).as("doc_fidelity"),
+        Exact.ratioR(sum(col("word_chars")), sum(col("doc_chars")), 6)
+          .as("norm_coverage"))
+      .orderBy(col("lang"))
+  }
+
   /** Corpus concentration curve: groups (sources/domains) ranked by
     * token volume with per-group and CUMULATIVE shares — the
     * release-audit view behind "how much of this corpus is the top k

@@ -610,6 +610,29 @@ object StreamingCorpus {
       .start()
   }
 
+  /** Streaming PII-redaction gate (r9 ask #7) — the scrub pass a
+    * continuously ingested training corpus runs BEFORE anything else
+    * lands: each micro-batch passes through
+    * [[graft.ext.TextAnalysis.redactPii]] (a pure per-row map — typed
+    * placeholder substitution in fixed order plus per-kind counts), so
+    * verdicts are final at arrival and the stream equals the batch
+    * redaction row-for-row. Redacted text + counts land batch-id-keyed
+    * with OVERWRITE (replay idempotence); raw text never reaches the
+    * landing zone — the property a privacy gate exists to enforce.
+    */
+  def redactIngest(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          TextAnalysis.redactPii(batch.drop("event_time"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Streaming DSIR scoring against a FROZEN persisted log-ratio model
     * ([[graft.ext.TextAnalysis.buildDsirModel]]) — the serving shape of
     * importance-weight data selection: the target/raw models are fit

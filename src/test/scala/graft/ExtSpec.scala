@@ -2749,6 +2749,39 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("bc", 2L, "bc")), s"segments: ${segs.toSeq}")
   }
 
+  test("tokenizer round trip: decode∘encode ≡ id for BPE and unigram; the report quantifies normalization loss") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "the quick brown fox! 42 JUMPS over the lazy dog."),
+      (1L, "de", "aaaa aaaa aa bc bc abc"),
+      (2L, "en", "unfolding refolding folds")).toDF("doc_id", "lang", "text")
+    val rt = graft.ext.TextAnalysis.bpeRoundTrip(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rt.keySet == Set("en", "de"))
+    // segmentation decode is LOSSLESS: every word and every doc
+    // round-trips exactly (the QA gate this query exists to keep green)
+    rt.values.foreach { r =>
+      assert(r.getAs[Double]("word_fidelity") == 1.0, s"row $r")
+      assert(r.getAs[Double]("doc_fidelity") == 1.0, s"row $r")
+      assert(r.getAs[Long]("n_words") == r.getAs[Long]("n_words_roundtrip"))
+      assert(r.getAs[Long]("n_docs") == r.getAs[Long]("n_docs_exact"))
+    }
+    // normalization loss is REPORTED, not hidden: punctuation, digits and
+    // case in the en docs put coverage below 1; the all-lowercase de doc
+    // loses exactly its 5 separator spaces: 17 word chars / 22 chars
+    assert(rt("en").getAs[Double]("norm_coverage") < 1.0)
+    assert(rt("de").getAs[Double]("norm_coverage") ==
+      BigDecimal(17.0 / 22).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // unigram family: concatenating each word's Viterbi pieces reproduces
+    // the word for the whole vocabulary (detokenize is the shared inverse)
+    import org.apache.spark.sql.functions.col
+    val segs = graft.ext.TextAnalysis.unigramSegments(docs)
+    assert(segs.count() > 0)
+    assert(segs.filter(
+      graft.ext.TextAnalysis.detokenize(col("seg")) =!= col("word")).count() == 0L)
+  }
+
   test("MMR re-rank skips the near-duplicate a plain top-k would take, then admits it once diversity is served") {
     import spark.implicits._
     // q = x-axis; v1 and v2 are the SAME direction (sim 1.0, rel 3/sqrt(10)
@@ -3003,6 +3036,36 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(graft.functions.Exact.avgQR(col("v"), 4, 4).as("m"))
       .collect()(0).getDouble(0)
     assert(m == 0.505, s"mean $m")
+  }
+
+  test("compact exact sums: sumQC/sumQRC/avgQL ≡ the Decimal(38) forms; sumQLR exact HALF_UP on the planted grid tie") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Exact
+    // money-grid values, SIGNED, incl. a 2-dp tie-maker: the compact path
+    // (pure-double quantize + compact-decimal accumulate) must equal the
+    // BigDecimal-backed sumQ family bit-for-bit on the grid domain
+    val v = Seq(6.55, 0.01, -2.34, 9999.99, 123.455, -0.005, 87.125)
+    val df = v.map(Tuple1(_)).toDF("x")
+    val got = df.agg(
+      Exact.sumQC(col("x"), 3).as("c"),
+      Exact.sumQ(col("x"), 3).as("q"),
+      Exact.sumQRC(col("x"), 3, 2).as("rc"),
+      Exact.sumQR(col("x"), 3, 2).as("r"),
+      Exact.avgQL(col("x"), 3, 4).as("al"),
+      Exact.avgQR(col("x"), 3, 4).as("ar")).collect()(0)
+    assert(got.getDouble(0) == got.getDouble(1), s"sumQC ${got.getDouble(0)} vs sumQ ${got.getDouble(1)}")
+    assert(got.getDouble(2) == got.getDouble(3), s"sumQRC vs sumQR: $got")
+    assert(got.getDouble(4) == got.getDouble(5), s"avgQL vs avgQR: $got")
+    // exact sum = 10214.785 -> the .785 lands on the 2-dp HALF_UP tie: 10214.79
+    assert(got.getDouble(2) == 10214.79, s"tie round: ${got.getDouble(2)}")
+
+    // sumQLR: 6-dp grid terms summing to an EXACT .xxxx50 (the ~1%-of-
+    // cells BM25 tie) — integer HALF_UP re-round must give .1235, where
+    // round(double, 4) is at the mercy of the double's 1-ulp side
+    val tie = Seq(0.12340, 0.000050).map(Tuple1(_)).toDF("t")
+      .agg(Exact.sumQLR(col("t"), 6, 4).as("s")).collect()(0).getDouble(0)
+    assert(tie == 0.1235, s"sumQLR tie: $tie")
   }
 
   test("collocations: a planted sticky phrase tops the PMI ranking") {

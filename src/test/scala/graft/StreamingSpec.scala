@@ -781,6 +781,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming PII redaction equals the batch scrubber; raw PII never lands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the planted-PII fixture (the text_pii oracle corpus) split across
+    // two micro-batches: redaction is a pure per-row map, so verdicts
+    // are final at arrival and the stream equals the batch scrubber
+    // row-for-row — including the overlap cases the ordering exists for
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = graft.ext.TextAnalysis.piiFixture
+    val chunks = rows.zipWithIndex
+      .map { case ((id, t), i) => CorpusDoc(id, t, "en", "s1", new Timestamp(t0 + i * 1000L)) }
+      .grouped((rows.length + 1) / 2).toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft-pii-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pii-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.redactIngest(mem.toDF(), outDir, ckpt)
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    val expected = graft.ext.TextAnalysis.redactPii(
+        rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    assert(streamed == expected,
+      s"missed=${expected.diff(streamed).take(3)} extra=${streamed.diff(expected).take(3)}")
+    // the privacy property itself: no landed text contains a raw email,
+    // IP, or separator-grouped phone — every planted instance is a token
+    val landed = streamed.map(_._5)
+    graft.ext.TextAnalysis.PiiPatterns.foreach { case (pat, _) =>
+      val re = pat.r
+      assert(landed.forall(t => re.findFirstIn(t).isEmpty),
+        s"raw PII pattern $pat survived in the landing zone")
+    }
+    assert(landed.exists(_.contains("<EMAIL>")) &&
+      landed.exists(_.contains("<IP>")) && landed.exists(_.contains("<PHONE>")))
+  }
+
   test("streaming DSIR scoring equals the batch scorer against the same frozen model") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
