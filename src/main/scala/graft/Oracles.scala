@@ -1707,9 +1707,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    (CAST((sum(CAST(round(round(
+        |    (CAST((sum(CAST(round((
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1749,9 +1749,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    (CAST((sum(CAST(round(round(
+        |    (CAST((sum(CAST(round((
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1805,9 +1805,9 @@ object Oracles {
         |  WHERE rk <= 16
         |), scored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    (CAST((sum(CAST(round(round(
+        |    (CAST((sum(CAST(round((
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id
@@ -1860,9 +1860,9 @@ object Oracles {
         |  WHERE rk <= 4
         |), sscored AS (
         |  SELECT q.query_id, tf.doc_id,
-        |    (CAST((sum(CAST(round(round(
+        |    (CAST((sum(CAST(round((
         |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 6) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
         |  FROM qsel q
         |  JOIN tf ON q.token = tf.token
         |  JOIN dl ON tf.doc_id = dl.doc_id

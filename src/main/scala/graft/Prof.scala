@@ -418,6 +418,30 @@ object Prof {
         Bench.sweep(spark)
       }
     }
+    if (mode == "bm25") {
+      // retrieval_eval cost anatomy at SPARK_GRAFT_SF_DIR: index scan vs
+      // matched-postings volume vs the groupBy shuffle
+      val docs = Queries.table(spark, sfDir, "documents")
+      val idxDir = sys.props("java.io.tmpdir") + "/graft_prof_bm25_idx"
+      time("build")({ graft.ext.TextAnalysis.buildBm25Index(docs, idxDir); 0L })
+      val tf = spark.read.parquet(s"$idxDir/tf")
+      time("tf_rows")(tf.count())
+      val q = tf.filter(col("doc_id") % 100 === 0 && col("doc_id") < 20000)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("first_pos"))))
+        .filter(col("rk") <= 16)
+        .select(col("doc_id").as("query_id"), col("token"))
+      time("qtokens")(q.count())
+      val matched = broadcast(q).join(tf, Seq("token"))
+      time("matched_rows")(matched.count())
+      time("grouped")(matched.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("tf"))).count())
+      time("eval_full")(noop(
+        graft.ext.TextAnalysis.retrievalEvalFromIndex(spark, idxDir)))
+      time("eval_full_2")(noop(
+        graft.ext.TextAnalysis.retrievalEvalFromIndex(spark, idxDir)))
+    }
     if (mode == "simhash" || mode == "all") {
       val docs = Queries.table(spark, sfDir, "documents")
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())

@@ -2688,6 +2688,62 @@ object TextAnalysis {
     * per-query window over the scored candidates (bounded by queries ×
     * matched docs), not a global sort.
     */
+  /** The postings-index frames the whole BM25 family shares:
+    * `tf (doc_id, token, tf, first_pos)`, `dl (doc_id, dl)`,
+    * `df (token, df)`, `stats (n_docs, avgdl)`. Every frame is exactly
+    * what [[bm25TopK]] always derived inline — split out so the SAME
+    * frames can be persisted once ([[buildBm25Index]]) and served many
+    * times, the inverted-index production pattern. `first_pos` rides the
+    * tf frame (min token position per doc) so the corpus-derived query
+    * panel can be re-derived from the index at any (queryEvery,
+    * queryTerms, maxQueries) without the raw text. `avgdl` is an
+    * order-free mean (integer-valued doubles sum exactly), so the
+    * persisted and inline values are bit-identical.
+    */
+  private def bm25Postings(docs: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
+    val tokens = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val tfRaw = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
+    val dl = tfRaw.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // DENORMALIZED postings (impact-ready layout): each posting carries
+    // its document's length, so serving never joins the corpus-sized dl
+    // frame — the one join this moves is paid once at build time
+    val tf = tfRaw.join(dl, Seq("doc_id"))
+    val dfreq = tfRaw.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // N counts docs with at least one token — the indexed population
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    (tf, dfreq, stats)
+  }
+
+  /** Persist the postings index (the offline fit half of the retrieval
+    * lifecycle — at 100 TB this job runs once per corpus version and
+    * every query serves against the artifact).
+    */
+  def buildBm25Index(docs: DataFrame, dir: String): Unit = {
+    val (tf, dfreq, stats) = bm25Postings(docs)
+    tf.write.mode("overwrite").parquet(s"$dir/tf")
+    dfreq.write.mode("overwrite").parquet(s"$dir/df")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** [[bm25TopK]] served from a persisted postings index — identical
+    * scores by construction (the same four frames feed the same scorer;
+    * integers and the order-free avgdl survive the parquet round trip
+    * bit-for-bit), so the self-contained oracle SQL stays the gate.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxQueries: Int = Int.MaxValue): DataFrame =
+    bm25HitsFrom(spark.read.parquet(s"$indexDir/tf"),
+      spark.read.parquet(s"$indexDir/df"),
+      spark.read.parquet(s"$indexDir/stats"),
+      queryEvery, queryTerms, topK, k1, b, maxQueries)
+
   def bm25TopK(
       docs: DataFrame,
       queryEvery: Int = 100,
@@ -2696,51 +2752,58 @@ object TextAnalysis {
       k1: Double = 1.2,
       b: Double = 0.75,
       maxQueries: Int = Int.MaxValue): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "token")))
-      .filter(col("token") =!= "")
-    val tf = tokens.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // N counts docs with at least one token — the indexed population
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val (tf, dfreq, stats) = bm25Postings(docs)
+    bm25HitsFrom(tf, dfreq, stats, queryEvery, queryTerms, topK, k1, b,
+      maxQueries)
+  }
 
+  /** The scorer over the four postings frames (inline or index-served). */
+  private def bm25HitsFrom(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, queryEvery: Int, queryTerms: Int, topK: Int,
+      k1: Double, b: Double, maxQueries: Int): DataFrame = {
     // maxQueries caps the derived set at a FIXED size: with the plain
     // modulus the query count grows WITH the corpus while every query's
     // postings also grow, so the scored join compounds super-linearly —
     // a measured 8x at 10x data for the 16-term eval form. An eval set
     // is a fixed panel, not a corpus-proportional one.
-    val qtokens = tokens
+    val qtokens = tf
       .filter(col("doc_id") % queryEvery === 0 &&
         col("doc_id") < queryEvery.toLong * maxQueries)
-      .groupBy(col("doc_id").as("query_id"), col("token"))
-      .agg(min(col("pos")).as("first_pos"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id")).orderBy(col("first_pos"))))
+          .partitionBy(col("doc_id")).orderBy(col("first_pos"))))
       .filter(col("rk") <= queryTerms)
-      .select(col("query_id"), col("token"))
+      .select(col("doc_id").as("query_id"), col("token"))
 
-    val termW = round(
-      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
-    // df only for queried tokens — a ≤ queries×terms frame, broadcastable
-    // regardless of full-vocabulary size
-    val qdf = dfreq.join(qtokens.select(col("token")).distinct(), Seq("token"))
+    // idf PRECOMPUTED once per queried token on the ≤ queries×terms
+    // broadcast frame (r10 sf1 anatomy: the matched-postings join emits
+    // ~119M rows at sf1, and a per-row log() + BigDecimal round()
+    // dominated serving; idf depends only on (df, n_docs), so the 3k
+    // distinct tokens need 3k logs, not 119M). avgdl rides the same
+    // broadcast row, so the hot join does pure multiply/divide.
+    val qidf = dfreq.join(qtokens.select(col("token")).distinct(), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"),
+        col("avgdl"))
+    val termW =
+      col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     val scored = broadcast(qtokens)
       .join(tf, Seq("token"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(qdf), Seq("token"))
-      .crossJoin(broadcast(stats))
+      .join(broadcast(qidf), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
-      // r10 (advisor catch): the round-6 term weights are GRID data, so a
-      // plain double sum lands on the exact 4-dp `.xxxx50` tie ~1% of
-      // cells and `round(double, 4)` then depends on partial-aggregation
-      // order AND splits Spark's HALF_UP against DuckDB's double-scaled
-      // rounding. Scaled-long sum + integer HALF_UP re-round is order-free
-      // and engine-exact (Exact.sumQLR; sqlSumQLR in the 4 oracle twins).
+      // r10 (advisor catch): a plain double sum of the 6-dp-quantized term
+      // weights lands on the exact 4-dp `.xxxx50` tie ~1% of cells, where
+      // it is partial-aggregation-order-dependent AND `round(double, 4)`
+      // splits Spark's HALF_UP against DuckDB's double-scaled rounding.
+      // Scaled-long sum + integer HALF_UP re-round is order-free and
+      // engine-exact (Exact.sumQLR; sqlSumQLR in the 4 oracle twins).
+      // The 6-dp quantization IS sumQLR's ⌊x·10^6+0.5⌋ snap — one pure-
+      // double op per matched row (an explicit round(_, 6) before it was
+      // a second, BigDecimal-backed quantization of the same grid point;
+      // the oracle twins quantize once the same way).
       .agg(Exact.sumQLR(termW, 6, 4).as("score"))
 
     scored
@@ -2777,9 +2840,18 @@ object TextAnalysis {
     */
   def retrievalEval(docs: DataFrame, queryEvery: Int = 100,
       queryTerms: Int = 16, topK: Int = 10,
-      maxQueries: Int = 200): DataFrame = {
-    val hits = bm25TopK(docs, queryEvery, queryTerms, topK,
-      maxQueries = maxQueries)
+      maxQueries: Int = 200): DataFrame =
+    retrievalEvalFromHits(bm25TopK(docs, queryEvery, queryTerms, topK,
+      maxQueries = maxQueries))
+
+  /** [[retrievalEval]] served from the persisted postings index. */
+  def retrievalEvalFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 16,
+      topK: Int = 10, maxQueries: Int = 200): DataFrame =
+    retrievalEvalFromHits(bm25TopKFromIndex(spark, indexDir, queryEvery,
+      queryTerms, topK, maxQueries = maxQueries))
+
+  private def retrievalEvalFromHits(hits: DataFrame): DataFrame = {
     val queries = hits.select(col("query_id")).distinct()
     val self = hits.filter(col("query_id") === col("doc_id"))
       .select(col("query_id"), col("rank").as("sr"))
@@ -2813,9 +2885,18 @@ object TextAnalysis {
     */
   def retrievalNdcg(docs: DataFrame, queryEvery: Int = 100,
       queryTerms: Int = 16, topK: Int = 10,
-      maxQueries: Int = 200): DataFrame = {
-    val hits = bm25TopK(docs, queryEvery, queryTerms, topK,
-      maxQueries = maxQueries)
+      maxQueries: Int = 200): DataFrame =
+    retrievalNdcgFromHits(bm25TopK(docs, queryEvery, queryTerms, topK,
+      maxQueries = maxQueries))
+
+  /** [[retrievalNdcg]] served from the persisted postings index. */
+  def retrievalNdcgFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 16,
+      topK: Int = 10, maxQueries: Int = 200): DataFrame =
+    retrievalNdcgFromHits(bm25TopKFromIndex(spark, indexDir, queryEvery,
+      queryTerms, topK, maxQueries = maxQueries))
+
+  private def retrievalNdcgFromHits(hits: DataFrame): DataFrame = {
     val queries = hits.select(col("query_id")).distinct()
     val self = hits.filter(col("query_id") === col("doc_id"))
       .select(col("query_id"), col("rank").as("sr"))
@@ -2866,9 +2947,31 @@ object TextAnalysis {
       queryTerms: Int = 4,
       poolK: Int = 20,
       topK: Int = 5,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60): DataFrame =
+    hybridRrfFromSparse(bm25TopK(docs, queryEvery, queryTerms, poolK),
+      emb, queryEvery, poolK, topK, rrfK)
+
+  /** [[hybridRrfTopK]] with the sparse tier served from the persisted
+    * postings index (the dense tier stays a corpus scan — its index
+    * twins live in the ANN family).
+    */
+  def hybridRrfFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, emb: DataFrame, queryEvery: Int = 100,
+      queryTerms: Int = 4, poolK: Int = 20, topK: Int = 5,
+      rrfK: Int = 60): DataFrame =
+    hybridRrfFromSparse(
+      bm25TopKFromIndex(spark, indexDir, queryEvery, queryTerms, poolK),
+      emb, queryEvery, poolK, topK, rrfK)
+
+  private def hybridRrfFromSparse(
+      sparseHits: DataFrame,
+      emb: DataFrame,
+      queryEvery: Int,
+      poolK: Int,
+      topK: Int,
+      rrfK: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val sparse = bm25TopK(docs, queryEvery, queryTerms, poolK)
+    val sparse = sparseHits
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
 
     graft.functions.VectorFunctions.register(emb.sparkSession)
