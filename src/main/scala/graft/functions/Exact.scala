@@ -81,6 +81,12 @@ object Exact {
     * END. Value-identical to [[sumQ]] on its contract domain — the final
     * `cast("double")` converts the same exact rational either way — at
     * roughly the cost of a plain double sum (r10 A/B in NUMERICS.md).
+    *
+    * PER-ROW envelope: |x|·10^s < 10^18 (the long→DECIMAL(18,0) cast
+    * nulls larger values under non-ANSI overflow — at s=6 that is a
+    * single row worth 10^12, five orders above any money column; a
+    * summand class that can exceed it belongs on [[sumQ]]'s (38,s)
+    * per-row width).
     */
   def sumQC(c: Column, s: Int): Column =
     (sum(qLong(c, s).cast(DecimalType(18, 0))) * unscale(s)).cast("double")
