@@ -5763,6 +5763,34 @@ object Oracles {
         |  ON d.word = s.word
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // unigram round trip: Viterbi pieces concatenate back to the word;
+    // same exact-ratio report as the BPE twin (domain-excluded words
+    // drop at the join, absorbed into norm_coverage)
+    "text_roundtrip_unigram" ->
+      s"""$unigramSegChain,
+        |wsegs AS (
+        |  SELECT word, array_to_string(pieces, '') AS decoded
+        |  FROM seg WHERE pos = 0
+        |), dwords AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |  FROM documents
+        |), per AS (
+        |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN w.decoded = d.word THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |    CAST(sum(length(d.word)) AS BIGINT) AS word_chars
+        |  FROM dwords d JOIN wsegs w USING (word)
+        |  GROUP BY d.doc_id
+        |)
+        |SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(p.n_ok) AS BIGINT) AS n_words_roundtrip,
+        |  ${graft.functions.Exact.sqlRatioR("sum(p.n_ok)", "sum(p.n_words)", 6)} AS word_fidelity,
+        |  CAST(sum(CASE WHEN p.n_ok = p.n_words THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_exact,
+        |  ${graft.functions.Exact.sqlRatioR("sum(CASE WHEN p.n_ok = p.n_words THEN 1 ELSE 0 END)", "count(*)", 6)} AS doc_fidelity,
+        |  ${graft.functions.Exact.sqlRatioR("sum(p.word_chars)", "sum(length(dd.text))", 6)} AS norm_coverage
+        |FROM per p JOIN documents dd USING (doc_id)
+        |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin,
+
     "text_unigram_fertility" ->
       s"""$unigramSegChain,
         |docw AS (

@@ -582,6 +582,8 @@ object SparkEntry {
     // tokenizer-QA round trip: decode∘encode ≡ id per language, plus the
     // normalization coverage the decode can never recover (r9 ask #5)
     "text_roundtrip_bpe" -> ((s, dir) => TextAnalysis.bpeRoundTrip(docs(s, dir))),
+    "text_roundtrip_unigram" -> ((s, dir) =>
+      TextAnalysis.unigramRoundTrip(docs(s, dir))),
     // token-volume concentration curve over sources (n50/n90 governance)
     "corpus_concentration" -> ((s, dir) =>
       TextAnalysis.corpusConcentration(docs(s, dir))),

@@ -3137,6 +3137,41 @@ object TextAnalysis {
         round(col("n_unigram_tokens").cast("double") / col("n_words"), 4))
       .orderBy(col("lang"))
 
+  /** Unigram twin of [[bpeRoundTrip]] — decode∘encode ≡ id per language
+    * under the Viterbi segmenter, same exact-ratio report columns. Words
+    * beyond the segmenter's domain ([[UniMaxLen]]) drop at the word join
+    * (the [[unigramEncodeCounts]] convention), so `norm_coverage` also
+    * absorbs the domain exclusion — quantified, not hidden.
+    */
+  def unigramRoundTrip(docs: DataFrame, multiK: Int = 300): DataFrame = {
+    val wordSegs = unigramSegments(docs, multiK)
+      .select(col("word"), detokenize(col("seg")).as("decoded"))
+    val perDoc = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      .join(broadcast(wordSegs), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("decoded") === col("word"), 1L).otherwise(0L)).as("n_ok"),
+        sum(length(col("word")).cast("long")).as("word_chars"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("doc_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_ok")).as("n_words_roundtrip"),
+        Exact.ratioR(sum(col("n_ok")), sum(col("n_words")), 6)
+          .as("word_fidelity"),
+        sum(when(col("n_ok") === col("n_words"), 1L).otherwise(0L))
+          .as("n_docs_exact"),
+        Exact.ratioR(sum(when(col("n_ok") === col("n_words"), 1L)
+          .otherwise(0L)), count(lit(1)), 6).as("doc_fidelity"),
+        Exact.ratioR(sum(col("word_chars")), sum(col("doc_chars")), 6)
+          .as("norm_coverage"))
+      .orderBy(col("lang"))
+  }
+
   /** Persist the trained piece vocabulary — the fit half of the
     * tokenizer's fit→persist→serve lifecycle (the LR/LM/index store
     * discipline): a ≤(chars + multiK)-row table, one file.
