@@ -38,6 +38,32 @@ object PropertySpec extends Properties("graft") {
         Retry.backoffDelay(base, 1) == base
     }
 
+  // the Exact.qLong contract (NUMERICS.md Class G): for any GRID-RESIDENT
+  // value — the nearest double to k/10^s — the pure-double snap
+  // ⌊x·10^s + 0.5⌋ recovers exactly k, either sign, across the money
+  // magnitude envelope (|k| ≲ 2^50 keeps the accumulated ulp error far
+  // inside the ±0.5 window)
+  property("grid snap recovers the exact scaled integer (either sign)") =
+    Prop.forAll(Gen.choose(-999999999999L, 999999999999L), Gen.choose(0, 6)) {
+      (k: Long, s: Int) =>
+        val scale = math.pow(10, s)
+        val v = k / scale // nearest double to the grid point k·10^−s
+        math.floor(v * scale + 0.5).toLong == k
+    }
+
+  // the Exact.sumQLR re-round: integer ⌊(S + d/2)/d⌋ over a NON-NEGATIVE
+  // scaled sum equals BigDecimal HALF_UP at the target scale
+  property("integer HALF_UP re-round matches BigDecimal HALF_UP") =
+    Prop.forAll(Gen.choose(0L, 4000000000000000000L), Gen.choose(1, 6)) {
+      (sSum: Long, sMinusR: Int) =>
+        val down = math.pow(10, sMinusR).toLong
+        val intForm = (sSum + down / 2) / down
+        val bdForm = new java.math.BigDecimal(sSum)
+          .divide(new java.math.BigDecimal(down), 0, java.math.RoundingMode.HALF_UP)
+          .longValueExact()
+        intForm == bdForm
+    }
+
   property("countCsvRows matches construction") =
     Prop.forAll(Gen.choose(0, 50), Gen.oneOf(true, false)) { (n: Int, trailing: Boolean) =>
       val lines = "h1,h2,h3" +: (1 to n).map(i => s"v$i,a,b")
