@@ -4041,6 +4041,44 @@ object Oracles {
         |WHERE round(CAST(s.shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 4) >= 0.8
         |ORDER BY s.a, s.b""".stripMargin,
 
+    // containment store twin: identical chain, pair condition swapped to
+    // cross-set (incoming %5==0 vs indexed %5!=0); df gate over the full
+    // population exactly as the engine computes it on this split
+    "dedup_containment_index" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, g.i AS pos,
+        |    ('0x' || substring(md5(substring(t, g.i, 12)), 1, 15))::BIGINT AS h
+        |  FROM norm, UNNEST(generate_series(1, greatest(len(t) - 11, 0))) AS g(i)
+        |), winmin AS (
+        |  SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wsize
+        |  FROM grams
+        |), allfps AS (
+        |  SELECT DISTINCT doc_id, fp FROM winmin WHERE wsize = 8
+        |), fps AS (
+        |  SELECT doc_id, fp FROM allfps
+        |  WHERE fp IN (SELECT fp FROM allfps GROUP BY fp HAVING count(*) <= 32)
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+        |), shared AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+        |  FROM fps x JOIN fps y ON x.fp = y.fp
+        |    AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.a, s.b, CAST(s.shared AS BIGINT) AS shared,
+        |  round(CAST(s.shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 4) AS containment
+        |FROM shared s
+        |JOIN cnt ca ON s.a = ca.doc_id JOIN cnt cb ON s.b = cb.doc_id
+        |WHERE round(CAST(s.shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 4) >= 0.8
+        |ORDER BY s.a, s.b""".stripMargin,
+
     // winnowing with the portable md5-prefix hash (TextAnalysis
     // .portableHash64) — k=5 char grams, window w=4, full windows only
     "text_winnowing" ->

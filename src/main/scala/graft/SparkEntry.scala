@@ -204,6 +204,18 @@ object SparkEntry {
       }
       Dedup.dedupAgainstMinhashIndex(s, idx, docs(s, dir).filter(col0("doc_id") % 5 === 0))
     }),
+    // containment-family serving twin: the historical store (doc_id%5!=0)
+    // is winnow-fingerprinted once into a versioned index; the incoming
+    // batch (doc_id%5==0) screens against it without re-reading corpus
+    // text (rare-fp gate over the combined population = the one-corpus
+    // operator's verdicts on this split, which the oracle replays)
+    "dedup_containment_index" -> ((s, dir) => {
+      val idx = graft.ext.IndexCache.ensure(s, dir, "winnow",
+          table = "documents", params = "k=12,w=8,split=mod5") { d =>
+        Dedup.buildWinnowingIndex(docs(s, dir).filter(col0("doc_id") % 5 =!= 0), d)
+      }
+      Dedup.containmentAgainstIndex(s, idx, docs(s, dir).filter(col0("doc_id") % 5 === 0))
+    }),
     // transitive closure of the dup-pair graph: one representative per
     // connected component (min-label propagation to a fixpoint)
     "dedup_clusters" -> ((s, dir) =>

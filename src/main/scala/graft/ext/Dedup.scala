@@ -770,6 +770,73 @@ object Dedup {
     out
   }
 
+  /** Persist the winnowing fingerprint store — the containment family's
+    * fit half (the [[buildMinhashIndex]] versioned-index discipline):
+    * `(doc_id, fp)` under a `v_<n>`/CURRENT root with the (k, w)
+    * parameters travelling WITH the index, so the serve path can never
+    * fingerprint an incoming batch under different winnowing settings
+    * than the store was built with.
+    */
+  def buildWinnowingIndex(docs: DataFrame, dir: String,
+      k: Int = 12, w: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val root = s"$dir/v_$v"
+    TextAnalysis.winnowingFingerprints(docs, k, w)
+      .write.mode("overwrite").parquet(s"$root/fps/batch=-1")
+    Seq((k, w)).toDF("k", "w")
+      .write.mode("overwrite").parquet(s"$root/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
+
+  /** Cross-set containment of an INCOMING batch against the persisted
+    * winnowing store ([[buildWinnowingIndex]]) — the continuous-crawl
+    * serving shape of [[containmentPairs]]: only the incoming batch is
+    * fingerprinted (corpus text is never re-read); pairs are
+    * (incoming a, indexed b). The rare-fingerprint gate (`df ≤ maxDf`)
+    * is computed over the COMBINED population, so verdicts equal the
+    * one-corpus operator's on the same split — which is exactly what the
+    * oracle replays.
+    *
+    * Scale shape: identical to [[containmentPairs]] — fingerprint-keyed
+    * joins with the maxDf² fanout cap; the store side is a column-pruned
+    * parquet scan of 8-byte hashes.
+    */
+  def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, incoming: DataFrame, threshold: Double = 0.8,
+      maxDf: Int = 32): DataFrame = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val p = spark.read.parquet(s"$root/params").collect()(0)
+    val (k, w) = (p.getAs[Int]("k"), p.getAs[Int]("w"))
+    val idxFps = spark.read.parquet(s"$root/fps")
+      .select(col("doc_id"), col("fp"), lit(false).as("inc"))
+    val incFps = TextAnalysis.winnowingFingerprints(incoming, k, w)
+      .select(col("doc_id"), col("fp"), lit(true).as("inc"))
+    val all = idxFps.unionByName(incFps).cache()
+    try {
+      val dfreq = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      val rare = all.join(dfreq.filter(col("df") <= maxDf), Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("inc"))
+      val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val shared = rare.filter(col("inc")).select(col("doc_id").as("a"), col("fp"))
+        .join(rare.filter(!col("inc")).select(col("doc_id").as("b"), col("fp")),
+          Seq("fp"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      shared
+        .join(counts.select(col("doc_id").as("a"), col("n_fp").as("n_a")), Seq("a"))
+        .join(counts.select(col("doc_id").as("b"), col("n_fp").as("n_b")), Seq("b"))
+        .withColumn("containment",
+          round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 4))
+        .filter(col("containment") >= threshold)
+        .select(col("a"), col("b"), col("shared"), col("containment"))
+        .orderBy(col("a"), col("b"))
+        .localCheckpoint(true)
+    } finally { all.unpersist(); () }
+  }
+
   /** Transitive near-dup clustering: connected components over a dup-pair
     * graph, as iterative min-label propagation. A near-dup RELATION is not
     * transitive (A≈B, B≈C need not mean A≈C), but dedup must still keep

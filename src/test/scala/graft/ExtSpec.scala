@@ -2557,6 +2557,29 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
   }
 
+  test("persisted winnowing index: cross-set containment equals the full pair scan restricted to the split") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-win-idx").toString
+    Dedup.buildWinnowingIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    val got = Dedup.containmentAgainstIndex(spark, dir,
+        docs.filter(col("doc_id") % 5 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    spark.catalog.clearCache()
+    // ground truth: the one-corpus operator restricted to cross-split
+    // pairs, re-oriented (incoming, indexed) — the df gate sees the same
+    // combined population either way, so values must match exactly
+    val expected = Dedup.containmentPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .collect {
+        case (a, b, sh, c) if a % 5 == 0 && b % 5 != 0 => (a, b, sh, c)
+        case (a, b, sh, c) if a % 5 != 0 && b % 5 == 0 => (b, a, sh, c)
+      }.toSet
+    spark.catalog.clearCache()
+    assert(expected.nonEmpty, "planted containment pairs should cross the mod-5 split")
+    assert(got == expected,
+      s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
+  }
+
   test("minhash index lifecycle: replay-idempotent append, last-writer-wins, lossless compaction") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-life").toString
