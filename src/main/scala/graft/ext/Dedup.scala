@@ -803,7 +803,12 @@ object Dedup {
     *
     * Scale shape: identical to [[containmentPairs]] — fingerprint-keyed
     * joins with the maxDf² fanout cap; the store side is a column-pruned
-    * parquet scan of 8-byte hashes.
+    * parquet scan of 8-byte hashes. The df gate currently re-aggregates
+    * the store per serve (one store-sized map-side-combined groupBy); at
+    * continuous-crawl scale the store would carry a maintained
+    * `(fp, df)` side table merged with the batch's counts instead (the
+    * [[appendToMinhashIndex]] maintenance discipline) — same verdicts,
+    * store scan drops to the distinct-fp frame.
     */
   def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, incoming: DataFrame, threshold: Double = 0.8,
