@@ -366,6 +366,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj <= 2, s"$bnlj BNLJ nodes\n${plan.take(3000)}")
   }
 
+  test("index-served BM25: query panel and idf broadcast into the postings scan; no cartesian") {
+    val plan = planOf(SparkEntry.queries("text_bm25")(spark, sf))
+    // both bounded tiers (qtokens panel, per-token idf) must broadcast —
+    // the corpus-sized postings frame is never shuffled for the join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the only nested-loop product allowed is the 1-row stats cross into
+    // the broadcast idf tier (formatted mode prints nodes twice)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"$bnlj BNLJ nodes\n${plan.take(3000)}")
+    // serving reads the persisted postings, not the documents table
+    assert(plan.contains("/tf"), "expected the persisted postings scan in the plan")
+  }
+
   test("weighted sample: global top-k via TakeOrdered, never a full corpus sort") {
     val plan = planOf(graft.ext.TextAnalysis.weightedSample(
       Queries.table(spark, sf, "documents")))
