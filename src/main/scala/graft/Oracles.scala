@@ -1840,6 +1840,85 @@ object Oracles {
     // 1/(60+rank) per tier (absent rank contributes 0, reported as 0);
     // fused score rounds to 6 BEFORE the final rank (tiebreak doc_id) —
     // identical quantize-before-rank order to the engine
+    // fully index-served hybrid: the BM25 sparse chain fused with an
+    // IVF-probed dense pool (the kmeans replay shared with
+    // sim_topk_ivf_kmeans/_index; pool keeps SELF — self-retrieval is the
+    // labeled answer — and reads only probed cells)
+    "retrieval_hybrid_rrf_index" -> {
+      s"""${kmeansAssign3Ctes(8)},
+        |tokens AS (
+        |  SELECT doc_id, t[g.i] AS token, g.i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |qsel AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY first_pos) AS rk
+        |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
+        |          FROM tokens WHERE doc_id % 100 = 0 GROUP BY 1, 2))
+        |  WHERE rk <= 4
+        |), sscored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    (CAST((sum(CAST(round((
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |  FROM qsel q
+        |  JOIN tf ON q.token = tf.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq d ON tf.token = d.token
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), stop AS (
+        |  SELECT query_id, doc_id, rank_sparse FROM (
+        |    SELECT query_id, doc_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank_sparse
+        |    FROM sscored)
+        |  WHERE rank_sparse <= 20
+        |), dq AS (
+        |  SELECT vec_id AS query_id, e AS q_emb FROM emb WHERE vec_id % 100 = 0
+        |), probes AS (
+        |  SELECT query_id, q_emb, cell FROM (
+        |    SELECT q.query_id, q.q_emb, c.cell, row_number() OVER
+        |      (PARTITION BY q.query_id ORDER BY
+        |         list_cosine_similarity(q.q_emb, c.c) DESC, c.cell) AS c_rank
+        |    FROM dq q, cent3 c)
+        |  WHERE c_rank <= 2
+        |), dscored AS (
+        |  SELECT p.query_id, a.vec_id AS doc_id,
+        |    round(list_cosine_similarity(p.q_emb, a.e), 6) AS cos
+        |  FROM assign3 a JOIN probes p ON a.cell = p.cell
+        |), dtop AS (
+        |  SELECT query_id, doc_id, rank_dense FROM (
+        |    SELECT query_id, doc_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rank_dense
+        |    FROM dscored)
+        |  WHERE rank_dense <= 20
+        |), fused AS (
+        |  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+        |    coalesce(s.doc_id, d.doc_id) AS doc_id,
+        |    s.rank_sparse, d.rank_dense,
+        |    round(coalesce(1.0 / (60 + s.rank_sparse), 0)
+        |      + coalesce(1.0 / (60 + d.rank_dense), 0), 6) AS rrf
+        |  FROM stop s FULL OUTER JOIN dtop d
+        |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+        |), franked AS (
+        |  SELECT query_id, doc_id, rrf, rank_sparse, rank_dense,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, rank, doc_id, rrf,
+        |  CAST(coalesce(rank_sparse, 0) AS INT) AS rank_sparse,
+        |  CAST(coalesce(rank_dense, 0) AS INT) AS rank_dense
+        |FROM franked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
     "retrieval_hybrid_rrf" ->
       """WITH tokens AS (
         |  SELECT doc_id, t[g.i] AS token, g.i AS pos

@@ -739,6 +739,16 @@ object SparkEntry {
     // aligned embeddings table (doc_id ≡ vec_id in the corpus)
     "retrieval_hybrid_rrf" -> ((s, dir) =>
       TextAnalysis.hybridRrfFromIndex(s, bm25Index(s, dir), emb(s, dir))),
+    // BOTH tiers index-served (the production RAG stack): sparse off the
+    // shared postings artifact, dense off the SAME persisted IVF index
+    // the sim_topk_ivf_index row serves (one cached build per corpus)
+    "retrieval_hybrid_rrf_index" -> ((s, dir) => {
+      val ivf = graft.ext.IndexCache.ensure(s, dir, "ivf",
+          params = "nCells=8,iters=3") { d =>
+        Similarity.buildIvfIndex(emb(s, dir), d, nCells = 8, iters = 3)
+      }
+      TextAnalysis.hybridRrfFromIndexes(s, bm25Index(s, dir), ivf)
+    }),
     // self-retrieval ground truth: MRR / recall of each query finding
     // its own source document
     "retrieval_eval" -> ((s, dir) =>

@@ -810,13 +810,49 @@ object Dedup {
     * [[appendToMinhashIndex]] maintenance discipline) — same verdicts,
     * store scan drops to the distinct-fp frame.
     */
+  /** Fingerprint `newDocs` with the store's own stored (k, w) and append
+    * them as a `batch=<id>` directory — batch-owned overwrite, so an
+    * at-least-once replay with a stable caller `batchId` is idempotent
+    * (the [[appendToMinhashIndex]] contract).
+    */
+  def appendToWinnowingIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val p = spark.read.parquet(s"$root/params").collect()(0)
+    val id = batchId.getOrElse(Similarity.nextBatchId(spark, s"$root/fps"))
+    TextAnalysis.winnowingFingerprints(newDocs,
+        p.getAs[Int]("k"), p.getAs[Int]("w"))
+      .write.mode("overwrite").parquet(s"$root/fps/batch=$id")
+  }
+
+  /** A doc's fingerprint SET spans many rows, so last-writer-wins is
+    * per-doc-per-batch: keep exactly the rows of each doc's newest batch
+    * (a re-fingerprinted doc must serve its new set, never a union).
+    */
+  private def latestFpsPerDoc(df: DataFrame): DataFrame = {
+    val mx = df.groupBy(col("doc_id")).agg(max(col("batch")).as("batch"))
+    df.join(mx, Seq("doc_id", "batch")).drop("batch")
+  }
+
+  /** Live fingerprint view of a persisted winnowing store (all batches,
+    * last-writer-wins per doc).
+    */
+  def winnowingIndexFps(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    latestFpsPerDoc(spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/fps"))
+
   def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, incoming: DataFrame, threshold: Double = 0.8,
-      maxDf: Int = 32): DataFrame = {
+      maxDf: Int = 32, excludeBatch: Option[Long] = None): DataFrame = {
     val root = Similarity.resolveIndexRoot(spark, dir)
     val p = spark.read.parquet(s"$root/params").collect()(0)
     val (k, w) = (p.getAs[Int]("k"), p.getAs[Int]("w"))
-    val idxFps = spark.read.parquet(s"$root/fps")
+    // excludeBatch drops a replayed append of THIS batch before the
+    // latest-wins view, so a batch never screens against itself
+    val raw = spark.read.parquet(s"$root/fps")
+    val visible = excludeBatch.fold(raw)(id => raw.filter(col("batch") =!= id))
+    val idxFps = latestFpsPerDoc(visible)
       .select(col("doc_id"), col("fp"), lit(false).as("inc"))
     val incFps = TextAnalysis.winnowingFingerprints(incoming, k, w)
       .select(col("doc_id"), col("fp"), lit(true).as("inc"))

@@ -1275,6 +1275,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-served dense candidate pool for a corpus-derived query panel
+    * (the [[graft.ext.TextAnalysis.hybridRrfFromIndexes]] dense tier):
+    * every stored vector with `vec_id % queryEvery == 0` probes its
+    * `nProbe` nearest centroids and pools the probed cells' vectors by
+    * exact re-ranked cosine. Unlike [[ivfTopKFromIndex]], SELF stays in
+    * the pool (self-retrieval is the hybrid eval's labeled answer) and
+    * queries arrive as a predicate, not a driver list — no collect on a
+    * corpus-proportional panel.
+    *
+    * Scale shape: centroids broadcast (≤ nCells rows); the probe frame
+    * is queries×nProbe; candidates are probed-cell slices of the stored
+    * vectors (cell-partitioned parquet — the probe join prunes, never a
+    * per-query corpus scan).
+    */
+  def ivfDensePool(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryEvery: Int, poolK: Int = 20, nProbe: Int = 2): DataFrame = {
+    VectorFunctions.register(spark)
+    val root = resolveIndexRoot(spark, dir)
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val centDf = spark.read.parquet(s"$root/centroids")
+    val queries = vectors.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = queries.crossJoin(broadcast(centDf))
+      .withColumn("c_cos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("c_cos").desc, col("cell"))))
+      .filter(col("c_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    vectors
+      .join(probes, Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank_dense", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))))
+      .filter(col("rank_dense") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("rank_dense"))
+  }
+
   /** Mean within-cluster squared distance — for convergence checks. */
   def kmeansInertia(emb: DataFrame, cents: Seq[(Int, Array[Double])]): Double = {
     val r = kmeansAssign(emb, cents).agg(avg(col("d2"))).collect().head.getDouble(0)

@@ -2963,6 +2963,27 @@ object TextAnalysis {
       bm25TopKFromIndex(spark, indexDir, queryEvery, queryTerms, poolK),
       emb, queryEvery, poolK, topK, rrfK)
 
+  /** [[hybridRrfTopK]] with BOTH tiers served from persisted indexes —
+    * the fully index-served RAG stack: the sparse pool off the BM25
+    * postings artifact, the dense pool off the IVF index (stored cells +
+    * centroids; each panel query probes its `nProbe` nearest cells, so
+    * the dense tier reads only probed-cell vectors instead of scanning
+    * the corpus per query). The fusion is the shared exact step; the
+    * dense pool is the index's approximation by design (the oracle
+    * replays the same probe).
+    */
+  def hybridRrfFromIndexes(spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String, ivfDir: String, queryEvery: Int = 100,
+      queryTerms: Int = 4, poolK: Int = 20, topK: Int = 5,
+      rrfK: Int = 60, nProbe: Int = 2): DataFrame = {
+    val sparse = bm25TopKFromIndex(spark, bm25Dir, queryEvery, queryTerms,
+        poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    val dense = Similarity.ivfDensePool(spark, ivfDir, queryEvery, poolK,
+      nProbe)
+    fuseRrf(sparse, dense, topK, rrfK)
+  }
+
   private def hybridRrfFromSparse(
       sparseHits: DataFrame,
       emb: DataFrame,
@@ -2984,7 +3005,16 @@ object TextAnalysis {
         w.partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))))
       .filter(col("rank_dense") <= poolK)
       .select(col("query_id"), col("doc_id"), col("rank_dense"))
+    fuseRrf(sparse, dense, topK, rrfK)
+  }
 
+  /** Reciprocal-rank fusion of a sparse and a dense pool — the exact
+    * step both hybrid forms share (absent tier contributes 0;
+    * quantize-before-rank).
+    */
+  private def fuseRrf(sparse: DataFrame, dense: DataFrame,
+      topK: Int, rrfK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("rank_sparse")), lit(0.0)) +

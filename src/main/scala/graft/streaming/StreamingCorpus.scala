@@ -263,6 +263,47 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming crawl dedup over the persisted winnowing store — the
+    * CONTAINMENT twin of [[minhashIndexIngest]] (catches the
+    * quote/wrapper/re-post class whose Jaccard is low but whose
+    * smaller-side overlap is near-total): each micro-batch is
+    * fingerprinted once, screened within the batch (larger id of a
+    * flagged pair drops) and against every fingerprint accepted so far
+    * (excluding this batch's own replayed append), survivors land in
+    * `outDir/batch=<id>` and their fingerprints append to the SAME store
+    * under the same id. Batch-owned overwrites on both writes keep
+    * at-least-once replays idempotent; corpus text is never re-read.
+    */
+  def containmentIndexIngest(docs: DataFrame, indexDir: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        try {
+          if (!b.isEmpty) {
+            val withinDups = Dedup.containmentPairs(b.drop("event_time"),
+                threshold)
+              .select(col("b").as("doc_id")).distinct()
+            val crossDups = Dedup.containmentAgainstIndex(spark, indexDir,
+                b.drop("event_time"), threshold,
+                excludeBatch = Some(batchId))
+              .select(col("a").as("doc_id")).distinct()
+            val survivors = b
+              .join(withinDups.unionByName(crossDups), Seq("doc_id"), "left_anti")
+              .cache()
+            try {
+              survivors.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              Dedup.appendToWinnowingIndex(spark, indexDir,
+                survivors.drop("event_time"), batchId = Some(batchId))
+            } finally { survivors.unpersist(); () }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Streaming image-crawl dedup over the persisted perceptual-hash
     * store ([[graft.ext.Multimodal.buildImageHashStore]]) — the
     * multimodal twin of [[minhashIndexIngest]]: each micro-batch of
