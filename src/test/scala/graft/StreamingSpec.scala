@@ -781,6 +781,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming containment ingest: contained late copies drop against the growing winnowing store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    // seed store: two long docs
+    val dir = java.nio.file.Files.createTempDirectory("graft-win-ing").toString
+    graft.ext.Dedup.buildWinnowingIndex(
+      Seq((1L, words("alpha", 1, 60)), (2L, words("beta", 1, 60)))
+        .toDF("doc_id", "text"), dir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def d(id: Long, text: String, i: Int) =
+      CorpusDoc(id, text, "en", "s1", new Timestamp(t0 + i * 1000L))
+    // batch A: 10 fresh; 11 is a large chunk of indexed doc 1 (cross drop);
+    // 12/13 near-identical within the batch (13, the larger id, drops)
+    val batchA = Seq(
+      d(10L, words("gamma", 1, 60), 0),
+      d(11L, words("alpha", 5, 45), 1),
+      d(12L, words("delta", 1, 60), 2),
+      d(13L, words("delta", 1, 60) + " extra tail here", 3))
+    // batch B: 20 is a chunk of batch A's ACCEPTED doc 10 — must drop
+    // against the GROWN store; 21 fresh
+    val batchB = Seq(
+      d(20L, words("gamma", 5, 45), 4),
+      d(21L, words("epsilon", 1, 60), 5))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-win-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-win-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.containmentIndexIngest(
+      mem.toDF(), dir, outDir, ckpt)
+    try Seq(batchA, batchB).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val landed = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(10L, 12L, 21L),
+      s"survivors: $landed (11 cross-drops vs the seed, 13 within-batch, 20 vs batch A's accepted 10)")
+    // survivors' fingerprints joined the store — tomorrow's crawl is
+    // screened against everything accepted today
+    val indexed = graft.ext.Dedup.winnowingIndexFps(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 10L, 12L, 21L).subsetOf(indexed), s"store docs: $indexed")
+    assert(!indexed.contains(11L) && !indexed.contains(20L),
+      "dropped docs must never be fingerprinted into the store")
+    spark.catalog.clearCache()
+  }
+
   test("streaming PII redaction equals the batch scrubber; raw PII never lands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
