@@ -258,58 +258,148 @@ object Similarity {
     * option here for the same reason its k-means wasn't for the IVF
     * family: non-replayable internal iteration order.)
     *
-    * Scale shape (the MLlib RowMatrix discipline): the covariance pass
-    * is the only corpus-sized work and generates the d² cross-products
-    * INSIDE each task (nested `transform` + one explode feeding a
-    * map-side partial aggregate — the shuffle carries ≤ d²·partitions
-    * rows, never N·d²); the power iteration then runs on the DRIVER over
-    * the d²-bounded collected matrix (64×64 = 32 KB here — the same
+    * Scale shape (the MLlib RowMatrix discipline): the sufficient
+    * statistics pass is the only corpus-sized work — ONE `mapPartitions`
+    * scan accumulating the count, the d per-dimension sums, and the
+    * d(d+1)/2 upper-triangle Gramian entries into task-local arrays, so
+    * each partition emits ≤ 1+d+d(d+1)/2 partial rows (for d = 64:
+    * 2,145) regardless of row count, and the shuffle carries
+    * partials·partitions rows, never N·d² (r10 generated the d²
+    * cross-products per ROW through nested `transform`+`explode` — a
+    * bounded shuffle but an N·4,096-struct in-task explosion that made
+    * `sim_pca_project` the slowest row in the whole sf1 bench; the
+    * local-accumulator pass removes the per-row allocation entirely and
+    * also folds the separate count/width/mean scans into the same single
+    * corpus read). The power iteration then runs on the DRIVER over the
+    * d²-bounded collected matrix (64×64 = 32 KB here — the same
     * bounded-collect class as the k-means codebooks), with every rounded
     * step computed by the exact BigDecimal HALF_UP call that
     * `functions.round` lowers to, so the emitted values are identical to
     * the in-plan formulation. The corpus is touched exactly once.
     *
+    * Fit-once/serve-many: [[buildPcaIndex]] persists the fitted
+    * `(mu, model)` pair; [[pcaModelFromIndex]]/[[pcaProjectFromIndex]]/
+    * [[whitenFromIndex]] serve from the artifact so the three
+    * registered PCA-family queries share ONE covariance pass per corpus
+    * (the `text_lr_persisted` / `sim_topk_ivf_index` discipline).
+    *
     * Output: `(component, dim, w, eigenvalue, var_share)` — k·d rows,
     * eigenvector entries round-6, eigenvalue/variance-share round-6.
     */
-  def embeddingPcaModel(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame = {
-    val (_, model) = pcaFit(emb, k, iters)
-    model
-  }
+  def embeddingPcaModel(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame =
+    pcaFit(emb, k, iters).modelDf(emb.sparkSession)
 
-  /** Shared PCA core: (means, model). Means stay round-9 (iteration
-    * grid); the model's eigenvector entries are round-6 (output grid,
-    * also what projection consumes so engine and oracle project with
+  /** The fitted PCA model, driver-resident (d + k·d doubles — the same
+    * bounded size class as the k-means codebooks). `mu` is on the 1e-7
+    * grid; `w` entries and `eigenvalue`/`varShare` on the 1e-6 output
+    * grid (what projection consumes, so engine and oracle project with
     * identical weights).
     */
-  private[graft] def pcaFit(emb: DataFrame, k: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    require(k >= 1 && iters >= 1, "k and iters must be positive")
+  private[graft] final case class PcaModel(d: Int, mu: Array[Double],
+      w: Array[Array[Double]], eigenvalue: Array[Double],
+      varShare: Array[Double]) {
+    def k: Int = w.length
+    def modelDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      (0 until k).flatMap(c => (0 until d).map(dim =>
+          (c, dim, w(c)(dim), eigenvalue(c), varShare(c))))
+        .toDF("component", "dim", "w", "eigenvalue", "var_share")
+        .orderBy(col("component"), col("dim"))
+    }
+    def muDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      mu.zipWithIndex.map { case (m, dim) => (dim, m) }.toSeq
+        .toDF("dim", "mu")
+    }
+  }
+
+  /** One corpus pass → per-partition sufficient-statistic partials
+    * `(i, j, p)`: `(-1,-1)` carries the row count, `(i,-1)` the dim-i
+    * sum, `(i,j)` with `j ≥ i` the upper-triangle Gramian `Σ x_i·x_j`.
+    * Row counts stay exact in the double channel (≪ 2^53). The groupBy
+    * is a map-side-combinable sum over ≤ 2,145·partitions tiny rows.
+    */
+  private[graft] def pcaSufficientStats(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
-    // bounded driver actions: corpus count and embedding width become
-    // plan literals so both engines divide by identical doubles
-    val n = emb.count().toDouble
-    val d = emb.select(size(col("embedding"))).head().getInt(0)
-    val mu = pcaMeans(emb, n).localCheckpoint(true)
-    // the MLlib RowMatrix discipline: the Gramian/covariance pass is
-    // DISTRIBUTED (the only corpus-sized work), the d×d eigensolve runs
-    // on the driver over a d²-bounded collect. A first cut iterated on
-    // d²-row DataFrames instead — ~25 tiny AQE-staged jobs whose
-    // scheduling overhead made the two PCA queries the slowest in the
-    // whole bench (8.5 s / 7.9 s at sf0.1); the driver loop removes all
-    // of it while computing the IDENTICAL grid-rounded values (r9/r7
-    // call the same scala BigDecimal HALF_UP that functions.round
-    // lowers to, so engine output is unchanged — re-verified
-    // oracle-green at all three scales).
-    val covRows = pcaCovariance(emb, n, mu).collect()
-    val cv = Array.ofDim[Double](d, d)
-    covRows.foreach(r =>
-      cv(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    import spark.implicits._
+    emb.select(col("embedding").cast("array<double>"))
+      .as[Array[Double]]
+      .mapPartitions { it =>
+        var d = 0
+        var n = 0L
+        var sx: Array[Double] = null
+        var g: Array[Double] = null
+        it.foreach { e =>
+          if (sx == null) {
+            d = e.length; sx = new Array[Double](d)
+            g = new Array[Double](d * (d + 1) / 2)
+          }
+          n += 1
+          var i = 0; var t = 0
+          while (i < d) {
+            val xi = e(i)
+            sx(i) += xi
+            var j = i
+            while (j < d) { g(t) += xi * e(j); j += 1; t += 1 }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else {
+          val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](
+            1 + d + g.length)
+          out += ((-1, -1, n.toDouble))
+          var i = 0
+          while (i < d) { out += ((i, -1, sx(i))); i += 1 }
+          var t = 0; i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { out += ((i, j, g(t))); t += 1; j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "p")
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sp"))
+  }
+
+  /** Shared PCA core — one distributed sufficient-statistics pass, then
+    * the driver-side grid-rounded eigensolve.
+    */
+  private[graft] def pcaFit(emb: DataFrame, k: Int, iters: Int): PcaModel = {
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    // bounded collect: ≤ 1 + d + d(d+1)/2 rows after the map-side
+    // combine (2,145 for d = 64), the k-means-codebook size class
+    val stats = pcaSufficientStats(emb).collect()
+    require(stats.nonEmpty, "pcaFit on an empty corpus")
+    var n = 0.0
+    var d = 0
+    stats.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      if (i == -1) n = r.getDouble(2)
+      else if (j + 1 > d || i + 1 > d) d = math.max(d, math.max(i, j) + 1)
+    }
+    val sx = new Array[Double](d)
+    val gr = Array.ofDim[Double](d, d)
+    stats.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val p = r.getDouble(2)
+      if (i >= 0 && j == -1) sx(i) = p
+      else if (i >= 0) { gr(i)(j) = p; gr(j)(i) = p }
+    }
     def rnd(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
+    // identical grid arithmetic to the r9 in-plan formulation: mu on the
+    // 1e-7 grid, covariance entries round(g/n − mu_i·mu_j, 7); the
+    // summation-order noise vs the oracle is ~1e-13 against the 1e-7
+    // grid, the same envelope the scaladoc derives
+    val mu = sx.map(s => rnd(s / n, 7))
+    val cv = Array.tabulate(d, d)((i, j) => rnd(gr(i)(j) / n - mu(i) * mu(j), 7))
     val trace = rnd((0 until d).map(i => cv(i)(i)).sum, 7)
-    val comps = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    val wOut = Array.ofDim[Array[Double]](k)
+    val evOut = new Array[Double](k)
+    val vsOut = new Array[Double](k)
     for (comp <- 0 until k) {
       // all-positive DECIMALLY-ROUGH start: deterministic, never
       // orthogonal to a nonnegative-dominant leading eigenvector, and —
@@ -335,103 +425,126 @@ object Similarity {
       var lamRaw = 0.0
       for (i <- 0 until d; j <- 0 until d) lamRaw += w(i) * cv(i)(j) * w(j)
       val lam = rnd(lamRaw, 7)
-      comps ++= w.zipWithIndex.map { case (wv, dim) =>
-        (comp, dim, rnd(wv, 6), rnd(lam, 6), rnd(lam / trace, 6))
-      }
+      wOut(comp) = w.map(rnd(_, 6))
+      evOut(comp) = rnd(lam, 6)
+      vsOut(comp) = rnd(lam / trace, 6)
       // deflate: C ← C − λ v vᵀ (rank-1 update on the driver matrix)
       if (comp < k - 1)
         for (i <- 0 until d; j <- 0 until d)
           cv(i)(j) = rnd(cv(i)(j) - lam * w(i) * w(j), 9)
     }
-    import spark.implicits._
-    val model = comps.result()
-      .toDF("component", "dim", "w", "eigenvalue", "var_share")
-      .orderBy(col("component"), col("dim"))
-    (mu, model)
+    PcaModel(d, mu, wOut, evOut, vsOut)
   }
 
-  /** Per-dimension corpus means on the 1e-7 grid (lazy — [[pcaFit]]
-    * checkpoints it once).
+  /** The per-component projection columns: `pc_c = Σ_i (x_i − μ_i)·w_{c,i}`
+    * as a single in-row fold over LITERAL mu/weight arrays (the model is
+    * k·d = 128 doubles — constant-folded into the plan, the same
+    * driver-resident size class as the k-means codebooks). No explode,
+    * no join, no aggregation: serving is one narrow codegen'd map pass,
+    * zero shuffles before the output ordering. The 64-term in-row sum's
+    * engine-vs-oracle order noise is ~1e-16 against the 1e-6 output
+    * grid — the finest-envelope case of the pcaFit grid contract.
     */
-  private[graft] def pcaMeans(emb: DataFrame, n: Double): DataFrame =
-    emb.select(posexplode(col("embedding").cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .groupBy(col("dim")).agg(round(sum(col("x")) / lit(n), 7).as("mu"))
-
-  /** The one-pass covariance frame (lazy): d² cross-products generated
-    * in-task by nested transform + explode, feeding a map-side partial
-    * aggregate — the shuffle carries ≤ d²·partitions partial rows, never
-    * N·d² (PlanSpec asserts the partial_sum). [[pcaFit]] checkpoints the
-    * d²-row result once; every iteration reuses it.
-    */
-  private[graft] def pcaCovariance(emb: DataFrame, n: Double,
-      mu: DataFrame): DataFrame = {
+  private def pcColumns(m: PcaModel): Seq[Column] = {
     val e = col("embedding").cast("array<double>")
-    val prods = emb.select(explode(flatten(transform(e, (xi, i) =>
-        transform(e, (xj, j) =>
-          struct(i.cast("int").as("i"), j.cast("int").as("j"),
-            (xi * xj).as("p")))))).as("s"))
-      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
-    prods.groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("sp"))
-      .join(mu.select(col("dim").as("i"), col("mu").as("mu_i")), Seq("i"))
-      .join(mu.select(col("dim").as("j"), col("mu").as("mu_j")), Seq("j"))
-      .select(col("i"), col("j"),
-        round(col("sp") / lit(n) - col("mu_i") * col("mu_j"), 7).as("c"))
+    val muLit = array(m.mu.toIndexedSeq.map(lit(_)): _*)
+    val centered = zip_with(e, muLit, (x, mv) => x - mv)
+    (0 until m.k).map { c =>
+      val wLit = array(m.w(c).toIndexedSeq.map(lit(_)): _*)
+      round(aggregate(zip_with(centered, wLit, (x, wv) => x * wv),
+        lit(0.0), (acc, v) => acc + v), 6)
+    }
   }
 
-  /** Project every embedding onto the fitted principal axes:
-    * `pc_c = Σ_i (x_i − μ_i)·w_{c,i}` over the round-6 model weights —
-    * one corpus pass with the k·d-row model broadcast, output
+  /** Project every embedding onto the fitted principal axes — output
     * `(vec_id, pc1..pck)` round-6. The compact training-set
     * representation (and the 2-D map every embedding-space dashboard
-    * plots).
+    * plots). One corpus pass for the fit (see [[pcaFit]]), one narrow
+    * shuffle-free pass for the projection.
     */
-  def embeddingPcaProject(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame = {
-    val (mu, model) = pcaFit(emb, k, iters)
-    val x = emb.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
-    val pcs = x
-      .join(broadcast(mu), Seq("dim"))
-      .join(broadcast(model.select(col("component"), col("dim"), col("w"))),
-        Seq("dim"))
-      .groupBy(col("vec_id"), col("component"))
-      .agg(round(sum((col("x") - col("mu")) * col("w")), 6).as("pc"))
-    val pivots = (0 until k).map(c =>
-      max(when(col("component") === c, col("pc"))).as(s"pc${c + 1}"))
-    pcs.groupBy(col("vec_id"))
-      .agg(pivots.head, pivots.tail: _*)
-      .orderBy(col("vec_id"))
+  def embeddingPcaProject(emb: DataFrame, k: Int = 2, iters: Int = 5): DataFrame =
+    pcaProjectWith(emb, pcaFit(emb, k, iters))
+
+  private[graft] def pcaProjectWith(emb: DataFrame, m: PcaModel): DataFrame = {
+    val pcs = pcColumns(m).zipWithIndex.map { case (c, i) => c.as(s"pc${i + 1}") }
+    emb.select(col("vec_id") +: pcs: _*).orderBy(col("vec_id"))
   }
 
   /** ZCA-style WHITENED projection: each principal coordinate scaled by
     * `1/√(λ+ε)` so every retained direction carries unit variance — the
     * standard embedding-preprocessing step before cosine/k-means/LSH
     * when a few dominant directions would otherwise swamp every distance
-    * (Su et al. 2021, "Whitening Sentence Representations"). Same one
-    * corpus pass as [[embeddingPcaProject]] plus a per-component scalar;
+    * (Su et al. 2021, "Whitening Sentence Representations"). Same
+    * serve shape as [[embeddingPcaProject]] plus a per-component scalar;
     * the λ used is the model's 1e-6-grid eigenvalue, so both engines
-    * divide by identical doubles.
+    * divide by identical doubles (the division stays in-plan — constant
+    * folding evaluates the same IEEE `sqrt(λ+ε)` the oracle computes).
     */
   def embeddingWhiten(emb: DataFrame, k: Int = 2, iters: Int = 5,
-      eps: Double = 1e-6): DataFrame = {
-    val (mu, model) = pcaFit(emb, k, iters)
-    val x = emb.select(col("vec_id"),
-      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
-    val pcs = x
-      .join(broadcast(mu), Seq("dim"))
-      .join(broadcast(model.select(col("component"), col("dim"), col("w"),
-        col("eigenvalue"))), Seq("dim"))
-      .groupBy(col("vec_id"), col("component"), col("eigenvalue"))
-      .agg(round(sum((col("x") - col("mu")) * col("w")), 6).as("pc"))
-      .select(col("vec_id"), col("component"),
-        round(col("pc") / sqrt(col("eigenvalue") + lit(eps)), 6).as("z"))
-    val pivots = (0 until k).map(c =>
-      max(when(col("component") === c, col("z"))).as(s"z${c + 1}"))
-    pcs.groupBy(col("vec_id"))
-      .agg(pivots.head, pivots.tail: _*)
-      .orderBy(col("vec_id"))
+      eps: Double = 1e-6): DataFrame =
+    whitenWith(emb, pcaFit(emb, k, iters), eps)
+
+  private[graft] def whitenWith(emb: DataFrame, m: PcaModel,
+      eps: Double): DataFrame = {
+    val zs = pcColumns(m).zipWithIndex.map { case (pc, i) =>
+      round(pc / sqrt(lit(m.eigenvalue(i)) + lit(eps)), 6).as(s"z${i + 1}")
+    }
+    emb.select(col("vec_id") +: zs: _*).orderBy(col("vec_id"))
   }
+
+  /** Persist the fitted PCA model — `$dir/mu` (d rows) + `$dir/model`
+    * (k·d rows) — so the three PCA-family queries share ONE sufficient-
+    * statistics pass per corpus (fit-once/serve-many, the
+    * `text_lr_persisted` contract: serving reproduces the self-fit
+    * output bit-for-bit because the persisted values ARE the grid-
+    * rounded fit values, round-tripped losslessly through parquet
+    * doubles).
+    */
+  def buildPcaIndex(emb: DataFrame, dir: String, k: Int = 2,
+      iters: Int = 5): Unit = {
+    val m = pcaFit(emb, k, iters)
+    val spark = emb.sparkSession
+    m.muDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/mu")
+    m.modelDf(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+  }
+
+  /** The persisted model table, oracle-shaped (`component, dim, w,
+    * eigenvalue, var_share` ordered by component, dim).
+    */
+  def pcaModelDfFromIndex(spark: org.apache.spark.sql.SparkSession,
+      idx: String): DataFrame =
+    spark.read.parquet(s"$idx/model").orderBy(col("component"), col("dim"))
+
+  /** Rehydrate the driver-resident model from the persisted artifact —
+    * bounded collects of d mu rows + k·d model rows.
+    */
+  private[graft] def pcaModelFromIndex(spark: org.apache.spark.sql.SparkSession,
+      idx: String): PcaModel = {
+    val muRows = spark.read.parquet(s"$idx/mu").collect()
+    val d = muRows.length
+    val mu = new Array[Double](d)
+    muRows.foreach(r => mu(r.getAs[Int]("dim")) = r.getAs[Double]("mu"))
+    val modelRows = spark.read.parquet(s"$idx/model").collect()
+    val k = modelRows.iterator.map(_.getAs[Int]("component")).max + 1
+    val w = Array.fill(k)(new Array[Double](d))
+    val ev = new Array[Double](k)
+    val vs = new Array[Double](k)
+    modelRows.foreach { r =>
+      val c = r.getAs[Int]("component")
+      w(c)(r.getAs[Int]("dim")) = r.getAs[Double]("w")
+      ev(c) = r.getAs[Double]("eigenvalue")
+      vs(c) = r.getAs[Double]("var_share")
+    }
+    PcaModel(d, mu, w, ev, vs)
+  }
+
+  def pcaProjectFromIndex(spark: org.apache.spark.sql.SparkSession,
+      idx: String, emb: DataFrame): DataFrame =
+    pcaProjectWith(emb, pcaModelFromIndex(spark, idx))
+
+  def whitenFromIndex(spark: org.apache.spark.sql.SparkSession,
+      idx: String, emb: DataFrame, eps: Double = 1e-6): DataFrame =
+    whitenWith(emb, pcaModelFromIndex(spark, idx), eps)
 
   /** Bounded top-k `Aggregator` — the SURVEY §7.3 extension: each
     * aggregation buffer holds AT MOST k (score, id) entries, is mergeable,

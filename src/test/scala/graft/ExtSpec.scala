@@ -2436,6 +2436,21 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(proj(3L)._2 - s1 * 1.0) < 0.01, s"pc2(vec 3): ${proj(3L)}")
   }
 
+  test("persisted PCA index serves the self-fit output bit-for-bit (model, projection, whitening)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca-idx").toString
+    Similarity.buildPcaIndex(emb, dir, k = 2, iters = 5)
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    // the text_lr_persisted contract: the persisted values ARE the
+    // grid-rounded fit values, round-tripped losslessly through parquet
+    assert(key(Similarity.pcaModelDfFromIndex(spark, dir).collect()) ==
+      key(Similarity.embeddingPcaModel(emb).collect()))
+    assert(key(Similarity.pcaProjectFromIndex(spark, dir, emb).collect()) ==
+      key(Similarity.embeddingPcaProject(emb).collect()))
+    assert(key(Similarity.whitenFromIndex(spark, dir, emb).collect()) ==
+      key(Similarity.embeddingWhiten(emb).collect()))
+  }
+
   test("embeddingPagerank conserves mass and concentrates it on the kNN hub") {
     import spark.implicits._
     // hub-spoke: 6 spokes = base + orthogonal jitters, so every spoke's

@@ -245,18 +245,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("fhash"), plan.take(2000))
   }
 
-  test("PCA covariance: d² generation feeds a map-side partial aggregate (shuffle carries partials, not N·d² rows)") {
+  test("PCA sufficient stats: one mapPartitions pass, no explode, shuffle carries per-partition partials only") {
     val emb = Queries.table(spark, sf, "embeddings")
-    // assert the LAZY covariance stage: the public operator checkpoints
-    // it, which would hide the aggregation subtree from this guard
-    val n = emb.count().toDouble
-    val cov = graft.ext.Similarity.pcaCovariance(emb, n,
-      graft.ext.Similarity.pcaMeans(emb, n))
-    val plan = planOf(cov)
-    // partial_sum under the (i, j) grouping = the explode feeds map-side
-    // combine; without it the exchange would carry every cross-product
+    val stats = graft.ext.Similarity.pcaSufficientStats(emb)
+    val plan = planOf(stats)
+    // the partials (≤ 1+d+d(d+1)/2 rows per partition) feed a map-side
+    // combine; without it the exchange would carry partition-count
+    // multiples unaggregated
     assert(plan.contains("partial_sum"), plan.take(3000))
+    // the r10 formulation exploded N·d² cross-product structs per row —
+    // the local-accumulator pass must have NO generator in the plan
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("MapPartitions"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("PCA projection serve path is shuffle-free up to the output ordering (literal weights, no join, no aggregation)") {
+    val emb = Queries.table(spark, sf, "embeddings")
+    val m = graft.ext.Similarity.pcaFit(emb, k = 2, iters = 5)
+    val proj = graft.ext.Similarity.pcaProjectWith(emb, m)
+    val plan = planOf(proj)
+    // one narrow map pass: the only exchange allowed is the final
+    // rangepartitioning for ORDER BY vec_id
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected only the sort exchange, got $exchanges:\n" +
+      plan.take(3000))
   }
 
   test("persisted-PQ-index query scans only the codes columns corpus-wide") {
