@@ -98,28 +98,107 @@ object Bench {
     // scorer) plus the round's new graph family
     "ml_eval_pr_auc", "ml_eval_ks", "sim_communities")
 
-  /** r9's recorded `probe_normalized` (BENCH_r09) — the in-artifact
-    * regression gate (r8 ask #8, stretch): when this round's legacy-probe
-    * normalized number moves more than the DRIFT ENVELOPE against it, the
-    * artifact carries `probe_regression` so drift-vs-regression
-    * adjudication is automatic rather than judge-session archaeology.
-    * Update each round.
+  /** The prior round's regression baseline, BUNDLED (r10 advisor
+    * finding: three separately hardcoded values that had to be updated
+    * in lockstep each round — normalized probe, per-query mins, probe
+    * calibration — drift apart the round someone forgets one).
+    * `source` travels into the artifact as `prior_source` so the judge
+    * can see where the baseline came from.
     */
-  val priorProbeNormalized: Double = 33.4
+  final case class PriorSnapshot(source: String, normalized: Double,
+      perQuery: Map[String, Double], calibProbe: Double)
 
-  /** r9's per-query probe mins (BENCH_r09) — when the regression flag
-    * fires, the artifact names the offending per-query deltas instead of
-    * leaving the localization to judge archaeology (r9 ask #8 follow-up).
+  /** Ultimate fallback if no prior artifact is readable: r9's recorded
+    * values (BENCH_r09; single-anchor calib — r10+ artifacts carry dual
+    * anchors and load as their mean).
     */
-  val priorProbe: Map[String, Double] = Map(
-    "q1_pricing_summary" -> 0.794, "q3_top_orders" -> 0.517,
-    "q5_local_supplier" -> 0.497, "events_funnel" -> 0.279,
-    "agg_percentiles" -> 1.24, "dedup_minhash" -> 0.665,
-    "dedup_pipeline" -> 1.25, "dedup_containment" -> 1.58,
-    "dedup_clusters" -> 2.41, "sim_topk_bruteforce" -> 0.191,
-    "sim_topk_pq" -> 1.48, "sim_topk_agg" -> 0.218, "text_pack" -> 0.299,
-    "text_perplexity" -> 1.16, "text_surprisal" -> 0.380,
-    "pipeline_training_set" -> 4.75)
+  val builtinPrior: PriorSnapshot = PriorSnapshot("builtin-r9", 33.4,
+    Map(
+      "q1_pricing_summary" -> 0.794, "q3_top_orders" -> 0.517,
+      "q5_local_supplier" -> 0.497, "events_funnel" -> 0.279,
+      "agg_percentiles" -> 1.24, "dedup_minhash" -> 0.665,
+      "dedup_pipeline" -> 1.25, "dedup_containment" -> 1.58,
+      "dedup_clusters" -> 2.41, "sim_topk_bruteforce" -> 0.191,
+      "sim_topk_pq" -> 1.48, "sim_topk_agg" -> 0.218, "text_pack" -> 0.299,
+      "text_perplexity" -> 1.16, "text_surprisal" -> 0.380,
+      "pipeline_training_set" -> 4.75),
+    0.529)
+
+  /** Load the regression baseline from the newest driver bench artifact
+    * (`BENCH_r<N>.json` in the working directory, highest N; override
+    * with `SPARK_GRAFT_PRIOR_BENCH=<path>`), falling back to
+    * [[builtinPrior]] — the r10 gate went stale-prone because the
+    * baseline was a hand-edited constant. The artifact wraps the bench
+    * stdout line under `"parsed"`; extraction is a string-aware
+    * balanced-brace scan + field regexes (no JSON lib on the classpath),
+    * and ANY parse failure falls back rather than failing the bench.
+    */
+  private[graft] def parseArtifact(path: java.nio.file.Path,
+      label: String): Option[PriorSnapshot] = {
+    val num = "(-?[0-9][0-9.eE+-]*)"
+    scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        // isolate the "parsed":{...} object (string-aware brace matching:
+        // the sibling "tail" field embeds the same JSON as an escaped
+        // string and would defeat naive regexes)
+        val start = txt.indexOf("\"parsed\":")
+        val body = if (start < 0) txt else {
+          val open = txt.indexOf('{', start)
+          var i = open; var depth = 0; var inStr = false; var esc = false
+          var end = -1
+          while (end < 0 && i < txt.length) {
+            val c = txt.charAt(i)
+            if (esc) esc = false
+            else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+            else c match {
+              case '"' => inStr = true
+              case '{' => depth += 1
+              case '}' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (end > open) txt.substring(open, end + 1) else txt
+        }
+        // whitespace-tolerant: the driver PRETTY-PRINTS the artifact
+        // (newlines/indentation between every token), while bench_out and
+        // the stdout line are compact
+        val normalized = s""""probe_normalized"\\s*:\\s*$num""".r
+          .findFirstMatchIn(body).map(_.group(1).toDouble)
+        val calib = s""""calib_probe"\\s*:\\s*\\[\\s*$num\\s*,\\s*$num\\s*\\]""".r
+          .findFirstMatchIn(body)
+          .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2)
+          .orElse(s""""calib_probe"\\s*:\\s*$num""".r
+            .findFirstMatchIn(body).map(_.group(1).toDouble))
+        val perQuery = """"probe"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(body).map(_.group(1)).map { inner =>
+            s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+        for (n <- normalized; c <- calib; if n > 0 && c > 0)
+          yield PriorSnapshot(label, n, perQuery, c)
+      }.toOption.flatten
+  }
+
+  private[graft] def loadPrior(): PriorSnapshot = {
+    val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").flatMap { p =>
+      parseArtifact(java.nio.file.Paths.get(p), s"env:$p")
+    }
+    def newestArtifact: Option[PriorSnapshot] = scala.util.Try {
+      val cwd = java.nio.file.Paths.get(".")
+      val re = "BENCH_r(\\d+)\\.json".r
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(cwd).iterator.asScala
+        .flatMap { p =>
+          re.findFirstMatchIn(p.getFileName.toString)
+            .map(m => (m.group(1).toInt, p))
+        }
+        .toSeq.sortBy(-_._1).iterator
+        .flatMap { case (n, p) => parseArtifact(p, s"BENCH_r$n") }
+        .nextOption()
+    }.toOption.flatten
+    explicit.orElse(newestArtifact).getOrElse(builtinPrior)
+  }
 
   /** Machine-drift calibration anchor (r7 ask #1): a FIXED,
     * data-independent workload timed in every bench session, so
@@ -357,7 +436,26 @@ object Bench {
           sf1Gen = ScaleUp.ensure(ps, sfDir, sf1Dir, factor = 10)
           sweep(ps)
           (probeSubset ++ probeAdditions ++ heavySubset).distinct.flatMap { n =>
-            byName.get(n).map(f => runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f))
+            byName.get(n).map { f =>
+              val r1 = runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f)
+              // heavy single-rep sf1 rows can land anywhere on the
+              // warm-in curve (proven twice: dedup_containment r9,
+              // sim_pca_project r10's 89 s outlier hypothesis) — give any
+              // row whose first rep exceeds 10 s ONE more rep and report
+              // min over both, with both runs in the detail file's
+              // sf1_runs, so a warm-in outlier can't masquerade as a
+              // scaling exponent
+              if (r1.err.isEmpty && r1.min > 10.0) {
+                val r2 = runOne(ps, sf1Dir, 1, warmup = false)(n, f)
+                if (r2.err.isEmpty) {
+                  val runs = r1.runs ++ r2.runs
+                  val s = runs.sorted
+                  val med = if (s.size % 2 == 1) s(s.size / 2)
+                            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+                  QRes(n, runs.min, med, runs, r1.warm, None)
+                } else r1
+              } else r1
+            }
           }
         } catch { case e: Throwable =>
           // a broken scale-up must read as broken, never as silently absent
@@ -427,9 +525,10 @@ object Bench {
     // rendered against the measured drift envelope (25% + the session's
     // own anchor spread) — a flag inside the envelope reads as drift,
     // outside it as a real regression (and exits nonzero, r9 ask #8)
+    val prior = loadPrior()
     val probeMove =
-      if (probeNorm > 0 && priorProbeNormalized > 0)
-        probeNorm / priorProbeNormalized - 1
+      if (probeNorm > 0 && prior.normalized > 0)
+        probeNorm / prior.normalized - 1
       else 0.0
     val driftEnvelope = 0.25 + driftSpread
     val outsideEnvelope = math.abs(probeMove) > driftEnvelope
@@ -440,13 +539,12 @@ object Bench {
           (if (outsideEnvelope) "yes" else "no")
       else ""
     // when the flag fires, localize it: top-5 per-query NORMALIZED ratios
-    // vs the recorded prior round (prior round's probe calib was 0.529)
-    val priorCalibProbe = 0.529
+    // vs the loaded prior round's probe mins and calib
     val probeDeltas = if (probeRegression.nonEmpty && calibProbe > 0) {
       val cur = probeResults.map(r => r.name -> r.min).toMap
-      priorProbe.toSeq.flatMap { case (n, prior) =>
-        cur.get(n).collect { case t if t > 0 && prior > 0 =>
-          (n, (t / calibProbe) / (prior / priorCalibProbe)) }
+      prior.perQuery.toSeq.flatMap { case (n, pv) =>
+        cur.get(n).collect { case t if t > 0 && pv > 0 =>
+          (n, (t / calibProbe) / (pv / prior.calibProbe)) }
       }.sortBy { case (_, ratio) => -math.abs(math.log(ratio)) }.take(5)
         .map { case (n, ratio) => jstr(n) + ":" + fmt("%.2f", ratio) }
         .mkString("{", ",", "}")
@@ -469,7 +567,7 @@ object Bench {
     }.mkString("{", ",", "}")
 
     val core =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(priorProbeNormalized)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
       (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)},"probe_deltas":$probeDeltas""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
     // population-bias caveat travels WITH the artifact: full-run per-query

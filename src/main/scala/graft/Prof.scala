@@ -407,7 +407,22 @@ object Prof {
           round(Exact.sumQC(col("l_extendedprice"), 2), 2).as("a"),
           Exact.sumQRC(disc, 4, 2).as("b"), Exact.sumQRC(charge, 6, 2).as("c"),
           Exact.avgQL(col("l_extendedprice"), 2, 4).as("d"),
-          Exact.avgQL(col("l_discount"), 2, 4).as("e")))))
+          Exact.avgQL(col("l_discount"), 2, 4).as("e")))),
+        // the r10 compact path WITHOUT the r11 fail-loud envelope guard —
+        // isolates the guard's per-row cost (null check + long compare)
+        "compact_raw" -> (() => {
+          import org.apache.spark.sql.Column
+          def qc(c: Column, s: Int) =
+            floor(c * math.pow(10, s) + lit(0.5)).cast("long")
+              .cast(DecimalType(18, 0))
+          def un(s: Int) = lit(java.math.BigDecimal.valueOf(1L, s))
+          q1With(Seq(
+            round((sum(qc(col("l_extendedprice"), 2)) * un(2)).cast("double"), 2).as("a"),
+            round(sum(qc(disc, 4)) * un(4), 2).cast("double").as("b"),
+            round(sum(qc(charge, 6)) * un(6), 2).cast("double").as("c"),
+            Exact.avgQL(col("l_extendedprice"), 2, 4).as("d"),
+            Exact.avgQL(col("l_discount"), 2, 4).as("e")))
+        }))
       // value parity gate before timing: compact must equal sumQ38 exactly
       val ref = variants(1)._2().collect().map(_.toSeq)
       val cmp = variants(3)._2().collect().map(_.toSeq)

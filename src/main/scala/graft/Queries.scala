@@ -1288,7 +1288,9 @@ object Queries {
   /** Per-type purchase-value quartiles via ntile — the distribution
     * summary shape (tie-broken on event_id so bucket edges are
     * deterministic); one event_type-keyed exchange shared by the window
-    * and the aggregate.
+    * and the aggregate. avgQL's non-negativity contract holds via the
+    * `events.value >= 0` fixture invariant, checked fail-loud once per
+    * correctness session in [[graft.Verify]].
     */
   def eventsValueQuartiles(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)

@@ -211,7 +211,7 @@ object SparkEntry {
     // operator's verdicts on this split, which the oracle replays)
     "dedup_containment_index" -> ((s, dir) => {
       val idx = graft.ext.IndexCache.ensure(s, dir, "winnow",
-          table = "documents", params = "k=12,w=8,split=mod5") { d =>
+          table = "documents", params = "k=12,w=8,split=mod5,v2-df") { d =>
         Dedup.buildWinnowingIndex(docs(s, dir).filter(col0("doc_id") % 5 =!= 0), d)
       }
       Dedup.containmentAgainstIndex(s, idx, docs(s, dir).filter(col0("doc_id") % 5 === 0))

@@ -23,6 +23,18 @@ object Verify {
     // must come AFTER setLogLevel (which wipes scoped logger overrides)
     Bench.quietExpectedWindowWarn()
     new java.io.File(outDir).mkdirs()
+    // r10 advisor: avgQL/ratioR's NON-NEGATIVITY contract is load-bearing
+    // (Java truncating vs DuckDB flooring long division split on negative
+    // quotients), and several registered rows apply them to events.value
+    // relying on the fixture's value >= 0 invariant. Check it here, once
+    // per correctness session, so a future generator change fails LOUD
+    // instead of silently flipping a division tie.
+    val minEventValue = Queries.events(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("value"))).head().getDouble(0)
+    require(minEventValue >= 0.0,
+      s"events.value >= 0 fixture invariant violated (min=$minEventValue): " +
+        "avgQL/ratioR call sites on events.value assume non-negative quotients")
     // optional comma-separated filter for local iteration; driver sets none
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -787,10 +787,25 @@ object Dedup {
     val root = s"$dir/v_$v"
     TextAnalysis.winnowingFingerprints(docs, k, w)
       .write.mode("overwrite").parquet(s"$root/fps/batch=-1")
+    // the maintained (fp, df) side table (r10's self-documented gap: the
+    // serve-time rare-fp gate re-aggregated the WHOLE store per incoming
+    // batch, the one crawl-store serve that wasn't O(batch)). Computed by
+    // reading BACK the just-written fps (a cheap columnar re-read — never
+    // a corpus-sized in-memory materialization) so build stays one
+    // fingerprint pass at 100 TB.
+    writeDfPartial(spark.read.parquet(s"$root/fps/batch=-1"),
+      s"$root/df/batch=-1")
     Seq((k, w)).toDF("k", "w")
       .write.mode("overwrite").parquet(s"$root/params")
     Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
   }
+
+  /** Per-fp doc counts of one batch's fingerprint rows (winnowing fps are
+    * distinct per doc, so count(*) IS the doc frequency).
+    */
+  private def writeDfPartial(fps: DataFrame, path: String): Unit =
+    fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(path)
 
   /** Cross-set containment of an INCOMING batch against the persisted
     * winnowing store ([[buildWinnowingIndex]]) — the continuous-crawl
@@ -803,17 +818,29 @@ object Dedup {
     *
     * Scale shape: identical to [[containmentPairs]] — fingerprint-keyed
     * joins with the maxDf² fanout cap; the store side is a column-pruned
-    * parquet scan of 8-byte hashes. The df gate currently re-aggregates
-    * the store per serve (one store-sized map-side-combined groupBy); at
-    * continuous-crawl scale the store would carry a maintained
-    * `(fp, df)` side table merged with the batch's counts instead (the
-    * [[appendToMinhashIndex]] maintenance discipline) — same verdicts,
-    * store scan drops to the distinct-fp frame.
+    * parquet scan of 8-byte hashes. The rare-fp gate reads the MAINTAINED
+    * `(fp, df)` side table (merged on append/compact, the
+    * [[appendToMinhashIndex]] maintenance discipline) summed with the
+    * batch's own counts — a distinct-fp-sized scan, never a store-wide
+    * re-aggregation of the fps tree (the r10 shape this replaced).
     */
   /** Fingerprint `newDocs` with the store's own stored (k, w) and append
     * them as a `batch=<id>` directory — batch-owned overwrite, so an
     * at-least-once replay with a stable caller `batchId` is idempotent
-    * (the [[appendToMinhashIndex]] contract).
+    * (the [[appendToMinhashIndex]] contract; the df partial below lives
+    * in the same batch partition, so both writes replay together).
+    *
+    * df maintenance: the batch's partial is its own per-fp doc counts
+    * MINUS the rows it displaces from the latest-wins view (docs
+    * re-appended over an earlier batch) — so Σ partials over visible
+    * batches always equals the latest-wins doc frequency exactly.
+    * Displacement is computed against batches `< id` ONLY, which makes a
+    * replayed append byte-deterministic; the ordering contract this
+    * relies on (appends/replays only ever target the newest batch id) is
+    * exactly structured streaming's foreachBatch guarantee. The
+    * displacement pass scans prior fps semi-joined to the batch's doc
+    * ids (empty in the normal all-new-docs crawl case) — an append-time
+    * cost, never a serve-time one.
     */
   def appendToWinnowingIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
@@ -823,6 +850,20 @@ object Dedup {
     TextAnalysis.winnowingFingerprints(newDocs,
         p.getAs[Int]("k"), p.getAs[Int]("w"))
       .write.mode("overwrite").parquet(s"$root/fps/batch=$id")
+    val fps = spark.read.parquet(s"$root/fps/batch=$id")
+    val batchDf = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val docIds = fps.select(col("doc_id")).distinct()
+    val prior = spark.read.parquet(s"$root/fps").filter(col("batch") < id)
+    // latest-wins of the filtered frame == filtered latest-wins (the max
+    // batch is a per-doc property), so the groupBy-max runs over the
+    // overlap set only
+    val displaced = latestFpsPerDoc(
+        prior.join(docIds, Seq("doc_id"), "left_semi"))
+      .groupBy(col("fp")).agg((count(lit(1)) * -1L).as("df"))
+    batchDf.unionByName(displaced)
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+      .write.mode("overwrite").parquet(s"$root/df/batch=$id")
   }
 
   /** A doc's fingerprint SET spans many rows, so last-writer-wins is
@@ -834,13 +875,67 @@ object Dedup {
     df.join(mx, Seq("doc_id", "batch")).drop("batch")
   }
 
+  /** Latest-wins over the base/append split: the compacted base
+    * (`batch = -1`) is already one-set-per-doc, so only POST-COMPACTION
+    * appends pay the groupBy-max reconciliation, and the base side joins
+    * against just the recent doc set (an anti-join AQE broadcasts when
+    * the append tail is small — the normal state right after a compact)
+    * instead of a full-store shuffle — serve scans base + recent
+    * reconciliation only.
+    */
+  private def liveFps(raw: DataFrame): DataFrame = {
+    val recent = raw.filter(col("batch") =!= -1L)
+    val base = raw.filter(col("batch") === -1L).drop("batch")
+    val recentLatest = latestFpsPerDoc(recent)
+    base.join(recentLatest.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(recentLatest)
+  }
+
   /** Live fingerprint view of a persisted winnowing store (all batches,
     * last-writer-wins per doc).
     */
   def winnowingIndexFps(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    latestFpsPerDoc(spark.read.parquet(
+    liveFps(spark.read.parquet(
       s"${Similarity.resolveIndexRoot(spark, dir)}/fps"))
+
+  /** The maintained store-side doc frequency per fingerprint: Σ of the
+    * per-batch df partials over visible batches (see
+    * [[appendToWinnowingIndex]] for why the sum equals the latest-wins
+    * df exactly).
+    */
+  private[graft] def winnowingIndexDf(spark: org.apache.spark.sql.SparkSession,
+      dir: String, excludeBatch: Option[Long] = None): DataFrame = {
+    val raw = spark.read.parquet(
+      s"${Similarity.resolveIndexRoot(spark, dir)}/df")
+    excludeBatch.fold(raw)(id => raw.filter(col("batch") =!= id))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+  }
+
+  /** Fold the append tail into a fresh single-batch version — fps
+    * last-writer-wins into `batch=-1`, the df table recomputed from the
+    * folded fps (self-healing: any drift in the additive partials is
+    * reset by construction), params carried over. Same versioned-publish
+    * protocol as [[compactMinhashIndex]]; serving before/after is
+    * byte-identical.
+    */
+  def compactWinnowingIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Similarity.resolveIndexRoot(spark, dir)
+    val v = Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$v"
+    liveFps(spark.read.parquet(s"$root/fps"))
+      .write.mode("overwrite").parquet(s"$newRoot/fps/batch=-1")
+    writeDfPartial(spark.read.parquet(s"$newRoot/fps/batch=-1"),
+      s"$newRoot/df/batch=-1")
+    spark.read.parquet(s"$root/params")
+      .write.mode("overwrite").parquet(s"$newRoot/params")
+    Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+  }
 
   def containmentAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, incoming: DataFrame, threshold: Double = 0.8,
@@ -849,18 +944,29 @@ object Dedup {
     val p = spark.read.parquet(s"$root/params").collect()(0)
     val (k, w) = (p.getAs[Int]("k"), p.getAs[Int]("w"))
     // excludeBatch drops a replayed append of THIS batch before the
-    // latest-wins view, so a batch never screens against itself
+    // latest-wins view, so a batch never screens against itself (the fps
+    // AND df partitions of the excluded batch drop together — the df
+    // accounting stays exact because replays only target the newest id)
     val raw = spark.read.parquet(s"$root/fps")
     val visible = excludeBatch.fold(raw)(id => raw.filter(col("batch") =!= id))
-    val idxFps = latestFpsPerDoc(visible)
+    val idxFps = liveFps(visible)
       .select(col("doc_id"), col("fp"), lit(false).as("inc"))
     val incFps = TextAnalysis.winnowingFingerprints(incoming, k, w)
       .select(col("doc_id"), col("fp"), lit(true).as("inc"))
-    val all = idxFps.unionByName(incFps).cache()
+    // the rare-fp gate: maintained store-side df (distinct-fp-sized side
+    // table) + the batch's own counts — the combined-population doc
+    // frequency without re-aggregating the store's fps tree
+    val incDf = incFps.groupBy(col("fp")).agg(count(lit(1)).as("df_inc"))
+    val gate = winnowingIndexDf(spark, dir, excludeBatch)
+      .withColumnRenamed("df", "df_store")
+      .join(incDf, Seq("fp"), "full_outer")
+      .filter(coalesce(col("df_store"), lit(0L)) +
+        coalesce(col("df_inc"), lit(0L)) <= maxDf)
+      .select(col("fp"))
+    val all = idxFps.unionByName(incFps)
+    val rare = all.join(gate, Seq("fp"), "left_semi")
+      .select(col("doc_id"), col("fp"), col("inc")).cache()
     try {
-      val dfreq = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      val rare = all.join(dfreq.filter(col("df") <= maxDf), Seq("fp"))
-        .select(col("doc_id"), col("fp"), col("inc"))
       val counts = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
       val shared = rare.filter(col("inc")).select(col("doc_id").as("a"), col("fp"))
         .join(rare.filter(!col("inc")).select(col("doc_id").as("b"), col("fp")),
@@ -875,7 +981,7 @@ object Dedup {
         .select(col("a"), col("b"), col("shared"), col("containment"))
         .orderBy(col("a"), col("b"))
         .localCheckpoint(true)
-    } finally { all.unpersist(); () }
+    } finally { rare.unpersist(); () }
   }
 
   /** Transitive near-dup clustering: connected components over a dup-pair

@@ -65,6 +65,18 @@ object Exact {
     * value sits within ~ulps of an integer, never near a .5 boundary).
     * For off-grid summands the three tie rules differ — use the
     * BigDecimal-backed [[sumQ]] family instead.
+    *
+    * DELIBERATE contract exception — "the snap IS the quantization":
+    * a call site may feed CONTINUOUS values when the snap itself is the
+    * operator's defined quantization step and the ORACLE quantizes the
+    * same way (the BM25 term weights, `TextAnalysis.bm25TopK` — an
+    * explicit `round(_, s)` first would be a second, BigDecimal-backed
+    * quantization of the same grid point). The residual risk is the
+    * FP-carry edge: a continuous value whose scaled fraction is the
+    * nearest double BELOW 0.5, where Spark's `⌊y+0.5⌋` and DuckDB's
+    * `rint` can disagree — measure-zero for continuous inputs (~1e-16
+    * per row) and accepted at such sites; values near an EXACT .5 by
+    * construction remain excluded.
     */
   private[graft] def qLong(c: Column, s: Int): Column =
     floor(c * math.pow(10, s) + lit(0.5)).cast("long")
@@ -82,20 +94,34 @@ object Exact {
     * `cast("double")` converts the same exact rational either way — at
     * roughly the cost of a plain double sum (r10 A/B in NUMERICS.md).
     *
-    * PER-ROW envelope: |x|·10^s < 10^18 (the long→DECIMAL(18,0) cast
-    * nulls larger values under non-ANSI overflow — at s=6 that is a
-    * single row worth 10^12, five orders above any money column; a
-    * summand class that can exceed it belongs on [[sumQ]]'s (38,s)
-    * per-row width).
+    * PER-ROW envelope: |x|·10^s < 10^18 — at s=6 that is a single row
+    * worth 10^12, five orders above any money column; a summand class
+    * that can exceed it belongs on [[sumQ]]'s (38,s) per-row width. The
+    * envelope is ENFORCED fail-loud (r10 advisor catch: the naked
+    * long→DECIMAL(18,0) cast nulls oversized values under non-ANSI mode
+    * and `sum` then SKIPS them — a contract violation would silently
+    * drop mass from the total): one long compare per row routes any
+    * out-of-envelope summand to `raise_error`, while legitimate NULL
+    * inputs still pass through as NULLs for `sum` to skip.
     */
+  private def qc18(c: Column, s: Int): Column = {
+    val q = qLong(c, s)
+    when(c.isNull, lit(null).cast("long"))
+      .when(abs(q) < lit(1000000000000000000L), q)
+      .otherwise(raise_error(concat(
+        lit(s"sumQC per-row envelope |x|*10^$s < 10^18 exceeded: x="),
+        c.cast("string"))))
+      .cast(DecimalType(18, 0))
+  }
+
   def sumQC(c: Column, s: Int): Column =
-    (sum(qLong(c, s).cast(DecimalType(18, 0))) * unscale(s)).cast("double")
+    (sum(qc18(c, s)) * unscale(s)).cast("double")
 
   /** Compact-path [[sumQR]]: exact decimal HALF_UP round at `r` before
     * the one double conversion (same boundary-safety argument as sumQR).
     */
   def sumQRC(c: Column, s: Int, r: Int): Column =
-    round(sum(qLong(c, s).cast(DecimalType(18, 0))) * unscale(s), r).cast("double")
+    round(sum(qc18(c, s)) * unscale(s), r).cast("double")
 
   /** Windowed form of [[sumQ]] (e.g. rolling range-frame sums, where
     * DuckDB's segment-tree evaluation associates differently than

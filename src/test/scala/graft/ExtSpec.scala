@@ -2595,6 +2595,45 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(got)} extra=${got.diff(expected)}")
   }
 
+  test("winnowing index lifecycle: maintained df table tracks latest-wins exactly; compaction lossless") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft-win-life").toString
+    Dedup.buildWinnowingIndex(docs.filter(col("doc_id") % 5 =!= 0), dir)
+    // the maintenance invariant: sum of the per-batch df partials ==
+    // the doc frequency recomputed from the latest-wins fps view
+    def dfInvariant(): Unit = {
+      val maintained = Dedup.winnowingIndexDf(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val recomputed = Dedup.winnowingIndexFps(spark, dir)
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(maintained == recomputed,
+        s"extra=${maintained.toSet.diff(recomputed.toSet).take(5)} " +
+          s"missing=${recomputed.toSet.diff(maintained.toSet).take(5)}")
+    }
+    dfInvariant()
+    // replay-idempotent append of a NEW doc (exact copy of indexed doc 1)
+    val copy = docs.filter(col("doc_id") === 1L).withColumn("doc_id", lit(900001L))
+    Dedup.appendToWinnowingIndex(spark, dir, copy, batchId = Some(1L))
+    Dedup.appendToWinnowingIndex(spark, dir, copy, batchId = Some(1L))
+    dfInvariant()
+    // re-fingerprint an INDEXED doc with different text in a later batch:
+    // the displacement rows must subtract its old fps from the df sums
+    val replaced = docs.filter(col("doc_id") === 2L).withColumn("doc_id", lit(1L))
+    Dedup.appendToWinnowingIndex(spark, dir, replaced, batchId = Some(2L))
+    dfInvariant()
+    // serve result is a pure function of the live view + df table, so
+    // compaction (fold to one batch, recompute df) must not change it
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    def serve() = Dedup.containmentAgainstIndex(spark, dir, incoming)
+      .collect().map(_.toSeq).toSet
+    val before = serve()
+    Dedup.compactWinnowingIndex(spark, dir)
+    dfInvariant()
+    assert(serve() == before, "compaction changed serve verdicts")
+    spark.catalog.clearCache()
+  }
+
   test("minhash index lifecycle: replay-idempotent append, last-writer-wins, lossless compaction") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("graft-mh-life").toString

@@ -144,3 +144,58 @@ class DatesAndCsvSpec extends AnyFunSuite {
       "/out/call_volume/2024-01-01_to_2024-01-02.csv")
   }
 }
+
+/** The bench regression-gate baseline loader: the prior round's snapshot
+  * is parsed from a driver BENCH artifact (stdout line wrapped under
+  * "parsed", with the same JSON ALSO embedded escaped inside the "tail"
+  * string — the trap the string-aware brace scan exists for).
+  */
+class BenchPriorSpec extends AnyFunSuite {
+  test("parseArtifact reads normalized/probe/calib from a driver-shaped artifact") {
+    val inner = """{"metric":"total","value":175,"probe_normalized":28.4,""" +
+      """"calib_probe":[0.591,0.548],"probe":{"q1_pricing_summary":0.364,"q3_top_orders":0.453},"note":"x"}"""
+    val artifact = s"""{"n":1,"tail":"...${inner.replace("\"", "\\\"")}...","parsed":$inner}"""
+    val f = java.nio.file.Files.createTempFile("bench-prior", ".json")
+    java.nio.file.Files.write(f, artifact.getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "test").get
+    assert(p.normalized == 28.4)
+    assert(math.abs(p.calibProbe - 0.5695) < 1e-9)
+    assert(p.perQuery == Map("q1_pricing_summary" -> 0.364, "q3_top_orders" -> 0.453))
+  }
+  test("parseArtifact handles the driver's PRETTY-PRINTED artifact form") {
+    val artifact =
+      """{
+        |  "n": 1,
+        |  "parsed": {
+        |    "probe_normalized": 28.4,
+        |    "calib_probe": [
+        |      0.591,
+        |      0.548
+        |    ],
+        |    "probe": {
+        |      "q1_pricing_summary": 0.364,
+        |      "q3_top_orders": 0.453
+        |    }
+        |  }
+        |}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("bench-prior-pp", ".json")
+    java.nio.file.Files.write(f, artifact.getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "pp").get
+    assert(p.normalized == 28.4 && math.abs(p.calibProbe - 0.5695) < 1e-9)
+    assert(p.perQuery.size == 2)
+  }
+  test("parseArtifact handles the legacy scalar calib form and rejects garbage") {
+    val inner = """{"probe_normalized":33.4,"calib_probe":0.529,"probe":{}}"""
+    val f = java.nio.file.Files.createTempFile("bench-prior2", ".json")
+    java.nio.file.Files.write(f, s"""{"parsed":$inner}""".getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "t").get
+    assert(p.normalized == 33.4 && p.calibProbe == 0.529 && p.perQuery.isEmpty)
+    val g = java.nio.file.Files.createTempFile("bench-prior3", ".json")
+    java.nio.file.Files.write(g, "not json at all".getBytes("UTF-8"))
+    assert(Bench.parseArtifact(g, "t").isEmpty)
+  }
+  test("loadPrior falls back to the builtin snapshot or a real artifact, never throws") {
+    val p = Bench.loadPrior()
+    assert(p.normalized > 0 && p.calibProbe > 0, p.toString)
+  }
+}
