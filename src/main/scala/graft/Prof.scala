@@ -433,6 +433,32 @@ object Prof {
         Bench.sweep(spark)
       }
     }
+    if (mode == "wand") {
+      // champion-list (impact-ordered pruning) twin vs the exact postings
+      // serve, interleaved, plus the certificate coverage — run at sf0.1
+      // and sf1_cache for the scale ratio. 16-term queries = the heavy
+      // retrieval_eval join shape, where pruning matters most.
+      import graft.ext.{IndexCache, TextAnalysis}
+      val idx = IndexCache.ensure(spark, sfDir, "bm25", table = "documents",
+        params = "v3,champions-m128") { d =>
+        TextAnalysis.buildBm25Index(Queries.table(spark, sfDir, "documents"), d)
+      }
+      val full = spark.read.parquet(s"$idx/tf").count()
+      val top = spark.read.parquet(s"$idx/tf_top").count()
+      println(f"PROF wand postings: full=$full champions=$top (${100.0 * top / full}%.1f%%)")
+      def exact() = noop(TextAnalysis.bm25TopKFromIndex(spark, idx,
+        queryTerms = 16, topK = 10, maxQueries = 30))
+      def champ() = noop(TextAnalysis.bm25TopKFromChampions(spark, idx,
+        queryTerms = 16, topK = 10, maxQueries = 30))
+      exact(); Bench.sweep(spark); champ(); Bench.sweep(spark) // warm
+      for (r <- 1 to 3) {
+        time(s"exact_r$r")(exact()); Bench.sweep(spark)
+        time(s"champ_r$r")(champ()); Bench.sweep(spark)
+      }
+      val cert = TextAnalysis.bm25ChampionCertificate(spark, idx,
+        queryTerms = 16, topK = 10, maxQueries = 30).collect()
+      println(s"PROF wand certified: ${cert.count(_.getBoolean(4))}/${cert.length}")
+    }
     if (mode == "bm25") {
       // retrieval_eval cost anatomy at SPARK_GRAFT_SF_DIR: index scan vs
       // matched-postings volume vs the groupBy shuffle

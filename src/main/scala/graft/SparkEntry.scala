@@ -48,7 +48,7 @@ object SparkEntry {
     */
   private def bm25Index(s: SparkSession, dir: String): String =
     graft.ext.IndexCache.ensure(s, dir, "bm25", table = "documents",
-      params = "v2,dl-denormalized") { d =>
+      params = "v3,champions-m128") { d =>
       TextAnalysis.buildBm25Index(docs(s, dir), d)
     }
 

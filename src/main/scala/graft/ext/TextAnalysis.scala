@@ -2723,11 +2723,146 @@ object TextAnalysis {
     * lifecycle — at 100 TB this job runs once per corpus version and
     * every query serves against the artifact).
     */
-  def buildBm25Index(docs: DataFrame, dir: String): Unit = {
+  def buildBm25Index(docs: DataFrame, dir: String, mChampions: Int = 128,
+      k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val (tf, dfreq, stats) = bm25Postings(docs)
     tf.write.mode("overwrite").parquet(s"$dir/tf")
     dfreq.write.mode("overwrite").parquet(s"$dir/df")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // CHAMPION LIST (impact-ordered static pruning — Persin'94 /
+    // Manning-Raghavan-Schütze §7.1.3, the batch-friendly stand-in for
+    // WAND's dynamic postings skipping): per token, keep only the
+    // mChampions postings with the highest length-normalized tf impact
+    // `tf(k1+1)/(tf + k1(1-b+b·dl/avgdl))` — idf is a positive per-token
+    // constant, so impact order IS termW order. Serving against the
+    // prefix scans ≤ m postings/token instead of full df (stop-words go
+    // from corpus-sized to constant). Built with the bounded
+    // TopKAggregator (map-side ≤ m entries per token per partition),
+    // never a per-token window — a row_number over PARTITION BY token
+    // would put a stop-word's whole postings list in one task.
+    val st = spark.read.parquet(s"$dir/stats").collect()(0) // 1 row
+    val avgdl = st.getAs[Double]("avgdl")
+    val impact = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val postings = spark.read.parquet(s"$dir/tf")
+    // top m+1 per token: the first m are the champions; the (m+1)-th
+    // impact (0 when df ≤ m) upper-bounds EVERY non-champion posting of
+    // the token — persisted as `champ_bounds` so serving can certify
+    // top-k membership (see [[bm25ChampionCertificate]])
+    val topM1 = postings
+      .select(col("token"), impact.as("imp"), col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new Similarity.TopKAggregator(mChampions + 1).toColumn.name("top"))
+      .cache() // vocab × (m+1) rows, consumed by two writes below
+    val champs = topM1
+      .flatMap { case (token, top) =>
+        top.iterator.take(mChampions).map { case (_, did) => (token, did) } }
+      .toDF("token", "doc_id")
+    postings.join(champs, Seq("token", "doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$dir/tf_top")
+    topM1.map { case (token, top) =>
+        (token, if (top.length > mChampions) top.last._1 else 0.0) }
+      .toDF("token", "bound")
+      .write.mode("overwrite").parquet(s"$dir/champ_bounds")
+    topM1.unpersist()
+    Seq((mChampions, k1, b)).toDF("m", "k1", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/champ_params")
+  }
+
+  /** [[bm25TopKFromIndex]] against the CHAMPION prefix (`tf_top`) instead
+    * of the full postings — the impact-ordered pruning twin. Semantics
+    * are honestly APPROXIMATE: a document whose posting for some query
+    * token fell outside that token's champion prefix loses that token's
+    * contribution (score underestimate, possible top-k miss), so this
+    * twin is SPEC-PINNED (RetrievalSpec asserts top-k membership equals
+    * the exact serve at test scales), deliberately NOT oracle-gated —
+    * gating it would pin an approximation ratio the operator doesn't
+    * promise. The panel derivation still reads the full tf (same queries
+    * either way); only the scored join shrinks. (k1, b) must match the
+    * build's impact ordering — enforced fail-loud from `champ_params`.
+    */
+  def bm25TopKFromChampions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxQueries: Int = Int.MaxValue): DataFrame = {
+    val cp = spark.read.parquet(s"$indexDir/champ_params").collect()(0)
+    require(cp.getAs[Double]("k1") == k1 && cp.getAs[Double]("b") == b,
+      s"champion list impact-ordered under (k1=${cp.getAs[Double]("k1")}, " +
+        s"b=${cp.getAs[Double]("b")}), serve asked (k1=$k1, b=$b)")
+    bm25HitsFrom(spark.read.parquet(s"$indexDir/tf"),
+      spark.read.parquet(s"$indexDir/df"),
+      spark.read.parquet(s"$indexDir/stats"),
+      queryEvery, queryTerms, topK, k1, b, maxQueries,
+      scoreTf = Some(spark.read.parquet(s"$indexDir/tf_top")))
+  }
+
+  /** Per-query SOUNDNESS CERTIFICATE for the champion serve — the
+    * MaxScore bound adapted to the batch two-frame layout. Facts it
+    * relies on: (i) a champion score is a LOWER bound of the true score
+    * (pruning only removes positive term contributions); (ii) every
+    * non-champion posting of token t has impact ≤ the stored per-token
+    * `bound` (the (m+1)-th impact), so its term contribution is
+    * ≤ `ub_t = idf_t · bound_t`; (iii) a doc outside ALL champion lists
+    * of the query's tokens therefore scores ≤ `ub_total = Σ_t ub_t`, and
+    * a champion CANDIDATE's true score ≤ its champion score + the ub
+    * mass of the query tokens it did NOT match in champions.
+    *
+    * `guaranteed = (θ > max_contender) ∧ (θ > ub_total)` where θ is the
+    * k-th best champion score and max_contender the best
+    * `s_champ + miss_ub` among below-k candidates — when true, the
+    * champion top-k SET provably equals the exact top-k set (ordering
+    * within it may differ; strict inequalities keep ties conservative:
+    * an uncertifiable tie reports false, never a wrong true). This is
+    * what makes the approximate tier shippable: a serving layer can
+    * re-score just the uncertified queries against the full postings.
+    */
+  def bm25ChampionCertificate(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxQueries: Int = Int.MaxValue): DataFrame = {
+    val tf = spark.read.parquet(s"$indexDir/tf")
+    val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
+    val qidf = bm25Qidf(spark.read.parquet(s"$indexDir/df"),
+      spark.read.parquet(s"$indexDir/stats"), qtokens)
+    val ub = qtokens
+      .join(broadcast(qidf), Seq("token"))
+      .join(broadcast(spark.read.parquet(s"$indexDir/champ_bounds")), Seq("token"))
+      .select(col("query_id"), col("token"), (col("idf") * col("bound")).as("ub"))
+    val ubTot = ub.groupBy(col("query_id")).agg(sum(col("ub")).as("ub_total"))
+    // candidate champion scores + the ub mass of the tokens each
+    // candidate DID match (its miss is the query total minus that)
+    val cand = broadcast(qtokens)
+      .join(spark.read.parquet(s"$indexDir/tf_top"), Seq("token"))
+      .join(broadcast(qidf), Seq("token"))
+      .join(broadcast(ub), Seq("query_id", "token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(graft.functions.Exact.sumQLR(bm25TermW(k1, b), 6, 4).as("s_champ"),
+        sum(col("ub")).as("matched_ub"))
+    val ranked = cand.join(broadcast(ubTot), Seq("query_id"))
+      .withColumn("miss_ub", col("ub_total") - col("matched_ub"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("s_champ").desc, col("doc_id"))))
+      .localCheckpoint(true) // candidates-sized; consumed by two aggs
+    val theta = ranked.filter(col("rk") <= topK)
+      .groupBy(col("query_id"))
+      .agg(min(col("s_champ")).as("theta"), count(lit(1)).as("n_top"))
+    val contender = ranked.filter(col("rk") > topK)
+      .groupBy(col("query_id"))
+      .agg(max(col("s_champ") + col("miss_ub")).as("max_contender"))
+    theta.join(broadcast(ubTot), Seq("query_id"))
+      .join(contender, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("theta"), col("ub_total"),
+        coalesce(col("max_contender"), lit(0.0)).as("max_contender"),
+        (col("n_top") >= topK &&
+          col("theta") > coalesce(col("max_contender"), lit(0.0)) &&
+          col("theta") > col("ub_total")).as("guaranteed"))
+      .orderBy(col("query_id"))
   }
 
   /** [[bm25TopK]] served from a persisted postings index — identical
@@ -2758,40 +2893,53 @@ object TextAnalysis {
   }
 
   /** The scorer over the four postings frames (inline or index-served). */
-  private def bm25HitsFrom(tf: DataFrame, dfreq: DataFrame,
-      stats: DataFrame, queryEvery: Int, queryTerms: Int, topK: Int,
-      k1: Double, b: Double, maxQueries: Int): DataFrame = {
-    // maxQueries caps the derived set at a FIXED size: with the plain
-    // modulus the query count grows WITH the corpus while every query's
-    // postings also grow, so the scored join compounds super-linearly —
-    // a measured 8x at 10x data for the 16-term eval form. An eval set
-    // is a fixed panel, not a corpus-proportional one.
-    val qtokens = tf
-      .filter(col("doc_id") % queryEvery === 0 &&
-        col("doc_id") < queryEvery.toLong * maxQueries)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("first_pos"))))
-      .filter(col("rk") <= queryTerms)
-      .select(col("doc_id").as("query_id"), col("token"))
+  /** The fixed query panel: first `queryTerms` tokens (by first position)
+    * of every `queryEvery`-th doc, capped at `maxQueries`. maxQueries
+    * caps the derived set at a FIXED size: with the plain modulus the
+    * query count grows WITH the corpus while every query's postings also
+    * grow, so the scored join compounds super-linearly — a measured 8x
+    * at 10x data for the 16-term eval form. An eval set is a fixed
+    * panel, not a corpus-proportional one.
+    */
+  private def bm25Panel(tf: DataFrame, queryEvery: Int, queryTerms: Int,
+      maxQueries: Int): DataFrame = tf
+    .filter(col("doc_id") % queryEvery === 0 &&
+      col("doc_id") < queryEvery.toLong * maxQueries)
+    .withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("first_pos"))))
+    .filter(col("rk") <= queryTerms)
+    .select(col("doc_id").as("query_id"), col("token"))
 
-    // idf PRECOMPUTED once per queried token on the ≤ queries×terms
-    // broadcast frame (r10 sf1 anatomy: the matched-postings join emits
-    // ~119M rows at sf1, and a per-row log() + BigDecimal round()
-    // dominated serving; idf depends only on (df, n_docs), so the 3k
-    // distinct tokens need 3k logs, not 119M). avgdl rides the same
-    // broadcast row, so the hot join does pure multiply/divide.
-    val qidf = dfreq.join(qtokens.select(col("token")).distinct(), Seq("token"))
+  /** idf PRECOMPUTED once per queried token on the ≤ queries×terms
+    * broadcast frame (r10 sf1 anatomy: the matched-postings join emits
+    * ~119M rows at sf1, and a per-row log() + BigDecimal round()
+    * dominated serving; idf depends only on (df, n_docs), so the 3k
+    * distinct tokens need 3k logs, not 119M). avgdl rides the same
+    * broadcast row, so the hot join does pure multiply/divide.
+    */
+  private def bm25Qidf(dfreq: DataFrame, stats: DataFrame,
+      qtokens: DataFrame): DataFrame =
+    dfreq.join(qtokens.select(col("token")).distinct(), Seq("token"))
       .crossJoin(broadcast(stats))
       .select(col("token"),
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           .as("idf"),
         col("avgdl"))
-    val termW =
-      col("idf") * (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  private def bm25TermW(k1: Double, b: Double): Column =
+    col("idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  private def bm25HitsFrom(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, queryEvery: Int, queryTerms: Int, topK: Int,
+      k1: Double, b: Double, maxQueries: Int,
+      scoreTf: Option[DataFrame] = None): DataFrame = {
+    val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
+    val qidf = bm25Qidf(dfreq, stats, qtokens)
+    val termW = bm25TermW(k1, b)
     val scored = broadcast(qtokens)
-      .join(tf, Seq("token"))
+      .join(scoreTf.getOrElse(tf), Seq("token"))
       .join(broadcast(qidf), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       // r10 (advisor catch): a plain double sum of the 6-dp-quantized term

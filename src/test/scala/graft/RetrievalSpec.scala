@@ -113,6 +113,82 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def topkSets(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("champion-list BM25: certificate is SOUND on the hostile synthetic corpus (guaranteed => membership equal)") {
+    val docs = Queries.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-champ").toString
+    TextAnalysis.buildBm25Index(docs, dir, mChampions = 64)
+    // the prefix must actually engage: common tokens carry more postings
+    // than the champion budget at this corpus size
+    val fullN = spark.read.parquet(s"$dir/tf").count()
+    val champN = spark.read.parquet(s"$dir/tf_top").count()
+    assert(champN < fullN, s"champion prefix did not prune ($champN of $fullN)")
+    val overBudget = spark.read.parquet(s"$dir/tf_top")
+      .groupBy("token").count().filter(org.apache.spark.sql.functions.col("count") > 64)
+      .count()
+    assert(overBudget == 0L)
+    // this corpus is pruning-HOSTILE by construction (near-uniform token
+    // distribution: every query term is a near-stop-word, so champion
+    // prefixes cut real score mass and membership CAN diverge). The
+    // contract under fire is the certificate's soundness: any query it
+    // marks guaranteed must have identical top-k membership.
+    val exact = topkSets(TextAnalysis.bm25TopKFromIndex(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5))
+    val champ = topkSets(TextAnalysis.bm25TopKFromChampions(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5))
+    assert(exact.keySet == champ.keySet)
+    val cert = TextAnalysis.bm25ChampionCertificate(spark, dir,
+        queryEvery = 25, queryTerms = 4, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val unsound = cert.collect {
+      case (q, true) if exact(q) != champ(q) => q }
+    assert(unsound.isEmpty, s"certificate claimed guaranteed but membership diverged: $unsound")
+    // and the instrument must actually DETECT the hostile regime: at
+    // least one divergent query exists here and is reported uncertified
+    val diverged = exact.keys.filter(q => exact(q) != champ(q))
+    assert(diverged.nonEmpty, "fixture regression: corpus no longer exercises divergence")
+    assert(diverged.forall(q => !cert(q)))
+    // serving with mismatched (k1, b) must fail loud, not mis-rank
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFromChampions(spark, dir, k1 = 0.9)
+    }
+  }
+
+  test("champion-list BM25: on a zipf-shaped corpus pruning engages, certificates hold, membership equals exact") {
+    import spark.implicits._
+    // 300 docs in 30 groups of 10: the group token's tf ramps 1..10 across
+    // the group (strict in-group score separation), every doc carries the
+    // same 4 fillers (df = 300 -> pruned at m = 16, but idf ~ log(1 +
+    // 0.5/300.5) so the pruned mass is negligible), and each doc leads
+    // with its group token so the derived queries hit (group, uniq,
+    // filler, filler)
+    val docs = (0 until 300).map { i =>
+      val g = s"g${i % 30}"
+      val reps = 1 + i / 30
+      (i.toLong, (Seq.fill(reps)(g) :+ s"u$i") ++ Seq("f0", "f1", "f2", "f3") mkString " ")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-zipf").toString
+    TextAnalysis.buildBm25Index(docs, dir, mChampions = 16)
+    // fillers pruned (df 300 > 16), group/uniq tokens intact (df <= 16)
+    val champCounts = spark.read.parquet(s"$dir/tf_top")
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(champCounts("f0") == 16L && champCounts("g0") == 10L)
+    val exact = topkSets(TextAnalysis.bm25TopKFromIndex(spark, dir,
+      queryEvery = 100, queryTerms = 4, topK = 5))
+    val champ = topkSets(TextAnalysis.bm25TopKFromChampions(spark, dir,
+      queryEvery = 100, queryTerms = 4, topK = 5))
+    val cert = TextAnalysis.bm25ChampionCertificate(spark, dir,
+        queryEvery = 100, queryTerms = 4, topK = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(exact.nonEmpty && exact.keySet == champ.keySet)
+    assert(cert.values.forall(identity), s"expected all certified: $cert")
+    exact.keys.foreach(q => assert(exact(q) == champ(q), s"query $q diverged"))
+  }
+
   test("gapfill densifies each user's span and forward-fills values") {
     val res = Queries.eventsGapfill(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
