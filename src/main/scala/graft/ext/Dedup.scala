@@ -1428,12 +1428,25 @@ object Dedup {
   /** Last-writer-wins per doc_id over the discovered `batch` partition
     * column (base build = -1, appends ascend) — a re-fingerprinted doc's
     * newest signature is the live one.
+    *
+    * Base/recent split (the [[liveFps]] discipline, r11): the base batch
+    * is one-row-per-doc by construction (build writes one signature per
+    * doc; compaction writes this function's own output), so only
+    * POST-COMPACTION appends pay the per-doc window, and the base side
+    * reconciles via an anti-join against the small recent doc set
+    * instead of a full-store window sort.
     */
-  private def latestPerDoc(df: DataFrame): DataFrame =
-    df.withColumn("_rn", row_number().over(
+  private def latestPerDoc(df: DataFrame): DataFrame = {
+    val recent = df.filter(col("batch").cast("long") =!= -1L)
+    val base = df.filter(col("batch").cast("long") === -1L).drop("batch")
+    val recentLatest = recent.withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("batch").desc)))
       .filter(col("_rn") === 1)
       .drop("_rn", "batch")
+    base.join(recentLatest.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(recentLatest)
+  }
 
   /** Fingerprint `newDocs` with the index's own stored params and append
     * them as a `batch=<id>` directory. Each append OWNS its directory and

@@ -599,15 +599,26 @@ object Multimodal {
 
   /** Last-writer-wins per doc over the discovered `batch` partition column
     * (base build = -1, appends ascend) — a re-hashed doc's newest
-    * fingerprint is the live one.
+    * fingerprint is the live one. Base/recent split (the Dedup liveFps
+    * discipline, r11): the base is one-row-per-doc by construction, so
+    * only post-compaction appends pay the per-doc window and the base
+    * reconciles via an anti-join against the small recent doc set
+    * instead of a full-store window sort.
     */
-  private def latestHashPerDoc(df: DataFrame): DataFrame =
-    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+  private def latestHashPerDoc(df: DataFrame): DataFrame = {
+    val recent = df.filter(col("batch").cast("long") =!= -1L)
+    val base = df.filter(col("batch").cast("long") === -1L).drop("batch")
+    val recentLatest = recent
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("batch").desc)))
       .filter(col("_rn") === 1)
       .drop("_rn", "batch")
+    base.join(recentLatest.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(recentLatest)
+  }
 
   /** Build a persisted perceptual-hash store over `media`: hash every
     * payload ONCE ([[imageHashes]] — real decode for images, md5 fallback
@@ -1050,12 +1061,21 @@ object Multimodal {
 
   /** Last-writer-wins frame SETS: a re-crawled doc's newest batch
     * replaces its whole set (frame-level merge of two crawls of one doc
-    * would conflate versions).
+    * would conflate versions). Base/recent split (the Dedup liveFps
+    * discipline, r11): the compacted base is already one-set-per-doc, so
+    * only post-compaction appends pay the groupBy-max reconciliation and
+    * the base side anti-joins the small recent doc set.
     */
   private def latestFramesPerDoc(df: DataFrame): DataFrame = {
-    val latest = df.groupBy(col("doc_id"))
+    val recent = df.filter(col("batch").cast("long") =!= -1L)
+    val base = df.filter(col("batch").cast("long") === -1L).drop("batch")
+    val latest = recent.groupBy(col("doc_id"))
       .agg(org.apache.spark.sql.functions.max(col("batch")).as("batch"))
-    df.join(latest, Seq("doc_id", "batch"), "left_semi").drop("batch")
+    val recentLatest = recent
+      .join(latest, Seq("doc_id", "batch"), "left_semi").drop("batch")
+    base.join(recentLatest.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionByName(recentLatest)
   }
 
   /** Live frame-hash view of a persisted video store. */

@@ -1801,13 +1801,24 @@ object Similarity {
 
   /** Last-writer-wins per vec_id over the discovered `batch` partition
     * column (base build = -1, appends ascend), then drop the column so
-    * the survivor set can re-land as the new base batch.
+    * the survivor set can re-land as the new base batch. Base/recent
+    * split (the Dedup liveFps discipline, r11): the base is
+    * one-row-per-vector by construction, so only post-compaction appends
+    * pay the per-vector window and the base reconciles via an anti-join
+    * against the small recent vec set instead of a full-store window
+    * sort.
     */
-  private def latestPerVector(df: DataFrame): DataFrame =
-    df.withColumn("_rn", row_number().over(
+  private def latestPerVector(df: DataFrame): DataFrame = {
+    val recent = df.filter(col("batch").cast("long") =!= -1L)
+    val base = df.filter(col("batch").cast("long") === -1L).drop("batch")
+    val recentLatest = recent.withColumn("_rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("batch").desc)))
       .filter(col("_rn") === 1)
       .drop("_rn", "batch")
+    base.join(recentLatest.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .unionByName(recentLatest)
+  }
 
   /** A PQ index written by the pre-batch layout has bare parquet files
     * under codes/; appending batch=N beside them would give partition
