@@ -920,15 +920,27 @@ object Dedup {
     * reset by construction), params carried over. Same versioned-publish
     * protocol as [[compactMinhashIndex]]; serving before/after is
     * byte-identical.
+    *
+    * `keepBelow`: fold ONLY batches `< keepBelow` and do NOT carry later
+    * partitions into the new version — the streaming auto-compaction
+    * contract ([[graft.streaming.StreamingCorpus.containmentIndexIngest]]
+    * compacts at the START of batch N with `keepBelow = N`): batches
+    * < N are checkpoint-committed and safe to fold, while a partial
+    * `batch=N` left by a failed delivery must NOT melt into the base
+    * (excludeBatch could no longer hide it and the replay would screen
+    * against itself); the replay simply re-appends batch N to the fresh
+    * root under the batch-owned-overwrite contract.
     */
   def compactWinnowingIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, keepBelow: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = Similarity.resolveIndexRoot(spark, dir)
     val v = Similarity.nextIndexVersion(fs, dir)
     val newRoot = s"$dir/v_$v"
-    liveFps(spark.read.parquet(s"$root/fps"))
+    val raw = spark.read.parquet(s"$root/fps")
+    val visible = keepBelow.fold(raw)(k => raw.filter(col("batch").cast("long") < k))
+    liveFps(visible)
       .write.mode("overwrite").parquet(s"$newRoot/fps/batch=-1")
     writeDfPartial(spark.read.parquet(s"$newRoot/fps/batch=-1"),
       s"$newRoot/df/batch=-1")
@@ -1521,15 +1533,19 @@ object Dedup {
   /** Fold all signature batches into a fresh version's base batch (CURRENT
     * flips atomically; readers never see a half-compacted index). Run after
     * enough appends that small-batch file counts dominate scan setup.
+    * `keepBelow` folds only batches `< keepBelow` (the streaming
+    * auto-compaction contract — see [[compactWinnowingIndex]]).
     */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
+      dir: String, keepBelow: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = Similarity.resolveIndexRoot(spark, dir)
     val v = Similarity.nextIndexVersion(fs, dir)
     val newRoot = s"$dir/v_$v"
-    latestPerDoc(spark.read.parquet(s"$root/signatures"))
+    val raw = spark.read.parquet(s"$root/signatures")
+    val visible = keepBelow.fold(raw)(k => raw.filter(col("batch").cast("long") < k))
+    latestPerDoc(visible)
       .write.mode("overwrite").parquet(s"$newRoot/signatures/batch=-1")
     spark.read.parquet(s"$root/params")
       .write.mode("overwrite").parquet(s"$newRoot/params")

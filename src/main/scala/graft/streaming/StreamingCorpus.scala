@@ -231,7 +231,8 @@ object StreamingCorpus {
     * output instead of duplicating or self-matching.
     */
   def minhashIndexIngest(docs: DataFrame, indexDir: String, outDir: String,
-      checkpointDir: String, estThreshold: Double = 0.5): StreamingQuery =
+      checkpointDir: String, estThreshold: Double = 0.5,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -239,6 +240,15 @@ object StreamingCorpus {
         val b = batch.cache()
         try {
           if (!b.isEmpty) {
+            // auto-compaction, START of the batch: folds only the
+            // checkpoint-COMMITTED batches (< batchId), so a partial
+            // append left by a failed delivery of THIS batch never melts
+            // into the base (it would defeat excludeBatch and make the
+            // replay screen against itself); re-running the compaction
+            // on replay folds the same committed set — idempotent
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              Dedup.compactMinhashIndex(spark, indexDir,
+                keepBelow = Some(batchId))
             val root = graft.ext.Similarity.resolveIndexRoot(spark, indexDir)
             val (numHashes, _, bands, rowsPerBand) =
               Dedup.readMinhashParams(spark, root)
@@ -276,7 +286,7 @@ object StreamingCorpus {
     */
   def containmentIndexIngest(docs: DataFrame, indexDir: String,
       outDir: String, checkpointDir: String,
-      threshold: Double = 0.8): StreamingQuery =
+      threshold: Double = 0.8, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -284,6 +294,12 @@ object StreamingCorpus {
         val b = batch.cache()
         try {
           if (!b.isEmpty) {
+            // auto-compaction at the START of the batch: folds only the
+            // checkpoint-committed batches (< batchId) — see
+            // [[Dedup.compactWinnowingIndex]]'s keepBelow contract
+            if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+              Dedup.compactWinnowingIndex(spark, indexDir,
+                keepBelow = Some(batchId))
             val withinDups = Dedup.containmentPairs(b.drop("event_time"),
                 threshold)
               .select(col("b").as("doc_id")).distinct()

@@ -826,6 +826,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming containment ingest with auto-compaction: same verdicts, folded store, df invariant intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(p: String, a: Int, b: Int) = (a to b).map(i => s"$p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-win-cmp").toString
+    graft.ext.Dedup.buildWinnowingIndex(
+      Seq((1L, words("alpha", 1, 60)), (2L, words("beta", 1, 60)))
+        .toDF("doc_id", "text"), dir)
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def d(id: Long, text: String, i: Int) =
+      CorpusDoc(id, text, "en", "s1", new Timestamp(t0 + i * 1000L))
+    val batchA = Seq(
+      d(10L, words("gamma", 1, 60), 0),
+      d(11L, words("alpha", 5, 45), 1),
+      d(12L, words("delta", 1, 60), 2),
+      d(13L, words("delta", 1, 60) + " extra tail here", 3))
+    val batchB = Seq(
+      d(20L, words("gamma", 5, 45), 4),
+      d(21L, words("epsilon", 1, 60), 5))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-win-cmp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-win-cmp-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    // compactEvery = 1: batch 1 starts by folding the base + batch 0 —
+    // verdicts must be IDENTICAL to the uncompacted run of this fixture
+    val q = graft.streaming.StreamingCorpus.containmentIndexIngest(
+      mem.toDF(), dir, outDir, ckpt, compactEvery = 1)
+    try Seq(batchA, batchB).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val landed = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(10L, 12L, 21L), s"survivors: $landed")
+    // the store folded: current version carries ONLY the compacted base
+    // plus batch 1's append
+    // versions start at v_0 (the build); the batch-1 compaction flips to v_1
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    assert(root.endsWith("/v_1"), s"expected the compacted v_1, got $root")
+    val batches = spark.read.parquet(s"$root/fps")
+      .select("batch").distinct().collect()
+      .map(r => r.get(0).toString.toLong).toSet
+    assert(batches == Set(-1L, 1L), s"fps batches after fold: $batches")
+    val indexed = graft.ext.Dedup.winnowingIndexFps(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(1L, 2L, 10L, 12L, 21L), s"store docs: $indexed")
+    // df side table still equals the recomputed latest-wins df
+    val maintained = graft.ext.Dedup.winnowingIndexDf(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recomputed = graft.ext.Dedup.winnowingIndexFps(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("fp"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maintained == recomputed)
+    spark.catalog.clearCache()
+  }
+
   test("streaming PII redaction equals the batch scrubber; raw PII never lands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1374,6 +1429,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((0L, 1000003L), (1L, 1000013L)),
       s"survivor set wrong: $out")
     // both survivors are live in the index — tomorrow's crawl sees them
+    val liveIds = graft.ext.Dedup.minhashIndexSignatures(spark, indexDir)
+      .filter(col("doc_id") >= 1000000L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds == Set(1000003L, 1000013L), s"indexed ids: $liveIds")
+  }
+
+  test("streaming minhash ingest with auto-compaction: same verdicts, folded signature store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-mh-cmp-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mh-cmp-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mh-cmp-ckpt").toString
+    graft.ext.Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 5 =!= 0), indexDir)
+    val indexedText = docs.filter(col("doc_id") === 1L)
+      .select("text").collect()(0).getString(0)
+    val freshA = "qq1 ww2 ee3 rr4 tt5 yy6 uu7 ii8 oo9 pp0 aa1 ss2 dd3 ff4"
+    val freshB = "zz9 xx8 cc7 vv6 bb5 nn4 mm3 kk2 jj1 hh0 gg9 ll8 rr7 tt6"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.minhashIndexIngest(
+      mem.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt,
+      compactEvery = 1)
+    try {
+      mem.addData((1000001L, indexedText), (1000003L, freshA), (1000007L, freshA))
+      q.processAllAvailable()
+      // batch 1 starts by folding base + batch 0, then freshA must STILL
+      // drop against the folded store (verdicts identical to the
+      // uncompacted twin above)
+      mem.addData((1000011L, freshA), (1000013L, freshB))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+      .select(col("batch").cast("long"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1000003L), (1L, 1000013L)), s"survivor set wrong: $out")
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, indexDir)
+    assert(root.endsWith("/v_1"), s"expected the compacted v_1, got $root")
+    val batches = spark.read.parquet(s"$root/signatures")
+      .select("batch").distinct().collect()
+      .map(r => r.get(0).toString.toLong).toSet
+    assert(batches == Set(-1L, 1L), s"signature batches after fold: $batches")
     val liveIds = graft.ext.Dedup.minhashIndexSignatures(spark, indexDir)
       .filter(col("doc_id") >= 1000000L).select("doc_id")
       .collect().map(_.getLong(0)).toSet
