@@ -906,9 +906,13 @@ object Dedup {
     * df exactly).
     */
   private[graft] def winnowingIndexDf(spark: org.apache.spark.sql.SparkSession,
-      dir: String, excludeBatch: Option[Long] = None): DataFrame = {
-    val raw = spark.read.parquet(
-      s"${Similarity.resolveIndexRoot(spark, dir)}/df")
+      dir: String, excludeBatch: Option[Long] = None): DataFrame =
+    winnowingDfFromRoot(spark, Similarity.resolveIndexRoot(spark, dir),
+      excludeBatch)
+
+  private def winnowingDfFromRoot(spark: org.apache.spark.sql.SparkSession,
+      root: String, excludeBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$root/df")
     excludeBatch.fold(raw)(id => raw.filter(col("batch") =!= id))
       .groupBy(col("fp")).agg(sum(col("df")).as("df"))
       .filter(col("df") =!= 0L)
@@ -969,7 +973,10 @@ object Dedup {
     // table) + the batch's own counts — the combined-population doc
     // frequency without re-aggregating the store's fps tree
     val incDf = incFps.groupBy(col("fp")).agg(count(lit(1)).as("df_inc"))
-    val gate = winnowingIndexDf(spark, dir, excludeBatch)
+    // from the SAME resolved root as the fps/params reads above — a
+    // concurrent compaction's CURRENT flip must not split one serve
+    // across two store versions
+    val gate = winnowingDfFromRoot(spark, root, excludeBatch)
       .withColumnRenamed("df", "df_store")
       .join(incDf, Seq("fp"), "full_outer")
       .filter(coalesce(col("df_store"), lit(0L)) +

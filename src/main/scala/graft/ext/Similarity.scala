@@ -322,7 +322,10 @@ object Similarity {
   private[graft] def pcaSufficientStats(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("embedding").cast("array<double>"))
+    // null rows contribute nothing (parity with the r10 explode path,
+    // where posexplode of a null array emitted no rows)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>"))
       .as[Array[Double]]
       .mapPartitions { it =>
         var d = 0
