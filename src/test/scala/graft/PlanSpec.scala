@@ -260,6 +260,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("champion BM25 serve: the scored join reads the champion prefix (tf_top) and broadcasts the query tiers") {
+    val docs = Queries.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-champ-plan").toString
+    graft.ext.TextAnalysis.buildBm25Index(docs, dir, mChampions = 64)
+    // audit UNEXECUTED plans (AQE finalization would double-list nodes)
+    val plan = planOf(graft.ext.TextAnalysis.bm25TopKFromChampions(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5))
+    // the corpus-proportional side of the scored join must be the
+    // champion prefix — a serve whose scoring scanned the FULL postings
+    // would regrow with corpus size, the cost this twin exists to cut
+    assert(plan.contains("tf_top"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the only nested-loop product allowed is the 1-row stats cross into
+    // the broadcast idf tier (the index-served BM25 gate's allowance)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"$bnlj BNLJ nodes\n${plan.take(3000)}")
+    // RELATIVE gate: both serves scan full tf for the fixed-panel
+    // derivation (panel + idf tiers), but only the EXACT serve also
+    // scores against it — the champion plan must carry strictly fewer
+    // full-postings scans
+    val exactPlan = planOf(graft.ext.TextAnalysis.bm25TopKFromIndex(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5))
+    def tfScans(p: String) = "/tf\\]".r.findAllIn(p).size
+    assert(tfScans(plan) < tfScans(exactPlan),
+      s"champion=${tfScans(plan)} exact=${tfScans(exactPlan)}")
+  }
+
   test("PCA projection serve path is shuffle-free up to the output ordering (literal weights, no join, no aggregation)") {
     val emb = Queries.table(spark, sf, "embeddings")
     val m = graft.ext.Similarity.pcaFit(emb, k = 2, iters = 5)
