@@ -2789,6 +2789,7 @@ object TextAnalysis {
       indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
       topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       maxQueries: Int = Int.MaxValue): DataFrame = {
+    // bounded driver action: champ_params is one row by construction
     val cp = spark.read.parquet(s"$indexDir/champ_params").collect()(0)
     require(cp.getAs[Double]("k1") == k1 && cp.getAs[Double]("b") == b,
       s"champion list impact-ordered under (k1=${cp.getAs[Double]("k1")}, " +
