@@ -1765,13 +1765,14 @@ object Similarity {
     * index, and a crash leaves the old version live. One shuffle on
     * vec_id (the dedup window) + the cell-partitioned write.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepBelow: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = resolveIndexRoot(spark, dir)
     val n = nextIndexVersion(fs, dir)
     val newRoot = s"$dir/v_$n"
-    latestPerVector(spark.read.parquet(s"$root/vectors"))
+    latestPerVector(batchesBelow(spark.read.parquet(s"$root/vectors"), keepBelow))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$newRoot/vectors/batch=-1")
     spark.read.parquet(s"$root/centroids")
@@ -1784,15 +1785,16 @@ object Similarity {
     * (frozen — appended codes were produced against them, so they stay
     * mutually consistent through the compaction).
     */
-  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepBelow: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = resolveIndexRoot(spark, dir)
     val n = nextIndexVersion(fs, dir)
     val newRoot = s"$dir/v_$n"
-    latestPerVector(spark.read.parquet(s"$root/codes"))
+    latestPerVector(batchesBelow(spark.read.parquet(s"$root/codes"), keepBelow))
       .write.mode("overwrite").parquet(s"$newRoot/codes/batch=-1")
-    latestPerVector(spark.read.parquet(s"$root/vectors"))
+    latestPerVector(batchesBelow(spark.read.parquet(s"$root/vectors"), keepBelow))
       .write.mode("overwrite").parquet(s"$newRoot/vectors/batch=-1")
     spark.read.parquet(s"$root/codebooks")
       .write.mode("overwrite").parquet(s"$newRoot/codebooks")
@@ -1907,18 +1909,29 @@ object Similarity {
     * wins by batch id — same file-maintenance semantics as
     * [[compactIvfIndex]]/[[compactPqIndex]], no model to preserve.
     */
-  def compactInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  def compactInt8Index(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepBelow: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = resolveIndexRoot(spark, dir)
     val n = nextIndexVersion(fs, dir)
     val newRoot = s"$dir/v_$n"
-    latestPerVector(spark.read.parquet(s"$root/codes"))
+    latestPerVector(batchesBelow(spark.read.parquet(s"$root/codes"), keepBelow))
       .write.mode("overwrite").parquet(s"$newRoot/codes/batch=-1")
-    latestPerVector(spark.read.parquet(s"$root/vectors"))
+    latestPerVector(batchesBelow(spark.read.parquet(s"$root/vectors"), keepBelow))
       .write.mode("overwrite").parquet(s"$newRoot/vectors/batch=-1")
     publishIndexVersion(fs, dir, n, Seq("codes", "vectors"))
   }
+
+  /** `keepBelow` filter for streaming auto-compaction (the
+    * [[graft.ext.Dedup.compactWinnowingIndex]] contract): fold only
+    * checkpoint-committed batches `< keepBelow`, leaving a partial
+    * append by a failed delivery of the current batch out of the fold —
+    * its replay re-appends to the fresh root under the batch-owned
+    * overwrite contract.
+    */
+  private def batchesBelow(df: DataFrame, keepBelow: Option[Long]): DataFrame =
+    keepBelow.fold(df)(k => df.filter(col("batch").cast("long") < k))
 
   /** Serve top-k off the persisted int8 index: approximate cosine on the
     * codes column (cast to double — the shared codegen'd [[CosineSim]]

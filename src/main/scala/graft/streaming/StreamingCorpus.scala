@@ -490,13 +490,19 @@ object StreamingCorpus {
       .start()
 
   def indexIngest(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // auto-compaction at the START of the batch (committed batches
+          // only — the containmentIndexIngest keepBelow contract)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            Similarity.compactIvfIndex(batch.sparkSession, indexDir,
+              keepBelow = Some(batchId))
           Similarity.appendToIvfIndex(batch.sparkSession, indexDir, batch,
             batchId = Some(batchId))
+        }
         ()
       }
       .start()
@@ -509,13 +515,17 @@ object StreamingCorpus {
     * [[Similarity.pqTopKFromIndex]] as soon as its batch commits.
     */
   def pqIndexIngest(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            Similarity.compactPqIndex(batch.sparkSession, indexDir,
+              keepBelow = Some(batchId))
           Similarity.appendToPqIndex(batch.sparkSession, indexDir, batch,
             batchId = Some(batchId))
+        }
         ()
       }
       .start()
@@ -528,13 +538,17 @@ object StreamingCorpus {
     * soon as the batch commits.
     */
   def int8Ingest(vectors: DataFrame, indexDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            Similarity.compactInt8Index(batch.sparkSession, indexDir,
+              keepBelow = Some(batchId))
           Similarity.appendToInt8Index(batch.sparkSession, indexDir, batch,
             batchId = Some(batchId))
+        }
         ()
       }
       .start()

@@ -415,6 +415,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed vector should be rank 1, got ${top.getAs[Long]("vec_id")}")
   }
 
+  test("streaming IVF ingest with auto-compaction: folded cell-partitioned base, streamed vectors stay servable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ivf-cmp").toString
+    graft.ext.Similarity.buildIvfIndex(emb, dir, nCells = 8, iters = 2)
+    spark.catalog.clearCache()
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ivf-cmp-ckpt").toString
+    // batch 0 plants near-q0 vector A; batch 1 first folds base + batch 0
+    // (cell partitioning preserved, frozen centroids), then appends B
+    val q = graft.streaming.StreamingCorpus.indexIngest(
+      mem.toDF().toDF("vec_id", "embedding")
+        .withColumn("label", org.apache.spark.sql.functions.lit(0)),
+      dir, ckpt, compactEvery = 1)
+    try {
+      mem.addData((220001L, q0.map(x => x + 1e-6f)))
+      q.processAllAvailable()
+      mem.addData((220002L, q0.map(x => x + 2e-6f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    assert(root.endsWith("/v_1"), s"expected the compacted v_1, got $root")
+    val batches = spark.read.parquet(s"$root/vectors")
+      .select("batch").distinct().collect()
+      .map(r => r.get(0).toString.toLong).toSet
+    assert(batches == Set(-1L, 1L), s"vector batches after fold: $batches")
+    // BOTH planted vectors (pre- and post-compaction) serve at the top
+    val top = graft.ext.Similarity
+      .ivfTopKFromIndex(spark, dir, Seq(0L), 10, nProbe = 2)
+      .filter(col("rank") <= 2).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(top == Set(220001L, 220002L), s"top-2 after compaction: $top")
+  }
+
   test("streaming embedding ingestion lands in the persisted PQ index (frozen codebooks)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
