@@ -92,7 +92,9 @@ object Bench {
     */
   val heavySubset: Seq[String] = Seq(
     "pipeline_stage_report", "ml_eval_thresholds", "ml_eval_auc",
-    "agg_approx_distinct", "text_lr_predict", "ml_eval_calibration",
+    // r12: the gated agg_approx_distinct row (exact twin as in-row error
+    // gate) moved to verifierOnly; the bench times the serving sketch
+    "agg_approx_distinct_sketch", "text_lr_predict", "ml_eval_calibration",
     "text_lr_model", "retrieval_eval", "sim_pca_project", "sim_whiten",
     // r9 additions in the same cost tier (each self-trains the LR
     // scorer) plus the round's new graph family

@@ -1460,6 +1460,93 @@ object Oracles {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // sketch-ONLY serving twins (r11 ask #1): the sketch itself is
+    // deterministic (portable md5-prefix hash / integer histogram), so
+    // the oracle REBUILDS it and the estimates hash-compare exactly —
+    // the countMin discipline, no exact twin anywhere in either plan.
+    // HLL arithmetic mirrored from Queries.aggApproxDistinctSketch:
+    // p=10 → m=1024 registers over the 60-bit hash, rank via
+    // length(bin(w)), harmonic sum as the exact integer Σ 2^(51−M),
+    // α_m·m²·2^51 = 0.7213/(1+1.079/1024)·1048576·2251799813685248,
+    // linear counting below 2.5·m = 2560.
+    "agg_approx_distinct_sketch" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, 'p' AS metric,
+        |    ('0x' || substring(md5('hll:' || CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'o',
+        |    ('0x' || substring(md5('hll:' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+        |  FROM lineitem
+        |), mx AS (
+        |  SELECT l_returnflag, metric, h % 1024 AS j,
+        |    max(CASE WHEN h // 1024 = 0 THEN 51
+        |             ELSE 51 - length(bin(h // 1024)) END) AS mreg
+        |  FROM src GROUP BY 1, 2, 3
+        |), regs AS (
+        |  SELECT f.l_returnflag, f.metric, g.j
+        |  FROM (SELECT DISTINCT l_returnflag, metric FROM src) f,
+        |    UNNEST(generate_series(0, 1023)) AS g(j)
+        |), reg AS (
+        |  SELECT r.l_returnflag, r.metric, coalesce(mx.mreg, 0) AS mreg
+        |  FROM regs r LEFT JOIN mx
+        |    ON r.l_returnflag = mx.l_returnflag AND r.metric = mx.metric AND r.j = mx.j
+        |), agg AS (
+        |  SELECT l_returnflag, metric,
+        |    CAST(sum(CAST(2 ** (51 - mreg) AS BIGINT)) AS BIGINT) AS z,
+        |    CAST(sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM reg GROUP BY 1, 2
+        |), est AS (
+        |  SELECT l_returnflag, metric,
+        |    CASE WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 2251799813685248.0
+        |              / CAST(z AS DOUBLE) <= 2560.0 AND v > 0
+        |         THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+        |         ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 2251799813685248.0
+        |              / CAST(z AS DOUBLE) END AS e
+        |  FROM agg
+        |)
+        |SELECT l_returnflag,
+        |  round(max(CASE WHEN metric = 'p' THEN e END), 4) AS est_parts,
+        |  round(max(CASE WHEN metric = 'o' THEN e END), 4) AS est_orders
+        |FROM est GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // fixed-width-histogram percentile replay (bucket = ⌊price/100⌋,
+    // integer rank targets ⌈p·n⌉ via div, linear interpolation inside
+    // the picked bucket — arithmetic order mirrored from
+    // Queries.aggApproxPercentilesSketch)
+    "agg_approx_percentiles_sketch" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT l_returnflag, bucket, c,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cm
+        |  FROM cnt
+        |), tgt AS (
+        |  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |    (CAST(sum(c) AS BIGINT) + 1) // 2 AS k50,
+        |    (9 * CAST(sum(c) AS BIGINT) + 9) // 10 AS k90
+        |  FROM cnt GROUP BY 1
+        |), p50 AS (
+        |  SELECT c.l_returnflag,
+        |    min_by(c.bucket * 100.0 + 100.0 *
+        |      (CAST(t.k50 - (c.cm - c.c) AS DOUBLE) / c.c), c.bucket) AS est
+        |  FROM cum c JOIN tgt t ON c.l_returnflag = t.l_returnflag AND c.cm >= t.k50
+        |  GROUP BY 1
+        |), p90 AS (
+        |  SELECT c.l_returnflag,
+        |    min_by(c.bucket * 100.0 + 100.0 *
+        |      (CAST(t.k90 - (c.cm - c.c) AS DOUBLE) / c.c), c.bucket) AS est
+        |  FROM cum c JOIN tgt t ON c.l_returnflag = t.l_returnflag AND c.cm >= t.k90
+        |  GROUP BY 1
+        |)
+        |SELECT t.l_returnflag, round(p50.est, 4) AS p50_est,
+        |  round(p90.est, 4) AS p90_est, t.n AS n_rows
+        |FROM tgt t JOIN p50 ON t.l_returnflag = p50.l_returnflag
+        |JOIN p90 ON t.l_returnflag = p90.l_returnflag
+        |ORDER BY t.l_returnflag""".stripMargin,
+
     "interval_join" ->
       """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id,
         |  epoch_us(e.ts) - epoch_us(p.ts) AS delta_us

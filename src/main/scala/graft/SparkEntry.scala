@@ -73,6 +73,12 @@ object SparkEntry {
     "events_sessions" -> (Queries.eventsSessions _),
     "agg_distinct" -> (Queries.aggDistinct _),
     "agg_approx_distinct" -> (Queries.aggApproxDistinct _),
+    // the SERVING twin the bench times (r11 ask #1): sketch-only HLL,
+    // no exact count(DISTINCT) anywhere in the plan; the deterministic
+    // portable-hash sketch is itself oracle-replayed (countMin
+    // discipline), while the gated row above stays the Verify-only
+    // error-envelope check (verifierOnly)
+    "agg_approx_distinct_sketch" -> (Queries.aggApproxDistinctSketch _),
     "agg_countmin" -> ((s, dir) => TextAnalysis.countMinNgrams(docs(s, dir))),
     "agg_rollup" -> (Queries.aggRollup _),
     "agg_cube" -> (Queries.aggCube _),
@@ -147,6 +153,9 @@ object SparkEntry {
     "layout_bucketed_join" -> (Queries.layoutBucketedJoin _),
     "agg_percentiles" -> (Queries.aggPercentiles _),
     "agg_approx_percentiles" -> (Queries.aggApproxPercentiles _),
+    // serving twin (r11 ask #1, same split as agg_approx_distinct):
+    // histogram-sketch percentiles, no exact percentile() buffer
+    "agg_approx_percentiles_sketch" -> (Queries.aggApproxPercentilesSketch _),
     "interval_join" -> (Queries.intervalJoin _),
     "salted_join" -> (Queries.saltedJoinQuery _),
     "array_stats" -> (Queries.arrayStats _),
@@ -979,13 +988,19 @@ object SparkEntry {
         .orderBy(col0("report_name")))
   )
 
-  /** Quadratic-by-design exact VERIFIERS: correct (oracle-checked in the
-    * Verify gate) but deliberately corpus-wide O(n²) — at scale they run
-    * candidate-restricted inside `dedup_pipeline`, which is the production
-    * bench number. [[Bench]] skips these so the bench reflects the
-    * production path, and reports them in its `skipped` field.
+  /** Exact VERIFIERS the bench skips (reported in its `skipped` field):
+    * correct (oracle-checked in the Verify gate) but deliberately paying
+    * an exact pass the production path never would. The two dedup rows
+    * are corpus-wide O(n²) — at scale they run candidate-restricted
+    * inside `dedup_pipeline`, which is the production bench number. The
+    * two approx-agg rows carry their exact `count(DISTINCT)` /
+    * `percentile()` twins as in-row error gates (the right Verify
+    * artifact, a 2× tax the bench should not re-pay — r11 ask #1): the
+    * benched serving forms are `agg_approx_distinct_sketch` /
+    * `agg_approx_percentiles_sketch`.
     */
-  val verifierOnly: Set[String] = Set("dedup_ngram_jaccard", "dedup_embedding")
+  val verifierOnly: Set[String] = Set("dedup_ngram_jaccard", "dedup_embedding",
+    "agg_approx_distinct", "agg_approx_percentiles")
 
   private def emb(s: SparkSession, dir: String) =
     Queries.table(s, dir, "embeddings")
