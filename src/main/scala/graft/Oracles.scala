@@ -5607,7 +5607,7 @@ object Oracles {
     * in-memory path (ExtSpec), so the correct oracle is the identical
     * statement.
     */
-  val sql: Map[String, String] = base ++ Map(
+  private val exactSql: Map[String, String] = base ++ Map(
     // the Bloom path is prefilter + EXACT verify: same result set as the
     // plain semi-join decontamination, so the correct oracle is identical
     "dedup_contamination_bloom" -> base("dedup_contamination"),
@@ -6333,4 +6333,16 @@ object Oracles {
         |SELECT rank, doc_id, weight, es_key FROM ranked
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "text_dedup_segments" -> dedupSegmentsSql)
+
+  /** The certified champion serves are row-identical to their exact
+    * twins by construction ([[graft.ext.TextAnalysis.bm25TopKCertified]]:
+    * certified top-k sets re-scored exactly, uncertified queries on the
+    * exact scorer), so they share the twins' oracle SQL verbatim — one
+    * replay definition per semantic, the dupClustersCtes non-forking
+    * discipline.
+    */
+  val sql: Map[String, String] = exactSql ++ Map(
+    "text_bm25_certified" -> exactSql("text_bm25"),
+    "retrieval_hybrid_rrf_certified" -> exactSql("retrieval_hybrid_rrf_index"),
+    "retrieval_eval_certified" -> exactSql("retrieval_eval"))
 }

@@ -458,6 +458,29 @@ object Prof {
       val cert = TextAnalysis.bm25ChampionCertificate(spark, idx,
         queryTerms = 16, topK = 10, maxQueries = 30).collect()
       println(s"PROF wand certified: ${cert.count(_.getBoolean(4))}/${cert.length}")
+      // r12: the composed certified serve (champion + exact re-score +
+      // fallback), at the eval panel's own shape (200 queries)
+      val cert200 = TextAnalysis.bm25ChampionCertificate(spark, idx,
+        queryTerms = 16, topK = 10, maxQueries = 200).collect()
+      println(s"PROF wand certified@200: ${cert200.count(_.getBoolean(4))}/${cert200.length}")
+      val cert4 = TextAnalysis.bm25ChampionCertificate(spark, idx,
+        queryTerms = 4, topK = 5, maxQueries = 200).collect()
+      println(s"PROF wand certified@4term: ${cert4.count(_.getBoolean(4))}/${cert4.length}")
+      cert200.take(5).foreach(r => println(
+        s"PROF cert16 q=${r.getLong(0)} theta=${r.getDouble(1)} ub=${r.getDouble(2)} cont=${r.getDouble(3)}"))
+      cert4.take(5).foreach(r => println(
+        s"PROF cert4 q=${r.getLong(0)} theta=${r.getDouble(1)} ub=${r.getDouble(2)} cont=${r.getDouble(3)}"))
+      def evalExact() = noop(TextAnalysis.retrievalEvalFromIndex(spark, idx))
+      def evalCert() = noop(TextAnalysis.retrievalEvalCertified(spark, idx))
+      def certOnly() = noop(TextAnalysis.bm25ChampionCertificate(spark, idx,
+        queryTerms = 16, topK = 10, maxQueries = 200))
+      evalExact(); Bench.sweep(spark); evalCert(); Bench.sweep(spark) // warm
+      certOnly(); Bench.sweep(spark)
+      for (r <- 1 to 3) {
+        time(s"eval_exact_r$r")(evalExact()); Bench.sweep(spark)
+        time(s"eval_cert_r$r")(evalCert()); Bench.sweep(spark)
+        time(s"cert_only_r$r")(certOnly()); Bench.sweep(spark)
+      }
     }
     if (mode == "bm25") {
       // retrieval_eval cost anatomy at SPARK_GRAFT_SF_DIR: index scan vs

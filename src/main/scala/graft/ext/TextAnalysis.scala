@@ -2812,14 +2812,27 @@ object TextAnalysis {
     * a champion CANDIDATE's true score ≤ its champion score + the ub
     * mass of the query tokens it did NOT match in champions.
     *
-    * `guaranteed = (θ > max_contender) ∧ (θ > ub_total)` where θ is the
-    * k-th best champion score and max_contender the best
+    * `guaranteed = (θ > max_contender + ε) ∧ (θ > ub_total + ε)` where θ
+    * is the k-th best champion score and max_contender the best
     * `s_champ + miss_ub` among below-k candidates — when true, the
     * champion top-k SET provably equals the exact top-k set (ordering
     * within it may differ; strict inequalities keep ties conservative:
     * an uncertifiable tie reports false, never a wrong true). This is
     * what makes the approximate tier shippable: a serving layer can
-    * re-score just the uncertified queries against the full postings.
+    * re-score just the uncertified queries against the full postings —
+    * which is exactly what [[bm25TopKCertified]] does.
+    *
+    * ε is the QUANTIZATION slack (r11 advisor catch): champion scores
+    * ride the sumQLR pipeline (per-term 1e-6 half-up snap, 1e-4 half-up
+    * output round), while the `idf·bound` upper bounds are continuous
+    * doubles — so a quantized champion score can sit up to
+    * q = 5e-5 + terms·5e-7 away from the true pruned sum ON EACH SIDE of
+    * a comparison. `ε = 2q = 1e-4 + terms·1e-6` restores the strict-
+    * inequality tie argument across the quantization boundary: for a
+    * certified query, every top-k champion's TRUE score ≥ θ − q, every
+    * contender's ≤ max_contender + q, and θ > max_contender + 2q closes
+    * the gap (same arithmetic for the out-of-champions ub_total bound,
+    * where only θ's own side is quantized but 2q stays conservative).
     */
   def bm25ChampionCertificate(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
@@ -2829,6 +2842,16 @@ object TextAnalysis {
     val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
     val qidf = bm25Qidf(spark.read.parquet(s"$indexDir/df"),
       spark.read.parquet(s"$indexDir/stats"), qtokens)
+    championCertificateFromPanel(spark, indexDir, qtokens, qidf,
+      queryTerms, topK, k1, b)
+  }
+
+  private def championCertificateFromPanel(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      qtokens: DataFrame, qidf: DataFrame, queryTerms: Int, topK: Int,
+      k1: Double, b: Double): DataFrame = {
+    // cross-tier quantization slack — see the scaladoc above
+    val eps = 1e-4 + queryTerms * 1e-6
     val ub = qtokens
       .join(broadcast(qidf), Seq("token"))
       .join(broadcast(spark.read.parquet(s"$indexDir/champ_bounds")), Seq("token"))
@@ -2861,9 +2884,103 @@ object TextAnalysis {
       .select(col("query_id"), col("theta"), col("ub_total"),
         coalesce(col("max_contender"), lit(0.0)).as("max_contender"),
         (col("n_top") >= topK &&
-          col("theta") > coalesce(col("max_contender"), lit(0.0)) &&
-          col("theta") > col("ub_total")).as("guaranteed"))
+          col("theta") > coalesce(col("max_contender"), lit(0.0)) + lit(eps) &&
+          col("theta") > col("ub_total") + lit(eps)).as("guaranteed"))
       .orderBy(col("query_id"))
+  }
+
+  /** The COMPOSED champion serve (r11 ask #2): certificate-pass queries
+    * are answered from the champion tier, the rest fall back to the full
+    * postings — and the result is EXACTLY the exact serve's output, row
+    * for row, so the same oracle SQL that gates [[bm25TopKFromIndex]]
+    * gates this path (strictly stronger than the spec-pinned
+    * set-equality the ask required). How exactness survives the
+    * approximate tier: for a certified query the champion top-k SET
+    * provably equals the exact top-k set ([[bm25ChampionCertificate]]),
+    * so re-scoring JUST those k documents against the full postings — a
+    * (queries·k)-bounded join, never a corpus-wide one — reproduces the
+    * exact scores and hence the exact ranks; uncertified queries run the
+    * ordinary exact scorer, restricted to their query ids.
+    *
+    * Scale shape (the point of the tier): the full-postings matched join
+    * is the ONLY corpus-proportional cost in the BM25 family (~119 M
+    * matched rows at sf1 for the eval panel — the suite's one ~linear
+    * row), and this path pays it only for the uncertified fraction. The
+    * champion tier's joins are (tokens × m)-bounded; the re-score reads
+    * the candidate documents' postings via a broadcast semi-join on
+    * `doc_id` (at warehouse scale: a doc_id-bucketed postings layout
+    * prunes that scan; here it filters one pass). One tf scan derives
+    * the shared panel once (`localCheckpoint`, queries×terms rows) for
+    * all four consumers.
+    */
+  def bm25TopKCertified(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 4,
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxQueries: Int = Int.MaxValue): DataFrame = {
+    // bounded driver action: champ_params is one row by construction
+    val cp = spark.read.parquet(s"$indexDir/champ_params").collect()(0)
+    require(cp.getAs[Double]("k1") == k1 && cp.getAs[Double]("b") == b,
+      s"champion list impact-ordered under (k1=${cp.getAs[Double]("k1")}, " +
+        s"b=${cp.getAs[Double]("b")}), serve asked (k1=$k1, b=$b)")
+    val tf = spark.read.parquet(s"$indexDir/tf")
+    val qidfSrc = (spark.read.parquet(s"$indexDir/df"),
+      spark.read.parquet(s"$indexDir/stats"))
+    // ONE panel derivation shared by certificate, champion serve,
+    // re-score and fallback (queries×terms rows, eagerly materialized)
+    val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
+      .localCheckpoint(true)
+    val qidf = bm25Qidf(qidfSrc._1, qidfSrc._2, qtokens)
+    val cert = championCertificateFromPanel(spark, indexDir, qtokens, qidf,
+      queryTerms, topK, k1, b)
+      .select(col("query_id"), col("guaranteed"))
+      .localCheckpoint(true) // ≤ queries rows
+    val certOk = cert.filter(col("guaranteed")).select(col("query_id"))
+    // degenerate-corpus short-circuit: a Zipf-flat vocabulary (every
+    // panel token a near-stop-word, impacts clustered — the synthetic
+    // testdata corpus, measured: θ≈1.4 vs ub≈7.3 at 16 terms) certifies
+    // NOTHING, and the composed plan would pay the champion join and the
+    // re-score scan for empty frames. One bounded driver probe on the
+    // already-checkpointed cert frame (limit(1), ≤1 row) routes such
+    // corpora straight to the exact serve — total overhead = the
+    // certificate itself. The output is the exact serve's either way.
+    if (cert.filter(col("guaranteed")).limit(1).count() == 0L)
+      return bm25HitsFromPanel(qtokens, tf, qidf, topK, k1, b)
+    // champion top-k for the certified queries = the exact top-k SET
+    val champPairs =
+      bm25HitsFromPanel(qtokens, spark.read.parquet(s"$indexDir/tf_top"),
+          qidf, topK, k1, b)
+        .join(broadcast(certOk), Seq("query_id"), "left_semi")
+        .select(col("query_id"), col("doc_id"))
+        .localCheckpoint(true) // ≤ queries×topK rows
+    // exact re-score of the certified sets: candidate docs' postings via
+    // a broadcast doc_id semi-join, then the ordinary scorer restricted
+    // to the (query, doc) pairs — identical arithmetic ⇒ identical scores
+    val rescored = tf
+      .join(broadcast(champPairs.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .join(broadcast(qtokens), Seq("token"))
+      .join(broadcast(champPairs), Seq("query_id", "doc_id"), "left_semi")
+      .join(broadcast(qidf), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(Exact.sumQLR(bm25TermW(k1, b), 6, 4).as("score"))
+    // uncertified queries (and any query the certificate never saw):
+    // the ordinary exact scorer over their panel slice
+    val fallbackQ = qtokens.select(col("query_id")).distinct()
+      .join(broadcast(certOk), Seq("query_id"), "left_anti")
+    val fbScored = broadcast(qtokens
+        .join(broadcast(fallbackQ), Seq("query_id"), "left_semi"))
+      .join(tf, Seq("token"))
+      .join(broadcast(qidf), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(Exact.sumQLR(bm25TermW(k1, b), 6, 4).as("score"))
+    rescored.unionByName(fbScored)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** [[bm25TopK]] served from a persisted postings index — identical
@@ -2938,9 +3055,18 @@ object TextAnalysis {
       scoreTf: Option[DataFrame] = None): DataFrame = {
     val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
     val qidf = bm25Qidf(dfreq, stats, qtokens)
+    bm25HitsFromPanel(qtokens, scoreTf.getOrElse(tf), qidf, topK, k1, b)
+  }
+
+  /** The scorer below the panel/idf derivation — shared by the inline,
+    * index-served, champion and certified serves (one panel, many
+    * scoring frames).
+    */
+  private def bm25HitsFromPanel(qtokens: DataFrame, scoreTf: DataFrame,
+      qidf: DataFrame, topK: Int, k1: Double, b: Double): DataFrame = {
     val termW = bm25TermW(k1, b)
     val scored = broadcast(qtokens)
-      .join(scoreTf.getOrElse(tf), Seq("token"))
+      .join(scoreTf, Seq("token"))
       .join(broadcast(qidf), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       // r10 (advisor catch): a plain double sum of the 6-dp-quantized term
@@ -2998,6 +3124,19 @@ object TextAnalysis {
       indexDir: String, queryEvery: Int = 100, queryTerms: Int = 16,
       topK: Int = 10, maxQueries: Int = 200): DataFrame =
     retrievalEvalFromHits(bm25TopKFromIndex(spark, indexDir, queryEvery,
+      queryTerms, topK, maxQueries = maxQueries))
+
+  /** [[retrievalEval]] with the scorer routed through the certified
+    * champion tier ([[bm25TopKCertified]]): hit-for-hit equal to
+    * [[retrievalEvalFromIndex]] by construction, so it shares that row's
+    * oracle — while only the uncertified fraction of the panel pays the
+    * corpus-proportional matched-postings join that made `retrieval_eval`
+    * the suite's one ~linear sf1 row (r11 watch #3).
+    */
+  def retrievalEvalCertified(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 16,
+      topK: Int = 10, maxQueries: Int = 200): DataFrame =
+    retrievalEvalFromHits(bm25TopKCertified(spark, indexDir, queryEvery,
       queryTerms, topK, maxQueries = maxQueries))
 
   private def retrievalEvalFromHits(hits: DataFrame): DataFrame = {
@@ -3126,6 +3265,24 @@ object TextAnalysis {
       queryTerms: Int = 4, poolK: Int = 20, topK: Int = 5,
       rrfK: Int = 60, nProbe: Int = 2): DataFrame = {
     val sparse = bm25TopKFromIndex(spark, bm25Dir, queryEvery, queryTerms,
+        poolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
+    val dense = Similarity.ivfDensePool(spark, ivfDir, queryEvery, poolK,
+      nProbe)
+    fuseRrf(sparse, dense, topK, rrfK)
+  }
+
+  /** [[hybridRrfFromIndexes]] with the sparse tier routed through the
+    * certified champion serve — identical output (the certified tier IS
+    * the exact serve, see [[bm25TopKCertified]]), so it shares the
+    * `retrieval_hybrid_rrf_index` oracle; the sparse pool pays full
+    * postings only for uncertified queries.
+    */
+  def hybridRrfCertified(spark: org.apache.spark.sql.SparkSession,
+      bm25Dir: String, ivfDir: String, queryEvery: Int = 100,
+      queryTerms: Int = 4, poolK: Int = 20, topK: Int = 5,
+      rrfK: Int = 60, nProbe: Int = 2): DataFrame = {
+    val sparse = bm25TopKCertified(spark, bm25Dir, queryEvery, queryTerms,
         poolK)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_sparse"))
     val dense = Similarity.ivfDensePool(spark, ivfDir, queryEvery, poolK,

@@ -189,6 +189,49 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.keys.foreach(q => assert(exact(q) == champ(q), s"query $q diverged"))
   }
 
+  test("certified champion serve: row-identical to the exact serve in BOTH regimes, and the composed plan engages only when certificates pass") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // regime 1 — the pruning-hostile corpus: nothing certifies (Zipf-flat
+    // vocabulary, measured θ≈1.4 vs ub≈7.3 at sf0.1), so the bounded
+    // driver probe must route straight to the exact serve: no Union node
+    // (the composed rescored⊎fallback shape) in the plan, output equal
+    val docs = Queries.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cert-serve").toString
+    TextAnalysis.buildBm25Index(docs, dir, mChampions = 64)
+    val exact = TextAnalysis.bm25TopKFromIndex(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5)
+    val certd = TextAnalysis.bm25TopKCertified(spark, dir,
+      queryEvery = 25, queryTerms = 4, topK = 5)
+    assert(!certd.queryExecution.optimizedPlan.toString.contains("Union"),
+      "short-circuit expected: nothing certifies on the hostile corpus")
+    assert(rows(certd) == rows(exact))
+    // regime 2 — the zipf-separated fixture where every query certifies:
+    // the composed branch must engage (rescored ⊎ fallback Union) and the
+    // exact re-score must land on identical scores AND ranks
+    val zdocs = (0 until 300).map { i =>
+      val g = s"g${i % 30}"
+      val reps = 1 + i / 30
+      (i.toLong, (Seq.fill(reps)(g) :+ s"u$i") ++ Seq("f0", "f1", "f2", "f3") mkString " ")
+    }.toDF("doc_id", "text")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-cert-zipf").toString
+    TextAnalysis.buildBm25Index(zdocs, zdir, mChampions = 16)
+    val zexact = TextAnalysis.bm25TopKFromIndex(spark, zdir,
+      queryEvery = 100, queryTerms = 4, topK = 5)
+    val zcertd = TextAnalysis.bm25TopKCertified(spark, zdir,
+      queryEvery = 100, queryTerms = 4, topK = 5)
+    assert(zcertd.queryExecution.optimizedPlan.toString.contains("Union"),
+      "composed branch expected: the zipf fixture certifies every query")
+    assert(rows(zcertd) == rows(zexact))
+    // and the composed EVAL twin is hit-for-hit equal on the corpus
+    val evEx = rows(TextAnalysis.retrievalEvalFromIndex(spark, dir,
+      queryEvery = 25, queryTerms = 8, topK = 5, maxQueries = 20))
+    val evCt = rows(TextAnalysis.retrievalEvalCertified(spark, dir,
+      queryEvery = 25, queryTerms = 8, topK = 5, maxQueries = 20))
+    assert(evCt == evEx)
+  }
+
   test("gapfill densifies each user's span and forward-fills values") {
     val res = Queries.eventsGapfill(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
