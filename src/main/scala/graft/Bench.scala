@@ -33,10 +33,15 @@ import org.apache.spark.sql.SparkSession
   * SparkSession. r5 evidence: full-92-query mins ran ~1.33–2.6× above
   * isolated reruns of the same build (population-level JVM state — codegen
   * cache, broadcast/shuffle handles, GC pressure), so cross-round
-  * comparisons need a low-population number recorded per round. The probe
-  * map ships on stdout (`"probe"`) and in the out file; compare
-  * `probe` round-over-round, use the full-run total only as a coverage
-  * smoke signal.
+  * comparisons need a low-population number recorded per round. Since r12
+  * every probe-session row ships in the unified stdout `"rows"` map —
+  * `[probe_s, delta_vs_prior_norm, sf1_s, sf1_exp]` — with ONE
+  * interleaved calibration pass between rows, so each row's cross-round
+  * delta is normalized by its own bracketing anchors (r11 ask #3: raw
+  * per-query deltas were unreadable under 33–49 % within-run machine
+  * drift, and adjudicating one took a 20-run manual A/B). Compare `rows`
+  * deltas and `probe_normalized` round-over-round; the full-run total is
+  * only a coverage smoke signal.
   *
   * Between reps the harness does a BLOCKING sweep of both the catalog
   * cache AND all persistent RDDs: operators that `localCheckpoint` their
@@ -177,15 +182,42 @@ object Bench {
           .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2)
           .orElse(s""""calib_probe"\\s*:\\s*$num""".r
             .findFirstMatchIn(body).map(_.group(1).toDouble))
-        val perQuery = """"probe"\s*:\s*\{([^}]*)\}""".r
+        // per-query probe mins: r12+ artifacts carry the unified "rows"
+        // map ("name":[probe,delta,sf1,exp] — element 0 is the probe
+        // min); ≤ r11 artifacts carry the flat "probe" map
+        val perQueryRows = """"rows"\s*:\s*\{([^}]*)\}""".r
           .findFirstMatchIn(body).map(_.group(1)).map { inner =>
-            s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
+            """"([^"]+)"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(inner)
+              .flatMap { m =>
+                val parts = m.group(2).split(",").map(_.trim)
+                scala.util.Try(parts(0).toDouble).toOption
+                  .filter(_ > 0).map(m.group(1) -> _)
+              }.toMap
+          }.filter(_.nonEmpty)
+        val perQuery = perQueryRows.orElse(
+          """"probe"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(body).map(_.group(1)).map { inner =>
+              s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            }).getOrElse(Map.empty[String, Double])
         for (n <- normalized; c <- calib; if n > 0 && c > 0)
           yield PriorSnapshot(label, n, perQuery, c)
       }.toOption.flatten
   }
+
+  /** The round currently IN PROGRESS, inferred from VERDICT.md ("VERDICT
+    * — round N" is written at the END of round N, so the live round is
+    * N+1). Used to exclude the live round's own BENCH artifact from the
+    * prior scan (r11 advisor catch: once the driver writes BENCH_r12.json
+    * mid-round, a bench rerun would otherwise compare against ITSELF and
+    * the regression gate could never fire again that round).
+    */
+  private def currentRound(): Option[Int] = scala.util.Try {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("VERDICT.md")), "UTF-8")
+    "VERDICT\\s*[—-]+\\s*round\\s+(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt + 1)
+  }.toOption.flatten
 
   private[graft] def loadPrior(): PriorSnapshot = {
     val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").flatMap { p =>
@@ -194,12 +226,16 @@ object Bench {
     def newestArtifact: Option[PriorSnapshot] = scala.util.Try {
       val cwd = java.nio.file.Paths.get(".")
       val re = "BENCH_r(\\d+)\\.json".r
+      val live = currentRound()
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(cwd).iterator.asScala
         .flatMap { p =>
           re.findFirstMatchIn(p.getFileName.toString)
             .map(m => (m.group(1).toInt, p))
         }
+        // never self-compare: the live round's artifact (and any
+        // future-numbered stray) is not a PRIOR
+        .filter { case (n, _) => live.forall(n < _) }
         .toSeq.sortBy(-_._1).iterator
         .flatMap { case (n, p) => parseArtifact(p, s"BENCH_r$n") }
         .nextOption()
@@ -224,22 +260,27 @@ object Bench {
     * calib_probe`; compare THE NORMALIZED number across rounds — a slow
     * machine inflates numerator and denominator together.
     */
+  /** One timed pass of the calibration workload — the interleaved
+    * per-row anchor (r11 ask #3). Assumes codegen already warmed by a
+    * preceding [[calibrate]] in the same session.
+    */
+  private[graft] def calibPass(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // mask the hash to 20 bits before summing: 2e9 × 2^20 ≈ 2^51 keeps
+    // the running sum inside a long under ANSI overflow checking
+    spark.range(0L, 2000000000L, 1L, 32)
+      .selectExpr("sum(xxhash64(id) & 1048575) s")
+      .write.format("noop").mode("overwrite").save()
+    spark.range(0L, 2000000L, 1L, 32)
+      .selectExpr("pmod(xxhash64(id), 1024) k", "id v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private[graft] def calibrate(spark: SparkSession): Double = {
-    def pass(): Double = {
-      val t0 = System.nanoTime()
-      // mask the hash to 20 bits before summing: 2e9 × 2^20 ≈ 2^51 keeps
-      // the running sum inside a long under ANSI overflow checking
-      spark.range(0L, 2000000000L, 1L, 32)
-        .selectExpr("sum(xxhash64(id) & 1048575) s")
-        .write.format("noop").mode("overwrite").save()
-      spark.range(0L, 2000000L, 1L, 32)
-        .selectExpr("pmod(xxhash64(id), 1024) k", "id v")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    pass() // warm: codegen + JIT, untimed
-    math.min(pass(), pass())
+    calibPass(spark) // warm: codegen + JIT, untimed
+    math.min(calibPass(spark), calibPass(spark))
   }
 
   /** Drop every cached plan and every persistent RDD (including
@@ -414,8 +455,10 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_REPS", "1").trim.toInt).getOrElse(1))
     var sf1Gen = -1.0
     var sf1Err = ""
-    val (probeResults, scaleBaseResults, sf1Results, calibProbeStart, calibProbeEnd):
-        (Seq[QRes], Seq[QRes], Seq[QRes], Double, Double) = if (doProbe) {
+    val (probeResults, scaleBaseResults, sf1Results, calibProbeStart, calibProbeEnd,
+        anchorPairs):
+        (Seq[QRes], Seq[QRes], Seq[QRes], Double, Double, Map[String, (Double, Double)]) =
+        if (doProbe) {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -423,8 +466,24 @@ object Bench {
       val ps = newSession(cpus)
       val calibPStart = calibrate(ps)
       val byName = entries.toMap
+      // interleaved per-row anchors (r11 ask #3): ONE calibration pass
+      // after every probe-session row gives each row a (prev, next)
+      // anchor pair, so its cross-round delta can be drift-normalized
+      // in-artifact — r11 burned a 20+-run manual A/B to adjudicate a
+      // single probe delta because only the WINDOW total had an anchor.
+      // ~0.6 s × rows, outside every timed query window.
+      var prevAnchor = calibPStart
+      val anchorBuf = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+      def runAnchored(rr: Int, wu: Boolean)(
+          n: String, f: (SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
+        val r = runOne(ps, sfDir, rr, wu)(n, f)
+        val a = calibPass(ps)
+        anchorBuf(n) = (prevAnchor, a)
+        prevAnchor = a
+        r
+      }
       val prs = (probeSubset ++ probeAdditions).distinct.flatMap { n =>
-        byName.get(n).map(f => runOne(ps, sfDir, reps, warmup)(n, f))
+        byName.get(n).map(f => runAnchored(reps, warmup)(n, f))
       }
       // single-rep fresh-session base times for the heavy queries not in
       // the probe — the sf-exponent denominator must come from the same
@@ -432,7 +491,7 @@ object Bench {
       // full-run mins
       val probeNames = prs.map(_.name).toSet
       val base = heavySubset.filterNot(probeNames).flatMap { n =>
-        byName.get(n).map(f => runOne(ps, sfDir, sf1Reps, warmup = true)(n, f))
+        byName.get(n).map(f => runAnchored(sf1Reps, wu = true)(n, f))
       }
       // probe-window closing anchor: brackets every sf-probe timing
       // (before the sf1 generation perturbs the page cache)
@@ -471,8 +530,9 @@ object Bench {
         }
       } else Seq.empty
       ps.stop()
-      (prs, base, s1, calibPStart, calibPEnd)
-    } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0, -1.0) }
+      (prs, base, s1, calibPStart, calibPEnd, anchorBuf.toMap)
+    } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0, -1.0,
+      Map.empty[String, (Double, Double)]) }
 
     val mins = results.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
@@ -504,8 +564,6 @@ object Bench {
       jstr(n) + ":" + jstr(verdict)
     }.mkString("{", ",", "}")
     val nErr = results.count(_.err.nonEmpty)
-    val probeMap = probeResults.map(r => jstr(r.name) + ":" + jnum(r.min))
-      .mkString("{", ",", "}")
     val probeTotal = probeResults.collect { case r if r.err.isEmpty => r.min }.sum
     // continuity: the number compared against r8's 26.7 is computed over
     // the LEGACY pinned subset only; the expanded set ships separately
@@ -545,19 +603,29 @@ object Bench {
           fmt("%.0f", driftSpread * 100) + "%; outside drift envelope: " +
           (if (outsideEnvelope) "yes" else "no")
       else ""
+    // per-row drift-normalized delta vs the loaded prior (r11 ask #3):
+    // delta = (min / own-anchor-pair-mean) / (prior_min / prior_calib) —
+    // 1.00 means the row moved exactly with the machine. Each row's
+    // denominator is the mean of ITS bracketing interleaved anchors, so
+    // a drift step mid-window no longer smears every row after it.
+    def rowAnchor(n: String): Double = anchorPairs.get(n)
+      .map { case (a, b) => (a + b) / 2 }.getOrElse(calibProbe)
+    def deltaOf(n: String, v: Double): Double = prior.perQuery.get(n) match {
+      case Some(pv) if v > 0 && pv > 0 && rowAnchor(n) > 0 && prior.calibProbe > 0 =>
+        (v / rowAnchor(n)) / (pv / prior.calibProbe)
+      case _ => -1.0
+    }
     // when the flag fires, localize it: top-5 per-query NORMALIZED ratios
-    // vs the loaded prior round's probe mins and calib
-    val probeDeltas = if (probeRegression.nonEmpty && calibProbe > 0) {
-      val cur = probeResults.map(r => r.name -> r.min).toMap
-      prior.perQuery.toSeq.flatMap { case (n, pv) =>
-        cur.get(n).collect { case t if t > 0 && pv > 0 =>
-          (n, (t / calibProbe) / (pv / prior.calibProbe)) }
+    // (now per-row-anchored — the manual interleaved-A/B protocol is
+    // reserved for rows this list flags)
+    val probeDeltas = if (probeRegression.nonEmpty) {
+      probeResults.flatMap { r =>
+        val d = deltaOf(r.name, r.min)
+        if (d > 0) Some((r.name, d)) else None
       }.sortBy { case (_, ratio) => -math.abs(math.log(ratio)) }.take(5)
         .map { case (n, ratio) => jstr(n) + ":" + fmt("%.2f", ratio) }
         .mkString("{", ",", "}")
     } else "{}"
-    val sf1Map = sf1Results.map(r => jstr(r.name) + ":" + jnum(r.min))
-      .mkString("{", ",", "}")
     val sf1Total = sf1Results.collect { case r if r.err.isEmpty => r.min }.sum
     // measured scaling exponent per probe query: log10(t_sf1 / t_sf0.1)
     // for a 10× scale-up — 1.00 is perfectly linear, >1.11 is worse than
@@ -566,12 +634,42 @@ object Bench {
     val probeMin = (probeResults ++ scaleBaseResults).map(r => r.name -> r.min).toMap
     val scaleBaseMap = scaleBaseResults.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
-    val sf1Exp = sf1Results.flatMap { r =>
-      probeMin.get(r.name).collect {
-        case t0 if t0 > 0 && r.min > 0 =>
-          jstr(r.name) + ":" + fmt("%.2f", math.log10(r.min / t0))
-      }
+    val sf1Min = sf1Results.map(r => r.name -> r.min).toMap
+    // THE UNIFIED PER-ROW MAP (r11 asks #3/#5/#6): one entry per
+    // probe-session row carrying its whole cross-round story —
+    // [probe_min_s, delta_norm, sf1_s, sf1_exp] (-1 = not measured /
+    // no prior). Replaces the separate probe / sf1_probe /
+    // sf1_exponents stdout maps: the wrapper's 2 KB tail cannot carry
+    // three name-keyed maps plus inline full-run rows, and one map per
+    // name ships strictly MORE data per byte (names were 60% of the
+    // old maps). parseArtifact reads element 1 as the prior probe min.
+    val fullMin = results.map(r => r.name -> r.min).toMap
+    val rowNames = (probeResults ++ scaleBaseResults).map(_.name)
+    val rowsJson = rowNames.map { n =>
+      val p = probeMin.getOrElse(n, -1.0)
+      val d = deltaOf(n, p)
+      val s1v = sf1Min.getOrElse(n, -1.0)
+      val expStr =
+        if (p > 0 && s1v > 0) fmt("%.2f", math.log10(s1v / p)) else "-1"
+      jstr(n) + ":[" + jnum(p) + "," +
+        (if (d > 0) fmt("%.2f", d) else "-1") + "," +
+        jnum(s1v) + "," + expStr + "]"
     }.mkString("{", ",", "}")
+    // adaptive-second-rep rows: both raw sf1 runs, driver-visible
+    val sf1RunsJson = sf1Results.filter(_.runs.length > 1)
+      .map(r => jstr(r.name) + ":" + r.runs.map(jnum).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    // top full-run rows by cost (r11 ask #6), DYNAMICALLY sized to what
+    // the tail budget allows after the invariant fields; "_more" marks
+    // the shed tail (full detail always in bench_out.json)
+    val topFull = results.filter(_.err.isEmpty).sortBy(-_.min)
+    def queriesTopJson(n: Int): String = {
+      val take = topFull.take(n)
+      val more = topFull.length - take.length
+      (take.map(r => jstr(r.name) + ":" + jnum(r.min)) ++
+        (if (more > 0) Seq(jstr("_more") + ":" + more) else Nil))
+        .mkString("{", ",", "}")
+    }
 
     val core =
       s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
@@ -579,39 +677,52 @@ object Bench {
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
-    // session JVM state), so cross-round comparison must use `probe`
-    val biasNote = "full-run query mins are population-biased; compare probe_normalized across rounds"
+    // session JVM state), so cross-round comparison must use the probe
+    // elements of `rows`
+    val biasNote = "full-run query mins are population-biased; compare probe_normalized and rows deltas across rounds"
+    // rows format legend (element order of every `rows` value; -1 = not
+    // measured / no prior)
+    val rowsFmt = """"rows_fmt":"[probe_s,delta_vs_prior_norm,sf1_s,sf1_exp]""""
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
-        withSf1Probe: Boolean = true): String =
+        topN: Int, withSf1Runs: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
-        (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote",""" else s""""queries":{},"errors":{},"note":"line overflow: per-query detail in bench_out.json",""") +
-        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,"probe":$probeMap""" +
-        (if (withSf1Probe) s""","sf1_probe":$sf1Map""" else s""","sf1_probe":{}""") +
-        s""","sf1_exponents":$sf1Exp""" +
+        (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote","""
+         else s""""queries_top":${queriesTopJson(topN)},"errors":{},"note":"per-query detail in bench_out.json",""") +
+        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,""" +
+        s"""$rowsFmt,"rows":$rowsJson""" +
+        (if (withSf1Runs) s""","sf1_runs":$sf1RunsJson""" else "") +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
         s""","sf":"$sfDir"}"""
-    // the wrapper's tail window is ~2000 chars and this line is the LAST
-    // thing on stdout (showSuccess off), so anything under ~1950 keeps the
-    // line start inside the window. Degrade ladder sheds detail only:
-    // full → drop `skipped` → drop per-query mins/errors → compact
-    // anomalies → drop raw sf1_probe seconds (they live in bench_out.json
-    // and the EXPONENTS are what cross-round adjudication needs — r9's
-    // ladder shed the exponents instead and left 10 sf1 rows unpaired in
-    // the artifact). EVERY rung keeps rep_anomalies, n_errors, probe,
-    // sf1_exponents, calib anchors/probe_normalized — the r5 artifact
-    // emptied rep_anomalies on overflow and hid 4 anomalies.
+    // the wrapper's tail window is 2000 chars (measured: the driver's
+    // artifact "tail" field is exactly 2000) and this line is the LAST
+    // thing on stdout, so anything under ~1950 keeps the whole line
+    // inside the window. Degrade ladder sheds detail only: full queries
+    // map → top-20 full-run rows → drop skipped → fewer top rows +
+    // compact anomalies → drop sf1 raw runs. EVERY rung keeps the
+    // unified `rows` map (per-row probe seconds, drift-normalized
+    // deltas, sf1 seconds AND exponents — r9's ladder shed exponents
+    // and left sf1 rows unpaired; r11's shed the sf1 seconds), plus
+    // rep_anomalies, n_errors, calib anchors, probe_normalized.
     val candidates = Seq(
-      line(withQueries = true,  withSkipped = true,  anomalies),
-      line(withQueries = true,  withSkipped = false, anomalies),
-      line(withQueries = false, withSkipped = false, anomalies),
-      line(withQueries = false, withSkipped = false, anomaliesCompact),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, withSf1Probe = false))
+      line(withQueries = true,  withSkipped = true,  anomalies, 20),
+      line(withQueries = false, withSkipped = true,  anomalies, 20),
+      line(withQueries = false, withSkipped = false, anomalies, 20),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, 12),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, 8),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, 5, withSf1Runs = false),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, 0, withSf1Runs = false))
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(candidates.last)
     // full-detail twin (exact seconds, raw runs, medians, warm-ups) → out file
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
       rs.map(r => jstr(r.name) + ":" + f(r)).mkString("{", ",", "}")
+    val anchorsJson = anchorPairs.toSeq.map { case (n, (a, b)) =>
+      jstr(n) + s":[$a,$b]" }.mkString("{", ",", "}")
+    val deltasJson = rowNames.flatMap { n =>
+      val d = deltaOf(n, probeMin.getOrElse(n, -1.0))
+      if (d > 0) Some(jstr(n) + ":" + fmt("%.3f", d)) else None
+    }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"scale_base":$scaleBaseMap,"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},"sf1_exponents":$sf1Exp,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"probe_anchors":$anchorsJson,"probe_deltas_normalized":$deltasJson,"scale_base":$scaleBaseMap,"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},$rowsFmt,"rows":$rowsJson,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
     println(stdoutLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -781,6 +781,9 @@ object Dedup {
       k: Int = 12, w: Int = 8): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // base is one-logical-doc-per-doc_id (r11 advisor; see
+    // Similarity.requireUniqueKeys for why the serve split needs this)
+    Similarity.requireUniqueKeys(docs, "doc_id", "buildWinnowingIndex")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = Similarity.nextIndexVersion(fs, dir)
@@ -1422,6 +1425,7 @@ object Dedup {
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    Similarity.requireUniqueKeys(docs, "doc_id", "buildMinhashIndex")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = Similarity.nextIndexVersion(fs, dir)

@@ -641,6 +641,10 @@ object Multimodal {
     */
   private def writeHashStore(hashes: DataFrame, dir: String,
       maxHamming: Int): Unit = {
+    // base is one-hash-per-doc_id (r11 advisor; the latestHashPerDoc
+    // serve split passes batch=-1 through without a per-key window —
+    // see Similarity.requireUniqueKeys)
+    Similarity.requireUniqueKeys(hashes, "doc_id", "writeHashStore")
     // the persisted radius is authoritative for every later probe, so the
     // banding exactness bound must hold at build time
     require(maxHamming <= 3 && maxHamming >= 0,
@@ -1032,6 +1036,9 @@ object Multimodal {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = Similarity.nextIndexVersion(fs, dir)
     val root = s"$dir/v_$v"
+    // one media row per doc_id: a duplicated doc with DIFFERENT payloads
+    // would union two frame sets into one base doc (r11 advisor class)
+    Similarity.requireUniqueKeys(media, "doc_id", "buildVideoFrameStore")
     videoFrameHashes(spark, media).toDF()
       .select(col("doc_id"), col("fhash")).distinct()
       .write.mode("overwrite").parquet(s"$root/frames/batch=-1")

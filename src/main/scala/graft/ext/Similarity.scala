@@ -322,8 +322,13 @@ object Similarity {
   private[graft] def pcaSufficientStats(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // null rows contribute nothing (parity with the r10 explode path,
-    // where posexplode of a null array emitted no rows)
+    // null rows contribute nothing AND are excluded from n (r11 advisor
+    // note, made explicit: the moments are over the EMBEDDED population —
+    // a mean/covariance diluted by null rows would shrink toward 0 with
+    // corpus null rate, which is a data-quality artifact, not geometry.
+    // The r10 explode path emitted no rows for nulls either; its n came
+    // from a separate count() over ALL rows — that denominator was the
+    // bug this pass fixes, not parity to preserve)
     emb.filter(col("embedding").isNotNull)
       .select(col("embedding").cast("array<double>"))
       .as[Array[Double]]
@@ -337,6 +342,12 @@ object Similarity {
             d = e.length; sx = new Array[Double](d)
             g = new Array[Double](d * (d + 1) / 2)
           }
+          // fail LOUD on ragged widths (r11 advisor catch): pinning d to
+          // the first row would silently truncate longer embeddings and
+          // crash mid-task on shorter ones; a mixed-width corpus is a
+          // data bug the fit must surface, not average over
+          require(e.length == d,
+            s"ragged embedding width: saw $d then ${e.length}")
           n += 1
           var i = 0; var t = 0
           while (i < d) {
@@ -1088,8 +1099,30 @@ object Similarity {
     * matrix is data-independent plan literals — so appends can never
     * drift from a stale model.
     */
+  /** Base-build inputs must be ONE ROW PER KEY (r11 advisor catch): the
+    * serve-path base/recent splits ([[latestPerVector]] and its
+    * Dedup/Multimodal twins) pass `batch=-1` rows through WITHOUT a
+    * per-key window — the whole point of the split — so a base built
+    * from duplicate-keyed input would keep the duplicates forever, and
+    * every later compaction re-inherits them (compactions derive the new
+    * base from the latest-wins view, which collapses APPEND duplicates
+    * only). A duplicate key in a build input is a data bug; fail loud at
+    * build time (one bounded `limit(1)` aggregation, offline cost)
+    * instead of silently changing serve results.
+    */
+  private[ext] def requireUniqueKeys(df: DataFrame, key: String,
+      ctx: String): Unit = {
+    val dup = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$ctx: build input has duplicate $key=${dup.headOption.map(_.get(0)).orNull}" +
+        s" — persisted stores are one-row-per-$key; latest-wins applies" +
+        " to appends, never the base build")
+  }
+
   def buildJlIndex(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
+    requireUniqueKeys(emb, "vec_id", "buildJlIndex")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = nextIndexVersion(fs, dir)
@@ -1227,6 +1260,7 @@ object Similarity {
     */
   def buildIvfIndex(emb: DataFrame, dir: String, nCells: Int = 16, iters: Int = 3): Unit = {
     import emb.sparkSession.implicits._
+    requireUniqueKeys(emb, "vec_id", "buildIvfIndex")
     val (cents, cells) = kmeansFit(emb, nCells, iters)
     val spark = emb.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1693,6 +1727,7 @@ object Similarity {
   def buildPqIndex(emb: DataFrame, dir: String, m: Int = 8, ks: Int = 16,
       iters: Int = 2, dim: Int = 64): Unit = {
     import emb.sparkSession.implicits._
+    requireUniqueKeys(emb, "vec_id", "buildPqIndex")
     val spark = emb.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1880,6 +1915,7 @@ object Similarity {
 
   def buildInt8Index(emb: DataFrame, dir: String): Unit = {
     val spark = emb.sparkSession
+    requireUniqueKeys(emb, "vec_id", "buildInt8Index")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = nextIndexVersion(fs, dir)

@@ -3313,6 +3313,41 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == 2)
   }
 
+  test("base builds fail loud on duplicate keys; PCA stats fail loud on ragged widths (r11 advisor)") {
+    import spark.implicits._
+    // duplicate vec_id: the base/recent serve split would keep both rows
+    // forever (batch=-1 passes through without a per-key window)
+    val dup = Seq((1L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 4.0f)),
+      (2L, Array(5.0f, 6.0f))).toDF("vec_id", "embedding")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-dupkey").toString
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.buildInt8Index(dup, d1)
+    }
+    assert(e1.getMessage.contains("duplicate vec_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(dup, d1, nCells = 2, iters = 1)
+    }
+    assert(e2.getMessage.contains("duplicate vec_id"))
+    val dupDocs = Seq((1L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.buildMinhashIndex(dupDocs, d1)
+    }
+    assert(e3.getMessage.contains("duplicate doc_id"))
+    // ragged widths: silently truncating (old behavior pinned d to the
+    // first row) would corrupt the moments; must surface as an error
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding").repartition(1)
+    val e4 = intercept[org.apache.spark.SparkException] {
+      Similarity.pcaSufficientStats(ragged).collect()
+    }
+    assert(e4.getMessage.contains("ragged embedding width") ||
+      Option(e4.getCause).exists(_.getMessage.contains("ragged embedding width")))
+    // and a unique-keyed build still succeeds (guard is not over-eager)
+    Similarity.buildInt8Index(
+      Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+        .toDF("vec_id", "embedding"), d1)
+  }
+
   test("k-anonymity audit: singleton class flags, full class passes, risk exact") {
     import spark.implicits._
     val docs = (

@@ -1731,6 +1731,184 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live == Set(1L, 103L, 109L, 113L), s"store ids: $live")
   }
 
+  test("multimodal store lifecycle: stream -> stop -> compact -> restart pins the new version; verdicts equal the uncompacted twin, base re-bounded") {
+    // the operational closure of COVERAGE.md's design note (r11 ask #4):
+    // version-pinned media streams cannot compact in-loop, so the
+    // supported lifecycle is stream -> stop -> compact{Image,Audio}Hash
+    // Store / compactVideoFrameStore -> restart (the new stream re-pins
+    // CURRENT). This proves, for ALL THREE families: (i) compaction
+    // folds every streamed append into a fresh version whose data dirs
+    // hold ONLY batch=-1; (ii) probe verdicts against the compacted
+    // store equal the uncompacted twin's; (iii) the restarted stream
+    // serves and appends against the new version (continuing batch ids
+    // from the same checkpoint — the real restart semantics).
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    import graft.ext.{Multimodal, Similarity}
+    def png(cells: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    def frame(cells: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.getRaster.setSample(x, y, 0, cells(x, y))
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios); writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def amp(s: Int): Double = 0.1 + 0.8 * ((s * 37) % 65) / 65.0
+    def pcm16(a: Int => Double): Array[Byte] =
+      Array.tabulate(65 * 40) { i =>
+        val v = math.round(a(i / 40) * 32767).toInt
+        Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      }.flatten
+    final case class Family(
+      name: String, mediaType: String,
+      build: (org.apache.spark.sql.DataFrame, String) => Unit,
+      ingest: (org.apache.spark.sql.DataFrame, String, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+      compact: String => Unit,
+      liveIds: String => Set[Long],
+      probeDups: (String, org.apache.spark.sql.DataFrame) => Set[Long],
+      base: Array[Byte], dupOfBase: Array[Byte], survivor: Array[Byte])
+    val xImg = png((x, _) => if (x < 4) 0 else 255)
+    val yImg = png((x, y) =>
+      if ((x, y) == (0, 0) || (x, y) == (7, 7)) (if (x < 4) 255 else 0)
+      else if (x < 4) 0 else 255)
+    val fImg = png((_, y) => if (y < 4) 0 else 255)
+    val baseWav = Multimodal.wavBytes(8000, 1, 16, pcm16(amp))
+    val quietWav = Multimodal.wavBytes(8000, 1, 16, pcm16(s => amp(s) * 0.8))
+    val otherWav = Multimodal.wavBytes(8000, 1, 16, pcm16(s => amp(64 - s)))
+    val f1 = frame((x, _) => if (x < 4) 0 else 255)
+    val f2 = frame((_, y) => if (y < 4) 0 else 255)
+    val f3 = frame((x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val f4 = frame((x, y) => if (x < 2 || y < 2) 0 else 255)
+    val f5 = frame((x, _) => if (x % 2 == 0) 0 else 255)
+    val f6 = frame((_, y) => if (y % 2 == 0) 0 else 255)
+    def hashProbe(dir: String, media: org.apache.spark.sql.DataFrame,
+        audio: Boolean): Set[Long] = {
+      val root = Similarity.resolveIndexRoot(spark, dir)
+      val radius = Multimodal.readStoreRadius(spark, root)
+      val h = if (audio) Multimodal.audioHashes(spark, media).toDF()
+              else Multimodal.imageHashes(spark, media).toDF()
+      Multimodal.probeStoreWithHashes(spark, root, radius, h, None)
+        .select("new_id").collect().map(_.getLong(0)).toSet
+    }
+    def videoProbe(dir: String, media: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val root = Similarity.resolveIndexRoot(spark, dir)
+      val ov = Multimodal.readStoreOverlap(spark, root)
+      val fh = Multimodal.videoFrameHashes(spark, media).toDF()
+        .select(col("doc_id"), col("fhash")).distinct()
+      Multimodal.probeVideoStoreWithFrames(spark, root, ov, fh, None)
+        .select("new_id").collect().map(_.getLong(0)).toSet
+    }
+    val families = Seq(
+      Family("image", "image/png",
+        (df, d) => Multimodal.buildImageHashStore(df, d),
+        graft.streaming.StreamingCorpus.imageDedupIngest,
+        Multimodal.compactImageHashStore(spark, _),
+        d => Multimodal.imageStoreHashes(spark, d)
+          .select("doc_id").collect().map(_.getLong(0)).toSet,
+        (d, m) => hashProbe(d, m, audio = false),
+        xImg, yImg, fImg),
+      Family("audio", "audio/wav",
+        (df, d) => Multimodal.buildAudioHashStore(df, d),
+        graft.streaming.StreamingCorpus.audioDedupIngest,
+        Multimodal.compactAudioHashStore(spark, _),
+        d => Multimodal.audioStoreHashes(spark, d)
+          .select("doc_id").collect().map(_.getLong(0)).toSet,
+        (d, m) => hashProbe(d, m, audio = true),
+        baseWav, quietWav, otherWav),
+      Family("video", "image/gif",
+        (df, d) => Multimodal.buildVideoFrameStore(df, d),
+        graft.streaming.StreamingCorpus.videoDedupIngest,
+        Multimodal.compactVideoFrameStore(spark, _),
+        d => Multimodal.videoStoreFrames(spark, d)
+          .select("doc_id").distinct().collect().map(_.getLong(0)).toSet,
+        videoProbe,
+        gif(Seq(f1, f2, f3, f4)), gif(Seq(f1, f2)), gif(Seq(f5, f6))))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType), StructField("media_type", StringType)))
+    families.foreach { fam =>
+      def tmp(s: String) =
+        java.nio.file.Files.createTempDirectory(s"graft-lc-${fam.name}-$s").toString
+      val storeDir = tmp("store"); val srcDir = tmp("src")
+      val outDir = tmp("out"); val ckpt = tmp("ckpt")
+      fam.build(Seq((1L, fam.base, fam.mediaType))
+        .toDF("doc_id", "payload", "media_type"), storeDir)
+      def start() = fam.ingest(
+        spark.readStream.schema(schema).parquet(srcDir), storeDir, outDir, ckpt)
+      // generation 1: a near-dup of the stored doc (drops) + a survivor
+      Seq((101L, fam.dupOfBase, fam.mediaType), (109L, fam.survivor, fam.mediaType))
+        .toDF("doc_id", "payload", "media_type")
+        .write.mode("append").parquet(srcDir)
+      val q1 = start(); try q1.processAllAvailable() finally q1.stop()
+      // uncompacted control twin (CURRENT stores a relative v_<n>).
+      // copy to a NOT-YET-EXISTING path: FileUtil.copy into an existing
+      // directory nests the source under it
+      val twinDir = tmp("twin") + "/store"
+      org.apache.hadoop.fs.FileUtil.copy(
+        new org.apache.hadoop.fs.Path(storeDir).getFileSystem(hconf),
+        new org.apache.hadoop.fs.Path(storeDir),
+        new org.apache.hadoop.fs.Path(twinDir).getFileSystem(hconf),
+        new org.apache.hadoop.fs.Path(twinDir),
+        false, true, hconf)
+      fam.compact(storeDir)
+      val newRoot = Similarity.resolveIndexRoot(spark, storeDir)
+      assert(newRoot.endsWith("v_1"), s"${fam.name}: $newRoot")
+      // base re-bounded: every data dir of the fresh version holds ONLY
+      // the folded batch=-1
+      val fs = new org.apache.hadoop.fs.Path(newRoot).getFileSystem(hconf)
+      val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(newRoot))
+        .map(_.getPath).filter(p => fs.getFileStatus(p).isDirectory &&
+          p.getName != "params")
+      assert(dataDirs.nonEmpty, fam.name)
+      dataDirs.foreach { p =>
+        val batches = fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("batch=")).toSet
+        assert(batches == Set("batch=-1"), s"${fam.name} $p: $batches")
+      }
+      // live view unchanged by compaction
+      assert(fam.liveIds(storeDir) == Set(1L, 109L), fam.name)
+      assert(fam.liveIds(twinDir) == Set(1L, 109L), fam.name)
+      // verdict equality: a gen-2 batch (re-crawl of the gen-1 survivor
+      // + fresh opaque) probes identically against compacted and twin
+      val gen2 = Seq((201L, fam.survivor, fam.mediaType),
+        (203L, s"gen2 fresh ${fam.name}".getBytes("UTF-8"), "text/plain"))
+        .toDF("doc_id", "payload", "media_type")
+      val vC = fam.probeDups(storeDir, gen2)
+      val vT = fam.probeDups(twinDir, gen2)
+      assert(vC == vT, s"${fam.name}: compacted=$vC twin=$vT")
+      assert(vC == Set(201L), s"${fam.name}: $vC")
+      // generation 2: restart from the SAME checkpoint — the new stream
+      // pins v_1, drops the re-crawl, serves the fresh doc, appends to
+      // the new version under the CONTINUED batch id
+      gen2.write.mode("append").parquet(srcDir)
+      val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+      val out = spark.read.parquet(outDir)
+        .select(col("batch").cast("long"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((0L, 109L), (1L, 203L)), s"${fam.name}: $out")
+      assert(fam.liveIds(storeDir) == Set(1L, 109L, 203L), fam.name)
+    }
+  }
+
   test("streaming co-occurrence: view equals batch PMI; duplicate memberships across batches are harmless") {
     import spark.implicits._
     // reuse the real events table, streamed in two chunks split mid-day so

@@ -197,5 +197,20 @@ class BenchPriorSpec extends AnyFunSuite {
   test("loadPrior falls back to the builtin snapshot or a real artifact, never throws") {
     val p = Bench.loadPrior()
     assert(p.normalized > 0 && p.calibProbe > 0, p.toString)
+    // and it must never compare a round against its own artifact (r11
+    // advisor): whatever prior loads, it predates the live round
+    assert(!p.source.contains("BENCH_r12") && !p.source.contains("BENCH_r13"),
+      p.source)
+  }
+  test("parseArtifact reads the r12 unified rows form (probe min = element 0)") {
+    val inner = """{"metric":"total","probe_normalized":29.0,""" +
+      """"calib_probe":[0.5,0.52],""" +
+      """"rows":{"q1_pricing_summary":[0.449,1.02,2.1,0.67],"sim_whiten":[0.3,-1,0.6,0.30],"broken":[-1,-1,-1,-1]}}"""
+    val f = java.nio.file.Files.createTempFile("bench-prior-rows", ".json")
+    java.nio.file.Files.write(f, s"""{"parsed":$inner}""".getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "rows").get
+    assert(p.normalized == 29.0)
+    // element 0 of each rows array is the probe min; -1 rows are dropped
+    assert(p.perQuery == Map("q1_pricing_summary" -> 0.449, "sim_whiten" -> 0.3))
   }
 }
