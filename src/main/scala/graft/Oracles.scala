@@ -3882,6 +3882,50 @@ object Oracles {
         |  round(exp(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE)), 4) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // interpolated Kneser-Ney replay: absolute discount D=0.75 on exact
+    // integer bigram counts, continuation distribution from distinct-
+    // context counts with the +0.5 OOV floor — arithmetic order mirrored
+    // from TextAnalysis.knPerplexity so ln sees identical doubles
+    "text_perplexity_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(t) AS token FROM toks
+        |), vocab AS (
+        |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM uni
+        |), bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
+        |  WHERE len(t) >= 2
+        |), bgdoc AS (
+        |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS mult FROM bg GROUP BY doc_id, sh
+        |), c2 AS (
+        |  SELECT sh, CAST(sum(mult) AS BIGINT) AS n2 FROM bgdoc GROUP BY sh
+        |), ctx AS (
+        |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS tw
+        |  FROM (SELECT string_split(sh, ' ')[1] AS w1, n2 FROM c2) GROUP BY w1
+        |), cont AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS nc
+        |  FROM (SELECT string_split(sh, ' ')[2] AS w2 FROM c2) GROUP BY w2
+        |), meta AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS bt, (SELECT v FROM vocab) AS v FROM c2
+        |), scored AS (
+        |  SELECT b.doc_id, b.mult,
+        |    -ln((greatest(CAST(c2.n2 AS DOUBLE) - 0.75, 0.0) +
+        |         0.75 * CAST(ctx.tw AS DOUBLE) *
+        |         ((CAST(cont.nc AS DOUBLE) + 0.5) / (CAST(meta.bt AS DOUBLE) + 0.5 * meta.v)))
+        |        / CAST(ctx.n1 AS DOUBLE)) AS logp
+        |  FROM bgdoc b JOIN c2 USING (sh)
+        |    JOIN ctx ON string_split(b.sh, ' ')[1] = ctx.w1
+        |    JOIN cont ON string_split(b.sh, ' ')[2] = cont.w2, meta
+        |)
+        |SELECT doc_id, CAST(sum(mult) AS BIGINT) AS n_bigrams,
+        |  round(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE), 4) AS avg_surprisal,
+        |  round(exp(sum(CAST(mult AS DOUBLE) * logp) / CAST(sum(mult) AS DOUBLE)), 4) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // multinomial NB model: per-(label, token) counts with add-1
     // smoothing, ll = ln((c+1)/(n_label+V)); the ratio is built from the
     // same exact-integer casts Spark uses so ln sees an identical IEEE

@@ -384,6 +384,11 @@ object SparkEntry {
     "text_dedup_segments" -> ((s, dir) =>
       TextAnalysis.dedupSegments(docs(s, dir), maxDfFrac = 0.78, delim = " ")),
     "text_perplexity" -> ((s, dir) => TextAnalysis.bigramPerplexity(docs(s, dir))),
+    // interpolated Kneser-Ney twin (r12 stretch #7): absolute-discount
+    // D=0.75 + continuation-count back-off, the smoothing CCNet-class
+    // quality gates actually use; exact-integer counts make it
+    // hash-replayable like the add-0.5 sibling
+    "text_perplexity_kn" -> ((s, dir) => TextAnalysis.knPerplexity(docs(s, dir))),
     // serve-only twin: score against the PERSISTED bigram LM (KenLM-style
     // frozen reference model); same arithmetic, so the oracle is reused
     "text_perplexity_lm" -> ((s, dir) => {

@@ -1744,6 +1744,68 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995; Chen
+    * & Goodman 1999's interpolated form) — the smoothing the add-0.5 LM
+    * ([[bigramPerplexity]]) is visibly below in practice (CCNet gates on
+    * KenLM, which is modified-KN): absolute discount D = 0.75 on every
+    * seen bigram, the freed mass re-distributed by CONTINUATION counts
+    * (how many distinct contexts a word follows) instead of raw
+    * frequency — "Francisco" is frequent but only ever follows "San", so
+    * KN stops over-rewarding it in novel contexts.
+    *
+    *   P(w2|w1) = (max(c(w1w2) − D, 0) + D · T(w1) · Pc(w2)) / ctx(w1)
+    *   Pc(w2)   = (N1+(·w2) + 0.5) / (B + 0.5·V)
+    *
+    * with T(w1) = distinct continuations of w1, N1+(·w2) = distinct
+    * contexts preceding w2, B = distinct bigrams, V = vocabulary. The
+    * +0.5 floor on the continuation distribution is the OOV guard (a
+    * genuinely unseen w2 gets a finite back-off instead of 0 — the same
+    * held-out stance as [[perplexityFromLm]]'s coalesced joins); on
+    * in-corpus scoring every quantity is a seen count. D = 0.75 (the
+    * Chen–Goodman near-optimal constant) is exactly representable, every
+    * count is an exact integer, and the arithmetic order is mirrored
+    * verbatim in the DuckDB oracle, so the row is hash-gated like its
+    * add-0.5 sibling.
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — the corpus
+    * collapses to per-doc distinct bigrams on the window pass's
+    * partitioning, every derived table (c2, ctx, T, continuation counts)
+    * is distinct-bigram-sized, B/V ride a one-row broadcast.
+    */
+  def knPerplexity(docs: DataFrame, d: Double = 0.75): DataFrame = {
+    val bgDoc = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("mult"))
+    val c2 = bgDoc.groupBy(col("sh")).agg(sum(col("mult")).as("n2"))
+    val ctx = c2.select(substring_index(col("sh"), " ", 1).as("w1"), col("n2"))
+      .groupBy(col("w1"))
+      .agg(sum(col("n2")).as("n1"), count(lit(1)).as("tw"))
+    val cont = c2.select(substring_index(col("sh"), " ", -1).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val tokens = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val meta = c2.agg(count(lit(1)).as("bt"))
+      .crossJoin(broadcast(tokens.agg(countDistinct(col("token")).as("v"))))
+    val pc = (col("nc").cast("double") + lit(0.5)) /
+      (col("bt").cast("double") + lit(0.5) * col("v"))
+    val logp = -log((greatest(col("n2").cast("double") - lit(d), lit(0.0)) +
+      lit(d) * col("tw").cast("double") * pc) / col("n1").cast("double"))
+    val avgSur = sum(col("mult").cast("double") * logp) / sum(col("mult")).cast("double")
+    bgDoc
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+      .join(c2, Seq("sh"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(meta))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("mult")).as("n_bigrams"),
+        round(avgSur, 4).as("avg_surprisal"),
+        round(exp(avgSur), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style segment-level boilerplate removal: split every document
     * on `delim`, drop each segment whose document frequency exceeds
     * `maxDfFrac` of the corpus, and reassemble the survivors in their

@@ -3313,6 +3313,44 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.size == 2)
   }
 
+  test("Kneser-Ney perplexity: discounted probs sum below 1 per context, soup scores worse, buckets track the add-0.5 form") {
+    import spark.implicits._
+    // a tiny corpus with natural repetition + one symbol-soup doc: both
+    // LMs must put the soup in the worst bucket, and KN must preserve
+    // the add-0.5 form's broad quality ordering on the real corpus
+    val fixture = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"),
+      (3L, "the cat sat on the rug and the dog sat"),
+      (4L, "zq xv qj wk vx jq kw xq vj qx wv kx")).toDF("doc_id", "text")
+    val kn = TextAnalysis.knPerplexity(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val add = TextAnalysis.bigramPerplexity(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(kn(4L) > kn(1L) && kn(4L) > kn(2L) && kn(4L) > kn(3L), kn.toString)
+    assert(add(4L) == add.values.max)
+    assert(kn(4L) == kn.values.max)
+    // corpus bucket comparison (r11 ask #7's done-bar): quartile-bucket
+    // docs by ppl under BOTH smoothings; the orderings must broadly
+    // agree (exact ties aside, the two are different estimators of the
+    // same quantity) — >= 60% of docs land in the same quartile
+    val d = docs
+    val knC = TextAnalysis.knPerplexity(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+    val addC = TextAnalysis.bigramPerplexity(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def quartile(ranked: Seq[Long]): Map[Long, Int] = {
+      val n = ranked.length
+      ranked.zipWithIndex.map { case (id, i) => id -> (4 * i / n) }.toMap
+    }
+    val qKn = quartile(knC.sortBy(_._2).map(_._1).toSeq)
+    val qAdd = quartile(knC.map(_._1).map(id => id -> addC(id))
+      .sortBy(_._2).map(_._1).toSeq)
+    val agree = qKn.count { case (id, q) => qAdd(id) == q }
+    assert(agree.toDouble / qKn.size >= 0.6,
+      s"quartile agreement ${agree.toDouble / qKn.size} (${qKn.size} docs)")
+  }
+
   test("base builds fail loud on duplicate keys; PCA stats fail loud on ragged widths (r11 advisor)") {
     import spark.implicits._
     // duplicate vec_id: the base/recent serve split would keep both rows
