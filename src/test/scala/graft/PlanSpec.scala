@@ -260,6 +260,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sketch-only approx rows: map-side-combined register/counter aggregation, no exact-distinct pass, no naked cartesian") {
+    val hll = planOf(Queries.aggApproxDistinctSketch(spark, sf))
+    // the register file must build via partial max (map-side combine) —
+    // O(m) shuffle bytes per group, the property that makes HLL the
+    // 100 TB cardinality operator
+    assert(hll.contains("partial_max"), hll.take(3000))
+    // the whole point of the serving row: NO exact count(DISTINCT)
+    // anywhere in the plan (that is the verifier row's 2x tax)
+    assert(!hll.contains("distinct "), hll.take(3000))
+    assert(!hll.contains("CartesianProduct"), hll.take(2000))
+    val pct = planOf(Queries.aggApproxPercentilesSketch(spark, sf))
+    assert(pct.contains("partial_count") || pct.contains("partial_sum"),
+      pct.take(3000))
+    // no exact percentile buffer in the serving plan
+    assert(!pct.contains("percentile"), pct.take(3000))
+    assert(!pct.contains("CartesianProduct"), pct.take(2000))
+  }
+
   test("champion BM25 serve: the scored join reads the champion prefix (tf_top) and broadcasts the query tiers") {
     val docs = Queries.table(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft-champ-plan").toString
