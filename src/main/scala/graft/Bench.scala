@@ -661,8 +661,14 @@ object Bench {
       .mkString("{", ",", "}")
     // top full-run rows by cost (r11 ask #6), DYNAMICALLY sized to what
     // the tail budget allows after the invariant fields; "_more" marks
-    // the shed tail (full detail always in bench_out.json)
-    val topFull = results.filter(_.err.isEmpty).sortBy(-_.min)
+    // the shed tail (full detail always in bench_out.json). COMPLEMENT
+    // of the rows map: a heavy row already in `rows` ships its
+    // probe-session numbers there (the comparable ones per the bias
+    // note), so queries_top spends its bytes only on rows with no other
+    // inline presence.
+    val rowNameSet = rowNames.toSet
+    val topFull = results
+      .filter(r => r.err.isEmpty && !rowNameSet(r.name)).sortBy(-_.min)
     def queriesTopJson(n: Int): String = {
       val take = topFull.take(n)
       val more = topFull.length - take.length
@@ -681,13 +687,13 @@ object Bench {
     // elements of `rows`
     val biasNote = "full-run query mins are population-biased; compare probe_normalized and rows deltas across rounds"
     // rows format legend (element order of every `rows` value; -1 = not
-    // measured / no prior)
-    val rowsFmt = """"rows_fmt":"[probe_s,delta_vs_prior_norm,sf1_s,sf1_exp]""""
+    // measured / no prior). Compact on purpose — tail bytes buy top-N rows.
+    val rowsFmt = """"rows_fmt":"probe,delta,sf1,exp""""
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
         topN: Int, withSf1Runs: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
         (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote","""
-         else s""""queries_top":${queriesTopJson(topN)},"errors":{},"note":"per-query detail in bench_out.json",""") +
+         else s""""queries_top":${queriesTopJson(topN)},"errors":{},""") +
         s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,""" +
         s"""$rowsFmt,"rows":$rowsJson""" +
         (if (withSf1Runs) s""","sf1_runs":$sf1RunsJson""" else "") +
