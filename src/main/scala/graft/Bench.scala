@@ -319,6 +319,16 @@ object Bench {
     else if (v >= 10) fmt("%.1f", v)
     else if (v >= 1) fmt("%.2f", v)
     else fmt("%.3f", v)
+  /** 2-significant-digit form for the unified rows map: ~1 % value
+    * quantization, far inside machine drift (33–49 % within-run, r10/
+    * r11) — each dropped digit buys a top-N full-run row on the 2 KB
+    * tail. Full precision always in bench_out.json.
+    */
+  private def jnum2(v: Double): String =
+    if (v < 0) "-1"
+    else if (v >= 10) fmt("%.0f", v)
+    else if (v >= 1) fmt("%.1f", v)
+    else fmt("%.2f", v)
 
   /** name, min, median, raw timed runs, warm-up seconds, error */
   private case class QRes(name: String, min: Double, med: Double,
@@ -558,11 +568,24 @@ object Bench {
     val anomalies = anomaliesOf(results, Int.MaxValue)
     val anomaliesCompact = anomaliesOf(results, 8)
     // verdict per flagged query: does the anomaly survive its recheck?
-    val recheckJson = recheck.toSeq.sortBy(_._1).map { case (n, r) =>
-      val verdict = if (r.err.nonEmpty) "error"
-        else if (isAnomalous(r)) "persists" else "transient"
-      jstr(n) + ":" + jstr(verdict)
-    }.mkString("{", ",", "}")
+    val recheckVerdicts = recheck.toSeq.sortBy(_._1).map { case (n, r) =>
+      n -> (if (r.err.nonEmpty) "error"
+            else if (isAnomalous(r)) "persists" else "transient")
+    }
+    val recheckJson = recheckVerdicts
+      .map { case (n, v) => jstr(n) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    // compact form for tight rungs (r12: six flagged anomalies pushed
+    // the uncapped verdict map to 218 chars and overflowed the tail):
+    // transient verdicts — the all-clear case — fold into one count;
+    // persists/error entries, the ones a reader must see, stay verbatim
+    val recheckCompact = {
+      val hot = recheckVerdicts.filter(_._2 != "transient")
+        .map { case (n, v) => jstr(n) + ":" + jstr(v) }
+      val nTransient = recheckVerdicts.count(_._2 == "transient")
+      (hot ++ (if (nTransient > 0) Seq(jstr("_transient") + ":" + nTransient) else Nil))
+        .mkString("{", ",", "}")
+    }
     val nErr = results.count(_.err.nonEmpty)
     val probeTotal = probeResults.collect { case r if r.err.isEmpty => r.min }.sum
     // continuity: the number compared against r8's 26.7 is computed over
@@ -651,9 +674,9 @@ object Bench {
       val s1v = sf1Min.getOrElse(n, -1.0)
       val expStr =
         if (p > 0 && s1v > 0) fmt("%.2f", math.log10(s1v / p)) else "-1"
-      jstr(n) + ":[" + jnum(p) + "," +
+      jstr(n) + ":[" + jnum2(p) + "," +
         (if (d > 0) fmt("%.2f", d) else "-1") + "," +
-        jnum(s1v) + "," + expStr + "]"
+        jnum2(s1v) + "," + expStr + "]"
     }.mkString("{", ",", "}")
     // adaptive-second-rep rows: both raw sf1 runs, driver-visible
     val sf1RunsJson = sf1Results.filter(_.runs.length > 1)
@@ -677,10 +700,15 @@ object Bench {
         .mkString("{", ",", "}")
     }
 
-    val core =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"value_median":${jnum(totalMed)},"n_errors":$nErr,"probe_total":${jnum(probeTotal)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_normalized_full":${jnum(probeNormFull)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_gen_s":${jnum(sf1Gen)},"sf1_total":${jnum(sf1Total)}""" +
+    // core splits into the INVARIANT adjudication fields (every rung)
+    // and secondary fields lean rungs may shed (all still in bench_out)
+    val coreLean =
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)}""" +
       (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)},"probe_deltas":$probeDeltas""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
+    val coreExtra =
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)}"""
+    val core = coreLean + coreExtra
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
     // session JVM state), so cross-round comparison must use the probe
@@ -690,11 +718,13 @@ object Bench {
     // measured / no prior). Compact on purpose — tail bytes buy top-N rows.
     val rowsFmt = """"rows_fmt":"probe,delta,sf1,exp""""
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
-        topN: Int, withSf1Runs: Boolean = true): String =
+        recheckStr: String, topN: Int, lean: Boolean = false,
+        withSf1Runs: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
         (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote","""
          else s""""queries_top":${queriesTopJson(topN)},"errors":{},""") +
-        s"""$core,"rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckJson,""" +
+        (if (lean) coreLean else core) +
+        s""","rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckStr,""" +
         s"""$rowsFmt,"rows":$rowsJson""" +
         (if (withSf1Runs) s""","sf1_runs":$sf1RunsJson""" else "") +
         (if (withSkipped) s""","skipped":$skipped""" else "") +
@@ -703,20 +733,22 @@ object Bench {
     // artifact "tail" field is exactly 2000) and this line is the LAST
     // thing on stdout, so anything under ~1950 keeps the whole line
     // inside the window. Degrade ladder sheds detail only: full queries
-    // map → top-20 full-run rows → drop skipped → fewer top rows +
-    // compact anomalies → drop sf1 raw runs. EVERY rung keeps the
-    // unified `rows` map (per-row probe seconds, drift-normalized
-    // deltas, sf1 seconds AND exponents — r9's ladder shed exponents
-    // and left sf1 rows unpaired; r11's shed the sf1 seconds), plus
-    // rep_anomalies, n_errors, calib anchors, probe_normalized.
+    // map → top-20 full-run rows → drop skipped → lean core + compact
+    // anomaly/recheck forms → fewer top rows → drop sf1 raw runs. EVERY
+    // rung keeps the unified `rows` map (per-row probe seconds,
+    // drift-normalized deltas, sf1 seconds AND exponents — r9's ladder
+    // shed exponents and left sf1 rows unpaired; r11's shed the sf1
+    // seconds), non-transient recheck verdicts, n_errors, calib
+    // anchors, probe_normalized.
     val candidates = Seq(
-      line(withQueries = true,  withSkipped = true,  anomalies, 20),
-      line(withQueries = false, withSkipped = true,  anomalies, 20),
-      line(withQueries = false, withSkipped = false, anomalies, 20),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, 12),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, 8),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, 5, withSf1Runs = false),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, 0, withSf1Runs = false))
+      line(withQueries = true,  withSkipped = true,  anomalies, recheckJson, 20),
+      line(withQueries = false, withSkipped = true,  anomalies, recheckJson, 20),
+      line(withQueries = false, withSkipped = false, anomalies, recheckJson, 20),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 20, lean = true),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 12, lean = true),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 8,  lean = true),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 5,  lean = true, withSf1Runs = false),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 0,  lean = true, withSf1Runs = false))
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(candidates.last)
     // full-detail twin (exact seconds, raw runs, medians, warm-ups) → out file
     def fullMap(f: QRes => String)(rs: Seq[QRes]): String =
