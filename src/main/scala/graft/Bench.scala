@@ -627,15 +627,26 @@ object Bench {
           (if (outsideEnvelope) "yes" else "no")
       else ""
     // per-row drift-normalized delta vs the loaded prior (r11 ask #3):
-    // delta = (min / own-anchor-pair-mean) / (prior_min / prior_calib) —
-    // 1.00 means the row moved exactly with the machine. Each row's
-    // denominator is the mean of ITS bracketing interleaved anchors, so
-    // a drift step mid-window no longer smears every row after it.
+    //   delta = (v/pv) · (prior_calib/calib) · (anchor_mean/row_anchor)
+    // 1.00 = the row moved exactly with the machine. Two matched-
+    // semantics factors: the SESSION-level correction compares this
+    // window's min-of-2 calibrate() against the prior's (same
+    // estimator), and the PER-ROW correction compares the row's
+    // bracketing single-pass anchors against the session's own mean
+    // single-pass anchor — interleaved passes run on a post-query
+    // polluted cache and sit systematically above min-of-2, so dividing
+    // a single-pass anchor by a min-of-2 prior (the first r12 cut of
+    // this) biased every delta low by ~25%.
+    val anchorMean = {
+      val all = anchorPairs.values.flatMap { case (a, b) => Seq(a, b) }
+      if (all.isEmpty) -1.0 else all.sum / all.size
+    }
     def rowAnchor(n: String): Double = anchorPairs.get(n)
-      .map { case (a, b) => (a + b) / 2 }.getOrElse(calibProbe)
+      .map { case (a, b) => (a + b) / 2 }.getOrElse(anchorMean)
     def deltaOf(n: String, v: Double): Double = prior.perQuery.get(n) match {
-      case Some(pv) if v > 0 && pv > 0 && rowAnchor(n) > 0 && prior.calibProbe > 0 =>
-        (v / rowAnchor(n)) / (pv / prior.calibProbe)
+      case Some(pv) if v > 0 && pv > 0 && rowAnchor(n) > 0 && anchorMean > 0 &&
+          calibProbe > 0 && prior.calibProbe > 0 =>
+        (v / pv) * (prior.calibProbe / calibProbe) * (anchorMean / rowAnchor(n))
       case _ => -1.0
     }
     // when the flag fires, localize it: top-5 per-query NORMALIZED ratios
