@@ -715,10 +715,13 @@ object Bench {
     // and secondary fields lean rungs may shed (all still in bench_out)
     val coreLean =
       s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)}""" +
-      (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)},"probe_deltas":$probeDeltas""" else "") +
+      (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
+    // probe_deltas (the flag's top-5 localization) is fully redundant
+    // with the rows map's per-row deltas — extra-rung/file-only
     val coreExtra =
-      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)}"""
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)}""" +
+      (if (probeRegression.nonEmpty) s""","probe_deltas":$probeDeltas""" else "")
     val core = coreLean + coreExtra
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
