@@ -202,6 +202,37 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(!p.source.contains("BENCH_r12") && !p.source.contains("BENCH_r13"),
       p.source)
   }
+  test("parseArtifact reads the PRETTY-PRINTED r12 rows form (driver artifact shape)") {
+    val artifact =
+      """{
+        |  "parsed": {
+        |    "probe_normalized": 28.1,
+        |    "calib_probe": [
+        |      0.7,
+        |      0.72
+        |    ],
+        |    "rows": {
+        |      "q1_pricing_summary": [
+        |        0.55,
+        |        1.31,
+        |        1.3,
+        |        0.36
+        |      ],
+        |      "sim_whiten": [
+        |        0.3,
+        |        -1,
+        |        0.6,
+        |        0.3
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val f = java.nio.file.Files.createTempFile("bench-prior-rows-pp", ".json")
+    java.nio.file.Files.write(f, artifact.getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "rows-pp").get
+    assert(p.normalized == 28.1)
+    assert(p.perQuery == Map("q1_pricing_summary" -> 0.55, "sim_whiten" -> 0.3))
+  }
   test("parseArtifact reads the r12 unified rows form (probe min = element 0)") {
     val inner = """{"metric":"total","probe_normalized":29.0,""" +
       """"calib_probe":[0.5,0.52],""" +
