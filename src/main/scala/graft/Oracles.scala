@@ -6388,5 +6388,9 @@ object Oracles {
   val sql: Map[String, String] = exactSql ++ Map(
     "text_bm25_certified" -> exactSql("text_bm25"),
     "retrieval_hybrid_rrf_certified" -> exactSql("retrieval_hybrid_rrf_index"),
-    "retrieval_eval_certified" -> exactSql("retrieval_eval"))
+    "retrieval_eval_certified" -> exactSql("retrieval_eval"),
+    // persisted-KN serve scores the corpus against its own frozen model
+    // — bit-identical to the fit-on-the-fly row (same integer tables
+    // through a parquet round trip, same arithmetic)
+    "text_perplexity_kn_lm" -> exactSql("text_perplexity_kn"))
 }

@@ -389,6 +389,16 @@ object SparkEntry {
     // quality gates actually use; exact-integer counts make it
     // hash-replayable like the add-0.5 sibling
     "text_perplexity_kn" -> ((s, dir) => TextAnalysis.knPerplexity(docs(s, dir))),
+    // KN served from the PERSISTED model (the KenLM lifecycle proper);
+    // in-corpus scores are bit-identical to the fit-on-the-fly row, so
+    // the oracle is shared — held-out back-off semantics spec-pinned
+    "text_perplexity_kn_lm" -> ((s, dir) => {
+      val lm = graft.ext.IndexCache.ensure(s, dir, "kn_lm",
+          table = "documents") { d =>
+        TextAnalysis.buildKnLm(docs(s, dir), d)
+      }
+      TextAnalysis.knPerplexityFromLm(s, lm, docs(s, dir))
+    }),
     // serve-only twin: score against the PERSISTED bigram LM (KenLM-style
     // frozen reference model); same arithmetic, so the oracle is reused
     "text_perplexity_lm" -> ((s, dir) => {

@@ -1806,6 +1806,83 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist the Kneser–Ney LM [[knPerplexity]] fits on the fly — the
+    * KenLM lifecycle proper: CCNet-class pipelines score a continuous
+    * candidate stream against a FROZEN reference-corpus KN model. Same
+    * atomic versioned layout as [[buildBigramLm]]; four tables, all
+    * distinct-bigram-sized or smaller:
+    *   - `c2`   — (sh, n2) bigram counts,
+    *   - `ctx`  — (w1, n1, tw) context totals + distinct-continuation counts,
+    *   - `cont` — (w2, nc) distinct-context (continuation) counts,
+    *   - `meta` — one row, (bt = distinct bigrams, v = vocabulary).
+    */
+  def buildKnLm(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = graft.ext.Similarity.nextIndexVersion(fs, dir)
+    val newRoot = s"$dir/v_$n"
+    graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n2"))
+      .write.mode("overwrite").parquet(s"$newRoot/c2")
+    val c2 = spark.read.parquet(s"$newRoot/c2")
+    c2.select(substring_index(col("sh"), " ", 1).as("w1"), col("n2"))
+      .groupBy(col("w1"))
+      .agg(sum(col("n2")).as("n1"), count(lit(1)).as("tw"))
+      .write.mode("overwrite").parquet(s"$newRoot/ctx")
+    c2.select(substring_index(col("sh"), " ", -1).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+      .write.mode("overwrite").parquet(s"$newRoot/cont")
+    c2.agg(count(lit(1)).as("bt"))
+      .crossJoin(broadcast(
+        docs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= "")
+          .agg(countDistinct(col("token")).as("v"))))
+      .write.mode("overwrite").parquet(s"$newRoot/meta")
+    graft.ext.Similarity.publishIndexVersion(fs, dir, n,
+      Seq("c2", "ctx", "cont", "meta"))
+  }
+
+  /** Score documents against a PERSISTED KN LM — identical arithmetic to
+    * [[knPerplexity]] on in-corpus text (so the registered twin reuses
+    * that oracle verbatim), with the HELD-OUT semantics interpolated KN
+    * prescribes, all finite:
+    *   - unseen bigram in a seen context: the discounted term is 0 and
+    *     the back-off mass carries it — `P = D·T(w1)·Pc(w2) / n1`;
+    *   - unseen w2: the continuation floor — `Pc = 0.5 / (B + 0.5·V)`;
+    *   - unseen context w1: pure continuation back-off — `P = Pc(w2)`.
+    */
+  def knPerplexityFromLm(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame, d: Double = 0.75): DataFrame = {
+    val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    val c2 = spark.read.parquet(s"$root/c2")
+    val ctx = spark.read.parquet(s"$root/ctx")
+    val cont = spark.read.parquet(s"$root/cont")
+    val meta = spark.read.parquet(s"$root/meta")
+    val bgDoc = graft.ext.Dedup.shinglesMultiset(docs, 2)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("mult"))
+    val pc = (coalesce(col("nc"), lit(0L)).cast("double") + lit(0.5)) /
+      (col("bt").cast("double") + lit(0.5) * col("v"))
+    val knSeen = -log((greatest(coalesce(col("n2"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) +
+      lit(d) * col("tw").cast("double") * pc) / col("n1").cast("double"))
+    val logp = when(col("n1").isNull, -log(pc)).otherwise(knSeen)
+    val avgSur = sum(col("mult").cast("double") * logp) / sum(col("mult")).cast("double")
+    bgDoc
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+      .join(c2, Seq("sh"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(meta))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("mult")).as("n_bigrams"),
+        round(avgSur, 4).as("avg_surprisal"),
+        round(exp(avgSur), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style segment-level boilerplate removal: split every document
     * on `delim`, drop each segment whose document frequency exceeds
     * `maxDfFrac` of the corpus, and reassemble the survivors in their

@@ -3351,6 +3351,39 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"quartile agreement ${agree.toDouble / qKn.size} (${qKn.size} docs)")
   }
 
+  test("persisted KN LM: in-corpus serve equals the fit-on-the-fly row; held-out back-off is finite and ordered") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"),
+      (3L, "the cat sat on the rug and the dog sat")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn-lm").toString
+    TextAnalysis.buildKnLm(corpus, dir)
+    // in-corpus: bit-identical to the in-memory fit (the oracle-share
+    // contract of text_perplexity_kn_lm)
+    val served = TextAnalysis.knPerplexityFromLm(spark, dir, corpus)
+      .collect().map(_.toSeq).toSeq
+    val fit = TextAnalysis.knPerplexity(corpus).collect().map(_.toSeq).toSeq
+    assert(served == fit)
+    // held-out: (a) seen bigram, (b) unseen bigram in seen context,
+    // (c) seen w1 + unseen w2, (d) fully unseen context — all finite,
+    // and surprisal must rise monotonically through that ladder for a
+    // fixed context mass
+    val held = Seq(
+      (10L, "the cat sat"),        // all bigrams seen
+      (11L, "the rug ran"),        // 'the rug' seen? 'rug ran' unseen in seen ctx
+      (12L, "the zzz the"),        // unseen w2 under the richest context
+      (13L, "qqq zzz qqq")).toDF("doc_id", "text") // nothing seen
+    val h = TextAnalysis.knPerplexityFromLm(spark, dir, held)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h.size == 4)
+    h.values.foreach(v => assert(!v.isNaN && !v.isInfinite, h.toString))
+    // seen text scores better than unseen-w2 text under the same context
+    assert(h(10L) < h(12L), h.toString)
+    // fully-unseen-context text is the worst of the ladder
+    assert(h(13L) > h(10L), h.toString)
+  }
+
   test("base builds fail loud on duplicate keys; PCA stats fail loud on ragged widths (r11 advisor)") {
     import spark.implicits._
     // duplicate vec_id: the base/recent serve split would keep both rows
