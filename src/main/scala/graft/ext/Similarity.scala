@@ -361,8 +361,16 @@ object Similarity {
         if (n == 0L) Iterator.empty
         else {
           val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Double)](
-            1 + d + g.length)
+            2 + d + g.length)
           out += ((-1, -1, n.toDouble))
+          // width MARKER row (r12 reviewer catch): the in-task require
+          // above only catches ragged widths WITHIN a partition — two
+          // internally-uniform partitions of different widths (two
+          // parquet files from different ingest generations) would merge
+          // silently into corrupted moments. Each partition publishes its
+          // width as (-2, d, 1); the driver-side fit requires exactly one
+          // distinct width across all partitions.
+          out += ((-2, d, 1.0))
           var i = 0
           while (i < d) { out += ((i, -1, sx(i))); i += 1 }
           var t = 0; i = 0
@@ -389,10 +397,17 @@ object Similarity {
     require(stats.nonEmpty, "pcaFit on an empty corpus")
     var n = 0.0
     var d = 0
+    // cross-partition width consistency (marker rows (-2, width, count)):
+    // internally-uniform partitions of DIFFERENT widths must fail loud
+    // here, not average into corrupted moments
+    val widths = stats.filter(_.getInt(0) == -2).map(_.getInt(1)).distinct
+    require(widths.length <= 1,
+      s"ragged embedding widths across partitions: ${widths.sorted.mkString(", ")}")
     stats.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1)
       if (i == -1) n = r.getDouble(2)
-      else if (j + 1 > d || i + 1 > d) d = math.max(d, math.max(i, j) + 1)
+      else if (i >= 0 && (j + 1 > d || i + 1 > d))
+        d = math.max(d, math.max(i, j) + 1)
     }
     val sx = new Array[Double](d)
     val gr = Array.ofDim[Double](d, d)

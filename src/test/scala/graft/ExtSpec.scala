@@ -3405,7 +3405,11 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("duplicate doc_id"))
     // ragged widths: silently truncating (old behavior pinned d to the
-    // first row) would corrupt the moments; must surface as an error
+    // first row) would corrupt the moments; must surface as an error —
+    // BOTH within a partition (executor require) and across internally-
+    // uniform partitions of different widths (driver marker-row check,
+    // r12 reviewer catch: the per-partition guard alone merged two
+    // single-width partitions silently)
     val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding").repartition(1)
     val e4 = intercept[org.apache.spark.SparkException] {
@@ -3413,6 +3417,20 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e4.getMessage.contains("ragged embedding width") ||
       Option(e4.getCause).exists(_.getMessage.contains("ragged embedding width")))
+    // parallelize(_, 1): shuffle-free single-partition sides — a
+    // repartition(1) union lets AQE coalesce both widths into ONE task,
+    // where the in-task guard fires instead of the cross-partition one
+    val w2 = spark.sparkContext
+      .parallelize(Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))), 1)
+      .toDF("vec_id", "embedding")
+    val w3 = spark.sparkContext
+      .parallelize(Seq((3L, Array(1.0f, 2.0f, 3.0f)), (4L, Array(4.0f, 5.0f, 6.0f))), 1)
+      .toDF("vec_id", "embedding")
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.pcaFit(w2.unionByName(w3), k = 1, iters = 1)
+    }
+    assert(e5.getMessage.contains("ragged embedding widths across partitions"),
+      e5.getMessage)
     // and a unique-keyed build still succeeds (guard is not over-eager)
     Similarity.buildInt8Index(
       Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))

@@ -198,9 +198,16 @@ class BenchPriorSpec extends AnyFunSuite {
     val p = Bench.loadPrior()
     assert(p.normalized > 0 && p.calibProbe > 0, p.toString)
     // and it must never compare a round against its own artifact (r11
-    // advisor): whatever prior loads, it predates the live round
-    assert(!p.source.contains("BENCH_r12") && !p.source.contains("BENCH_r13"),
-      p.source)
+    // advisor): whatever BENCH_r<K> loads as prior, K predates the live
+    // round derived from VERDICT.md — DERIVED, not hardcoded (r12
+    // reviewer catch: a literal round number fails the suite the moment
+    // the next round's artifact lands)
+    val live = Bench.currentRound()
+    assert(live.nonEmpty, "currentRound() must parse the repo VERDICT.md " +
+      "header — a silent non-match reopens the self-compare hole")
+    "BENCH_r(\\d+)".r.findFirstMatchIn(p.source).foreach { m =>
+      assert(m.group(1).toInt < live.get, s"${p.source} vs live round $live")
+    }
   }
   test("parseArtifact reads the PRETTY-PRINTED r12 rows form (driver artifact shape)") {
     val artifact =
