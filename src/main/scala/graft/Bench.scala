@@ -194,12 +194,20 @@ object Bench {
                   .filter(_ > 0).map(m.group(1) -> _)
               }.toMap
           }.filter(_.nonEmpty)
-        val perQuery = perQueryRows.orElse(
-          """"probe"\s*:\s*\{([^}]*)\}""".r
-            .findFirstMatchIn(body).map(_.group(1)).map { inner =>
-              s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap
-            }).getOrElse(Map.empty[String, Double])
+        val probeMap = """"probe"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(body).map(_.group(1)).map { inner =>
+            s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter(_._2 > 0).toMap
+          }.filter(_.nonEmpty)
+        // when the artifact carries BOTH maps (bench_out.json does), the
+        // full-precision probe values OVERLAY the 2-sig-digit rows map —
+        // rows entries the probe map lacks (scale-base names) survive —
+        // so next-round deltas don't inherit jnum2's ~5% quantization
+        val perQuery = (perQueryRows, probeMap) match {
+          case (Some(r), Some(p)) => r ++ p
+          case (r, p) => r.orElse(p).getOrElse(Map.empty[String, Double])
+        }
         for (n <- normalized; c <- calib; if n > 0 && c > 0)
           yield PriorSnapshot(label, n, perQuery, c)
       }.toOption.flatten
@@ -684,7 +692,8 @@ object Bench {
     // sf1_exponents stdout maps: the wrapper's 2 KB tail cannot carry
     // three name-keyed maps plus inline full-run rows, and one map per
     // name ships strictly MORE data per byte (names were 60% of the
-    // old maps). parseArtifact reads element 1 as the prior probe min.
+    // old maps). parseArtifact reads element 0 (the probe min) of each
+    // rows array as the prior probe min.
     val fullMin = results.map(r => r.name -> r.min).toMap
     val rowNames = (probeResults ++ scaleBaseResults).map(_.name)
     val rowsJson = rowNames.map { n =>

@@ -1812,9 +1812,11 @@ object Queries {
       .groupBy(col("l_returnflag"), col("metric"), pmod(col("h"), lit(m.toLong)).as("j"))
       .agg(max(rank).as("mreg"))
     // complete the register file: absent registers are 0 (they carry the
-    // linear-counting zero count AND the 2^maxRank harmonic term)
-    val regs = li.select(col("l_returnflag")).distinct()
-      .withColumn("metric", explode(array(lit("p"), lit("o"))))
+    // linear-counting zero count AND the 2^maxRank harmonic term). Group
+    // keys come from the already-aggregated `observed` frame (≤ groups×m
+    // rows), not a second lineitem scan — ReuseExchange serves both
+    // consumers from the one shuffle, so 'one lineitem scan' stays true
+    val regs = observed.select(col("l_returnflag"), col("metric")).distinct()
       .withColumn("j", explode(sequence(lit(0L), lit((m - 1).toLong))))
     val reg = regs.join(observed, Seq("l_returnflag", "metric", "j"), "left")
       .select(col("l_returnflag"), col("metric"),

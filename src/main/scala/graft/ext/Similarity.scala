@@ -1122,8 +1122,10 @@ object Similarity {
     * every later compaction re-inherits them (compactions derive the new
     * base from the latest-wins view, which collapses APPEND duplicates
     * only). A duplicate key in a build input is a data bug; fail loud at
-    * build time (one bounded `limit(1)` aggregation, offline cost)
-    * instead of silently changing serve results.
+    * build time instead of silently changing serve results. Cost: one
+    * full-input map-side-combined groupBy over the build keys (the
+    * `limit(1)` bounds only the driver collect, not the shuffle) — paid
+    * once per offline base build, never on a serve path.
     */
   private[ext] def requireUniqueKeys(df: DataFrame, key: String,
       ctx: String): Unit = {

@@ -251,4 +251,17 @@ class BenchPriorSpec extends AnyFunSuite {
     // element 0 of each rows array is the probe min; -1 rows are dropped
     assert(p.perQuery == Map("q1_pricing_summary" -> 0.449, "sim_whiten" -> 0.3))
   }
+  test("parseArtifact overlays full-precision probe values onto the rows map") {
+    // bench_out.json carries BOTH: "rows" (2-sig-digit) and "probe"
+    // (full precision). Probe wins per name; rows-only names (the
+    // scale-base set) survive; -1/0 probe entries don't clobber.
+    val inner = """{"probe_normalized":29.0,"calib_probe":[0.5,0.52],""" +
+      """"probe":{"q1_pricing_summary":0.4487,"sim_whiten":0.3012},""" +
+      """"rows":{"q1_pricing_summary":[0.45,1.02,2.1,0.67],"sim_whiten":[0.3,-1,0.6,0.30],"text_lr_model":[4.0,-1,6.2,0.19]}}"""
+    val f = java.nio.file.Files.createTempFile("bench-prior-both", ".json")
+    java.nio.file.Files.write(f, s"""{"parsed":$inner}""".getBytes("UTF-8"))
+    val p = Bench.parseArtifact(f, "both").get
+    assert(p.perQuery == Map("q1_pricing_summary" -> 0.4487,
+      "sim_whiten" -> 0.3012, "text_lr_model" -> 4.0))
+  }
 }
