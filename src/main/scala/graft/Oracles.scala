@@ -6385,8 +6385,34 @@ object Oracles {
     * replay definition per semantic, the dupClustersCtes non-forking
     * discipline.
     */
+  /** The idf-spread corpus twin of an oracle: prepend the block-tag
+    * derivation CTE ([[graft.SparkEntry.withSpread]] replayed verbatim —
+    * DuckDB `//` is floor division on BIGINT, matching Spark's
+    * floor(doc_id / n) on non-negative ids) and re-point the tokenizer
+    * at it. One source of truth: the BM25 replay body is shared with
+    * the base oracle character-for-character.
+    */
+  private def spreadSql(base: String): String = {
+    val cte =
+      """spread AS (
+        |  SELECT doc_id,
+        |    'ga' || CAST(doc_id // 16 AS VARCHAR) || ' gb' || CAST(doc_id // 32 AS VARCHAR)
+        |    || ' gc' || CAST(doc_id // 64 AS VARCHAR) || ' gd' || CAST(doc_id // 128 AS VARCHAR)
+        |    || ' ' || text AS text
+        |  FROM documents
+        |), """.stripMargin
+    val body = base.replace("AS t FROM documents)", "AS t FROM spread)")
+    require(body != base, "spread oracle: tokenizer source not found in base SQL")
+    body.replaceFirst("^WITH ",
+      java.util.regex.Matcher.quoteReplacement("WITH " + cte))
+  }
+
   val sql: Map[String, String] = exactSql ++ Map(
     "text_bm25_certified" -> exactSql("text_bm25"),
+    // certified serve on the idf-spread twin: row-identical to the exact
+    // serve over the SAME derived corpus, so the gate is the text_bm25
+    // replay re-pointed at the spread CTE
+    "text_bm25_certified_spread" -> spreadSql(exactSql("text_bm25")),
     "retrieval_hybrid_rrf_certified" -> exactSql("retrieval_hybrid_rrf_index"),
     "retrieval_eval_certified" -> exactSql("retrieval_eval"),
     // persisted-KN serve scores the corpus against its own frozen model

@@ -232,6 +232,28 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evCt == evEx)
   }
 
+  test("spread-corpus certified serve: real testdata certifies nonzero and is row-identical to the exact serve") {
+    // the idf-spread derivation (SparkEntry.withSpread): four block tags
+    // with SF-invariant df 16/32/64/128, all inside the m=128 champion
+    // budget, so every panel token's postings live whole in tf_top and
+    // certification reduces to strict rank-5/6 separation — which the
+    // corpus's distinct per-block doc lengths provide
+    val docs = SparkEntry.withSpread(Queries.table(spark, sf, "documents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread-cert").toString
+    TextAnalysis.buildBm25Index(docs, dir)
+    val cert = TextAnalysis.bm25ChampionCertificate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(cert.nonEmpty && cert.values.exists(identity),
+      s"spread corpus must certify a nonzero fraction: $cert")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val exact = TextAnalysis.bm25TopKFromIndex(spark, dir)
+    val certd = TextAnalysis.bm25TopKCertified(spark, dir)
+    assert(certd.queryExecution.optimizedPlan.toString.contains("Union"),
+      "composed branch expected on the spread corpus")
+    assert(rows(certd) == rows(exact))
+  }
+
   test("gapfill densifies each user's span and forward-fills values") {
     val res = Queries.eventsGapfill(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
