@@ -29,18 +29,24 @@ def frame_key(df):
     rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
     return cols, rows
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    verdicts = {}
     for name, sql in sorted(oracle.items()):
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
             duck_df = con.execute(sql).fetchdf()
             sc, sr = frame_key(spark_df)
             dc, dr = frame_key(duck_df)
+            verdicts[name] = {
+                "rows_match": len(sr) == len(dr),
+                "schema_match": sc == dc,
+                "hash_match": sc == dc and sr == dr,
+                "spark_rows": len(sr), "oracle_rows": len(dr), "err": None}
             if sc != dc:
                 print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
                 n_bad += 1
@@ -61,9 +67,17 @@ def main(sf_dir, out_dir):
                 n_ok += 1
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            verdicts[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": -1,
+                              "oracle_rows": -1, "err": str(e)[:200]}
             n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail")
+    if json_out:
+        # CORRECTNESS_r{N}.json-shaped dump so scripts/closeout.py can
+        # derive the COVERAGE close-out block from a LOCAL verify run
+        json.dump(verdicts, open(json_out, "w"), indent=1)
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

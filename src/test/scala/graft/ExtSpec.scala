@@ -1575,6 +1575,83 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("video branch demuxes a REAL AVI/MJPEG container: frame hashes equal each frame's standalone JPEG decode") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def solid(w: Int, h: Int, rgb: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      img
+    }
+    def jpeg(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos), "no jpg writer")
+      bos.toByteArray
+    }
+    // RIFF writer (the container the demux walks): chunks word-aligned,
+    // sizes little-endian — the AVI spec's layout, built by hand so the
+    // fixture is a genuine container, not a mock of our own parser
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      tag.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    // frames need distinct SPATIAL patterns, not colors: aHash64 of any
+    // solid image is all-ones (every pixel equals the mean), so a
+    // split-at-k light/dark pattern gives each frame a distinct hash
+    def splitImg(k: Int): BufferedImage = {
+      val img = solid(16, 12, 0xffffff)
+      val g = img.createGraphics()
+      try { g.setColor(java.awt.Color.BLACK); g.fillRect(0, 0, k, 12) }
+      finally g.dispose()
+      img
+    }
+    val frames = Seq(4, 8, 12).map(k => jpeg(splitImg(k)))
+    // frame 1 rides inside a 'rec ' grouping LIST (interleaved form);
+    // frame 2 uses the 00db (uncompressed-flagged) chunk id — both are
+    // spec shapes a crawled AVI actually contains
+    val movi = riffList("movi",
+      chunk("00dc", frames(0)) ++
+        riffList("rec ", chunk("00dc", frames(1))) ++
+        chunk("00db", frames(2)))
+    val hdrl = riffList("hdrl", chunk("avih", Array.fill[Byte](56)(0)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    val got = Multimodal.videoFrameHashBatch(Iterator(
+      Multimodal.MediaRow(7L, avi, "video/avi"))).toSeq
+    assert(got.length == 3, got.toString)
+    assert(got.forall(_.is_video), "demuxed frames must be real decodes")
+    assert(got.map(_.frame_idx) == Seq(0, 1, 2))
+    // each hash must equal the SAME jpeg's standalone single-image
+    // decode — proves per-frame ImageIO decode, not payload arithmetic
+    val expect = frames.map { j =>
+      val r = Multimodal.videoFrameHashBatch(Iterator(
+        Multimodal.MediaRow(0L, j, "image/jpeg"))).toSeq
+      assert(r.length == 1 && r.head.is_video)
+      r.head.fhash
+    }
+    assert(got.map(_.fhash) == expect, s"got=$got expect=$expect")
+    // distinct colors -> distinct frame hashes (the near-dup contract)
+    assert(got.map(_.fhash).distinct.length == 3)
+    // a non-AVI opaque payload keeps the deterministic fallback path
+    val opaque = Multimodal.videoFrameHashBatch(Iterator(
+      Multimodal.MediaRow(8L, Array.tabulate[Byte](45)(_.toByte), "video/mp4"))).toSeq
+    assert(opaque.nonEmpty && opaque.forall(!_.is_video))
+    // truncated container (cut mid-frame): must not throw; the surviving
+    // whole frames still decode
+    val cut = java.util.Arrays.copyOf(avi, avi.length - frames(2).length / 2)
+    val gotCut = Multimodal.videoFrameHashBatch(Iterator(
+      Multimodal.MediaRow(9L, cut, "video/avi"))).toSeq
+    assert(gotCut.count(_.is_video) >= 2, gotCut.toString)
+  }
+
   test("exact dedup survivors preserve distinct texts") {
     val survivors = Dedup.exactSurvivors(docs)
     assert(survivors.count() == docs.select("text").distinct().count())
@@ -3382,6 +3459,52 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h(10L) < h(12L), h.toString)
     // fully-unseen-context text is the worst of the ladder
     assert(h(13L) > h(10L), h.toString)
+  }
+
+  test("incremental KN LM: append is serve-invisible, replay-idempotent, and compaction equals a from-scratch rebuild bit-for-bit") {
+    import spark.implicits._
+    val snapA = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran")).toDF("doc_id", "text")
+    // snapshot B includes a ONE-TOKEN doc: vocab must grow without a
+    // bigram — the case that forces v to be a persisted table, not a
+    // c2 derivation
+    val snapB = Seq(
+      (3L, "the cat sat on the rug and the dog sat"),
+      (4L, "zebra")).toDF("doc_id", "text")
+    val probe = Seq((20L, "the cat sat"), (21L, "the rug ran"))
+      .toDF("doc_id", "text")
+    val inc = java.nio.file.Files.createTempDirectory("graft-kn-inc").toString
+    TextAnalysis.buildKnLm(snapA, inc)
+    def serve(dir: String) = TextAnalysis
+      .knPerplexityFromLm(spark, dir, probe).collect().map(_.toSeq).toSeq
+    val frozen = serve(inc)
+    // appends land as delta partitions the FROZEN serve never reads —
+    // the CCNet topology: readers keep the reference LM until a
+    // compaction publishes the refreshed version
+    TextAnalysis.appendToKnLm(spark, inc, snapB, batchId = Some(0L))
+    TextAnalysis.appendToKnLm(spark, inc, snapB, batchId = Some(0L)) // replay: batch-owned overwrite
+    assert(serve(inc) == frozen, "append tail must be serve-invisible")
+    TextAnalysis.compactKnLm(spark, inc)
+    // folded store == from-scratch rebuild over the union corpus, table
+    // by table (counts are exact integers; order-free comparison)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-kn-scr").toString
+    TextAnalysis.buildKnLm(snapA.unionByName(snapB), scratch)
+    val incRoot = Similarity.resolveIndexRoot(spark, inc)
+    val scrRoot = Similarity.resolveIndexRoot(spark, scratch)
+    assert(incRoot.endsWith("v_1"), incRoot) // compaction advanced the version
+    for (t <- Seq("c2", "ctx", "cont", "vocab", "meta")) {
+      def rows(r: String) = spark.read.parquet(s"$r/$t")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+      assert(rows(incRoot) == rows(scrRoot), s"table $t diverged")
+    }
+    // and the serve over the compacted store equals the rebuilt store's
+    assert(serve(inc) == serve(scratch))
+    // a delta-free compaction is a pure version fold: identical tables
+    TextAnalysis.compactKnLm(spark, inc)
+    val r2 = Similarity.resolveIndexRoot(spark, inc)
+    assert(r2.endsWith("v_2"), r2)
+    assert(serve(inc) == serve(scratch))
   }
 
   test("base builds fail loud on duplicate keys; PCA stats fail loud on ragged widths (r11 advisor)") {

@@ -352,6 +352,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missed=${expected.diff(streamed).map(_._1)} extra=${streamed.diff(expected).map(_._1)}")
   }
 
+  test("streaming KN scoring: frozen-LM scores are batch-boundary invariant and equal the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference LM frozen from the first 250 docs; the candidate stream
+    // is the REST of the corpus (held-out: unseen bigrams/tokens drive
+    // the back-off arithmetic, not just the seen path)
+    val corpus = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-kn-stream-lm").toString
+    graft.ext.TextAnalysis.buildKnLm(corpus.filter(col("doc_id") < 250), lmDir)
+    val rows = corpus.filter(col("doc_id") >= 250)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val docs = rows.zipWithIndex.map { case ((id, t, l, s), i) =>
+      CorpusDoc(id, t, l, s, new Timestamp(t0 + i * 1000L)) }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-kn-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kn-stream-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.knScoredIngest(
+      mem.toDF(), lmDir, outDir, ckpt)
+    // three deliberately uneven micro-batches: invariance means the
+    // chop points cannot matter
+    val (c1, rest) = docs.splitAt(7)
+    val (c2, c3) = rest.splitAt(101)
+    try {
+      mem.addData(c1.toSeq: _*); q.processAllAvailable()
+      mem.addData(c2.toSeq: _*); q.processAllAvailable()
+      mem.addData(c3.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "n_bigrams", "avg_surprisal", "ppl")
+      .collect().map(key).toSet
+    val twin = graft.ext.TextAnalysis.knPerplexityFromLm(spark, lmDir,
+        docs.toSeq.toDF().select(col("doc_id"), col("text")))
+      .collect().map(key).toSet
+    assert(twin.nonEmpty && streamed == twin,
+      s"missed=${twin.diff(streamed).take(3)} extra=${streamed.diff(twin).take(3)}")
+    // every batch landed its own partition (the idempotence layout)
+    assert(spark.read.parquet(outDir).select("batch").distinct().count() == 3)
+  }
+
   test("streaming within-batch near-dup stage matches the batch pipeline on a single batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
