@@ -6403,6 +6403,11 @@ object Oracles {
         |), """.stripMargin
     val body = base.replace("AS t FROM documents)", "AS t FROM spread)")
     require(body != base, "spread oracle: tokenizer source not found in base SQL")
+    // fail loud at construction if the base no longer opens with WITH —
+    // a silent no-op prepend would surface as a confusing DuckDB
+    // 'table spread does not exist' at verify time instead
+    require(body.startsWith("WITH "),
+      "spread oracle: base SQL no longer starts with a WITH clause")
     body.replaceFirst("^WITH ",
       java.util.regex.Matcher.quoteReplacement("WITH " + cte))
   }

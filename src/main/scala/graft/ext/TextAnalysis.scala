@@ -1877,14 +1877,20 @@ object TextAnalysis {
   def appendToKnLm(spark: org.apache.spark.sql.SparkSession, dir: String,
       newDocs: DataFrame, batchId: Option[Long] = None): Unit = {
     val root = graft.ext.Similarity.resolveIndexRoot(spark, dir)
+    // auto ids derive from c2_delta and the c2_delta write goes LAST, so
+    // it is the append's COMMIT point: a crash between the two writes
+    // leaves only an orphan vocab_delta, and the retry re-allocates the
+    // SAME id (c2_delta never saw it) and overwrites the orphan — never
+    // a double-counted bigram batch. Vocab deltas are harmless to
+    // overwrite either way (the fold is a distinct union).
     val id = batchId.getOrElse(
       graft.ext.Similarity.nextBatchId(spark, s"$root/c2_delta"))
-    graft.ext.Dedup.shinglesMultiset(newDocs, 2)
-      .groupBy(col("sh")).agg(count(lit(1)).as("n2"))
-      .write.mode("overwrite").parquet(s"$root/c2_delta/batch=$id")
     newDocs.select(explode(split(lower(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "").distinct()
       .write.mode("overwrite").parquet(s"$root/vocab_delta/batch=$id")
+    graft.ext.Dedup.shinglesMultiset(newDocs, 2)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n2"))
+      .write.mode("overwrite").parquet(s"$root/c2_delta/batch=$id")
   }
 
   /** Fold the KN-LM delta tail into a fresh version: c2 = Σ(base +
@@ -1892,8 +1898,12 @@ object TextAnalysis {
     * from the folded c2 ([[writeKnDerived]] — self-healing by
     * construction). Counts are exact integers, so the folded store is
     * BIT-identical to a from-scratch [[buildKnLm]] over the union corpus
-    * (spec-pinned), and serving flips atomically via the versioned
-    * CURRENT pointer — readers of the old version are never torn.
+    * (spec-pinned). Serving flips via the versioned CURRENT pointer,
+    * and [[graft.ext.Similarity.publishIndexVersion]] DELETES the
+    * superseded version immediately — so compaction is a maintenance
+    * job to run between serving reads (stop-compact-restart for a
+    * stream, the multimodal lifecycle discipline), NOT concurrently
+    * under an in-flight scan of the old root.
     */
   def compactKnLm(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
@@ -1914,7 +1924,12 @@ object TextAnalysis {
       .distinct()
       .write.mode("overwrite").parquet(s"$newRoot/vocab")
     writeKnDerived(spark, newRoot)
-    graft.ext.Similarity.publishIndexVersion(fs, dir, v, legacyDirs = Seq.empty)
+    // legacyDirs mirrors buildKnLm's list plus the (now folded) delta
+    // dirs: compacting a pre-versioning store (root == dir, no CURRENT)
+    // must clean the in-place tables and deltas it just superseded, or
+    // they strand at $dir as a half-migrated layout
+    graft.ext.Similarity.publishIndexVersion(fs, dir, v, legacyDirs =
+      Seq("c2", "ctx", "cont", "vocab", "meta", "c2_delta", "vocab_delta"))
   }
 
   /** Score documents against a PERSISTED KN LM — identical arithmetic to

@@ -99,12 +99,14 @@ object StreamingCorpus {
     * tables, so scores are BATCH-BOUNDARY INVARIANT: however the stream
     * chops the corpus, each doc's row equals the batch twin's
     * (spec-pinned). The LM root resolves per batch through the versioned
-    * CURRENT pointer, so a concurrent [[graft.ext.TextAnalysis.compactKnLm]]
-    * refresh flips atomically BETWEEN batches — a batch never reads torn
-    * tables, the exact frozen-LM/rolling-snapshot contract CCNet runs at
-    * crawl scale. Per-batch cost: three left joins against
-    * distinct-bigram-sized tables + one broadcast meta row; nothing
-    * corpus-proportional.
+    * CURRENT pointer, so a [[graft.ext.TextAnalysis.compactKnLm]]
+    * refresh taken while the stream is STOPPED is picked up cleanly on
+    * restart (the multimodal stop-compact-restart lifecycle discipline;
+    * publishIndexVersion deletes the superseded version immediately, so
+    * a compaction truly concurrent with an in-flight batch's scan would
+    * pull files out from under it — don't). Per-batch cost: three left
+    * joins against distinct-bigram-sized tables + one broadcast meta
+    * row; nothing corpus-proportional.
     */
   def knScoredIngest(docs: DataFrame, lmDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =

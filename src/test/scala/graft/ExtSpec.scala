@@ -3484,6 +3484,18 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     // compaction publishes the refreshed version
     TextAnalysis.appendToKnLm(spark, inc, snapB, batchId = Some(0L))
     TextAnalysis.appendToKnLm(spark, inc, snapB, batchId = Some(0L)) // replay: batch-owned overwrite
+    // partial-failure healing: simulate a crash BETWEEN the two delta
+    // writes (vocab landed, c2 — the commit point — did not) by deleting
+    // the c2 side; the auto-id retry must re-allocate the SAME id (ids
+    // derive from c2_delta) and overwrite the orphan, never double-count
+    val incRoot0 = Similarity.resolveIndexRoot(spark, inc)
+    val fs0 = new org.apache.hadoop.fs.Path(inc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(s"$incRoot0/c2_delta/batch=0"), true)
+    TextAnalysis.appendToKnLm(spark, inc, snapB) // auto id -> 0 again
+    assert(fs0.exists(new org.apache.hadoop.fs.Path(s"$incRoot0/c2_delta/batch=0")))
+    assert(!fs0.exists(new org.apache.hadoop.fs.Path(s"$incRoot0/c2_delta/batch=1")),
+      "retry after a mid-append crash must reuse the uncommitted id")
     assert(serve(inc) == frozen, "append tail must be serve-invisible")
     TextAnalysis.compactKnLm(spark, inc)
     // folded store == from-scratch rebuild over the union corpus, table
