@@ -482,6 +482,12 @@ object Bench {
     }
     // full-window closing anchor (drift bracket for the full run)
     val calibFullEnd = calibrate(spark)
+    // per-phase wall marks (r12 judge ask #6 follow-through): bench_wall_s
+    // alone can't say WHICH phase grew when the suite trend moves
+    val markFull = System.nanoTime()
+    val wallFullS = (markFull - wallStart) / 1e9
+    var wallProbeS = -1.0
+    var wallSf1S = -1.0
 
     // probe phase: pinned subset, fresh session, same protocol — the
     // low-population number that makes cross-round comparison honest
@@ -542,6 +548,8 @@ object Bench {
       // probe-window closing anchor: brackets every sf-probe timing
       // (before the sf1 generation perturbs the page cache)
       val calibPEnd = calibrate(ps)
+      val markProbe = System.nanoTime()
+      wallProbeS = (markProbe - markFull) / 1e9
       val s1 = if (doSf1) {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
         try {
@@ -573,7 +581,7 @@ object Bench {
           // a broken scale-up must read as broken, never as silently absent
           sf1Err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)}"
           Seq.empty
-        }
+        } finally wallSf1S = (System.nanoTime() - markProbe) / 1e9
       } else Seq.empty
       ps.stop()
       (prs, base, s1, calibPStart, calibPEnd, anchorBuf.toMap)
@@ -780,7 +788,7 @@ object Bench {
     // probe_deltas (the flag's top-5 localization) is fully redundant
     // with the rows map's per-row deltas — extra-rung/file-only
     val coreExtra =
-      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"family_s":$familyJson,"demoted":$demotedJson,"champion_coverage":$championCoverage""" +
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)}},"family_s":$familyJson,"demoted":$demotedJson,"champion_coverage":$championCoverage""" +
       (if (probeRegression.nonEmpty) s""","probe_deltas":$probeDeltas""" else "")
     val core = coreLean + coreExtra
     // population-bias caveat travels WITH the artifact: full-run per-query
