@@ -113,6 +113,44 @@ object PropertySpec extends Properties("graft") {
         c1.forall { case (a, b) => a >= 1 && a < p && b >= 0 && b < p }
     }
 
+  // hostile-input fuzz for the zero-dep container walkers: crawled media
+  // is adversarial by default, so the probes must be total functions —
+  // never throw, never hang, and any structure they DO claim must point
+  // inside the payload
+  private val rawBytes: Gen[Array[Byte]] =
+    Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+  private val riffHeaded: Gen[Array[Byte]] = for {
+    form <- Gen.oneOf("AVI ", "WAVE", "XXXX")
+    // include the crafted near-2^32 sizes that would walk backwards if
+    // ever reinterpreted as a negative Int
+    szBytes <- Gen.oneOf(
+      Gen.containerOfN[Array, Byte](4, Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.const(Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte)))
+    tail <- rawBytes
+  } yield "RIFF".getBytes("US-ASCII") ++ szBytes ++
+    form.getBytes("US-ASCII") ++ tail
+
+  property("aviMjpegFrames: total on arbitrary bytes; claimed frames are in-bounds JPEG starts") =
+    Prop.forAll(Gen.oneOf(rawBytes, riffHeaded)) { p =>
+      graft.ext.Multimodal.aviMjpegFrames(p) match {
+        case None => true
+        case Some(frames) => frames.nonEmpty && frames.forall { f =>
+          f.length >= 2 && (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8 &&
+            f.length <= p.length
+        }
+      }
+    }
+
+  property("wavMeta: total on arbitrary bytes; claimed data chunk is in-bounds") =
+    Prop.forAll(Gen.oneOf(rawBytes, riffHeaded)) { p =>
+      graft.ext.Multimodal.wavMeta(p) match {
+        case None => true
+        case Some((_, ch, bits, _, dataOff, dataLen, _)) =>
+          ch > 0 && bits > 0 && dataOff >= 12 && dataLen >= 0 &&
+            dataOff.toLong + dataLen <= p.length
+      }
+    }
+
   property("secrets: exactly the missing/blank required keys are reported") =
     Prop.forAll(Gen.someOf(graft.run.Secrets.RequiredKeys),
         Gen.someOf(graft.run.Secrets.RequiredKeys)) { (present, blank) =>
