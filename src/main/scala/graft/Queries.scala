@@ -1790,10 +1790,13 @@ object Queries {
     * used here because its bias-correction tables are engine-internal
     * and unreplayable; the classic estimator is public arithmetic.)
     *
-    * Scale shape: one lineitem scan, map-side partial `max` into
-    * (flag × metric × 1024) registers — O(m) state per group, O(m)
-    * shuffle bytes total, mergeable across any partitioning (the HLL
-    * property that makes it THE 100 TB cardinality operator).
+    * Scale shape: one full lineitem register pass — map-side partial
+    * `max` into (flag × metric × 1024) registers, O(m) state per group,
+    * O(m) shuffle bytes total, mergeable across any partitioning (the
+    * HLL property that makes it THE 100 TB cardinality operator) — plus
+    * a second, column-pruned key-enumeration scan (one string column,
+    * map-side-combined distinct; see the in-body note for why deriving
+    * the keys from the register frame does not actually save it).
     */
   def aggApproxDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
     val p = 10
@@ -1812,11 +1815,17 @@ object Queries {
       .groupBy(col("l_returnflag"), col("metric"), pmod(col("h"), lit(m.toLong)).as("j"))
       .agg(max(rank).as("mreg"))
     // complete the register file: absent registers are 0 (they carry the
-    // linear-counting zero count AND the 2^maxRank harmonic term). Group
-    // keys come from the already-aggregated `observed` frame (≤ groups×m
-    // rows), not a second lineitem scan — ReuseExchange serves both
-    // consumers from the one shuffle, so 'one lineitem scan' stays true
-    val regs = observed.select(col("l_returnflag"), col("metric")).distinct()
+    // linear-counting zero count AND the 2^maxRank harmonic term). Key
+    // enumeration is a SECOND, column-pruned scan (one string column,
+    // map-side-combined distinct — ~a percent of the register pass's
+    // bytes): deriving the keys from `observed` instead does NOT save
+    // the scan (measured: the optimizer collapses that side into its own
+    // direct aggregation over the source, the exchanges stop being
+    // canonically equal, and ReuseExchange never fires — the register
+    // aggregation would just run twice), so the honest scale shape is
+    // one register pass + one cheap key-enumeration pass
+    val regs = li.select(col("l_returnflag")).distinct()
+      .withColumn("metric", explode(array(lit("p"), lit("o"))))
       .withColumn("j", explode(sequence(lit(0L), lit((m - 1).toLong))))
     val reg = regs.join(observed, Seq("l_returnflag", "metric", "j"), "left")
       .select(col("l_returnflag"), col("metric"),
