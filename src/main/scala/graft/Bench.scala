@@ -503,6 +503,10 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1_REPS", "1").trim.toInt).getOrElse(1))
     var sf1Gen = -1.0
     var sf1Err = ""
+    // certified-fraction at the 10× scale (set inside the sf1 sweep):
+    // the spread derivation's coverage claim is SF-invariance (block
+    // size fixed, block count scales) — measure it, don't argue it
+    var champCovSf1 = "{}"
     val (probeResults, scaleBaseResults, sf1Results, calibProbeStart, calibProbeEnd,
         anchorPairs):
         (Seq[QRes], Seq[QRes], Seq[QRes], Double, Double, Map[String, (Double, Double)]) =
@@ -555,7 +559,7 @@ object Bench {
         try {
           sf1Gen = ScaleUp.ensure(ps, sfDir, sf1Dir, factor = 10)
           sweep(ps)
-          (probeSubset ++ probeAdditions ++ heavySubset).distinct.flatMap { n =>
+          val rows = (probeSubset ++ probeAdditions ++ heavySubset).distinct.flatMap { n =>
             byName.get(n).map { f =>
               val r1 = runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f)
               // heavy single-rep sf1 rows can land anywhere on the
@@ -577,6 +581,15 @@ object Bench {
               } else r1
             }
           }
+          // the sweep's spread row already built the sf1 indexes (cache
+          // keyed on the sf1 corpus fingerprint), so this is one bounded
+          // certificate aggregate per index — never fatal to the sweep
+          champCovSf1 = scala.util.Try {
+            SparkEntry.championCoverage(ps, sf1Dir).toSeq.sorted
+              .map { case (n, f) => jstr(n) + ":" + fmt("%.2f", f) }
+              .mkString("{", ",", "}")
+          }.getOrElse("{}")
+          rows
         } catch { case e: Throwable =>
           // a broken scale-up must read as broken, never as silently absent
           sf1Err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)}"
@@ -788,7 +801,7 @@ object Bench {
     // probe_deltas (the flag's top-5 localization) is fully redundant
     // with the rows map's per-row deltas — extra-rung/file-only
     val coreExtra =
-      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)}},"family_s":$familyJson,"demoted":$demotedJson,"champion_coverage":$championCoverage""" +
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)}},"family_s":$familyJson,"demoted":$demotedJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1""" +
       (if (probeRegression.nonEmpty) s""","probe_deltas":$probeDeltas""" else "")
     val core = coreLean + coreExtra
     // population-bias caveat travels WITH the artifact: full-run per-query
