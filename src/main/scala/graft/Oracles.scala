@@ -6396,7 +6396,8 @@ object Oracles {
     val cte =
       """spread AS (
         |  SELECT doc_id,
-        |    'ga' || CAST(doc_id // 16 AS VARCHAR) || ' gb' || CAST(doc_id // 32 AS VARCHAR)
+        |    repeat('ga' || CAST(doc_id // 16 AS VARCHAR) || ' ', CAST(doc_id % 16 AS INTEGER) + 1)
+        |    || 'gb' || CAST(doc_id // 32 AS VARCHAR)
         |    || ' gc' || CAST(doc_id // 64 AS VARCHAR) || ' gd' || CAST(doc_id // 128 AS VARCHAR)
         |    || ' ' || text AS text
         |  FROM documents

@@ -61,25 +61,34 @@ object SparkEntry {
     * pure Column arithmetic the DuckDB oracle replays verbatim) gives
     * the derived vocabulary exactly the impact spread a crawl corpus
     * has: df 16/32/64/128 at EVERY scale factor (block size is fixed,
-    * block count scales — so the certified fraction survives a 1000×
-    * corpus), idf spanning ln(N/16)…ln(N/128), and every tag posting
-    * inside the m=128 champion budget. The derived query panel (first
-    * 4 tokens by position = the 4 tags) certifies 5/5 at sf0.01
-    * (measured rank-5/6 gaps 0.098–1.64 vs ε≈1.04e-4), driving the
-    * champion serve + bounded re-score branch under the exact oracle.
+    * block count scales), idf spanning ln(N/16)…ln(N/128), and every
+    * tag posting inside the m=128 champion budget. The `ga` tag
+    * additionally repeats `doc_id % 16 + 1` times — a BLOCK-UNIQUE term
+    * frequency, so every doc in a 16-block scores strictly distinctly
+    * on its block tag and the rank-5/6 certificate boundary never ties.
+    * That tf spread is what makes the certified fraction survive a
+    * REPLICATED scale-up (r13 measured: without it, the 10× sf1 cache's
+    * word-scrambled copies preserve each original's word multiset, so
+    * same-block copies tie exactly and the certificate — correctly,
+    * soundness over coverage — certifies 0). The derived query panel
+    * (first 4 tokens by position = the 4 tags) certifies ~all queries
+    * at every SF, driving the champion serve + bounded re-score branch
+    * under the exact oracle.
     */
   private[graft] def withSpread(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     def tag(t: String, n: Int) = concat(lit(t),
       floor(col("doc_id") / n).cast("long").cast("string"))
+    val gaRep = expr("repeat(concat('ga', cast(doc_id div 16 as string), ' '), " +
+      "cast(doc_id % 16 as int) + 1)")
     d.withColumn("text", concat(
-      tag("ga", 16), lit(" "), tag("gb", 32), lit(" "),
+      gaRep, tag("gb", 32), lit(" "),
       tag("gc", 64), lit(" "), tag("gd", 128), lit(" "), col("text")))
   }
 
   private[graft] def bm25SpreadIndex(s: SparkSession, dir: String): String =
     graft.ext.IndexCache.ensure(s, dir, "bm25spread", table = "documents",
-      params = "v1,champions-m128") { d =>
+      params = "v2,ga-tf,champions-m128") { d =>
       TextAnalysis.buildBm25Index(withSpread(docs(s, dir)), d)
     }
 

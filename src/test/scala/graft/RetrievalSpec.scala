@@ -254,6 +254,32 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(certd) == rows(exact))
   }
 
+  test("spread certificate coverage survives a 10x REPLICATED scale-up (block-unique ga term frequency)") {
+    // the exact regression r13 caught in champion_coverage_sf1: the
+    // scale-up word-scrambles copies but PRESERVES each original's word
+    // multiset, so same-block copies used to tie exactly at the rank-5/6
+    // boundary and the certificate (correctly) certified 0. The ga tag's
+    // doc_id%16+1 repetitions give every doc in a 16-block a distinct
+    // block-tag tf, so coverage survives replication instead of relying
+    // on corpus-length spread.
+    val scaled = java.nio.file.Files.createTempDirectory("graft-spread-10x").toString
+    graft.ScaleUp.ensure(spark, sf, scaled, factor = 10)
+    val docs = SparkEntry.withSpread(Queries.table(spark, scaled, "documents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread-10x-idx").toString
+    TextAnalysis.buildBm25Index(docs, dir)
+    val cert = TextAnalysis.bm25ChampionCertificate(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val frac = cert.values.count(identity).toDouble / cert.size
+    assert(cert.size >= 40 && frac > 0.5,
+      s"replicated corpus must keep certifying: $frac of ${cert.size}")
+    // and the composed serve on the replicated corpus stays row-identical
+    // to the exact serve (the oracle contract, checked in-session here)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TextAnalysis.bm25TopKCertified(spark, dir)) ==
+      rows(TextAnalysis.bm25TopKFromIndex(spark, dir)))
+  }
+
   test("gapfill densifies each user's span and forward-fills values") {
     val res = Queries.eventsGapfill(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
