@@ -42,6 +42,10 @@ def main(sf_dir, out_dir, json_out=None):
             duck_df = con.execute(sql).fetchdf()
             sc, sr = frame_key(spark_df)
             dc, dr = frame_key(duck_df)
+            # field semantics (r13 advisor): rows_match is a row-COUNT
+            # match only (mirroring the driver artifact's shape); value
+            # equality is carried by hash_match alone. Consumers must
+            # require all three flags (closeout.py does).
             verdicts[name] = {
                 "rows_match": len(sr) == len(dr),
                 "schema_match": sc == dc,

@@ -111,7 +111,21 @@ object Bench {
     // The spread certified row is the round's NEW production branch
     // (champion serve + bounded re-score actually firing) — its sf1
     // exponent is the scale evidence for the tier
-    "text_bm25_certified_spread")
+    "text_bm25_certified_spread",
+    // r14: the two sf10 flagship rows that had no sf1 denominator —
+    // without a base+sf1 time their sf10 exponents were uncomputable
+    "dedup_containment_index", "sim_topk_ivf_index")
+
+  /** r13 judge ask #3: flagship serving rows probed one more decade up
+    * (sf1_cache × 10 → sf10_cache), single rep, so the scale grade
+    * rests on exponents measured over TWO decades (sf0.1→sf1→sf10)
+    * instead of one hop plus plan arguments. Keep this list short — the
+    * sf10 pass pays each row's index build at 100× the base SF.
+    */
+  val sf10Subset: Seq[String] = Seq(
+    "text_bm25_certified_spread", "retrieval_eval_certified",
+    "dedup_containment_index", "sim_topk_ivf_index",
+    "agg_approx_distinct_sketch")
 
   /** The prior round's regression baseline, BUNDLED (r10 advisor
     * finding: three separately hardcoded values that had to be updated
@@ -431,8 +445,20 @@ object Bench {
     // skips the probe phase (you're already running an isolated subset)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // sampled-cadence ledger (r13 stretch #8): composition rows run
+    // every k-th round (SparkEntry.sampledCadence); skipped rounds list
+    // them in `sampled_out` with their cadence. An unknown live round
+    // (no VERDICT.md — library users, ad-hoc runs) runs everything, as
+    // does an explicit BENCH_ONLY selection or SPARK_GRAFT_BENCH_SAMPLED=all.
+    val liveRound = currentRound()
+    val sampledOut: Map[String, Int] =
+      if (only.nonEmpty || sys.env.get("SPARK_GRAFT_BENCH_SAMPLED").contains("all"))
+        Map.empty
+      else SparkEntry.sampledCadence.filter { case (_, k) =>
+        liveRound.exists(_ % k != 0) }
     val entries = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => SparkEntry.verifierOnly(name) }
+      .filterNot { case (name, _) => sampledOut.contains(name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     val spark = newSession(cpus)
@@ -457,6 +483,19 @@ object Bench {
       if (only.nonEmpty) "{}"
       else scala.util.Try {
         SparkEntry.championCoverage(spark, sfDir).toSeq.sorted
+          .map { case (n, f) => jstr(n) + ":" + fmt("%.2f", f) }
+          .mkString("{", ",", "}")
+      }.getOrElse("{}")
+    // ANN recall telemetry (r13 judge ask #2): recall@k of every
+    // approximate similarity family vs the exact brute-force top-k on
+    // the standard panel, at the bench SF — the ExtSpec floors hold only
+    // at toy scale; this makes a retrieval-quality regression on a
+    // future corpus artifact-visible. Same skip/never-fatal contract as
+    // champion_coverage.
+    val annRecall: String =
+      if (only.nonEmpty) "{}"
+      else scala.util.Try {
+        SparkEntry.annRecall(spark, sfDir).toSeq.sorted
           .map { case (n, f) => jstr(n) + ":" + fmt("%.2f", f) }
           .mkString("{", ",", "}")
       }.getOrElse("{}")
@@ -507,6 +546,13 @@ object Bench {
     // the spread derivation's coverage claim is SF-invariance (block
     // size fixed, block count scales) — measure it, don't argue it
     var champCovSf1 = "{}"
+    // sf10 decade probe (r13 ask #3) + calm-window gate (r13 ask #6)
+    // state, surfaced in the artifact
+    var probeWindowSpreads: Seq[Double] = Seq.empty
+    var sf10Gen = -1.0
+    var sf10Err = ""
+    var wallSf10S = -1.0
+    var sf10Results: Seq[QRes] = Seq.empty
     val (probeResults, scaleBaseResults, sf1Results, calibProbeStart, calibProbeEnd,
         anchorPairs):
         (Seq[QRes], Seq[QRes], Seq[QRes], Double, Double, Map[String, (Double, Double)]) =
@@ -515,11 +561,12 @@ object Bench {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       System.gc()
-      val ps = newSession(cpus)
-      val calibPStart = calibrate(ps)
       val byName = entries.toMap
-      // interleaved per-row anchors (r11 ask #3): ONE calibration pass
-      // after every probe-session row gives each row a (prev, next)
+      def winSpread(a: Double, b: Double): Double =
+        if (a > 0 && b > 0) math.abs(a - b) / math.min(a, b) else 0.0
+      // ONE fresh-session probe window: pinned rows + heavy base times
+      // with interleaved per-row anchors (r11 ask #3): ONE calibration
+      // pass after every probe-session row gives each row a (prev, next)
       // anchor pair, so its cross-round delta can be drift-normalized
       // in-artifact — r11 burned a 20+-run manual A/B to adjudicate a
       // single probe delta because only the WINDOW total had an anchor.
@@ -528,30 +575,67 @@ object Bench {
       // other anchor (r12 reviewer catch: seeding with the min-of-2
       // calibPStart sat ~12% below the session's single-pass mean and
       // built a phantom regression into row 1's delta every round).
-      var prevAnchor = calibPass(ps)
-      val anchorBuf = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-      def runAnchored(rr: Int, wu: Boolean)(
-          n: String, f: (SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
-        val r = runOne(ps, sfDir, rr, wu)(n, f)
-        val a = calibPass(ps)
-        anchorBuf(n) = (prevAnchor, a)
-        prevAnchor = a
-        r
+      def probeWindow(): (SparkSession, Seq[QRes], Seq[QRes], Double, Double,
+          Map[String, (Double, Double)]) = {
+        val ps = newSession(cpus)
+        val calibPStart = calibrate(ps)
+        var prevAnchor = calibPass(ps)
+        val anchorBuf = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+        def runAnchored(rr: Int, wu: Boolean)(
+            n: String, f: (SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
+          val r = runOne(ps, sfDir, rr, wu)(n, f)
+          val a = calibPass(ps)
+          anchorBuf(n) = (prevAnchor, a)
+          prevAnchor = a
+          r
+        }
+        val prs = (probeSubset ++ probeAdditions).distinct.flatMap { n =>
+          byName.get(n).map(f => runAnchored(reps, warmup)(n, f))
+        }
+        // single-rep fresh-session base times for the heavy queries not
+        // in the probe — the sf-exponent denominator must come from the
+        // same low-population session as the sf1 numerator, never the
+        // biased full-run mins
+        val probeNames = prs.map(_.name).toSet
+        val base = heavySubset.filterNot(probeNames).flatMap { n =>
+          byName.get(n).map(f => runAnchored(sf1Reps, wu = true)(n, f))
+        }
+        // probe-window closing anchor: brackets every sf-probe timing
+        // (before the sf1 generation perturbs the page cache)
+        val calibPEnd = calibrate(ps)
+        (ps, prs, base, calibPStart, calibPEnd, anchorBuf.toMap)
       }
-      val prs = (probeSubset ++ probeAdditions).distinct.flatMap { n =>
-        byName.get(n).map(f => runAnchored(reps, warmup)(n, f))
+      // calm-window gate (r13 judge ask #6): a window whose bracketing
+      // anchors spread beyond SPARK_GRAFT_CALM_SPREAD (default 1.5 —
+      // r13 committed samples at drift_spread 2.60/0.91 and burned two
+      // full local reruns + a solo A/B adjudicating them as machine
+      // noise) re-runs ONCE in a fresh session. The artifact records
+      // every window's spread (`probe_windows`) and which one carried
+      // the round's numbers (`probe_window_used`), so a noisy committed
+      // sample is self-qualifying instead of a manual protocol.
+      val calmSpread = math.max(0.0, scala.util.Try(
+        sys.env.getOrElse("SPARK_GRAFT_CALM_SPREAD", "1.5").trim.toDouble)
+        .getOrElse(1.5))
+      var windows = Seq(probeWindow())
+      if (winSpread(windows.head._4, windows.head._5) > calmSpread) {
+        windows.head._1.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        System.gc()
+        windows = windows :+ probeWindow()
       }
-      // single-rep fresh-session base times for the heavy queries not in
-      // the probe — the sf-exponent denominator must come from the same
-      // low-population session as the sf1 numerator, never the biased
-      // full-run mins
-      val probeNames = prs.map(_.name).toSet
-      val base = heavySubset.filterNot(probeNames).flatMap { n =>
-        byName.get(n).map(f => runAnchored(sf1Reps, wu = true)(n, f))
-      }
-      // probe-window closing anchor: brackets every sf-probe timing
-      // (before the sf1 generation perturbs the page cache)
-      val calibPEnd = calibrate(ps)
+      probeWindowSpreads = windows.map(x => winSpread(x._4, x._5))
+      // the calmer window carries the probe numbers (its anchors, its
+      // deltas); the LAST window's session is the live one (any
+      // predecessor is stopped) and runs the scale sweeps — two noisy
+      // windows in a row mean the machine, and the drift envelope
+      // widens with the reported spread either way
+      val w = windows.minBy(x => winSpread(x._4, x._5))
+      val ps = windows.last._1
+      val prs = w._2
+      val base = w._3
+      val calibPStart = w._4
+      val calibPEnd = w._5
       val markProbe = System.nanoTime()
       wallProbeS = (markProbe - markFull) / 1e9
       val s1 = if (doSf1) {
@@ -596,8 +680,33 @@ object Bench {
           Seq.empty
         } finally wallSf1S = (System.nanoTime() - markProbe) / 1e9
       } else Seq.empty
+      // sf10 decade probe (r13 ask #3): replicate the sf1 cache one more
+      // 10× hop and single-rep the flagship serving rows, so the
+      // artifact's scale exponents span sf0.1→sf1→sf10 (two decades) —
+      // a driver-side constant the 10× hop hides shows up here. Warmup
+      // stays ON (the first sf10 run pays each row's index-cache build
+      // at the new corpus fingerprint — that is build cost, not scaling
+      // cost). Disk: sf10_cache ≈ 10× sf1_cache (~1.6 GB), one rep only.
+      val doSf10 = doSf1 && s1.nonEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SF10", "1") != "0"
+      if (doSf10) {
+        val markSf10 = System.nanoTime()
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "sf10_cache")
+        try {
+          sf10Gen = ScaleUp.ensure(ps,
+            sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache"),
+            sf10Dir, factor = 10)
+          sweep(ps)
+          sf10Results = sf10Subset.flatMap { n =>
+            byName.get(n).map(f => runOne(ps, sf10Dir, 1, warmup = true)(n, f))
+          }
+        } catch { case e: Throwable =>
+          // a broken decade probe must read as broken, never as absent
+          sf10Err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)}"
+        } finally wallSf10S = (System.nanoTime() - markSf10) / 1e9
+      }
       ps.stop()
-      (prs, base, s1, calibPStart, calibPEnd, anchorBuf.toMap)
+      (prs, base, s1, calibPStart, calibPEnd, w._6)
     } else { spark.stop(); (Seq.empty, Seq.empty, Seq.empty, -1.0, -1.0,
       Map.empty[String, (Double, Double)]) }
 
@@ -726,6 +835,22 @@ object Bench {
     val scaleBaseMap = scaleBaseResults.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
     val sf1Min = sf1Results.map(r => r.name -> r.min).toMap
+    // decade-probe rows: [sf10 seconds, sf1→sf10 exponent] per flagship
+    val sf10Json = sf10Results.map { r =>
+      val s1v = sf1Min.getOrElse(r.name, -1.0)
+      val e = if (r.min > 0 && s1v > 0) fmt("%.2f", math.log10(r.min / s1v))
+              else "-1"
+      jstr(r.name) + ":[" + jnum2(r.min) + "," + e + "]"
+    }.mkString("{", ",", "}")
+    // calm-window gate verdict: every probe window's anchor spread and
+    // which one carried the round's numbers (1-based; -1 = no probe)
+    val probeWindowsJson = probeWindowSpreads.map(s => fmt("%.2f", s))
+      .mkString("[", ",", "]")
+    val probeWindowUsed =
+      if (probeWindowSpreads.isEmpty) -1
+      else probeWindowSpreads.indexOf(probeWindowSpreads.min) + 1
+    val sampledOutJson = sampledOut.toSeq.sorted
+      .map { case (n, k) => jstr(n) + ":" + k }.mkString("{", ",", "}")
     // THE UNIFIED PER-ROW MAP (r11 asks #3/#5/#6): one entry per
     // probe-session row carrying its whole cross-round story —
     // [probe_min_s, delta_norm, sf1_s, sf1_exp] (-1 = not measured /
@@ -795,13 +920,14 @@ object Bench {
     // core splits into the INVARIANT adjudication fields (every rung)
     // and secondary fields lean rungs may shed (all still in bench_out)
     val coreLean =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)}""" +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_windows":$probeWindowsJson,"probe_window_used":$probeWindowUsed,"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)}""" +
       (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
-      (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "")
+      (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "") +
+      (if (sf10Err.nonEmpty) s""","sf10_error":${jstr(sf10Err)}""" else "")
     // probe_deltas (the flag's top-5 localization) is fully redundant
     // with the rows map's per-row deltas — extra-rung/file-only
     val coreExtra =
-      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)}},"family_s":$familyJson,"demoted":$demotedJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1""" +
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"sf10_gen_s":${jnum(sf10Gen)},"sf10_rows":$sf10Json,"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)},"sf10":${fmt("%.0f", wallSf10S)}},"family_s":$familyJson,"demoted":$demotedJson,"sampled_out":$sampledOutJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1,"ann_recall":$annRecall""" +
       (if (probeRegression.nonEmpty) s""","probe_deltas":$probeDeltas""" else "")
     val core = coreLean + coreExtra
     // population-bias caveat travels WITH the artifact: full-run per-query
@@ -855,7 +981,7 @@ object Bench {
       if (d > 0) Some(jstr(n) + ":" + fmt("%.3f", d)) else None
     }.mkString("{", ",", "}")
     val fileJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"probe_anchors":$anchorsJson,"probe_deltas_normalized":$deltasJson,"scale_base":$scaleBaseMap,"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},$rowsFmt,"rows":$rowsJson,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","note":"$biasNote","queries":${fullMap(_.min.toString)(results)},"medians":${fullMap(_.med.toString)(results)},"runs":${fullMap(_.runs.mkString("[", ",", "]"))(results)},"warmups":${fullMap(_.warm.toString)(results)},"probe":${fullMap(_.min.toString)(probeResults)},"probe_runs":${fullMap(_.runs.mkString("[", ",", "]"))(probeResults)},"probe_anchors":$anchorsJson,"probe_deltas_normalized":$deltasJson,"scale_base":$scaleBaseMap,"sf1_probe":${fullMap(_.min.toString)(sf1Results)},"sf1_runs":${fullMap(_.runs.mkString("[", ",", "]"))(sf1Results)},"sf1_warmups":${fullMap(_.warm.toString)(sf1Results)},"sf10_probe":${fullMap(_.min.toString)(sf10Results)},"sf10_warmups":${fullMap(_.warm.toString)(sf10Results)},$rowsFmt,"rows":$rowsJson,$core,"rep_anomalies":$anomalies,"anomaly_recheck":$recheckJson,"recheck_runs":${fullMap(_.runs.mkString("[", ",", "]"))(recheck.values.toSeq)},"errors":$errs,"skipped":$skipped,"sf":"$sfDir"}"""
     println(stdoutLine)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

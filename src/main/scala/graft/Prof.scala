@@ -440,11 +440,12 @@ object Prof {
       // retrieval_eval join shape, where pruning matters most.
       import graft.ext.{IndexCache, TextAnalysis}
       val idx = IndexCache.ensure(spark, sfDir, "bm25", table = "documents",
-        params = "v3,champions-m128") { d =>
+        params = "v4,versioned,champions-m128") { d =>
         TextAnalysis.buildBm25Index(Queries.table(spark, sfDir, "documents"), d)
       }
-      val full = spark.read.parquet(s"$idx/tf").count()
-      val top = spark.read.parquet(s"$idx/tf_top").count()
+      val idxRoot = graft.ext.Similarity.resolveIndexRoot(spark, idx)
+      val full = spark.read.parquet(s"$idxRoot/tf").count()
+      val top = spark.read.parquet(s"$idxRoot/tf_top").count()
       println(f"PROF wand postings: full=$full champions=$top (${100.0 * top / full}%.1f%%)")
       def exact() = noop(TextAnalysis.bm25TopKFromIndex(spark, idx,
         queryTerms = 16, topK = 10, maxQueries = 30))
@@ -488,7 +489,8 @@ object Prof {
       val docs = Queries.table(spark, sfDir, "documents")
       val idxDir = sys.props("java.io.tmpdir") + "/graft_prof_bm25_idx"
       time("build")({ graft.ext.TextAnalysis.buildBm25Index(docs, idxDir); 0L })
-      val tf = spark.read.parquet(s"$idxDir/tf")
+      val tf = spark.read.parquet(
+        s"${graft.ext.Similarity.resolveIndexRoot(spark, idxDir)}/tf")
       time("tf_rows")(tf.count())
       val q = tf.filter(col("doc_id") % 100 === 0 && col("doc_id") < 20000)
         .withColumn("rk", row_number().over(

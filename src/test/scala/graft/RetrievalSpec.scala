@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.{FuzzyJoin, TextAnalysis}
+import graft.ext.{FuzzyJoin, Similarity, TextAnalysis}
 
 /** BM25 retrieval, edit-distance fuzzy join, and calendar gap-fill:
   * blocking exactness vs brute force, hand-computed score parity, and
@@ -121,12 +121,13 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Queries.table(spark, sf, "documents")
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-champ").toString
     TextAnalysis.buildBm25Index(docs, dir, mChampions = 64)
+    val root = Similarity.resolveIndexRoot(spark, dir)
     // the prefix must actually engage: common tokens carry more postings
     // than the champion budget at this corpus size
-    val fullN = spark.read.parquet(s"$dir/tf").count()
-    val champN = spark.read.parquet(s"$dir/tf_top").count()
+    val fullN = spark.read.parquet(s"$root/tf").count()
+    val champN = spark.read.parquet(s"$root/tf_top").count()
     assert(champN < fullN, s"champion prefix did not prune ($champN of $fullN)")
-    val overBudget = spark.read.parquet(s"$dir/tf_top")
+    val overBudget = spark.read.parquet(s"$root/tf_top")
       .groupBy("token").count().filter(org.apache.spark.sql.functions.col("count") > 64)
       .count()
     assert(overBudget == 0L)
@@ -173,7 +174,8 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-zipf").toString
     TextAnalysis.buildBm25Index(docs, dir, mChampions = 16)
     // fillers pruned (df 300 > 16), group/uniq tokens intact (df <= 16)
-    val champCounts = spark.read.parquet(s"$dir/tf_top")
+    val champCounts = spark.read.parquet(
+        s"${Similarity.resolveIndexRoot(spark, dir)}/tf_top")
       .groupBy("token").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(champCounts("f0") == 16L && champCounts("g0") == 10L)

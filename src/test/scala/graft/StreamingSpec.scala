@@ -395,6 +395,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(outDir).select("batch").distinct().count() == 3)
   }
 
+  test("streaming certified-BM25 serve: frozen-index hits are batch-boundary invariant, coverage-gated per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen champion index over the SPREAD corpus (the regime whose
+    // certificate actually fires — PlanSpec pins coverage > 0 at this SF)
+    val corpus = SparkEntry.withSpread(
+      Queries.table(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("text")))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bm25-stream-idx").toString
+    graft.ext.TextAnalysis.buildBm25Index(corpus, idxDir)
+    // the query stream = the batch panel's own documents (every 100th),
+    // so the batch twin's rows are the exact expectation
+    val rows = corpus.filter(col("doc_id") % 100 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length >= 3, s"need >= 3 query docs, got ${rows.length}")
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val docs = rows.zipWithIndex.map { case ((id, t), i) =>
+      CorpusDoc(id, t, "en", "s", new Timestamp(t0 + i * 1000L)) }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bm25-stream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-stream-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.certifiedServeIngest(
+      mem.toDF(), idxDir, outDir, ckpt)
+    // three deliberately uneven chops: invariance means the chop points
+    // cannot matter (scoring is per-query against frozen tables)
+    val (c1, rest) = docs.splitAt(1)
+    val (c2, c3) = rest.splitAt(docs.length / 2)
+    try {
+      mem.addData(c1.toSeq: _*); q.processAllAvailable()
+      mem.addData(c2.toSeq: _*); q.processAllAvailable()
+      mem.addData(c3.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(key).toSet
+    // batch twin: the composed certified serve over the index's own
+    // panel (same queryEvery=100/terms=4/topK=5 defaults)
+    val twin = graft.ext.TextAnalysis.bm25TopKCertified(spark, idxDir)
+      .collect().map(key).toSet
+    assert(twin.nonEmpty && streamed == twin,
+      s"missed=${twin.diff(streamed).take(3)} extra=${streamed.diff(twin).take(3)}")
+    assert(spark.read.parquet(outDir).select("batch").distinct().count() == 3)
+    // per-batch coverage gate landed beside the hits, and the spread
+    // regime certifies a nonzero fraction overall
+    val cov = spark.read.parquet(s"$outDir/_coverage")
+      .selectExpr("sum(n_queries)", "sum(n_certified)").collect()(0)
+    assert(cov.getLong(0) == rows.length.toLong, cov.toString)
+    assert(cov.getLong(1) > 0L, s"spread stream should certify: $cov")
+  }
+
   test("streaming within-batch near-dup stage matches the batch pipeline on a single batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
