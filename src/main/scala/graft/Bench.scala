@@ -917,19 +917,24 @@ object Bench {
     val demotedJson = SparkEntry.servingTwin.toSeq.sorted
       .map { case (ex, tw) => jstr(ex) + ":" + jstr(tw) }
       .mkString("{", ",", "}")
-    // core splits into the INVARIANT adjudication fields (every rung)
-    // and secondary fields lean rungs may shed (all still in bench_out)
+    // core splits into three tiers: INVARIANT adjudication fields
+    // (coreLean — every rung), round-telemetry fields the judge reads
+    // (coreExtra — shed only by last-resort rungs), and fields fully
+    // redundant with other artifact data (coreAux — shed first; all
+    // still in bench_out)
     val coreLean =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_windows":$probeWindowsJson,"probe_window_used":$probeWindowUsed,"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)}""" +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_windows":$probeWindowsJson,"probe_window_used":$probeWindowUsed,"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)},"sf10":${fmt("%.0f", wallSf10S)}}""" +
       (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "") +
       (if (sf10Err.nonEmpty) s""","sf10_error":${jstr(sf10Err)}""" else "")
-    // probe_deltas (the flag's top-5 localization) is fully redundant
-    // with the rows map's per-row deltas — extra-rung/file-only
     val coreExtra =
-      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)},"sf1_gen_s":${jnum(sf1Gen)},"sf10_gen_s":${jnum(sf10Gen)},"sf10_rows":$sf10Json,"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)},"sf10":${fmt("%.0f", wallSf10S)}},"family_s":$familyJson,"demoted":$demotedJson,"sampled_out":$sampledOutJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1,"ann_recall":$annRecall""" +
+      s""","sf1_gen_s":${jnum(sf1Gen)},"sf10_gen_s":${jnum(sf10Gen)},"sf10_rows":$sf10Json,"family_s":$familyJson,"demoted":$demotedJson,"sampled_out":$sampledOutJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1,"ann_recall":$annRecall"""
+    // probe_deltas (the flag's top-5 localization) is fully redundant
+    // with the rows map's per-row deltas — aux-rung/file-only
+    val coreAux =
+      s""","value_median":${jnum(totalMed)},"probe_total":${jnum(probeTotal)},"probe_normalized_full":${jnum(probeNormFull)}""" +
       (if (probeRegression.nonEmpty) s""","probe_deltas":$probeDeltas""" else "")
-    val core = coreLean + coreExtra
+    val core = coreLean + coreExtra + coreAux
     // population-bias caveat travels WITH the artifact: full-run per-query
     // mins run 1.3-8.5x above isolated reruns of the same build (shared-
     // session JVM state), so cross-round comparison must use the probe
@@ -940,11 +945,13 @@ object Bench {
     val rowsFmt = """"rows_fmt":"probe,delta,sf1,exp""""
     def line(withQueries: Boolean, withSkipped: Boolean, anomalyJson: String,
         recheckStr: String, topN: Int, lean: Boolean = false,
-        withSf1Runs: Boolean = true): String =
+        withSf1Runs: Boolean = true, aux: Boolean = true): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec",""" +
         (if (withQueries) s""""queries":$mins,"errors":$errs,"note":"$biasNote","""
          else s""""queries_top":${queriesTopJson(topN)},"errors":{},""") +
-        (if (lean) coreLean else core) +
+        (if (lean) coreLean
+         else if (aux) core
+         else coreLean + coreExtra) +
         s""","rep_anomalies":$anomalyJson,"anomaly_recheck":$recheckStr,""" +
         s"""$rowsFmt,"rows":$rowsJson""" +
         (if (withSf1Runs) s""","sf1_runs":$sf1RunsJson""" else "") +
@@ -965,9 +972,15 @@ object Bench {
       line(withQueries = true,  withSkipped = true,  anomalies, recheckJson, 20),
       line(withQueries = false, withSkipped = true,  anomalies, recheckJson, 20),
       line(withQueries = false, withSkipped = false, anomalies, recheckJson, 20),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 20, lean = true),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 12, lean = true),
-      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 8,  lean = true),
+      // aux-shedding rungs: keep the round-telemetry maps (sf10_rows,
+      // wall_phases, sampled_out, champion_coverage, ann_recall) while
+      // dropping the redundant aux fields and shrinking top-N — the
+      // telemetry must reach the driver artifact before raw full-run
+      // rows do
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 12, aux = false),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 5,  aux = false, withSf1Runs = false),
+      line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 0,  aux = false, withSf1Runs = false),
+      // last-resort rungs: invariant adjudication fields only
       line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 5,  lean = true, withSf1Runs = false),
       line(withQueries = false, withSkipped = false, anomaliesCompact, recheckCompact, 0,  lean = true, withSf1Runs = false))
     val stdoutLine = candidates.find(_.length <= 1950).getOrElse(candidates.last)
