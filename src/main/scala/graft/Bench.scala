@@ -625,13 +625,17 @@ object Bench {
         windows = windows :+ probeWindow()
       }
       probeWindowSpreads = windows.map(x => winSpread(x._4, x._5))
-      // the calmer window carries the probe numbers (its anchors, its
-      // deltas); the LAST window's session is the live one (any
-      // predecessor is stopped) and runs the scale sweeps — two noisy
-      // windows in a row mean the machine, and the drift envelope
-      // widens with the reported spread either way
-      val w = windows.minBy(x => winSpread(x._4, x._5))
-      val ps = windows.last._1
+      // the LAST window carries the round's numbers AND runs the scale
+      // sweeps in its own session — the sf-exponent denominator must
+      // come from the same session as the sf1 numerator (the invariant
+      // documented at the base-times pass above; review finding: picking
+      // the calmer of two windows would pair window 1's denominators
+      // with window 2's sweep session). The retry exists to give a
+      // noisy first window one fresh chance; if the retry is noisy too,
+      // the machine is noisy, both spreads ship in `probe_windows`, and
+      // the drift envelope widens with the reported spread
+      val w = windows.last
+      val ps = w._1
       val prs = w._2
       val base = w._3
       val calibPStart = w._4
@@ -693,9 +697,21 @@ object Bench {
         val markSf10 = System.nanoTime()
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "sf10_cache")
         try {
-          sf10Gen = ScaleUp.ensure(ps,
-            sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache"),
-            sf10Dir, factor = 10)
+          val sf1DirPath = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
+          // staleness propagates down the cache chain (review finding):
+          // the sf1 marker's content+mtime ride the sf10 signature, so
+          // an sf1_cache regenerated in place (different base SF,
+          // regenerated testdata) forces the sf10 replica to rebuild
+          // instead of silently pairing two different corpora in the
+          // published exponents
+          val sf1Marker = java.nio.file.Paths.get(sf1DirPath, "_SCALED_OK")
+          val srcSig =
+            if (java.nio.file.Files.exists(sf1Marker))
+              new String(java.nio.file.Files.readAllBytes(sf1Marker), "UTF-8") +
+                "@" + java.nio.file.Files.getLastModifiedTime(sf1Marker).toMillis
+            else ""
+          sf10Gen = ScaleUp.ensure(ps, sf1DirPath, sf10Dir, factor = 10,
+            srcSig = srcSig)
           sweep(ps)
           sf10Results = sf10Subset.flatMap { n =>
             byName.get(n).map(f => runOne(ps, sf10Dir, 1, warmup = true)(n, f))
@@ -835,20 +851,25 @@ object Bench {
     val scaleBaseMap = scaleBaseResults.map(r => jstr(r.name) + ":" + jnum(r.min))
       .mkString("{", ",", "}")
     val sf1Min = sf1Results.map(r => r.name -> r.min).toMap
-    // decade-probe rows: [sf10 seconds, sf1→sf10 exponent] per flagship
+    // decade-probe rows: [sf10 seconds, sf1→sf10 exponent] per flagship.
+    // A row that ERRORED at sf10 must read as broken, not as skipped
+    // (review finding): its exception ships in sf10_errors
     val sf10Json = sf10Results.map { r =>
       val s1v = sf1Min.getOrElse(r.name, -1.0)
       val e = if (r.min > 0 && s1v > 0) fmt("%.2f", math.log10(r.min / s1v))
               else "-1"
       jstr(r.name) + ":[" + jnum2(r.min) + "," + e + "]"
     }.mkString("{", ",", "}")
+    val sf10Errs = sf10Results
+      .collect { case r if r.err.nonEmpty => jstr(r.name) + ":" + jstr(r.err.get) }
+      .mkString("{", ",", "}")
     // calm-window gate verdict: every probe window's anchor spread and
-    // which one carried the round's numbers (1-based; -1 = no probe)
+    // which one carried the round's numbers (1-based; -1 = no probe).
+    // Always the LAST window — its session also runs the scale sweeps
     val probeWindowsJson = probeWindowSpreads.map(s => fmt("%.2f", s))
       .mkString("[", ",", "]")
     val probeWindowUsed =
-      if (probeWindowSpreads.isEmpty) -1
-      else probeWindowSpreads.indexOf(probeWindowSpreads.min) + 1
+      if (probeWindowSpreads.isEmpty) -1 else probeWindowSpreads.length
     val sampledOutJson = sampledOut.toSeq.sorted
       .map { case (n, k) => jstr(n) + ":" + k }.mkString("{", ",", "}")
     // THE UNIFIED PER-ROW MAP (r11 asks #3/#5/#6): one entry per
@@ -928,7 +949,8 @@ object Bench {
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "") +
       (if (sf10Err.nonEmpty) s""","sf10_error":${jstr(sf10Err)}""" else "")
     val coreExtra =
-      s""","sf1_gen_s":${jnum(sf1Gen)},"sf10_gen_s":${jnum(sf10Gen)},"sf10_rows":$sf10Json,"family_s":$familyJson,"demoted":$demotedJson,"sampled_out":$sampledOutJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1,"ann_recall":$annRecall"""
+      s""","sf1_gen_s":${jnum(sf1Gen)},"sf10_gen_s":${jnum(sf10Gen)},"sf10_rows":$sf10Json,"family_s":$familyJson,"demoted":$demotedJson,"sampled_out":$sampledOutJson,"champion_coverage":$championCoverage,"champion_coverage_sf1":$champCovSf1,"ann_recall":$annRecall""" +
+      (if (sf10Results.exists(_.err.nonEmpty)) s""","sf10_errors":$sf10Errs""" else "")
     // probe_deltas (the flag's top-5 localization) is fully redundant
     // with the rows map's per-row deltas — aux-rung/file-only
     val coreAux =

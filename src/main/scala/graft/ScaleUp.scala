@@ -91,14 +91,22 @@ object ScaleUp {
 
   /** Generate (or reuse) a `factor`× scale-up of `srcDir` under `outDir`.
     * Returns the generation wall-clock in seconds, 0.0 when the cached
-    * output was reused. The marker records source + factor; a different
-    * source dir or factor forces a regeneration rather than serving a
-    * mismatched corpus.
+    * output was reused. The marker records source + factor (+ an
+    * optional caller-supplied upstream signature); a mismatch on any of
+    * them forces a regeneration rather than serving a mismatched corpus.
+    *
+    * `srcSig` matters when `srcDir` is ITSELF a scale-up cache (the
+    * sf10 chain): the path alone can't see that the upstream cache was
+    * regenerated in place from a different base, which would silently
+    * pair this cache's old corpus with the upstream's new one — pass
+    * the upstream marker's content+mtime so staleness propagates down
+    * the chain (r14 review finding).
     */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int = 10): Double = {
+      factor: Int = 10, srcSig: String = ""): Double = {
     require(factor >= 2, s"scale-up factor must be >= 2, got $factor")
-    val sig = s"src=$srcDir;factor=$factor"
+    val sig = s"src=$srcDir;factor=$factor" +
+      (if (srcSig.isEmpty) "" else s";srcsig=$srcSig")
     val m = marker(outDir)
     if (java.nio.file.Files.exists(m) &&
         new String(java.nio.file.Files.readAllBytes(m), "UTF-8") == sig)

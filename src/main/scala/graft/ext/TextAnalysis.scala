@@ -3302,7 +3302,7 @@ object TextAnalysis {
     // re-score and fallback (queries×terms rows, eagerly materialized)
     val qtokens = bm25Panel(tf, queryEvery, queryTerms, maxQueries)
       .localCheckpoint(true)
-    certifiedServeFromPanel(spark, root, tf, qtokens, queryTerms, topK, k1, b)
+    certifiedServeFromPanel(spark, root, tf, qtokens, queryTerms, topK, k1, b)._1
   }
 
   /** [[bm25TopKCertified]] over an EXPLICIT query panel `(query_id,
@@ -3318,7 +3318,23 @@ object TextAnalysis {
     */
   def bm25TopKCertifiedForQueries(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryTokens: DataFrame, queryTerms: Int = 4,
-      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKCertifiedForQueriesWithCert(spark, indexDir, queryTokens,
+      queryTerms, topK, k1, b)._1
+
+  /** [[bm25TopKCertifiedForQueries]] also returning the ≤queries-row
+    * certificate frame `(query_id, guaranteed)` the serve computed
+    * internally — the streaming coverage gate aggregates it instead of
+    * re-running the whole certificate per micro-batch (r14 review
+    * finding: the gate used to double-pay the champ_bounds/tf_top
+    * candidate joins). NOTE the certificate emits NO row for a query
+    * whose every token is absent from the index — count panel queries
+    * separately when computing a coverage fraction.
+    */
+  def bm25TopKCertifiedForQueriesWithCert(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryTokens: DataFrame, queryTerms: Int = 4, topK: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): (DataFrame, DataFrame) = {
     val root = graft.ext.Similarity.resolveIndexRoot(spark, indexDir)
     // bounded driver action: champ_params is one row by construction
     val cp = spark.read.parquet(s"$root/champ_params").collect()(0)
@@ -3332,12 +3348,14 @@ object TextAnalysis {
 
   /** The composed certified serve below the panel derivation — `root`
     * is the already-resolved version root, `qtokens` an eagerly
-    * materialized (query_id, token) frame.
+    * materialized (query_id, token) frame. Returns (hits, certificate):
+    * the certificate frame is already checkpointed (≤ queries rows) so
+    * callers can aggregate it for free.
     */
   private def certifiedServeFromPanel(
       spark: org.apache.spark.sql.SparkSession, root: String,
       tf: DataFrame, qtokens: DataFrame, queryTerms: Int, topK: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double): (DataFrame, DataFrame) = {
     val qidfSrc = (spark.read.parquet(s"$root/df"),
       spark.read.parquet(s"$root/stats"))
     val qidf = bm25Qidf(qidfSrc._1, qidfSrc._2, qtokens)
@@ -3355,7 +3373,7 @@ object TextAnalysis {
     // corpora straight to the exact serve — total overhead = the
     // certificate itself. The output is the exact serve's either way.
     if (cert.filter(col("guaranteed")).limit(1).count() == 0L)
-      return bm25HitsFromPanel(qtokens, tf, qidf, topK, k1, b)
+      return (bm25HitsFromPanel(qtokens, tf, qidf, topK, k1, b), cert)
     // champion top-k for the certified queries = the exact top-k SET
     val champPairs =
       bm25HitsFromPanel(qtokens, spark.read.parquet(s"$root/tf_top"),
@@ -3384,7 +3402,7 @@ object TextAnalysis {
       .join(broadcast(qidf), Seq("token"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(Exact.sumQLR(bm25TermW(k1, b), 6, 4).as("score"))
-    rescored.unionByName(fbScored)
+    val hits = rescored.unionByName(fbScored)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
@@ -3392,6 +3410,7 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy(col("query_id"), col("rank"))
+    (hits, cert)
   }
 
   /** [[bm25TopK]] served from a persisted postings index — identical

@@ -158,13 +158,24 @@ object StreamingCorpus {
         val panel = TextAnalysis.bm25QueryPanelFromText(
           batch.select(col("doc_id"), col("text")), queryTerms)
           .localCheckpoint(true) // consumed by the serve AND the gate
-        TextAnalysis.bm25TopKCertifiedForQueries(spark, indexDir, panel,
-            queryTerms, topK)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        TextAnalysis.bm25ChampionCertificateForQueries(spark, indexDir,
-            panel, queryTerms, topK)
-          .agg(count(lit(1)).as("n_queries"),
-            sum(col("guaranteed").cast("long")).as("n_certified"))
+        // ONE certificate per batch: the serve returns the ≤queries-row
+        // cert frame it computed internally (r14 review finding — the
+        // first cut re-ran the whole certificate for the coverage row)
+        val (hits, cert) = TextAnalysis.bm25TopKCertifiedForQueriesWithCert(
+          spark, indexDir, panel, queryTerms, topK)
+        hits.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // n_queries counts the PANEL, not the certificate: a query whose
+        // every token is absent from the frozen index (corpus drift —
+        // exactly what the gate watches for) gets NO certificate row,
+        // and counting cert rows would report a drifted batch as 100%
+        // certified (r14 review finding). Both driver actions are
+        // bounded: cert is checkpointed ≤queries rows, the panel count
+        // is batch-sized.
+        val nQueries = panel.select(col("query_id")).distinct().count()
+        val nCertified = cert.filter(col("guaranteed")).count()
+        spark.range(1)
+          .select(lit(nQueries).as("n_queries"),
+            lit(nCertified).as("n_certified"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/_coverage/batch=$batchId")
         ()
