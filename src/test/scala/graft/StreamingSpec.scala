@@ -426,6 +426,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       mem.addData(c1.toSeq: _*); q.processAllAvailable()
       mem.addData(c2.toSeq: _*); q.processAllAvailable()
+      // delta-free compaction BETWEEN batches: publishes v_1 and DELETES
+      // v_0 — batch 3 only succeeds if the serve re-resolves CURRENT per
+      // batch instead of holding the dead root (the knScoredIngest
+      // re-resolution discipline); content is identical (pure version
+      // fold), so batch-boundary invariance still pins the rows
+      graft.ext.TextAnalysis.compactBm25Index(spark, idxDir)
+      assert(graft.ext.Similarity.resolveIndexRoot(spark, idxDir).endsWith("v_1"))
       mem.addData(c3.toSeq: _*); q.processAllAvailable()
     } finally q.stop()
     def key(r: org.apache.spark.sql.Row) =
