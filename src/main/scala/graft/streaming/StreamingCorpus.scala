@@ -182,6 +182,35 @@ object StreamingCorpus {
       }
       .start()
 
+  /** Streaming postings ingestion into a persisted BM25 index
+    * ([[graft.ext.TextAnalysis.buildBm25Index]]) — the write half that
+    * completes the retrieval family's streaming story
+    * ([[certifiedServeIngest]] is the read half): each micro-batch of
+    * (doc_id, text) documents appends its one-pass postings delta to
+    * the live index version
+    * ([[graft.ext.TextAnalysis.appendToBm25Index]] keyed by the epoch
+    * id — a replayed delivery overwrites its own `tf_delta/batch=<id>`
+    * partition, idempotent under at-least-once). The SERVE keeps
+    * reading the frozen tables until a
+    * [[graft.ext.TextAnalysis.compactBm25Index]] folds the tail;
+    * compaction is a stop-compact-restart maintenance job between
+    * stream runs — the checkpoint has committed every landed batch by
+    * then, so no replay can re-append a folded delta. This is the
+    * crawl-snapshot ingestion shape: documents arrive whole, the index
+    * refreshes once per compaction, readers never see a half-applied
+    * batch.
+    */
+  def bm25IndexIngest(docs: DataFrame, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        TextAnalysis.appendToBm25Index(batch.sparkSession, indexDir,
+          batch.select(col("doc_id"), col("text")), batchId = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Streaming embedding ingestion into a PERSISTED IVF index: each
     * micro-batch of (vec_id, embedding) rows is assigned to the index's
     * frozen centroids and appended into its cell partitions

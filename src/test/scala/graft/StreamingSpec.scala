@@ -455,6 +455,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cov.getLong(1) > 0L, s"spread stream should certify: $cov")
   }
 
+  test("streaming BM25 postings ingestion: serve-invisible until compaction, then equal to the scratch index over the union corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkDocs(ids: Range) = ids.map { i =>
+      (i.toLong, s"w${i % 7} w${i % 3} common filler${i % 5} tail$i")
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bm25-ing-idx").toString
+    graft.ext.TextAnalysis.buildBm25Index(
+      mkDocs(0 until 20).toDF("doc_id", "text"), idxDir, mChampions = 8)
+    def serve() = graft.ext.TextAnalysis
+      .bm25TopKFromIndex(spark, idxDir, queryEvery = 10, queryTerms = 3, topK = 3)
+      .collect().map(_.toSeq).toSeq
+    val frozen = serve()
+    val t0 = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val docs = mkDocs(20 until 40).zipWithIndex.map { case ((id, t), i) =>
+      CorpusDoc(id, t, "en", "s", new Timestamp(t0 + i * 1000L)) }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25-ing-ckpt").toString
+    val mem = MemoryStream[CorpusDoc]
+    val q = graft.streaming.StreamingCorpus.bm25IndexIngest(
+      mem.toDF().select(col("doc_id"), col("text")), idxDir, ckpt)
+    val (c1, c2) = docs.splitAt(7)
+    try {
+      mem.addData(c1.toSeq: _*); q.processAllAvailable()
+      mem.addData(c2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the delta tail is serve-invisible until a compaction folds it
+    assert(serve() == frozen, "streamed appends must not change the frozen serve")
+    graft.ext.TextAnalysis.compactBm25Index(spark, idxDir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bm25-ing-scr").toString
+    graft.ext.TextAnalysis.buildBm25Index(
+      mkDocs(0 until 40).toDF("doc_id", "text"), scratch, mChampions = 8)
+    def rows(root: String, t: String) = spark.read.parquet(s"$root/$t")
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val incRoot = graft.ext.Similarity.resolveIndexRoot(spark, idxDir)
+    val scrRoot = graft.ext.Similarity.resolveIndexRoot(spark, scratch)
+    for (t <- Seq("tf", "df", "stats", "tf_top", "champ_bounds", "champ_params"))
+      assert(rows(incRoot, t) == rows(scrRoot, t), s"table $t diverged")
+  }
+
   test("streaming within-batch near-dup stage matches the batch pipeline on a single batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
