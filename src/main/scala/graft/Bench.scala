@@ -114,7 +114,11 @@ object Bench {
     "text_bm25_certified_spread",
     // r14: the two sf10 flagship rows that had no sf1 denominator —
     // without a base+sf1 time their sf10 exponents were uncomputable
-    "dedup_containment_index", "sim_topk_ivf_index")
+    "dedup_containment_index", "sim_topk_ivf_index",
+    // r14: the champion-tier eval monitor — the bounded answer to
+    // retrieval_eval_certified's measured 1.04 decade exponent on the
+    // 0-coverage corpus; its exponent is the row's whole point
+    "retrieval_eval_champions")
 
   /** r13 judge ask #3: flagship serving rows probed one more decade up
     * (sf1_cache × 10 → sf10_cache), single rep, so the scale grade
@@ -124,6 +128,7 @@ object Bench {
     */
   val sf10Subset: Seq[String] = Seq(
     "text_bm25_certified_spread", "retrieval_eval_certified",
+    "retrieval_eval_champions",
     "dedup_containment_index", "sim_topk_ivf_index",
     "agg_approx_distinct_sketch")
 

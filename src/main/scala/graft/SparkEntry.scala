@@ -897,6 +897,13 @@ object SparkEntry {
     // join (the cost that made retrieval_eval the one ~linear sf1 row)
     "retrieval_eval_certified" -> ((s, dir) =>
       TextAnalysis.retrievalEvalCertified(s, bm25Index(s, dir))),
+    // the eval panel scored against the CHAMPION prefix — the bounded
+    // metric-drift monitor for corpora where the certificate cannot fire
+    // (the exact eval's matched join is corpus-proportional there by
+    // definition; this join is (panel tokens × m)-bounded). Approximate
+    // like its scorer: spec-pinned, rows-only checked, no oracle.
+    "retrieval_eval_champions" -> ((s, dir) =>
+      TextAnalysis.retrievalEvalFromChampions(s, bm25Index(s, dir))),
     // nDCG@k on the same panel (the position-discounted read MRR flattens)
     "retrieval_ndcg" -> ((s, dir) =>
       TextAnalysis.retrievalNdcgFromIndex(s, bm25Index(s, dir))),

@@ -3579,6 +3579,29 @@ object TextAnalysis {
     retrievalEvalFromHits(bm25TopKFromIndex(spark, indexDir, queryEvery,
       queryTerms, topK, maxQueries = maxQueries))
 
+  /** [[retrievalEval]] over the CHAMPION tier ([[bm25TopKFromChampions]])
+    * — the bounded evaluation a production pipeline actually runs for
+    * metric-drift monitoring at corpus scale. The exact eval's matched
+    * join reads EVERY posting of the panel's queried tokens, which on a
+    * flat vocabulary is corpus-proportional by definition (the measured
+    * sf1→sf10 exponent of `retrieval_eval_certified` is 1.04 on the
+    * hostile synthetic corpus, where the 16-term certificate provably
+    * certifies 0); this twin scores against the impact-ordered champion
+    * prefix instead — ≤ m postings per token, so the scored join is
+    * (panel tokens × m)-bounded and the row's cost is dominated by the
+    * index scan, not the join. Honestly APPROXIMATE, like its scorer: a
+    * self-doc pushed out of a token's champion prefix can lower
+    * self-rank, so the row is SPEC-PINNED (equality with the exact eval
+    * where champion membership provably equals exact) and deliberately
+    * NOT oracle-gated — monitoring tolerates rank-k jitter, and the
+    * exact eval stays Verify-gated every round for the truth.
+    */
+  def retrievalEvalFromChampions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryEvery: Int = 100, queryTerms: Int = 16,
+      topK: Int = 10, maxQueries: Int = 200): DataFrame =
+    retrievalEvalFromHits(bm25TopKFromChampions(spark, indexDir, queryEvery,
+      queryTerms, topK, maxQueries = maxQueries))
+
   /** [[retrievalEval]] with the scorer routed through the certified
     * champion tier ([[bm25TopKCertified]]): hit-for-hit equal to
     * [[retrievalEvalFromIndex]] by construction, so it shares that row's

@@ -256,6 +256,53 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(certd) == rows(exact))
   }
 
+  test("champion-tier retrieval eval: equals the exact eval at full champion coverage; full panel under real pruning") {
+    val docs = Queries.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-eval-champ").toString
+    // budget covers every posting -> champion prefix == full postings ->
+    // hits identical -> metrics identical (pins the composition)
+    TextAnalysis.buildBm25Index(docs, dir, mChampions = 1000000)
+    val exact = TextAnalysis.retrievalEvalFromIndex(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val champ = TextAnalysis.retrievalEvalFromChampions(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && champ == exact)
+    // at a REAL pruning budget the monitor still emits one row per panel
+    // query (metrics may jitter — that is the documented approximation)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-eval-champ2").toString
+    TextAnalysis.buildBm25Index(docs, dir2, mChampions = 64)
+    val pruned = TextAnalysis.retrievalEvalFromChampions(spark, dir2)
+      .collect()
+    assert(pruned.length == exact.length,
+      s"panel shrank under pruning: ${pruned.length} vs ${exact.length}")
+    // rr stays a valid metric value everywhere
+    pruned.foreach { r =>
+      val rr = r.getAs[Double]("rr")
+      assert(rr >= 0.0 && rr <= 1.0, r.toString)
+    }
+    // on a zipf-SEPARATED corpus (each doc carries a unique high-idf
+    // token whose df=1 posting always survives the champion budget) the
+    // monitor keeps the exact eval's signal under REAL pruning — the
+    // blindness above is a property of the flat-vocabulary fixture, not
+    // of the tier
+    import spark.implicits._
+    val zdocs = (0 until 300).map { i =>
+      val g = s"g${i % 30}"
+      val reps = 1 + i / 30
+      (i.toLong, (Seq.fill(reps)(g) :+ s"u$i") ++ Seq("f0", "f1", "f2", "f3") mkString " ")
+    }.toDF("doc_id", "text")
+    val zdir = java.nio.file.Files.createTempDirectory("graft-eval-champ-z").toString
+    TextAnalysis.buildBm25Index(zdocs, zdir, mChampions = 16)
+    val zex = TextAnalysis.retrievalEvalFromIndex(spark, zdir,
+        queryEvery = 50, queryTerms = 8, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    val zch = TextAnalysis.retrievalEvalFromChampions(spark, zdir,
+        queryEvery = 50, queryTerms = 8, topK = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(zex.nonEmpty && zch == zex,
+      "champion eval must keep the exact metrics on the separated corpus")
+  }
+
   test("spread certificate coverage survives a 10x REPLICATED scale-up (block-unique ga term frequency)") {
     // the exact regression r13 caught in champion_coverage_sf1: the
     // scale-up word-scrambles copies but PRESERVES each original's word
