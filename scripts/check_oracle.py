@@ -8,7 +8,7 @@ SQL from <verifyOutDir>/oracle_sql.json in DuckDB over <sfDir>/*.parquet,
 and compares: column names (sorted), row count, and values (columns sorted
 by name; compared both in emitted order and as a sorted multiset).
 """
-import json, sys, math
+import json, sys, math, time
 import duckdb
 import pandas as pd
 
@@ -36,7 +36,16 @@ def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     verdicts = {}
+    # per-oracle wall timing (r14 ask #3): the compare took ~35 min on
+    # the judge's host and crowds the same driver window Verify lives
+    # in — the slowest-10 table below localizes where to put
+    # MATERIALIZED hints (DuckDB inlines CTEs per reference, so a small
+    # CTE over a heavy prefix referenced N times re-runs the prefix
+    # N-fold)
+    timings = {}
+    t_start = time.time()
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
             duck_df = con.execute(sql).fetchdf()
@@ -67,7 +76,7 @@ def main(sf_dir, out_dir, json_out=None):
                         break
                 n_bad += 1
             else:
-                print(f"ok   {name} ({len(sr)} rows)")
+                print(f"ok   {name} ({len(sr)} rows, {time.time() - t0:.1f}s)")
                 n_ok += 1
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -75,6 +84,11 @@ def main(sf_dir, out_dir, json_out=None):
                               "hash_match": False, "spark_rows": -1,
                               "oracle_rows": -1, "err": str(e)[:200]}
             n_bad += 1
+        timings[name] = round(time.time() - t0, 2)
+    total = time.time() - t_start
+    print(f"== slowest 10 of {len(timings)} (total {total:.0f}s):")
+    for name, sec in sorted(timings.items(), key=lambda x: -x[1])[:10]:
+        print(f"   {sec:7.1f}s  {name}")
     print(f"== {n_ok} ok, {n_bad} fail")
     if json_out:
         # CORRECTNESS_r{N}.json-shaped dump so scripts/closeout.py can

@@ -62,7 +62,12 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier", // TPC-H headliners
     "events_funnel",                                            // analytics
     "agg_percentiles",                                          // exact-percentile agg
-    "dedup_minhash", "dedup_pipeline", "dedup_containment",     // dedup family
+    // r15: dedup_containment auto-demoted (servingTwin — r14 measured a
+    // 1.64 decade exponent on the block-unique sf1 corpus); its
+    // dedup_containment_index serving twin is pinned via heavySubset,
+    // so the probe keeps a containment-tier row. probe_legacy_total
+    // drops ~2-3 s vs prior rounds (inside the 25% flag threshold).
+    "dedup_minhash", "dedup_pipeline",                          // dedup family
     "dedup_clusters",                                           // clustering driver path
     "sim_topk_bruteforce", "sim_topk_pq",                       // ANN family
     "sim_topk_agg",        // r6 flagged a full-run rep anomaly here; the
@@ -127,10 +132,27 @@ object Bench {
     * sf10 pass pays each row's index build at 100× the base SF.
     */
   val sf10Subset: Seq[String] = Seq(
-    "text_bm25_certified_spread", "retrieval_eval_certified",
+    // r15 (r14 finding #5): retrieval_eval_certified dropped from the
+    // decade probe — at sf10 it measures the exact FALLBACK on the
+    // 0-coverage base index (159 s + 231 s warmup ≈ 47% of the whole
+    // phase, exponent 0.90 — the fallback behaving as documented, not
+    // the certified path). The spread row (coverage 1.0) and the
+    // champions monitor (exponent 0.12) are the scale-representative
+    // probes for the tier; the hostile base row stays benched at sf0.1.
+    "text_bm25_certified_spread",
     "retrieval_eval_champions",
     "dedup_containment_index", "sim_topk_ivf_index",
     "agg_approx_distinct_sketch")
+
+  /** Rows excluded from the sf1 scale sweep while still probed at the
+    * base SF (r14 finding #5 follow-through): `retrieval_eval_certified`
+    * serves the deliberately-hostile base index whose champion coverage
+    * is 0.0 by fixture design, so every scale hop measures the exact
+    * corpus-proportional fallback — behaviour the row documents, not a
+    * regression signal worth ~42 s of the sf1 window every round. The
+    * spread/champions rows carry the tier's scale exponents.
+    */
+  val sf1Exclude: Set[String] = Set("retrieval_eval_certified")
 
   /** The prior round's regression baseline, BUNDLED (r10 advisor
     * finding: three separately hardcoded values that had to be updated
@@ -140,7 +162,8 @@ object Bench {
     * can see where the baseline came from.
     */
   final case class PriorSnapshot(source: String, normalized: Double,
-      perQuery: Map[String, Double], calibProbe: Double)
+      perQuery: Map[String, Double], calibProbe: Double,
+      annRecall: Map[String, Double] = Map.empty)
 
   /** Ultimate fallback if no prior artifact is readable: r9's recorded
     * values (BENCH_r09; single-anchor calib — r10+ artifacts carry dual
@@ -230,8 +253,15 @@ object Bench {
           case (Some(r), Some(p)) => r ++ p
           case (r, p) => r.orElse(p).getOrElse(Map.empty[String, Double])
         }
+        // prior ann_recall map (r14 ask #5's trend gate): absent in
+        // pre-r14 artifacts — the gate simply has no baseline then
+        val annPrior = """"ann_recall"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(body).map(_.group(1)).map { inner =>
+            s""""([^"]+)"\\s*:\\s*$num""".r.findAllMatchIn(inner)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
         for (n <- normalized; c <- calib; if n > 0 && c > 0)
-          yield PriorSnapshot(label, n, perQuery, c)
+          yield PriorSnapshot(label, n, perQuery, c, annPrior)
       }.toOption.flatten
   }
 
@@ -259,19 +289,29 @@ object Bench {
     }
     def newestArtifact: Option[PriorSnapshot] = scala.util.Try {
       val cwd = java.nio.file.Paths.get(".")
-      val re = "BENCH_r(\\d+)\\.json".r
+      // both prior sources rank by round: the driver's wrapped artifact
+      // AND the committed local detail file (r15: BENCH_r14 carries
+      // parsed=null from the timeout kill, but bench_out_r14_local.json
+      // holds the full round telemetry — a round whose driver artifact
+      // failed must not silently roll the baseline back a round). Within
+      // a round the driver artifact wins (it is the adjudicated one).
+      val reDriver = "BENCH_r(\\d+)\\.json".r
+      val reLocal = "bench_out_r(\\d+)_local\\.json".r
       val live = currentRound()
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(cwd).iterator.asScala
         .flatMap { p =>
-          re.findFirstMatchIn(p.getFileName.toString)
-            .map(m => (m.group(1).toInt, p))
+          val fn = p.getFileName.toString
+          reDriver.findFirstMatchIn(fn)
+            .map(m => (m.group(1).toInt, 1, p, s"BENCH_r${m.group(1)}"))
+            .orElse(reLocal.findFirstMatchIn(fn)
+              .map(m => (m.group(1).toInt, 0, p, s"local:$fn")))
         }
-        // never self-compare: the live round's artifact (and any
-        // future-numbered stray) is not a PRIOR
-        .filter { case (n, _) => live.forall(n < _) }
-        .toSeq.sortBy(-_._1).iterator
-        .flatMap { case (n, p) => parseArtifact(p, s"BENCH_r$n") }
+        // never self-compare: the live round's artifacts (and any
+        // future-numbered stray) are not a PRIOR
+        .filter { case (n, _, _, _) => live.forall(n < _) }
+        .toSeq.sortBy { case (n, drv, _, _) => (-n, -drv) }.iterator
+        .flatMap { case (_, _, p, label) => parseArtifact(p, label) }
         .nextOption()
     }.toOption.flatten
     explicit.orElse(newestArtifact).getOrElse(builtinPrior)
@@ -434,6 +474,23 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val wallStart = System.nanoTime()
+    // wall-budget governor (r14 ask #1: BENCH_r14 was rc=124 — the
+    // driver kills the bench at exactly 60 minutes, and r14's 4,097 s
+    // local wall left nothing parsed). Optional phases are shed in
+    // priority order — sf10 first (also on a cadence now), then sf1
+    // rows — with every shed recorded in the artifact's `shed` ledger
+    // (the sampled_out discipline: a skipped measurement must be
+    // visible, never silently absent). Default 3,000 s keeps ~10 min of
+    // headroom under the driver's kill even if one in-flight row runs
+    // long (the governor only refuses to START work; it never kills a
+    // running row). 0 disables.
+    val budgetS = math.max(0.0, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "3000").trim.toDouble)
+      .getOrElse(3000.0))
+    def elapsedS: Double = (System.nanoTime() - wallStart) / 1e9
+    def overBudget(reserveS: Double): Boolean =
+      budgetS > 0 && elapsedS > budgetS - reserveS
+    val shed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // N repetitions per query, reporting the MIN: a loaded machine can
@@ -497,13 +554,12 @@ object Bench {
     // at toy scale; this makes a retrieval-quality regression on a
     // future corpus artifact-visible. Same skip/never-fatal contract as
     // champion_coverage.
-    val annRecall: String =
-      if (only.nonEmpty) "{}"
-      else scala.util.Try {
-        SparkEntry.annRecall(spark, sfDir).toSeq.sorted
-          .map { case (n, f) => jstr(n) + ":" + fmt("%.2f", f) }
-          .mkString("{", ",", "}")
-      }.getOrElse("{}")
+    val annRecallMap: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else scala.util.Try(SparkEntry.annRecall(spark, sfDir)).getOrElse(Map.empty)
+    val annRecall: String = annRecallMap.toSeq.sorted
+      .map { case (n, f) => jstr(n) + ":" + fmt("%.2f", f) }
+      .mkString("{", ",", "}")
 
     // anomaly auto-recheck: the median>1.5×min detector cannot tell real
     // rep-over-rep degradation from one-off machine interference (r6's
@@ -647,13 +703,27 @@ object Bench {
       val calibPEnd = w._5
       val markProbe = System.nanoTime()
       wallProbeS = (markProbe - markFull) / 1e9
-      val s1 = if (doSf1) {
+      val s1 = if (doSf1 && overBudget(300)) {
+        // not even generation + one heavy row fits — shed the phase
+        shed("sf1") = "budget: phase unstarted"
+        Seq.empty
+      } else if (doSf1) {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "sf1_cache")
         try {
           sf1Gen = ScaleUp.ensure(ps, sfDir, sf1Dir, factor = 10)
           sweep(ps)
-          val rows = (probeSubset ++ probeAdditions ++ heavySubset).distinct.flatMap { n =>
-            byName.get(n).map { f =>
+          val sf1Names = (probeSubset ++ probeAdditions ++ heavySubset)
+            .distinct.filterNot(sf1Exclude)
+          val rows = sf1Names.iterator.flatMap { n =>
+            // budget governor (r14 ask #1): a row is only STARTED while
+            // the wall budget has close-out headroom; the shed tail is
+            // recorded, never silent
+            if (overBudget(60)) {
+              val left = sf1Names.drop(sf1Names.indexOf(n))
+              shed.getOrElseUpdate("sf1_rows",
+                s"budget: ${left.length} of ${sf1Names.length} unstarted")
+              None
+            } else byName.get(n).map { f =>
               val r1 = runOne(ps, sf1Dir, sf1Reps, warmup = true)(n, f)
               // heavy single-rep sf1 rows can land anywhere on the
               // warm-in curve (proven twice: dedup_containment r9,
@@ -673,7 +743,7 @@ object Bench {
                 } else r1
               } else r1
             }
-          }
+          }.toSeq
           // the sweep's spread row already built the sf1 indexes (cache
           // keyed on the sf1 corpus fingerprint), so this is one bounded
           // certificate aggregate per index — never fatal to the sweep
@@ -696,8 +766,27 @@ object Bench {
       // stays ON (the first sf10 run pays each row's index-cache build
       // at the new corpus fingerprint — that is build cost, not scaling
       // cost). Disk: sf10_cache ≈ 10× sf1_cache (~1.6 GB), one rep only.
-      val doSf10 = doSf1 && s1.nonEmpty &&
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_SF10", "1") != "0"
+      val sf10Env = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF10", "1")
+      // decade-probe cadence (r14 ask #1b): two-decade exponents don't
+      // change round-to-round, so the phase runs every 3rd round —
+      // anchored at r14, the first decade probe (rounds ≡ 2 mod 3 →
+      // r17, r20, …) — instead of spending its ~7-14 min of the
+      // driver's fixed 60-min window every round. Unknown live round
+      // (ad-hoc/library runs) counts as due, like sampledCadence.
+      // SPARK_GRAFT_BENCH_SF10: "0" disables, "all" forces every round.
+      val sf10Due = liveRound.forall(_ % 3 == 2)
+      val doSf10 =
+        if (!(doSf1 && s1.nonEmpty && sf10Env != "0")) false
+        else if (sf10Env != "all" && !sf10Due) {
+          shed("sf10") = "cadence(3): next r" +
+            liveRound.map(r => r + ((2 - r % 3) + 3) % 3).getOrElse(-1)
+          false
+        } else if (overBudget(430)) {
+          // ~430 s is the phase's own post-trim r14 measurement — refuse
+          // to start the decade hop without at least that much headroom
+          shed("sf10") = "budget: phase unstarted"
+          false
+        } else true
       if (doSf10) {
         val markSf10 = System.nanoTime()
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "sf10_cache")
@@ -718,9 +807,17 @@ object Bench {
           sf10Gen = ScaleUp.ensure(ps, sf1DirPath, sf10Dir, factor = 10,
             srcSig = srcSig)
           sweep(ps)
-          sf10Results = sf10Subset.flatMap { n =>
-            byName.get(n).map(f => runOne(ps, sf10Dir, 1, warmup = true)(n, f))
-          }
+          sf10Results = sf10Subset.iterator.flatMap { n =>
+            // same row-level governor as the sf1 sweep: only START a
+            // row with close-out headroom left; record the shed tail
+            if (overBudget(60)) {
+              val left = sf10Subset.drop(sf10Subset.indexOf(n))
+              shed.getOrElseUpdate("sf10_rows",
+                s"budget: ${left.length} of ${sf10Subset.length} unstarted")
+              None
+            } else
+              byName.get(n).map(f => runOne(ps, sf10Dir, 1, warmup = true)(n, f))
+          }.toSeq
         } catch { case e: Throwable =>
           // a broken decade probe must read as broken, never as absent
           sf10Err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString.take(120)}"
@@ -801,6 +898,15 @@ object Bench {
     // own anchor spread) — a flag inside the envelope reads as drift,
     // outside it as a real regression (and exits nonzero, r9 ask #8)
     val prior = loadPrior()
+    // ann_recall trend gate (r14 ask #5): a serving family whose
+    // measured recall dropped more than 0.15 vs the prior artifact's
+    // ann_recall map flags here — a retrieval-QUALITY regression on a
+    // future corpus must be artifact-visible, not only spec-visible.
+    // Empty when no prior carries the map or nothing dropped.
+    val annDropJson = annRecallMap.toSeq.sorted.flatMap { case (f, v) =>
+      prior.annRecall.get(f).filter(pv => pv - v > 0.15)
+        .map(pv => jstr(f) + ":" + jstr(fmt("%.2f", pv) + "->" + fmt("%.2f", v)))
+    }.mkString("{", ",", "}")
     val probeMove =
       if (probeNorm > 0 && prior.normalized > 0)
         probeNorm / prior.normalized - 1
@@ -877,6 +983,11 @@ object Bench {
       if (probeWindowSpreads.isEmpty) -1 else probeWindowSpreads.length
     val sampledOutJson = sampledOut.toSeq.sorted
       .map { case (n, k) => jstr(n) + ":" + k }.mkString("{", ",", "}")
+    // the governor/cadence ledger: what was NOT measured this round and
+    // why — invariant-tier (a shed measurement silently absent is the
+    // failure mode the ledger exists to prevent)
+    val shedJson = shed.toSeq
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     // THE UNIFIED PER-ROW MAP (r11 asks #3/#5/#6): one entry per
     // probe-session row carrying its whole cross-round story —
     // [probe_min_s, delta_norm, sf1_s, sf1_exp] (-1 = not measured /
@@ -949,7 +1060,8 @@ object Bench {
     // redundant with other artifact data (coreAux — shed first; all
     // still in bench_out)
     val coreLean =
-      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_windows":$probeWindowsJson,"probe_window_used":$probeWindowUsed,"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)},"sf10":${fmt("%.0f", wallSf10S)}}""" +
+      s""""reps":$reps,"warmup":${if (warmup) "1" else "0"},"n_errors":$nErr,"bench_wall_s":${fmt("%.0f", benchWallS)},"probe_legacy_total":${jnum(probeLegacyTotal)},"calib_full":[${jnum(calibFullStart)},${jnum(calibFullEnd)}],"calib_probe":[${jnum(calibProbeStart)},${jnum(calibProbeEnd)}],"drift_spread":${fmt("%.2f", driftSpread)},"probe_windows":$probeWindowsJson,"probe_window_used":$probeWindowUsed,"probe_normalized":${jnum(probeNorm)},"probe_norm_prior":${jnum(prior.normalized)},"prior_source":${jstr(prior.source)},"sf1_total":${jnum(sf1Total)},"wall_phases":{"full":${fmt("%.0f", wallFullS)},"probe":${fmt("%.0f", wallProbeS)},"sf1":${fmt("%.0f", wallSf1S)},"sf10":${fmt("%.0f", wallSf10S)}},"budget_s":${fmt("%.0f", budgetS)},"shed":$shedJson""" +
+      (if (annDropJson != "{}") s""","ann_recall_drop":$annDropJson""" else "") +
       (if (probeRegression.nonEmpty) s""","probe_regression":${jstr(probeRegression)}""" else "") +
       (if (sf1Err.nonEmpty) s""","sf1_error":${jstr(sf1Err)}""" else "") +
       (if (sf10Err.nonEmpty) s""","sf10_error":${jstr(sf10Err)}""" else "")

@@ -241,6 +241,60 @@ object Oracles {
     * between components — the same unrolled-iteration discipline as the
     * pagerank and Lloyd replays.
     */
+  /** Confidence-ordered multi-probe LSH replay
+    * ([[graft.ext.Similarity.lshTopK]] at (numPlanes, nProbes)): the
+    * fixed-seed hyperplanes embed as DOUBLE literal arrays
+    * (Double.toString round-trips exactly), per query the planes sort by
+    * |projection| ascending, and the probe buckets flip subsets of the
+    * least-confident bits — the engine's own fixed
+    * [[graft.ext.Similarity.probeSubsets]] schedule with
+    * m = min(numPlanes, 5), replayed via list_sort. nProbes = 1 reduces
+    * to the exact-bucket join (probeSubsets' first subset is Ø).
+    */
+  private def lshMultiProbeSql(numPlanes: Int, nProbes: Int): String = {
+    val planes = graft.ext.Similarity.hyperplanes(numPlanes, 64)
+    def dot(i: Int) = {
+      val arr = planes(i).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), $arr)"
+    }
+    val bucket = (0 until numPlanes)
+      .map(i => s"(CASE WHEN ${dot(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n    + ")
+    val confList = (0 until numPlanes)
+      .map(i => s"{'c': abs(${dot(i)}), 'idx': $i}").mkString("[", ", ", "]")
+    val probeExprs = graft.ext.Similarity
+      .probeSubsets(nProbes, math.min(numPlanes, 5)).map { ps =>
+        ps.foldLeft("bucket") { (acc, p) =>
+          s"xor($acc, (1::BIGINT << sorted_idx[${p + 1}]))"
+        }
+      }.mkString("[", ",\n      ", "]")
+    s"""WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    CAST($bucket AS BIGINT) AS bucket
+      |  FROM embeddings
+      |), q0 AS (
+      |  SELECT vec_id AS query_id, embedding, bucket,
+      |    list_transform(list_sort($confList), x -> x['idx']) AS sorted_idx
+      |  FROM b WHERE vec_id IN (0, 1, 2)
+      |), q AS (
+      |  SELECT query_id, embedding AS q_emb,
+      |    UNNEST($probeExprs) AS q_bucket
+      |  FROM q0
+      |), scored AS (
+      |  SELECT q.query_id, b.vec_id,
+      |    round(list_cosine_similarity(
+      |      CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM b JOIN q ON b.bucket = q.q_bucket
+      |  WHERE b.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, vec_id, cos, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def pcaCtes(k: Int, iters: Int): String = {
     def compCtes(c: Int): String = {
       // decimally-rough start (NOT 1/sqrt(d) = a short decimal): a
@@ -1868,6 +1922,79 @@ object Oracles {
         |  s.recall_at_1, s.recall_at_k
         |FROM per p CROSS JOIN summ s ORDER BY p.query_id""".stripMargin,
 
+    // champion-tier retrieval eval (r14 judge ask #6 — the one
+    // registered row that had no oracle): the champion prefix is
+    // DETERMINISTIC given the corpus — per token, the top-128 postings
+    // by length-normalized tf impact `tf(k1+1)/(tf+k1(1-b+b·dl/avgdl))`
+    // with (impact DESC, doc_id) total tiebreak, exactly the
+    // TopKAggregator order writeBm25Derived persists as tf_top — so the
+    // oracle replays prefix construction + the prefix-restricted scorer
+    // + the eval fold, the lsh/ivf replay-the-approximation discipline.
+    // idf is a positive per-token constant, so impact order IS termW
+    // order and the `champ` CTE needs no ln(). MATERIALIZED hints keep
+    // DuckDB from re-inlining the corpus tokenization under each of the
+    // five consumers (the 17-CPU-minute LR-GD precedent).
+    "retrieval_eval_champions" ->
+      """WITH tokens AS MATERIALIZED (
+        |  SELECT doc_id, t[g.i] AS token, g.i AS pos
+        |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |    UNNEST(generate_series(1, len(t))) AS g(i)
+        |  WHERE t[g.i] <> ''
+        |), tf AS MATERIALIZED (
+        |  SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS MATERIALIZED (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |champ AS MATERIALIZED (
+        |  SELECT token, doc_id FROM (
+        |    SELECT tf.token, tf.doc_id, row_number() OVER (PARTITION BY tf.token
+        |      ORDER BY (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) DESC,
+        |        tf.doc_id) AS cr
+        |    FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s)
+        |  WHERE cr <= 128
+        |), qsel AS (
+        |  SELECT query_id, token FROM (
+        |    SELECT query_id, token, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY first_pos) AS rk
+        |    FROM (SELECT doc_id AS query_id, token, min(pos) AS first_pos
+        |          FROM tokens WHERE doc_id % 100 = 0 AND doc_id < 20000
+        |          GROUP BY 1, 2))
+        |  WHERE rk <= 16
+        |), scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    (CAST((sum(CAST(round((
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) * 1e6) AS BIGINT)) + 50) // 100 AS DOUBLE) / 1e4) AS score
+        |  FROM qsel q
+        |  JOIN tf ON q.token = tf.token
+        |  JOIN champ c ON tf.token = c.token AND tf.doc_id = c.doc_id
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq d ON tf.token = d.token
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM scored
+        |), hits AS (
+        |  SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+        |), q AS (SELECT DISTINCT query_id FROM hits),
+        |per AS (
+        |  SELECT q.query_id, CAST(coalesce(h.rank, 0) AS INT) AS self_rank,
+        |    round(CASE WHEN h.rank IS NOT NULL THEN 1.0 / h.rank ELSE 0.0 END, 4) AS rr
+        |  FROM q LEFT JOIN hits h
+        |    ON h.query_id = q.query_id AND h.doc_id = q.query_id
+        |), summ AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |    (CAST(((sum(CAST(round((rr) * 1e4) AS BIGINT)) * 2 * 10000 + (count(*) * 10000)) // (2 * ((count(*) * 10000)))) AS DOUBLE) / 10000) AS mrr,
+        |    (CAST(((sum(CASE WHEN self_rank = 1 THEN 1 ELSE 0 END) * 2 * 10000 + count(*)) // (2 * (count(*)))) AS DOUBLE) / 10000) AS recall_at_1,
+        |    (CAST(((sum(CASE WHEN self_rank > 0 THEN 1 ELSE 0 END) * 2 * 10000 + count(*)) // (2 * (count(*)))) AS DOUBLE) / 10000) AS recall_at_k
+        |  FROM per
+        |)
+        |SELECT p.query_id, p.self_rank, p.rr, s.n_queries, s.mrr,
+        |  s.recall_at_1, s.recall_at_k
+        |FROM per p CROSS JOIN summ s ORDER BY p.query_id""".stripMargin,
+
     // nDCG on the same panel: single-relevant-doc form 1/log2(1+rank)
     // (integer rank -> identical doubles), panel mean over the round-4
     // grid in exact decimal
@@ -3372,7 +3499,7 @@ object Oracles {
         |    SELECT query_id, vec_id,
         |      row_number() OVER (PARTITION BY query_id ORDER BY rcos DESC, vec_id) AS rn
         |    FROM scored)
-        |  WHERE rn <= 50
+        |  WHERE rn <= 200
         |), rer AS (
         |  SELECT c.query_id, c.vec_id,
         |    round(list_cosine_similarity(CAST(ev.embedding AS DOUBLE[]),
@@ -3549,83 +3676,19 @@ object Oracles {
         |FROM embeddings ORDER BY vec_id""".stripMargin
     },
 
-    "sim_topk_lsh" -> {
-      val planes = graft.ext.Similarity.hyperplanes(4, 64)
-      val terms = planes.zipWithIndex.map { case (p, i) =>
-        val arr = p.mkString("[", ", ", "]::DOUBLE[]")
-        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("\n    + ")
-      s"""WITH b AS (
-        |  SELECT vec_id, embedding,
-        |    CAST($terms AS BIGINT) AS bucket
-        |  FROM embeddings
-        |), q AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-        |  FROM b WHERE vec_id IN (0, 1, 2)
-        |), scored AS (
-        |  SELECT q.query_id, b.vec_id,
-        |    round(list_cosine_similarity(
-        |      CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM b JOIN q ON b.bucket = q.q_bucket
-        |  WHERE b.vec_id <> q.query_id
-        |), ranked AS (
-        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, vec_id, cos, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    // LSH top-k (since r15 multi-probe at registered defaults — r14 ask
+    // #5: the single-bucket form measured recall 0.23 at sf0.1; 4
+    // confidence-ordered probes measure 0.60): one shared replay with
+    // the tuned _mp row, different (planes, probes) points
+    "sim_topk_lsh" -> lshMultiProbeSql(numPlanes = 4, nProbes = 4),
 
-    // Confidence-ordered multi-probe LSH (the tuned ANN path): per query,
-    // planes are sorted by |projection| ascending and the probe buckets
-    // flip subsets of the least-confident bits — the same fixed subset
-    // schedule as Similarity.probeSubsets, replayed via list_sort
-    "sim_topk_lsh_mp" -> {
-      val planes = graft.ext.Similarity.hyperplanes(6, 64)
-      def dot(i: Int) = {
-        val arr = planes(i).mkString("[", ", ", "]::DOUBLE[]")
-        s"list_dot_product(CAST(embedding AS DOUBLE[]), $arr)"
-      }
-      val bucket = (0 until 6)
-        .map(i => s"(CASE WHEN ${dot(i)} > 0 THEN ${1L << i} ELSE 0 END)")
-        .mkString("\n    + ")
-      val confList = (0 until 6)
-        .map(i => s"{'c': abs(${dot(i)}), 'idx': $i}").mkString("[", ", ", "]")
-      val probeExprs = graft.ext.Similarity.probeSubsets(8, 5).map { ps =>
-        ps.foldLeft("bucket") { (acc, p) =>
-          s"xor($acc, (1::BIGINT << sorted_idx[${p + 1}]))"
-        }
-      }.mkString("[", ",\n      ", "]")
-      s"""WITH b AS (
-        |  SELECT vec_id, embedding,
-        |    CAST($bucket AS BIGINT) AS bucket
-        |  FROM embeddings
-        |), q0 AS (
-        |  SELECT vec_id AS query_id, embedding, bucket,
-        |    list_transform(list_sort($confList), x -> x['idx']) AS sorted_idx
-        |  FROM b WHERE vec_id IN (0, 1, 2)
-        |), q AS (
-        |  SELECT query_id, embedding AS q_emb,
-        |    UNNEST($probeExprs) AS q_bucket
-        |  FROM q0
-        |), scored AS (
-        |  SELECT q.query_id, b.vec_id,
-        |    round(list_cosine_similarity(
-        |      CAST(q.q_emb AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM b JOIN q ON b.bucket = q.q_bucket
-        |  WHERE b.vec_id <> q.query_id
-        |), ranked AS (
-        |  SELECT query_id, vec_id, cos, CAST(row_number() OVER
-        |    (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, vec_id, cos, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    // Confidence-ordered multi-probe LSH (the tuned ANN path)
+    "sim_topk_lsh_mp" -> lshMultiProbeSql(numPlanes = 6, nProbes = 8),
 
     // IVF over label cells: per-cell per-dimension mean centroids, probe
-    // the 2 nearest cells by query-centroid cosine, exact top-k within
+    // the 5 nearest of the 10 label cells by query-centroid cosine,
+    // exact top-k within (nProbe = 5 since r15 — label cells are
+    // geometry-free, see the registration note)
     "sim_topk_ivf" ->
       """WITH expl AS (
         |  SELECT label AS cell, g.i AS pos, embedding[g.i] AS v
@@ -3644,7 +3707,7 @@ object Oracles {
         |      (PARTITION BY q.query_id ORDER BY list_cosine_similarity(
         |         CAST(q.q_emb AS DOUBLE[]), c.centroid) DESC, c.cell) AS c_rank
         |    FROM q, cent c)
-        |  WHERE c_rank <= 2
+        |  WHERE c_rank <= 5
         |), scored AS (
         |  SELECT p.query_id, e.vec_id, e.label AS cell,
         |    round(list_cosine_similarity(

@@ -431,11 +431,21 @@ object SparkEntry {
     "sim_topk_agg" -> ((s, dir) => Similarity.bruteForceTopKAgg(emb(s, dir), Seq(0L, 1L, 2L), 10)),
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(emb(s, dir), 4).select(col0("vec_id"), col0("bucket")).orderBy(col0("vec_id"))),
-    "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4)),
+    // r15 (r14 ask #5): 4 planes + 4 confidence-ordered probes — the
+    // single-bucket form measured recall 0.23 at sf0.1 (P(agree)^4 on
+    // near-orthogonal neighbors); probing the 4 cheapest bit-flips
+    // measures 0.60 while still scanning ≤ 4/16 of the corpus
+    "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 4, nProbes = 4)),
     // the tuned production ANN path: confidence-ordered multi-probe
     "sim_topk_lsh_mp" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, numPlanes = 6, nProbes = 8)),
-    "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2)),
+    // r15 (r14 ask #5): nProbe = 5 of the 10 label cells. The testdata
+    // label is GEOMETRY-FREE (arbitrary partition, not clustered), so
+    // recall here is structurally ≈ the scanned fraction — measured
+    // 0.23/0.30/0.43/0.60 at nProbe 2..5 at sf0.1. This row demos the
+    // cell-pruned scan SHAPE on pre-assigned cells; geometric recall at
+    // low nProbe is the kmeans row below (1.00 at nProbe=2 of 8).
+    "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 5)),
     "sim_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     "sim_topk_ivf_kmeans" -> ((s, dir) =>
       Similarity.ivfTopKKmeans(emb(s, dir), Seq(0L, 1L, 2L), 10, nProbe = 2, nCells = 8)),
@@ -1146,7 +1156,15 @@ object SparkEntry {
     "text_bm25" -> "text_bm25_certified",
     "retrieval_eval" -> "retrieval_eval_certified",
     "retrieval_hybrid_rrf" -> "retrieval_hybrid_rrf_certified",
-    "retrieval_hybrid_rrf_index" -> "retrieval_hybrid_rrf_certified")
+    "retrieval_hybrid_rrf_index" -> "retrieval_hybrid_rrf_certified",
+    // r15 (r14 finding #3): the query-tier containment join is
+    // O(Σ df²)-in-bucket and the sf1 corpus's block-unique `ga` term
+    // frequencies pushed it to a measured 1.64 decade exponent (127-290 s
+    // at sf1 vs the index twin's 0.77 exponent / 38 s at sf10) — the
+    // maintained-df persisted twin is the serving path at scale, so it
+    // carries the bench number; the query tier stays oracle-gated every
+    // round
+    "dedup_containment" -> "dedup_containment_index")
 
   /** Exact VERIFIERS the bench skips (reported in its `skipped` field):
     * correct (oracle-checked in the Verify gate) but deliberately paying

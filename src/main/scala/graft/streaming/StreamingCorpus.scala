@@ -173,8 +173,15 @@ object StreamingCorpus {
         // is batch-sized.
         val nQueries = panel.select(col("query_id")).distinct().count()
         val nCertified = cert.filter(col("guaranteed")).count()
+        // n_docs is the RAW batch doc count (r14 advisor): a query doc
+        // whose text tokenizes to zero tokens produces no panel rows and
+        // vanishes from BOTH n_queries and n_certified — a batch
+        // dominated by token-free docs would read as healthy without the
+        // raw denominator alongside
+        val nDocs = batch.select(col("doc_id")).distinct().count()
         spark.range(1)
-          .select(lit(nQueries).as("n_queries"),
+          .select(lit(nDocs).as("n_docs"),
+            lit(nQueries).as("n_queries"),
             lit(nCertified).as("n_certified"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/_coverage/batch=$batchId")

