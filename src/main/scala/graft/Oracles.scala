@@ -5210,29 +5210,37 @@ object Oracles {
       |ORDER BY p.a, p.b""".stripMargin
 
   private def lrGdCtes: String = {
+    // MATERIALIZED throughout (r15, the r14 ask #3 "cut the compare
+    // wall" fix): DuckDB inlines CTEs per REFERENCE, and this chain
+    // references each w$t three times (the next round's margin join, the
+    // scalar bias subquery, and the next weight update) and xf/dl/nn
+    // once or twice per round — un-hinted, the whole upstream chain
+    // re-expands ~3^t-fold and the 8 LR-family oracles carried ~250 s of
+    // the 279 s compare (ml_eval_* 27–34 s each vs the chain's one-shot
+    // cost). Hints only pin evaluation strategy; results are unchanged.
     val iters = (1 to 3).map { t =>
       val pw = if (t == 1) "w0" else s"w${t - 1}"
-      s"""m$t AS (
+      s"""m$t AS MATERIALIZED (
          |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
          |  FROM xf x JOIN $pw w ON x.b = w.b GROUP BY 1
-         |), p$t AS (
+         |), p$t AS MATERIALIZED (
          |  SELECT m.doc_id,
          |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM $pw WHERE b = -1)))), 7)
          |      - dl.y AS r
          |  FROM m$t m JOIN dl USING (doc_id)
-         |), g$t AS (
+         |), g$t AS MATERIALIZED (
          |  SELECT x.b, round(sum(p.r * x.x) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM xf x JOIN p$t p USING (doc_id) GROUP BY 1
          |  UNION ALL
          |  SELECT CAST(-1 AS BIGINT) AS b,
          |    round((CAST(sum(CAST(round(r * 1e7) AS BIGINT)) AS DOUBLE) / 1e7) / (SELECT n_docs FROM nn), 6) AS g
          |  FROM p$t
-         |), w$t AS (
+         |), w$t AS MATERIALIZED (
          |  SELECT w.b, round(w.w - COALESCE(g.g, 0.0), 6) AS w
          |  FROM $pw w LEFT JOIN g$t g USING (b)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
+    s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
        |  FROM documents
@@ -5244,19 +5252,19 @@ object Oracles {
        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
        |  FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)
        |  WHERE len(t) >= 2
-       |), docb AS (
+       |), docb AS MATERIALIZED (
        |  SELECT doc_id, ('0x' || substring(md5(f), 1, 15))::BIGINT % 64 AS b,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM feats GROUP BY 1, 2
-       |), docn AS (
+       |), docn AS MATERIALIZED (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM docb GROUP BY 1
-       |), xf AS (
+       |), xf AS MATERIALIZED (
        |  SELECT x.doc_id, x.b, CAST(x.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS x
        |  FROM docb x JOIN docn n USING (doc_id)
-       |), dl AS (
+       |), dl AS MATERIALIZED (
        |  SELECT n.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |  FROM docn n JOIN documents d USING (doc_id)
-       |), nn AS (
+       |), nn AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM dl
        |), w0 AS (
        |  SELECT CAST(unnest(generate_series(-1, 63)) AS BIGINT) AS b, 0.0 AS w
@@ -5326,7 +5334,7 @@ object Oracles {
       |mf AS (
       |  SELECT x.doc_id, round(sum(x.x * w.w), 7) AS ms
       |  FROM xf x JOIN w3 w ON x.b = w.b GROUP BY 1
-      |), pf AS (
+      |), pf AS MATERIALIZED (
       |  SELECT m.doc_id,
       |    round(1.0 / (1.0 + exp(-(m.ms + (SELECT w FROM w3 WHERE b = -1)))), 7) AS p
       |  FROM mf m
@@ -5349,10 +5357,10 @@ object Oracles {
     */
   private def lrEvalCtes: String =
     lrScoreCtes + """,
-      |scored AS (
+      |scored AS MATERIALIZED (
       |  SELECT round(p.p, 4) AS s, dl.y AS y
       |  FROM pf p JOIN dl USING (doc_id)
-      |), s4h AS (
+      |), s4h AS MATERIALIZED (
       |  SELECT CAST(round(s * 10000) AS BIGINT) AS s4,
       |    CAST(sum(y) AS BIGINT) AS n_pos,
       |    CAST(count(*) - sum(y) AS BIGINT) AS n_neg

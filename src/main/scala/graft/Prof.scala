@@ -513,6 +513,59 @@ object Prof {
       time("simhash_sig")(graft.ext.Dedup.simhash64(docs).count())
       time("simhash_full")(noop(graft.ext.Dedup.simhashCandidatePairs(docs, 3)))
     }
+    if (mode == "explain15") {
+      // dump .explain("formatted") for the named queries to
+      // $SPARK_GRAFT_PLAN_DIR/<name>_<suffix>.txt (the r15 plan-evidence
+      // deliverable). Lazy plans only — no execution.
+      val dir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r15")
+      val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "after")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val names = sys.env.get("SPARK_GRAFT_PROF_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      for (n <- names; f <- SparkEntry.queries.get(n)) {
+        val plan = f(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${n}_$suffix.txt"),
+          plan.getBytes("UTF-8"))
+        val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+        val nBc = "BroadcastExchange".r.findAllIn(plan).size
+        println(s"PROF explain15 $n -> $dir/${n}_$suffix.txt " +
+          s"(shuffle exchanges=$nEx, broadcasts=$nBc)")
+      }
+    }
+    if (mode == "jobs15") {
+      // r15 optimization-round anatomy: per registered query, the number
+      // of Spark jobs and stages a warm run launches (jobs ≈ driver
+      // actions; stages ≈ exchanges + scans) — the fixed-cost structure
+      // that dominates sub-10 s rows at sf0.1 and the exchange count that
+      // dominates at 100 TB. SPARK_GRAFT_PROF_ONLY=a,b,c selects rows.
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+        }
+      })
+      val names = sys.env.get("SPARK_GRAFT_PROF_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq("text_lr_model", "text_lr_predict", "ml_eval_auc_ci",
+          "sim_communities", "text_bm25_certified", "dedup_containment_index",
+          "dedup_clusters_dist", "retrieval_eval_certified", "sim_topk_pq",
+          "retrieval_hybrid_rrf_certified", "pipeline_stage_report"))
+      for (n <- names; f <- SparkEntry.queries.get(n)) {
+        noop(f(spark, sfDir)); Bench.sweep(spark) // warm: JIT/codegen/caches
+        Thread.sleep(200)
+        jobs.set(0); stages.set(0)
+        val t0 = System.nanoTime()
+        noop(f(spark, sfDir))
+        val sec = (System.nanoTime() - t0) / 1e9
+        // listener events are async; give the bus a beat to drain
+        Thread.sleep(300)
+        println(f"PROF jobs15 $n%-32s ${sec}%6.2f s  jobs=${jobs.get}%3d stages=${stages.get}%3d")
+        Bench.sweep(spark)
+      }
+    }
     spark.stop()
   }
 }

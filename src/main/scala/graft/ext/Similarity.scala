@@ -1278,11 +1278,16 @@ object Similarity {
       val votes = adj
         .join(labels.select(col("vec_id").as("q"), col("label")), Seq("q"))
         .groupBy(col("p"), col("label")).agg(count(lit(1)).as("n"))
+      // r15 (guide §2.4): the argmax over (n DESC, label ASC) was a
+      // row_number window — a second exchange plus a per-partition sort
+      // every round. max(struct(n, −label)) is the same total order
+      // ((p, label) rows are unique, so no ties reach the struct
+      // comparison) as ONE partial-aggregable groupBy: per round the
+      // plan drops an Exchange and a Sort, output rows identical.
       val best = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("p")).orderBy(col("n").desc, col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("p").as("vec_id"), col("label").as("new_label"))
+        .groupBy(col("p"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("p").as("vec_id"), (-col("m.neg")).as("new_label"))
       labels = labels.join(best, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("new_label"), col("label")).as("label"))
@@ -1605,20 +1610,97 @@ object Similarity {
     */
   def pqFit(emb: DataFrame, m: Int = 8, ks: Int = 16, iters: Int = 2,
       dim: Int = 64): Seq[(Seq[(Int, Array[Double])], DataFrame)] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val (books, assigned) = pqFitJoint(emb, m, ks, iters, dim)
+    (0 until m).map { s =>
+      (books(s), assigned.filter(col("s") === s)
+        .select(col("vec_id"), col("cell")))
+    }
+  }
+
+  /** The m per-subspace Lloyd fits as ONE joint loop over exploded
+    * (vec_id, s, subvector) rows (r15, guide §1.2/§2.4): the previous
+    * shape ran m concurrently-submitted [[kmeansFit]]s — m corpus caches,
+    * m×iters assign jobs and m×iters driver collects (the jobs15 profile
+    * measured sim_topk_pq at 151 jobs, the registry's worst) — and every
+    * consumer then re-assembled the codes with an m-way self-join. One
+    * exploded frame fits all subspaces in iters assign jobs + iters
+    * bounded collects (centroid rows are m×ks×subDim doubles — the same
+    * driver payload as before, arriving in one collect instead of m).
+    * Per-subspace arithmetic is IDENTICAL: the same ks-smallest-vec_id
+    * init sliced per subspace, the same d2 argmin expression per
+    * (vector, codeword) pair (order-free min(struct)), the same
+    * posexplode mean with the same round-9 driver boundary — so codes
+    * and codebooks are bit-identical and the PQ oracles stay the gate.
+    */
+  private[graft] def pqFitJoint(emb: DataFrame, m: Int, ks: Int, iters: Int,
+      dim: Int): (Seq[Seq[(Int, Array[Double])]], DataFrame) = {
+    import emb.sparkSession.implicits._
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim must divide into $m subspaces")
-    val fits = (0 until m).map { s =>
-      Future {
-        val sub = emb.select(col("vec_id"),
-          slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-        kmeansFit(sub, ks, iters)
+    val sub = emb.select(col("vec_id"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          slice(col("embedding"), s * subDim + 1, subDim).as("sv"))
+      }: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("embedding"))
+      .cache()
+    // init: the vectors of the ks smallest vec_ids, sliced per subspace —
+    // exactly the per-subspace kmeansFit init
+    val initVecs = emb.orderBy(col("vec_id")).limit(ks)
+      .select(col("embedding")).as[Array[Float]].collect()
+    var cents: Seq[Seq[(Int, Array[Double])]] = (0 until m).map { s =>
+      initVecs.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * subDim, (s + 1) * subDim).map(_.toDouble)) }.toSeq
+    }
+    def assignAll(): DataFrame = {
+      val centDf = broadcast(cents.zipWithIndex.flatMap { case (cs, s) =>
+        cs.map { case (cell, arr) => (s, cell, arr) } }
+        .toDF("s", "cell", "centroid"))
+      val d2 = dot(col("embedding"), col("embedding")) +
+        dot(col("centroid"), col("centroid")) -
+        lit(2.0) * dot(col("embedding"), col("centroid"))
+      sub.join(centDf, Seq("s"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(d2.as("d"), col("cell"))).as("best"))
+        .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
+    }
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignAll()
+      val rows = assigned.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cell"), posexplode(col("embedding")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg(avg(col("col")).as("cv"))
+        .groupBy(col("s"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("centroid"))
+        .as[(Int, Int, Array[Double])].collect()
+      val byS = rows.groupBy(_._1)
+      cents = (0 until m).map { s =>
+        byS.getOrElse(s, Array.empty).map { case (_, c, arr) =>
+          // same driver-boundary round-9 as kmeansFit — both engines (and
+          // every later iteration) start from bit-identical centroids
+          (c, arr.map(v =>
+            BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }.toSeq.sortBy(_._1)
       }
     }
-    Await.result(Future.sequence(fits), Duration.Inf)
+    if (assigned == null) assigned = assignAll() // iters = 0
+    assigned = assigned.localCheckpoint(true)
+    sub.unpersist()
+    (cents, assigned)
   }
+
+  /** The (vec_id, code_0..code_{m-1}) wide codes frame from the joint
+    * assignment — ONE bounded aggregate replacing the m-way self-join
+    * every PQ consumer used to pay (each (vec_id, s) holds exactly one
+    * cell, so the conditional max picks it; r15).
+    */
+  private[graft] def pqCodesWide(assigned: DataFrame, m: Int): DataFrame =
+    assigned.groupBy(col("vec_id"))
+      .agg((0 until m).map(s =>
+        max(when(col("s") === s, col("cell"))).as(s"code_$s")).head,
+        (1 until m).map(s =>
+          max(when(col("s") === s, col("cell"))).as(s"code_$s")): _*)
 
   /** ANN top-k by PQ asymmetric distance (ADC): the corpus is scanned as
     * CODES ONLY (m small ints per vector — the 8-byte index row at scale);
@@ -1645,16 +1727,14 @@ object Similarity {
       m: Int = 8, ks: Int = 16, iters: Int = 2, dim: Int = 64,
       shortlist: Int = 0): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    val fits = pqFit(emb, m, ks, iters, dim)
-    // codes table: vec_id + m code columns, joined on vec_id (co-planned
-    // into one shuffle per fit output; at scale this table is WRITTEN once
-    // and scanned per query batch)
-    val codes = fits.zipWithIndex.map { case ((_, assigned), s) =>
-      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
-    }.reduce(_.join(_, Seq("vec_id")))
+    // joint fit + ONE aggregate to the wide codes table (r15): the codes
+    // used to be re-assembled from the m per-subspace assignments with an
+    // m-way self-join — m−1 join stages over slices of one checkpoint
+    val (books, assigned) = pqFitJoint(emb, m, ks, iters, dim)
+    val codes = pqCodesWide(assigned, m)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    pqScoreAndRank(codes, queries, emb, lutColumns(fits.map(_._1)), m, dim / m,
+    pqScoreAndRank(codes, queries, emb, lutColumns(books), m, dim / m,
       k, shortlist)
   }
 
@@ -1780,12 +1860,10 @@ object Similarity {
     // streaming ingest OVERWRITE their own batch=<id> (replay-idempotent).
     val n = nextIndexVersion(fs, dir)
     val root = s"$dir/v_$n"
-    val fits = pqFit(emb, m, ks, iters, dim)
-    fits.zipWithIndex.map { case ((_, assigned), s) =>
-      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
-    }.reduce(_.join(_, Seq("vec_id")))
+    val (books, assigned) = pqFitJoint(emb, m, ks, iters, dim)
+    pqCodesWide(assigned, m)
       .write.mode("overwrite").parquet(s"$root/codes/batch=-1")
-    fits.zipWithIndex.flatMap { case ((cents, _), s) =>
+    books.zipWithIndex.flatMap { case (cents, s) =>
       cents.map { case (code, arr) => (s, code, arr) } }
       .toDF("sub", "code", "centroid")
       .write.mode("overwrite").parquet(s"$root/codebooks")
@@ -2111,13 +2189,11 @@ object Similarity {
     import scala.concurrent.ExecutionContext.Implicits.global
     val subDim = dim / m
     val coarseF = Future { kmeansFit(emb, nCells, iters) }
-    val fits = pqFit(emb, m, ks, iters, dim)
+    val (books, assigned) = pqFitJoint(emb, m, ks, iters, dim)
     val (coarse, cells) = Await.result(coarseF, Duration.Inf)
-    val codes = fits.zipWithIndex.map { case ((_, assigned), s) =>
-      assigned.select(col("vec_id"), col("cell").as(s"code_$s"))
-    }.reduce(_.join(_, Seq("vec_id")))
+    val codes = pqCodesWide(assigned, m)
       .join(cells.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    val luts = lutColumns(fits.map(_._1))
+    val luts = lutColumns(books)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // coarse probes: rank cells by query-centroid cosine (broadcast both —

@@ -2079,18 +2079,25 @@ object TextAnalysis {
     * [[Dedup.shinglesMultiset]], and the same reason: higher-order
     * `transform` lambdas re-run the tokenizer per element).
     */
-  private def hashedNgramFeatures(docs: DataFrame, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+")))
-      .withColumnRenamed("col", "token")
-      .filter(col("token") =!= "")
-    val uni = tok.select(col("doc_id"), col("token").as("f"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = tok.withColumn("nxt", lead(col("token"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("f"))
-    uni.union(bi)
+  private[graft] def hashedNgramFeatures(docs: DataFrame, buckets: Int): DataFrame = {
+    // r15 (guide §2.4 "remove shuffles outright"): the original shape
+    // built bigrams with lead() over Window.partitionBy(doc_id) — ONE
+    // full exchange of every TOKEN row (the heaviest frame in the LR
+    // family) plus a union that erased partitioning for the downstream
+    // groupBy. Bigrams over the filtered token sequence are a pure
+    // per-row array map (`t[i] || ' ' || t[i+1]`, exactly the frame the
+    // oracle replays with list_filter + generate_series), so the whole
+    // feature generation is now explode-only: ZERO exchanges until the
+    // (doc_id, b) count — whose map-side combine ships bounded partial
+    // counts, never token rows. Feature multiset per doc is unchanged
+    // (filter-then-adjacent = lead-over-filtered-pos), so every consumer
+    // (LR family, DSIR) emits identical rows.
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))
+    val bi = transform(
+      slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+      (x, i) => concat_ws(" ", x, element_at(col("t"), (i + lit(2)).cast("int"))))
+    docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(concat(col("t"), bi)).as("f"))
       .select(col("doc_id"),
         pmod(portableHash64(col("f")), lit(buckets.toLong)).as("b"))
   }
@@ -2722,8 +2729,17 @@ object TextAnalysis {
     * and drop out of both frames (and therefore out of fit and predict).
     */
   private def lrFrames(docs: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
+    // r15 (guide §2.4): ONE doc_id repartition of the bounded (doc_id, b)
+    // count frame (≤ docs×(buckets+1) rows of three numerics — never
+    // token- or text-sized) aligns the ENTIRE downstream LR chain:
+    // docN's groupBy, the xf/dl joins, every GD round's margin groupBy
+    // and residual/gradient joins all reuse HashPartitioning(doc_id) and
+    // run exchange-free (measured at sf0.1: text_lr_model plan dropped
+    // from 14 Exchanges to 6; see plans/r15/). The only shuffles left in
+    // a GD round are the ≤buckets-row gradient aggregates.
     val docB = hashedNgramFeatures(docs, buckets)
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .repartition(col("doc_id"))
     val docN = docB.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
     val xf = docB.join(docN, Seq("doc_id"))
       .select(col("doc_id"), col("b"),
@@ -2772,20 +2788,32 @@ object TextAnalysis {
       buckets: Int, iters: Int): Map[Long, Double] = {
     var w = (-1L until buckets.toLong).map(_ -> 0.0).toMap
     for (_ <- 1 to iters) {
-      val pr = lrResiduals(xf, dl, w)
-      val gB = xf.join(pr, Seq("doc_id"))
-        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gs"))
-        .collect() // bounded: <= buckets rows
-      val bias = pr.agg(Exact.sumQL(col("r"), 7).as("gs"), count(lit(1)).as("cnt"))
-        .collect()(0)
-      val nDocs = bias.getLong(1)
+      // r15 (guide §1.2 "don't compute things twice"): the round's
+      // residual frame feeds BOTH the per-bucket gradient and the bias
+      // row. Previously two separate collect() actions each re-ran the
+      // full margin/residual chain; now pr persists for the round and
+      // one unioned action collects gradient + bias + doc count together
+      // — one job per GD round instead of two, identical aggregates
+      // (same sum(r·x) per bucket, same Exact.sumQL bias, same count).
+      val pr = lrResiduals(xf, dl, w).persist()
+      val gPart = xf.join(pr, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("r") * col("x")).as("gs"),
+          lit(0L).as("cnt"))
+      val bPart = pr.agg(Exact.sumQL(col("r"), 7).as("gs"),
+          count(lit(1)).as("cnt"))
+        .select(lit(-1L).as("b"), col("gs"), col("cnt"))
+      val rows = gPart.unionByName(bPart).collect() // bounded: <= buckets+1 rows
+      pr.unpersist()
+      val bias = rows.find(_.getLong(0) == -1L).get
+      val nDocs = bias.getLong(2)
       // empty feature frame (all docs zero-token): no gradient signal —
       // weights stay at their current values instead of dividing by zero
       if (nDocs > 0L) {
-        val g = gB.map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
+        val g = rows.filter(_.getLong(0) >= 0L)
+          .map(r => r.getLong(0) -> round6(r.getDouble(1) / nDocs)).toMap
           .withDefaultValue(0.0)
         w = w.map { case (b, wb) =>
-          val gb = if (b == -1L) round6(bias.getDouble(0) / nDocs) else g(b)
+          val gb = if (b == -1L) round6(bias.getDouble(1) / nDocs) else g(b)
           b -> round6(wb - gb)
         }
       }

@@ -3694,4 +3694,78 @@ class ExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(("en", "s1", 0L)) == ((5L, false, 0.2)))
     assert(out(("de", "s2", 1L)) == ((1L, true, 1.0)))
   }
+
+  test("r15: array-bigram feature derivation ≡ window-lead reference, edge cases included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge cases the rewrite must preserve: empty text, whitespace-only,
+    // single token, runs of separators (the filtered-token contract:
+    // bigrams pair consecutive NON-empty tokens), repeats, unicode
+    val d = Seq(
+      (0L, ""), (1L, "   "), (2L, "solo"), (3L, "a  b\tc\nd"),
+      (4L, "the the the"), (5L, "héllo wörld héllo wörld"),
+      (6L, " leading and trailing "), (7L, "x y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedNgramFeatures(d, 64)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the pre-r15 derivation, verbatim: posexplode + filter + lead window
+    val tok = d.select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")))
+      .withColumnRenamed("col", "token").filter(col("token") =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ref = tok.select(col("doc_id"), col("token").as("f"))
+      .union(tok.withColumn("nxt", lead(col("token"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("token"), col("nxt")).as("f")))
+      .select(col("doc_id"),
+        pmod(TextAnalysis.portableHash64(col("f")), lit(64L)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
+  test("r15: joint PQ fit ≡ per-subspace kmeansFit (codebooks and codes bit-identical)") {
+    import org.apache.spark.sql.functions._
+    val (m, ks, iters, dim) = (4, 8, 2, 64)
+    val subDim = dim / m
+    val (books, assigned) = Similarity.pqFitJoint(emb, m, ks, iters, dim)
+    val gotCodes = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    for (s <- 0 until m) {
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      val (refCents, refAssigned) = Similarity.kmeansFit(sub, ks, iters)
+      // codebooks: same cells, bit-identical centroid doubles
+      assert(books(s).map(_._1) == refCents.map(_._1), s"subspace $s cells")
+      books(s).zip(refCents).foreach { case ((_, a), (_, b)) =>
+        assert(a.toSeq == b.toSeq, s"subspace $s centroid drift")
+      }
+      val ref = refAssigned.collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(ref.forall { case (v, c) => gotCodes((v, s)) == c },
+        s"subspace $s code drift")
+    }
+  }
+
+  test("r15: label-propagation argmax via max(struct) ≡ row_number window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // votes with n-ties (labels 3 vs 7 both n=2 for p=1: smaller label
+    // wins in both forms) and a singleton
+    val votes = Seq((1L, 3L, 2L), (1L, 7L, 2L), (1L, 5L, 1L),
+      (2L, 9L, 4L), (2L, 1L, 4L), (3L, 6L, 1L)).toDF("p", "label", "n")
+    val viaAgg = votes.groupBy(col("p"))
+      .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+      .select(col("p"), (-col("m.neg")).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = votes.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p")).orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Map(1L -> 3L, 2L -> 1L, 3L -> 6L))
+  }
 }
