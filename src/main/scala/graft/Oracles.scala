@@ -124,13 +124,13 @@ object Oracles {
       |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rn
       |  FROM sym
       |), mu AS (
-      |  SELECT id, round(avg(cos), 6) AS mu FROM ranked WHERE rn <= 8 GROUP BY id
+      |  SELECT id, floor(avg(cos) * 1e6 + 0.5) / 1e6 AS mu FROM ranked WHERE rn <= 8 GROUP BY id
       |)
       |SELECT s.a AS caption_id, s.b - $off AS image_id, s.cos,
-      |  round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) AS margin
+      |  floor(s.cos / ((ma.mu + mb.mu) / 2.0) * 1e4 + 0.5) / 1e4 AS margin
       |FROM scored s JOIN mu ma ON s.a = ma.id JOIN mu mb ON s.b = mb.id
       |WHERE s.a < $off AND s.b >= $off
-      |  AND round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) >= 1.2 AND s.cos > 0
+      |  AND floor(s.cos / ((ma.mu + mb.mu) / 2.0) * 1e4 + 0.5) / 1e4 >= 1.2 AND s.cos > 0
       |ORDER BY caption_id, image_id""".stripMargin
   }
 
@@ -3059,10 +3059,10 @@ object Oracles {
         |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nb) AS rn
         |  FROM sym
         |), mu AS (
-        |  SELECT id, round(avg(cos), 6) AS mu FROM ranked WHERE rn <= 8 GROUP BY id
+        |  SELECT id, floor(avg(cos) * 1e6 + 0.5) / 1e6 AS mu FROM ranked WHERE rn <= 8 GROUP BY id
         |), m AS (
         |  SELECT s.a, s.b, s.cos,
-        |    round(s.cos / ((ma.mu + mb.mu) / 2.0), 4) AS margin
+        |    floor(s.cos / ((ma.mu + mb.mu) / 2.0) * 1e4 + 0.5) / 1e4 AS margin
         |  FROM scored s JOIN mu ma ON s.a = ma.id JOIN mu mb ON s.b = mb.id
         |)
         |SELECT m.a, m.b, da.lang AS lang_a, db.lang AS lang_b, m.cos, m.margin

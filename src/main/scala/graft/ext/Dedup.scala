@@ -89,6 +89,20 @@ object Dedup {
     * 12+ s at sf0.1 for 260k shingles). posexplode + window `lead` stays
     * in whole-stage codegen: split once per row, one hash shuffle on
     * doc_id for the window.
+    *
+    * r15 re-measured the IMPROVED array form too — tokens materialized
+    * once per row as a named attribute (SPARK-36718 keeps the split
+    * un-inlined), n-gram built by a `transform` lambda over that
+    * attribute, removing the window's token-row exchange outright. It
+    * is STILL slower: interpreted per-element lambda evaluation
+    * (3 `element_at` + `concat_ws` per shingle, outside whole-stage
+    * codegen) costs more than the exchange it saves — 10 of 12
+    * interleaved solo A/B pairs regressed (e.g. text_split_leakage
+    * 2.6→3.1 s, dedup_prefix_jaccard 2.6→3.3 s at sf0.1), so the window
+    * form stays. Contrast [[TextAnalysis.hashedNgramFeatures]], where
+    * the same array rewrite WINS: its consumers re-scan the feature
+    * frame per GD round, so the removed exchange amortizes across
+    * iterations and the lambda is 2-element.
     */
   private[graft] def shinglesMultiset(docs: DataFrame, n: Int = 3): DataFrame = {
     val tok = docs
@@ -1290,13 +1304,22 @@ object Dedup {
     val ranked = sym.withColumn("rn", row_number().over(
       Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nb"))))
     val mu = ranked.filter(col("rn") <= k)
-      .groupBy(col("id")).agg(round(avg(col("cos")), 6).as("mu"))
+      // floor-quantized HALF_UP (the Similarity q6 discipline): the top-k
+      // mean of round-6 grid cosines lands on the 1e-6 half-tie for 1/8
+      // of groups (sum on the grid, /8 exact), where Spark's
+      // shortest-decimal round(double) and the oracle's binary round can
+      // split; floor(x*1e6 + 0.5) evaluates identically in both engines
+      .groupBy(col("id"))
+      .agg((floor(avg(col("cos")) * 1e6 + 0.5) / 1e6).as("mu"))
     val langs = docs.select(col("doc_id"), col("lang"))
     scored
       .join(mu.select(col("id").as("a"), col("mu").as("mu_a")), Seq("a"))
       .join(mu.select(col("id").as("b"), col("mu").as("mu_b")), Seq("b"))
+      // margin is a QUOTIENT of grid values — the r15-measured 4-decimal
+      // half-tie class (sf0.001 emitted 1.2484 vs the oracle's 1.2485):
+      // same floor-quantized HALF_UP as mu, replayed verbatim by DuckDB
       .withColumn("margin",
-        round(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0), 4))
+        floor(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0) * 1e4 + 0.5) / 1e4)
       .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), Seq("a"))
       .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), Seq("b"))
       .filter(col("lang_a") =!= col("lang_b") && col("margin") >= marginGate &&
@@ -1345,12 +1368,21 @@ object Dedup {
     val ranked = sym.withColumn("rn", row_number().over(
       Window.partitionBy(col("id")).orderBy(col("cos").desc, col("nb"))))
     val mu = ranked.filter(col("rn") <= k)
-      .groupBy(col("id")).agg(round(avg(col("cos")), 6).as("mu"))
+      // floor-quantized HALF_UP (the Similarity q6 discipline): the top-k
+      // mean of round-6 grid cosines lands on the 1e-6 half-tie for 1/8
+      // of groups (sum on the grid, /8 exact), where Spark's
+      // shortest-decimal round(double) and the oracle's binary round can
+      // split; floor(x*1e6 + 0.5) evaluates identically in both engines
+      .groupBy(col("id"))
+      .agg((floor(avg(col("cos")) * 1e6 + 0.5) / 1e6).as("mu"))
     scored
       .join(mu.select(col("id").as("a"), col("mu").as("mu_a")), Seq("a"))
       .join(mu.select(col("id").as("b"), col("mu").as("mu_b")), Seq("b"))
+      // margin is a QUOTIENT of grid values — the r15-measured 4-decimal
+      // half-tie class (sf0.001 emitted 1.2484 vs the oracle's 1.2485):
+      // same floor-quantized HALF_UP as mu, replayed verbatim by DuckDB
       .withColumn("margin",
-        round(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0), 4))
+        floor(col("cos") / ((col("mu_a") + col("mu_b")) / 2.0) * 1e4 + 0.5) / 1e4)
       .filter(col("a") < offset && col("b") >= offset &&
         col("margin") >= marginGate && col("cos") > 0)
       .select(col("a").as("caption_id"), (col("b") - offset).as("image_id"),
